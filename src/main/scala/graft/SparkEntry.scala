@@ -1,13 +1,597 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.scale._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the scale operators), each with a DuckDB-oracle SQL where
+ * the semantics are SQL-expressible. Column names are aligned 1:1 between
+ * the Spark result and the oracle (the driver sorts columns by name and
+ * hashes values).
+ *
+ * Float discipline: double *sums* are made exact by summing integer cents
+ * (the synthetic money columns carry 2 decimals; discount products carry 4),
+ * so Spark's partial-aggregate order and DuckDB's order produce identical
+ * bits. Per-row scalar chains (ratios, rounds) are identical IEEE op
+ * sequences on both sides and compare exactly.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Read a driver-provided table from an sf directory. Parquet NANOS
+    * timestamps (events.ts) are read as long and normalized to micros. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  /** Exact decimal sum: round to 10^scale units, sum as long. */
+  private def centsSum(c: Column, scale: Int): Column =
+    sum(round(c * math.pow(10, scale)).cast("long"))
+
+  // ---------------------------------------------------------------- filter
+
+  private val filterRule = FilterOp.Node("AND", Seq(
+    FilterOp.Leaf("l_quantity", "<=", 20),
+    FilterOp.Node("OR", Seq(
+      FilterOp.Leaf("l_returnflag", "==", "R"),
+      FilterOp.Leaf("l_linestatus", "contains", "f"))),
+    FilterOp.Node("NOT", Seq(FilterOp.Leaf("l_discount", ">", 0.05)))))
+
+  private def qFilterPass(s: SparkSession, dir: String): DataFrame =
+    FilterOp(table(s, dir, "lineitem"), filterRule)("pass")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qFilterFail(s: SparkSession, dir: String): DataFrame =
+    FilterOp(table(s, dir, "lineitem"), filterRule)("fail")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  // ----------------------------------------------------------- aggregation
+
+  private def qAggGroups(s: SparkSession, dir: String): DataFrame = {
+    import AggregateOp.AggSpec
+    AggregateOp(table(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(
+        AggSpec("*", "count", "n_rows"),
+        AggSpec("l_quantity", "sum", "sum_qty"),
+        AggSpec("l_extendedprice", "min", "min_price"),
+        AggSpec("l_extendedprice", "max", "max_price"),
+        AggSpec("l_quantity", "median", "median_qty"),
+        AggSpec("l_partkey", "nunique", "n_parts")))
+      .withColumn("sum_qty", round(col("sum_qty"), 2))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private def qAggGlobal(s: SparkSession, dir: String): DataFrame = {
+    import AggregateOp.AggSpec
+    AggregateOp(table(s, dir, "orders"), Nil,
+      Seq(
+        AggSpec("*", "count", "n_rows"),
+        AggSpec("o_custkey", "nunique", "n_custs"),
+        AggSpec("o_totalprice", "min", "min_price"),
+        AggSpec("o_totalprice", "max", "max_price")))
+  }
+
+  /** Null group keys form groups (pandas dropna=False parity). */
+  private def qAggNullKeys(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .withColumn("prio", nullif(col("o_orderpriority"), lit("1-URGENT")))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy(col("prio").asc_nulls_first)
+
+  /** Exact money sum via integer cents: mean as cents/100/n. */
+  private def qAggMoney(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(centsSum(col("o_totalprice"), 2).as("cents"),
+        count(lit(1)).as("n_rows"))
+      .select(col("o_orderstatus"),
+        (col("cents") / 100.0).as("total_price"),
+        (col("cents") / 100.0 / col("n_rows")).as("avg_price"),
+        col("n_rows"))
+      .orderBy(col("o_orderstatus"))
+
+  // -------------------------------------------------- schema mapping / join
+
+  private def qProjectRename(s: SparkSession, dir: String): DataFrame = {
+    import SchemaMappingOp.MapRule
+    SchemaMappingOp.mapMode(
+      Map("in" -> table(s, dir, "customer")),
+      Map("out" -> Seq(
+        MapRule("in", "c_custkey", "cust_id"),
+        MapRule("in", "c_name", "cust_name"),
+        MapRule("in", "c_mktsegment", "segment"),
+        MapRule("in", "c_acctbal", "balance"))))("out")
+      .orderBy(col("cust_id"))
+  }
+
+  /** Nested destination paths (struct rebuild) — rows-only check. */
+  private def qProjectNested(s: SparkSession, dir: String): DataFrame = {
+    import SchemaMappingOp.MapRule
+    SchemaMappingOp.mapMode(
+      Map("in" -> table(s, dir, "customer")),
+      Map("out" -> Seq(
+        MapRule("in", "c_custkey", "cust_id"),
+        MapRule("in", "c_nationkey", "geo.nation_key"),
+        MapRule("in", "c_mktsegment", "geo.segment"))))("out")
+      .orderBy(col("cust_id"))
+  }
+
+  private def qJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    import SchemaMappingOp.JoinStep
+    val joined = SchemaMappingOp.joinMode(
+      Map("lineitem" -> table(s, dir, "lineitem"),
+        "orders" -> table(s, dir, "orders"),
+        "customer" -> table(s, dir, "customer")),
+      Seq(
+        JoinStep("lineitem", "orders", Seq("l_orderkey"), Seq("o_orderkey"),
+          "inner", "li_o"),
+        JoinStep("li_o", "customer", Seq("o_custkey"), Seq("c_custkey"),
+          "inner", "out")))("out")
+    joined.groupBy(col("c_mktsegment"))
+      .agg((centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4) / 10000.0)
+        .as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def qJoinLeftNulls(s: SparkSession, dir: String): DataFrame = {
+    import SchemaMappingOp.JoinStep
+    val joined = SchemaMappingOp.joinMode(
+      Map("customer" -> table(s, dir, "customer"),
+        "orders" -> table(s, dir, "orders")),
+      Seq(JoinStep("customer", "orders", Seq("c_custkey"), Seq("o_custkey"),
+        "left", "out")))("out")
+    joined.groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"), count(lit(1)).as("n_rows"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** 4-table chain over the dimension tables — broadcast-join shaped. */
+  private def qJoinStar(s: SparkSession, dir: String): DataFrame = {
+    import SchemaMappingOp.JoinStep
+    val joined = SchemaMappingOp.joinMode(
+      Map("lineitem" -> table(s, dir, "lineitem"),
+        "supplier" -> broadcast(table(s, dir, "supplier")),
+        "nation" -> broadcast(table(s, dir, "nation")),
+        "region" -> broadcast(table(s, dir, "region"))),
+      Seq(
+        JoinStep("lineitem", "supplier", Seq("l_suppkey"), Seq("s_suppkey"),
+          "inner", "j1"),
+        JoinStep("j1", "nation", Seq("s_nationkey"), Seq("n_nationkey"),
+          "inner", "j2"),
+        JoinStep("j2", "region", Seq("n_regionkey"), Seq("r_regionkey"),
+          "inner", "out")))("out")
+    joined.groupBy(col("r_name"), col("n_name"))
+      .agg((centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4) / 10000.0)
+        .as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // -------------------------------------------------------- type conversion
+
+  private def qTypeConversion(s: SparkSession, dir: String): DataFrame = {
+    import TypeConversionOp._
+    import graft.schema.GraftType._
+    val base = table(s, dir, "events")
+      .withColumn("k_str", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+      .withColumn("k_float_str", concat(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(".0")))
+      .withColumn("flag_str",
+        when(col("event_type") === "signup", lit(" Yes "))
+          .when(col("event_type") === "error", lit("F"))
+          .when(col("event_type") === "purchase", lit("1"))
+          .otherwise(lit("maybe")))
+    val strType = org.apache.spark.sql.types.StringType
+    base.select(
+      col("event_id"),
+      convert(col("k_str"), strType, TInteger, NullPolicy).as("k_int"),
+      convert(col("k_float_str"), strType, TInteger, NullPolicy).as("k_int_from_float"),
+      convert(col("k_str"), strType, TFloat, NullPolicy).as("k_float"),
+      convert(col("flag_str"), strType, TBoolean, NullPolicy).as("flag_bool"),
+      convert(col("event_type"), strType, TBoolean, SkipPolicy).as("flag_skipped"),
+      convert(lit("nan"), strType, TFloat, NullPolicy).as("nullish"))
+      .orderBy(col("event_id"))
+  }
+
+  // ----------------------------------------------------------- split/merge
+
+  private def qMergeUnion(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val a = FilterOp(li, FilterOp.Leaf("l_quantity", ">", 45))("pass")
+    val b = FilterOp(li, FilterOp.Leaf("l_discount", ">=", 0.09))("pass")
+    RelationalOps.merge(Seq(
+      a.select(col("l_orderkey"), col("l_linenumber"), lit("big_qty").as("branch")),
+      b.select(col("l_orderkey"), col("l_linenumber"), lit("discounted").as("branch"))))
+      .groupBy(col("branch")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("branch"))
+  }
+
+  private def qSplitBranches(s: SparkSession, dir: String): DataFrame = {
+    val ports = RelationalOps.split(table(s, dir, "lineitem"),
+      Seq("a", "b"), cache = false)
+    val sums = ports("a").groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+    val counts = ports("b").groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"))
+    sums.join(counts, Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------- sort/skip/limit (find-like)
+
+  private def qSortLimit(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.findLike(table(s, dir, "events"),
+      filter = Some(col("value") > 100),
+      sort = Seq(("value", -1), ("event_id", 1)),
+      skip = 10,
+      limit = Some(20),
+      projection = Seq("event_id", "user_id", "value"))
+
+  private def qWindowTopN(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(s, dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  /** Tumbling-window event aggregation (batch parity of the streaming path). */
+  private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (centsSum(col("value"), 2) / 100.0).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // ------------------------------------------------------------------ dedup
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private def qDedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("fingerprint"))
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(table(s, dir, "documents"), "text", "doc_id",
+      shingleN = 5, k = 32, bands = 8, threshold = 0.6)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val losers = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 3)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      table(s, dir, "documents").filter(col("doc_id") < 300),
+      "text", "doc_id", n = 4, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      Similarity.lshCosineSignature(col("embedding"), 12).as("sig"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      Similarity.lshCosineSignature(col("embedding"), 12).as("sig"))
+    val losers = a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= 0.95)
+      .select(col("id_b").as("vec_id")).distinct()
+    emb.join(losers, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    table(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+      round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
+      round(TextAnalysis.meanWordLen(t), 6).as("mean_word_len"),
+      TextAnalysis.qualityScore(t).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qTextLangId(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_pred"))
+
+  // ------------------------------------------------------------- similarity
+
+  private def qSimKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.knnJoin(emb, emb.filter(col("vec_id") < 3), "embedding",
+      "vec_id", "vec_id", k = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    // deterministic centroids: the first 8 vectors; query: vector 0
+    val centroidRows = emb.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id").toInt,
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    val query = centroidRows.head._2
+    Similarity.ivfTopK(emb, "embedding", "vec_id",
+      centroidRows.toSeq, query, k = 10, nprobe = 3)
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
+      .select(col("media_id"), col("mime"), col("width"), col("height"),
+        round(col("mean_luma"), 6).as("mean_luma"),
+        size(col("feature")).as("feature_dim"))
+      .orderBy(col("media_id"))
+
+  // ----------------------------------------------------------------- driver
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qJoinStar(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_pass" -> (qFilterPass _),
+    "q_filter_fail" -> (qFilterFail _),
+    "q_agg_groups" -> (qAggGroups _),
+    "q_agg_global" -> (qAggGlobal _),
+    "q_agg_nullkeys" -> (qAggNullKeys _),
+    "q_agg_money" -> (qAggMoney _),
+    "q_project_rename" -> (qProjectRename _),
+    "q_project_nested" -> (qProjectNested _),
+    "q_join_plan" -> (qJoinPlan _),
+    "q_join_left_nulls" -> (qJoinLeftNulls _),
+    "q_join_star" -> (qJoinStar _),
+    "q_type_conversion" -> (qTypeConversion _),
+    "q_merge_union" -> (qMergeUnion _),
+    "q_split_branches" -> (qSplitBranches _),
+    "q_sort_limit" -> (qSortLimit _),
+    "q_window_topn" -> (qWindowTopN _),
+    "q_events_window" -> (qEventsWindow _),
+    "dedup_exact" -> (qDedupExact _),
+    "dedup_fingerprint" -> (qDedupFingerprint _),
+    "dedup_minhash" -> (qDedupMinhash _),
+    "dedup_simhash" -> (qDedupSimhash _),
+    "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "dedup_embedding" -> (qDedupEmbedding _),
+    "text_stats" -> (qTextStats _),
+    "text_langid" -> (qTextLangId _),
+    "sim_knn" -> (qSimKnn _),
+    "sim_ivf" -> (qSimIvf _),
+    "multimodal_features" -> (qMultimodal _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_pass" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+        |FROM lineitem
+        |WHERE l_quantity <= 20
+        |  AND (l_returnflag = 'R' OR contains(lower(l_linestatus), 'f'))
+        |  AND NOT (l_discount > 0.05)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_fail" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |WHERE NOT (l_quantity <= 20
+        |  AND (l_returnflag = 'R' OR contains(lower(l_linestatus), 'f'))
+        |  AND NOT (l_discount > 0.05))
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_groups" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*)::BIGINT AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  median(l_quantity) AS median_qty,
+        |  count(DISTINCT l_partkey)::BIGINT AS n_parts
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_global" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_custs,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+    "q_agg_nullkeys" ->
+      """SELECT nullif(o_orderpriority, '1-URGENT') AS prio,
+        |  count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_custs
+        |FROM orders GROUP BY 1 ORDER BY prio NULLS FIRST""".stripMargin,
+    "q_agg_money" ->
+      """SELECT o_orderstatus,
+        |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price,
+        |  sum(round(o_totalprice * 100)::BIGINT) / 100.0
+        |    / count(*) AS avg_price,
+        |  count(*)::BIGINT AS n_rows
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_project_rename" ->
+      """SELECT c_custkey AS cust_id, c_name AS cust_name,
+        |  c_mktsegment AS segment, c_acctbal AS balance
+        |FROM customer ORDER BY cust_id""".stripMargin,
+    "q_join_plan" ->
+      """SELECT c_mktsegment,
+        |  sum(round(l_extendedprice * (1.0 - l_discount) * 10000)::BIGINT)
+        |    / 10000.0 AS revenue,
+        |  count(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_left_nulls" ->
+      """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
+        |  count(*)::BIGINT AS n_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_star" ->
+      """SELECT r_name, n_name,
+        |  sum(round(l_extendedprice * (1.0 - l_discount) * 10000)::BIGINT)
+        |    / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_type_conversion" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    regexp_extract(props, '"k": (\d+)', 1) AS k_str,
+        |    regexp_extract(props, '"k": (\d+)', 1) || '.0' AS k_float_str,
+        |    CASE WHEN event_type = 'signup' THEN ' Yes '
+        |         WHEN event_type = 'error' THEN 'F'
+        |         WHEN event_type = 'purchase' THEN '1'
+        |         ELSE 'maybe' END AS flag_str,
+        |    event_type
+        |  FROM events)
+        |SELECT event_id,
+        |  try_cast(k_str AS BIGINT) AS k_int,
+        |  CASE WHEN try_cast(k_float_str AS DOUBLE) = floor(try_cast(k_float_str AS DOUBLE))
+        |       THEN try_cast(k_float_str AS DOUBLE)::BIGINT END AS k_int_from_float,
+        |  try_cast(k_str AS DOUBLE) AS k_float,
+        |  CASE WHEN lower(trim(flag_str)) IN ('true','t','1','yes','y') THEN true
+        |       WHEN lower(trim(flag_str)) IN ('false','f','0','no','n') THEN false
+        |       END AS flag_bool,
+        |  CASE WHEN lower(trim(event_type)) IN ('true','t','1','yes','y') THEN true
+        |       WHEN lower(trim(event_type)) IN ('false','f','0','no','n') THEN false
+        |       END AS flag_skipped,
+        |  CAST(NULL AS DOUBLE) AS nullish
+        |FROM base ORDER BY event_id""".stripMargin,
+    "q_merge_union" ->
+      """SELECT branch, count(*)::BIGINT AS n_rows FROM (
+        |  SELECT l_orderkey, l_linenumber, 'big_qty' AS branch
+        |  FROM lineitem WHERE l_quantity > 45
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discounted' AS branch
+        |  FROM lineitem WHERE l_discount >= 0.09)
+        |GROUP BY branch ORDER BY branch""".stripMargin,
+    "q_split_branches" ->
+      """SELECT a.l_returnflag, round(a.sum_qty, 2) AS sum_qty, b.n_rows FROM
+        |  (SELECT l_returnflag, sum(l_quantity) AS sum_qty
+        |   FROM lineitem GROUP BY l_returnflag) a
+        |JOIN
+        |  (SELECT l_returnflag, count(*)::BIGINT AS n_rows
+        |   FROM lineitem GROUP BY l_returnflag) b
+        |ON a.l_returnflag = b.l_returnflag
+        |ORDER BY a.l_returnflag""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value > 100
+        |ORDER BY value DESC, event_id LIMIT 20 OFFSET 10""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars, row_number() OVER (
+        |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', ' ', 'g')), '\s+'), x -> len(x) > 0))), ' ')) AS fingerprint
+        |  FROM documents)
+        |SELECT fingerprint, count(*)::BIGINT AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    "text_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+        |    len(text) AS n_chars,
+        |    len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+        |    len(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |           x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |             'that','for','on','with','as','at','by','be','this'], x))) END AS n_stops
+        |  FROM documents),
+        |ratios AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_chars = 0 THEN 0.0
+        |         ELSE n_punct::DOUBLE / n_chars::DOUBLE END AS punct_r,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE n_stops::DOUBLE / n_tokens::DOUBLE END AS stop_r,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE n_nonspace::DOUBLE / n_tokens::DOUBLE END AS mwl,
+        |    n_chars
+        |  FROM base)
+        |SELECT doc_id, n_tokens,
+        |  round(punct_r, 6) AS punct_ratio,
+        |  round(stop_r, 6) AS stopword_ratio,
+        |  round(mwl, 6) AS mean_word_len,
+        |  round((least(n_chars::DOUBLE / 500.0, 1.0)
+        |    + least(stop_r * 4.0, 1.0)
+        |    + greatest(1.0 - punct_r * 4.0, 0.0)) / 3.0, 6) AS quality
+        |FROM ratios ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> list_contains(['der','die','das','und','nicht','ist','ein','mit'], x))) AS s_de,
+        |    len(list_filter(t, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |    len(list_filter(t, x -> list_contains(['el','la','los','las','que','de','es','una'], x))) AS s_es,
+        |    len(list_filter(t, x -> list_contains(['le','la','les','des','est','une','que','dans'], x))) AS s_fr,
+        |    len(list_filter(t, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+        |  FROM toks),
+        |pred AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        |         WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+        |         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+        |         WHEN s_en > s_de THEN 'en'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM scores)
+        |SELECT lang_pred, count(*)::BIGINT AS n_docs
+        |FROM pred GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Group-by aggregation operator.
+ *
+ * Reference semantics (reference: src/etl_core/components/data_operations/
+ * aggregation/types.py:9-31, receivers/.../aggregation_receiver.py:34-246):
+ *  - ops: count, sum, min, max, mean, median, std, nunique
+ *  - src="*" with op=count means group size (counts rows incl. nulls)
+ *  - count(col) counts non-null values (pandas `count`)
+ *  - std is sample stddev (pandas ddof=1 → stddev_samp)
+ *  - empty group_by = one global aggregate row
+ *  - null group keys form groups (pandas groupby(dropna=False); Spark
+ *    groupBy keeps null keys natively)
+ *
+ * Where the reference buffers the whole input per component and flushes on an
+ * end-of-stream sentinel (aggregation_component.py:97-175), Spark's hash
+ * aggregate does a map-side partial aggregate then a shuffle on the group
+ * keys — no whole-input buffering on any single node, which is what makes the
+ * same operator hold at 100 TB. nunique (countDistinct) triggers an expand +
+ * two-phase aggregate; approx_count_distinct is offered as an opt-in for
+ * scale (`nunique_approx`).
+ */
+object AggregateOp {
+
+  final case class AggSpec(src: String, op: String, dest: String)
+
+  def aggColumn(spec: AggSpec): Column = {
+    val c = spec.op.toLowerCase match {
+      case "count" if spec.src == "*" => count(lit(1))
+      case "count"                    => count(col(spec.src))
+      case "sum"                      => sum(col(spec.src))
+      case "min"                      => min(col(spec.src))
+      case "max"                      => max(col(spec.src))
+      case "mean"                     => avg(col(spec.src))
+      case "median"                   => median(col(spec.src))
+      case "std"                      => stddev_samp(col(spec.src))
+      case "nunique"                  => countDistinct(col(spec.src))
+      case "nunique_approx"           => approx_count_distinct(col(spec.src))
+      case other => throw new IllegalArgumentException(s"unknown aggregation op: $other")
+    }
+    c.as(spec.dest)
+  }
+
+  def apply(df: DataFrame, groupBy: Seq[String], aggs: Seq[AggSpec]): DataFrame = {
+    require(aggs.nonEmpty, "aggregation needs at least one agg spec")
+    val cols = aggs.map(aggColumn)
+    if (groupBy.isEmpty) df.agg(cols.head, cols.tail: _*)
+    else df.groupBy(groupBy.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+}

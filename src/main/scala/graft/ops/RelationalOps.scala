@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Split / merge and the generic select-sort-skip-limit surface.
+ *
+ * Reference semantics:
+ *  - split duplicates every payload to all declared output ports (reference:
+ *    src/etl_core/components/data_operations/split/split.py:23-72). In a lazy
+ *    DAG this is just reusing one DataFrame for N branches; the graph layer
+ *    caches when more than one branch triggers an action so the upstream
+ *    lineage is computed once.
+ *  - merge forwards payloads from many upstream edges to one port with no
+ *    combining logic (reference: .../merge/merge.py:21-84) — an interleaved
+ *    pass-through union. Spark: unionByName over same-schema inputs; no
+ *    shuffle, partitions are simply concatenated.
+ *  - select/sort/skip/limit mirrors the Mongo read surface (reference:
+ *    src/etl_core/components/databases/mongodb/mongodb_read.py:31-73):
+ *    filter, sort [(field, ±1)], limit, skip, and projection derived from the
+ *    out-port schema.
+ */
+object RelationalOps {
+
+  /** split: one input, N identical output ports. */
+  def split(df: DataFrame, outPorts: Seq[String], cache: Boolean = true): Map[String, DataFrame] = {
+    val shared = if (cache && outPorts.size > 1) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    outPorts.map(_ -> shared).toMap
+  }
+
+  /** merge: same-schema union of all inbound branches (no dedup, no shuffle). */
+  def merge(inputs: Seq[DataFrame]): DataFrame = {
+    require(inputs.nonEmpty, "merge needs at least one input")
+    inputs.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Mongo-read-shaped query surface over any DataFrame: filter, multi-key
+   * sort with per-key direction, skip, limit, projection.
+   *
+   * Scale note: skip/limit compile to Catalyst's GlobalLimit-with-offset
+   * (Dataset.offset, Spark ≥3.4) — executors take only local prefixes and
+   * the driver assembles skip+limit rows; no global window, no full
+   * single-partition sort. Sorting needs a total order: pass a tie-breaking
+   * unique key in `sort` for deterministic results.
+   */
+  def findLike(df: DataFrame,
+               filter: Option[Column] = None,
+               sort: Seq[(String, Int)] = Nil,
+               skip: Int = 0,
+               limit: Option[Int] = None,
+               projection: Seq[String] = Nil): DataFrame = {
+    var d = df
+    filter.foreach(f => d = d.filter(f))
+    if (sort.nonEmpty) {
+      val keys = sort.map { case (f, dir) => if (dir >= 0) col(f).asc else col(f).desc }
+      d = d.orderBy(keys: _*)
+    }
+    if (skip > 0) {
+      require(sort.nonEmpty, "skip without sort is nondeterministic")
+      d = d.offset(skip)
+    }
+    limit.foreach(n => d = d.limit(n))
+    if (projection.nonEmpty) d = d.select(projection.map(col): _*)
+    d
+  }
+}

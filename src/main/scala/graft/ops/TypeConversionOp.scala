@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.schema.GraftType
+
+/**
+ * Type conversion operator: cast columns to a target logical type with a
+ * per-rule error policy.
+ *
+ * Reference scalar semantics reproduced exactly (reference:
+ * src/etl_core/receivers/data_operations_receivers/type_conversion/
+ * type_conversion_helper.py:19-199):
+ *  - the null-ish strings "", "na", "nan", "null", "none" (case/space
+ *    insensitive) become NULL before any cast;
+ *  - → INTEGER: booleans rejected; floats accepted iff integral; strings
+ *    parsed as int, else as float-if-integral ("3.0" → 3, "3.5" → error);
+ *  - → FLOAT: booleans rejected; numerics and numeric strings accepted;
+ *  - → BOOLEAN: booleans pass; ints/floats only 0/1; strings true/t/1/yes/y
+ *    and false/f/0/no/n (case/space-insensitive);
+ *  - → STRING: str(value), NULL stays NULL;
+ *  - on_error: raise = fail the job; null = value → NULL; skip = keep the
+ *    original value. `skip` with a non-string target cannot produce a
+ *    mixed-dtype column in Spark's type system (SURVEY.md §7.3): we keep the
+ *    original only when target = STRING (lossless), otherwise `skip`
+ *    degrades to `null` — documented divergence.
+ *
+ * Everything compiles to when/try_cast/cast Column expressions — fully
+ * codegen'd, no UDFs, so conversions stay inside whole-stage codegen and
+ * scale as a narrow map.
+ */
+object TypeConversionOp {
+
+  import GraftType._
+
+  sealed trait OnError
+  case object RaisePolicy extends OnError
+  case object NullPolicy  extends OnError
+  case object SkipPolicy  extends OnError
+
+  object OnError {
+    def fromName(s: String): OnError = s.toLowerCase match {
+      case "raise" => RaisePolicy
+      case "null"  => NullPolicy
+      case "skip"  => SkipPolicy
+      case other   => throw new IllegalArgumentException(s"unknown on_error: $other")
+    }
+  }
+
+  final case class CastRule(columnPath: String, target: GraftType, onError: OnError)
+
+  /** Null-ish string normalization: "", na, nan, null, none → NULL. */
+  def normalizeNullish(c: Column): Column = {
+    val t = lower(trim(c))
+    when(t.isin("", "na", "nan", "null", "none"), lit(null).cast(StringType)).otherwise(c)
+  }
+
+  /**
+   * Attempted conversion: returns the converted value, or NULL where the
+   * reference would raise/nullify. Callers combine with the policy.
+   */
+  def tryConvert(c: Column, from: DataType, target: GraftType): Column = target match {
+    case TInteger => from match {
+      case BooleanType => lit(null).cast(LongType)            // bool rejected
+      case _: IntegerType | LongType | ShortType | ByteType => c.cast(LongType)
+      case DoubleType | FloatType | _: DecimalType =>
+        // floats accepted iff integral
+        when(c === floor(c), c.cast(LongType))
+      case StringType =>
+        val s = normalizeNullish(c)
+        val d = s.try_cast("double")
+        // int parse, else float-if-integral
+        coalesce(s.try_cast("long"), when(d === floor(d), d.cast(LongType)))
+      case _ => c.try_cast("long")
+    }
+    case TFloat => from match {
+      case BooleanType => lit(null).cast(DoubleType)
+      case StringType  => normalizeNullish(c).try_cast("double")
+      case _           => c.try_cast("double")
+    }
+    case TBoolean => from match {
+      case BooleanType => c
+      case _: IntegerType | LongType | ShortType | ByteType | DoubleType | FloatType =>
+        when(c === 1, lit(true)).when(c === 0, lit(false))
+      case StringType =>
+        val t = lower(trim(normalizeNullish(c)))
+        when(t.isin("true", "t", "1", "yes", "y"), lit(true))
+          .when(t.isin("false", "f", "0", "no", "n"), lit(false))
+      case _ => c.try_cast("boolean")
+    }
+    case TString | TEnum | TPath => from match {
+      case StringType => c
+      case _          => c.cast(StringType)
+    }
+    case TObject | TArray =>
+      throw new IllegalArgumentException("object/array targets use nested rules")
+  }
+
+  /** Spark type a conversion produces. */
+  def sparkTarget(target: GraftType): DataType = target match {
+    case TInteger                => LongType
+    case TFloat                  => DoubleType
+    case TBoolean                => BooleanType
+    case TString | TEnum | TPath => StringType
+    case other => throw new IllegalArgumentException(s"no scalar spark type for $other")
+  }
+
+  /**
+   * Full conversion of one column under a policy.
+   *  raise → conversion failures become a runtime error (raise_error branch);
+   *  null  → failures become NULL;
+   *  skip  → failures keep the original (STRING target only; else ≈ null).
+   */
+  def convert(c: Column, from: DataType, target: GraftType, policy: OnError): Column = {
+    val attempted = tryConvert(c, from, target)
+    val outType = sparkTarget(target)
+    def srcNonNull = from match {
+      case StringType => normalizeNullish(c).isNotNull
+      case _          => c.isNotNull
+    }
+    policy match {
+      case NullPolicy => attempted
+      case RaisePolicy =>
+        when(srcNonNull && attempted.isNull,
+          raise_error(concat(lit("type_conversion raise: cannot cast value '"),
+            c.cast(StringType), lit(s"' to $target"))).cast(outType))
+          .otherwise(attempted)
+      case SkipPolicy =>
+        if (target == TString || target == TEnum || target == TPath) attempted
+        else
+          // documented divergence: non-string skip degrades to null
+          when(srcNonNull && attempted.isNull, lit(null).cast(outType))
+            .otherwise(attempted)
+    }
+  }
+
+  /** Apply rules to top-level or nested (dotted) paths. Array elements via `*`. */
+  def apply(df: DataFrame, rules: Seq[CastRule]): DataFrame =
+    rules.foldLeft(df) { (d, r) =>
+      val segs = r.columnPath.split('.')
+      if (segs.length == 1 && !r.columnPath.contains("*")) {
+        val from = d.schema(r.columnPath).dataType
+        d.withColumn(r.columnPath, convert(col(r.columnPath), from, r.target, r.onError))
+      } else {
+        // nested path: rebuild the struct with the converted leaf
+        d.withColumn(segs.head, rebuildNested(d.schema(segs.head).dataType,
+          col(segs.head), segs.tail.toList, r))
+      }
+    }
+
+  private def rebuildNested(dt: DataType, c: Column, path: List[String],
+                            r: CastRule): Column = (dt, path) match {
+    case (_, Nil) => convert(c, dt, r.target, r.onError)
+    case (at: ArrayType, "*" :: rest) =>
+      transform(c, x => rebuildNested(at.elementType, x, rest, r))
+    case (st: StructType, seg :: rest) =>
+      val fields = st.fields.map { f =>
+        if (f.name == seg) rebuildNested(f.dataType, c.getField(f.name), rest, r).as(f.name)
+        else c.getField(f.name).as(f.name)
+      }
+      struct(fields.toIndexedSeq: _*)
+    case _ =>
+      throw new IllegalArgumentException(s"cannot descend path $path into $dt")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language identification, and document
+ * fingerprinting. All are pure Column expression trees (codegen'd, no UDFs),
+ * so they run as narrow maps — no shuffle, linear scale-out, and they stay
+ * inside whole-stage codegen next to the parquet scan.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /**
+   * BPE-ish subword proxy: counts word pieces + digits + punctuation runs the
+   * way byte-pair tokenizers tend to split. A deterministic upper-ish bound
+   * used for budgeting, not an exact tokenizer.
+   */
+  def tokenCountBpeIsh(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(regexp_extract_all(text,
+        lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+
+  /** Ratio of punctuation characters to total characters (0 when empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = total - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(total === 0, lit(0.0)).otherwise(punct.cast("double") / total.cast("double"))
+  }
+
+  /** Mean word length over whitespace tokens (0 when empty). */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokenCount(text)
+    val chars = length(regexp_replace(trim(text), "\\s+", ""))
+    when(toks === 0, lit(0.0)).otherwise(chars.cast("double") / toks.cast("double"))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Fraction of whitespace tokens that are (lowercased) stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = tokenCount(text)
+    val stops = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)).cast("array<string>"))
+    when(n === 0, lit(0.0)).otherwise(stops.cast("double") / n.cast("double"))
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards reasonable length, some
+   * stopword presence (natural language), and low punctuation noise.
+   * A heuristic in the C4/Gopher-rules tradition, built from the pieces above.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(4.0), lit(0.0))
+    round((lenScore + stopScore + punctPenalty) / lit(3.0), 6)
+  }
+
+  /**
+   * Language-ID by marker-word voting: counts hits against per-language
+   * marker lexicons and picks the argmax (ties → lexicographic language
+   * code, "und" when no marker hits). An n-gram-free heuristic that is
+   * SQL-expressible, deterministic, and runs as one codegen'd expression.
+   */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "que", "de", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "que", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val scored = LangMarkers.map { case (lang, markers) =>
+      (lang, size(filter(toks, t => t.isin(markers.map(lit(_)): _*)).cast("array<string>")))
+    }
+    // argmax with deterministic ties: fold keeping (bestLang, bestScore)
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /**
+   * Normalized document fingerprint: lowercase, strip punctuation, split on
+   * whitespace, distinct-sort tokens, md5 of the joined token list. Two
+   * documents with the same bag of words collide — the cheap exact-ish
+   * canonical fingerprint used before heavier MinHash passes.
+   */
+  def fingerprint(text: Column): Column = {
+    val cleaned = regexp_replace(lower(text), "[^a-z0-9\\s]", " ")
+    val toks = filter(split(trim(cleaned), "\\s+"), t => length(t) > 0)
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+  }
+
+  /** All analyses as one projection, for pipeline use. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpe", tokenCountBpeIsh(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}
