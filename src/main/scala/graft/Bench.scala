@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import graft.util.JsonStr.quote
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE machine-readable JSON line
+  * (also written to BENCH_LOCAL.json, since sbt's logger can prefix
+  * stdout). Queries run in sorted name order after a warmup pass at
+  * sf0.001 so JVM/codegen warmup doesn't land on an arbitrary query;
+  * failures are recorded per-query instead of being swallowed. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +17,38 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warmup at the smallest scale factor: exercises codegen/JIT for every
+    // query's plan shape outside the timed loop.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    sorted.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors(name) = (e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage)).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = results.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
   }
 }

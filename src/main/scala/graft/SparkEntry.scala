@@ -26,7 +26,9 @@ object SparkEntry {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division: double division would promote the ~1.7e18 nanos
+      // value past 2^53 and lose ±1µs
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 
@@ -54,6 +56,26 @@ object SparkEntry {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
+
+  /** Null-bearing fixture pinning LEAF-level null falsiness: NOT(x > v) with
+    * x = null routes to pass (reference pandas-mask behavior), and a
+    * contains over a null string is false. */
+  private def qFilterNulls(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio"),
+        when(col("o_totalprice") > 150000, col("o_totalprice")).as("big_price"))
+    val rule = FilterOp.Node("OR", Seq(
+      FilterOp.Node("NOT", Seq(FilterOp.Leaf("big_price", ">", 200000))),
+      FilterOp.Leaf("prio", "contains", "urgent")))
+    val ports = FilterOp(base, rule)
+    ports("pass").withColumn("port", lit("pass"))
+      .unionByName(ports("fail").withColumn("port", lit("fail")))
+      .groupBy(col("port"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("prio").isNull, 1L).otherwise(0L)).as("n_null_prio"))
+      .orderBy(col("port"), col("o_orderstatus"))
+  }
 
   // ----------------------------------------------------------- aggregation
 
@@ -116,7 +138,10 @@ object SparkEntry {
       .orderBy(col("cust_id"))
   }
 
-  /** Nested destination paths (struct rebuild) — rows-only check. */
+  /** Nested destination paths: the operator builds a real struct; the final
+    * select re-flattens it to scalar columns so the driver's pandas-based
+    * comparator can canonicalize (structs are unhashable there). The struct
+    * rebuild itself is pinned by SchemaMappingSpec. */
   private def qProjectNested(s: SparkSession, dir: String): DataFrame = {
     import SchemaMappingOp.MapRule
     SchemaMappingOp.mapMode(
@@ -125,6 +150,8 @@ object SparkEntry {
         MapRule("in", "c_custkey", "cust_id"),
         MapRule("in", "c_nationkey", "geo.nation_key"),
         MapRule("in", "c_mktsegment", "geo.segment"))))("out")
+      .select(col("cust_id"), col("geo.nation_key").as("nation_key"),
+        col("geo.segment").as("segment"))
       .orderBy(col("cust_id"))
   }
 
@@ -370,6 +397,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_pass" -> (qFilterPass _),
     "q_filter_fail" -> (qFilterFail _),
+    "q_filter_nulls" -> (qFilterNulls _),
     "q_agg_groups" -> (qAggGroups _),
     "q_agg_global" -> (qAggGlobal _),
     "q_agg_nullkeys" -> (qAggNullKeys _),
@@ -444,6 +472,25 @@ object SparkEntry {
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
         |  c_mktsegment AS segment, c_acctbal AS balance
         |FROM customer ORDER BY cust_id""".stripMargin,
+    "q_project_nested" ->
+      """SELECT c_custkey AS cust_id, c_nationkey AS nation_key,
+        |  c_mktsegment AS segment
+        |FROM customer ORDER BY cust_id""".stripMargin,
+    "q_filter_nulls" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    nullif(o_orderpriority, '3-MEDIUM') AS prio,
+        |    CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS big_price
+        |  FROM orders),
+        |ev AS (
+        |  SELECT *,
+        |    (NOT coalesce(big_price > 200000, FALSE))
+        |      OR coalesce(contains(lower(prio), 'urgent'), FALSE) AS p
+        |  FROM base)
+        |SELECT CASE WHEN p THEN 'pass' ELSE 'fail' END AS port, o_orderstatus,
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN prio IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_prio
+        |FROM ev GROUP BY 1, 2 ORDER BY port, o_orderstatus""".stripMargin,
     "q_join_plan" ->
       """SELECT c_mktsegment,
         |  sum(round(l_extendedprice * (1.0 - l_discount) * 10000)::BIGINT)

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
  *  - `==` with a list value means membership (isin)
  *  - `contains` is case-insensitive substring with null → false
  *  - node operators: AND / OR / NOT (NOT arity exactly 1)
- *  - rows where the predicate evaluates to NULL go to `fail` (pandas masks
- *    have no three-valued logic; a null comparison is falsy there) — we
- *    coalesce the compiled predicate to false to match.
+ *  - null handling happens at each LEAF, not at the tree root: pandas masks
+ *    have no three-valued logic, so every leaf comparison over a null value
+ *    is falsy there (contains uses na=False; NaN comparisons evaluate
+ *    False). Consequently NOT(x > 5) with x = null is True and routes to
+ *    `pass`. We coalesce every compiled leaf to false so the NOT/AND/OR
+ *    algebra above it is two-valued, exactly like the reference masks.
  *
  * The reference's micro-rewrites (OR-of-== → isin, etc., filter_helper.py:
  * 104-151) are intentionally dropped: Catalyst's OptimizeIn + boolean
@@ -32,11 +35,13 @@ object FilterOp {
   final case class Leaf(column: String, op: String, value: Any) extends Rule
   final case class Node(logical: String, rules: Seq[Rule]) extends Rule
 
-  /** Compile a rule tree to a Catalyst predicate (three-valued). */
+  /** Compile a rule tree to a two-valued Catalyst predicate: every leaf is
+    * coalesced to false, so nulls are falsy exactly where pandas masks make
+    * them falsy (leaf level), not at the tree root. */
   def compile(rule: Rule): Column = rule match {
     case Leaf(c, op, v) =>
       val col0 = col(c)
-      (op, v) match {
+      val raw = (op, v) match {
         case ("==", vs: Seq[_])  => col0.isin(vs: _*)
         case ("==", x)           => col0 === lit(x)
         case ("!=", x)           => col0 =!= lit(x)
@@ -45,10 +50,11 @@ object FilterOp {
         case (">=", x)           => col0 >= lit(x)
         case ("<=", x)           => col0 <= lit(x)
         case ("contains", x) =>
-          // case-insensitive, literal (non-regex) substring, null-safe false
-          coalesce(lower(col0).contains(lower(lit(x.toString))), lit(false))
+          // case-insensitive, literal (non-regex) substring
+          lower(col0).contains(lower(lit(x.toString)))
         case (other, _) => throw new IllegalArgumentException(s"unknown operator: $other")
       }
+      coalesce(raw, lit(false))
     case Node(lo, rules) => lo.toUpperCase match {
       case "AND" => rules.map(compile).reduce(_ && _)
       case "OR"  => rules.map(compile).reduce(_ || _)
@@ -59,8 +65,8 @@ object FilterOp {
     }
   }
 
-  /** Two-valued predicate: NULL ⇒ false, matching reference row/mask behavior. */
-  def predicate(rule: Rule): Column = coalesce(compile(rule), lit(false))
+  /** Alias for compile — the compiled tree is already two-valued. */
+  def predicate(rule: Rule): Column = compile(rule)
 
   /** pass/fail routing. fail = complement of pass (nulls land in fail). */
   def apply(df: DataFrame, rule: Rule): Map[String, DataFrame] = {
