@@ -301,35 +301,25 @@ object SparkEntry {
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(table(s, dir, "documents"), "text", "doc_id",
-      shingleN = 5, k = 32, bands = 8, threshold = 0.6)
+      shingleN = 5, k = 32, bands = 16, threshold = 0.6)
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
-  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
-    val losers = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 3)
-      .select(col("id_b").as("doc_id")).distinct()
-    docs.join(losers, Seq("doc_id"), "left_anti")
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDedup(table(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
-  }
 
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(
-      table(s, dir, "documents").filter(col("doc_id") < 300),
+    Dedup.ngramJaccardPairs(table(s, dir, "documents"),
       "text", "doc_id", n = 4, threshold = 0.3)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      Similarity.lshCosineSignature(col("embedding"), 12).as("sig"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      Similarity.lshCosineSignature(col("embedding"), 12).as("sig"))
-    val losers = a.join(b, Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(Similarity.cosine(col("va"), col("vb")) >= 0.95)
+    val losers = Similarity.embeddingNearDups(emb, "embedding", "vec_id",
+      simThreshold = 0.95, dim = 64)
       .select(col("id_b").as("vec_id")).distinct()
     emb.join(losers, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))
@@ -368,15 +358,14 @@ object SparkEntry {
 
   private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    // deterministic centroids: the first 8 vectors; query: vector 0
-    val centroidRows = emb.filter(col("vec_id") < 8)
-      .orderBy(col("vec_id"))
-      .collect()
-      .map(r => (r.getAs[Long]("vec_id").toInt,
-        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
-    val query = centroidRows.head._2
-    Similarity.ivfTopK(emb, "embedding", "vec_id",
-      centroidRows.toSeq, query, k = 10, nprobe = 3)
+    // deterministic centroids: the first 8 vectors; query: vector 0.
+    // Both are DataFrames — no driver-side collect anywhere in the plan.
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    Similarity.ivfTopK(emb, "embedding", "vec_id", centroids, query,
+      k = 10, nprobe = 3)
   }
 
   // ------------------------------------------------------------- multimodal
@@ -385,7 +374,9 @@ object SparkEntry {
     Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 200))
       .select(col("media_id"), col("mime"), col("width"), col("height"),
         round(col("mean_luma"), 6).as("mean_luma"),
-        size(col("feature")).as("feature_dim"))
+        size(col("feature")).as("feature_dim"),
+        aggregate(transform(col("feature"), f => round(f * 1000).cast("long")),
+          lit(0L), (a, x) => a + x).as("feature_checksum"))
       .orderBy(col("media_id"))
 
   // ----------------------------------------------------------------- driver
@@ -587,6 +578,162 @@ object SparkEntry {
         |SELECT fingerprint, count(*)::BIGINT AS n_docs,
         |  min(doc_id) AS first_doc
         |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    "dedup_minhash" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [substr(t, i, 5) for i in range(1, greatest(len(t)-4, 1)+1)]) AS s
+        |  FROM norm),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM post a JOIN post b USING (g)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT id_b FROM pairs
+        |  WHERE inter::DOUBLE / (na + nb - inter) >= 0.6)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """WITH norm AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, list_distinct(str_split(t, ' ')) AS tk FROM norm),
+        |hs AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5(x), 1, 15))::BIGINT for x in tk] AS hh
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id,
+        |    [list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END
+        |       for h in hh]) for b in range(0, 60)] AS v
+        |  FROM hs),
+        |blocks AS (
+        |  SELECT doc_id,
+        |    [list_sum([CASE WHEN v[15*i + j + 1] > 0 THEN (1::BIGINT << j)
+        |       ELSE 0 END for j in range(0, 15)]) for i in range(0, 4)] AS blk
+        |  FROM votes),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    list_sum([bit_count(xor(a.blk[i], b.blk[i])) for i in range(1, 5)]) AS ham
+        |  FROM blocks a JOIN blocks b ON a.doc_id < b.doc_id),
+        |losers AS (SELECT DISTINCT id_b FROM pairs WHERE ham <= 3)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM norm),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [array_to_string(tk[i:i+3], ' ')
+        |     for i in range(1, greatest(len(tk)-3, 1)+1)]) AS s
+        |  FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |kept AS (SELECT g FROM post GROUP BY g HAVING count(*) <= 10000),
+        |cp AS (SELECT doc_id, n, post.g FROM post JOIN kept USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM cp a JOIN cp b USING (g)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+        |FROM pairs WHERE inter::DOUBLE / (na + nb - inter) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |losers AS (
+        |  SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v))
+        |               * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0
+        |        ELSE list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v))
+        |             * sqrt(list_dot_product(b.v, b.v))) END >= 0.95)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
+    "sim_knn" ->
+      """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 3),
+        |s AS (
+        |  SELECT query_id, corpus_id,
+        |    round(CASE WHEN sqrt(list_dot_product(cv, cv))
+        |                 * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+        |          ELSE list_dot_product(cv, qv)
+        |            / (sqrt(list_dot_product(cv, cv))
+        |               * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
+        |  FROM c, q),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, corpus_id, cosine FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |    CASE WHEN sqrt(list_dot_product(e.v, e.v))
+        |           * sqrt(list_dot_product(c.cv, c.cv)) = 0 THEN 0
+        |    ELSE list_dot_product(e.v, c.cv)
+        |      / (sqrt(list_dot_product(e.v, e.v))
+        |         * sqrt(list_dot_product(c.cv, c.cv))) END AS sim
+        |  FROM e, cent c),
+        |assigned AS (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+        |  FROM scored),
+        |probe AS (
+        |  SELECT cell FROM (
+        |    SELECT c.cell, row_number() OVER (ORDER BY
+        |      CASE WHEN sqrt(list_dot_product(c.cv, c.cv))
+        |             * sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0
+        |      ELSE list_dot_product(c.cv, q.qv)
+        |        / (sqrt(list_dot_product(c.cv, c.cv))
+        |           * sqrt(list_dot_product(q.qv, q.qv))) END DESC, c.cell) AS pr
+        |    FROM cent c, q)
+        |  WHERE pr <= 3)
+        |SELECT vec_id,
+        |  round(CASE WHEN sqrt(list_dot_product(v, v))
+        |               * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+        |        ELSE list_dot_product(v, qv)
+        |          / (sqrt(list_dot_product(v, v))
+        |             * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
+        |FROM assigned JOIN probe USING (cell), q
+        |WHERE rn = 1 ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "multimodal_features" ->
+      """WITH ids AS (SELECT range AS media_id FROM range(200)),
+        |hexes AS (
+        |  SELECT media_id,
+        |    substr(repeat(sha256(media_id::VARCHAR), 129), 1, 8192) AS hx
+        |  FROM ids),
+        |bytes AS (
+        |  SELECT media_id,
+        |    [('0x' || substr(hx, 2*i - 1, 2))::BIGINT for i in range(1, 4097)] AS bs
+        |  FROM hexes),
+        |feat AS (
+        |  SELECT media_id,
+        |    [list_sum([bs[m] * m for m in range(1, 4097) if (m - 1) % 16 = j]) % 1000
+        |     for j in range(0, 16)] AS ks
+        |  FROM bytes)
+        |SELECT b.media_id, 'image/fake' AS mime,
+        |  greatest(1, 4096 % 1024)::INT AS width,
+        |  greatest(1, (4096 // 1024) % 1024 + 1)::INT AS height,
+        |  round((list_sum(bs)::DOUBLE / 4096) / 255, 6) AS mean_luma,
+        |  16 AS feature_dim,
+        |  list_sum(ks)::BIGINT AS feature_checksum
+        |FROM bytes b JOIN feat f ON b.media_id = f.media_id
+        |ORDER BY b.media_id""".stripMargin,
     "text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,

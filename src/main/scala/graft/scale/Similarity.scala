@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
  *  - knnJoin: exact k-NN for every row of a (small, broadcastable) query set —
  *    broadcast the queries, one narrow pass over the corpus, per-query
  *    window top-k. No shuffle of the corpus.
- *  - ivfTopK: IVF-style approximate search — kmeans-lite centroids chosen as
- *    deterministic sample rows, every vector assigned to its nearest
- *    centroid (one pass), then the query probes only `nprobe` nearest cells.
- *    At 100 TB the assignment is written bucketed-by-cell so a query touches
+ *  - ivfTopK: IVF-style approximate search with centroids as a DataFrame —
+ *    assignment is a broadcast cross-join + argmax (fully distributed, no
+ *    driver collect), the query probes only the `nprobe` nearest cells. At
+ *    100 TB the assignment is written bucketed-by-cell so a query touches
  *    a small fraction of the data.
- *  - lshCosineBuckets: random-hyperplane LSH signatures (sign of dot with
- *    deterministic pseudo-random planes) for bucketed candidate retrieval.
+ *  - embeddingNearDups: banded random-hyperplane LSH (b bands × r sign
+ *    bits) for near-dup candidate pairs, ids-only join, exact cosine
+ *    verification once per deduplicated pair. Bucket count scales with the
+ *    corpus (b·2^r per band family), unlike a single wide signature whose
+ *    population grows O(n) per bucket.
  */
 object Similarity {
 
@@ -54,6 +57,8 @@ object Similarity {
   /**
    * Exact k-NN join: for each query row, the k nearest corpus rows.
    * Queries must be broadcast-small; the corpus is streamed once.
+   * Ranking uses the ROUNDED cosine (ties broken by corpus id) so the
+   * ordering is stable across engines computing the same similarity.
    */
   def knnJoin(corpus: DataFrame, queries: DataFrame, vecCol: String,
               corpusId: String, queryId: String, k: Int): DataFrame = {
@@ -68,56 +73,107 @@ object Similarity {
   }
 
   /**
-   * Deterministic pseudo-random hyperplanes: plane p, dim i weight =
-   * a centered hash in [-0.5, 0.5] from xxhash64(p, i). Reproducible across
-   * runs/clusters without shipping model state.
+   * Deterministic pseudo-random hyperplane weights, generated driver-side
+   * from a seeded LCG (java.util.Random's algorithm is specified, so the
+   * planes are reproducible across runs/clusters) and embedded in the plan
+   * as array LITERALS: the projection is then a plain literal dot product
+   * per row — no per-row per-dimension hashing in the hot path.
    */
-  private def planeWeight(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit(p), i), lit(1000000)).cast("double") / 1000000.0) - 0.5
+  private def planeWeights(p: Int, dim: Int): Array[Double] = {
+    val rnd = new java.util.Random(p * 1000003L + 42L)
+    Array.fill(dim)(rnd.nextDouble() - 0.5)
+  }
+
+  /** Signed projection of `vec` onto deterministic plane `p`. */
+  private def planeProjection(vec: Column, p: Int, dim: Int): Column =
+    aggregate(
+      zip_with(vec, array(planeWeights(p, dim).map(lit(_)).toIndexedSeq: _*),
+        (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, v) => acc + v)
 
   /** Sign-of-projection LSH signature with `nPlanes` bits, as a long. */
-  def lshCosineSignature(vec: Column, nPlanes: Int = 16): Column = {
-    val proj = (0 until nPlanes).map { p =>
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeWeight(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(s > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    proj.reduce((a, b) => a.bitwiseOR(b))
+  def lshCosineSignature(vec: Column, dim: Int, nPlanes: Int = 16): Column =
+    (0 until nPlanes).map { p =>
+      when(planeProjection(vec, p, dim) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /**
+   * Banded LSH bucket keys: `bands` bands of `r` sign bits each (planes
+   * band*r .. band*r+r-1). A pair collides in a band with probability
+   * (1-θ/π)^r; across bands the miss probability is (1-(1-θ/π)^r)^bands —
+   * at cos ≥ 0.95, bands=16, r=8 that is ≈ 1.4e-4, while near-orthogonal
+   * pairs (the background mass of a real corpus) collide per band at only
+   * 2^-8, keeping bucket joins linear.
+   */
+  def lshCosineBands(vec: Column, dim: Int, bands: Int = 16, r: Int = 8): Column =
+    array((0 until bands).map { b =>
+      val sig = (0 until r).map { j =>
+        when(planeProjection(vec, b * r + j, dim) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      struct(lit(b).as("band"), sig.as("sig"))
+    }: _*)
+
+  /**
+   * Near-duplicate pairs by cosine ≥ simThreshold: banded-LSH candidate
+   * generation (ids-only join on (band, sig)), pair dedup, then exactly one
+   * cosine verification per pair after joining the vectors back.
+   */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+                        simThreshold: Double, dim: Int,
+                        bands: Int = 16, r: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = base
+      .select(col("id"), explode(lshCosineBands(col("v"), dim, bands, r)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .persist() // both sides of the self-join; projections are interpreted
+    val cand = bucketed.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(bucketed.select(col("band"), col("sig"), col("id").as("id_b")),
+        Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= simThreshold)
   }
 
   /**
-   * IVF-style approximate top-k: assign every corpus vector to its nearest
-   * of `centroids` (collected once, broadcast as literals), probe only the
-   * cells nearest to the query. `centroidRows` are (cellId, vector) pairs —
-   * pick them deterministically (e.g. every n-th row) or from a prior
-   * clustering job.
+   * IVF cell assignment with centroids as a DataFrame (cell, cvec):
+   * broadcast cross-join + argmax by (similarity, cell) — fully
+   * distributed, no driver-side state. For repeated querying, write the
+   * result bucketed by `cell` so probes prune at the file-source level.
    */
-  def assignCells(corpus: DataFrame, vecCol: String,
-                  centroids: Seq[(Int, Seq[Float])]): DataFrame = {
-    val scored = centroids.map { case (cid, cv) =>
-      struct(cosine(col(vecCol), array(cv.map(lit(_)): _*)).as("sim"),
-        lit(cid).as("cell"))
-    }
-    corpus.withColumn("cell", greatest(scored: _*).getField("cell"))
+  def assignCells(corpus: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col(vecCol), col("cvec")))
+    // argmax: max of (sim, cell) struct — ties resolve to the larger cell id
+    val others = corpus.columns.filter(_ != vecCol).map(col)
+    scored.groupBy((col(vecCol) +: others.toSeq): _*)
+      .agg(max(struct(col("sim"), col("cell"))).as("m"))
+      .withColumn("cell", col("m.cell"))
+      .drop("m")
   }
 
+  /**
+   * IVF-style approximate top-k, fully in-plan: `centroids` is a (cell,
+   * cvec) DataFrame, `queries` a single-row (qvec) DataFrame. The query
+   * probes the `nprobe` cells whose centroids are most similar to it.
+   */
   def ivfTopK(corpus: DataFrame, vecCol: String, idCol: String,
-              centroids: Seq[(Int, Seq[Float])], query: Seq[Float],
+              centroids: DataFrame, query: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
-    val q = array(query.map(lit(_)): _*)
-    val probeCells = centroids
-      .map { case (cid, cv) =>
-        val dotp = cv.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
-        val na = math.sqrt(cv.map(v => v.toDouble * v.toDouble).sum)
-        val nb = math.sqrt(query.map(v => v.toDouble * v.toDouble).sum)
-        (cid, if (na * nb == 0) 0.0 else dotp / (na * nb))
-      }
-      .sortBy(-_._2).take(nprobe).map(_._1)
+    val probeW = Window.orderBy(col("csim").desc, col("cell").asc)
+    val probeCells = centroids.crossJoin(broadcast(query))
+      .select(col("cell"), cosine(col("cvec"), col("qvec")).as("csim"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("cell"))
     assignCells(corpus, vecCol, centroids)
-      .filter(col("cell").isin(probeCells: _*))
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+      .join(broadcast(probeCells), Seq("cell"))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
