@@ -286,6 +286,52 @@ object SparkEntry {
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  // --------------------------------------------------------------- file io
+
+  private val tmpRoot = "/root/repo/target/tmp"
+
+  /** CSV roundtrip with reference semantics: write `;`-separated header
+    * CSV, read back with ALL columns as string (csv_helper.py:29). */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/csv_roundtrip"
+    graft.io.CsvIO.write(table(s, dir, "nation"), out, sep = ";", singleFile = true)
+    graft.io.CsvIO.read(s, out, sep = ";")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey").cast("long"))
+  }
+
+  /** NDJSON + gzip roundtrip through the lenient reader. */
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = s"$tmpRoot/json_roundtrip"
+    val src = table(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.io.JsonIO.write(src, out, gzip = true)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    graft.io.JsonIO.readNdjsonLenient(s, out, schema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        (centsSum(col("value"), 2) / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Flatten→unflatten roundtrip of nested structs + bounded arrays. */
+  private def qFlattenRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val nested = table(s, dir, "customer").select(
+      col("c_custkey").as("cust_id"),
+      struct(col("c_nationkey").as("nation_key"),
+        struct(col("c_mktsegment").as("segment")).as("seg")).as("geo"),
+      array(col("c_name"), col("c_mktsegment")).as("tags"))
+    val flat = graft.io.Flatten.flatten(nested, arrayBound = Some(2))
+    val back = graft.io.Flatten.unflatten(flat)
+    back.select(col("cust_id"), col("geo.nation_key").as("nation_key"),
+      col("geo.seg.segment").as("segment"),
+      element_at(col("tags"), 1).as("tag0"))
+      .orderBy(col("cust_id"))
+  }
+
   // ------------------------------------------------------------------ dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -404,6 +450,9 @@ object SparkEntry {
     "q_sort_limit" -> (qSortLimit _),
     "q_window_topn" -> (qWindowTopN _),
     "q_events_window" -> (qEventsWindow _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
+    "q_flatten_roundtrip" -> (qFlattenRoundtrip _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_fingerprint" -> (qDedupFingerprint _),
     "dedup_minhash" -> (qDedupMinhash _),
@@ -578,6 +627,18 @@ object SparkEntry {
         |SELECT fingerprint, count(*)::BIGINT AS n_docs,
         |  min(doc_id) AS first_doc
         |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+        |  n_regionkey::VARCHAR AS n_regionkey
+        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_flatten_roundtrip" ->
+      """SELECT c_custkey AS cust_id, c_nationkey AS nation_key,
+        |  c_mktsegment AS segment, c_name AS tag0
+        |FROM customer ORDER BY cust_id""".stripMargin,
     "dedup_minhash" ->
       """WITH norm AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t

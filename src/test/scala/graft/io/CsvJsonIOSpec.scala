@@ -1,0 +1,107 @@
+package graft.io
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+class CsvJsonIOSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val p = Paths.get("target", "test-tmp", name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  test("CSV rejects delimiters outside the reference enum") {
+    intercept[IllegalArgumentException] {
+      CsvIO.read(spark, "/nonexistent", sep = "|")
+    }
+  }
+
+  test("CSV roundtrip reads every column as string") {
+    val df = spark.range(3).select(col("id"), (col("id") * 2).as("dbl"),
+      concat(lit("name;"), col("id")).as("nm")) // ; inside a value → quoting
+    val out = tmp("csv_rt")
+    CsvIO.write(df, out, sep = ";", singleFile = true)
+    val back = CsvIO.read(spark, out, sep = ";")
+    assert(back.schema.fields.forall(_.dataType === StringType))
+    assert(back.count() === 3)
+    val row = back.filter(col("id") === "2").head()
+    assert(row.getAs[String]("dbl") === "4")
+    assert(row.getAs[String]("nm") === "name;2")
+  }
+
+  test("CSV write flattens nested structs at the boundary") {
+    val df = spark.range(1).select(struct(lit("x").as("a")).as("o"))
+    val out = tmp("csv_nested")
+    CsvIO.write(df, out, sep = ",", singleFile = true)
+    val back = CsvIO.read(spark, out, sep = ",")
+    assert(back.columns.toSeq === Seq("o.a"))
+  }
+
+  test("NDJSON lenient read skips malformed lines and counts them") {
+    val dir = tmp("ndjson_lenient")
+    Files.createDirectories(Paths.get(dir))
+    val f = Paths.get(dir, "data.jsonl")
+    Files.writeString(f,
+      """{"a": 1, "b": "x"}
+        |{broken json
+        |
+        |{"a": 2, "b": "y"}
+        |totally: not json
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val df = JsonIO.readNdjsonLenient(spark, f.toString, schema)
+    assert(df.count() === 2)
+    assert(df.agg(sum(col("a"))).head().getLong(0) === 3L)
+    assert(JsonIO.countMalformed(spark, f.toString, schema) === 2L)
+  }
+
+  test("NDJSON lenient read wraps non-dict values as _value") {
+    val dir = tmp("ndjson_wrap")
+    Files.createDirectories(Paths.get(dir))
+    val f = Paths.get(dir, "data.ndjson")
+    Files.writeString(f,
+      """{"_value": "explicit"}
+        |"bare string"
+        |42
+        |{nope
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("_value", StringType)))
+    val df = JsonIO.readNdjsonLenient(spark, f.toString, schema)
+    val vals = df.collect().map(_.getString(0)).toSet
+    assert(vals === Set("explicit", "bare string", "42"))
+    assert(JsonIO.countMalformed(spark, f.toString, schema) === 1L)
+  }
+
+  test("NDJSON gzip roundtrip is transparent") {
+    val out = tmp("json_gz")
+    val df = spark.range(5).select(col("id"), concat(lit("v"), col("id")).as("s"))
+    JsonIO.write(df, out, gzip = true)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    assert(JsonIO.readNdjsonLenient(spark, out, schema).count() === 5)
+    assert(JsonIO.read(spark, out, Some(schema)).count() === 5)
+  }
+
+  test("sanitizeFloats nulls NaN and Infinity, also nested") {
+    val df = spark.range(1).select(
+      lit(Double.NaN).as("x"),
+      struct(lit(Double.PositiveInfinity).as("y")).as("o"),
+      array(lit(1.5), lit(Double.NegativeInfinity)).as("xs"))
+    val r = JsonIO.sanitizeFloats(df).head()
+    assert(r.isNullAt(0))
+    assert(r.getStruct(1).isNullAt(0))
+    assert(r.getSeq[Any](2) === Seq(1.5, null))
+  }
+
+  test("array/multiLine JSON file read") {
+    val dir = tmp("json_array")
+    Files.createDirectories(Paths.get(dir))
+    val f = Paths.get(dir, "arr.json")
+    Files.writeString(f, """[{"a": 1}, {"a": 2}]""")
+    val df = JsonIO.read(spark, f.toString, multiLine = true)
+    assert(df.agg(sum(col("a"))).head().getLong(0) === 3L)
+  }
+}
