@@ -332,6 +332,70 @@ object SparkEntry {
       .orderBy(col("cust_id"))
   }
 
+  /** End-to-end DECLARATIVE job: a JSON config (the reference's defining
+    * surface — csv_row_filter_csv.json shape with __IN__/__OUT__
+    * placeholders) is parsed, wiring-validated, folded into DataFrames and
+    * executed: read_csv → type_conversion → filter → write_csv. The query
+    * result is the written file read back. */
+  private def qJobCsvFilter(s: SparkSession, dir: String): DataFrame = {
+    val inDir = s"$tmpRoot/job_in_csv"
+    val outDir = s"$tmpRoot/job_out_csv"
+    graft.io.CsvIO.write(
+      table(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag")),
+      inDir, sep = ",", singleFile = true)
+    val strFields =
+      """{ "fields": [
+        |  { "name": "l_orderkey", "data_type": "string" },
+        |  { "name": "l_linenumber", "data_type": "string" },
+        |  { "name": "l_quantity", "data_type": "string" },
+        |  { "name": "l_returnflag", "data_type": "string" } ] }""".stripMargin
+    val typedFields =
+      """{ "fields": [
+        |  { "name": "l_orderkey", "data_type": "integer" },
+        |  { "name": "l_linenumber", "data_type": "integer" },
+        |  { "name": "l_quantity", "data_type": "integer" },
+        |  { "name": "l_returnflag", "data_type": "string" } ] }""".stripMargin
+    val jobJson =
+      s"""{
+         |  "name": "csv_convert_filter_csv",
+         |  "num_of_retries": 0,
+         |  "strategy_type": "bulk",
+         |  "components": [
+         |    { "name": "reader", "comp_type": "read_csv",
+         |      "filepath": "__IN__", "separator": ",",
+         |      "routes": { "out": [ { "to": "conv", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $strFields } },
+         |    { "name": "conv", "comp_type": "type_conversion",
+         |      "rules": [
+         |        { "column_path": "l_orderkey", "target": "integer", "on_error": "raise" },
+         |        { "column_path": "l_linenumber", "target": "integer", "on_error": "raise" },
+         |        { "column_path": "l_quantity", "target": "integer", "on_error": "raise" } ],
+         |      "in_port_schemas": { "in": $strFields },
+         |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $typedFields } },
+         |    { "name": "flt", "comp_type": "filter",
+         |      "rule": { "logical_operator": "AND", "rules": [
+         |        { "column": "l_quantity", "operator": "<=", "value": 20 },
+         |        { "logical_operator": "NOT", "rules": [
+         |          { "column": "l_returnflag", "operator": "==", "value": "A" } ] } ] },
+         |      "in_port_schemas": { "in": $typedFields },
+         |      "routes": { "pass": [ { "to": "writer", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $typedFields } },
+         |    { "name": "writer", "comp_type": "write_csv",
+         |      "filepath": "__OUT__", "separator": ",",
+         |      "in_port_schemas": { "in": $typedFields } }
+         |  ]
+         |}""".stripMargin
+    val spec = graft.config.JobConfig.parse(jobJson,
+      Map("__IN__" -> inDir, "__OUT__" -> outDir))
+    val built = graft.graph.JobGraph.build(s, spec)
+    built.runSinks()
+    built.close()
+    graft.io.CsvIO.read(s, outDir)
+      .orderBy(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))
+  }
+
   // ------------------------------------------------------------------ dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -453,6 +517,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_flatten_roundtrip" -> (qFlattenRoundtrip _),
+    "q_job_csv_filter" -> (qJobCsvFilter _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_fingerprint" -> (qDedupFingerprint _),
     "dedup_minhash" -> (qDedupMinhash _),
@@ -639,6 +704,14 @@ object SparkEntry {
       """SELECT c_custkey AS cust_id, c_nationkey AS nation_key,
         |  c_mktsegment AS segment, c_name AS tag0
         |FROM customer ORDER BY cust_id""".stripMargin,
+    "q_job_csv_filter" ->
+      """SELECT l_orderkey::BIGINT::VARCHAR AS l_orderkey,
+        |  l_linenumber::BIGINT::VARCHAR AS l_linenumber,
+        |  l_quantity::BIGINT::VARCHAR AS l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity::BIGINT <= 20
+        |  AND NOT coalesce(l_returnflag = 'A', FALSE)
+        |ORDER BY l_orderkey::BIGINT, l_linenumber::BIGINT""".stripMargin,
     "dedup_minhash" ->
       """WITH norm AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t

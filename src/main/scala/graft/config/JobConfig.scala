@@ -1,0 +1,268 @@
+package graft.config
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.schema.{FieldDef, GraftType}
+import graft.ops.{AggregateOp, FilterOp, SchemaMappingOp, TypeConversionOp}
+
+/**
+ * Declarative JSON job configuration — the engine's defining surface,
+ * mirroring the reference's JobConfig/component inflation (reference:
+ * src/etl_core/persistence/configs/job_config.py:80-133,
+ * components/base_component.py:121-148, wiring/ports.py:11-48):
+ *
+ *   { "name": ..., "num_of_retries": 0, "strategy_type": "bulk",
+ *     "components": [ { "name", "comp_type", ...params,
+ *       "routes": {outPort: [{"to": comp, "in_port": port}]},
+ *       "in_port_schemas"/"out_port_schemas": {port: {fields: [FieldDef]}} } ] }
+ *
+ * `strategy_type` (row/bulk/bigdata) is accepted and recorded but selects
+ * no code path: Spark subsumes all three scales with one DataFrame plan
+ * (SURVEY.md §1.4) — results are identical by construction, which is
+ * exactly what the reference's own cross-strategy e2e suite asserts.
+ */
+object JobConfig {
+
+  final case class EdgeRef(to: String, inPort: String)
+
+  final case class ComponentSpec(
+      name: String,
+      compType: String,
+      params: JValue,
+      routes: Map[String, Seq[EdgeRef]],
+      inPortSchemas: Map[String, Seq[FieldDef]],
+      outPortSchemas: Map[String, Seq[FieldDef]],
+      extraInputPorts: Seq[String],
+      extraOutputPorts: Seq[String]) {
+
+    private implicit val fmts: Formats = DefaultFormats
+
+    def str(key: String): Option[String] = (params \ key) match {
+      case JString(s) => Some(s)
+      case _          => None
+    }
+    def reqStr(key: String): String = str(key).getOrElse(
+      throw new IllegalArgumentException(s"component $name: missing '$key'"))
+    def bool(key: String, default: Boolean): Boolean = (params \ key) match {
+      case JBool(b) => b
+      case _        => default
+    }
+    def int(key: String, default: Int): Int = (params \ key) match {
+      case JInt(i)  => i.toInt
+      case JLong(l) => l.toInt
+      case _        => default
+    }
+  }
+
+  final case class JobSpec(
+      name: String,
+      numOfRetries: Int,
+      strategyType: String,
+      components: Seq[ComponentSpec])
+
+  /** Parse a job config JSON string; `substitutions` replaces placeholder
+    * tokens (the reference test corpus uses __IN__/__OUT__,
+    * tests/config_helpers.py:18-55). */
+  def parse(json: String, substitutions: Map[String, String] = Map.empty): JobSpec = {
+    val substituted = substitutions.foldLeft(json) {
+      case (acc, (k, v)) => acc.replace(k, v)
+    }
+    val root = JsonMethods.parse(substituted)
+    val name = (root \ "name") match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException("job config: missing 'name'")
+    }
+    val retries = (root \ "num_of_retries") match {
+      case JInt(i) => i.toInt
+      case _       => 0
+    }
+    val strategy = (root \ "strategy_type") match {
+      case JString(s) => s.toLowerCase
+      case _          => "bulk"
+    }
+    require(Set("row", "bulk", "bigdata").contains(strategy),
+      s"unknown strategy_type: $strategy")
+    val comps = (root \ "components") match {
+      case JArray(items) => items.map(parseComponent)
+      case _ => throw new IllegalArgumentException("job config: missing 'components'")
+    }
+    JobSpec(name, retries, strategy, comps)
+  }
+
+  private def parseComponent(v: JValue): ComponentSpec = {
+    val name = (v \ "name") match {
+      case JString(s) if s.nonEmpty => s
+      case _ => throw new IllegalArgumentException("component: missing 'name'")
+    }
+    val compType = (v \ "comp_type") match {
+      case JString(s) if s.nonEmpty => s
+      case _ => throw new IllegalArgumentException(s"component $name: missing 'comp_type'")
+    }
+    val routes = (v \ "routes") match {
+      case JObject(fields) => fields.map { case (port, dsts) =>
+        port -> (dsts match {
+          case JArray(ds) => ds.map {
+            case JObject(ef) =>
+              val m = ef.toMap
+              EdgeRef(
+                m.get("to").collect { case JString(s) => s }.getOrElse(
+                  throw new IllegalArgumentException(s"component $name: route missing 'to'")),
+                m.get("in_port").collect { case JString(s) => s }.getOrElse("in"))
+            case JString(s) => EdgeRef(s, "in") // bare component-name shorthand
+            case other => throw new IllegalArgumentException(
+              s"component $name: bad route entry $other")
+          }
+          case JString(s) => Seq(EdgeRef(s, "in"))
+          case other => throw new IllegalArgumentException(
+            s"component $name: bad routes for port $port: $other")
+        })
+      }.toMap
+      case _ => Map.empty[String, Seq[EdgeRef]]
+    }
+    ComponentSpec(name, compType, v,
+      routes,
+      parseSchemas(v \ "in_port_schemas"),
+      parseSchemas(v \ "out_port_schemas"),
+      strSeq(v \ "extra_input_ports"),
+      strSeq(v \ "extra_output_ports"))
+  }
+
+  private def strSeq(v: JValue): Seq[String] = v match {
+    case JArray(items) => items.collect { case JString(s) => s }
+    case _             => Nil
+  }
+
+  private def parseSchemas(v: JValue): Map[String, Seq[FieldDef]] = v match {
+    case JObject(fields) => fields.map { case (port, sch) =>
+      port -> ((sch \ "fields") match {
+        case JArray(fs) => fs.map(parseField)
+        case _ => throw new IllegalArgumentException(s"schema for port $port: missing 'fields'")
+      })
+    }.toMap
+    case _ => Map.empty
+  }
+
+  /** FieldDef JSON codec (reference wiring/column_definition.py:18-64). */
+  def parseField(v: JValue): FieldDef = {
+    val name = (v \ "name") match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException("field: missing 'name'")
+    }
+    val dt = (v \ "data_type") match {
+      case JString(s) => GraftType.fromName(s)
+      case _ => throw new IllegalArgumentException(s"field $name: missing 'data_type'")
+    }
+    FieldDef(
+      name = name,
+      dataType = dt,
+      nullable = (v \ "nullable") match { case JBool(b) => b; case _ => false },
+      enumValues = strSeq(v \ "enum_values"),
+      children = (v \ "children") match {
+        case JArray(cs) => cs.map(parseField)
+        case _          => Nil
+      },
+      item = (v \ "item") match {
+        case o: JObject => Some(parseField(o))
+        case _          => None
+      })
+  }
+
+  // ---------------------------------------------------------------- rules
+
+  /** Filter rule tree (reference comparison_rule.py:32-80). */
+  def parseRule(v: JValue): FilterOp.Rule = v match {
+    case JObject(fields) =>
+      val m = fields.toMap
+      m.get("logical_operator") match {
+        case Some(JString(lo)) =>
+          val kids = m.get("rules") match {
+            case Some(JArray(rs)) => rs.map(parseRule)
+            case _ => throw new IllegalArgumentException(s"node rule $lo: missing 'rules'")
+          }
+          FilterOp.Node(lo, kids)
+        case _ =>
+          val columnName = m.get("column").collect { case JString(s) => s }.getOrElse(
+            throw new IllegalArgumentException("leaf rule: missing 'column'"))
+          val op = m.get("operator").collect { case JString(s) => s }.getOrElse(
+            throw new IllegalArgumentException("leaf rule: missing 'operator'"))
+          FilterOp.Leaf(columnName, op, jsonScalar(m.getOrElse("value", JNothing)))
+      }
+    case other => throw new IllegalArgumentException(s"bad rule: $other")
+  }
+
+  private def jsonScalar(v: JValue): Any = v match {
+    case JString(s)  => s
+    case JInt(i)     => i.toLong
+    case JLong(l)    => l
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case JBool(b)    => b
+    case JNull       => null
+    case JArray(xs)  => xs.map(jsonScalar)
+    case other => throw new IllegalArgumentException(s"bad scalar value: $other")
+  }
+
+  /** Aggregation config (reference aggregation/types.py:22-31). */
+  def parseAggregations(spec: ComponentSpec): (Seq[String], Seq[AggregateOp.AggSpec]) = {
+    val groupBy = strSeq(spec.params \ "group_by")
+    val aggs = (spec.params \ "aggregations") match {
+      case JArray(items) => items.map { a =>
+        AggregateOp.AggSpec(
+          src = (a \ "src").values.toString,
+          op = (a \ "op").values.toString,
+          dest = (a \ "dest").values.toString)
+      }
+      case _ => throw new IllegalArgumentException(
+        s"component ${spec.name}: missing 'aggregations'")
+    }
+    (groupBy, aggs)
+  }
+
+  /** schema_mapping map-mode rules_by_dest (reference mapping_rule.py:141-190):
+    * {dst_port: {dst_path: {src_port, src_path}}}. */
+  def parseMapRules(spec: ComponentSpec): Map[String, Seq[SchemaMappingOp.MapRule]] =
+    (spec.params \ "rules_by_dest") match {
+      case JObject(ports) => ports.map { case (dstPort, rules) =>
+        dstPort -> (rules match {
+          case JObject(rs) => rs.map { case (dstPath, r) =>
+            SchemaMappingOp.MapRule(
+              srcPort = (r \ "src_port").values.toString,
+              srcPath = (r \ "src_path").values.toString,
+              dstPath = dstPath)
+          }
+          case other => throw new IllegalArgumentException(
+            s"bad rules_by_dest for $dstPort: $other")
+        })
+      }.toMap
+      case _ => Map.empty
+    }
+
+  /** schema_mapping join-mode plan (reference join_rules.py:17-38). */
+  def parseJoinPlan(spec: ComponentSpec): Seq[SchemaMappingOp.JoinStep] =
+    (spec.params \ "join_plan" \ "steps") match {
+      case JArray(steps) => steps.map { s =>
+        SchemaMappingOp.JoinStep(
+          leftPort = (s \ "left_port").values.toString,
+          rightPort = (s \ "right_port").values.toString,
+          leftOn = strSeq(s \ "left_on"),
+          rightOn = strSeq(s \ "right_on"),
+          how = (s \ "how") match { case JString(h) => h; case _ => "inner" },
+          outputPort = (s \ "output_port").values.toString)
+      }
+      case _ => Nil
+    }
+
+  /** type_conversion rules (reference type_conversion_component.py:25-54). */
+  def parseCastRules(spec: ComponentSpec): Seq[TypeConversionOp.CastRule] =
+    (spec.params \ "rules") match {
+      case JArray(items) => items.map { r =>
+        TypeConversionOp.CastRule(
+          columnPath = (r \ "column_path").values.toString,
+          target = GraftType.fromName((r \ "target").values.toString),
+          onError = TypeConversionOp.OnError.fromName(
+            (r \ "on_error") match { case JString(s) => s; case _ => "raise" }))
+      }
+      case _ => throw new IllegalArgumentException(
+        s"component ${spec.name}: missing 'rules'")
+    }
+}

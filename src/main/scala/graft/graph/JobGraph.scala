@@ -1,0 +1,294 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.JobConfig._
+import graft.io.{CsvIO, JsonIO}
+import graft.ops._
+import graft.schema.{FieldDef, SchemaValidator}
+
+/**
+ * Wiring validation + topological DataFrame fold — the Spark translation
+ * of the reference's RuntimeJob + JobExecutionHandler (reference:
+ * src/etl_core/job_execution/runtimejob.py:49-333,
+ * job_execution_handler.py:261-474): queues, sentinels, per-component
+ * asyncio workers and buffering all collapse into Catalyst's lazy DAG —
+ * the fold produces one DataFrame per (component, out-port), and sinks
+ * become deferred actions.
+ *
+ * Validation mirrors the reference checks 1:1:
+ *  - unique component names, routes point to known components
+ *    (job_config.py:107-113);
+ *  - sources reject incoming edges (runtimejob.py:218-227);
+ *  - required out ports need ≥1 route, fanout=one ports at most 1;
+ *    required in ports need ≥1 upstream, fanin=one exactly 1
+ *    (runtimejob.py:266-301);
+ *  - every USED port carries a schema (runtimejob.py:301-322);
+ *  - plan-time structural schema validation on every edge, with unknown
+ *    AND missing columns as errors (common_helpers.py:161-179); optional
+ *    data-level null/enum checks (validation.py:183-235) via one
+ *    aggregate scan per edge when `validateData` is set.
+ *
+ * Cache insertion (SURVEY §7.4.1): any produced frame consumed by more
+ * than one downstream edge, and the input of any component fanning out to
+ * ≥2 routed out ports, is persisted so Spark's per-action lineage does not
+ * recompute the shared prefix. BuiltJob.close() releases those handles —
+ * ownership lives here, not in the operators.
+ */
+object JobGraph {
+
+  final case class PortSpec(name: String, required: Boolean, multi: Boolean)
+
+  /** Static port contract per component type. `multi`=true on an out port
+    * allows fan-out to many edges; on an in port allows fan-in of many. */
+  private def outPorts(c: ComponentSpec): Seq[PortSpec] = c.compType match {
+    case "filter" => Seq(PortSpec("pass", required = true, multi = true),
+      PortSpec("fail", required = false, multi = true))
+    case "split" => c.extraOutputPorts.map(PortSpec(_, required = true, multi = true))
+    case "merge" => Seq(PortSpec("merge", required = true, multi = false))
+    case "schema_mapping" =>
+      val declared = (parseMapRules(c).keySet ++ parseJoinPlan(c).map(_.outputPort).toSet ++
+        c.extraOutputPorts).toSeq
+      val exposed = if (declared.nonEmpty) declared else Seq("out")
+      exposed.sorted.map(PortSpec(_, required = false, multi = true))
+    case t if t.startsWith("write_") =>
+      Seq(PortSpec("out", required = false, multi = true)) // optional passthrough
+    case _ => Seq(PortSpec("out", required = true, multi = true))
+  }
+
+  private def inPorts(c: ComponentSpec): Seq[PortSpec] = c.compType match {
+    case t if t.startsWith("read_") => Nil // sources: ALLOW_NO_INPUTS
+    case "merge" => Seq(PortSpec("in", required = true, multi = true))
+    case "schema_mapping" =>
+      val declared = (c.inPortSchemas.keySet ++ c.extraInputPorts).toSeq
+      val exposed = if (declared.nonEmpty) declared else Seq("in")
+      exposed.sorted.map(PortSpec(_, required = true, multi = false))
+    case _ => Seq(PortSpec("in", required = true, multi = false))
+  }
+
+  private def isSource(c: ComponentSpec): Boolean = c.compType.startsWith("read_")
+
+  final case class BuiltJob(
+      frames: Map[(String, String), DataFrame],
+      sinks: Seq[(String, () => Unit)],
+      cached: Seq[DataFrame]) {
+    /** Run every sink action (the job's terminal effect). */
+    def runSinks(): Unit = sinks.foreach(_._2())
+    /** Release cache handles inserted by the fold. */
+    def close(): Unit = cached.foreach(_.unpersist())
+  }
+
+  /** Validate wiring only (throws on contract violations). */
+  def validate(spec: JobSpec): Unit = {
+    val byName = spec.components.map(c => c.name -> c).toMap
+    require(byName.size == spec.components.size, {
+      val dups = spec.components.groupBy(_.name).filter(_._2.size > 1).keys
+      s"duplicate component names: ${dups.mkString(", ")}"
+    })
+    // routes point at known components and known in-ports
+    for (c <- spec.components; (port, dsts) <- c.routes; d <- dsts) {
+      val target = byName.getOrElse(d.to, throw new IllegalArgumentException(
+        s"component ${c.name}: route $port → unknown component '${d.to}'"))
+      val tin = inPorts(target)
+      require(tin.exists(_.name == d.inPort),
+        s"component ${c.name}: route $port → ${d.to}.${d.inPort}, " +
+          s"but ${d.to} has in ports ${tin.map(_.name).mkString("[", ",", "]")}")
+    }
+    // incoming edge counts per (component, in-port)
+    val incoming: Map[(String, String), Int] =
+      spec.components.flatMap(c => c.routes.toSeq.flatMap { case (_, dsts) =>
+        dsts.map(d => (d.to, d.inPort))
+      }).groupBy(identity).view.mapValues(_.size).toMap
+
+    for (c <- spec.components) {
+      if (isSource(c)) {
+        val n = incoming.collect { case ((t, _), cnt) if t == c.name => cnt }.sum
+        require(n == 0, s"source ${c.name} has $n incoming edge(s)")
+      }
+      for (p <- outPorts(c)) {
+        val n = c.routes.get(p.name).map(_.size).getOrElse(0)
+        require(!(p.required && n == 0) || c.compType.startsWith("write_"),
+          s"component ${c.name}: required out port '${p.name}' has no route")
+        require(p.multi || n <= 1,
+          s"component ${c.name}: out port '${p.name}' must have exactly one successor")
+      }
+      for (p <- inPorts(c)) {
+        val n = incoming.getOrElse((c.name, p.name), 0)
+        require(!(p.required && n == 0),
+          s"component ${c.name}: required in port '${p.name}' has no upstream edges")
+        require(p.multi || n == 1,
+          s"component ${c.name}: in port '${p.name}' must have exactly one upstream edge")
+      }
+      // unknown route ports
+      for (port <- c.routes.keys)
+        require(outPorts(c).exists(_.name == port),
+          s"component ${c.name}: route from undeclared out port '$port'")
+      // schema presence for used ports
+      for ((port, dsts) <- c.routes if dsts.nonEmpty)
+        require(c.outPortSchemas.contains(port),
+          s"component ${c.name}: out port '$port' has no schema")
+      for (p <- inPorts(c) if incoming.getOrElse((c.name, p.name), 0) > 0)
+        require(c.inPortSchemas.contains(p.name),
+          s"component ${c.name}: in port '${p.name}' has no schema")
+    }
+    topoOrder(spec) // raises on cycles
+  }
+
+  private def topoOrder(spec: JobSpec): Seq[ComponentSpec] = {
+    val preds: Map[String, Set[String]] = {
+      val m = scala.collection.mutable.Map.empty[String, Set[String]]
+      spec.components.foreach(c => m(c.name) = Set.empty)
+      for (c <- spec.components; (_, dsts) <- c.routes; d <- dsts)
+        m(d.to) = m(d.to) + c.name
+      m.toMap
+    }
+    val order = scala.collection.mutable.ListBuffer.empty[ComponentSpec]
+    val done = scala.collection.mutable.Set.empty[String]
+    var remaining = spec.components
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(c => preds(c.name).subsetOf(done))
+      if (ready.isEmpty)
+        throw new IllegalArgumentException(
+          s"job ${spec.name}: cycle among ${blocked.map(_.name).mkString(", ")}")
+      ready.foreach { c => order += c; done += c.name }
+      remaining = blocked
+    }
+    order.toSeq
+  }
+
+  /** Validate + fold the DAG into DataFrames. `validateData` additionally
+    * runs the null/enum data checks on every edge (one aggregate scan). */
+  def build(spark: SparkSession, spec: JobSpec,
+            validateData: Boolean = false): BuiltJob = {
+    validate(spec)
+    val order = topoOrder(spec)
+    val frames = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+    val inputs = scala.collection.mutable.Map.empty[(String, String), Vector[DataFrame]]
+    val sinks = scala.collection.mutable.ListBuffer.empty[(String, () => Unit)]
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+    for (c <- order) {
+      val inByPort: Map[String, Seq[DataFrame]] =
+        inPorts(c).map(p => p.name -> inputs.getOrElse((c.name, p.name), Vector.empty).toSeq)
+          .filter(_._2.nonEmpty).toMap
+
+      // cache the shared input of a multi-output component (filter's
+      // pass+fail, split's tee) so each consumed port does not rescan
+      val routedOut = c.routes.count(_._2.nonEmpty)
+      val cachedIn: Map[String, Seq[DataFrame]] =
+        if (routedOut > 1 && inByPort.values.flatten.size == 1) {
+          inByPort.map { case (p, dfs) =>
+            p -> dfs.map { df => val h = df.persist(); cached += h; h }
+          }
+        } else inByPort
+
+      val (outs, sink) = runComponent(spark, c, cachedIn)
+      sink.foreach(a => sinks += ((c.name, a)))
+
+      for ((port, df) <- outs) {
+        val edges = c.routes.getOrElse(port, Nil)
+        // structural schema contract on the producing port
+        val checked = c.outPortSchemas.get(port) match {
+          case Some(expected) if edges.nonEmpty =>
+            if (validateData) SchemaValidator.enforce(df, expected)
+            else SchemaValidator.enforce(df, expected, structuralOnly = true)
+          case _ => df
+        }
+        // fan-out: persist a frame consumed by >1 edge
+        val shared =
+          if (edges.size > 1) { val h = checked.persist(); cached += h; h }
+          else checked
+        frames((c.name, port)) = shared
+        for (e <- edges)
+          inputs((e.to, e.inPort)) =
+            inputs.getOrElse((e.to, e.inPort), Vector.empty) :+ shared
+      }
+    }
+    BuiltJob(frames.toMap, sinks.toSeq, cached.toSeq)
+  }
+
+  /** Dispatch one component. Returns (out frames, optional sink action). */
+  private def runComponent(spark: SparkSession, c: ComponentSpec,
+                           in: Map[String, Seq[DataFrame]])
+      : (Map[String, DataFrame], Option[() => Unit]) = {
+
+    def one(port: String = "in"): DataFrame =
+      in.getOrElse(port, throw new IllegalArgumentException(
+        s"component ${c.name}: no input on port '$port'")).head
+
+    def declaredSchema(port: String): Option[Seq[FieldDef]] = c.outPortSchemas.get(port)
+
+    c.compType match {
+      case "read_csv" =>
+        (Map("out" -> CsvIO.read(spark, c.reqStr("filepath"),
+          c.str("separator").getOrElse(","))), None)
+
+      case "read_json" =>
+        val path = c.reqStr("filepath")
+        val schema = declaredSchema("out").map(FieldDef.toStructType)
+        val df =
+          if (JsonIO.isNdjsonPath(path) && schema.isDefined)
+            JsonIO.readNdjsonLenient(spark, path, schema.get)
+          else JsonIO.read(spark, path, schema,
+            multiLine = !JsonIO.isNdjsonPath(path))
+        (Map("out" -> df), None)
+
+      case "read_parquet" =>
+        (Map("out" -> spark.read.parquet(c.reqStr("filepath"))), None)
+
+      case "write_csv" =>
+        val df = one()
+        val path = c.reqStr("filepath")
+        val sep = c.str("separator").getOrElse(",")
+        (Map("out" -> df), Some(() =>
+          CsvIO.write(df, path, sep, singleFile = c.bool("single_file", true))))
+
+      case "write_json" =>
+        val df = one()
+        val path = c.reqStr("filepath")
+        (Map("out" -> df), Some(() =>
+          JsonIO.write(df, path, gzip = c.bool("gzip", false),
+            singleFile = c.bool("single_file", false))))
+
+      case "write_parquet" =>
+        val df = one()
+        val path = c.reqStr("filepath")
+        (Map("out" -> df), Some(() => df.write.mode("overwrite").parquet(path)))
+
+      case "filter" =>
+        val rule = parseRule(c.params \ "rule")
+        (FilterOp(one(), rule), None)
+
+      case "aggregation" =>
+        val (groupBy, aggs) = parseAggregations(c)
+        (Map("out" -> AggregateOp(one(), groupBy, aggs)), None)
+
+      case "type_conversion" =>
+        (Map("out" -> TypeConversionOp(one(), parseCastRules(c))), None)
+
+      case "schema_mapping" =>
+        val mapRules = parseMapRules(c)
+        val joinSteps = parseJoinPlan(c)
+        val byPort: Map[String, DataFrame] = in.view.mapValues(_.head).toMap
+        val afterJoins =
+          if (joinSteps.nonEmpty) SchemaMappingOp.joinMode(byPort, joinSteps)
+          else byPort
+        val outs =
+          if (mapRules.nonEmpty) SchemaMappingOp.mapMode(afterJoins, mapRules)
+          else joinSteps.map(_.outputPort).distinct.map(p => p -> afterJoins(p)).toMap
+        (outs, None)
+
+      case "split" =>
+        val df = one()
+        (c.extraOutputPorts.map(_ -> df).toMap, None)
+
+      case "merge" =>
+        val dfs = in.getOrElse("in", Nil)
+        require(dfs.nonEmpty, s"merge ${c.name}: no inputs")
+        (Map("merge" -> dfs.reduce(_.unionByName(_))), None)
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown comp_type: $other")
+    }
+  }
+}
