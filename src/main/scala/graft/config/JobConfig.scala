@@ -52,6 +52,14 @@ object JobConfig {
       case JLong(l) => l.toInt
       case _        => default
     }
+    def strSeqParam(key: String): Seq[String] = (params \ key) match {
+      case JArray(items) => items.collect { case JString(s) => s }
+      case _             => Nil
+    }
+    def strMapParam(key: String): Map[String, String] = (params \ key) match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _               => Map.empty
+    }
   }
 
   final case class JobSpec(

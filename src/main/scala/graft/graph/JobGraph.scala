@@ -236,6 +236,37 @@ object JobGraph {
       case "read_parquet" =>
         (Map("out" -> spark.read.parquet(c.reqStr("filepath"))), None)
 
+      case t if t == "read_jdbc" || t == "read_mariadb" ||
+                t == "read_postgresql" || t == "read_sqlserver" =>
+        // reference: arbitrary query or entity_name, mariadb_read.py:17-70;
+        // partitioned-read knobs are the Spark-side scale upgrade
+        val partition = c.str("partition_column").map(pc =>
+          graft.io.JdbcIO.PartitionSpec(pc,
+            c.int("lower_bound", 0).toLong, c.int("upper_bound", 1).toLong,
+            c.int("num_partitions", 4)))
+        (Map("out" -> graft.io.JdbcIO.read(spark, c.reqStr("url"),
+          table = c.str("entity_name"), query = c.str("query"),
+          partition = partition, options = c.strMapParam("options"))), None)
+
+      case t if t == "write_jdbc" || t == "write_mariadb" ||
+                t == "write_postgresql" || t == "write_sqlserver" =>
+        import graft.io.JdbcIO
+        val df = one()
+        val dialect = JdbcIO.Dialect.fromName(
+          c.str("dialect").getOrElse(t.stripPrefix("write_") match {
+            case "jdbc" => "derby"
+            case d      => d
+          }))
+        val mode = JdbcIO.WriteMode.fromName(c.str("if_exists").getOrElse("insert"))
+        val keys = c.strSeqParam("key_fields")
+        val where = c.strSeqParam("where_conditions")
+        val url = c.reqStr("url")
+        val entity = c.reqStr("entity_name")
+        val batch = c.int("row_batch_size", 1000)
+        val opts = c.strMapParam("options")
+        (Map("out" -> df), Some(() =>
+          JdbcIO.write(df, url, entity, mode, dialect, keys, where, batch, opts)))
+
       case "write_csv" =>
         val df = one()
         val path = c.reqStr("filepath")
