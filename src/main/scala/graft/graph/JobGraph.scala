@@ -236,6 +236,54 @@ object JobGraph {
       case "read_parquet" =>
         (Map("out" -> spark.read.parquet(c.reqStr("filepath"))), None)
 
+      case "read_xml" =>
+        (Map("out" -> graft.io.XmlIO.read(spark, c.reqStr("filepath"),
+          c.str("record_tag").getOrElse("record"))), None)
+
+      case "write_xml" =>
+        val df = one()
+        val path = c.reqStr("filepath")
+        val root = c.str("root_tag").getOrElse("root")
+        val rec = c.str("record_tag").getOrElse("record")
+        (Map("out" -> df), Some(() =>
+          graft.io.XmlIO.write(df, path, root, rec,
+            singleFile = c.bool("single_file", true))))
+
+      case "read_excel" =>
+        (Map("out" -> graft.io.ExcelIO.read(spark, c.reqStr("filepath"),
+          c.str("sheet_name"))), None)
+
+      case "write_excel" =>
+        val df = one()
+        val path = c.reqStr("filepath")
+        val sheet = c.str("sheet_name").getOrElse("Sheet1")
+        (Map("out" -> df), Some(() => graft.io.ExcelIO.write(df, path, sheet)))
+
+      case "read_mongodb" =>
+        val schema = c.outPortSchemas.getOrElse("out",
+          throw new IllegalArgumentException(s"read_mongodb ${c.name}: needs out schema"))
+        val sort = (c.params \ "sort") match {
+          case org.json4s.JArray(items) => items.collect {
+            case org.json4s.JArray(List(org.json4s.JString(f), org.json4s.JInt(d))) =>
+              (f, d.toInt)
+          }
+          case _ => Nil
+        }
+        (Map("out" -> graft.io.MongoIO.read(spark,
+          graft.io.MongoIO.InMemory(c.reqStr("store")), c.reqStr("entity_name"),
+          schema, filter = c.strMapParam("query_filter"), sort = sort,
+          skip = c.int("skip", 0),
+          limit = if (c.int("limit", -1) >= 0) Some(c.int("limit", -1)) else None)), None)
+
+      case "write_mongodb" =>
+        val df = one()
+        val factory = graft.io.MongoIO.InMemory(c.reqStr("store"))
+        val entity = c.reqStr("entity_name")
+        val mode = c.str("if_exists").getOrElse("insert")
+        val keys = c.strSeqParam("key_fields")
+        (Map("out" -> df), Some(() =>
+          graft.io.MongoIO.write(df, factory, entity, mode, keys)))
+
       case t if t == "read_jdbc" || t == "read_mariadb" ||
                 t == "read_postgresql" || t == "read_sqlserver" =>
         // reference: arbitrary query or entity_name, mariadb_read.py:17-70;

@@ -1,0 +1,202 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.schema.FieldDef
+
+/**
+ * Document-store (MongoDB-shaped) source/sink, mirroring the reference's
+ * query surface (reference:
+ * src/etl_core/components/databases/mongodb/mongodb_read.py:31-73,
+ * mongodb_write.py:21-111, receivers/databases/mongodb/mongodb_receiver.py:47-258):
+ *
+ *  - find() with equality filter, sort [(field, ±1)], skip, limit;
+ *  - PROJECTION PUSHDOWN derived from the out-port schema's leaf paths —
+ *    `_id` excluded unless declared (mongodb_read.py:53-73), so the store
+ *    only ships declared fields;
+ *  - writes: INSERT (insert_many), UPSERT ($set by key_fields match),
+ *    TRUNCATE; executed per partition through a serializable store
+ *    factory — a real MongoDB implementation opens one client per
+ *    partition there (no Mongo driver ships in this offline environment,
+ *    so the bundled implementation is an in-process store that preserves
+ *    exactly these semantics for tests and local runs).
+ *
+ * Documents travel as JSON strings across the trait boundary; Spark-side
+ * they parse via from_json against the declared schema — typed, columnar,
+ * and nested end-to-end.
+ */
+object MongoIO {
+
+  final case class FindSpec(
+      filter: Map[String, Any] = Map.empty,     // top-level equality match
+      sort: Seq[(String, Int)] = Nil,           // (field, 1|-1)
+      skip: Int = 0,
+      limit: Option[Int] = None,
+      projection: Seq[String] = Nil)            // dotted leaf paths; empty = all
+
+  /** Store seam: a real Mongo impl wraps a MongoClient per instance. */
+  trait DocumentStore {
+    def find(collection: String, spec: FindSpec): Seq[String]
+    def insert(collection: String, docs: Seq[String]): Unit
+    def upsert(collection: String, docs: Seq[String], keys: Seq[String]): Unit
+    def truncate(collection: String): Unit
+  }
+
+  /** Serializable handle that opens a store on an executor. */
+  trait StoreFactory extends Serializable { def open(): DocumentStore }
+
+  /** Dotted leaf paths of a schema — the derived projection
+    * (mongodb_read.py:53-73). `_id` appears only if declared. */
+  def projectionOf(fields: Seq[FieldDef]): Seq[String] = {
+    def leaves(prefix: String, fs: Seq[FieldDef]): Seq[String] = fs.flatMap { f =>
+      val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      if (f.children.nonEmpty) leaves(p, f.children) else Seq(p)
+    }
+    leaves("", fields)
+  }
+
+  /** Read: pushdown filter/sort/skip/limit/projection into the store,
+    * parse the returned documents against the declared schema. */
+  def read(spark: SparkSession, factory: StoreFactory, collection: String,
+           schema: Seq[FieldDef], filter: Map[String, Any] = Map.empty,
+           sort: Seq[(String, Int)] = Nil, skip: Int = 0,
+           limit: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val spec = FindSpec(filter, sort, skip, limit, projectionOf(schema))
+    val docs = factory.open().find(collection, spec)
+    val st = FieldDef.toStructType(schema)
+    spark.createDataset(docs).toDF("doc")
+      .select(from_json(col("doc"), st).as("rec"))
+      .select(col("rec.*"))
+  }
+
+  /** Write with insert/upsert/truncate modes, one store per partition. */
+  def write(df: DataFrame, factory: StoreFactory, collection: String,
+            mode: String, keys: Seq[String] = Nil, batchSize: Int = 1000): Unit =
+    mode.toLowerCase match {
+      case "truncate" =>
+        factory.open().truncate(collection)
+        writeInsert(df, factory, collection, batchSize)
+      case "insert" => writeInsert(df, factory, collection, batchSize)
+      case "upsert" =>
+        require(keys.nonEmpty, "mongo upsert requires key_fields")
+        df.toJSON.foreachPartition { it: Iterator[String] =>
+          val store = factory.open()
+          it.grouped(batchSize).foreach(b => store.upsert(collection, b.toSeq, keys))
+        }
+      case other => throw new IllegalArgumentException(s"unknown mongo write mode: $other")
+    }
+
+  private def writeInsert(df: DataFrame, factory: StoreFactory,
+                          collection: String, batchSize: Int): Unit =
+    df.toJSON.foreachPartition { it: Iterator[String] =>
+      val store = factory.open()
+      it.grouped(batchSize).foreach(b => store.insert(collection, b.toSeq))
+    }
+
+  // ------------------------------------------------- in-process test store
+
+  /** JVM-local store registry; `InMemory(name)` is a serializable factory
+    * resolving to the same store on every local-mode "executor". */
+  final case class InMemory(name: String) extends StoreFactory {
+    def open(): DocumentStore = InMemoryStores.get(name)
+  }
+
+  object InMemoryStores {
+    private val stores = new java.util.concurrent.ConcurrentHashMap[String, InMemoryStore]()
+    def get(name: String): InMemoryStore =
+      stores.computeIfAbsent(name, _ => new InMemoryStore)
+    def drop(name: String): Unit = stores.remove(name)
+  }
+
+  final class InMemoryStore extends DocumentStore {
+    private implicit val fmts: Formats = DefaultFormats
+    private val colls =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.List[String]]()
+
+    private def coll(c: String): java.util.List[String] =
+      colls.computeIfAbsent(c, _ => java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]()))
+
+    private def field(doc: JValue, path: String): JValue =
+      path.split('.').foldLeft(doc)((j, seg) => j \ seg)
+
+    def find(collection: String, spec: FindSpec): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      var docs = coll(collection).asScala.toSeq.map(JsonMethods.parse(_))
+      if (spec.filter.nonEmpty)
+        docs = docs.filter(d => spec.filter.forall { case (k, v) =>
+          field(d, k) match {
+            case JString(s)  => s == v
+            case JInt(i)     => i == v
+            case JLong(l)    => l == v
+            case JDouble(x)  => x == v
+            case JBool(b)    => b == v
+            case _           => false
+          }
+        })
+      if (spec.sort.nonEmpty) {
+        val ord = new Ordering[JValue] {
+          def compare(a: JValue, b: JValue): Int = (a, b) match {
+            case (JInt(x), JInt(y))       => x.compare(y)
+            case (JLong(x), JLong(y))     => x.compare(y)
+            case (JInt(x), JLong(y))      => x.toLong.compare(y)
+            case (JLong(x), JInt(y))      => x.compare(y.toLong)
+            case (JDouble(x), JDouble(y)) => x.compare(y)
+            case (JString(x), JString(y)) => x.compare(y)
+            case (JNothing, JNothing)     => 0
+            case (JNothing, _)            => -1
+            case (_, JNothing)            => 1
+            case (x, y) => JsonMethods.compact(JsonMethods.render(x))
+              .compare(JsonMethods.compact(JsonMethods.render(y)))
+          }
+        }
+        docs = spec.sort.reverse.foldLeft(docs) { case (ds, (f, dir)) =>
+          val sorted = ds.sortBy(field(_, f))(ord)
+          if (dir < 0) sorted.reverse else sorted
+        }
+      }
+      docs = docs.drop(spec.skip)
+      spec.limit.foreach(l => docs = docs.take(l))
+      val projected =
+        if (spec.projection.isEmpty) docs
+        else docs.map { d =>
+          // keep only projected top-level branches (dotted prefixes)
+          val tops = spec.projection.map(_.split('.').head).distinct
+          JObject(tops.flatMap(t => (d \ t) match {
+            case JNothing => None
+            case v        => Some(t -> v)
+          }).toList)
+        }
+      projected.map(d => JsonMethods.compact(JsonMethods.render(d)))
+    }
+
+    def insert(collection: String, docs: Seq[String]): Unit =
+      coll(collection).addAll(java.util.Arrays.asList(docs: _*))
+
+    def upsert(collection: String, docs: Seq[String], keys: Seq[String]): Unit = {
+      val list = coll(collection)
+      docs.foreach { docStr =>
+        val doc = JsonMethods.parse(docStr)
+        val keyVals = keys.map(k => k -> field(doc, k))
+        var matched = false
+        var i = 0
+        while (i < list.size()) {
+          val cur = JsonMethods.parse(list.get(i))
+          if (keyVals.forall { case (k, v) => field(cur, k) == v }) {
+            // $set semantics: merge incoming fields over the match
+            val merged = cur.merge(doc)
+            list.set(i, JsonMethods.compact(JsonMethods.render(merged)))
+            matched = true
+          }
+          i += 1
+        }
+        if (!matched) list.add(docStr)
+      }
+    }
+
+    def truncate(collection: String): Unit = coll(collection).clear()
+  }
+}

@@ -1,0 +1,136 @@
+package graft.io
+
+import graft.SparkTestBase
+import graft.schema.{FieldDef, GraftType}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import java.nio.file.{Files, Paths}
+
+class XmlExcelMongoSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val p = Paths.get("target", "test-tmp", "xio", name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  // ------------------------------------------------------------------- XML
+
+  test("XML read maps attributes to @attrs and mixed text to #text") {
+    val dir = tmp("xml_in")
+    Files.createDirectories(Paths.get(dir))
+    val f = Paths.get(dir, "recs.xml")
+    Files.writeString(f,
+      """<root>
+        |  <rec id="1" kind="a"><name>Alice</name></rec>
+        |  <rec id="2" kind="b"><name>Bob</name></rec>
+        |</root>""".stripMargin)
+    val df = XmlIO.read(spark, f.toString, rowTag = "rec")
+    assert(df.columns.contains("@attrs"))
+    val rows = df.select(col("`@attrs`.id"), col("name")).orderBy(col("`@attrs`.id"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("1", "Alice"), ("2", "Bob")))
+  }
+
+  test("XML write/read roundtrip preserves @attrs convention") {
+    val out = tmp("xml_rt")
+    val df = spark.range(2).select(
+      struct(concat(lit("id"), col("id")).as("key")).as("@attrs"),
+      concat(lit("v"), col("id")).as("payload"))
+    XmlIO.write(df, out, rootTag = "root", rowTag = "item", singleFile = true)
+    val back = XmlIO.read(spark, out + "/*.xml", rowTag = "item")
+    val rows = back.select(col("`@attrs`.key"), col("payload"))
+      .orderBy(col("payload")).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("id0", "v0"), ("id1", "v1")))
+  }
+
+  // ----------------------------------------------------------------- Excel
+
+  test("xlsx write/read roundtrip: header row, all-string cells") {
+    val path = tmp("book.xlsx")
+    val df = spark.range(3).select(col("id"),
+      concat(lit("n<&>"), col("id")).as("name"), (col("id") * 1.5).as("score"))
+    ExcelIO.write(df, path, sheetName = "data")
+    val back = ExcelIO.read(spark, path, sheet = Some("data"))
+    assert(back.columns.toSeq === Seq("id", "name", "score"))
+    assert(back.count() === 3)
+    val r = back.filter(col("id") === "2").head()
+    assert(r.getString(1) === "n<&>2") // XML escaping round-trips
+    assert(r.getString(2) === "3.0")
+  }
+
+  test("xlsx sheet selection errors on unknown sheet") {
+    val path = tmp("book2.xlsx")
+    ExcelIO.write(spark.range(1).toDF("id"), path)
+    val e = intercept[IllegalArgumentException] {
+      ExcelIO.read(spark, path, sheet = Some("nope"))
+    }
+    assert(e.getMessage.contains("no sheet named"))
+  }
+
+  test("xlsx column refs cover multi-letter columns") {
+    assert(ExcelIO.colRef(0) === "A")
+    assert(ExcelIO.colRef(25) === "Z")
+    assert(ExcelIO.colRef(26) === "AA")
+    assert(ExcelIO.colIndex("AA7") === 26)
+    assert(ExcelIO.colIndex("B3") === 1)
+  }
+
+  // ----------------------------------------------------------------- Mongo
+
+  private val docSchema = Seq(
+    FieldDef("k", GraftType.TInteger),
+    FieldDef("name", GraftType.TString, nullable = true))
+
+  test("document store: insert then read with projection pushdown") {
+    MongoIO.InMemoryStores.drop("t1")
+    val factory = MongoIO.InMemory("t1")
+    import spark.implicits._
+    val df = Seq((1L, "a", "secret"), (2L, "b", "secret2"))
+      .toDF("k", "name", "undeclared")
+    MongoIO.write(df, factory, "c", "insert")
+    val back = MongoIO.read(spark, factory, "c", docSchema)
+    assert(back.columns.toSeq === Seq("k", "name"))
+    assert(back.orderBy(col("k")).collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // projection really pruned: raw store docs keep all fields, the read
+    // path requested only declared ones
+    val spec = MongoIO.FindSpec(projection = MongoIO.projectionOf(docSchema))
+    val raw = factory.open().find("c", spec)
+    assert(raw.forall(!_.contains("undeclared")))
+  }
+
+  test("document store: filter, sort desc, skip, limit") {
+    MongoIO.InMemoryStores.drop("t2")
+    val factory = MongoIO.InMemory("t2")
+    import spark.implicits._
+    MongoIO.write(Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "x"))
+      .toDF("k", "name"), factory, "c", "insert")
+    val got = MongoIO.read(spark, factory, "c", docSchema,
+      filter = Map("name" -> "x"), sort = Seq(("k", -1)), skip = 1, limit = Some(2))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(2L, 1L)) // 4,2,1 → skip 1 → 2,1
+  }
+
+  test("document store: upsert merges on keys and inserts the rest") {
+    MongoIO.InMemoryStores.drop("t3")
+    val factory = MongoIO.InMemory("t3")
+    import spark.implicits._
+    MongoIO.write(Seq((1L, "old"), (2L, "keep")).toDF("k", "name"),
+      factory, "c", "insert")
+    MongoIO.write(Seq((1L, "new"), (3L, "ins")).toDF("k", "name"),
+      factory, "c", "upsert", keys = Seq("k"))
+    val got = MongoIO.read(spark, factory, "c", docSchema, sort = Seq(("k", 1)))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+
+  test("document store: truncate replaces contents") {
+    MongoIO.InMemoryStores.drop("t4")
+    val factory = MongoIO.InMemory("t4")
+    import spark.implicits._
+    MongoIO.write(Seq((1L, "a")).toDF("k", "name"), factory, "c", "insert")
+    MongoIO.write(Seq((9L, "only")).toDF("k", "name"), factory, "c", "truncate")
+    val got = MongoIO.read(spark, factory, "c", docSchema).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(9L))
+  }
+}
