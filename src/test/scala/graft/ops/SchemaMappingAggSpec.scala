@@ -1,0 +1,162 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+class SchemaMappingAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------- schema mapping
+
+  test("map mode renames and rebuilds nested destination paths") {
+    import SchemaMappingOp.MapRule
+    val in = Seq((1L, "x", 10L)).toDF("id", "seg", "nk")
+    val out = SchemaMappingOp.mapMode(
+      Map("in" -> in),
+      Map("out" -> Seq(
+        MapRule("in", "id", "cust_id"),
+        MapRule("in", "nk", "geo.nation_key"),
+        MapRule("in", "seg", "geo.deep.segment"))))("out")
+    assert(out.columns.toSeq === Seq("cust_id", "geo"))
+    val geo = out.head().getAs[Row]("geo")
+    assert(geo.getAs[Long]("nation_key") === 10L)
+    assert(geo.getAs[Row]("deep").getAs[String]("segment") === "x")
+  }
+
+  test("map mode rejects destination path conflicts and mixed src ports") {
+    import SchemaMappingOp.MapRule
+    val in = Seq((1L, "x")).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      SchemaMappingOp.mapMode(Map("in" -> in), Map("out" -> Seq(
+        MapRule("in", "a", "p"),
+        MapRule("in", "b", "p.q")))) // p is a leaf AND an object
+    }
+    intercept[IllegalArgumentException] {
+      SchemaMappingOp.mapMode(Map("in" -> in, "in2" -> in), Map("out" -> Seq(
+        MapRule("in", "a", "x"),
+        MapRule("in2", "b", "y"))))
+    }
+  }
+
+  test("join mode: chained steps with intermediate ports") {
+    import SchemaMappingOp.JoinStep
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val b = Seq((1L, "b1"), (3L, "b3")).toDF("k2", "bv")
+    val c = Seq(("a1", "c!")).toDF("av2", "cv")
+    val out = SchemaMappingOp.joinMode(
+      Map("A" -> a, "B" -> b, "C" -> c),
+      Seq(
+        JoinStep("A", "B", Seq("k"), Seq("k2"), "left", "AB"),
+        JoinStep("AB", "C", Seq("av"), Seq("av2"), "inner", "out")))("out")
+    val row = out.select(col("k"), col("bv"), col("cv")).head()
+    assert((row.getLong(0), row.getString(1), row.getString(2)) === ((1L, "b1", "c!")))
+  }
+
+  test("join mode: outer join keeps both dangling sides") {
+    import SchemaMappingOp.JoinStep
+    val a = Seq((1L, "a")).toDF("k", "av")
+    val b = Seq((2L, "b")).toDF("k", "bv")
+    val out = SchemaMappingOp.joinMode(Map("A" -> a, "B" -> b),
+      Seq(JoinStep("A", "B", Seq("k"), Seq("k"), "outer", "out")))("out")
+    assert(out.count() === 2)
+    intercept[IllegalArgumentException] {
+      SchemaMappingOp.joinMode(Map("A" -> a, "B" -> b),
+        Seq(JoinStep("A", "B", Seq("k"), Seq("k"), "cross", "out")))
+    }
+  }
+
+  // ---------------------------------------------------------- aggregation
+
+  private lazy val sales = Seq(
+    ("a", Some(1.0)), ("a", Some(3.0)), ("a", None), ("b", Some(5.0))
+  ).toDF("g", "v")
+
+  test("count(*) counts rows, count(col) counts non-null") {
+    import AggregateOp.AggSpec
+    val out = AggregateOp(sales, Seq("g"), Seq(
+      AggSpec("*", "count", "n_rows"), AggSpec("v", "count", "n_vals")))
+      .orderBy(col("g")).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("a", 3L, 2L), ("b", 1L, 1L)))
+  }
+
+  test("mean/median/std/nunique match pandas semantics (ddof=1)") {
+    import AggregateOp.AggSpec
+    val df = Seq(1.0, 2.0, 3.0, 3.0).toDF("v")
+    val r = AggregateOp(df, Nil, Seq(
+      AggSpec("v", "mean", "m"), AggSpec("v", "median", "md"),
+      AggSpec("v", "std", "sd"), AggSpec("v", "nunique", "nu"))).head()
+    assert(r.getDouble(0) === 2.25)
+    assert(r.getDouble(1) === 2.5)
+    assert(math.abs(r.getDouble(2) - 0.9574271077563381) < 1e-12) // sample stddev
+    assert(r.getLong(3) === 3L)
+  }
+
+  test("empty group_by yields one global row; null keys form groups") {
+    import AggregateOp.AggSpec
+    assert(AggregateOp(sales, Nil, Seq(AggSpec("*", "count", "n"))).count() === 1)
+    val withNullKey = Seq((Some("a"), 1L), (None: Option[String], 2L), (None, 3L))
+      .toDF("g", "v")
+    val out = AggregateOp(withNullKey, Seq("g"), Seq(AggSpec("v", "sum", "s")))
+    assert(out.count() === 2) // null key kept as its own group
+    assert(out.filter(col("g").isNull).head().getLong(1) === 5L)
+  }
+
+  test("unknown op rejected") {
+    import AggregateOp.AggSpec
+    intercept[IllegalArgumentException] {
+      AggregateOp(sales, Nil, Seq(AggSpec("v", "mode", "m")))
+    }
+  }
+
+  // ------------------------------------------------------ schema validator
+
+  test("SchemaValidator: structural + data-level violations") {
+    import graft.schema._
+    import graft.schema.GraftType._
+    val df = Seq((1L, "x", "RED")).toDF("id", "extra", "color")
+    val expected = Seq(
+      FieldDef("id", TInteger),
+      FieldDef("color", TEnum, enumValues = Seq("RED", "BLUE")),
+      FieldDef("missing_col", TString))
+    val sv = SchemaValidator.structural(df.schema, expected)
+    assert(sv.map(v => (v.kind, v.detail)).toSet ===
+      Set(("missing_column", "missing_col"), ("unknown_column", "extra")))
+
+    val ok = Seq((1L, "RED"), (2L, "GREEN")).toDF("id", "color")
+    val dv = SchemaValidator.dataViolations(ok, Seq(
+      FieldDef("id", TInteger), FieldDef("color", TEnum, enumValues = Seq("RED", "BLUE"))))
+    assert(dv === Map("enum:color" -> 1L))
+
+    val nulls = Seq((Some(1L), "a"), (None: Option[Long], "b")).toDF("id", "s")
+    val dv2 = SchemaValidator.dataViolations(nulls, Seq(
+      FieldDef("id", TInteger), FieldDef("s", TString)))
+    assert(dv2 === Map("null:id" -> 1L))
+
+    intercept[IllegalArgumentException] {
+      SchemaValidator.enforce(nulls, Seq(FieldDef("id", TInteger), FieldDef("s", TString)))
+    }
+  }
+
+  test("FieldDef ⇄ StructType codec round-trips") {
+    import graft.schema._
+    import graft.schema.GraftType._
+    val fields = Seq(
+      FieldDef("id", TInteger),
+      FieldDef("tags", TArray, nullable = true,
+        item = Some(FieldDef("item", TString, nullable = true))),
+      FieldDef("addr", TObject, children = Seq(
+        FieldDef("city", TString, nullable = true))))
+    val st = FieldDef.toStructType(fields)
+    assert(st === StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = true),
+      StructField("addr", StructType(Seq(StructField("city", StringType, nullable = true))),
+        nullable = false))))
+    val back = FieldDef.fromStructType(st)
+    assert(back.map(_.name) === Seq("id", "tags", "addr"))
+    assert(back(2).children.map(_.name) === Seq("city"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.scale
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2L, "The quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-dup of 1
+    (3L, "  the QUICK   brown fox jumps over the lazy dog near the old river bank today "), // exact dup of 1 modulo normalization
+    (4L, "Completely different content about distributed query engines and shuffles"),
+    (5L, "Another unrelated sentence mentioning optimizers, joins and caching layers")
+  ).toDF("doc_id", "text")
+
+  test("exactKey normalizes case and whitespace; exact dedup keeps min id") {
+    val survivors = Dedup.exact(docs, "text", "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq === Seq(1L, 2L, 4L, 5L)) // 3 collapses into 1
+  }
+
+  test("shingles: short text yields whole-string shingle; jaccard bounds") {
+    val d = Seq("abc").toDF("t")
+    val sh = d.select(Dedup.shingles(col("t"), 5).as("s")).head().getSeq[String](0)
+    assert(sh === Seq("abc"))
+    val j = d.select(Dedup.jaccard(
+      array(lit("a"), lit("b")), array(lit("a"), lit("b"))).as("j1"),
+      Dedup.jaccard(array(lit("a")), array(lit("b"))).as("j2")).head()
+    assert(j.getDouble(0) === 1.0)
+    assert(j.getDouble(1) === 0.0)
+  }
+
+  test("minhashNearDups finds the near-dup pair with exact jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 2 and 3 are both variants of 1 → all three pairs are near-dups
+    assert(pairs.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("signatureAgreement is 1 on identical signatures") {
+    val d = docs.select(Dedup.minhashSignature(
+      Dedup.wordShingles(col("text"), 3), 32).as("sig"))
+    val a = d.select(Dedup.signatureAgreement(col("sig"), col("sig"), 32).as("x"))
+      .collect().map(_.getDouble(0))
+    assert(a.forall(_ === 1.0))
+  }
+
+  test("simhashDedup equals naive pairwise dedup (pigeonhole exactness)") {
+    val survivors = Dedup.simhashDedup(docs, "text", "doc_id", maxHamming = 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    // naive: all-pairs hamming over the same fingerprints
+    val fps = docs.select(col("doc_id"), Dedup.simhashBlocks(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val naiveLosers = (for {
+      a <- fps.keys; b <- fps.keys if a < b && ham(fps(a), fps(b)) <= 3
+    } yield b).toSet
+    assert(survivors.toSeq === fps.keys.filterNot(naiveLosers).toSeq.sorted)
+  }
+
+  test("hammingBlocks: zero on self, symmetric") {
+    val d = docs.select(Dedup.simhashBlocks(col("text")).as("b"))
+    val z = d.select(Dedup.hammingBlocks(col("b"), col("b")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(z.forall(_ === 0L))
+  }
+
+  test("ngramJaccardPairs: exact intersection arithmetic") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val j13 = pairs.find(_._2 == 3L).get._3
+    assert(j13 === 1.0) // identical after normalization
+    // df-cap drops everything when set below any frequency → no pairs
+    assert(Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.1, maxDf = 0).count() === 0)
+  }
+
+  test("cosine: identical → 1, orthogonal → 0, zero-norm → 0") {
+    val d = spark.range(1).select(
+      Similarity.cosine(array(lit(1f), lit(0f)), array(lit(1f), lit(0f))).as("same"),
+      Similarity.cosine(array(lit(1f), lit(0f)), array(lit(0f), lit(1f))).as("orth"),
+      Similarity.cosine(array(lit(0f), lit(0f)), array(lit(1f), lit(1f))).as("zero"))
+    val r = d.head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 0.0)
+  }
+
+  test("knnJoin: rank 1 is the query itself, ranks are dense per query") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.knnJoin(vecs, vecs.filter(col("vec_id") === 0),
+      "embedding", "vec_id", "vec_id", k = 2)
+      .orderBy(col("rank")).collect()
+    assert(knn(0).getAs[Long]("corpus_id") === 0L)
+    assert(knn(1).getAs[Long]("corpus_id") === 1L)
+  }
+
+  test("embeddingNearDups finds high-cosine pairs, ids only") {
+    val vecs = Seq(
+      (0L, Array.fill(16)(1f)),
+      (1L, Array.fill(16)(1f).updated(0, 1.05f)), // cos ≈ 0.9995
+      (2L, Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(vecs, "embedding", "vec_id",
+      simThreshold = 0.95, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+}
