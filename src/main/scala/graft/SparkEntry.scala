@@ -245,8 +245,7 @@ object SparkEntry {
   }
 
   private def qSplitBranches(s: SparkSession, dir: String): DataFrame = {
-    val ports = RelationalOps.split(table(s, dir, "lineitem"),
-      Seq("a", "b"), cache = false)
+    val ports = RelationalOps.split(table(s, dir, "lineitem"), Seq("a", "b"))
     val sums = ports("a").groupBy(col("l_returnflag"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
     val counts = ports("b").groupBy(col("l_returnflag"))

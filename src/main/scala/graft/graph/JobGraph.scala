@@ -157,9 +157,12 @@ object JobGraph {
   }
 
   /** Validate + fold the DAG into DataFrames. `validateData` additionally
-    * runs the null/enum data checks on every edge (one aggregate scan). */
+    * runs the null/enum data checks on every edge (one aggregate scan);
+    * `instrument` attaches an observe() row counter per produced port
+    * (lines_forwarded, harvested by JobRunner's listener). */
   def build(spark: SparkSession, spec: JobSpec,
-            validateData: Boolean = false): BuiltJob = {
+            validateData: Boolean = false,
+            instrument: Boolean = false): BuiltJob = {
     validate(spec)
     val order = topoOrder(spec)
     val frames = scala.collection.mutable.Map.empty[(String, String), DataFrame]
@@ -194,10 +197,14 @@ object JobGraph {
             else SchemaValidator.enforce(df, expected, structuralOnly = true)
           case _ => df
         }
+        val observed =
+          if (instrument)
+            checked.observe(s"graft.${c.name}.$port", count(lit(1)).as("rows"))
+          else checked
         // fan-out: persist a frame consumed by >1 edge
         val shared =
-          if (edges.size > 1) { val h = checked.persist(); cached += h; h }
-          else checked
+          if (edges.size > 1) { val h = observed.persist(); cached += h; h }
+          else observed
         frames((c.name, port)) = shared
         for (e <- edges)
           inputs((e.to, e.inPort)) =

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Split / merge and the generic select-sort-skip-limit surface.
@@ -24,11 +23,12 @@ import org.apache.spark.storage.StorageLevel
  */
 object RelationalOps {
 
-  /** split: one input, N identical output ports. */
-  def split(df: DataFrame, outPorts: Seq[String], cache: Boolean = true): Map[String, DataFrame] = {
-    val shared = if (cache && outPorts.size > 1) df.persist(StorageLevel.MEMORY_AND_DISK) else df
-    outPorts.map(_ -> shared).toMap
-  }
+  /** split: one input, N identical output ports. Caching for
+    * multi-consumer branches is the GRAPH layer's job (it owns the persist
+    * handle and unpersists on BuiltJob.close) — an operator-level persist
+    * would leak, since nothing downstream could release it. */
+  def split(df: DataFrame, outPorts: Seq[String]): Map[String, DataFrame] =
+    outPorts.map(_ -> df).toMap
 
   /** merge: same-schema union of all inbound branches (no dedup, no shuffle). */
   def merge(inputs: Seq[DataFrame]): DataFrame = {

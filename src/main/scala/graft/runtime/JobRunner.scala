@@ -1,0 +1,101 @@
+package graft.runtime
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import graft.config.JobConfig.JobSpec
+import graft.graph.JobGraph
+
+/**
+ * Job runtime: attempt loop with backoff + per-component metrics,
+ * mirroring the reference's execution handler surface (reference:
+ * src/etl_core/job_execution/retry_strategy.py:19-41,
+ * job_execution_handler.py:163-259, metrics/component_metrics/
+ * component_metrics.py:4-30, metrics/execution_metrics.py:17-31):
+ *
+ *  - `num_of_retries` re-runs the whole job on failure with constant or
+ *    exponential backoff; idempotency comes from sink modes (overwrite /
+ *    upsert keys), matching the reference's retry contract;
+ *  - per-component `lines_forwarded` is collected with Dataset.observe —
+ *    a zero-cost aggregate riding INSIDE the existing plan (no second
+ *    scan, no accumulator races on retried tasks) — harvested by a
+ *    QueryExecutionListener when each sink action completes;
+ *  - job throughput = total forwarded rows / wall seconds.
+ */
+object JobRunner {
+
+  sealed trait Backoff { def delayMs(attempt: Int): Long }
+  /** Same delay every attempt (retry_strategy.py: constant). */
+  final case class Constant(ms: Long) extends Backoff {
+    def delayMs(attempt: Int): Long = ms
+  }
+  /** base · factor^attempt (retry_strategy.py: exponential). */
+  final case class Exponential(baseMs: Long, factor: Double = 2.0) extends Backoff {
+    def delayMs(attempt: Int): Long = (baseMs * math.pow(factor, attempt.toDouble)).toLong
+  }
+
+  final case class RunResult(
+      attempts: Int,
+      succeeded: Boolean,
+      wallMs: Long,
+      linesForwarded: Map[String, Long],
+      throughputRowsPerSec: Double,
+      lastError: Option[Throwable])
+
+  /** Collects observed metrics named `graft.<component>.<port>`. */
+  private final class MetricsListener extends QueryExecutionListener {
+    val rows = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        if (name.startsWith("graft."))
+          rows.merge(name.stripPrefix("graft."), row.getAs[Long]("rows"), math.max(_, _))
+      }
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+  }
+
+  /** Build + run the job's sinks with the spec's retry budget. */
+  def run(spark: SparkSession, spec: JobSpec,
+          backoff: Backoff = Constant(1000),
+          validateData: Boolean = false): RunResult = {
+    val listener = new MetricsListener
+    spark.listenerManager.register(listener)
+    val t0 = System.nanoTime()
+    var attempt = 0
+    var lastError: Option[Throwable] = None
+    var succeeded = false
+    try {
+      while (!succeeded && attempt <= spec.numOfRetries) {
+        if (attempt > 0) Thread.sleep(backoff.delayMs(attempt - 1))
+        attempt += 1
+        // the whole attempt — build (plan-time reads/validation) AND sink
+        // actions — is retried, like the reference's attempt loop
+        try {
+          val built = JobGraph.build(spark, spec, validateData, instrument = true)
+          try built.runSinks() finally built.close()
+          succeeded = true
+          lastError = None
+        } catch {
+          case e: Throwable => lastError = Some(e)
+        }
+      }
+    } finally {
+      // listener callbacks run async on Spark's bus (no public flush);
+      // poll until the metric map settles before detaching
+      val deadline = System.currentTimeMillis() + 5000
+      var prev = -1
+      while (System.currentTimeMillis() < deadline && listener.rows.size != prev) {
+        prev = listener.rows.size
+        Thread.sleep(100)
+      }
+      spark.listenerManager.unregister(listener)
+    }
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val lines = {
+      import scala.jdk.CollectionConverters._
+      listener.rows.asScala.toMap
+    }
+    val total = lines.values.sum
+    RunResult(attempt, succeeded, wallMs, lines,
+      if (wallMs == 0) 0.0 else total * 1000.0 / wallMs, lastError)
+  }
+}

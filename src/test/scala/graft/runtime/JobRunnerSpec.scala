@@ -1,0 +1,64 @@
+package graft.runtime
+
+import graft.SparkTestBase
+import graft.config.JobConfig
+import java.nio.file.{Files, Paths}
+
+class JobRunnerSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val p = Paths.get("target", "test-tmp", "runner", name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  private val abSchema =
+    """{ "fields": [
+      |  { "name": "a", "data_type": "string" },
+      |  { "name": "b", "data_type": "string" } ] }""".stripMargin
+
+  private def jobJson(in: String, out: String, retries: Int = 0) =
+    s"""{
+       |  "name": "t", "num_of_retries": $retries,
+       |  "components": [
+       |    { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+       |      "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+       |      "out_port_schemas": { "out": $abSchema } },
+       |    { "name": "f", "comp_type": "filter",
+       |      "rule": { "column": "b", "operator": "!=", "value": "drop" },
+       |      "in_port_schemas": { "in": $abSchema },
+       |      "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
+       |      "out_port_schemas": { "pass": $abSchema } },
+       |    { "name": "w", "comp_type": "write_csv", "filepath": "$out",
+       |      "in_port_schemas": { "in": $abSchema } }
+       |  ]
+       |}""".stripMargin
+
+  test("run succeeds and reports per-component lines_forwarded + throughput") {
+    import spark.implicits._
+    val in = tmp("in_ok")
+    graft.io.CsvIO.write(
+      Seq(("1", "x"), ("2", "drop"), ("3", "y")).toDF("a", "b"), in, singleFile = true)
+    val res = JobRunner.run(spark, JobConfig.parse(jobJson(in, tmp("out_ok"))))
+    assert(res.succeeded)
+    assert(res.attempts === 1)
+    assert(res.linesForwarded.get("r.out") === Some(3L))
+    assert(res.linesForwarded.get("f.pass") === Some(2L))
+    assert(res.throughputRowsPerSec > 0)
+  }
+
+  test("retry loop: missing input exhausts attempts, reports last error") {
+    val res = JobRunner.run(spark,
+      JobConfig.parse(jobJson(tmp("missing_dir_nowhere"), tmp("out_fail"), retries = 2)),
+      backoff = JobRunner.Constant(1))
+    assert(!res.succeeded)
+    assert(res.attempts === 3) // 1 + 2 retries
+    assert(res.lastError.isDefined)
+  }
+
+  test("backoff schedules grow exponentially") {
+    val b = JobRunner.Exponential(100, 2.0)
+    assert(Seq(0, 1, 2, 3).map(b.delayMs) === Seq(100L, 200L, 400L, 800L))
+    assert(JobRunner.Constant(250).delayMs(5) === 250L)
+  }
+}
