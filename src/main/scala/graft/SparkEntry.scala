@@ -331,6 +331,61 @@ object SparkEntry {
       .orderBy(col("cust_id"))
   }
 
+  /** XML roundtrip through Spark 4's XML source with the reference's
+    * element conventions; leaves read back as strings. */
+  private def qXmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/xml_roundtrip"
+    graft.io.XmlIO.write(table(s, dir, "nation"), out,
+      rootTag = "nations", rowTag = "nation", singleFile = true)
+    graft.io.XmlIO.read(s, out, rowTag = "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey").cast("long"))
+  }
+
+  /** Excel (xlsx) roundtrip: header row, sheet by name, all-string cells. */
+  private def qExcelRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/excel_roundtrip.xlsx"
+    graft.io.ExcelIO.write(table(s, dir, "nation"), out, sheetName = "nations")
+    graft.io.ExcelIO.read(s, out, sheet = Some("nations"))
+      .orderBy(col("n_nationkey").cast("long"))
+  }
+
+  /** JDBC end-to-end against embedded Derby: INSERT the region table, then
+    * UPSERT one modified row (MERGE), read back typed. */
+  private def qJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.JdbcIO
+    val url = "jdbc:derby:memory:graftq;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE graft_region") catch { case _: Exception => () }
+      st.execute("""CREATE TABLE graft_region ("r_regionkey" INTEGER PRIMARY KEY, "r_name" VARCHAR(200))""")
+    } finally conn.close()
+    val region = table(s, dir, "region")
+    JdbcIO.write(region, url, "graft_region", JdbcIO.Insert, JdbcIO.Derby)
+    JdbcIO.write(
+      region.filter(col("r_regionkey") === 0)
+        .withColumn("r_name", lit("MODIFIED")),
+      url, "graft_region", JdbcIO.Upsert, JdbcIO.Derby, keys = Seq("r_regionkey"))
+    JdbcIO.read(s, url, table = Some("graft_region"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  /** Document-store end-to-end: truncate-insert customers, read back with
+    * schema-derived projection pushdown + filter/sort/limit. */
+  private def qMongoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.MongoIO
+    import graft.schema.{FieldDef, GraftType}
+    val factory = MongoIO.InMemory("q_mongo_roundtrip")
+    MongoIO.write(table(s, dir, "customer"), factory, "customers", "truncate")
+    val schema = Seq(
+      FieldDef("c_custkey", GraftType.TInteger, nullable = true),
+      FieldDef("c_mktsegment", GraftType.TString, nullable = true))
+    MongoIO.read(s, factory, "customers", schema,
+      filter = Map("c_mktsegment" -> "BUILDING"),
+      sort = Seq(("c_custkey", 1)), limit = Some(50))
+  }
+
   /** End-to-end DECLARATIVE job: a JSON config (the reference's defining
     * surface — csv_row_filter_csv.json shape with __IN__/__OUT__
     * placeholders) is parsed, wiring-validated, folded into DataFrames and
@@ -393,6 +448,63 @@ object SparkEntry {
     built.close()
     graft.io.CsvIO.read(s, outDir)
       .orderBy(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))
+  }
+
+  /** Second declarative job: multi-input schema_mapping (join mode + map
+    * rules) feeding an aggregation, all wired from JSON config. */
+  private def qJobJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_joinagg"
+    def fields(fs: (String, String)*): String =
+      fs.map { case (n, t) => s"""{ "name": "$n", "data_type": "$t" }""" }
+        .mkString("""{ "fields": [ """, ", ", " ] }")
+    val custSchema = fields("c_custkey" -> "integer", "c_name" -> "string",
+      "c_nationkey" -> "integer", "c_acctbal" -> "float", "c_mktsegment" -> "string")
+    val ordSchema = fields("o_orderkey" -> "integer", "o_custkey" -> "integer",
+      "o_orderstatus" -> "string", "o_totalprice" -> "float",
+      "o_orderdate" -> "string", "o_orderpriority" -> "string")
+    val mappedSchema = fields("segment" -> "string", "price" -> "float")
+    val aggSchema = fields("segment" -> "string", "n_orders" -> "integer",
+      "min_price" -> "float", "max_price" -> "float")
+    val jobJson =
+      s"""{
+         |  "name": "join_agg_job",
+         |  "components": [
+         |    { "name": "cust", "comp_type": "read_parquet",
+         |      "filepath": "$dir/customer.parquet",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "customer" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "ord", "comp_type": "read_parquet",
+         |      "filepath": "$dir/orders.parquet",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "orders" } ] },
+         |      "out_port_schemas": { "out": $ordSchema } },
+         |    { "name": "sm", "comp_type": "schema_mapping",
+         |      "join_plan": { "steps": [
+         |        { "left_port": "orders", "right_port": "customer",
+         |          "left_on": ["o_custkey"], "right_on": ["c_custkey"],
+         |          "how": "inner", "output_port": "joined" } ] },
+         |      "rules_by_dest": { "out": {
+         |        "segment": { "src_port": "joined", "src_path": "c_mktsegment" },
+         |        "price":   { "src_port": "joined", "src_path": "o_totalprice" } } },
+         |      "in_port_schemas": { "customer": $custSchema, "orders": $ordSchema },
+         |      "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $mappedSchema } },
+         |    { "name": "agg", "comp_type": "aggregation",
+         |      "group_by": ["segment"],
+         |      "aggregations": [
+         |        { "src": "*", "op": "count", "dest": "n_orders" },
+         |        { "src": "price", "op": "min", "dest": "min_price" },
+         |        { "src": "price", "op": "max", "dest": "max_price" } ],
+         |      "in_port_schemas": { "in": $mappedSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("segment"))
   }
 
   // ------------------------------------------------------------------ dedup
@@ -517,6 +629,11 @@ object SparkEntry {
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_flatten_roundtrip" -> (qFlattenRoundtrip _),
     "q_job_csv_filter" -> (qJobCsvFilter _),
+    "q_job_join_agg" -> (qJobJoinAgg _),
+    "q_xml_roundtrip" -> (qXmlRoundtrip _),
+    "q_excel_roundtrip" -> (qExcelRoundtrip _),
+    "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
+    "q_mongo_roundtrip" -> (qMongoRoundtrip _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_fingerprint" -> (qDedupFingerprint _),
     "dedup_minhash" -> (qDedupMinhash _),
@@ -711,6 +828,27 @@ object SparkEntry {
         |WHERE l_quantity::BIGINT <= 20
         |  AND NOT coalesce(l_returnflag = 'A', FALSE)
         |ORDER BY l_orderkey::BIGINT, l_linenumber::BIGINT""".stripMargin,
+    "q_job_join_agg" ->
+      """SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_orders,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q_xml_roundtrip" ->
+      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+        |  n_regionkey::VARCHAR AS n_regionkey
+        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_excel_roundtrip" ->
+      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+        |  n_regionkey::VARCHAR AS n_regionkey
+        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_jdbc_roundtrip" ->
+      """SELECT r_regionkey,
+        |  CASE WHEN r_regionkey = 0 THEN 'MODIFIED' ELSE r_name END AS r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_mongo_roundtrip" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey LIMIT 50""".stripMargin,
     "dedup_minhash" ->
       """WITH norm AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
