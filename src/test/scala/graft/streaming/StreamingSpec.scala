@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+  import Streaming._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private def events = Seq(
+    Event(1L, ts(5), 100L, "click", 1.0),
+    Event(2L, ts(10), 100L, "click", 2.0),
+    Event(3L, ts(20), 200L, "view", 4.0),
+    Event(4L, ts(61), 100L, "click", 8.0)) // next hour window
+
+  test("windowedCounts on a MemoryStream matches the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = startToMemory(
+      windowedCounts(input.toDF(), watermarkDur = "10 minutes"), "win_test",
+      OutputMode.Complete())
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_test")
+        .orderBy(col("window_start"), col("event_type"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val batch = windowedCounts(events.toDF())
+        .orderBy(col("window_start"), col("event_type"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.map(_._3).sum === 4L)
+    } finally q.stop()
+  }
+
+  test("runningUserAggs keeps per-key state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = runningUserAggs(input.toDS()).writeStream
+      .format("memory").queryName("user_aggs").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(events.take(3): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(3): _*) // second trigger updates user 100
+      q.processAllAvailable()
+      val byUser = spark.table("user_aggs")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), max(col("total_value")).as("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(byUser(100L) === ((3L, 11.0))) // state carried: 2 then +1
+      assert(byUser(200L) === ((1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("eventStream reads the driver parquet as a stream (schema from batch)") {
+    // driver fixture stores NANOS timestamps (TESTDATA gotcha)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = eventStream(spark, "/root/testdata/sf0.001/events.parquet")
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.contains("event_type"))
+  }
+}
