@@ -18,6 +18,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // sf0.1 files are ~20 MB: the 128 MB default would put whole
+      // file-to-file pipelines on one task; 8 MB restores scan parallelism
+      // at bench scale (at production scale files exceed 128 MB and the
+      // default takes over)
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

