@@ -35,26 +35,34 @@ object FilterOp {
   final case class Leaf(column: String, op: String, value: Any) extends Rule
   final case class Node(logical: String, rules: Seq[Rule]) extends Rule
 
-  /** Compile a rule tree to a two-valued Catalyst predicate: every leaf is
-    * coalesced to false, so nulls are falsy exactly where pandas masks make
-    * them falsy (leaf level), not at the tree root. */
+  /** Compile a rule tree to a two-valued Catalyst predicate. Each leaf is
+    * `IsNotNull(col) AND cmp` rather than `coalesce(cmp, false)`: the two
+    * are equivalent (null column → false, never null, since Spark's AND
+    * short-circuits false && null = false), but only the conjunct form
+    * reaches the parquet scan as PushedFilters — a coalesce wrapper
+    * blocks row-group skipping entirely. Comparison values are non-null
+    * literals from config; a null value compiles to constant false (pandas:
+    * any comparison mask against None is all-False). */
   def compile(rule: Rule): Column = rule match {
     case Leaf(c, op, v) =>
       val col0 = col(c)
-      val raw = (op, v) match {
-        case ("==", vs: Seq[_])  => col0.isin(vs: _*)
-        case ("==", x)           => col0 === lit(x)
-        case ("!=", x)           => col0 =!= lit(x)
-        case (">", x)            => col0 > lit(x)
-        case ("<", x)            => col0 < lit(x)
-        case (">=", x)           => col0 >= lit(x)
-        case ("<=", x)           => col0 <= lit(x)
+      (op, v) match {
+        case (_, null) => lit(false)
+        case ("==", vs: Seq[_]) =>
+          val nonNull = vs.filter(_ != null)
+          if (nonNull.isEmpty) lit(false)
+          else col0.isNotNull && col0.isin(nonNull: _*)
+        case ("==", x)           => col0.isNotNull && (col0 === lit(x))
+        case ("!=", x)           => col0.isNotNull && (col0 =!= lit(x))
+        case (">", x)            => col0.isNotNull && (col0 > lit(x))
+        case ("<", x)            => col0.isNotNull && (col0 < lit(x))
+        case (">=", x)           => col0.isNotNull && (col0 >= lit(x))
+        case ("<=", x)           => col0.isNotNull && (col0 <= lit(x))
         case ("contains", x) =>
           // case-insensitive, literal (non-regex) substring
-          lower(col0).contains(lower(lit(x.toString)))
+          col0.isNotNull && lower(col0).contains(lower(lit(x.toString)))
         case (other, _) => throw new IllegalArgumentException(s"unknown operator: $other")
       }
-      coalesce(raw, lit(false))
     case Node(lo, rules) => lo.toUpperCase match {
       case "AND" => rules.map(compile).reduce(_ && _)
       case "OR"  => rules.map(compile).reduce(_ || _)

@@ -142,16 +142,21 @@ object Similarity {
   /**
    * IVF cell assignment with centroids as a DataFrame (cell, cvec):
    * broadcast cross-join + argmax by (similarity, cell) — fully
-   * distributed, no driver-side state. For repeated querying, write the
-   * result bucketed by `cell` so probes prune at the file-source level.
+   * distributed, no driver-side state. The argmax groups on the unique
+   * `idCol` (never on the vector itself — hashing a float array as a
+   * group key costs more than the similarity math); remaining columns
+   * ride along via first(). For repeated querying, write the result
+   * bucketed by `cell` so probes prune at the file-source level.
    */
-  def assignCells(corpus: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+  def assignCells(corpus: DataFrame, vecCol: String, idCol: String,
+                  centroids: DataFrame): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("sim", cosine(col(vecCol), col("cvec")))
+    val carried = corpus.columns.filter(_ != idCol).toSeq
     // argmax: max of (sim, cell) struct — ties resolve to the larger cell id
-    val others = corpus.columns.filter(_ != vecCol).map(col)
-    scored.groupBy((col(vecCol) +: others.toSeq): _*)
-      .agg(max(struct(col("sim"), col("cell"))).as("m"))
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("sim"), col("cell"))).as("m"),
+        carried.map(c => first(col(c)).as(c)): _*)
       .withColumn("cell", col("m.cell"))
       .drop("m")
   }
@@ -170,7 +175,7 @@ object Similarity {
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
       .select(col("cell"))
-    assignCells(corpus, vecCol, centroids)
+    assignCells(corpus, vecCol, idCol, centroids)
       .join(broadcast(probeCells), Seq("cell"))
       .crossJoin(broadcast(query))
       .select(col(idCol), round(cosine(col(vecCol), col("qvec")), 6).as("cosine"))
