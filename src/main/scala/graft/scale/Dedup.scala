@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Repartition an under-partitioned input up to the cluster's default
+    * parallelism. The expensive per-row expression stages (shingling,
+    * hashing, fingerprints) are narrow maps: a single small source file
+    * (one scan partition) would serialize them onto one core. Shuffling a
+    * small input is cheap; at production scale inputs already exceed the
+    * parallelism and this is a no-op. */
+  private[scale] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Normalized text key for exact dedup: lowercase, collapse whitespace. */
   def exactKey(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
@@ -137,7 +148,8 @@ object Dedup {
     // recomputing them down the lineage would triple the dominant cost.
     // ~(8 + 8k) bytes/doc — a signature table, the thing an at-scale
     // pipeline would write out anyway.
-    val sigs = df.select(col(idCol).as("id"),
+    val wide = widen(df)
+    val sigs = wide.select(col(idCol).as("id"),
       minhashSignature(wordShingles(col(textCol), 3), k).as("sig")).persist()
     val buckets = sigs
       .select(col("id"), explode(lshBucketKeys(col("sig"), k, bands)).as("bk"))
@@ -160,7 +172,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
 
     // exact verification: join the text back, shingle only the candidates
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val texts = wide.select(col(idCol).as("id"), col(textCol).as("t"))
     prefiltered
       .join(texts.select(col("id").as("id_a"), col("t").as("ta")), Seq("id_a"))
       .join(texts.select(col("id").as("id_b"), col("t").as("tb")), Seq("id_b"))
@@ -220,7 +232,7 @@ object Dedup {
    */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withFp = df.select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk"))
+    val withFp = widen(df).select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk"))
       .persist() // consumed 3×; the fingerprint expression is interpreted
     val e = withFp.select(col("id"), posexplode(col("blk")).as(Seq("pos", "v")))
     val cand = e.select(col("pos"), col("v"), col("id").as("id_a"))
@@ -253,7 +265,7 @@ object Dedup {
    */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val withFp = df.select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk"))
+    val withFp = widen(df).select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk"))
       .persist()
     val reps = withFp.groupBy(col("blk")).agg(min(col("id")).as("id")).persist()
     val e = reps.select(col("id"), posexplode(col("blk")).as(Seq("pos", "v")))
@@ -284,7 +296,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = 10000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    val sh = widen(df).select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .persist() // consumed 4× (sizes + df-cap + both posting join sides)
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val posting = sh.select(col("id"), explode(col("sh")).as("g"))

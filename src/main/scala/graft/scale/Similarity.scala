@@ -121,7 +121,7 @@ object Similarity {
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         simThreshold: Double, dim: Int,
                         bands: Int = 16, r: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = graft.scale.Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("v"))
     val bucketed = base
       .select(col("id"), explode(lshCosineBands(col("v"), dim, bands, r)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
