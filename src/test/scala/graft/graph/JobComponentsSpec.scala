@@ -1,0 +1,106 @@
+package graft.graph
+
+import graft.SparkTestBase
+import graft.config.JobConfig
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Config-driven jobs through the non-CSV component branches. */
+class JobComponentsSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val p = Paths.get("target", "test-tmp", "jobc", name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  private val abSchema =
+    """{ "fields": [
+      |  { "name": "a", "data_type": "string" },
+      |  { "name": "b", "data_type": "string" } ] }""".stripMargin
+
+  test("xml source → filter → excel sink, wired from JSON config") {
+    val inDir = tmp("xmlin")
+    Files.createDirectories(Paths.get(inDir))
+    val f = Paths.get(inDir, "recs.xml")
+    Files.writeString(f,
+      """<root>
+        |  <rec><a>1</a><b>keep</b></rec>
+        |  <rec><a>2</a><b>drop</b></rec>
+        |  <rec><a>3</a><b>keep</b></rec>
+        |</root>""".stripMargin)
+    val out = tmp("book.xlsx")
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_xml", "filepath": "$f",
+         |    "record_tag": "rec",
+         |    "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "flt", "comp_type": "filter",
+         |    "rule": { "column": "b", "operator": "==", "value": "keep" },
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "pass": $abSchema } },
+         |  { "name": "w", "comp_type": "write_excel", "filepath": "$out",
+         |    "sheet_name": "kept",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks()
+    built.close()
+    val back = graft.io.ExcelIO.read(spark, out, Some("kept"))
+    assert(back.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3"))
+  }
+
+  test("mongodb source with pushdown params → json sink, from config") {
+    import spark.implicits._
+    graft.io.MongoIO.InMemoryStores.drop("jobstore")
+    graft.io.MongoIO.write(
+      Seq(("1", "x"), ("2", "y"), ("3", "x")).toDF("a", "b"),
+      graft.io.MongoIO.InMemory("jobstore"), "c", "insert")
+    val out = tmp("mongo_out")
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_mongodb", "store": "jobstore",
+         |    "entity_name": "c",
+         |    "query_filter": { "b": "x" },
+         |    "sort": [["a", -1]], "limit": 5,
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_json", "filepath": "$out",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks()
+    built.close()
+    val back = spark.read.json(out).orderBy(col("a"))
+    assert(back.collect().map(_.getAs[String]("a")).toSeq === Seq("1", "3"))
+  }
+
+  test("jdbc sink from config with upsert mode (Derby)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjob;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute("DROP TABLE jt") catch { case _: Exception => () }
+      st.execute("""CREATE TABLE jt ("a" VARCHAR(20) PRIMARY KEY, "b" VARCHAR(20))""")
+      st.execute("""INSERT INTO jt VALUES ('1', 'old')""")
+    } finally c.close()
+    val in = tmp("jdbc_in")
+    graft.io.CsvIO.write(Seq(("1", "new"), ("2", "ins")).toDF("a", "b"), in, singleFile = true)
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_jdbc", "url": "$url",
+         |    "entity_name": "jt", "if_exists": "upsert", "dialect": "derby",
+         |    "key_fields": ["a"],
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks()
+    built.close()
+    val got = graft.io.JdbcIO.read(spark, url, table = Some("jt"))
+      .orderBy(col("a")).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("1", "new"), ("2", "ins")))
+  }
+}
