@@ -1,0 +1,100 @@
+package graft.api
+
+import graft.SparkTestBase
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+
+class ControlPlaneSpec extends SparkTestBase {
+
+  private def tmp(name: String): String = {
+    val p = Paths.get("target", "test-tmp", "api", name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  private val abSchema =
+    """{ "fields": [
+      |  { "name": "a", "data_type": "string" },
+      |  { "name": "b", "data_type": "string" } ] }""".stripMargin
+
+  private def jobJson(in: String, out: String) =
+    s"""{ "name": "apijob", "components": [
+       |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+       |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+       |    "out_port_schemas": { "out": $abSchema } },
+       |  { "name": "w", "comp_type": "write_csv", "filepath": "$out",
+       |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+
+  test("registry: create validates deeply, execute records success/failure") {
+    import spark.implicits._
+    val reg = new ControlPlane.JobRegistry(spark)
+    // invalid config rejected at create time (deep validation)
+    intercept[IllegalArgumentException] {
+      reg.createJob("""{ "name": "bad", "components": [
+        | { "name": "r", "comp_type": "read_csv", "filepath": "x",
+        |   "routes": { "out": [ { "to": "ghost", "in_port": "in" } ] },
+        |   "out_port_schemas": { "out": { "fields": [
+        |     { "name": "a", "data_type": "string" } ] } } } ] }""".stripMargin)
+    }
+    val in = tmp("in_ok")
+    graft.io.CsvIO.write(Seq(("1", "x")).toDF("a", "b"), in, singleFile = true)
+    val job = reg.createJob(jobJson(in, tmp("out_ok")))
+    assert(reg.listJobs().map(_.id) === Seq(job.id))
+    val ok = reg.execute(job.id)
+    assert(ok.status === "SUCCESS")
+    val bad = reg.createJob(jobJson(tmp("nope_missing"), tmp("out_bad")))
+    val fail = reg.execute(bad.id)
+    assert(fail.status === "FAILED")
+    assert(fail.error.isDefined)
+    // listing with filter/sort/paging
+    assert(reg.listExecutions(status = Some("SUCCESS")).map(_.id) === Seq(ok.id))
+    assert(reg.listExecutions(jobId = Some(bad.id)).map(_.id) === Seq(fail.id))
+    assert(reg.listExecutions(sortDesc = false).head.id === ok.id)
+    assert(reg.listExecutions(limit = 1).size === 1)
+  }
+
+  test("REST surface: POST/GET/DELETE /jobs, POST /execution, GET /executions") {
+    import spark.implicits._
+    val reg = new ControlPlane.JobRegistry(spark)
+    val server = ControlPlane.serve(reg)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val client = HttpClient.newHttpClient()
+    def send(r: HttpRequest): HttpResponse[String] =
+      client.send(r, HttpResponse.BodyHandlers.ofString())
+    try {
+      val in = tmp("rest_in")
+      graft.io.CsvIO.write(Seq(("1", "x")).toDF("a", "b"), in, singleFile = true)
+      val post = send(HttpRequest.newBuilder(URI.create(s"$base/jobs"))
+        .POST(HttpRequest.BodyPublishers.ofString(jobJson(in, tmp("rest_out")))).build())
+      assert(post.statusCode() === 201)
+      val jobId = """"id":"([^"]+)"""".r.findFirstMatchIn(post.body()).get.group(1)
+
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/jobs")).GET().build())
+        .body().contains(jobId))
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/jobs/$jobId")).GET().build())
+        .body().contains("apijob"))
+
+      val exec = send(HttpRequest.newBuilder(URI.create(s"$base/execution/$jobId"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build())
+      assert(exec.statusCode() === 201)
+      assert(exec.body().contains("\"status\":\"SUCCESS\""))
+
+      val list = send(HttpRequest.newBuilder(
+        URI.create(s"$base/execution?job_id=$jobId&status=SUCCESS")).GET().build())
+      assert(list.statusCode() === 200 && list.body().contains(jobId))
+
+      // bad config → 400; unknown job → 404
+      val bad = send(HttpRequest.newBuilder(URI.create(s"$base/jobs"))
+        .POST(HttpRequest.BodyPublishers.ofString("""{"name":"x"}""")).build())
+      assert(bad.statusCode() === 400)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/execution/ghost"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build()).statusCode() === 404)
+
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/jobs/$jobId"))
+        .DELETE().build()).statusCode() === 204)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/jobs/$jobId")).GET().build())
+        .statusCode() === 404)
+    } finally server.stop(0)
+  }
+}
