@@ -36,6 +36,10 @@ object Bench {
     sorted.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // drop the ~40 persisted tables the warmup pass accumulated (operators
+    // persist signature/fingerprint tables); leaking them into the timed
+    // loop distorts the first queries by several ×
+    spark.catalog.clearCache()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = sorted.map { case (name, fn) =>
@@ -45,7 +49,9 @@ object Bench {
         errors(name) = (e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage)).take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // each query measured self-contained
+      name -> dt
     }
 
     val qs = results.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")

@@ -51,6 +51,25 @@ object MinhashProbe {
         Dedup.jaccard(Dedup.shingles(col("ta"), 5), Dedup.shingles(col("tb"), 5)).as("j"))
       .filter(col("j") >= 0.6)
     t("verify (char shingles)")(ver.count())
+    // embedding operator mirror at r=10
+    val emb = table(spark, dir, "embeddings")
+    val ebase = emb.repartition(32).select(col("vec_id").as("id"), col("embedding").as("v"))
+    val ebuck = ebase.select(col("id"),
+        explode(Similarity.lshCosineBands(col("v"), 64, 16, 10)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig")).persist()
+    t("e: bucketed materialize")(ebuck.count())
+    val ecand = ebuck.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(ebuck.select(col("band"), col("sig"), col("id").as("id_b")), Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    t("e: candidates")(ecand.count())
+    val ever = ecand
+      .join(ebase.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(ebase.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.cosine(col("va"), col("vb")).as("c"))
+      .filter(col("c") >= 0.95)
+    t("e: verify")(ever.count())
+    t("e: full query shape")(Similarity.embeddingNearDups(emb, "embedding", "vec_id", 0.95, 64, 16, 10).count())
     spark.stop()
   }
 }
