@@ -17,6 +17,8 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Paths.get("target", "test-tmp", "warehouse").toAbsolutePath.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -1,0 +1,52 @@
+package graft.scale
+
+import graft.SparkTestBase
+import graft.ops.AggregateOp
+import graft.ops.AggregateOp.AggSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the at-scale idioms: salted aggregation correctness and
+  * bucketed-table co-located (shuffle-free) joins. */
+class ScaleIdiomsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedAggregate equals direct aggregation on skewed data") {
+    // 90% of rows on one key — the shape salting exists for
+    val skewed = spark.range(10000).select(
+      when(col("id") % 10 === 0, concat(lit("k"), col("id") % 7))
+        .otherwise(lit("hot")).as("g"),
+      (col("id") % 97).cast("double").as("v"))
+    val aggs = Seq(AggSpec("*", "count", "n"), AggSpec("v", "sum", "s"),
+      AggSpec("v", "min", "mn"), AggSpec("v", "max", "mx"))
+    val direct = AggregateOp(skewed, Seq("g"), aggs)
+      .orderBy(col("g")).collect().map(_.toSeq)
+    val salted = Skew.saltedAggregate(skewed, Seq("g"), aggs, saltFactor = 8)
+      .orderBy(col("g")).collect().map(_.toSeq)
+    assert(salted.toSeq === direct.toSeq)
+  }
+
+  test("saltedAggregate rejects non-decomposable ops") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(df, Seq("g"), Seq(AggSpec("v", "median", "m")))
+    }
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("lv"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("b_left")
+    spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("rv"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("b_right")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_left").join(spark.table("b_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle, but plan has an Exchange:\n$plan")
+      assert(joined.count() === 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
