@@ -368,6 +368,28 @@ object JobGraph {
         val df = one()
         (c.extraOutputPorts.map(_ -> df).toMap, None)
 
+      // beyond-reference components: training-data pipeline operators as
+      // first-class declarative citizens
+      case "dedup" =>
+        import graft.scale.Dedup
+        val textCol = c.str("text_column").getOrElse("text")
+        val idCol = c.str("id_column").getOrElse("id")
+        val out = c.str("method").getOrElse("exact") match {
+          case "exact" => Dedup.exact(one(), textCol, idCol)
+          case "minhash" => Dedup.minhashDedup(one(), textCol, idCol,
+            shingleN = c.int("shingle_n", 5), k = c.int("num_hashes", 32),
+            bands = c.int("bands", 16),
+            threshold = c.str("threshold").map(_.toDouble).getOrElse(0.6))
+          case "simhash" => Dedup.simhashDedup(one(), textCol, idCol,
+            maxHamming = c.int("max_hamming", 3))
+          case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
+        }
+        (Map("out" -> out), None)
+
+      case "text_analysis" =>
+        (Map("out" -> graft.scale.TextAnalysis.analyze(one(),
+          c.str("text_column").getOrElse("text"))), None)
+
       case "merge" =>
         val dfs = in.getOrElse("in", Nil)
         require(dfs.nonEmpty, s"merge ${c.name}: no inputs")

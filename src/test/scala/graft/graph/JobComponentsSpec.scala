@@ -103,4 +103,51 @@ class JobComponentsSpec extends SparkTestBase {
       .orderBy(col("a")).collect().map(r => (r.getString(0), r.getString(1)))
     assert(got.toSeq === Seq(("1", "new"), ("2", "ins")))
   }
+
+  test("dedup + text_analysis as declarative components") {
+    import spark.implicits._
+    val in = tmp("dedup_in")
+    Seq((1L, "The quick brown fox jumps over the lazy dog today"),
+        (2L, "  the QUICK brown fox jumps over the lazy dog today "),
+        (3L, "Totally different text about joins and shuffles"))
+      .toDF("id", "text").write.mode("overwrite").parquet(in)
+    val out = tmp("dedup_out")
+    val schema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" },
+        |  { "name": "n_tokens", "data_type": "integer" },
+        |  { "name": "n_tokens_bpe", "data_type": "integer" },
+        |  { "name": "punct_ratio", "data_type": "float" },
+        |  { "name": "stopword_ratio", "data_type": "float" },
+        |  { "name": "quality", "data_type": "float" },
+        |  { "name": "lang_pred", "data_type": "string" },
+        |  { "name": "fingerprint", "data_type": "string" } ] }""".stripMargin
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "dd", "comp_type": "dedup", "method": "exact",
+         |    "text_column": "text", "id_column": "id",
+         |    "in_port_schemas": { "in": $schema },
+         |    "routes": { "out": [ { "to": "ta", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "ta", "comp_type": "text_analysis", "text_column": "text",
+         |    "in_port_schemas": { "in": $schema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks()
+    built.close()
+    val got = spark.read.parquet(out).orderBy(col("id"))
+    assert(got.count() === 2) // row 2 deduped into row 1
+    assert(got.select("lang_pred").head().getString(0) === "en")
+  }
 }

@@ -33,8 +33,20 @@ class ScaleIdiomsSpec extends SparkTestBase {
   }
 
   test("bucketed tables join without an exchange (co-located join)") {
+    // a fresh JVM's in-memory catalog doesn't know tables left on disk by
+    // a previous run: drop via catalog AND remove the stale locations
     spark.sql("DROP TABLE IF EXISTS b_left")
     spark.sql("DROP TABLE IF EXISTS b_right")
+    val wh = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    Seq("b_left", "b_right").foreach { t =>
+      val dir = wh.resolve(t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("lv"))
       .write.bucketBy(8, "k").sortBy("k").saveAsTable("b_left")
     spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("rv"))
