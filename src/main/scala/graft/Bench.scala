@@ -28,7 +28,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args restrict the run to the named queries (dev iteration);
+    // the driver invokes with no args = full suite.
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sorted = if (args.isEmpty) all else all.filter(q => args.contains(q._1))
 
     // Warmup at the smallest scale factor: exercises codegen/JIT for every
     // query's plan shape outside the timed loop.

@@ -83,7 +83,9 @@ object Dedup {
    * k-wide array accumulator, taking the element-wise min of the k seeded
    * hashes of each shingle. (The naive form — k independent
    * array_min(transform(...)) — walks the array k times and allocates k
-   * intermediate arrays.)
+   * intermediate arrays.) NOTE: higher-order functions are interpreted
+   * (CodegenFallback); for corpus-scale signature tables prefer
+   * minhashSignatures, the codegen'd relational form of the same math.
    */
   def minhashSignature(shingleArr: Column, k: Int = 32): Column =
     aggregate(
@@ -92,6 +94,27 @@ object Dedup {
       (acc, s) => zip_with(acc,
         array((0 until k).map(i => xxhash64(s, lit(i))): _*),
         (m, h) => least(m, h)))
+
+  /**
+   * (id, sig) MinHash signature table computed relationally: explode the
+   * word shingles to (id, shingle) rows, then groupBy(id) with k plain
+   * `min(xxhash64(shingle, seed_i))` aggregates and re-assemble the k-wide
+   * array. Identical math to minhashSignature (element-wise min over the
+   * k seeded hashes of each shingle) but every operator stays inside
+   * whole-stage codegen: the k hashes are evaluated map-side by the
+   * partial min aggregates, so the shuffle carries ~k longs per (id ×
+   * partition) after map-side combine — shingle strings never cross the
+   * wire. The HOF fold, by contrast, is interpreted (~100 ns/node) and
+   * dominated the round-2 bench at 35%.
+   */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 32): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleN)).as("s"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"h_$i"))
+    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h_$i")): _*).as("sig"))
+  }
 
   /**
    * LSH banding: split the k-wide signature into `bands` bands of width
@@ -143,14 +166,11 @@ object Dedup {
                       shingleN: Int = 5, k: Int = 32, bands: Int = 16,
                       threshold: Double = 0.6): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
-    // Materialized: consumed 3× (bucketing + both prefilter join-backs);
-    // higher-order shingling expressions are interpreted (no codegen), so
-    // recomputing them down the lineage would triple the dominant cost.
+    // Materialized: consumed 3× (bucketing + both prefilter join-backs).
     // ~(8 + 8k) bytes/doc — a signature table, the thing an at-scale
     // pipeline would write out anyway.
     val wide = widen(df)
-    val sigs = wide.select(col(idCol).as("id"),
-      minhashSignature(wordShingles(col(textCol), 3), k).as("sig")).persist()
+    val sigs = minhashSignatures(wide, textCol, idCol, 3, k).persist()
     val buckets = sigs
       .select(col("id"), explode(lshBucketKeys(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))

@@ -84,12 +84,47 @@ object Similarity {
     Array.fill(dim)(rnd.nextDouble() - 0.5)
   }
 
-  /** Signed projection of `vec` onto deterministic plane `p`. */
+  /** Signed projection of `vec` onto deterministic plane `p`.
+    * Interpreted (higher-order fold) — fine for a handful of planes; for
+    * banded LSH over many planes use `projections`, the codegen'd
+    * relational form. */
   private def planeProjection(vec: Column, p: Int, dim: Int): Column =
     aggregate(
       zip_with(vec, array(planeWeights(p, dim).map(lit(_)).toIndexedSeq: _*),
         (x, w) => x.cast("double") * w),
       lit(0.0), (acc, v) => acc + v)
+
+  /**
+   * ALL bands×r plane projections in one codegen'd pass: posexplode the
+   * vector to (id, pos, x) — one narrow map — then groupBy(id) with one
+   * plain `sum(x * W_p[pos])` aggregate per plane, the weight rows
+   * embedded as array literals indexed by `element_at`. Identical math to
+   * per-plane planeProjection (each partial sum accumulates the
+   * components of a single vector in position order), but every operator
+   * is inside whole-stage codegen, where the 160-fold interpreted HOF
+   * evaluation was the round-2 bench's second hot spot. Output: (id,
+   * p_0 .. p_{bands*r-1}).
+   */
+  private[graft] def projections(base: DataFrame, dim: Int,
+                                 bands: Int, r: Int): DataFrame = {
+    val exploded = base.select(col("id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val aggs = (0 until bands * r).map { p =>
+      val w = element_at(typedLit(planeWeights(p, dim).toSeq), col("pos") + 1)
+      sum(col("x").cast("double") * w).as(s"p_$p")
+    }
+    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band keys (band, sig) built from materialized projection columns
+    * p_0..p_{bands*r-1} — plain bit arithmetic, codegen'd. */
+  private def bandKeysFromProjections(bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      val sig = (0 until r).map { j =>
+        when(col(s"p_${b * r + j}") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      struct(lit(b).as("band"), sig.as("sig"))
+    }: _*)
 
   /** Sign-of-projection LSH signature with `nPlanes` bits, as a long. */
   def lshCosineSignature(vec: Column, dim: Int, nPlanes: Int = 16): Column =
@@ -122,20 +157,28 @@ object Similarity {
                         simThreshold: Double, dim: Int,
                         bands: Int = 16, r: Int = 8): DataFrame = {
     val base = graft.scale.Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = base
-      .select(col("id"), explode(lshCosineBands(col("v"), dim, bands, r)).as("bk"))
+    val bucketed = projections(base, dim, bands, r)
+      .select(col("id"), explode(bandKeysFromProjections(bands, r)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .persist() // both sides of the self-join; projections are interpreted
+      .persist() // both sides of the self-join
     val cand = bucketed.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(bucketed.select(col("band"), col("sig"), col("id").as("id_b")),
         Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // Verification joins carry each vector's squared norm, computed ONCE
+    // per document on the (small) join-back side: cosine via
+    // dot/(sqrt(na2)*sqrt(nb2)) — identical float-op order to cosine(),
+    // but 1 interpreted dot per pair instead of 3 (candidate pairs
+    // outnumber documents).
+    val withN = base.select(col("id"), col("v"), dot(col("v"), col("v")).as("n2"))
+    val d = sqrt(col("na2")) * sqrt(col("nb2"))
     cand
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .join(withN.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na2")), Seq("id_a"))
+      .join(withN.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(d === 0, lit(0.0)).otherwise(dot(col("va"), col("vb")) / d).as("cos"))
       .filter(col("cos") >= simThreshold)
   }
 

@@ -20,14 +20,12 @@ object MinhashProbe {
     }
     val docs = table(spark, dir, "documents")
     val wide = docs.repartition(32)
-    val sigs = wide.select(col("doc_id").as("id"),
-      Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 32).as("sig")).persist()
-    t("sigs materialize (widened)")(sigs.count())
-    println("sigs partitions after materialize: " + sigs.rdd.getNumPartitions)
-    val sigs2 = wide.select(col("doc_id").as("id"),
+    val sigsHof = wide.select(col("doc_id").as("id"),
       Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 32).as("sig"))
-    println("sig compute partitions (no persist): " + sigs2.rdd.getNumPartitions)
-    t("sig compute rerun, no persist") { sigs2.select(sum(pmod(element_at(col("sig"), 1), lit(1000)))).head(); 5000L }
+    t("sigs OLD interpreted fold") { sigsHof.select(sum(pmod(element_at(col("sig"), 1), lit(1000)))).head(); 5000L }
+    val sigs = Dedup.minhashSignatures(wide, "text", "doc_id", 3, 32).persist()
+    t("sigs NEW relational")(sigs.count())
+    t("sigs NEW rerun (cached)")(sigs.count())
     val buckets = sigs
       .select(col("id"), explode(Dedup.lshBucketKeys(col("sig"), 32, 16)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
