@@ -9,7 +9,14 @@ import graft.util.JsonStr.quote
   * (also written to BENCH_LOCAL.json, since sbt's logger can prefix
   * stdout). Queries run in sorted name order after a warmup pass at
   * sf0.001 so JVM/codegen warmup doesn't land on an arbitrary query;
-  * failures are recorded per-query instead of being swallowed. */
+  * failures are recorded per-query instead of being swallowed.
+  *
+  * Each query is timed SPARK_GRAFT_REPS times (default 3) and reported
+  * as the MEDIAN, with per-query [min,max] spread in "spread". A single
+  * run is hostage to machine load during its window (BENCH_r03 recorded
+  * 4-10x inflation on queries whose code hadn't changed); the median of
+  * three interleaves that risk across ~3x the wall clock and discards
+  * any one loaded window. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,8 +36,12 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // Optional args restrict the run to the named queries (dev iteration);
-    // the driver invokes with no args = full suite.
+    // the driver invokes with no args = full suite. A misspelled name must
+    // fail loudly — silently matching nothing produces a valid-looking
+    // empty artifact (total=0) that can be mistaken for a real result.
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val sorted = if (args.isEmpty) all else all.filter(q => args.contains(q._1))
 
     // Warmup at the smallest scale factor: exercises codegen/JIT for every
@@ -44,24 +55,32 @@ object Bench {
     // loop distorts the first queries by several ×
     spark.catalog.clearCache()
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = sorted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        errors(name) = (e.getClass.getSimpleName + ": " +
-          String.valueOf(e.getMessage)).take(200)
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // each query measured self-contained
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(200)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // each run measured self-contained
+        dt
+      }.sorted
+      name -> times
     }
+    def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts pre-sorted
 
-    val qs = results.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, ts) => s"${quote(k)}:${median(ts)}" }.mkString("{", ",", "}")
+    val spread = results
+      .map { case (k, ts) => s"${quote(k)}:[${ts.head},${ts.last}]" }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map { case (_, ts) => median(ts) }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()

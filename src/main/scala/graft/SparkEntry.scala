@@ -77,6 +77,18 @@ object SparkEntry {
       .orderBy(col("port"), col("o_orderstatus"))
   }
 
+  /** Pins the pandas `!=` null semantics (filter_helper.py:81-82): a null
+    * row PASSES a != leaf (NaN != v is True in a pandas mask), unlike every
+    * other comparison operator where null is falsy. */
+  private def qFilterNe(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("prio"))
+    FilterOp(base, FilterOp.Leaf("prio", "!=", "1-URGENT"))("pass")
+      .groupBy(col("prio")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("prio").asc_nulls_first)
+  }
+
   // ----------------------------------------------------------- aggregation
 
   private def qAggGroups(s: SparkSession, dir: String): DataFrame = {
@@ -612,6 +624,7 @@ object SparkEntry {
     "q_filter_pass" -> (qFilterPass _),
     "q_filter_fail" -> (qFilterFail _),
     "q_filter_nulls" -> (qFilterNulls _),
+    "q_filter_ne" -> (qFilterNe _),
     "q_agg_groups" -> (qAggGroups _),
     "q_agg_global" -> (qAggGlobal _),
     "q_agg_nullkeys" -> (qAggNullKeys _),
@@ -699,6 +712,11 @@ object SparkEntry {
       """SELECT c_custkey AS cust_id, c_nationkey AS nation_key,
         |  c_mktsegment AS segment
         |FROM customer ORDER BY cust_id""".stripMargin,
+    "q_filter_ne" ->
+      """SELECT prio, count(*)::BIGINT AS n_rows
+        |FROM (SELECT nullif(o_orderpriority, '3-MEDIUM') AS prio FROM orders)
+        |WHERE prio IS NULL OR prio != '1-URGENT'
+        |GROUP BY prio ORDER BY prio NULLS FIRST""".stripMargin,
     "q_filter_nulls" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

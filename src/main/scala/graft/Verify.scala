@@ -23,6 +23,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      graft.scale.OpCaches.drain() // release operator-internal caches per query
     }
     def q(s: String): String = graft.util.JsonStr.quote(s)
     val json = SparkEntry.oracleSql

@@ -60,6 +60,14 @@ object JobConfig {
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
       case _               => Map.empty
     }
+    /** Typed scalar map: keeps ints/doubles/bools as their own types
+      * instead of silently dropping non-string values (a `{"k": 42}`
+      * filter through strMapParam matched nothing and returned an
+      * unfiltered superset). Non-scalar values are rejected loudly. */
+    def scalarMapParam(key: String): Map[String, Any] = (params \ key) match {
+      case JObject(fields) => fields.map { case (k, v) => k -> jsonScalar(v) }.toMap
+      case _               => Map.empty
+    }
   }
 
   final case class JobSpec(

@@ -74,8 +74,14 @@ object JobGraph {
       cached: Seq[DataFrame]) {
     /** Run every sink action (the job's terminal effect). */
     def runSinks(): Unit = sinks.foreach(_._2())
-    /** Release cache handles inserted by the fold. */
-    def close(): Unit = cached.foreach(_.unpersist())
+    /** Release cache handles inserted by the fold, plus any
+      * operator-internal caches (dedup/similarity signature tables)
+      * registered during this job's construction or run — without this a
+      * long-lived Scheduler/ControlPlane process accumulates them forever. */
+    def close(): Unit = {
+      cached.foreach(_.unpersist())
+      graft.scale.OpCaches.drain()
+    }
   }
 
   /** Validate wiring only (throws on contract violations). */
@@ -278,7 +284,7 @@ object JobGraph {
         }
         (Map("out" -> graft.io.MongoIO.read(spark,
           graft.io.MongoIO.InMemory(c.reqStr("store")), c.reqStr("entity_name"),
-          schema, filter = c.strMapParam("query_filter"), sort = sort,
+          schema, filter = c.scalarMapParam("query_filter"), sort = sort,
           skip = c.int("skip", 0),
           limit = if (c.int("limit", -1) >= 0) Some(c.int("limit", -1)) else None)), None)
 
@@ -288,8 +294,11 @@ object JobGraph {
         val entity = c.reqStr("entity_name")
         val mode = c.str("if_exists").getOrElse("insert")
         val keys = c.strSeqParam("key_fields")
+        val matchFilter = c.scalarMapParam("match_filter")
+        val updateFields = c.strSeqParam("update_fields")
         (Map("out" -> df), Some(() =>
-          graft.io.MongoIO.write(df, factory, entity, mode, keys)))
+          graft.io.MongoIO.write(df, factory, entity, mode, keys,
+            matchFilter = matchFilter, updateFields = updateFields)))
 
       case t if t == "read_jdbc" || t == "read_mariadb" ||
                 t == "read_postgresql" || t == "read_sqlserver" =>

@@ -41,9 +41,16 @@ object ExcelIO {
       require(entry != null, s"xlsx: missing $sheetPath")
       val xml = XML.load(zf.getInputStream(entry))
       val rows = (xml \ "sheetData" \ "row").map { r =>
+        // The `r` (cell reference) attribute is OPTIONAL in OOXML: absent,
+        // a cell occupies the column after the previous cell (writers like
+        // streaming exporters omit it). A running index supplies that
+        // default; colIndex("") would have yielded -1 and silently
+        // corrupted the row map.
+        var nextCol = 0
         (r \ "c").map { c =>
-          val ref = (c \ "@r").text          // e.g. "B3"
-          val colIdx = colIndex(ref)
+          val ref = (c \ "@r").text          // e.g. "B3", possibly absent
+          val colIdx = if (ref.isEmpty) nextCol else colIndex(ref)
+          nextCol = colIdx + 1
           val t = (c \ "@t").text
           val v = t match {
             case "s" => shared((c \ "v").text.toInt)          // sharedStrings

@@ -39,8 +39,18 @@ object MongoIO {
   /** Store seam: a real Mongo impl wraps a MongoClient per instance. */
   trait DocumentStore {
     def find(collection: String, spec: FindSpec): Seq[String]
+    /** Matching-document count for `filter` — cheap metadata (Mongo:
+      * countDocuments), used by the read path to split the fetch into
+      * executor-side slices. */
+    def count(collection: String, filter: Map[String, Any]): Long
     def insert(collection: String, docs: Seq[String]): Unit
     def upsert(collection: String, docs: Seq[String], keys: Seq[String]): Unit
+    /** UPDATE mode (no insert-if-missing): for each incoming doc, match
+      * existing documents by `matchFilter` (explicit, overrides keys) or
+      * by the doc's `keys` values, and $set only `updateFields` (all doc
+      * fields when empty). Reference mongodb_receiver.py:47-63,310-320. */
+    def update(collection: String, docs: Seq[String], keys: Seq[String],
+               matchFilter: Map[String, Any], updateFields: Seq[String]): Unit
     def truncate(collection: String): Unit
   }
 
@@ -57,24 +67,65 @@ object MongoIO {
     leaves("", fields)
   }
 
-  /** Read: pushdown filter/sort/skip/limit/projection into the store,
-    * parse the returned documents against the declared schema. */
+  /** Read: pushdown filter/sort/skip/limit/projection into the store, parse
+    * the returned documents against the declared schema.
+    *
+    * DISTRIBUTED: the driver touches only count metadata (countDocuments);
+    * the documents themselves are fetched inside `mapPartitions`-style
+    * tasks, one store per partition (mirroring the write path), each task
+    * running the same find with its own disjoint skip/limit slice of the
+    * global result. No document ever materializes on the driver, so the
+    * read scales with executor count instead of driver heap.
+    *
+    * Slice correctness requires the store to enumerate a given query in a
+    * stable order between the count and the fetches (real MongoDB: natural
+    * order absent concurrent writes, or deterministic `sort`); this is the
+    * same contract a paginated reader of any document store relies on. */
   def read(spark: SparkSession, factory: StoreFactory, collection: String,
            schema: Seq[FieldDef], filter: Map[String, Any] = Map.empty,
            sort: Seq[(String, Int)] = Nil, skip: Int = 0,
-           limit: Option[Int] = None): DataFrame = {
+           limit: Option[Int] = None, numPartitions: Int = 0): DataFrame = {
     import spark.implicits._
     val spec = FindSpec(filter, sort, skip, limit, projectionOf(schema))
-    val docs = factory.open().find(collection, spec)
+    val matched = factory.open().count(collection, filter)
+    val avail = math.max(0L, matched - skip)
+    val n = limit.fold(avail)(l => math.min(avail, l.toLong))
+    val target = if (numPartitions > 0) numPartitions
+                 else spark.sparkContext.defaultParallelism
+    // don't spin up a task per handful of docs; at production scale the
+    // slice count is driven by the declared parallelism
+    val minChunk = 100L
+    val parts = math.max(1L, math.min(target.toLong, (n + minChunk - 1) / minChunk)).toInt
+    val slices = (0 until parts).map { i =>
+      val start = n * i / parts
+      val end = n * (i + 1) / parts
+      (skip + start, (end - start).toInt)
+    }.filter(_._2 > 0)
     val st = FieldDef.toStructType(schema)
-    spark.createDataset(docs).toDF("doc")
+    val docs =
+      if (slices.isEmpty) spark.emptyDataset[String]
+      else spark.createDataset(
+        spark.sparkContext.parallelize(slices, slices.size)
+          .mapPartitions { it =>
+            val store = factory.open() // one store per partition, like write
+            it.flatMap { case (sk, ln) =>
+              store.find(collection, spec.copy(skip = sk.toInt, limit = Some(ln)))
+            }
+          })
+    docs.toDF("doc")
       .select(from_json(col("doc"), st).as("rec"))
       .select(col("rec.*"))
   }
 
-  /** Write with insert/upsert/truncate modes, one store per partition. */
+  /** Write with insert/upsert/update/truncate modes, one store per
+    * partition. `update` mirrors the reference's distinct UPDATE
+    * operation: match by `matchFilter` (explicit, overrides key_fields)
+    * or per-row key values, $set restricted to `updateFields` when given,
+    * never inserting a missing document. */
   def write(df: DataFrame, factory: StoreFactory, collection: String,
-            mode: String, keys: Seq[String] = Nil, batchSize: Int = 1000): Unit =
+            mode: String, keys: Seq[String] = Nil, batchSize: Int = 1000,
+            matchFilter: Map[String, Any] = Map.empty,
+            updateFields: Seq[String] = Nil): Unit =
     mode.toLowerCase match {
       case "truncate" =>
         factory.open().truncate(collection)
@@ -85,6 +136,14 @@ object MongoIO {
         df.toJSON.foreachPartition { it: Iterator[String] =>
           val store = factory.open()
           it.grouped(batchSize).foreach(b => store.upsert(collection, b.toSeq, keys))
+        }
+      case "update" =>
+        require(keys.nonEmpty || matchFilter.nonEmpty,
+          "mongo update requires key_fields or match_filter")
+        df.toJSON.foreachPartition { it: Iterator[String] =>
+          val store = factory.open()
+          it.grouped(batchSize).foreach(b =>
+            store.update(collection, b.toSeq, keys, matchFilter, updateFields))
         }
       case other => throw new IllegalArgumentException(s"unknown mongo write mode: $other")
     }
@@ -123,20 +182,30 @@ object MongoIO {
     private def field(doc: JValue, path: String): JValue =
       path.split('.').foldLeft(doc)((j, seg) => j \ seg)
 
+    private def matches(d: JValue, filter: Map[String, Any]): Boolean =
+      filter.forall { case (k, v) =>
+        field(d, k) match {
+          case JString(s)  => s == v
+          case JInt(i)     => i == v
+          case JLong(l)    => l == v
+          case JDouble(x)  => x == v
+          case JBool(b)    => b == v
+          case _           => false
+        }
+      }
+
+    def count(collection: String, filter: Map[String, Any]): Long = {
+      import scala.jdk.CollectionConverters._
+      val docs = coll(collection).asScala.toSeq
+      if (filter.isEmpty) docs.size.toLong
+      else docs.count(s => matches(JsonMethods.parse(s), filter)).toLong
+    }
+
     def find(collection: String, spec: FindSpec): Seq[String] = {
       import scala.jdk.CollectionConverters._
       var docs = coll(collection).asScala.toSeq.map(JsonMethods.parse(_))
       if (spec.filter.nonEmpty)
-        docs = docs.filter(d => spec.filter.forall { case (k, v) =>
-          field(d, k) match {
-            case JString(s)  => s == v
-            case JInt(i)     => i == v
-            case JLong(l)    => l == v
-            case JDouble(x)  => x == v
-            case JBool(b)    => b == v
-            case _           => false
-          }
-        })
+        docs = docs.filter(matches(_, spec.filter))
       if (spec.sort.nonEmpty) {
         val ord = new Ordering[JValue] {
           def compare(a: JValue, b: JValue): Int = (a, b) match {
@@ -194,6 +263,32 @@ object MongoIO {
           i += 1
         }
         if (!matched) list.add(docStr)
+      }
+    }
+
+    def update(collection: String, docs: Seq[String], keys: Seq[String],
+               matchFilter: Map[String, Any], updateFields: Seq[String]): Unit = {
+      val list = coll(collection)
+      docs.foreach { docStr =>
+        val doc = JsonMethods.parse(docStr)
+        // explicit match_filter overrides key-derived matching
+        val keyVals = keys.map(k => k -> field(doc, k))
+        def hit(cur: JValue): Boolean =
+          if (matchFilter.nonEmpty) matches(cur, matchFilter)
+          else keyVals.forall { case (k, v) => field(cur, k) == v }
+        val setDoc: JValue =
+          if (updateFields.isEmpty) doc
+          else JObject(updateFields.flatMap(f => (doc \ f) match {
+            case JNothing => None
+            case v        => Some(f -> v)
+          }).toList)
+        var i = 0
+        while (i < list.size()) {
+          val cur = JsonMethods.parse(list.get(i))
+          if (hit(cur)) // $set merge; no insert when nothing matches
+            list.set(i, JsonMethods.compact(JsonMethods.render(cur.merge(setDoc))))
+          i += 1
+        }
       }
     }
 

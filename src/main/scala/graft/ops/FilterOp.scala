@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
  *  - `contains` is case-insensitive substring with null → false
  *  - node operators: AND / OR / NOT (NOT arity exactly 1)
  *  - null handling happens at each LEAF, not at the tree root: pandas masks
- *    have no three-valued logic, so every leaf comparison over a null value
- *    is falsy there (contains uses na=False; NaN comparisons evaluate
- *    False). Consequently NOT(x > 5) with x = null is True and routes to
- *    `pass`. We coalesce every compiled leaf to false so the NOT/AND/OR
- *    algebra above it is two-valued, exactly like the reference masks.
+ *    have no three-valued logic, so each leaf is two-valued and the
+ *    NOT/AND/OR algebra above it is plain boolean algebra. For ==, <, >,
+ *    <=, >=, contains a null value is falsy (contains uses na=False; NaN
+ *    comparisons evaluate False), so NOT(x > 5) with x = null is True and
+ *    routes to `pass`. The ONE truthy exception is `!=`: pandas `s != v`
+ *    evaluates True for NaN/None rows (NaN != v is True), so a null row
+ *    PASSES a `!=` leaf (filter_helper.py:81-82, and the AND-of-!= →
+ *    ~isin rewrite at :148-151 behaves identically: NaN is never isin).
+ *    We compile `!=` as IsNull(col) OR col =!= v to match.
  *
  * The reference's micro-rewrites (OR-of-== → isin, etc., filter_helper.py:
  * 104-151) are intentionally dropped: Catalyst's OptimizeIn + boolean
@@ -40,20 +44,23 @@ object FilterOp {
     * are equivalent (null column → false, never null, since Spark's AND
     * short-circuits false && null = false), but only the conjunct form
     * reaches the parquet scan as PushedFilters — a coalesce wrapper
-    * blocks row-group skipping entirely. Comparison values are non-null
-    * literals from config; a null value compiles to constant false (pandas:
-    * any comparison mask against None is all-False). */
+    * blocks row-group skipping entirely. `!=` is the dual — IsNull(col) OR
+    * col =!= v — which parquet still pushes as Or(IsNull, Not(EqualTo)).
+    * Comparison values are non-null literals from config; a null value
+    * compiles to constant false (pandas: any comparison mask against None
+    * is all-False) except `!=`, where pandas `s != None` is all-True. */
   def compile(rule: Rule): Column = rule match {
     case Leaf(c, op, v) =>
       val col0 = col(c)
       (op, v) match {
+        case ("!=", null) => lit(true)
         case (_, null) => lit(false)
         case ("==", vs: Seq[_]) =>
           val nonNull = vs.filter(_ != null)
           if (nonNull.isEmpty) lit(false)
           else col0.isNotNull && col0.isin(nonNull: _*)
         case ("==", x)           => col0.isNotNull && (col0 === lit(x))
-        case ("!=", x)           => col0.isNotNull && (col0 =!= lit(x))
+        case ("!=", x)           => col0.isNull || (col0 =!= lit(x))
         case (">", x)            => col0.isNotNull && (col0 > lit(x))
         case ("<", x)            => col0.isNotNull && (col0 < lit(x))
         case (">=", x)           => col0.isNotNull && (col0 >= lit(x))

@@ -106,6 +106,13 @@ object Dedup {
    * partition) after map-side combine — shingle strings never cross the
    * wire. The HOF fold, by contrast, is interpreted (~100 ns/node) and
    * dominated the round-2 bench at 35%.
+   *
+   * PRECONDITIONS (edge cases differ from per-row minhashSignature):
+   * `idCol` must be unique — groupBy(id) would merge rows sharing an id
+   * into one signature — and documents with null text are DROPPED from
+   * the output (explode emits no rows) rather than carrying a null
+   * signature. On unique-id, non-null-text data the two forms compute
+   * identical signatures; degenerate docs simply don't participate in LSH.
    */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, k: Int = 32): DataFrame = {
@@ -168,9 +175,10 @@ object Dedup {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     // Materialized: consumed 3× (bucketing + both prefilter join-backs).
     // ~(8 + 8k) bytes/doc — a signature table, the thing an at-scale
-    // pipeline would write out anyway.
+    // pipeline would write out anyway. Registered with OpCaches so
+    // long-lived callers release it (BuiltJob.close / OpCaches.drain).
     val wide = widen(df)
-    val sigs = minhashSignatures(wide, textCol, idCol, 3, k).persist()
+    val sigs = OpCaches.persist(minhashSignatures(wide, textCol, idCol, 3, k))
     val buckets = sigs
       .select(col("id"), explode(lshBucketKeys(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
@@ -183,12 +191,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
-    // cheap prefilter on word-signature agreement: any band collision
-    // implies est ≥ 2/k already, so 0.1 only drops accidental collisions
+    // cheap prefilter on word-signature agreement: a genuine band collision
+    // means the band's r = k/bands signature positions agree, i.e.
+    // agreement ≥ r/k exactly (the ratio count/k is an exact double for
+    // these small integers), so the cutoff r/k keeps EVERY true band
+    // collision and drops only accidental bucket-hash collisions. A cutoff
+    // above r/k (an earlier revision used 0.1 > 2/32) could drop true
+    // candidates and made oracle equality fixture-dependent.
+    val bandAgreement = (k / bands).toDouble / k
     val prefiltered = cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .filter(signatureAgreement(col("sig_a"), col("sig_b"), k) >= 0.1)
+      .filter(signatureAgreement(col("sig_a"), col("sig_b"), k) >= bandAgreement)
       .select(col("id_a"), col("id_b"))
 
     // exact verification: join the text back, shingle only the candidates
@@ -252,8 +266,8 @@ object Dedup {
    */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withFp = widen(df).select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk"))
-      .persist() // consumed 3×; the fingerprint expression is interpreted
+    val withFp = OpCaches.persist( // consumed 3×; fingerprint expr is interpreted
+      widen(df).select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk")))
     val e = withFp.select(col("id"), posexplode(col("blk")).as(Seq("pos", "v")))
     val cand = e.select(col("pos"), col("v"), col("id").as("id_a"))
       .join(e.select(col("pos"), col("v"), col("id").as("id_b")), Seq("pos", "v"))
@@ -285,9 +299,9 @@ object Dedup {
    */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val withFp = widen(df).select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk"))
-      .persist()
-    val reps = withFp.groupBy(col("blk")).agg(min(col("id")).as("id")).persist()
+    val withFp = OpCaches.persist(
+      widen(df).select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk")))
+    val reps = OpCaches.persist(withFp.groupBy(col("blk")).agg(min(col("id")).as("id")))
     val e = reps.select(col("id"), posexplode(col("blk")).as(Seq("pos", "v")))
     val cand = e.select(col("pos"), col("v"), col("id").as("id_a"))
       .join(e.select(col("pos"), col("v"), col("id").as("id_b")), Seq("pos", "v"))
@@ -316,8 +330,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = 10000): DataFrame = {
-    val sh = widen(df).select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-      .persist() // consumed 4× (sizes + df-cap + both posting join sides)
+    val sh = OpCaches.persist( // consumed 4× (sizes + df-cap + both posting join sides)
+      widen(df).select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh")))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val posting = sh.select(col("id"), explode(col("sh")).as("g"))
     val keptShingles = posting.groupBy(col("g"))

@@ -84,47 +84,16 @@ object Similarity {
     Array.fill(dim)(rnd.nextDouble() - 0.5)
   }
 
-  /** Signed projection of `vec` onto deterministic plane `p`.
-    * Interpreted (higher-order fold) — fine for a handful of planes; for
-    * banded LSH over many planes use `projections`, the codegen'd
-    * relational form. */
+  /** Signed projection of `vec` onto deterministic plane `p` (higher-order
+    * fold; see lshCosineBands for why this interpreted form is the one we
+    * keep). Null/short/empty vectors propagate null through zip_with, so
+    * every sign bit lands 0 — malformed rows share the all-zero
+    * signature. */
   private def planeProjection(vec: Column, p: Int, dim: Int): Column =
     aggregate(
       zip_with(vec, array(planeWeights(p, dim).map(lit(_)).toIndexedSeq: _*),
         (x, w) => x.cast("double") * w),
       lit(0.0), (acc, v) => acc + v)
-
-  /**
-   * ALL bands×r plane projections in one codegen'd pass: posexplode the
-   * vector to (id, pos, x) — one narrow map — then groupBy(id) with one
-   * plain `sum(x * W_p[pos])` aggregate per plane, the weight rows
-   * embedded as array literals indexed by `element_at`. Identical math to
-   * per-plane planeProjection (each partial sum accumulates the
-   * components of a single vector in position order), but every operator
-   * is inside whole-stage codegen, where the 160-fold interpreted HOF
-   * evaluation was the round-2 bench's second hot spot. Output: (id,
-   * p_0 .. p_{bands*r-1}).
-   */
-  private[graft] def projections(base: DataFrame, dim: Int,
-                                 bands: Int, r: Int): DataFrame = {
-    val exploded = base.select(col("id"),
-      posexplode(col("v")).as(Seq("pos", "x")))
-    val aggs = (0 until bands * r).map { p =>
-      val w = element_at(typedLit(planeWeights(p, dim).toSeq), col("pos") + 1)
-      sum(col("x").cast("double") * w).as(s"p_$p")
-    }
-    exploded.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** Band keys (band, sig) built from materialized projection columns
-    * p_0..p_{bands*r-1} — plain bit arithmetic, codegen'd. */
-  private def bandKeysFromProjections(bands: Int, r: Int): Column =
-    array((0 until bands).map { b =>
-      val sig = (0 until r).map { j =>
-        when(col(s"p_${b * r + j}") > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce((x, y) => x.bitwiseOR(y))
-      struct(lit(b).as("band"), sig.as("sig"))
-    }: _*)
 
   /** Sign-of-projection LSH signature with `nPlanes` bits, as a long. */
   def lshCosineSignature(vec: Column, dim: Int, nPlanes: Int = 16): Column =
@@ -139,6 +108,20 @@ object Similarity {
    * at cos ≥ 0.95, bands=16, r=8 that is ≈ 1.4e-4, while near-orthogonal
    * pairs (the background mass of a real corpus) collide per band at only
    * 2^-8, keeping bucket joins linear.
+   *
+   * WHY the interpreted HOF form: three implementations were benchmarked
+   * head-to-head (tools/EmbProbe, sf0.1, 160 planes × dim 64, local[32]):
+   * this one, a fully-unrolled codegen'd per-row sum (bands*r*dim literal
+   * multiply-adds), and a relational posexplode + groupBy(id) with one
+   * sum-aggregate per plane. Bucketing 2k rows: HOF 0.75-0.88 s, unrolled
+   * 3.0-4.1 s, relational 1.6 s cold / 0.6 s warm + a shuffle. At 64× the
+   * rows (128k) the HOF cost was UNCHANGED (0.58-0.61 s) — its time is
+   * fixed overhead, with per-row marginal cost ≤ 5 µs — while the
+   * unrolled form still paid ~3 s of per-run plan/codegen on its ~10k-node
+   * expression tree. The relational form also shuffles bands*r doubles
+   * per row (2.5× the raw vector) and silently merges duplicate ids. A
+   * narrow interpreted map with negligible marginal cost beats both at
+   * bench scale and at 100×.
    */
   def lshCosineBands(vec: Column, dim: Int, bands: Int = 16, r: Int = 8): Column =
     array((0 until bands).map { b =>
@@ -152,15 +135,23 @@ object Similarity {
    * Near-duplicate pairs by cosine ≥ simThreshold: banded-LSH candidate
    * generation (ids-only join on (band, sig)), pair dedup, then exactly one
    * cosine verification per pair after joining the vectors back.
+   *
+   * Requires simThreshold > 0: null/empty/short vectors all share the
+   * all-zero LSH signature (null propagates through the projection) and
+   * so collide in every band; the cosine filter discards those pairs
+   * only because a null/zero-norm cosine can never reach a positive
+   * threshold.
    */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         simThreshold: Double, dim: Int,
                         bands: Int = 16, r: Int = 8): DataFrame = {
+    require(simThreshold > 0,
+      "simThreshold must be > 0: degenerate (null/empty) vectors share " +
+        "the all-zero signature and are discarded only by the cosine filter")
     val base = graft.scale.Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = projections(base, dim, bands, r)
-      .select(col("id"), explode(bandKeysFromProjections(bands, r)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .persist() // both sides of the self-join
+    val bucketed = OpCaches.persist( // both sides of the self-join
+      base.select(col("id"), explode(lshCosineBands(col("v"), dim, bands, r)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig")))
     val cand = bucketed.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(bucketed.select(col("band"), col("sig"), col("id").as("id_b")),
         Seq("band", "sig"))

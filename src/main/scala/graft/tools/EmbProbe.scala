@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkEntry.table
 import graft.scale._
 
-/** Dev-only: stage timing for the relational banded-LSH embedding path. */
+/** Dev-only: stage timing for the banded-LSH embedding near-dup path.
+  * The bucketing-variant shoot-out this probe ran (HOF vs unrolled
+  * codegen vs relational groupBy) is recorded in lshCosineBands's
+  * scaladoc; the HOF form won and is the one that remains. */
 object EmbProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -21,13 +24,25 @@ object EmbProbe {
     val emb = table(spark, dir, "embeddings")
     val base = emb.repartition(32).select(col("vec_id").as("id"), col("embedding").as("v"))
     t("base count")(base.count())
-    val proj = Similarity.projections(base, 64, 16, 10)
-    t("projections (cold)")(proj.count())
-    t("projections (rerun)")(proj.count())
+    def buckets() = base.select(col("id"),
+      explode(Similarity.lshCosineBands(col("v"), 64, 16, 10)).as("bk"))
+    t("buckets (cold)")(buckets().count())
+    t("buckets (rerun)")(buckets().count())
+    // marginal per-row cost: the same plan over 64x the rows isolates
+    // per-row cost from fixed optimize/codegen overhead
+    val big = (0 until 64).map(_ => base).reduce(_ union _).repartition(32).persist()
+    t("big count")(big.count())
+    def bigBuckets() = big.select(col("id"),
+      explode(Similarity.lshCosineBands(col("v"), 64, 16, 10)).as("bk"))
+    t("buckets 128k (cold)")(bigBuckets().count())
+    t("buckets 128k (rerun)")(bigBuckets().count())
+    big.unpersist()
     t("full embeddingNearDups")(
       Similarity.embeddingNearDups(emb, "embedding", "vec_id", 0.95, 64, 16, 10).count())
+    OpCaches.drain()
     t("full rerun")(
       Similarity.embeddingNearDups(emb, "embedding", "vec_id", 0.95, 64, 16, 10).count())
+    OpCaches.drain()
     def entryQuery(): Long = {
       val e = table(spark, dir, "embeddings")
       val losers = Similarity.embeddingNearDups(e, "embedding", "vec_id", 0.95, 64, 16, 10)

@@ -24,7 +24,11 @@ class FilterOpSpec extends SparkTestBase {
     assert(passIds(Leaf("qty", ">", 5)) === Seq(1L, 2L))
     assert(passIds(Leaf("qty", "<=", 10)) === Seq(1L, 4L))
     assert(passIds(Leaf("qty", "==", 30.0)) === Seq(2L))
-    assert(passIds(Leaf("qty", "!=", 30.0)) === Seq(1L, 4L)) // null → fail
+    // pandas parity: NaN != v is True, so the null row PASSES a != leaf
+    assert(passIds(Leaf("qty", "!=", 30.0)) === Seq(1L, 3L, 4L))
+    assert(failIds(Leaf("qty", "!=", 30.0)) === Seq(2L))
+    // pandas s != None is all-True
+    assert(passIds(Leaf("qty", "!=", null)) === Seq(1L, 2L, 3L, 4L))
   }
 
   test("== with a list value means membership") {
