@@ -1,0 +1,127 @@
+package graft.api
+
+import graft.util.JsonStr.quote
+
+/**
+ * Component config-schema discovery for UIs, mirroring the reference's
+ * GET /schemas surface (reference: src/etl_core/api/routers/schemas.py:
+ * 362-479 — per-component JSON schemas served from the component
+ * registry). Each comp_type accepted by JobGraph.runComponent is described
+ * as a JSON-Schema-shaped object: `properties` with type + description,
+ * and a `required` list. The descriptions double as the user-facing
+ * parameter documentation.
+ */
+object ComponentSchemas {
+
+  final case class Param(name: String, tpe: String, required: Boolean, desc: String)
+
+  private def p(name: String, tpe: String, desc: String) = Param(name, tpe, required = false, desc)
+  private def req(name: String, tpe: String, desc: String) = Param(name, tpe, required = true, desc)
+
+  private val filepath = req("filepath", "string", "path of the file to read/write")
+
+  /** comp_type → (description, params). Single source of truth for the
+    * discovery endpoint; JobGraph.runComponent is the executor of the same
+    * contract. */
+  val registry: Seq[(String, (String, Seq[Param]))] = Seq(
+    "read_csv" -> ("Read a CSV file as all-string columns" -> Seq(
+      filepath, p("separator", "string", "field delimiter, default ','"))),
+    "write_csv" -> ("Write a CSV file" -> Seq(
+      filepath, p("separator", "string", "field delimiter, default ','"),
+      p("single_file", "boolean", "write one file (true, default) or a parquet-style directory of parts"))),
+    "read_json" -> ("Read JSON: array, NDJSON, or gzip of either" -> Seq(
+      filepath)),
+    "write_json" -> ("Write JSON (NDJSON or array format)" -> Seq(
+      filepath,
+      p("format", "string", "'ndjson' (default) or 'array' (pretty-printed JSON array)"),
+      p("append", "boolean", "append rows to an existing file instead of overwriting"))),
+    "read_parquet" -> ("Read a parquet file or directory" -> Seq(filepath)),
+    "write_parquet" -> ("Write parquet" -> Seq(filepath)),
+    "read_xml" -> ("Read XML rows (@attr/#text conventions)" -> Seq(
+      filepath, p("row_tag", "string", "element name of one row, default 'row'"))),
+    "write_xml" -> ("Write XML rows" -> Seq(
+      filepath, p("root_tag", "string", "document root element, default 'rows'"),
+      p("row_tag", "string", "per-row element, default 'row'"))),
+    "read_excel" -> ("Read an xlsx sheet (header row + all-string cells)" -> Seq(
+      filepath, p("sheet_name", "string", "sheet to read, default first"))),
+    "write_excel" -> ("Write an xlsx sheet" -> Seq(
+      filepath, p("sheet_name", "string", "sheet name, default 'Sheet1'"))),
+    "read_mongodb" -> ("Read a document collection with find() pushdown" -> Seq(
+      req("store", "string", "store name (connection seam)"),
+      req("entity_name", "string", "collection name"),
+      p("query_filter", "object", "top-level equality filter; values keep their JSON types"),
+      p("sort", "array", "[[field, 1|-1], ...]"),
+      p("skip", "integer", "documents to skip"),
+      p("limit", "integer", "max documents"))),
+    "write_mongodb" -> ("Write documents: insert/upsert/update/truncate" -> Seq(
+      req("store", "string", "store name (connection seam)"),
+      req("entity_name", "string", "collection name"),
+      p("if_exists", "string", "insert (default) | upsert | update | truncate"),
+      p("key_fields", "array", "match keys for upsert/update"),
+      p("match_filter", "object", "explicit UPDATE filter; overrides key_fields"),
+      p("update_fields", "array", "restrict $set to these fields"))),
+    "filter" -> ("Route rows to pass/fail ports by a boolean rule tree" -> Seq(
+      req("rule", "object", "nested {column, operator, value} / {logical_operator, rules} tree"))),
+    "aggregation" -> ("Group-by aggregation (count/sum/min/max/mean/median/std/nunique)" -> Seq(
+      p("group_by", "array", "grouping columns; empty = one global row"),
+      req("aggregations", "array", "[{column, op, alias}, ...]"))),
+    "type_conversion" -> ("Cast columns with raise/null/skip policies" -> Seq(
+      req("rules", "array", "[{column, target, on_error}, ...]; nested paths with '*' supported"))),
+    "schema_mapping" -> ("Project/rename columns (map mode) or join inputs (join mode)" -> Seq(
+      p("mappings", "array", "map mode: [{src, dst}, ...] with nested dst paths"),
+      p("join_plan", "array", "join mode: [{left_port, right_port, on, how, out_port}, ...]"))),
+    "split" -> ("Fan one input out to N identical ports" -> Seq(
+      req("output_ports", "array", "names of the output ports"))),
+    "merge" -> ("Union all inbound branches by column name" -> Seq()),
+    "dedup" -> ("Deduplicate documents: exact, minhash, or simhash" -> Seq(
+      req("strategy", "string", "exact | minhash | simhash"),
+      req("text_column", "string", "document text column"),
+      req("id_column", "string", "unique id column"),
+      p("threshold", "number", "minhash jaccard threshold, default 0.6"),
+      p("max_hamming", "integer", "simhash distance cap, default 3"))),
+    "text_analysis" -> ("Token counts, quality ratios, language id" -> Seq(
+      req("text_column", "string", "document text column"),
+      req("id_column", "string", "unique id column")))
+  ) ++ Seq("mariadb", "postgresql", "sqlserver", "jdbc").flatMap { db =>
+    Seq(
+      s"read_$db" -> (s"Read from $db via JDBC (table or query)" -> Seq(
+        p("url", "string", "JDBC url; omit when using a credentials context"),
+        p("context", "string", "credentials context id resolved per environment"),
+        p("entity_name", "string", "table to read (or use 'query')"),
+        p("query", "string", "SQL text; named :params bind from 'params'"),
+        p("params", "object", "named query parameter values"),
+        p("partition_column", "string", "numeric column for partitioned parallel read"),
+        p("lower_bound", "integer", "partition column min"),
+        p("upper_bound", "integer", "partition column max"),
+        p("num_partitions", "integer", "parallel read partitions, default 4"))),
+      s"write_$db" -> (s"Write to $db via JDBC" -> Seq(
+        p("url", "string", "JDBC url; omit when using a credentials context"),
+        p("context", "string", "credentials context id resolved per environment"),
+        req("entity_name", "string", "target table"),
+        p("if_exists", "string", "insert (default) | upsert | truncate | update"),
+        p("key_fields", "array", "conflict keys for upsert/update"),
+        p("where_conditions", "array", "UPDATE-mode where clauses"),
+        p("row_batch_size", "integer", "JDBC batch size, default 1000"))))
+  }
+
+  private val byType: Map[String, (String, Seq[Param])] = registry.toMap
+
+  private def paramJson(pr: Param): String =
+    s"${quote(pr.name)}:{" +
+      s""""type":${quote(pr.tpe)},"description":${quote(pr.desc)}}"""
+
+  /** One component's JSON-Schema-shaped description. */
+  def schemaJson(compType: String): Option[String] = byType.get(compType).map {
+    case (desc, params) =>
+      val props = params.map(paramJson).mkString("{", ",", "}")
+      val required = params.filter(_.required).map(x => quote(x.name)).mkString("[", ",", "]")
+      s"""{"comp_type":${quote(compType)},"description":${quote(desc)},""" +
+        s""""properties":$props,"required":$required}"""
+  }
+
+  /** All comp_types with their schemas (GET /schemas). */
+  def listJson: String =
+    registry.map { case (t, _) => schemaJson(t).get }.mkString("[", ",", "]")
+
+  def compTypes: Seq[String] = registry.map(_._1)
+}

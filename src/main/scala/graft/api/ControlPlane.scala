@@ -5,6 +5,7 @@ import graft.config.JobConfig
 import graft.graph.JobGraph
 import graft.runtime.JobRunner
 import graft.util.JsonStr.quote
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
 /**
  * Control plane: job registry + execution records + REST surface,
@@ -12,19 +13,25 @@ import graft.util.JsonStr.quote
  * src/etl_core/api/routers/jobs.py:88-263, execution.py:31-202,
  * persistence/configs/job_config.py:80-133):
  *
- *  - job create runs the DEEP validation pass — the config is parsed and
- *    the full wiring/port/schema contract is checked exactly as execution
- *    would (the reference constructs a throwaway RuntimeJob;
- *    JobGraph.validate IS that check here);
+ *  - job create AND update run the DEEP validation pass — the config is
+ *    parsed and the full wiring/port/schema contract is checked exactly as
+ *    execution would (the reference constructs a throwaway RuntimeJob;
+ *    JobGraph.validate IS that check here). Update-with-revalidation is
+ *    the PUT /jobs/{job_id} parity (jobs.py:166-198);
  *  - executions record status/attempts/wall time/error and are listable
  *    with filter, sort and paging like the reference execution router;
  *  - the HTTP layer is the JDK's built-in server (zero dependencies):
- *    POST/GET/DELETE /jobs, POST /execution/{jobId},
- *    GET /executions?job_id=&status=&limit=&offset=.
+ *    POST/GET/PUT/DELETE /jobs, POST /execution/{jobId},
+ *    GET /execution/{execId}, GET /executions?job_id=&status=&limit=&offset=,
+ *    GET /schemas[/{comp_type}].
  *
- * The registry is an in-process store behind a small interface — a
- * persistent deployment swaps it for a database-backed one without
- * touching the engine.
+ * PERSISTENCE: pass `storeDir` and the registry becomes file-backed —
+ * jobs as `jobs/<id>.json` (the raw validated config), executions
+ * appended to `executions.jsonl` — and reloads both on construction, so
+ * jobs survive a process restart (the reference persists in SQLModel
+ * tables; a directory of JSON files is the same durability contract
+ * without a database dependency). Without `storeDir` it is the previous
+ * in-memory registry, which tests use.
  */
 object ControlPlane {
 
@@ -33,12 +40,73 @@ object ControlPlane {
       id: String, jobId: String, startedAtMs: Long, wallMs: Long,
       status: String, attempts: Int, error: Option[String])
 
-  final class JobRegistry(spark: SparkSession) {
+  /** `spark` is by-name/lazy: only `execute` forces it, so metadata-only
+    * callers (CLI list/get/create paths) never pay SparkSession startup. */
+  final class JobRegistry(spark: => SparkSession, storeDir: Option[Path] = None) {
+    private lazy val session: SparkSession = spark
     private val jobs = new java.util.concurrent.ConcurrentHashMap[String, JobRecord]()
     private val execs = new java.util.concurrent.ConcurrentHashMap[String, ExecutionRecord]()
     private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
+    // ------------------------------------------------------- file store
+    private def jobsDir: Option[Path] = storeDir.map(_.resolve("jobs"))
+    private def execLog: Option[Path] = storeDir.map(_.resolve("executions.jsonl"))
+
+    locally { // reload persisted state before first use
+      jobsDir.foreach { d =>
+        Files.createDirectories(d)
+        import scala.jdk.CollectionConverters._
+        Files.list(d).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".json")).foreach { p =>
+            val id = p.getFileName.toString.stripSuffix(".json")
+            val cfg = Files.readString(p)
+            // name re-derives from the config; a file that no longer
+            // parses is surfaced loudly rather than silently skipped
+            jobs.put(id, JobRecord(id, JobConfig.parse(cfg).name, cfg))
+          }
+      }
+      execLog.filter(Files.exists(_)).foreach { p =>
+        Files.readAllLines(p).forEach { line =>
+          if (line.nonEmpty) {
+            val e = parseExecLine(line)
+            execs.put(e.id, e)
+          }
+        }
+      }
+      // continue the id sequence past everything reloaded
+      val maxSeen = (jobs.keySet().toArray ++ execs.keySet().toArray).map {
+        case s: String => s.split('-').last.toLongOption.getOrElse(0L)
+      }
+      seq.set(if (maxSeen.isEmpty) 0L else maxSeen.max)
+    }
+
+    private def persistJob(rec: JobRecord): Unit =
+      jobsDir.foreach(d => Files.writeString(d.resolve(s"${rec.id}.json"), rec.configJson))
+    private def unpersistJob(id: String): Unit =
+      jobsDir.foreach(d => Files.deleteIfExists(d.resolve(s"$id.json")))
+    private def persistExec(e: ExecutionRecord): Unit =
+      execLog.foreach(p => Files.writeString(p, execLine(e) + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND))
+
+    private def execLine(e: ExecutionRecord): String =
+      s"""{"id":${quote(e.id)},"job_id":${quote(e.jobId)},"started_at_ms":${e.startedAtMs},""" +
+        s""""wall_ms":${e.wallMs},"status":${quote(e.status)},"attempts":${e.attempts}""" +
+        e.error.map(er => s""","error":${quote(er)}""").getOrElse("") + "}"
+
+    private def parseExecLine(line: String): ExecutionRecord = {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(line)
+      implicit val fmts: Formats = DefaultFormats
+      ExecutionRecord(
+        (j \ "id").extract[String], (j \ "job_id").extract[String],
+        (j \ "started_at_ms").extract[Long], (j \ "wall_ms").extract[Long],
+        (j \ "status").extract[String], (j \ "attempts").extract[Int],
+        (j \ "error").extractOpt[String])
+    }
+
     private def nextId(prefix: String): String = s"$prefix-${seq.incrementAndGet()}"
+
+    // ------------------------------------------------------------- jobs
 
     /** Create = parse + DEEP wiring validation, then persist. */
     def createJob(configJson: String): JobRecord = {
@@ -46,6 +114,21 @@ object ControlPlane {
       JobGraph.validate(spec)
       val rec = JobRecord(nextId("job"), spec.name, configJson)
       jobs.put(rec.id, rec)
+      persistJob(rec)
+      rec
+    }
+
+    /** Update-with-revalidation (PUT /jobs/{job_id}, jobs.py:166-198):
+      * the replacement config passes the same deep validation as create;
+      * the job id is stable across updates. */
+    def updateJob(id: String, configJson: String): JobRecord = {
+      if (!jobs.containsKey(id))
+        throw new NoSuchElementException(s"job $id not found")
+      val spec = JobConfig.parse(configJson)
+      JobGraph.validate(spec)
+      val rec = JobRecord(id, spec.name, configJson)
+      jobs.put(id, rec)
+      persistJob(rec)
       rec
     }
 
@@ -54,21 +137,30 @@ object ControlPlane {
       import scala.jdk.CollectionConverters._
       jobs.values.asScala.toSeq.sortBy(_.id)
     }
-    def deleteJob(id: String): Boolean = jobs.remove(id) != null
+    def deleteJob(id: String): Boolean = {
+      val removed = jobs.remove(id) != null
+      if (removed) unpersistJob(id)
+      removed
+    }
+
+    // ------------------------------------------------------- executions
 
     /** Execute a persisted job through the retry runtime. */
     def execute(jobId: String): ExecutionRecord = {
       val job = getJob(jobId).getOrElse(
         throw new NoSuchElementException(s"job $jobId not found"))
       val started = System.currentTimeMillis()
-      val res = JobRunner.run(spark, JobConfig.parse(job.configJson))
+      val res = JobRunner.run(session, JobConfig.parse(job.configJson))
       val rec = ExecutionRecord(nextId("exec"), jobId, started, res.wallMs,
         if (res.succeeded) "SUCCESS" else "FAILED", res.attempts,
         res.lastError.map(e => (e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage)).take(300)))
       execs.put(rec.id, rec)
+      persistExec(rec)
       rec
     }
+
+    def getExecution(id: String): Option[ExecutionRecord] = Option(execs.get(id))
 
     /** Execution listing with filter/sort/paging (execution.py:31-202). */
     def listExecutions(jobId: Option[String] = None, status: Option[String] = None,
@@ -89,7 +181,7 @@ object ControlPlane {
 
   private def jobJson(j: JobRecord): String =
     s"""{"id":${quote(j.id)},"name":${quote(j.name)}}"""
-  private def execJson(e: ExecutionRecord): String =
+  private[api] def execJson(e: ExecutionRecord): String =
     s"""{"id":${quote(e.id)},"job_id":${quote(e.jobId)},"status":${quote(e.status)},""" +
       s""""attempts":${e.attempts},"wall_ms":${e.wallMs}""" +
       e.error.map(er => s""","error":${quote(er)}""").getOrElse("") + "}"
@@ -131,6 +223,9 @@ object ControlPlane {
         case ("GET", id) =>
           registry.getJob(id).map(j => (200, j.configJson))
             .getOrElse((404, s"""{"error":"job $id not found"}"""))
+        case ("PUT", id) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          (200, jobJson(registry.updateJob(id, body)))
         case ("DELETE", id) =>
           if (registry.deleteJob(id)) (204, "") else (404, s"""{"error":"job $id not found"}""")
         case (m, _) => (405, s"""{"error":"method $m not allowed"}""")
@@ -141,6 +236,9 @@ object ControlPlane {
       (ex.getRequestMethod, path) match {
         case ("POST", jobId) if jobId.nonEmpty =>
           (201, execJson(registry.execute(jobId)))
+        case ("GET", execId) if execId.nonEmpty =>
+          registry.getExecution(execId).map(e => (200, execJson(e)))
+            .getOrElse((404, s"""{"error":"execution $execId not found"}"""))
         case ("GET", "") =>
           val q = qparams(ex)
           val xs = registry.listExecutions(
@@ -150,6 +248,15 @@ object ControlPlane {
             limit = q.get("limit").map(_.toInt).getOrElse(50))
           (200, xs.map(execJson).mkString("[", ",", "]"))
         case (m, p) => (405, s"""{"error":"$m /execution/$p not supported"}""")
+      }
+    })
+    server.createContext("/schemas", (ex: HttpExchange) => handle(ex) {
+      val path = ex.getRequestURI.getPath.stripPrefix("/schemas").stripPrefix("/")
+      (ex.getRequestMethod, path) match {
+        case ("GET", "")   => (200, ComponentSchemas.listJson)
+        case ("GET", tpe)  => ComponentSchemas.schemaJson(tpe).map((200, _))
+          .getOrElse((404, s"""{"error":"unknown comp_type $tpe"}"""))
+        case (m, _) => (405, s"""{"error":"method $m not allowed"}""")
       }
     })
     server.start()

@@ -54,6 +54,52 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(reg.listExecutions(limit = 1).size === 1)
   }
 
+  test("persistence: create → restart → list → update(revalidated) → execute") {
+    import spark.implicits._
+    val store = Files.createDirectories(
+      Paths.get("target", "test-tmp", "api", s"store-${System.nanoTime()}"))
+    val in = tmp("persist_in")
+    graft.io.CsvIO.write(Seq(("1", "x")).toDF("a", "b"), in, singleFile = true)
+
+    val reg1 = new ControlPlane.JobRegistry(spark, Some(store))
+    val job = reg1.createJob(jobJson(in, tmp("persist_out")))
+    val exec1 = reg1.execute(job.id)
+    assert(exec1.status === "SUCCESS")
+
+    // a NEW registry over the same store sees the job and the execution
+    val reg2 = new ControlPlane.JobRegistry(spark, Some(store))
+    assert(reg2.listJobs().map(_.id) === Seq(job.id))
+    assert(reg2.getJob(job.id).get.configJson === jobJson(in, tmp("persist_out")))
+    assert(reg2.listExecutions(jobId = Some(job.id)).map(_.id) === Seq(exec1.id))
+    assert(reg2.getExecution(exec1.id).get.status === "SUCCESS")
+
+    // update revalidates: a broken replacement is rejected and the job is untouched
+    intercept[IllegalArgumentException] {
+      reg2.updateJob(job.id, """{ "name": "broken", "components": [
+        | { "name": "r", "comp_type": "read_csv", "filepath": "x",
+        |   "routes": { "out": [ { "to": "ghost", "in_port": "in" } ] },
+        |   "out_port_schemas": { "out": { "fields": [
+        |     { "name": "a", "data_type": "string" } ] } } } ] }""".stripMargin)
+    }
+    // a valid replacement lands, keeps the id, and survives another restart
+    val in2 = tmp("persist_in2")
+    graft.io.CsvIO.write(Seq(("2", "y")).toDF("a", "b"), in2, singleFile = true)
+    val updated = reg2.updateJob(job.id, jobJson(in2, tmp("persist_out2")))
+    assert(updated.id === job.id)
+    intercept[NoSuchElementException] { reg2.updateJob("ghost", jobJson(in2, "z")) }
+
+    val reg3 = new ControlPlane.JobRegistry(spark, Some(store))
+    assert(reg3.getJob(job.id).get.configJson.contains("persist_in2"))
+    assert(reg3.execute(job.id).status === "SUCCESS")
+    // id sequence continued: the new execution id is distinct from exec1
+    assert(reg3.listExecutions(jobId = Some(job.id)).map(_.id).distinct.size === 2)
+
+    // delete removes the file: yet another restart no longer sees it
+    assert(reg3.deleteJob(job.id))
+    val reg4 = new ControlPlane.JobRegistry(spark, Some(store))
+    assert(reg4.listJobs().isEmpty)
+  }
+
   test("REST surface: POST/GET/DELETE /jobs, POST /execution, GET /executions") {
     import spark.implicits._
     val reg = new ControlPlane.JobRegistry(spark)
@@ -90,6 +136,23 @@ class ControlPlaneSpec extends SparkTestBase {
       assert(bad.statusCode() === 400)
       assert(send(HttpRequest.newBuilder(URI.create(s"$base/execution/ghost"))
         .POST(HttpRequest.BodyPublishers.noBody()).build()).statusCode() === 404)
+
+      // PUT update-with-revalidation: bad body 400, good body 200 same id
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/jobs/$jobId"))
+        .PUT(HttpRequest.BodyPublishers.ofString("""{"name":"x"}""")).build())
+        .statusCode() === 400)
+      val put = send(HttpRequest.newBuilder(URI.create(s"$base/jobs/$jobId"))
+        .PUT(HttpRequest.BodyPublishers.ofString(jobJson(in, tmp("rest_out2")))).build())
+      assert(put.statusCode() === 200 && put.body().contains(jobId))
+
+      // schemas discovery
+      val schemas = send(HttpRequest.newBuilder(URI.create(s"$base/schemas")).GET().build())
+      assert(schemas.statusCode() === 200)
+      ComponentSchemas.compTypes.foreach(t => assert(schemas.body().contains(t)))
+      val one = send(HttpRequest.newBuilder(URI.create(s"$base/schemas/filter")).GET().build())
+      assert(one.statusCode() === 200 && one.body().contains("\"rule\""))
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/schemas/nope")).GET().build())
+        .statusCode() === 404)
 
       assert(send(HttpRequest.newBuilder(URI.create(s"$base/jobs/$jobId"))
         .DELETE().build()).statusCode() === 204)

@@ -60,4 +60,51 @@ class SchedulerSpec extends SparkTestBase {
     try intercept[IllegalArgumentException] { sched.scheduleOnce("ghost", 10) }
     finally sched.shutdown()
   }
+
+  test("cron trigger arms to the next minute boundary; bad expressions fail fast") {
+    import spark.implicits._
+    val reg = new ControlPlane.JobRegistry(spark)
+    val in = tmp("cron_in")
+    graft.io.CsvIO.write(Seq("1").toDF("a"), in, singleFile = true)
+    val job = reg.createJob(smallJob(in, tmp("cron_out")))
+    val sched = new Scheduler(reg)
+    try {
+      val s = sched.scheduleCron(job.id, "* * * * *")
+      assert(s.kind === "cron" && s.arg === "* * * * *")
+      // armed strictly within the next minute (cron granularity)
+      val delayMs = s.future.getDelay(java.util.concurrent.TimeUnit.MILLISECONDS)
+      assert(delayMs > 0 && delayMs <= 60000)
+      assert(sched.list().map(_.id).contains(s.id))
+      assert(sched.cancel(s.id))
+      intercept[IllegalArgumentException] { sched.scheduleCron(job.id, "bad expr") }
+      intercept[IllegalArgumentException] { sched.scheduleCron("ghost", "* * * * *") }
+    } finally sched.shutdown()
+  }
+
+  test("schedules persist and re-arm on restart; cancels are tombstoned") {
+    import spark.implicits._
+    val store = Files.createDirectories(
+      Paths.get("target", "test-tmp", "sched", s"store-${System.nanoTime()}"))
+    val reg = new ControlPlane.JobRegistry(spark, Some(store))
+    val in = tmp("persist_in")
+    graft.io.CsvIO.write(Seq("1").toDF("a"), in, singleFile = true)
+    val job = reg.createJob(smallJob(in, tmp("persist_out")))
+
+    val s1 = new Scheduler(reg, Some(store))
+    val cron = s1.scheduleCron(job.id, "0 3 * * *")
+    val ivl = s1.scheduleInterval(job.id, everyMs = 3600000)
+    val cancelled = s1.scheduleInterval(job.id, everyMs = 3600000)
+    assert(s1.cancel(cancelled.id))
+    s1.shutdown()
+
+    val s2 = new Scheduler(reg, Some(store))
+    try {
+      val byId = s2.list().map(s => s.id -> s).toMap
+      assert(byId.keySet === Set(cron.id, ivl.id)) // tombstoned one is gone
+      assert(byId(cron.id).kind === "cron" && byId(cron.id).arg === "0 3 * * *")
+      assert(byId(ivl.id).kind === "interval")
+      // re-armed futures are live
+      assert(byId(cron.id).future.getDelay(java.util.concurrent.TimeUnit.MILLISECONDS) > 0)
+    } finally s2.shutdown()
+  }
 }
