@@ -38,10 +38,10 @@ object ComponentSchemas {
     "read_parquet" -> ("Read a parquet file or directory" -> Seq(filepath)),
     "write_parquet" -> ("Write parquet" -> Seq(filepath)),
     "read_xml" -> ("Read XML rows (@attr/#text conventions)" -> Seq(
-      filepath, p("row_tag", "string", "element name of one row, default 'row'"))),
+      filepath, p("record_tag", "string", "element name of one record, default 'record'"))),
     "write_xml" -> ("Write XML rows" -> Seq(
-      filepath, p("root_tag", "string", "document root element, default 'rows'"),
-      p("row_tag", "string", "per-row element, default 'row'"))),
+      filepath, p("root_tag", "string", "document root element, default 'root'"),
+      p("record_tag", "string", "per-record element, default 'record'"))),
     "read_excel" -> ("Read an xlsx sheet (header row + all-string cells)" -> Seq(
       filepath, p("sheet_name", "string", "sheet to read, default first"))),
     "write_excel" -> ("Write an xlsx sheet" -> Seq(
@@ -66,22 +66,23 @@ object ComponentSchemas {
       p("group_by", "array", "grouping columns; empty = one global row"),
       req("aggregations", "array", "[{column, op, alias}, ...]"))),
     "type_conversion" -> ("Cast columns with raise/null/skip policies" -> Seq(
-      req("rules", "array", "[{column, target, on_error}, ...]; nested paths with '*' supported"))),
+      req("rules", "array", "[{column_path, target, on_error}, ...]; nested paths with '*' supported"))),
     "schema_mapping" -> ("Project/rename columns (map mode) or join inputs (join mode)" -> Seq(
-      p("mappings", "array", "map mode: [{src, dst}, ...] with nested dst paths"),
-      p("join_plan", "array", "join mode: [{left_port, right_port, on, how, out_port}, ...]"))),
-    "split" -> ("Fan one input out to N identical ports" -> Seq(
-      req("output_ports", "array", "names of the output ports"))),
+      p("rules_by_dest", "object", "map mode: {dst_port: {dst_path: {src_port, src_path}}}"),
+      p("join_plan", "object", "join mode: {steps: [{left_port, right_port, left_on, right_on, how, output_port}]}"))),
+    "split" -> ("Fan one input out to N identical ports (ports come from routes)" -> Seq()),
     "merge" -> ("Union all inbound branches by column name" -> Seq()),
     "dedup" -> ("Deduplicate documents: exact, minhash, or simhash" -> Seq(
-      req("strategy", "string", "exact | minhash | simhash"),
-      req("text_column", "string", "document text column"),
-      req("id_column", "string", "unique id column"),
+      p("method", "string", "exact (default) | minhash | simhash"),
+      p("text_column", "string", "document text column, default 'text'"),
+      p("id_column", "string", "unique id column, default 'id'"),
+      p("shingle_n", "integer", "minhash verification shingle width, default 5"),
+      p("num_hashes", "integer", "minhash signature width, default 32"),
+      p("bands", "integer", "minhash LSH bands, default 16"),
       p("threshold", "number", "minhash jaccard threshold, default 0.6"),
       p("max_hamming", "integer", "simhash distance cap, default 3"))),
     "text_analysis" -> ("Token counts, quality ratios, language id" -> Seq(
-      req("text_column", "string", "document text column"),
-      req("id_column", "string", "unique id column")))
+      p("text_column", "string", "document text column, default 'text'")))
   ) ++ Seq("mariadb", "postgresql", "sqlserver", "jdbc").flatMap { db =>
     Seq(
       s"read_$db" -> (s"Read from $db via JDBC (table or query)" -> Seq(

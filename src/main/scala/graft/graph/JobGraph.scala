@@ -220,6 +220,25 @@ object JobGraph {
     BuiltJob(frames.toMap, sinks.toSeq, cached.toSeq)
   }
 
+  /** JDBC endpoint resolution: an explicit `url` param wins (tests/local
+    * wiring), otherwise `context` names a registered
+    * CredentialsMappingContext and the url + auth options assemble
+    * engine-side from the credentials resolved for the active environment
+    * (explicit `environment` param > EXECUTION_ENV > context default) —
+    * so secrets never sit in job configs, exactly the reference's rule
+    * (database.py:57-95, credentials_mapping_context.py:152-217). */
+  private def resolveJdbc(c: ComponentSpec, dialect: graft.io.JdbcIO.Dialect)
+      : (String, Map[String, String]) =
+    c.str("url") match {
+      case Some(u) => (u, Map.empty)
+      case None =>
+        val ctx = c.str("context").getOrElse(throw new IllegalArgumentException(
+          s"component ${c.name}: jdbc components need 'url' or 'context'"))
+        val creds = graft.runtime.Contexts.resolve(ctx, c.str("environment"))
+        (graft.io.JdbcIO.urlFor(dialect, creds),
+          graft.io.JdbcIO.credentialOptions(dialect, creds))
+    }
+
   /** Dispatch one component. Returns (out frames, optional sink action). */
   private def runComponent(spark: SparkSession, c: ComponentSpec,
                            in: Map[String, Seq[DataFrame]])
@@ -304,13 +323,25 @@ object JobGraph {
                 t == "read_postgresql" || t == "read_sqlserver" =>
         // reference: arbitrary query or entity_name, mariadb_read.py:17-70;
         // partitioned-read knobs are the Spark-side scale upgrade
+        import graft.io.JdbcIO
         val partition = c.str("partition_column").map(pc =>
-          graft.io.JdbcIO.PartitionSpec(pc,
+          JdbcIO.PartitionSpec(pc,
             c.int("lower_bound", 0).toLong, c.int("upper_bound", 1).toLong,
             c.int("num_partitions", 4)))
-        (Map("out" -> graft.io.JdbcIO.read(spark, c.reqStr("url"),
-          table = c.str("entity_name"), query = c.str("query"),
-          partition = partition, options = c.strMapParam("options"))), None)
+        val dialect = JdbcIO.Dialect.fromName(
+          c.str("dialect").getOrElse(t.stripPrefix("read_") match {
+            case "jdbc" => "derby"
+            case d      => d
+          }))
+        val (url, credOpts) = resolveJdbc(c, dialect)
+        // named :params bind into the query engine-side (mariadb_read.py:26-67)
+        val params = c.scalarMapParam("params")
+        val query = c.str("query").map(q =>
+          if (params.isEmpty) q else JdbcIO.bindParams(q, params))
+        (Map("out" -> JdbcIO.read(spark, url,
+          table = c.str("entity_name"), query = query,
+          partition = partition,
+          options = credOpts ++ c.strMapParam("options"))), None)
 
       case t if t == "write_jdbc" || t == "write_mariadb" ||
                 t == "write_postgresql" || t == "write_sqlserver" =>
@@ -324,10 +355,10 @@ object JobGraph {
         val mode = JdbcIO.WriteMode.fromName(c.str("if_exists").getOrElse("insert"))
         val keys = c.strSeqParam("key_fields")
         val where = c.strSeqParam("where_conditions")
-        val url = c.reqStr("url")
+        val (url, credOpts) = resolveJdbc(c, dialect)
         val entity = c.reqStr("entity_name")
         val batch = c.int("row_batch_size", 1000)
-        val opts = c.strMapParam("options")
+        val opts = credOpts ++ c.strMapParam("options")
         (Map("out" -> df), Some(() =>
           JdbcIO.write(df, url, entity, mode, dialect, keys, where, batch, opts)))
 
@@ -341,9 +372,18 @@ object JobGraph {
       case "write_json" =>
         val df = one()
         val path = c.reqStr("filepath")
-        (Map("out" -> df), Some(() =>
-          JsonIO.write(df, path, gzip = c.bool("gzip", false),
-            singleFile = c.bool("single_file", false))))
+        // default stays NDJSON (Spark's native part-file layout); "array"
+        // opts into the reference's single-file indent-2 array format
+        val format = c.str("format").getOrElse("ndjson")
+        val append = c.bool("append", false)
+        (Map("out" -> df), Some(() => format match {
+          case "array" => JsonIO.writeArray(df, path, append)
+          case "ndjson" if append => JsonIO.appendNdjson(df, path)
+          case "ndjson" => JsonIO.write(df, path, gzip = c.bool("gzip", false),
+            singleFile = c.bool("single_file", false))
+          case other => throw new IllegalArgumentException(
+            s"unknown json format: $other")
+        }))
 
       case "write_parquet" =>
         val df = one()

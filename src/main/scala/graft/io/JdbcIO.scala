@@ -150,6 +150,54 @@ object JdbcIO {
     }
   }
 
+  /** JDBC url assembled engine-side from resolved credentials, so secrets
+    * and hosts never sit in job configs (reference resolves per-environment
+    * credentials inside every DB component, database.py:57-95). Derby's
+    * "database" is a filesystem path — the offline test dialect. */
+  def urlFor(dialect: Dialect, c: graft.runtime.Credentials.Creds): String =
+    dialect match {
+      case MariaDb   => s"jdbc:mariadb://${c.host}:${c.port}/${c.database}"
+      case Postgres  => s"jdbc:postgresql://${c.host}:${c.port}/${c.database}"
+      case SqlServer => s"jdbc:sqlserver://${c.host}:${c.port};databaseName=${c.database}"
+      case Derby     => s"jdbc:derby:${c.database};create=true"
+    }
+
+  /** Connection properties for resolved credentials (empty for Derby,
+    * whose embedded driver has no authentication in the offline tests). */
+  def credentialOptions(dialect: Dialect,
+                        c: graft.runtime.Credentials.Creds): Map[String, String] =
+    dialect match {
+      case Derby => Map.empty
+      case _     => Map("user" -> c.user, "password" -> c.password)
+    }
+
+  /** Bind named `:param` placeholders into a query as SQL literals
+    * (reference mariadb_read.py:26-67 binds named params through
+    * SQLAlchemy; Spark's JDBC source has no parameter API, so the
+    * engine-side equivalent is literal substitution with proper escaping).
+    * Longest names substitute first so :id does not clobber :id2; an
+    * unbound placeholder left in the query is rejected loudly. */
+  def bindParams(query: String, params: Map[String, Any]): String = {
+    def literal(v: Any): String = v match {
+      case null                => "NULL"
+      case s: String           => "'" + s.replace("'", "''") + "'"
+      case b: Boolean          => if (b) "TRUE" else "FALSE"
+      case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+      case d: Double           => d.toString
+      case f: Float            => f.toString
+      case d: java.math.BigDecimal => d.toPlainString
+      case other => throw new IllegalArgumentException(
+        s"unsupported query param type: ${other.getClass.getSimpleName}")
+    }
+    val bound = params.toSeq.sortBy(-_._1.length).foldLeft(query) {
+      case (q, (name, v)) => q.replace(s":$name", literal(v))
+    }
+    val leftover = ":[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(
+      bound.replaceAll("'[^']*'", "")) // ignore placeholders inside literals
+    require(leftover.isEmpty, s"unbound query parameter ${leftover.get}")
+    bound
+  }
+
   /** Partitioned-read options (Spark JDBC source pass-through). */
   final case class PartitionSpec(column: String, lower: Long, upper: Long, num: Int)
 

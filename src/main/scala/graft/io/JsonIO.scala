@@ -120,4 +120,94 @@ object JsonIO {
     val w = out.write.mode("overwrite")
     (if (gzip) w.option("compression", "gzip") else w).json(path)
   }
+
+  /** Array-format write, the reference's `.json` (non-NDJSON) output
+    * (json_receiver.py:248-317: dump_records_auto with indent=2, and the
+    * row path's read-modify-write append). The ROWS serialize distributed
+    * (toJSON part files, no coalesce(1)); only the final byte-stream
+    * concatenation into one `[ ... ]` document runs on the driver, line by
+    * line — O(1) driver memory for the new rows. Records are emitted one
+    * per line (compact per record, indented two spaces), a valid
+    * pretty-printed array without the reference's per-field newlines.
+    *
+    * `append=true` re-emits the existing file's records first; like the
+    * reference it loads that file as one JSON document (array append is a
+    * read-modify-write with an atomic replace) — a format-bounded
+    * driver-side step, same as ExcelIO. An array file is a single-file
+    * format by construction; at scale prefer NDJSON, which stays
+    * distributed end-to-end. */
+  def writeArray(df: DataFrame, path: String, append: Boolean = false): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = path + ".stage"
+    sanitizeFloats(df).toJSON.write.mode("overwrite").text(stage)
+    val target = Paths.get(path)
+    val tmp = Paths.get(path + ".tmp")
+    val out = Files.newBufferedWriter(tmp)
+    try {
+      out.write("[")
+      var first = true
+      def emit(rec: String): Unit = {
+        out.write(if (first) "\n  " else ",\n  ")
+        out.write(rec)
+        first = false
+      }
+      if (append && Files.exists(target)) {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(Files.readString(target)) match {
+          case JArray(items) => items.foreach(i =>
+            emit(org.json4s.jackson.JsonMethods.compact(i)))
+          case other => throw new IllegalArgumentException(
+            s"append target $path is not a JSON array (${other.getClass.getSimpleName})")
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-")).sorted
+        .foreach { p =>
+          val reader = Files.newBufferedReader(p)
+          try {
+            var line = reader.readLine()
+            while (line != null) {
+              if (line.nonEmpty) emit(line)
+              line = reader.readLine()
+            }
+          } finally reader.close()
+        }
+      out.write("\n]\n")
+    } finally out.close()
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    // drop the staging parts
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(stage)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
+
+  /** NDJSON row-append (append_ndjson_record parity): new rows serialize
+    * distributed, then concatenate onto the existing file. */
+  def appendNdjson(df: DataFrame, path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val stage = path + ".stage"
+    sanitizeFloats(df).toJSON.write.mode("overwrite").text(stage)
+    val out = Files.newBufferedWriter(Paths.get(path),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-")).sorted
+        .foreach { p =>
+          val reader = Files.newBufferedReader(p)
+          try {
+            var line = reader.readLine()
+            while (line != null) {
+              if (line.nonEmpty) { out.write(line); out.write("\n") }
+              line = reader.readLine()
+            }
+          } finally reader.close()
+        }
+    } finally out.close()
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(stage)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+  }
 }

@@ -72,7 +72,7 @@ class CliSpec extends SparkTestBase {
         "--trigger", "warp", "--arg", "1") === 2)
 
       assert(run("schemas", "list") === 0 && output.contains("read_mongodb"))
-      assert(run("schemas", "get", "dedup") === 0 && output.contains("strategy"))
+      assert(run("schemas", "get", "dedup") === 0 && output.contains("minhash"))
       assert(run("schemas", "get", "nope") === 1)
 
       assert(run("jobs", "delete", jobId) === 0)

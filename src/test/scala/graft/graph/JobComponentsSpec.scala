@@ -150,4 +150,70 @@ class JobComponentsSpec extends SparkTestBase {
     assert(got.count() === 2) // row 2 deduped into row 1
     assert(got.select("lang_pred").head().getString(0) === "en")
   }
+
+  test("jdbc source resolves env-scoped credentials from a context (no url in config)") {
+    import graft.runtime.{Contexts, Credentials}
+    // seed the engine-side store + context: TEST env → Derby in-memory db.
+    // The job config below carries ONLY the context name — no url/secrets.
+    Contexts.store.put("derby-test-creds",
+      Credentials.Creds("ignored", "ignored", database = "memory:graftctx"))
+    Contexts.register(Credentials.MappingContext(
+      "derby-ctx", Map("TEST" -> "derby-test-creds"), Credentials.Test))
+    val url = "jdbc:derby:memory:graftctx;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute("DROP TABLE ctx_t") catch { case _: Exception => () }
+      st.execute("""CREATE TABLE ctx_t ("a" VARCHAR(20), "b" VARCHAR(20))""")
+      st.execute("""INSERT INTO ctx_t VALUES ('1', 'x'), ('2', 'y')""")
+    } finally c.close()
+    val out = tmp("ctx_out")
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_jdbc", "context": "derby-ctx",
+         |    "environment": "TEST", "entity_name": "ctx_t",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_csv", "filepath": "$out",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks()
+    built.close()
+    val back = graft.io.CsvIO.read(spark, out).orderBy(col("a")).collect()
+    assert(back.map(_.getString(0)).toSeq === Seq("1", "2"))
+    // unknown context fails loudly at build time
+    val bad = json.replace("derby-ctx", "no-such-ctx")
+    intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(bad))
+    }
+  }
+
+  test("write_json array format with row-append, from config") {
+    import spark.implicits._
+    val in1 = tmp("arr_in1"); val in2 = tmp("arr_in2")
+    Seq(("1", "x")).toDF("a", "b").write.mode("overwrite").parquet(in1)
+    Seq(("2", "y")).toDF("a", "b").write.mode("overwrite").parquet(in2)
+    val out = tmp("arr_out.json")
+    def job(in: String, append: Boolean) =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_json", "filepath": "$out",
+         |    "format": "array", "append": $append,
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val b1 = JobGraph.build(spark, JobConfig.parse(job(in1, append = false)))
+    b1.runSinks(); b1.close()
+    val text1 = Files.readString(Paths.get(out))
+    assert(text1.trim.startsWith("[") && text1.trim.endsWith("]"))
+    // the file is ONE valid JSON array document
+    val back1 = graft.io.JsonIO.read(spark, out, multiLine = true)
+    assert(back1.count() === 1)
+
+    val b2 = JobGraph.build(spark, JobConfig.parse(job(in2, append = true)))
+    b2.runSinks(); b2.close()
+    val back2 = graft.io.JsonIO.read(spark, out, multiLine = true)
+      .orderBy(col("a")).collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    assert(back2.toSeq === Seq(("1", "x"), ("2", "y"))) // appended, not replaced
+  }
 }

@@ -106,4 +106,38 @@ class JdbcIOSpec extends SparkTestBase {
       "UPDATE t SET \"a\" = ?, \"b\" = ? WHERE \"id\" = ?")
     assert(d.updateParamOrder(Seq("id", "a", "b"), Seq("id")) === Seq("a", "b", "id"))
   }
+
+  test("named :params bind as escaped literals (mariadb_read.py:26-67)") {
+    assert(JdbcIO.bindParams("SELECT * FROM t WHERE id = :id AND n = :name",
+      Map("id" -> 42L, "name" -> "o'brien")) ===
+      "SELECT * FROM t WHERE id = 42 AND n = 'o''brien'")
+    // longest-name-first: :id2 must not be clobbered by :id
+    assert(JdbcIO.bindParams("WHERE a = :id AND b = :id2",
+      Map("id" -> 1, "id2" -> 2)) === "WHERE a = 1 AND b = 2")
+    assert(JdbcIO.bindParams("WHERE x = :f AND y = :b AND z IS :n",
+      Map("f" -> 1.5, "b" -> true, "n" -> null)) ===
+      "WHERE x = 1.5 AND y = TRUE AND z IS NULL")
+    intercept[IllegalArgumentException] {
+      JdbcIO.bindParams("WHERE id = :missing", Map("other" -> 1))
+    }
+    // a live roundtrip: params-bound query against Derby
+    fresh("t_params")
+    JdbcIO.write(df((1L, "a", 1.0), (2L, "b", 2.0)), url, "t_params",
+      JdbcIO.Insert, JdbcIO.Derby)
+    val got = JdbcIO.read(spark, url, query = Some(JdbcIO.bindParams(
+      """SELECT * FROM t_params WHERE "id" = :id""", Map("id" -> 2L))))
+    assert(got.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("urls and auth options assemble from credentials per dialect") {
+    val c = graft.runtime.Credentials.Creds("u", "pw", "db.host", 5432, "mydb")
+    assert(JdbcIO.urlFor(JdbcIO.MariaDb, c) === "jdbc:mariadb://db.host:5432/mydb")
+    assert(JdbcIO.urlFor(JdbcIO.Postgres, c) === "jdbc:postgresql://db.host:5432/mydb")
+    assert(JdbcIO.urlFor(JdbcIO.SqlServer, c) ===
+      "jdbc:sqlserver://db.host:5432;databaseName=mydb")
+    assert(JdbcIO.urlFor(JdbcIO.Derby, c) === "jdbc:derby:mydb;create=true")
+    assert(JdbcIO.credentialOptions(JdbcIO.Postgres, c) ===
+      Map("user" -> "u", "password" -> "pw"))
+    assert(JdbcIO.credentialOptions(JdbcIO.Derby, c) === Map.empty)
+  }
 }

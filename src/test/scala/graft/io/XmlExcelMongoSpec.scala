@@ -133,4 +133,53 @@ class XmlExcelMongoSpec extends SparkTestBase {
     val got = MongoIO.read(spark, factory, "c", docSchema).collect()
     assert(got.map(_.getLong(0)).toSeq === Seq(9L))
   }
+
+  test("document store: update mode sets fields on matches, never inserts") {
+    MongoIO.InMemoryStores.drop("t5")
+    val factory = MongoIO.InMemory("t5")
+    import spark.implicits._
+    MongoIO.write(Seq((1L, "a", "keep1"), (2L, "b", "keep2"))
+      .toDF("k", "name", "extra"), factory, "c", "insert")
+    // key-derived match; update_fields restricts the $set (extra untouched)
+    MongoIO.write(Seq((1L, "NEW", "clobber"), (7L, "ghost", "x"))
+      .toDF("k", "name", "extra"), factory, "c", "update",
+      keys = Seq("k"), updateFields = Seq("name"))
+    val schema3 = Seq(
+      FieldDef("k", GraftType.TInteger),
+      FieldDef("name", GraftType.TString, nullable = true),
+      FieldDef("extra", GraftType.TString, nullable = true))
+    val got = MongoIO.read(spark, factory, "c", schema3, sort = Seq(("k", 1)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // row 7 NOT inserted; row 1 name updated, extra preserved
+    assert(got.toSeq === Seq((1L, "NEW", "keep1"), (2L, "b", "keep2")))
+
+    // explicit match_filter overrides keys: every 'b' row gets flagged
+    MongoIO.write(Seq((99L, "x", "FLAG")).toDF("k", "name", "extra"),
+      factory, "c", "update", matchFilter = Map("name" -> "b"),
+      updateFields = Seq("extra"))
+    val after = MongoIO.read(spark, factory, "c", schema3, sort = Seq(("k", 1)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(after.toSeq === Seq((1L, "NEW", "keep1"), (2L, "b", "FLAG")))
+  }
+
+  test("distributed read: slices cover filter/sort/skip/limit across partitions") {
+    MongoIO.InMemoryStores.drop("t6")
+    val factory = MongoIO.InMemory("t6")
+    import spark.implicits._
+    MongoIO.write((1 to 950).map(i => (i.toLong, s"n$i")).toDF("k", "name"),
+      factory, "c", "insert")
+    assert(factory.open().count("c", Map.empty) === 950L)
+    // full read splits into multiple slices (minChunk=100) and loses nothing
+    val full = MongoIO.read(spark, factory, "c", docSchema, numPartitions = 4)
+    assert(full.rdd.getNumPartitions === 4)
+    assert(full.count() === 950L)
+    assert(full.agg(org.apache.spark.sql.functions.sum(col("k"))).head.getLong(0)
+      === (1 to 950).map(_.toLong).sum)
+    // global sort + skip + limit stays correct across slice boundaries
+    val sliced = MongoIO.read(spark, factory, "c", docSchema,
+      sort = Seq(("k", -1)), skip = 5, limit = Some(400), numPartitions = 3)
+      .collect().map(_.getLong(0))
+    assert(sliced.length === 400)
+    assert(sliced.sorted.toSeq === (546L to 945L)) // 950..946 skipped, then 945..546
+  }
 }
