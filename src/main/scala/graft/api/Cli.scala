@@ -36,6 +36,8 @@ object Cli {
       |            [--order asc|desc] [--limit N] [--offset N]
       |  schedules create --job JOB_ID --trigger interval|date|cron --arg VALUE
       |            | list | cancel ID
+      |  contexts create-credentials PATH | create-context-mapping PATH
+      |           | list | get ID | delete ID
       |  schemas list | get COMP_TYPE
       |  serve [--port N]""".stripMargin
 
@@ -105,6 +107,21 @@ object Cli {
         if (scheduler.cancel(id)) { out(s"Cancelled $id"); 0 }
         else { out(s"Schedule $id not found"); 1 }
 
+      case "contexts" :: "create-credentials" :: path :: Nil =>
+        out(ContextsApi.createCredentials(Files.readString(Paths.get(path)))); 0
+      case "contexts" :: "create-context-mapping" :: path :: Nil =>
+        out(ContextsApi.createMapping(Files.readString(Paths.get(path)))); 0
+      case "contexts" :: "list" :: Nil =>
+        out(ContextsApi.listJson); 0
+      case "contexts" :: "get" :: id :: Nil =>
+        ContextsApi.getJson(id) match {
+          case Some(j) => out(j); 0
+          case None    => out(s"Provider $id not found"); 1
+        }
+      case "contexts" :: "delete" :: id :: Nil =>
+        if (ContextsApi.delete(id)) { out(s"Deleted $id"); 0 }
+        else { out(s"Provider $id not found"); 1 }
+
       case "schemas" :: "list" :: Nil =>
         out(ComponentSchemas.listJson); 0
       case "schemas" :: "get" :: tpe :: Nil =>
@@ -122,6 +139,7 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val home = Paths.get(sys.env.getOrElse("GRAFT_HOME", ".graft"))
     Files.createDirectories(home)
+    graft.runtime.Contexts.bind(home) // replay + write-through credentials
     // Spark is by-name into the registry: only execute/serve force it
     def spark: SparkSession = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))

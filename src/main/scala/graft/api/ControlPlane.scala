@@ -250,6 +250,21 @@ object ControlPlane {
         case (m, p) => (405, s"""{"error":"$m /execution/$p not supported"}""")
       }
     })
+    server.createContext("/contexts", (ex: HttpExchange) => handle(ex) {
+      val path = ex.getRequestURI.getPath.stripPrefix("/contexts").stripPrefix("/")
+      def body() = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      (ex.getRequestMethod, path) match {
+        case ("POST", "credentials") => (201, ContextsApi.createCredentials(body()))
+        case ("POST", "mapping")     => (201, ContextsApi.createMapping(body()))
+        case ("GET", "")             => (200, ContextsApi.listJson)
+        case ("GET", id) => ContextsApi.getJson(id).map((200, _))
+          .getOrElse((404, s"""{"error":"provider $id not found"}"""))
+        case ("DELETE", id) =>
+          if (ContextsApi.delete(id)) (204, "")
+          else (404, s"""{"error":"provider $id not found"}""")
+        case (m, _) => (405, s"""{"error":"method $m not allowed"}""")
+      }
+    })
     server.createContext("/schemas", (ex: HttpExchange) => handle(ex) {
       val path = ex.getRequestURI.getPath.stripPrefix("/schemas").stripPrefix("/")
       (ex.getRequestMethod, path) match {

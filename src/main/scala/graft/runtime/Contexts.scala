@@ -1,32 +1,97 @@
 package graft.runtime
 
 import graft.runtime.Credentials._
+import graft.util.JsonStr.quote
+import java.nio.file.{Files, Path, StandardOpenOption}
 
 /**
- * Process-wide registry of credential contexts, the engine-side seam the
+ * Process-wide registry of credentials + contexts, the engine-side seam the
  * config-driven DB components resolve through (reference: every database
  * component requires a context_id referencing a CredentialsMappingContext,
  * src/etl_core/components/databases/database.py:57-75,
  * context/credentials_mapping_context.py:152-217). Job configs carry ONLY
  * the context name (+ optional environment override) — hosts, users and
- * passwords live here, registered by the embedding application or the
- * contexts CLI, so secrets never sit in job JSON.
+ * passwords live here, registered by the embedding application, the REST
+ * surface, or the contexts CLI, so secrets never sit in job JSON.
  *
- * The store/registry pattern matches MongoIO.InMemoryStores: names resolve
- * in-process; a production deployment backs `store` with a secret manager.
+ * SECRET HANDLING under persistence (`bind(dir)` → contexts.jsonl,
+ * tombstoned like the schedule log): the reference writes secrets to a
+ * keyring and persists only non-secret parameters + secret KEYS
+ * (docs/cli.md:96-99). The offline equivalent: a credentials entry may
+ * carry `password` (kept in-process, never written to disk) or
+ * `password_env` (an environment-variable NAME, persisted; the value
+ * resolves at use). A restart therefore restores every entry except
+ * plain in-process passwords — exactly the keyring trade-off.
  */
 object Contexts {
 
-  /** Global credential store (id → secret material). */
-  val store = new InMemoryCredentialsStore
+  /** Registered credential material. `password` is process-local;
+    * `passwordEnv` names an env var resolved at use time. */
+  final case class CredSpec(id: String, user: String, host: String, port: Int,
+                            database: String, password: Option[String],
+                            passwordEnv: Option[String]) {
+    def materialize(env: Map[String, String] = sys.env): Creds = {
+      val pw = password.orElse(passwordEnv.map(e => env.getOrElse(e,
+        throw new IllegalArgumentException(
+          s"credentials $id: password env var '$e' is not set")))).getOrElse("")
+      Creds(user, pw, host, port, database)
+    }
+  }
+
+  /** CredentialsStore over CredSpecs, so MappingContext.resolve works
+    * unchanged while specs stay persistable without their secrets. */
+  final class SpecCredentialsStore extends CredentialsStore {
+    private val specs = new java.util.concurrent.ConcurrentHashMap[String, CredSpec]()
+    /** Direct registration of resolved creds (tests, embedding apps). */
+    def put(id: String, c: Creds): Unit =
+      specs.put(id, CredSpec(id, c.user, c.host, c.port, c.database,
+        Some(c.password), None))
+    def register(spec: CredSpec): Unit = specs.put(spec.id, spec)
+    def specById(id: String): Option[CredSpec] = Option(specs.get(id))
+    def byId(id: String): Option[Creds] = specById(id).map(_.materialize())
+    def remove(id: String): Boolean = specs.remove(id) != null
+    def ids(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      specs.keySet().asScala.toSeq.sorted
+    }
+    private[Contexts] def clear(): Unit = specs.clear()
+  }
+
+  val store = new SpecCredentialsStore
 
   private val contexts =
     new java.util.concurrent.ConcurrentHashMap[String, MappingContext]()
+  @volatile private var logPath: Option[Path] = None
 
-  def register(ctx: MappingContext): Unit = contexts.put(ctx.name, ctx)
+  // ----------------------------------------------------------- registration
+
+  def register(ctx: MappingContext): Unit = {
+    // reference parity: a mapping referencing unknown credential ids is
+    // rejected at create time (docs/cli.md:86-88)
+    val missing = ctx.credentialsIds.values.filterNot(store.specById(_).isDefined)
+    require(missing.isEmpty,
+      s"context '${ctx.name}': unknown credential ids: ${missing.mkString(", ")}")
+    contexts.put(ctx.name, ctx)
+    append(ctxLine(ctx))
+  }
+
+  def registerCredentials(spec: CredSpec): Unit = {
+    store.register(spec)
+    append(credLine(spec))
+  }
+
   def get(name: String): Option[MappingContext] = Option(contexts.get(name))
-  def drop(name: String): Unit = contexts.remove(name)
-  def list(): Seq[String] = {
+  def dropContext(name: String): Boolean = {
+    val removed = contexts.remove(name) != null
+    if (removed) append(s"""{"kind":"tombstone","scope":"context","id":${quote(name)}}""")
+    removed
+  }
+  def dropCredentials(id: String): Boolean = {
+    val removed = store.remove(id)
+    if (removed) append(s"""{"kind":"tombstone","scope":"credentials","id":${quote(id)}}""")
+    removed
+  }
+  def listContexts(): Seq[String] = {
     import scala.jdk.CollectionConverters._
     contexts.keySet().asScala.toSeq.sorted
   }
@@ -38,5 +103,70 @@ object Contexts {
     val ctx = get(contextName).getOrElse(throw new IllegalArgumentException(
       s"unknown credentials context: $contextName"))
     ctx.resolve(store, overrideEnv.map(Environment.fromName))._1
+  }
+
+  // ------------------------------------------------------------ persistence
+
+  /** Attach (and replay) a contexts.jsonl under `dir`; subsequent
+    * registrations write through. Plain passwords are NOT persisted. */
+  def bind(dir: Path): Unit = synchronized {
+    val p = dir.resolve("contexts.jsonl")
+    logPath = None // replay without re-appending
+    if (Files.exists(p)) replay(p)
+    logPath = Some(p)
+  }
+
+  /** Detach persistence and clear all registrations (tests). */
+  def reset(): Unit = synchronized {
+    logPath = None
+    contexts.clear()
+    store.clear()
+  }
+
+  private def append(line: String): Unit =
+    logPath.foreach(p => Files.writeString(p, line + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND))
+
+  private def credLine(s: CredSpec): String =
+    s"""{"kind":"credentials","id":${quote(s.id)},"user":${quote(s.user)},""" +
+      s""""host":${quote(s.host)},"port":${s.port},"database":${quote(s.database)}""" +
+      s.passwordEnv.map(e => s""","password_env":${quote(e)}""").getOrElse("") + "}"
+
+  private def ctxLine(c: MappingContext): String = {
+    val ids = c.credentialsIds.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
+    s"""{"kind":"context","name":${quote(c.name)},"credentials_ids":$ids,""" +
+      s""""default_env":${quote(c.defaultEnv.name)}}"""
+  }
+
+  private def replay(p: Path): Unit = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    Files.readAllLines(p).forEach { line =>
+      if (line.nonEmpty) {
+        val j = org.json4s.jackson.JsonMethods.parse(line)
+        (j \ "kind").extract[String] match {
+          case "credentials" => store.register(CredSpec(
+            (j \ "id").extract[String], (j \ "user").extract[String],
+            (j \ "host").extract[String], (j \ "port").extract[Int],
+            (j \ "database").extract[String], None,
+            (j \ "password_env").extractOpt[String]))
+          case "context" =>
+            val ids = (j \ "credentials_ids") match {
+              case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+              case _           => Map.empty[String, String]
+            }
+            contexts.put((j \ "name").extract[String], MappingContext(
+              (j \ "name").extract[String], ids,
+              Environment.fromName((j \ "default_env").extract[String])))
+          case "tombstone" => (j \ "scope").extract[String] match {
+            case "context"     => contexts.remove((j \ "id").extract[String])
+            case "credentials" => store.remove((j \ "id").extract[String])
+          }
+          case other => throw new IllegalArgumentException(
+            s"contexts.jsonl: unknown kind '$other'")
+        }
+      }
+    }
   }
 }

@@ -71,6 +71,26 @@ class CliSpec extends SparkTestBase {
       assert(run("schedules", "create", "--job", jobId,
         "--trigger", "warp", "--arg", "1") === 2)
 
+      graft.runtime.Contexts.reset()
+      val credPath = tmp("creds.json")
+      Files.writeString(Paths.get(credPath),
+        """{"id":"cli-cred","user":"u","host":"h","port":1,
+          |"database":"d","password_env":"CLI_PW"}""".stripMargin)
+      assert(run("contexts", "create-credentials", credPath) === 0)
+      assert(output.contains("cli-cred") && output.contains("credentials"))
+      val mapPath = tmp("mapping.json")
+      Files.writeString(Paths.get(mapPath),
+        """{"name":"cli-ctx","credentials_ids":{"DEV":"cli-cred"},"default_env":"DEV"}""")
+      assert(run("contexts", "create-context-mapping", mapPath) === 0)
+      assert(run("contexts", "list") === 0 &&
+        output.contains("cli-ctx") && output.contains("cli-cred"))
+      assert(run("contexts", "get", "cli-ctx") === 0 && output.contains("DEV"))
+      assert(run("contexts", "get", "cli-cred") === 0 && !output.contains("password\""))
+      assert(run("contexts", "get", "nope") === 1)
+      assert(run("contexts", "delete", "cli-ctx") === 0)
+      assert(run("contexts", "delete", "cli-ctx") === 1)
+      graft.runtime.Contexts.reset()
+
       assert(run("schemas", "list") === 0 && output.contains("read_mongodb"))
       assert(run("schemas", "get", "dedup") === 0 && output.contains("minhash"))
       assert(run("schemas", "get", "nope") === 1)

@@ -145,6 +145,33 @@ class ControlPlaneSpec extends SparkTestBase {
         .PUT(HttpRequest.BodyPublishers.ofString(jobJson(in, tmp("rest_out2")))).build())
       assert(put.statusCode() === 200 && put.body().contains(jobId))
 
+      // contexts surface: credentials → mapping → list/get → delete
+      graft.runtime.Contexts.reset()
+      val mkCred = send(HttpRequest.newBuilder(URI.create(s"$base/contexts/credentials"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"id":"rest-cred","user":"u","host":"h","port":1,
+            |"database":"d","password":"sssh"}""".stripMargin)).build())
+      assert(mkCred.statusCode() === 201 && mkCred.body().contains("rest-cred"))
+      // mapping referencing an unknown id → 400 (reference parity)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/mapping"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name":"m","credentials_ids":{"DEV":"ghost"}}""")).build())
+        .statusCode() === 400)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/mapping"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name":"rest-ctx","credentials_ids":{"DEV":"rest-cred"}}""")).build())
+        .statusCode() === 201)
+      val provList = send(HttpRequest.newBuilder(URI.create(s"$base/contexts")).GET().build())
+      assert(provList.body().contains("rest-ctx") && provList.body().contains("rest-cred"))
+      val getCred = send(HttpRequest.newBuilder(
+        URI.create(s"$base/contexts/rest-cred")).GET().build())
+      assert(getCred.statusCode() === 200 && !getCred.body().contains("sssh"))
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/rest-ctx"))
+        .DELETE().build()).statusCode() === 204)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/rest-ctx"))
+        .GET().build()).statusCode() === 404)
+      graft.runtime.Contexts.reset()
+
       // schemas discovery
       val schemas = send(HttpRequest.newBuilder(URI.create(s"$base/schemas")).GET().build())
       assert(schemas.statusCode() === 200)

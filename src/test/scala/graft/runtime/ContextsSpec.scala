@@ -1,0 +1,75 @@
+package graft.runtime
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Registry + persistence semantics for credentials contexts. Uses
+  * reset() around each case: Contexts is process-global by design (the
+  * connection seam config-driven components resolve through). */
+class ContextsSpec extends AnyFunSuite {
+
+  private def freshDir() = {
+    val p = Paths.get("target", "test-tmp", "ctx", s"d${System.nanoTime()}")
+    Files.createDirectories(p)
+    p
+  }
+
+  test("mapping registration validates referenced credential ids") {
+    Contexts.reset()
+    intercept[IllegalArgumentException] {
+      Contexts.register(Credentials.MappingContext(
+        "m", Map("DEV" -> "nope"), Credentials.Dev))
+    }
+    Contexts.store.put("c1", Credentials.Creds("u", "p", database = "db"))
+    Contexts.register(Credentials.MappingContext("m", Map("DEV" -> "c1"), Credentials.Dev))
+    assert(Contexts.resolve("m").user === "u")
+    Contexts.reset()
+  }
+
+  test("persistence: credentials survive restart via password_env; plain passwords do not") {
+    val dir = freshDir()
+    Contexts.reset()
+    Contexts.bind(dir)
+    Contexts.registerCredentials(Contexts.CredSpec(
+      "envcred", "u1", "h", 9, "db1", None, Some("GRAFT_TEST_PW")))
+    Contexts.registerCredentials(Contexts.CredSpec(
+      "plaincred", "u2", "h", 9, "db2", Some("plain-secret"), None))
+    Contexts.register(Credentials.MappingContext(
+      "ctx", Map("TEST" -> "envcred"), Credentials.Test))
+    Contexts.registerCredentials(Contexts.CredSpec(
+      "doomed", "x", "", 0, "", None, None))
+    assert(Contexts.dropCredentials("doomed"))
+
+    // nothing secret on disk
+    val log = Files.readString(dir.resolve("contexts.jsonl"))
+    assert(!log.contains("plain-secret"))
+    assert(log.contains("GRAFT_TEST_PW"))
+
+    // "restart": clean registry, re-bind the same dir
+    Contexts.reset()
+    Contexts.bind(dir)
+    assert(Contexts.store.ids() === Seq("envcred", "plaincred"))
+    assert(Contexts.listContexts() === Seq("ctx"))
+    // env-var password resolves at USE time
+    val spec = Contexts.store.specById("envcred").get
+    assert(spec.materialize(Map("GRAFT_TEST_PW" -> "s3cret")).password === "s3cret")
+    intercept[IllegalArgumentException] { spec.materialize(Map.empty) }
+    // the plain password did not survive (keyring trade-off): user data kept
+    assert(Contexts.store.specById("plaincred").get.materialize(Map.empty).password === "")
+    Contexts.reset()
+  }
+
+  test("delete tombstones persist") {
+    val dir = freshDir()
+    Contexts.reset()
+    Contexts.bind(dir)
+    Contexts.registerCredentials(Contexts.CredSpec("c", "u", "", 0, "", None, None))
+    Contexts.register(Credentials.MappingContext("m", Map("DEV" -> "c"), Credentials.Dev))
+    assert(Contexts.dropContext("m"))
+    Contexts.reset()
+    Contexts.bind(dir)
+    assert(Contexts.listContexts().isEmpty)
+    assert(Contexts.store.ids() === Seq("c"))
+    Contexts.reset()
+  }
+}
