@@ -31,8 +31,12 @@ object ExcelIO {
 
   // ------------------------------------------------------------------ read
 
-  /** Read a sheet into an all-string DataFrame; first row = header. */
+  /** Read a sheet into an all-string DataFrame; first row = header.
+    * `.xls` dispatches to the BIFF8 reader (XlsIO), mirroring the
+    * reference's per-extension engine split (excel_helper.py:27-32:
+    * openpyxl for xlsx/xlsm, xlrd for xls). */
   def read(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame = {
+    if (path.toLowerCase.endsWith(".xls")) return readXls(spark, path, sheet)
     val zf = new ZipFile(path)
     try {
       val sheetPath = resolveSheetPath(zf, sheet)
@@ -72,6 +76,34 @@ object ExcelIO {
       spark.createDataFrame(
         spark.sparkContext.parallelize(data.toIndexedSeq), schema)
     } finally zf.close()
+  }
+
+  /** Legacy-.xls branch of read: same all-string, first-row-header
+    * contract over XlsIO's parsed cells. */
+  private def readXls(spark: SparkSession, path: String,
+                      sheet: Option[String]): DataFrame = {
+    val (names, bySheet) = graft.io.XlsIO.parse(path)
+    require(names.nonEmpty, s"xls: workbook has no sheets in $path")
+    val name = sheet match {
+      case Some(n) =>
+        require(names.contains(n),
+          s"xls: no sheet named '$n' (has ${names.mkString(", ")})")
+        n
+      case None => names.head
+    }
+    val cells = bySheet(name)
+    require(cells.nonEmpty, s"xls: empty sheet in $path")
+    val byRow = cells.groupBy(_._1)
+    val rowIds = byRow.keys.toSeq.sorted
+    val headerCells = byRow(rowIds.head).map(c => c._2 -> c._3).toMap
+    val width = if (headerCells.isEmpty) 0 else headerCells.keys.max + 1
+    val header = (0 until width).map(i => headerCells.getOrElse(i, s"_c$i"))
+    val data = rowIds.tail.map { r =>
+      val m = byRow(r).map(c => c._2 -> c._3).toMap
+      Row.fromSeq((0 until width).map(i => m.get(i).orNull))
+    }
+    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(data.toIndexedSeq), schema)
   }
 
   private def resolveSheetPath(zf: ZipFile, sheet: Option[String]): String = {

@@ -95,6 +95,40 @@ object Similarity {
         (x, w) => x.cast("double") * w),
       lit(0.0), (acc, v) => acc + v)
 
+  /**
+   * All nPlanes signed projections in ONE pass with ONE literal: the
+   * transposed weight matrix rides as a single typedLit 2D-array node and
+   * a fold over vector positions accumulates every plane's partial sum in
+   * an nPlanes-wide array state (the simhashBlocks pattern). Identical
+   * float math to the per-plane zip_with+aggregate form — same products,
+   * same per-plane accumulation order — but the expression tree is a few
+   * hundred nodes instead of ~20k (160 aggregates × 64-element array
+   * literals), which was the real cost at bench scale: Catalyst re-
+   * analyzes/optimizes the plan on every run, and plan processing scaled
+   * with those 160 inlined literals while the interpreted runtime was
+   * already negligible (see lshCosineBands note). Null/short/long vectors
+   * propagate null → all-zero signature, same as before.
+   */
+  private[graft] def planeSums(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val wt: Seq[Seq[Double]] =
+      (0 until dim).map(i => (0 until nPlanes).map(p => planeWeights(p, dim)(i)))
+    val prods = zip_with(vec, typedLit(wt),
+      (x, wrow) => transform(wrow, w => x.cast("double") * w))
+    aggregate(prods, array_repeat(lit(0.0), nPlanes),
+      (acc, arr) => zip_with(acc, arr, (a, v) => a + v))
+  }
+
+  /** (band, sig) keys from a MATERIALIZED planeSums column. Callers must
+    * select planeSums into its own column first: inlining it here would
+    * duplicate the fold 160× across the sign extractions. */
+  private[graft] def bandKeysFromSums(sums: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      val sig = (0 until r).map { j =>
+        when(element_at(sums, b * r + j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      struct(lit(b).as("band"), sig.as("sig"))
+    }: _*)
+
   /** Sign-of-projection LSH signature with `nPlanes` bits, as a long. */
   def lshCosineSignature(vec: Column, dim: Int, nPlanes: Int = 16): Column =
     (0 until nPlanes).map { p =>
@@ -109,19 +143,21 @@ object Similarity {
    * pairs (the background mass of a real corpus) collide per band at only
    * 2^-8, keeping bucket joins linear.
    *
-   * WHY the interpreted HOF form: three implementations were benchmarked
-   * head-to-head (tools/EmbProbe, sf0.1, 160 planes × dim 64, local[32]):
-   * this one, a fully-unrolled codegen'd per-row sum (bands*r*dim literal
-   * multiply-adds), and a relational posexplode + groupBy(id) with one
-   * sum-aggregate per plane. Bucketing 2k rows: HOF 0.75-0.88 s, unrolled
-   * 3.0-4.1 s, relational 1.6 s cold / 0.6 s warm + a shuffle. At 64× the
-   * rows (128k) the HOF cost was UNCHANGED (0.58-0.61 s) — its time is
-   * fixed overhead, with per-row marginal cost ≤ 5 µs — while the
-   * unrolled form still paid ~3 s of per-run plan/codegen on its ~10k-node
-   * expression tree. The relational form also shuffles bands*r doubles
-   * per row (2.5× the raw vector) and silently merges duplicate ids. A
-   * narrow interpreted map with negligible marginal cost beats both at
-   * bench scale and at 100×.
+   * Prefer the two-step planeSums → bandKeysFromSums pipeline for many
+   * planes (embeddingNearDups uses it): measured head-to-head
+   * (tools/EmbProbe, sf0.1, 160 planes × dim 64, local[32]) across four
+   * forms — this per-plane HOF (2.6 s cold / 1.1 s warm for 2k rows), a
+   * fully-unrolled codegen'd per-row sum (3.0-4.1 s, ~10k-node tree), a
+   * relational posexplode+groupBy (adds a shuffle carrying 2.5× the
+   * vector bytes and silently merges duplicate ids), and the matrix-fold
+   * planeSums form (0.4-0.6 s, bit-identical signatures). Every variant's
+   * cost is FIXED plan-processing overhead, not row work (64× the rows
+   * left timings unchanged; marginal cost ≤ 5 µs/row): this form inlines
+   * one 64-double literal per plane into 160 aggregates, and Catalyst
+   * re-analyzes that whole tree on every run, while planeSums carries the
+   * weights as ONE 2D-literal node. Kept for few-plane callers and as the
+   * semantic reference; both stay narrow maps with no shuffle, the shape
+   * that survives a 100× scale-up.
    */
   def lshCosineBands(vec: Column, dim: Int, bands: Int = 16, r: Int = 8): Column =
     array((0 until bands).map { b =>
@@ -149,8 +185,12 @@ object Similarity {
       "simThreshold must be > 0: degenerate (null/empty) vectors share " +
         "the all-zero signature and are discarded only by the cosine filter")
     val base = graft.scale.Dedup.widen(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+    // two-step: materialize the 160 plane sums as a column, THEN extract
+    // band keys — and the sums fold appears once in the plan. Same
+    // signatures as the per-plane lshCosineBands form, tiny plan.
     val bucketed = OpCaches.persist( // both sides of the self-join
-      base.select(col("id"), explode(lshCosineBands(col("v"), dim, bands, r)).as("bk"))
+      base.select(col("id"), planeSums(col("v"), dim, bands * r).as("ps"))
+        .select(col("id"), explode(bandKeysFromSums(col("ps"), bands, r)).as("bk"))
         .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig")))
     val cand = bucketed.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(bucketed.select(col("band"), col("sig"), col("id").as("id_b")),

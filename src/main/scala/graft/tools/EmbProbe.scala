@@ -26,8 +26,17 @@ object EmbProbe {
     t("base count")(base.count())
     def buckets() = base.select(col("id"),
       explode(Similarity.lshCosineBands(col("v"), 64, 16, 10)).as("bk"))
-    t("buckets (cold)")(buckets().count())
-    t("buckets (rerun)")(buckets().count())
+    t("buckets per-plane (cold)")(buckets().count())
+    t("buckets per-plane (rerun)")(buckets().count())
+    def matrixBuckets() = base
+      .select(col("id"), Similarity.planeSums(col("v"), 64, 160).as("ps"))
+      .select(col("id"), explode(Similarity.bandKeysFromSums(col("ps"), 16, 10)).as("bk"))
+    t("buckets matrix (cold)")(matrixBuckets().count())
+    t("buckets matrix (rerun)")(matrixBuckets().count())
+    // signatures must be bit-identical between the two forms
+    t("signature mismatch count")(
+      buckets().select(col("id"), col("bk"))
+        .exceptAll(matrixBuckets().select(col("id"), col("bk"))).count())
     // marginal per-row cost: the same plan over 64x the rows isolates
     // per-row cost from fixed optimize/codegen overhead
     val big = (0 until 64).map(_ => base).reduce(_ union _).repartition(32).persist()
