@@ -163,55 +163,61 @@ object Dedup {
    *     ≥ 1-(1-0.16)^16 ≈ 0.94 and ≥ 0.9999 at word-J ≥ 0.6.
    *  2. The banded self-join carries ONLY (band, bucket, id); candidate
    *     pairs are deduplicated across bands before anything heavier runs.
-   *  3. A signature-agreement prefilter (32 longs per side) drops
-   *     weak-similarity collisions cheaply.
-   *  4. The raw TEXT is joined back for surviving pairs only, and the
-   *     expensive character shingling + exact Jaccard runs once per pair —
-   *     never as a corpus-wide pass on the join spine.
+   *  3. Character shingle arrays are built ONCE PER INVOLVED DOCUMENT
+   *     (left-semi join of texts against the candidate id set), then the
+   *     pair join carries those arrays and computes one exact Jaccard per
+   *     pair — per-doc work stays O(docs), per-pair work is only the
+   *     intersect/union.
+   *
+   * An earlier revision prefiltered candidates on signature agreement
+   * before verification. With the only principled cutoff — r/k, the
+   * agreement every true band collision already implies — the filter
+   * passes essentially every candidate (a banded pair below r/k requires
+   * a 64-bit bucket-hash accident), so it was two array-carrying joins of
+   * pure overhead; a cutoff above r/k (0.1, as reviewed) could drop true
+   * candidates and made oracle equality fixture-dependent. Measured at
+   * sf0.1: 2276 banded candidates, 378 past the 0.1 prefilter — and the
+   * whole verification stage is cheaper than the prefilter's joins once
+   * shingling is per-doc.
    */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleN: Int = 5, k: Int = 32, bands: Int = 16,
                       threshold: Double = 0.6): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
-    // Materialized: consumed 3× (bucketing + both prefilter join-backs).
-    // ~(8 + 8k) bytes/doc — a signature table, the thing an at-scale
-    // pipeline would write out anyway. Registered with OpCaches so
-    // long-lived callers release it (BuiltJob.close / OpCaches.drain).
+    // The signature table feeds ONLY the bucketing explode now (the old
+    // agreement prefilter was its other consumer), so it stays lazy —
+    // one pass, no persist. The bucket table is what the self-join
+    // consumes twice, and Spark reuses the shuffle files of its one
+    // Exchange for both sides.
     val wide = widen(df)
-    val sigs = OpCaches.persist(minhashSignatures(wide, textCol, idCol, 3, k))
+    val sigs = minhashSignatures(wide, textCol, idCol, 3, k)
     val buckets = sigs
       .select(col("id"), explode(lshBucketKeys(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
 
-    // ids-only candidate generation, deduplicated across bands
-    val cand = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    // ids-only candidate generation, deduplicated across bands; consumed
+    // twice below (involved-id set + pair spine)
+    val cand = OpCaches.persist(
+      buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct())
 
-    // cheap prefilter on word-signature agreement: a genuine band collision
-    // means the band's r = k/bands signature positions agree, i.e.
-    // agreement ≥ r/k exactly (the ratio count/k is an exact double for
-    // these small integers), so the cutoff r/k keeps EVERY true band
-    // collision and drops only accidental bucket-hash collisions. A cutoff
-    // above r/k (an earlier revision used 0.1 > 2/32) could drop true
-    // candidates and made oracle equality fixture-dependent.
-    val bandAgreement = (k / bands).toDouble / k
-    val prefiltered = cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .filter(signatureAgreement(col("sig_a"), col("sig_b"), k) >= bandAgreement)
-      .select(col("id_a"), col("id_b"))
-
-    // exact verification: join the text back, shingle only the candidates
-    val texts = wide.select(col(idCol).as("id"), col(textCol).as("t"))
-    prefiltered
-      .join(texts.select(col("id").as("id_a"), col("t").as("ta")), Seq("id_a"))
-      .join(texts.select(col("id").as("id_b"), col("t").as("tb")), Seq("id_b"))
+    // exact verification: shingle each INVOLVED doc once, then one
+    // Jaccard per pair over the joined arrays
+    val involved = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val shingled = OpCaches.persist( // consumed by both pair join-backs
+      wide.select(col(idCol).as("id"), col(textCol).as("t"))
+        .join(involved, Seq("id"), "left_semi")
+        .select(col("id"), shingles(col("t"), shingleN).as("sh")))
+    cand
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(shingles(col("ta"), shingleN), shingles(col("tb"), shingleN)).as("jaccard"))
+        jaccard(col("sha"), col("shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
