@@ -1,0 +1,100 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed Lloyd's k-means over an embedding column, closing the IVF
+ * path's training gap: `Similarity.ivfTopK` consumed externally-supplied
+ * centroids; this trains them with plain DataFrame operations — no driver
+ * mutable state, no vectors collected.
+ *
+ * Each iteration is two shuffles, both keyed small:
+ *  - assignment: broadcast centroids → per-row argmax (no corpus shuffle;
+ *    reuses Similarity.assignCells);
+ *  - update: posexplode (cell, pos, x) → groupBy(cell, pos) avg — partial
+ *    aggregation map-side, k·dim result rows — then per-cell arrays are
+ *    reassembled with sort_array(collect_list(struct(pos, mean))).
+ *
+ * The centroid table is persisted + counted per iteration: iterative
+ * DataFrame algorithms otherwise stack each iteration's plan on the
+ * last (lineage grows exponentially). Initial centroids are the k rows
+ * with the smallest xxhash64 of the vector bytes — deterministic,
+ * uniformly spread, reproducible across runs and engines.
+ *
+ * At 100 TB: the corpus is only ever scanned (assignment) — all shuffled
+ * state is O(k·dim) — and the result feeds `indexBucketed`, which lays
+ * the corpus out partitioned by cell so probes prune at the file source.
+ */
+object KMeans {
+
+  /** Train k centroids; returns (cell, cvec) with cell = 0..k-1. */
+  def train(corpus: DataFrame, vecCol: String, k: Int, iters: Int = 5): DataFrame = {
+    require(k > 0 && iters >= 0, s"bad kmeans params k=$k iters=$iters")
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(vecCol).as("v"))
+
+    // deterministic init: k rows by smallest hash of the vector bytes
+    var centroids = vecs
+      .withColumn("h", xxhash64(col("v").cast("string")))
+      .orderBy(col("h"))
+      .limit(k) // k rows: the window below is tiny and single-partition
+      .withColumn("cell", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h"))) - 1)
+      .select(col("cell"), col("v").as("cvec"))
+      .persist()
+    centroids.count()
+
+    var it = 0
+    while (it < iters) {
+      val assigned = Similarity.assignCells(
+        vecs.withColumn("__rid", monotonically_increasing_id()), "v", "__rid", centroids)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+      // empty cells keep their previous centroid (standard Lloyd's choice)
+      val next = centroids.select(col("cell"), col("cvec").as("prev"))
+        .join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cvec"), col("prev")).as("cvec"))
+        .persist()
+      next.count() // materialize BEFORE unpersisting the parent lineage
+      centroids.unpersist(false)
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Write the corpus partitioned by assigned cell: the IVF index layout.
+    * A probe reading `nprobe` cells touches only those directories —
+    * partition pruning at the file source, the property that makes IVF
+    * pay off at 100 TB. */
+  def indexBucketed(corpus: DataFrame, vecCol: String, idCol: String,
+                    centroids: DataFrame, path: String): Unit =
+    Similarity.assignCells(corpus, vecCol, idCol, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** IVF top-k over a bucketed index written by indexBucketed: rank cells
+    * by centroid similarity, scan ONLY the nprobe nearest cells. */
+  def searchBucketed(spark: SparkSession, indexPath: String, vecCol: String,
+                     idCol: String, centroids: DataFrame, query: Seq[Float],
+                     k: Int, nprobe: Int = 2): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val probeW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("csim").desc, col("cell").asc)
+    val probeCells = centroids
+      .select(col("cell"), Similarity.cosine(col("cvec"), q).as("csim"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("cell"))
+    spark.read.parquet(indexPath)
+      .join(broadcast(probeCells), Seq("cell")) // prunes partitions at source
+      .select(col(idCol), round(Similarity.cosine(col(vecCol), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
