@@ -32,7 +32,8 @@ object Cli {
   private val usage: String =
     """usage: graft <group> <command> [args]
       |  jobs create PATH | get ID | update ID PATH | delete ID | list
-      |  execution start JOB_ID | get EXEC_ID | list [--job-id X] [--status S]
+      |  execution start JOB_ID | get EXEC_ID | attempts EXEC_ID
+      |            | list [--job-id X] [--status S]
       |            [--order asc|desc] [--limit N] [--offset N]
       |  schedules create --job JOB_ID --trigger interval|date|cron --arg VALUE
       |            | list | cancel ID
@@ -78,7 +79,13 @@ object Cli {
         out(ControlPlane.execJson(registry.execute(jobId))); 0
       case "execution" :: "get" :: execId :: Nil =>
         registry.getExecution(execId) match {
-          case Some(e) => out(ControlPlane.execJson(e)); 0
+          case Some(e) => out(s"""{"execution":${ControlPlane.execJson(e)},""" +
+            s""""attempts":${ControlPlane.attemptsJson(e)}}"""); 0
+          case None    => out(s"Execution $execId not found"); 1
+        }
+      case "execution" :: "attempts" :: execId :: Nil =>
+        registry.getExecution(execId) match {
+          case Some(e) => out(ControlPlane.attemptsJson(e)); 0
           case None    => out(s"Execution $execId not found"); 1
         }
       case "execution" :: "list" :: rest =>

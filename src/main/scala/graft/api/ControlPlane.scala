@@ -38,7 +38,8 @@ object ControlPlane {
   final case class JobRecord(id: String, name: String, configJson: String)
   final case class ExecutionRecord(
       id: String, jobId: String, startedAtMs: Long, wallMs: Long,
-      status: String, attempts: Int, error: Option[String])
+      status: String, attempts: Int, error: Option[String],
+      attemptRecords: Seq[JobRunner.Attempt] = Nil)
 
   /** `spark` is by-name/lazy: only `execute` forces it, so metadata-only
     * callers (CLI list/get/create paths) never pay SparkSession startup. */
@@ -88,20 +89,32 @@ object ControlPlane {
       execLog.foreach(p => Files.writeString(p, execLine(e) + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND))
 
-    private def execLine(e: ExecutionRecord): String =
+    private def execLine(e: ExecutionRecord): String = {
+      val atts = e.attemptRecords.map(attemptJson).mkString("[", ",", "]")
       s"""{"id":${quote(e.id)},"job_id":${quote(e.jobId)},"started_at_ms":${e.startedAtMs},""" +
         s""""wall_ms":${e.wallMs},"status":${quote(e.status)},"attempts":${e.attempts}""" +
-        e.error.map(er => s""","error":${quote(er)}""").getOrElse("") + "}"
+        e.error.map(er => s""","error":${quote(er)}""").getOrElse("") +
+        s""","attempt_list":$atts}"""
+    }
 
     private def parseExecLine(line: String): ExecutionRecord = {
       import org.json4s._
       val j = org.json4s.jackson.JsonMethods.parse(line)
       implicit val fmts: Formats = DefaultFormats
+      val atts = (j \ "attempt_list") match {
+        case JArray(items) => items.map { a =>
+          JobRunner.Attempt(
+            (a \ "index").extract[Int], (a \ "started_at_ms").extract[Long],
+            (a \ "wall_ms").extract[Long], (a \ "status").extract[String],
+            (a \ "error").extractOpt[String])
+        }
+        case _ => Nil
+      }
       ExecutionRecord(
         (j \ "id").extract[String], (j \ "job_id").extract[String],
         (j \ "started_at_ms").extract[Long], (j \ "wall_ms").extract[Long],
         (j \ "status").extract[String], (j \ "attempts").extract[Int],
-        (j \ "error").extractOpt[String])
+        (j \ "error").extractOpt[String], atts)
     }
 
     private def nextId(prefix: String): String = s"$prefix-${seq.incrementAndGet()}"
@@ -154,7 +167,8 @@ object ControlPlane {
       val rec = ExecutionRecord(nextId("exec"), jobId, started, res.wallMs,
         if (res.succeeded) "SUCCESS" else "FAILED", res.attempts,
         res.lastError.map(e => (e.getClass.getSimpleName + ": " +
-          String.valueOf(e.getMessage)).take(300)))
+          String.valueOf(e.getMessage)).take(300)),
+        res.attemptRecords)
       execs.put(rec.id, rec)
       persistExec(rec)
       rec
@@ -181,6 +195,12 @@ object ControlPlane {
 
   private def jobJson(j: JobRecord): String =
     s"""{"id":${quote(j.id)},"name":${quote(j.name)}}"""
+  private[api] def attemptJson(a: JobRunner.Attempt): String =
+    s"""{"index":${a.index},"started_at_ms":${a.startedAtMs},"wall_ms":${a.wallMs},""" +
+      s""""status":${quote(a.status)}""" +
+      a.error.map(er => s""","error":${quote(er)}""").getOrElse("") + "}"
+  private[api] def attemptsJson(e: ExecutionRecord): String =
+    e.attemptRecords.map(attemptJson).mkString("[", ",", "]")
   private[api] def execJson(e: ExecutionRecord): String =
     s"""{"id":${quote(e.id)},"job_id":${quote(e.jobId)},"status":${quote(e.status)},""" +
       s""""attempts":${e.attempts},"wall_ms":${e.wallMs}""" +
@@ -236,8 +256,14 @@ object ControlPlane {
       (ex.getRequestMethod, path) match {
         case ("POST", jobId) if jobId.nonEmpty =>
           (201, execJson(registry.execute(jobId)))
+        case ("GET", p) if p.endsWith("/attempts") =>
+          val execId = p.stripSuffix("/attempts")
+          registry.getExecution(execId).map(e => (200, attemptsJson(e)))
+            .getOrElse((404, s"""{"error":"execution $execId not found"}"""))
         case ("GET", execId) if execId.nonEmpty =>
-          registry.getExecution(execId).map(e => (200, execJson(e)))
+          // reference shape: { execution, attempts } (docs/cli.md:58-60)
+          registry.getExecution(execId).map(e =>
+            (200, s"""{"execution":${execJson(e)},"attempts":${attemptsJson(e)}}"""))
             .getOrElse((404, s"""{"error":"execution $execId not found"}"""))
         case ("GET", "") =>
           val q = qparams(ex)

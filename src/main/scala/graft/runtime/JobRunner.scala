@@ -34,13 +34,19 @@ object JobRunner {
     def delayMs(attempt: Int): Long = (baseMs * math.pow(factor, attempt.toDouble)).toLong
   }
 
+  /** One attempt of the retry loop (reference models attempts as rows
+    * under the execution record, execution.py attempts surface). */
+  final case class Attempt(index: Int, startedAtMs: Long, wallMs: Long,
+                           status: String, error: Option[String])
+
   final case class RunResult(
       attempts: Int,
       succeeded: Boolean,
       wallMs: Long,
       linesForwarded: Map[String, Long],
       throughputRowsPerSec: Double,
-      lastError: Option[Throwable])
+      lastError: Option[Throwable],
+      attemptRecords: Seq[Attempt] = Nil)
 
   /** Collects observed metrics named `graft.<component>.<port>`. */
   private final class MetricsListener extends QueryExecutionListener {
@@ -63,12 +69,14 @@ object JobRunner {
     var attempt = 0
     var lastError: Option[Throwable] = None
     var succeeded = false
+    val attemptLog = scala.collection.mutable.ArrayBuffer[Attempt]()
     try {
       while (!succeeded && attempt <= spec.numOfRetries) {
         if (attempt > 0) Thread.sleep(backoff.delayMs(attempt - 1))
         attempt += 1
         // the whole attempt — build (plan-time reads/validation) AND sink
         // actions — is retried, like the reference's attempt loop
+        val aStart = System.currentTimeMillis()
         try {
           val built = JobGraph.build(spark, spec, validateData, instrument = true)
           try built.runSinks() finally built.close()
@@ -77,6 +85,11 @@ object JobRunner {
         } catch {
           case e: Throwable => lastError = Some(e)
         }
+        attemptLog += Attempt(attempt, aStart,
+          System.currentTimeMillis() - aStart,
+          if (succeeded) "SUCCESS" else "FAILED",
+          lastError.map(e => (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(300)))
       }
     } finally {
       // listener callbacks run async on Spark's bus (no public flush);
@@ -96,6 +109,7 @@ object JobRunner {
     }
     val total = lines.values.sum
     RunResult(attempt, succeeded, wallMs, lines,
-      if (wallMs == 0) 0.0 else total * 1000.0 / wallMs, lastError)
+      if (wallMs == 0) 0.0 else total * 1000.0 / wallMs, lastError,
+      attemptLog.toSeq)
   }
 }

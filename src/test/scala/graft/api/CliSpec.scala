@@ -57,6 +57,9 @@ class CliSpec extends SparkTestBase {
       assert(output.contains("\"status\":\"SUCCESS\""))
       val execId = """"id":"([^"]+)"""".r.findFirstMatchIn(output).get.group(1)
       assert(run("execution", "get", execId) === 0 && output.contains(jobId))
+      assert(output.contains("\"attempts\":[{\"index\":1")) // reference get shape
+      assert(run("execution", "attempts", execId) === 0)
+      assert(output.contains("\"status\":\"SUCCESS\"") && output.startsWith("["))
       assert(run("execution", "get", "ghost") === 1)
       assert(run("execution", "list", "--job-id", jobId) === 0)
       assert(output.startsWith("""{"data":[""") && output.contains(execId))

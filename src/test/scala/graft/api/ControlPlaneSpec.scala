@@ -47,6 +47,12 @@ class ControlPlaneSpec extends SparkTestBase {
     val fail = reg.execute(bad.id)
     assert(fail.status === "FAILED")
     assert(fail.error.isDefined)
+    // per-attempt records: the failed run logs every attempt, all FAILED
+    assert(fail.attemptRecords.nonEmpty)
+    assert(fail.attemptRecords.map(_.index) === (1 to fail.attemptRecords.size))
+    assert(fail.attemptRecords.forall(_.status === "FAILED"))
+    assert(fail.attemptRecords.forall(_.error.isDefined))
+    assert(ok.attemptRecords.map(_.status) === Seq("SUCCESS"))
     // listing with filter/sort/paging
     assert(reg.listExecutions(status = Some("SUCCESS")).map(_.id) === Seq(ok.id))
     assert(reg.listExecutions(jobId = Some(bad.id)).map(_.id) === Seq(fail.id))
@@ -72,6 +78,8 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(reg2.getJob(job.id).get.configJson === jobJson(in, tmp("persist_out")))
     assert(reg2.listExecutions(jobId = Some(job.id)).map(_.id) === Seq(exec1.id))
     assert(reg2.getExecution(exec1.id).get.status === "SUCCESS")
+    // attempt detail survives the restart too
+    assert(reg2.getExecution(exec1.id).get.attemptRecords.map(_.status) === Seq("SUCCESS"))
 
     // update revalidates: a broken replacement is rejected and the job is untouched
     intercept[IllegalArgumentException] {
