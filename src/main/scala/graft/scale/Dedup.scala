@@ -46,6 +46,13 @@ object Dedup {
   def exactKey(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Scala-side twin of exactKey for typed/streaming paths (groupByKey
+    * closures can't evaluate Columns); keep in lockstep with the
+    * expression form above. */
+  def exactKeyString(text: String): String =
+    if (text == null) ""
+    else text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+
   /**
    * Exact dedup: keep the lowest-id row per normalized key.
    * One shuffle on the key hash; survivors = count(groups).

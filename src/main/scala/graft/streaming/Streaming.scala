@@ -73,6 +73,46 @@ object Streaming {
       }
   }
 
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  /**
+   * Streaming exact dedup over a document stream — the ingest-side twin of
+   * Dedup.exact. Two state regimes:
+   *
+   *  - `streamingExactDedup`: Spark-native dropDuplicates on the
+   *    normalized text key with a watermark; state is BOUNDED — a
+   *    duplicate arriving after the watermark horizon is re-emitted. The
+   *    right default for continuous ingest, where state must not grow with
+   *    the corpus.
+   *  - `streamingFirstSeen`: flatMapGroupsWithState keeping one boolean
+   *    per key with no timeout — exact survivor semantics matching the
+   *    batch operator on any replay, state grows O(distinct keys). Use
+   *    when the dedup horizon is the whole corpus and the state store
+   *    (RocksDB at scale) is provisioned for it.
+   */
+  def streamingExactDedup(docs: DataFrame, textCol: String,
+                          watermarkDur: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__key", graft.scale.Dedup.exactKey(col(textCol)))
+      .withWatermark("ts", watermarkDur)
+      .dropDuplicates("__key")
+      .drop("__key")
+
+  def streamingFirstSeen(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => graft.scale.Dedup.exactKeyString(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // min doc_id in this batch = the batch operator's survivor rule
+            Iterator.single(batch.minBy(_.doc_id))
+          }
+      }
+  }
+
   /** Start `windowedCounts` into an in-memory table (tests/dev). */
   def startToMemory(streamed: DataFrame, queryName: String,
                     mode: OutputMode = OutputMode.Update()) =

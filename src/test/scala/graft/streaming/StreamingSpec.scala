@@ -66,4 +66,45 @@ class StreamingSpec extends SparkTestBase {
     assert(df.isStreaming)
     assert(df.schema.fieldNames.contains("event_type"))
   }
+
+  private def docs = Seq(
+    Doc(1L, ts(1), "The quick brown fox"),
+    Doc(2L, ts(2), "  the QUICK brown fox "), // normalized duplicate of 1
+    Doc(3L, ts(3), "Something else entirely"),
+    Doc(4L, ts(4), "the quick brown fox"))    // duplicate again, later trigger
+
+  test("streamingExactDedup emits one row per normalized key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val q = streamingExactDedup(input.toDF(), "text", "30 minutes")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.toSeq === Seq(1L, 3L)) // 2 and 4 deduped across triggers
+    } finally q.stop()
+  }
+
+  test("streamingFirstSeen matches the batch survivor rule across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val q = streamingFirstSeen(input.toDS())
+      .writeStream.format("memory").queryName("sfirst")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs(1), docs(2)) // duplicate key arrives FIRST as id 2
+      q.processAllAvailable()
+      input.addData(docs(0), docs(3))
+      q.processAllAvailable()
+      val ids = spark.table("sfirst").collect().map(_.getAs[Long]("doc_id")).sorted
+      // within trigger 1, id 2 is the min for its key; later 1 and 4 are dropped
+      assert(ids.toSeq === Seq(2L, 3L))
+    } finally q.stop()
+  }
 }
