@@ -28,7 +28,8 @@ object ComponentSchemas {
       filepath, p("separator", "string", "field delimiter, default ','"))),
     "write_csv" -> ("Write a CSV file" -> Seq(
       filepath, p("separator", "string", "field delimiter, default ','"),
-      p("single_file", "boolean", "write one file (true, default) or a parquet-style directory of parts"))),
+      p("single_file", "boolean", "write one file (true, default) or a parquet-style directory of parts"),
+      p("append", "boolean", "append rows under the existing header"))),
     "read_json" -> ("Read JSON: array, NDJSON, or gzip of either" -> Seq(
       filepath)),
     "write_json" -> ("Write JSON (NDJSON or array format)" -> Seq(
@@ -41,11 +42,13 @@ object ComponentSchemas {
       filepath, p("record_tag", "string", "element name of one record, default 'record'"))),
     "write_xml" -> ("Write XML rows" -> Seq(
       filepath, p("root_tag", "string", "document root element, default 'root'"),
-      p("record_tag", "string", "per-record element, default 'record'"))),
+      p("record_tag", "string", "per-record element, default 'record'"),
+      p("append", "boolean", "insert records into the existing document"))),
     "read_excel" -> ("Read an xlsx sheet (header row + all-string cells)" -> Seq(
       filepath, p("sheet_name", "string", "sheet to read, default first"))),
     "write_excel" -> ("Write an xlsx sheet" -> Seq(
-      filepath, p("sheet_name", "string", "sheet name, default 'Sheet1'"))),
+      filepath, p("sheet_name", "string", "sheet name, default 'Sheet1'"),
+      p("append", "boolean", "append rows under the existing header"))),
     "read_mongodb" -> ("Read a document collection with find() pushdown" -> Seq(
       req("store", "string", "store name (connection seam)"),
       req("entity_name", "string", "collection name"),

@@ -279,7 +279,8 @@ object JobGraph {
         val rec = c.str("record_tag").getOrElse("record")
         (Map("out" -> df), Some(() =>
           graft.io.XmlIO.write(df, path, root, rec,
-            singleFile = c.bool("single_file", true))))
+            singleFile = c.bool("single_file", true),
+            append = c.bool("append", false))))
 
       case "read_excel" =>
         (Map("out" -> graft.io.ExcelIO.read(spark, c.reqStr("filepath"),
@@ -289,7 +290,8 @@ object JobGraph {
         val df = one()
         val path = c.reqStr("filepath")
         val sheet = c.str("sheet_name").getOrElse("Sheet1")
-        (Map("out" -> df), Some(() => graft.io.ExcelIO.write(df, path, sheet)))
+        (Map("out" -> df), Some(() =>
+          graft.io.ExcelIO.write(df, path, sheet, append = c.bool("append", false))))
 
       case "read_mongodb" =>
         val schema = c.outPortSchemas.getOrElse("out",
@@ -367,7 +369,8 @@ object JobGraph {
         val path = c.reqStr("filepath")
         val sep = c.str("separator").getOrElse(",")
         (Map("out" -> df), Some(() =>
-          CsvIO.write(df, path, sep, singleFile = c.bool("single_file", true))))
+          CsvIO.write(df, path, sep, singleFile = c.bool("single_file", true),
+            append = c.bool("append", false))))
 
       case "write_json" =>
         val df = one()

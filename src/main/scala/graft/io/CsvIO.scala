@@ -38,17 +38,35 @@ object CsvIO {
     schema.fold(r)(s => r.schema(s)).csv(path)
   }
 
-  /** Write a header CSV directory; flattens nested columns first. */
+  /** Write a header CSV directory; flattens nested columns first.
+    *
+    * `append=true` mirrors the reference's row-append (header written only
+    * once, csv_helper.py:42-52): the existing file is read back, unioned
+    * with the new rows (both all-string — CSV's own type system), written
+    * to a staging path, and swapped in atomically. The read happens before
+    * the target is touched, so Spark's lazy evaluation can't truncate the
+    * input it is still reading. */
   def write(df: DataFrame, path: String, sep: String = ",",
             singleFile: Boolean = false,
-            arrayBound: Option[Int] = None): Unit = {
+            arrayBound: Option[Int] = None,
+            append: Boolean = false): Unit = {
     checkSep(sep)
     val flat = Flatten.flatten(df, arrayBound)
-    val out = if (singleFile) flat.coalesce(1) else flat
-    out.write
-      .mode("overwrite")
-      .option("header", "true")
-      .option("sep", sep)
-      .csv(path)
+    val asStr = flat.select(flat.columns.toSeq.map(c =>
+      org.apache.spark.sql.functions.col(s"`$c`").cast("string").as(c)): _*)
+    val target =
+      if (append && IOSwap.exists(path)) {
+        val existing = read(df.sparkSession, path, sep)
+        require(existing.columns.sorted.sameElements(asStr.columns.sorted),
+          s"csv append: column mismatch (${existing.columns.mkString(",")} vs ${asStr.columns.mkString(",")})")
+        existing.unionByName(asStr)
+      } else asStr
+    val out = if (singleFile) target.coalesce(1) else target
+    IOSwap.writeSwapped(path, append && IOSwap.exists(path)) { staging =>
+      out.write.mode("overwrite")
+        .option("header", "true")
+        .option("sep", sep)
+        .csv(staging)
+    }
   }
 }

@@ -158,9 +158,23 @@ object ExcelIO {
       case '"' => "&quot;"; case c => c.toString
     }
 
-  /** Write a DataFrame to one xlsx file (driver-side; format-bounded). */
-  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit = {
-    val flat = Flatten.flatten(df) // xlsx is a flat format
+  /** Write a DataFrame to one xlsx file (driver-side; format-bounded).
+    * `append=true` keeps the existing sheet's rows under the original
+    * header (excel_helper.py:192-217 row-append parity): read-union-
+    * rewrite — Excel is a whole-file format, there is no partial write. */
+  def write(df: DataFrame, path: String, sheetName: String = "Sheet1",
+            append: Boolean = false): Unit = {
+    val incoming = Flatten.flatten(df)
+    val flat =
+      if (append && java.nio.file.Files.exists(Paths.get(path))) {
+        val existing = read(df.sparkSession, path) // all-string
+        require(existing.columns.sorted.sameElements(incoming.columns.sorted),
+          s"xlsx append: column mismatch (${existing.columns.mkString(",")} vs ${incoming.columns.mkString(",")})")
+        existing.unionByName(incoming.select(incoming.columns.toSeq.map(c =>
+          org.apache.spark.sql.functions.col(s"`$c`").cast("string").as(c)): _*))
+      } else incoming
+    // collect() below materializes before the stream re-creates the file,
+    // so append's read-back cannot race its own overwrite
     val rows = flat.limit(MaxRows + 1).collect()
     require(rows.length <= MaxRows,
       s"xlsx: ${rows.length} rows exceed Excel's $MaxRows-row sheet limit")

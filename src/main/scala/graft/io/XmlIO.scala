@@ -39,17 +39,34 @@ object XmlIO {
     regroupAttrs(raw)
   }
 
-  /** Write records as `<rootTag><rowTag>...</rowTag></rootTag>`. */
+  /** Write records as `<rootTag><rowTag>...</rowTag></rootTag>`.
+    *
+    * `append=true` is the reference's row append (insert before the
+    * closing root tag, xml_helper.py:300-377), realized as read-union-
+    * rewrite through a staging swap: same resulting document, and the
+    * union runs distributed instead of locking one file on one machine. */
   def write(df: DataFrame, path: String, rootTag: String, rowTag: String,
-            singleFile: Boolean = false): Unit = {
+            singleFile: Boolean = false, append: Boolean = false): Unit = {
     val flat = ungroupAttrs(df)
-    val out = if (singleFile) flat.coalesce(1) else flat
-    out.write.mode("overwrite")
-      .option("rootTag", rootTag)
-      .option("rowTag", rowTag)
-      .option("attributePrefix", AttrPrefix)
-      .option("valueTag", TextField)
-      .xml(path)
+    val target =
+      if (append && IOSwap.exists(path)) {
+        val existing = ungroupAttrs(read(df.sparkSession, path, rowTag))
+        require(existing.columns.sorted.sameElements(flat.columns.sorted),
+          s"xml append: column mismatch (${existing.columns.mkString(",")} vs ${flat.columns.mkString(",")})")
+        // read-back leaves are strings; stringify the new rows to match
+        existing.unionByName(flat.select(flat.columns.toSeq.map(c =>
+          org.apache.spark.sql.functions.col(s"`$c`").cast(
+            existing.schema(c).dataType).as(c)): _*))
+      } else flat
+    val out = if (singleFile) target.coalesce(1) else target
+    IOSwap.writeSwapped(path, append && IOSwap.exists(path)) { staging =>
+      out.write.mode("overwrite")
+        .option("rootTag", rootTag)
+        .option("rowTag", rowTag)
+        .option("attributePrefix", AttrPrefix)
+        .option("valueTag", TextField)
+        .xml(staging)
+    }
   }
 
   /** Sibling `_gattr_x` fields → one nested "@attrs" struct, recursively. */

@@ -32,6 +32,24 @@ class CsvJsonIOSpec extends SparkTestBase {
     assert(row.getAs[String]("nm") === "name;2")
   }
 
+  test("CSV append keeps existing rows under one header; mismatch is loud") {
+    import spark.implicits._
+    val out = tmp("csv_append")
+    CsvIO.write(Seq(("1", "a")).toDF("id", "v"), out, singleFile = true)
+    CsvIO.write(Seq(("2", "b")).toDF("id", "v"), out, singleFile = true, append = true)
+    val back = CsvIO.read(spark, out).orderBy(col("id")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq === Seq(("1", "a"), ("2", "b")))
+    intercept[IllegalArgumentException] {
+      CsvIO.write(Seq("x").toDF("other"), out, singleFile = true, append = true)
+    }
+    // append to a missing target = plain write (unique dir per run:
+    // append targets survive reruns by design)
+    val fresh = tmp(s"csv_append_fresh_${System.nanoTime()}")
+    CsvIO.write(Seq(("9", "z")).toDF("id", "v"), fresh, singleFile = true, append = true)
+    assert(CsvIO.read(spark, fresh).count() === 1)
+  }
+
   test("CSV write flattens nested structs at the boundary") {
     val df = spark.range(1).select(struct(lit("x").as("a")).as("o"))
     val out = tmp("csv_nested")

@@ -44,6 +44,17 @@ class XmlExcelMongoSpec extends SparkTestBase {
     assert(rows.toSeq === Seq(("id0", "v0"), ("id1", "v1")))
   }
 
+  test("XML append inserts records into the existing document") {
+    import spark.implicits._
+    val out = tmp("xml_append")
+    XmlIO.write(Seq(("1", "a")).toDF("id", "v"), out, "root", "item", singleFile = true)
+    XmlIO.write(Seq(("2", "b")).toDF("id", "v"), out, "root", "item",
+      singleFile = true, append = true)
+    val back = XmlIO.read(spark, out + "/*.xml", rowTag = "item")
+      .orderBy(col("id")).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq === Seq(("1", "a"), ("2", "b")))
+  }
+
   // ----------------------------------------------------------------- Excel
 
   test("xlsx write/read roundtrip: header row, all-string cells") {
@@ -57,6 +68,16 @@ class XmlExcelMongoSpec extends SparkTestBase {
     val r = back.filter(col("id") === "2").head()
     assert(r.getString(1) === "n<&>2") // XML escaping round-trips
     assert(r.getString(2) === "3.0")
+  }
+
+  test("xlsx append keeps rows under the original header") {
+    import spark.implicits._
+    val path = tmp("book_append.xlsx")
+    ExcelIO.write(Seq(("1", "a")).toDF("id", "v"), path, sheetName = "data")
+    ExcelIO.write(Seq(("2", "b")).toDF("id", "v"), path, sheetName = "data", append = true)
+    val back = ExcelIO.read(spark, path, sheet = Some("data"))
+      .orderBy(col("id")).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq === Seq(("1", "a"), ("2", "b")))
   }
 
   test("xlsx sheet selection errors on unknown sheet") {

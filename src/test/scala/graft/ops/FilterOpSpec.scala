@@ -65,6 +65,25 @@ class FilterOpSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { compile(Node("XOR", Seq(Leaf("id", "==", 1)))) }
   }
 
+  test("compiled leaves reach the parquet scan as pushed filters (incl. !=)") {
+    val dir = java.nio.file.Paths.get("target", "test-tmp", "filterop", "push").toString
+    df.write.mode("overwrite").parquet(dir)
+    def pushed(rule: Rule): String = {
+      val plan = spark.read.parquet(dir).filter(compile(rule))
+        .queryExecution.executedPlan.toString
+      val at = plan.indexOf("PushedFilters: [")
+      assert(at >= 0, s"no PushedFilters in plan:\n$plan")
+      plan.substring(at, math.min(plan.length, at + 200))
+    }
+    // the conjunct form pushes fully
+    val gt = pushed(Leaf("qty", ">", 5))
+    assert(gt.contains("IsNotNull(qty)") && gt.contains("GreaterThan(qty,5"))
+    // the != dual — IsNull OR Not(EqualTo) — pushes too (doc claim pinned)
+    val ne = pushed(Leaf("qty", "!=", 30.0))
+    assert(ne.contains("Or(IsNull(qty),Not(EqualTo(qty,30.0)))"),
+      s"!= did not push: $ne")
+  }
+
   test("predicate is two-valued: never null on null data") {
     val rules = Seq(
       Leaf("qty", ">", 5), Leaf("qty", "!=", 3), Leaf("name", "contains", "x"),
