@@ -551,15 +551,11 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
-  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val emb = table(s, dir, "embeddings")
-    val losers = Similarity.embeddingNearDups(emb, "embedding", "vec_id",
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingDedup(table(s, dir, "embeddings"), "embedding", "vec_id",
       simThreshold = 0.95, dim = 64, bands = 16, r = 10)
-      .select(col("id_b").as("vec_id")).distinct()
-    emb.join(losers, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
-  }
 
   // ---------------------------------------------------------- text analysis
 

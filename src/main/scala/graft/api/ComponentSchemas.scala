@@ -75,15 +75,21 @@ object ComponentSchemas {
       p("join_plan", "object", "join mode: {steps: [{left_port, right_port, left_on, right_on, how, output_port}]}"))),
     "split" -> ("Fan one input out to N identical ports (ports come from routes)" -> Seq()),
     "merge" -> ("Union all inbound branches by column name" -> Seq()),
-    "dedup" -> ("Deduplicate documents: exact, minhash, or simhash" -> Seq(
-      p("method", "string", "exact (default) | minhash | simhash"),
+    "dedup" -> ("Deduplicate documents: exact, minhash, simhash, ngram, or embedding" -> Seq(
+      p("method", "string", "exact (default) | minhash | simhash | ngram | embedding"),
       p("text_column", "string", "document text column, default 'text'"),
       p("id_column", "string", "unique id column, default 'id'"),
       p("shingle_n", "integer", "minhash verification shingle width, default 5"),
       p("num_hashes", "integer", "minhash signature width, default 32"),
-      p("bands", "integer", "minhash LSH bands, default 16"),
-      p("threshold", "number", "minhash jaccard threshold, default 0.6"),
-      p("max_hamming", "integer", "simhash distance cap, default 3"))),
+      p("bands", "integer", "LSH bands (minhash/embedding), default 16"),
+      p("threshold", "number", "jaccard threshold: minhash 0.6, ngram 0.5"),
+      p("max_hamming", "integer", "simhash distance cap, default 3"),
+      p("ngram_n", "integer", "ngram width, default 3"),
+      p("max_df", "integer", "ngram stop-phrase document-frequency cap, default 10000"),
+      p("vector_column", "string", "embedding column, default 'embedding'"),
+      p("sim_threshold", "number", "embedding cosine threshold, default 0.95"),
+      p("dim", "integer", "embedding dimension, default 64"),
+      p("rows_per_band", "integer", "embedding sign bits per band, default 8"))),
     "text_analysis" -> ("Token counts, quality ratios, language id" -> Seq(
       p("text_column", "string", "document text column, default 'text'")))
   ) ++ Seq("mariadb", "postgresql", "sqlserver", "jdbc").flatMap { db =>

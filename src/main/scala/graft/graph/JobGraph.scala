@@ -434,6 +434,15 @@ object JobGraph {
             threshold = c.str("threshold").map(_.toDouble).getOrElse(0.6))
           case "simhash" => Dedup.simhashDedup(one(), textCol, idCol,
             maxHamming = c.int("max_hamming", 3))
+          case "ngram" => Dedup.ngramDedup(one(), textCol, idCol,
+            n = c.int("ngram_n", 3),
+            threshold = c.str("threshold").map(_.toDouble).getOrElse(0.5),
+            maxDf = c.int("max_df", 10000))
+          case "embedding" => graft.scale.Similarity.embeddingDedup(one(),
+            c.str("vector_column").getOrElse("embedding"), idCol,
+            simThreshold = c.str("sim_threshold").map(_.toDouble).getOrElse(0.95),
+            dim = c.int("dim", 64), bands = c.int("bands", 16),
+            r = c.int("rows_per_band", 8))
           case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
         }
         (Map("out" -> out), None)

@@ -237,6 +237,16 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Survivors after n-gram-Jaccard near-dup removal: drop the higher id
+    * of each pair (same survivor rule as minhashDedup). */
+  def ngramDedup(df: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3, threshold: Double = 0.5,
+                 maxDf: Int = 10000): DataFrame = {
+    val losers = ngramJaccardPairs(df, textCol, idCol, n, threshold, maxDf)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   private val POW15: Column = array((0 until 15).map(j => lit(1L << j)): _*)
   private val POW60: Column = array((0 until 60).map(b => lit(1L << b)): _*)
 

@@ -213,6 +213,16 @@ object Similarity {
       .filter(col("cos") >= simThreshold)
   }
 
+  /** Survivors after embedding near-dup removal: drop the higher id of
+    * each pair (the dedup-component face of embeddingNearDups). */
+  def embeddingDedup(df: DataFrame, vecCol: String, idCol: String,
+                     simThreshold: Double, dim: Int,
+                     bands: Int = 16, r: Int = 8): DataFrame = {
+    val losers = embeddingNearDups(df, vecCol, idCol, simThreshold, dim, bands, r)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /**
    * IVF cell assignment with centroids as a DataFrame (cell, cvec):
    * broadcast cross-join + argmax by (similarity, cell) — fully

@@ -151,6 +151,66 @@ class JobComponentsSpec extends SparkTestBase {
     assert(got.select("lang_pred").head().getString(0) === "en")
   }
 
+  test("dedup component: ngram and embedding methods from config") {
+    import spark.implicits._
+    val in = tmp("ng_in")
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon eta"), // high trigram overlap
+        (3L, "completely different words here now"))
+      .toDF("id", "text").write.mode("overwrite").parquet(in)
+    val out = tmp("ng_out")
+    val schema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "dd", "comp_type": "dedup", "method": "ngram",
+         |    "text_column": "text", "id_column": "id", "threshold": "0.4",
+         |    "in_port_schemas": { "in": $schema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $schema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks(); built.close()
+    assert(spark.read.parquet(out).orderBy(col("id"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L)) // 2 deduped into 1
+
+    // embedding method: two near-identical vectors, one orthogonal
+    val ein = tmp("emb_in")
+    val v1 = Array.tabulate(8)(i => 1.0f + i * 0.01f)
+    val v2 = v1.clone(); v2(7) += 0.001f
+    val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq))
+      .toDF("id", "embedding").write.mode("overwrite").parquet(ein)
+    val eout = tmp("emb_out")
+    val eschema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val ejson =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$ein",
+         |    "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $eschema } },
+         |  { "name": "dd", "comp_type": "dedup", "method": "embedding",
+         |    "id_column": "id", "dim": 8,
+         |    "in_port_schemas": { "in": $eschema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $eschema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$eout",
+         |    "in_port_schemas": { "in": $eschema } } ] }""".stripMargin
+    val ebuilt = JobGraph.build(spark, JobConfig.parse(ejson))
+    ebuilt.runSinks(); ebuilt.close()
+    assert(spark.read.parquet(eout).orderBy(col("id"))
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
   test("jdbc source resolves env-scoped credentials from a context (no url in config)") {
     import graft.runtime.{Contexts, Credentials}
     // seed the engine-side store + context: TEST env → Derby in-memory db.
