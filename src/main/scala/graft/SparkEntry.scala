@@ -521,6 +521,53 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("segment"))
   }
 
+  /** Declarative `sql` component end-to-end: two parquet sources joined
+    * and aggregated by user-supplied Spark SQL over port views. */
+  private def qSqlJoin(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_sqljoin"
+    def fields(fs: (String, String)*): String =
+      fs.map { case (n, t) => s"""{ "name": "$n", "data_type": "$t" }""" }
+        .mkString("""{ "fields": [ """, ", ", " ] }")
+    val custSchema = fields("c_custkey" -> "integer", "c_name" -> "string",
+      "c_nationkey" -> "integer", "c_acctbal" -> "float", "c_mktsegment" -> "string")
+    val natSchema = fields("n_nationkey" -> "integer", "n_name" -> "string",
+      "n_regionkey" -> "integer")
+    val outSchema = fields("n_name" -> "string", "n_custs" -> "integer",
+      "total_bal" -> "float")
+    // 100.0D: Spark SQL parses a bare 100.0 as DECIMAL (the DataFrame API
+    // would make it a double), and bigint/decimal division yields decimal,
+    // which hash-mismatches the oracle's double
+    val query = "SELECT n_name, count(*) AS n_custs, " +
+      "sum(cast(round(c_acctbal * 100) AS bigint)) / 100.0D AS total_bal " +
+      "FROM q_c JOIN q_n ON c_nationkey = n_nationkey " +
+      "GROUP BY n_name"
+    val jobJson =
+      s"""{
+         |  "name": "sql_join_job",
+         |  "components": [
+         |    { "name": "cust", "comp_type": "read_parquet",
+         |      "filepath": "$dir/customer.parquet",
+         |      "routes": { "out": [ { "to": "q", "in_port": "c" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "nat", "comp_type": "read_parquet",
+         |      "filepath": "$dir/nation.parquet",
+         |      "routes": { "out": [ { "to": "q", "in_port": "n" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "q", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(query)},
+         |      "in_port_schemas": { "c": $custSchema, "n": $natSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("n_name"))
+  }
+
   // ------------------------------------------------------------------ dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -641,6 +688,7 @@ object SparkEntry {
     "q_flatten_roundtrip" -> (qFlattenRoundtrip _),
     "q_job_csv_filter" -> (qJobCsvFilter _),
     "q_job_join_agg" -> (qJobJoinAgg _),
+    "q_sql_join" -> (qSqlJoin _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
     "q_excel_roundtrip" -> (qExcelRoundtrip _),
     "q_jdbc_roundtrip" -> (qJdbcRoundtrip _),
@@ -849,6 +897,11 @@ object SparkEntry {
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q_sql_join" ->
+      """SELECT n_name, count(*)::BIGINT AS n_custs,
+        |  sum(round(c_acctbal * 100)::BIGINT) / 100.0 AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_xml_roundtrip" ->
       """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
         |  n_regionkey::VARCHAR AS n_regionkey

@@ -74,6 +74,8 @@ object ComponentSchemas {
       p("rules_by_dest", "object", "map mode: {dst_port: {dst_path: {src_port, src_path}}}"),
       p("join_plan", "object", "join mode: {steps: [{left_port, right_port, left_on, right_on, how, output_port}]}"))),
     "split" -> ("Fan one input out to N identical ports (ports come from routes)" -> Seq()),
+    "sql" -> ("Run Spark SQL over the inbound ports (views named <component>_<port>)" -> Seq(
+      req("query", "string", "SQL text; reference inputs as <component>_<port>"))),
     "merge" -> ("Union all inbound branches by column name" -> Seq()),
     "dedup" -> ("Deduplicate documents: exact, minhash, simhash, ngram, or embedding" -> Seq(
       p("method", "string", "exact (default) | minhash | simhash | ngram | embedding"),

@@ -59,7 +59,7 @@ object JobGraph {
   private def inPorts(c: ComponentSpec): Seq[PortSpec] = c.compType match {
     case t if t.startsWith("read_") => Nil // sources: ALLOW_NO_INPUTS
     case "merge" => Seq(PortSpec("in", required = true, multi = true))
-    case "schema_mapping" =>
+    case "schema_mapping" | "sql" =>
       val declared = (c.inPortSchemas.keySet ++ c.extraInputPorts).toSeq
       val exposed = if (declared.nonEmpty) declared else Seq("in")
       exposed.sorted.map(PortSpec(_, required = true, multi = false))
@@ -419,6 +419,19 @@ object JobGraph {
       case "split" =>
         val df = one()
         (c.extraOutputPorts.map(_ -> df).toMap, None)
+
+      // Spark-native escape hatch the DataFrame components compose with:
+      // every inbound port is registered as a temp view named
+      // <component>_<port> and the declared SQL runs against them —
+      // Catalyst treats it exactly like the built-in operators (pushdown,
+      // pruning, AQE all apply). View names are component-scoped so two
+      // sql components in one job cannot collide.
+      case "sql" =>
+        val query = c.reqStr("query")
+        in.foreach { case (port, dfs) =>
+          dfs.head.createOrReplaceTempView(s"${c.name}_$port")
+        }
+        (Map("out" -> spark.sql(query)), None)
 
       // beyond-reference components: training-data pipeline operators as
       // first-class declarative citizens
