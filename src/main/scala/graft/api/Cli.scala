@@ -32,7 +32,7 @@ object Cli {
   private val usage: String =
     """usage: graft <group> <command> [args]
       |  jobs create PATH | get ID | update ID PATH | delete ID | list
-      |  execution start JOB_ID | get EXEC_ID | attempts EXEC_ID
+      |  execution start JOB_ID [--environment ENV] | get EXEC_ID | attempts EXEC_ID
       |            | list [--job-id X] [--status S]
       |            [--order asc|desc] [--limit N] [--offset N]
       |  schedules create --job JOB_ID --trigger interval|date|cron --arg VALUE
@@ -75,8 +75,9 @@ object Cli {
       case "jobs" :: "list" :: Nil =>
         out(registry.listJobs().map(jobJson).mkString("[", ",", "]")); 0
 
-      case "execution" :: "start" :: jobId :: Nil =>
-        out(ControlPlane.execJson(registry.execute(jobId))); 0
+      case "execution" :: "start" :: jobId :: rest =>
+        out(ControlPlane.execJson(
+          registry.execute(jobId, flags(rest).get("environment")))); 0
       case "execution" :: "get" :: execId :: Nil =>
         registry.getExecution(execId) match {
           case Some(e) => out(s"""{"execution":${ControlPlane.execJson(e)},""" +

@@ -39,7 +39,8 @@ object ControlPlane {
   final case class ExecutionRecord(
       id: String, jobId: String, startedAtMs: Long, wallMs: Long,
       status: String, attempts: Int, error: Option[String],
-      attemptRecords: Seq[JobRunner.Attempt] = Nil)
+      attemptRecords: Seq[JobRunner.Attempt] = Nil,
+      environment: Option[String] = None)
 
   /** `spark` is by-name/lazy: only `execute` forces it, so metadata-only
     * callers (CLI list/get/create paths) never pay SparkSession startup. */
@@ -94,6 +95,7 @@ object ControlPlane {
       s"""{"id":${quote(e.id)},"job_id":${quote(e.jobId)},"started_at_ms":${e.startedAtMs},""" +
         s""""wall_ms":${e.wallMs},"status":${quote(e.status)},"attempts":${e.attempts}""" +
         e.error.map(er => s""","error":${quote(er)}""").getOrElse("") +
+        e.environment.map(v => s""","environment":${quote(v)}""").getOrElse("") +
         s""","attempt_list":$atts}"""
     }
 
@@ -114,7 +116,8 @@ object ControlPlane {
         (j \ "id").extract[String], (j \ "job_id").extract[String],
         (j \ "started_at_ms").extract[Long], (j \ "wall_ms").extract[Long],
         (j \ "status").extract[String], (j \ "attempts").extract[Int],
-        (j \ "error").extractOpt[String], atts)
+        (j \ "error").extractOpt[String], atts,
+        (j \ "environment").extractOpt[String])
     }
 
     private def nextId(prefix: String): String = s"$prefix-${seq.incrementAndGet()}"
@@ -158,17 +161,23 @@ object ControlPlane {
 
     // ------------------------------------------------------- executions
 
-    /** Execute a persisted job through the retry runtime. */
-    def execute(jobId: String): ExecutionRecord = {
+    /** Execute a persisted job through the retry runtime. `environment`
+      * overrides credential-context resolution for this run (reference:
+      * POST /execution body.environment, routers/execution.py:56-63). */
+    def execute(jobId: String, environment: Option[String] = None): ExecutionRecord = {
       val job = getJob(jobId).getOrElse(
         throw new NoSuchElementException(s"job $jobId not found"))
+      // validate the name BEFORE running (bad env = 400, not a failed exec)
+      environment.foreach(graft.runtime.Credentials.Environment.fromName)
       val started = System.currentTimeMillis()
-      val res = JobRunner.run(session, JobConfig.parse(job.configJson))
+      val res = graft.runtime.Contexts.withExecutionEnv(environment) {
+        JobRunner.run(session, JobConfig.parse(job.configJson))
+      }
       val rec = ExecutionRecord(nextId("exec"), jobId, started, res.wallMs,
         if (res.succeeded) "SUCCESS" else "FAILED", res.attempts,
         res.lastError.map(e => (e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage)).take(300)),
-        res.attemptRecords)
+        res.attemptRecords, environment.map(_.toUpperCase))
       execs.put(rec.id, rec)
       persistExec(rec)
       rec
@@ -204,6 +213,7 @@ object ControlPlane {
   private[api] def execJson(e: ExecutionRecord): String =
     s"""{"id":${quote(e.id)},"job_id":${quote(e.jobId)},"status":${quote(e.status)},""" +
       s""""attempts":${e.attempts},"wall_ms":${e.wallMs}""" +
+      e.environment.map(v => s""","environment":${quote(v)}""").getOrElse("") +
       e.error.map(er => s""","error":${quote(er)}""").getOrElse("") + "}"
 
   /** Start the REST server on `port` (0 = ephemeral); returns the server —
@@ -255,7 +265,7 @@ object ControlPlane {
       val path = ex.getRequestURI.getPath.stripPrefix("/execution").stripPrefix("/")
       (ex.getRequestMethod, path) match {
         case ("POST", jobId) if jobId.nonEmpty =>
-          (201, execJson(registry.execute(jobId)))
+          (201, execJson(registry.execute(jobId, qparams(ex).get("environment"))))
         case ("GET", p) if p.endsWith("/attempts") =>
           val execId = p.stripSuffix("/attempts")
           registry.getExecution(execId).map(e => (200, attemptsJson(e)))

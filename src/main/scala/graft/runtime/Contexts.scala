@@ -96,13 +96,31 @@ object Contexts {
     contexts.keySet().asScala.toSeq.sorted
   }
 
-  /** Resolve active credentials for `contextName`: explicit override >
-    * EXECUTION_ENV > context default (database.py:57-95 parity). */
+  /** Execution-scoped environment override, the engine-side analogue of
+    * the reference's `execute_job(job, environment=env)` parameter
+    * (routers/execution.py:56-63): set for the duration of one job run and
+    * consulted between a component's explicit `environment` param and the
+    * EXECUTION_ENV process variable. Process-global — concurrent runs with
+    * DIFFERENT explicit environments would race, which matches the
+    * reference's per-process execution handler; the scheduler pool is
+    * single-threaded. */
+  private val executionEnv =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  def withExecutionEnv[A](env: Option[String])(f: => A): A = {
+    val prev = executionEnv.getAndSet(env)
+    try f finally executionEnv.set(prev)
+  }
+
+  /** Resolve active credentials for `contextName`: component override >
+    * execution override > EXECUTION_ENV > context default
+    * (database.py:57-95 + routers/execution.py:56-63 parity). */
   def resolve(contextName: String,
               overrideEnv: Option[String] = None): Creds = {
     val ctx = get(contextName).getOrElse(throw new IllegalArgumentException(
       s"unknown credentials context: $contextName"))
-    ctx.resolve(store, overrideEnv.map(Environment.fromName))._1
+    val eff = overrideEnv.orElse(executionEnv.get())
+    ctx.resolve(store, eff.map(Environment.fromName))._1
   }
 
   // ------------------------------------------------------------ persistence

@@ -56,6 +56,9 @@ class CliSpec extends SparkTestBase {
       assert(run("execution", "start", jobId) === 0)
       assert(output.contains("\"status\":\"SUCCESS\""))
       val execId = """"id":"([^"]+)"""".r.findFirstMatchIn(output).get.group(1)
+      assert(run("execution", "start", jobId, "--environment", "TEST") === 0)
+      assert(output.contains("\"environment\":\"TEST\"")) // recorded on the execution
+      assert(run("execution", "start", jobId, "--environment", "WARP") === 2) // bad env name
       assert(run("execution", "get", execId) === 0 && output.contains(jobId))
       assert(output.contains("\"attempts\":[{\"index\":1")) // reference get shape
       assert(run("execution", "attempts", execId) === 0)

@@ -59,6 +59,22 @@ class ContextsSpec extends AnyFunSuite {
     Contexts.reset()
   }
 
+  test("execution env override sits between component override and context default") {
+    Contexts.reset()
+    Contexts.store.put("a", Credentials.Creds("devuser", "p"))
+    Contexts.store.put("b", Credentials.Creds("testuser", "p"))
+    Contexts.register(Credentials.MappingContext(
+      "m", Map("DEV" -> "a", "TEST" -> "b"), Credentials.Dev))
+    assert(Contexts.resolve("m").user === "devuser")
+    Contexts.withExecutionEnv(Some("TEST")) {
+      assert(Contexts.resolve("m").user === "testuser")
+      // component-level override still wins over the execution override
+      assert(Contexts.resolve("m", Some("DEV")).user === "devuser")
+    }
+    assert(Contexts.resolve("m").user === "devuser") // restored
+    Contexts.reset()
+  }
+
   test("delete tombstones persist") {
     val dir = freshDir()
     Contexts.reset()
