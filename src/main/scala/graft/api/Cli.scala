@@ -42,10 +42,23 @@ object Cli {
       |  schemas list | get COMP_TYPE
       |  serve [--port N]""".stripMargin
 
-  private def flags(args: Seq[String]): Map[String, String] =
-    args.sliding(2, 2).collect { case Seq(k, v) if k.startsWith("--") =>
-      k.stripPrefix("--") -> v
-    }.toMap
+  /** Strict --flag VALUE parser: a flag without a value or a stray
+    * positional token is a usage error (IllegalArgumentException → exit
+    * 2), never a silently-dropped option. */
+  private def flags(args: Seq[String]): Map[String, String] = {
+    @annotation.tailrec
+    def go(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case k :: v :: tail if k.startsWith("--") && !v.startsWith("--") =>
+          go(tail, acc + (k.stripPrefix("--") -> v))
+        case k :: _ if k.startsWith("--") =>
+          throw new IllegalArgumentException(s"flag $k needs a value")
+        case other :: _ =>
+          throw new IllegalArgumentException(s"unexpected argument: $other")
+      }
+    go(args.toList, Map.empty)
+  }
 
   private def jobJson(j: ControlPlane.JobRecord): String =
     s"""{"id":${quote(j.id)},"name":${quote(j.name)}}"""

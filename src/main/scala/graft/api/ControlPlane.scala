@@ -58,7 +58,8 @@ object ControlPlane {
       jobsDir.foreach { d =>
         Files.createDirectories(d)
         import scala.jdk.CollectionConverters._
-        Files.list(d).iterator().asScala
+        val ls = Files.list(d) // closed below: the stream holds a dir fd
+        try ls.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".json")).foreach { p =>
             val id = p.getFileName.toString.stripSuffix(".json")
             val cfg = Files.readString(p)
@@ -66,6 +67,7 @@ object ControlPlane {
             // parses is surfaced loudly rather than silently skipped
             jobs.put(id, JobRecord(id, JobConfig.parse(cfg).name, cfg))
           }
+        finally ls.close()
       }
       execLog.filter(Files.exists(_)).foreach { p =>
         Files.readAllLines(p).forEach { line =>

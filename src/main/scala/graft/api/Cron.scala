@@ -32,11 +32,14 @@ final case class Cron(minutes: Set[Int], hours: Set[Int], doms: Set[Int],
   }
 
   /** Next fire time strictly after `after`, truncated to the minute.
-    * Minute-stepping is bounded at 4 years — every satisfiable cron
-    * expression (including Feb-29 schedules) fires within that window. */
+    * The search is bounded at 9 years: the longest gap between Feb 29
+    * occurrences is 8 years (e.g. 2096 → 2104 across the non-leap 2100),
+    * so every satisfiable expression fires within the window. The
+    * field-granular stepping below skips whole months/days, so the bound
+    * costs nothing on the normal path. */
   def next(after: ZonedDateTime): ZonedDateTime = {
     var t = after.truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
-    val limit = after.plusYears(4)
+    val limit = after.plusYears(9)
     while (t.isBefore(limit)) {
       if (!months.contains(t.getMonthValue))
         t = t.plusMonths(1).withDayOfMonth(1).truncatedTo(ChronoUnit.DAYS)
@@ -49,7 +52,7 @@ final case class Cron(minutes: Set[Int], hours: Set[Int], doms: Set[Int],
       else
         return t
     }
-    throw new IllegalArgumentException(s"cron never fires within 4 years of $after")
+    throw new IllegalArgumentException(s"cron never fires within 9 years of $after")
   }
 
   def nextAfterMillis(nowMs: Long, zone: ZoneId = ZoneId.systemDefault()): Long = {
@@ -59,8 +62,14 @@ final case class Cron(minutes: Set[Int], hours: Set[Int], doms: Set[Int],
 }
 
 object Cron {
+  /** `rawHi` admits values above `hi` that `alias` folds back into range
+    * (day-of-week accepts 7 = Sunday, so "0-7" covers every day and
+    * "5-7" is Fri,Sat,Sun — the alias applies AFTER range expansion;
+    * aliasing the endpoints first would turn "0-7" into Sunday-only). */
   private def parseField(s: String, lo: Int, hi: Int,
-                         alias: Int => Int = identity): (Set[Int], Boolean) = {
+                         alias: Int => Int = identity,
+                         rawHi: Int = -1): (Set[Int], Boolean) = {
+    val maxRaw = if (rawHi > hi) rawHi else hi
     if (s == "*") ((lo to hi).toSet, true)
     else {
       val vals = s.split(',').toSeq.flatMap { part =>
@@ -73,19 +82,14 @@ object Cron {
         val (a, b) = rangePart match {
           case "*" => (lo, hi)
           case r if r.contains('-') =>
-            val Array(x, y) = r.split('-'); (alias(x.toInt), alias(y.toInt))
+            val Array(x, y) = r.split('-'); (x.toInt, y.toInt)
           case v =>
-            val x = alias(v.toInt)
+            val x = v.toInt
             if (step == 1) (x, x) else (x, hi) // "a/n" = from a by n
         }
-        if (b < a && lo == 0 && hi == 6) // dow wrap, e.g. "5-7" → Fri,Sat,Sun
-          ((a to hi) ++ (lo to b)).zipWithIndex
-            .collect { case (v, i) if i % step == 0 => v }
-        else {
-          require(a >= lo && b <= hi && a <= b,
-            s"cron value out of range [$lo,$hi]: $part")
-          (a to b by step)
-        }
+        require(a >= lo && b <= maxRaw && a <= b,
+          s"cron value out of range [$lo,$maxRaw]: $part")
+        (a to b by step).map(alias)
       }.toSet
       (vals, false)
     }
@@ -100,7 +104,8 @@ object Cron {
     val (hrs, _)       = parseField(fields(1), 0, 23)
     val (doms, domAny) = parseField(fields(2), 1, 31)
     val (mons, _)      = parseField(fields(3), 1, 12)
-    val (dows, dowAny) = parseField(fields(4), 0, 6, v => if (v == 7) 0 else v)
+    val (dows, dowAny) = parseField(fields(4), 0, 6,
+      v => if (v == 7) 0 else v, rawHi = 7)
     Cron(mins, hrs, doms, mons, dows, domAny, dowAny)
   }
 }

@@ -239,6 +239,10 @@ object JobGraph {
           graft.io.JdbcIO.credentialOptions(dialect, creds))
     }
 
+  /** Serializes the sql component's view-register → analyze → drop
+    * critical section (temp views are session-global). */
+  private val sqlViewLock = new Object
+
   /** Dispatch one component. Returns (out frames, optional sink action). */
   private def runComponent(spark: SparkSession, c: ComponentSpec,
                            in: Map[String, Seq[DataFrame]])
@@ -424,14 +428,23 @@ object JobGraph {
       // every inbound port is registered as a temp view named
       // <component>_<port> and the declared SQL runs against them —
       // Catalyst treats it exactly like the built-in operators (pushdown,
-      // pruning, AQE all apply). View names are component-scoped so two
-      // sql components in one job cannot collide.
+      // pruning, AQE all apply). Temp views are SESSION-scoped, so the
+      // register→analyze window is serialized under a lock and the views
+      // are dropped immediately after analysis (spark.sql resolves them
+      // eagerly; the returned DataFrame no longer needs them) — two
+      // concurrent jobs with a same-named component can't read each
+      // other's data, and a long-lived process doesn't accumulate views.
       case "sql" =>
         val query = c.reqStr("query")
-        in.foreach { case (port, dfs) =>
-          dfs.head.createOrReplaceTempView(s"${c.name}_$port")
+        val names = in.keys.map(p => s"${c.name}_$p").toSeq
+        val resolved = sqlViewLock.synchronized {
+          in.foreach { case (port, dfs) =>
+            dfs.head.createOrReplaceTempView(s"${c.name}_$port")
+          }
+          try spark.sql(query)
+          finally names.foreach(spark.catalog.dropTempView(_))
         }
-        (Map("out" -> spark.sql(query)), None)
+        (Map("out" -> resolved), None)
 
       // beyond-reference components: training-data pipeline operators as
       // first-class declarative citizens

@@ -167,7 +167,9 @@ object ExcelIO {
     val incoming = Flatten.flatten(df)
     val flat =
       if (append && java.nio.file.Files.exists(Paths.get(path))) {
-        val existing = read(df.sparkSession, path) // all-string
+        // read the NAMED sheet: appending to a file whose sheet has a
+        // different name must fail loudly, not silently merge-and-rename
+        val existing = read(df.sparkSession, path, Some(sheetName)) // all-string
         require(existing.columns.sorted.sameElements(incoming.columns.sorted),
           s"xlsx append: column mismatch (${existing.columns.mkString(",")} vs ${incoming.columns.mkString(",")})")
         existing.unionByName(incoming.select(incoming.columns.toSeq.map(c =>

@@ -11,11 +11,23 @@ private[io] object IOSwap {
 
   def exists(path: String): Boolean = Files.exists(Paths.get(path))
 
-  private def deleteRecursively(p: Path): Unit =
+  private[io] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(Files.deleteIfExists(_))
+      val walk = Files.walk(p) // close the stream: it holds directory fds
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(Files.deleteIfExists(_))
+      finally walk.close()
     }
+
+  /** Sorted part-file paths of a Spark output directory; the listing
+    * stream is closed before returning. */
+  private[io] def partFiles(dir: String): Seq[Path] = {
+    val ls = Files.list(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-")).sorted
+    } finally ls.close()
+  }
 
   /** Run `write` against the real path, or a staging path when the
     * target must stay readable during the write; then swap. */

@@ -175,8 +175,10 @@ object JdbcIO {
     * (reference mariadb_read.py:26-67 binds named params through
     * SQLAlchemy; Spark's JDBC source has no parameter API, so the
     * engine-side equivalent is literal substitution with proper escaping).
-    * Longest names substitute first so :id does not clobber :id2; an
-    * unbound placeholder left in the query is rejected loudly. */
+    * Substitution walks the query outside single-quoted string literals
+    * only — a `:name` INSIDE a literal is data, not a parameter — and
+    * `::type` casts (Postgres) are never treated as placeholders. An
+    * unbound placeholder left outside literals is rejected loudly. */
   def bindParams(query: String, params: Map[String, Any]): String = {
     def literal(v: Any): String = v match {
       case null                => "NULL"
@@ -189,13 +191,33 @@ object JdbcIO {
       case other => throw new IllegalArgumentException(
         s"unsupported query param type: ${other.getClass.getSimpleName}")
     }
-    val bound = params.toSeq.sortBy(-_._1.length).foldLeft(query) {
-      case (q, (name, v)) => q.replace(s":$name", literal(v))
+    // placeholder = ':' not preceded by ':' (excludes ::casts), then an
+    // identifier; evaluated only in the non-literal segments of the query
+    val placeholder = "(?<!:):([A-Za-z_][A-Za-z0-9_]*)".r
+    val out = new StringBuilder
+    var i = 0
+    while (i < query.length) {
+      if (query.charAt(i) == '\'') { // copy the whole quoted literal verbatim
+        val close = {
+          var j = i + 1
+          while (j < query.length && query.charAt(j) != '\'') j += 1
+          j
+        }
+        out.append(query.substring(i, math.min(close + 1, query.length)))
+        i = close + 1
+      } else {
+        val next = query.indexOf('\'', i)
+        val segEnd = if (next < 0) query.length else next
+        val segment = query.substring(i, segEnd)
+        out.append(placeholder.replaceAllIn(segment, m => {
+          val name = m.group(1)
+          require(params.contains(name), s"unbound query parameter :$name")
+          java.util.regex.Matcher.quoteReplacement(literal(params(name)))
+        }))
+        i = segEnd
+      }
     }
-    val leftover = ":[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(
-      bound.replaceAll("'[^']*'", "")) // ignore placeholders inside literals
-    require(leftover.isEmpty, s"unbound query parameter ${leftover.get}")
-    bound
+    out.toString
   }
 
   /** Partitioned-read options (Spark JDBC source pass-through). */

@@ -160,27 +160,21 @@ object JsonIO {
             s"append target $path is not a JSON array (${other.getClass.getSimpleName})")
         }
       }
-      import scala.jdk.CollectionConverters._
-      Files.list(Paths.get(stage)).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("part-")).sorted
-        .foreach { p =>
-          val reader = Files.newBufferedReader(p)
-          try {
-            var line = reader.readLine()
-            while (line != null) {
-              if (line.nonEmpty) emit(line)
-              line = reader.readLine()
-            }
-          } finally reader.close()
-        }
+      IOSwap.partFiles(stage).foreach { p =>
+        val reader = Files.newBufferedReader(p)
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            if (line.nonEmpty) emit(line)
+            line = reader.readLine()
+          }
+        } finally reader.close()
+      }
       out.write("\n]\n")
     } finally out.close()
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
-    // drop the staging parts
-    import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get(stage)).iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
+    IOSwap.deleteRecursively(Paths.get(stage)) // drop the staging parts
   }
 
   /** NDJSON row-append (append_ndjson_record parity): new rows serialize
@@ -192,22 +186,17 @@ object JsonIO {
     val out = Files.newBufferedWriter(Paths.get(path),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     try {
-      import scala.jdk.CollectionConverters._
-      Files.list(Paths.get(stage)).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("part-")).sorted
-        .foreach { p =>
-          val reader = Files.newBufferedReader(p)
-          try {
-            var line = reader.readLine()
-            while (line != null) {
-              if (line.nonEmpty) { out.write(line); out.write("\n") }
-              line = reader.readLine()
-            }
-          } finally reader.close()
-        }
+      IOSwap.partFiles(stage).foreach { p =>
+        val reader = Files.newBufferedReader(p)
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            if (line.nonEmpty) { out.write(line); out.write("\n") }
+            line = reader.readLine()
+          }
+        } finally reader.close()
+      }
     } finally out.close()
-    import scala.jdk.CollectionConverters._
-    Files.walk(Paths.get(stage)).iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
+    IOSwap.deleteRecursively(Paths.get(stage))
   }
 }

@@ -79,11 +79,13 @@ object Streaming {
    * Streaming exact dedup over a document stream — the ingest-side twin of
    * Dedup.exact. Two state regimes:
    *
-   *  - `streamingExactDedup`: Spark-native dropDuplicates on the
-   *    normalized text key with a watermark; state is BOUNDED — a
-   *    duplicate arriving after the watermark horizon is re-emitted. The
-   *    right default for continuous ingest, where state must not grow with
-   *    the corpus.
+   *  - `streamingExactDedup`: Spark-native dropDuplicatesWithinWatermark
+   *    on the normalized text key; state is BOUNDED because the engine may
+   *    evict entries once they age past the watermark — a duplicate
+   *    arriving after the horizon can be re-emitted. (Plain
+   *    dropDuplicates(key) would NOT bound state: without the event-time
+   *    column in the key list its state grows with the corpus.) The right
+   *    default for continuous ingest.
    *  - `streamingFirstSeen`: flatMapGroupsWithState keeping one boolean
    *    per key with no timeout — exact survivor semantics matching the
    *    batch operator on any replay, state grows O(distinct keys). Use
@@ -95,7 +97,7 @@ object Streaming {
     docs
       .withColumn("__key", graft.scale.Dedup.exactKey(col(textCol)))
       .withWatermark("ts", watermarkDur)
-      .dropDuplicates("__key")
+      .dropDuplicatesWithinWatermark("__key")
       .drop("__key")
 
   def streamingFirstSeen(docs: Dataset[Doc]): Dataset[Doc] = {

@@ -59,6 +59,8 @@ class CliSpec extends SparkTestBase {
       assert(run("execution", "start", jobId, "--environment", "TEST") === 0)
       assert(output.contains("\"environment\":\"TEST\"")) // recorded on the execution
       assert(run("execution", "start", jobId, "--environment", "WARP") === 2) // bad env name
+      assert(run("execution", "start", jobId, "--environment") === 2) // flag without value
+      assert(output.contains("needs a value"))
       assert(run("execution", "get", execId) === 0 && output.contains(jobId))
       assert(output.contains("\"attempts\":[{\"index\":1")) // reference get shape
       assert(run("execution", "attempts", execId) === 0)

@@ -40,16 +40,21 @@ class CronSpec extends AnyFunSuite {
     assert(dowOnly.next(at(2026, 8, 12, 10, 0)) === at(2026, 8, 19, 0, 0))
   }
 
-  test("dow 7 = Sunday, wraps in ranges") {
+  test("dow 7 = Sunday, aliased after range expansion") {
     assert(Cron.parse("0 0 * * 7").dows === Set(0))
     assert(Cron.parse("0 0 * * 5-7").dows === Set(5, 6, 0))
+    assert(Cron.parse("0 0 * * 0-7").dows === Set(0, 1, 2, 3, 4, 5, 6)) // every day
     // 2026-08-16 is a Sunday
     assert(Cron.parse("0 12 * * 0").next(at(2026, 8, 12, 0, 0)) === at(2026, 8, 16, 12, 0))
+    intercept[IllegalArgumentException](Cron.parse("0 0 * * 9-3"))
   }
 
-  test("month restriction and Feb 29") {
+  test("month restriction and Feb 29, including re-arm ON a Feb 29") {
     val feb29 = Cron.parse("0 0 29 2 *")
     assert(feb29.next(at(2026, 3, 1, 0, 0)) === at(2028, 2, 29, 0, 0))
+    // evaluated just after a Feb-29 fire: next is four years on, within
+    // the 9-year bound even across a skipped century leap year
+    assert(feb29.next(at(2028, 2, 29, 0, 1)) === at(2032, 2, 29, 0, 0))
   }
 
   test("invalid expressions rejected") {

@@ -120,6 +120,11 @@ class JdbcIOSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       JdbcIO.bindParams("WHERE id = :missing", Map("other" -> 1))
     }
+    // ::casts are not placeholders; :name inside a string literal is data
+    assert(JdbcIO.bindParams("SELECT x::text FROM t WHERE id = :id",
+      Map("id" -> 7)) === "SELECT x::text FROM t WHERE id = 7")
+    assert(JdbcIO.bindParams("WHERE note = 'ping :id now' AND id = :id",
+      Map("id" -> 5)) === "WHERE note = 'ping :id now' AND id = 5")
     // a live roundtrip: params-bound query against Derby
     fresh("t_params")
     JdbcIO.write(df((1L, "a", 1.0), (2L, "b", 2.0)), url, "t_params",
