@@ -40,7 +40,9 @@ object ControlPlane {
       id: String, jobId: String, startedAtMs: Long, wallMs: Long,
       status: String, attempts: Int, error: Option[String],
       attemptRecords: Seq[JobRunner.Attempt] = Nil,
-      environment: Option[String] = None)
+      environment: Option[String] = None,
+      linesForwarded: Map[String, Long] = Map.empty,
+      throughputRowsPerSec: Double = 0.0)
 
   /** `spark` is by-name/lazy: only `execute` forces it, so metadata-only
     * callers (CLI list/get/create paths) never pay SparkSession startup. */
@@ -98,6 +100,7 @@ object ControlPlane {
         s""""wall_ms":${e.wallMs},"status":${quote(e.status)},"attempts":${e.attempts}""" +
         e.error.map(er => s""","error":${quote(er)}""").getOrElse("") +
         e.environment.map(v => s""","environment":${quote(v)}""").getOrElse("") +
+        s""","lines_forwarded":${linesJson(e)},"throughput_rows_per_sec":${e.throughputRowsPerSec}""" +
         s""","attempt_list":$atts}"""
     }
 
@@ -114,12 +117,17 @@ object ControlPlane {
         }
         case _ => Nil
       }
+      val lines = (j \ "lines_forwarded") match {
+        case JObject(fs) => fs.collect { case (k, JInt(v)) => k -> v.toLong }.toMap
+        case _           => Map.empty[String, Long]
+      }
       ExecutionRecord(
         (j \ "id").extract[String], (j \ "job_id").extract[String],
         (j \ "started_at_ms").extract[Long], (j \ "wall_ms").extract[Long],
         (j \ "status").extract[String], (j \ "attempts").extract[Int],
         (j \ "error").extractOpt[String], atts,
-        (j \ "environment").extractOpt[String])
+        (j \ "environment").extractOpt[String], lines,
+        (j \ "throughput_rows_per_sec").extractOpt[Double].getOrElse(0.0))
     }
 
     private def nextId(prefix: String): String = s"$prefix-${seq.incrementAndGet()}"
@@ -179,7 +187,8 @@ object ControlPlane {
         if (res.succeeded) "SUCCESS" else "FAILED", res.attempts,
         res.lastError.map(e => (e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage)).take(300)),
-        res.attemptRecords, environment.map(_.toUpperCase))
+        res.attemptRecords, environment.map(_.toUpperCase),
+        res.linesForwarded, res.throughputRowsPerSec)
       execs.put(rec.id, rec)
       persistExec(rec)
       rec
@@ -206,6 +215,9 @@ object ControlPlane {
 
   private def jobJson(j: JobRecord): String =
     s"""{"id":${quote(j.id)},"name":${quote(j.name)}}"""
+  private[api] def linesJson(e: ExecutionRecord): String =
+    e.linesForwarded.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")
   private[api] def attemptJson(a: JobRunner.Attempt): String =
     s"""{"index":${a.index},"started_at_ms":${a.startedAtMs},"wall_ms":${a.wallMs},""" +
       s""""status":${quote(a.status)}""" +
@@ -272,10 +284,18 @@ object ControlPlane {
           val execId = p.stripSuffix("/attempts")
           registry.getExecution(execId).map(e => (200, attemptsJson(e)))
             .getOrElse((404, s"""{"error":"execution $execId not found"}"""))
+        case ("GET", p) if p.endsWith("/metrics") =>
+          val execId = p.stripSuffix("/metrics")
+          registry.getExecution(execId).map(e => (200,
+            s"""{"lines_forwarded":${linesJson(e)},""" +
+              s""""throughput_rows_per_sec":${e.throughputRowsPerSec}}"""))
+            .getOrElse((404, s"""{"error":"execution $execId not found"}"""))
         case ("GET", execId) if execId.nonEmpty =>
           // reference shape: { execution, attempts } (docs/cli.md:58-60)
           registry.getExecution(execId).map(e =>
-            (200, s"""{"execution":${execJson(e)},"attempts":${attemptsJson(e)}}"""))
+            (200, s"""{"execution":${execJson(e)},"attempts":${attemptsJson(e)},""" +
+              s""""metrics":{"lines_forwarded":${linesJson(e)},""" +
+              s""""throughput_rows_per_sec":${e.throughputRowsPerSec}}}"""))
             .getOrElse((404, s"""{"error":"execution $execId not found"}"""))
         case ("GET", "") =>
           val q = qparams(ex)

@@ -53,6 +53,9 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(fail.attemptRecords.forall(_.status === "FAILED"))
     assert(fail.attemptRecords.forall(_.error.isDefined))
     assert(ok.attemptRecords.map(_.status) === Seq("SUCCESS"))
+    // observe()-collected metrics land on the record
+    assert(ok.linesForwarded.values.sum > 0)
+    assert(ok.throughputRowsPerSec > 0)
     // listing with filter/sort/paging
     assert(reg.listExecutions(status = Some("SUCCESS")).map(_.id) === Seq(ok.id))
     assert(reg.listExecutions(jobId = Some(bad.id)).map(_.id) === Seq(fail.id))
@@ -78,8 +81,9 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(reg2.getJob(job.id).get.configJson === jobJson(in, tmp("persist_out")))
     assert(reg2.listExecutions(jobId = Some(job.id)).map(_.id) === Seq(exec1.id))
     assert(reg2.getExecution(exec1.id).get.status === "SUCCESS")
-    // attempt detail survives the restart too
+    // attempt detail and metrics survive the restart too
     assert(reg2.getExecution(exec1.id).get.attemptRecords.map(_.status) === Seq("SUCCESS"))
+    assert(reg2.getExecution(exec1.id).get.linesForwarded === exec1.linesForwarded)
 
     // update revalidates: a broken replacement is rejected and the job is untouched
     intercept[IllegalArgumentException] {
