@@ -65,6 +65,13 @@ object Flatten {
         if (k > i + 1 && k < path.length && path(k) == ']') {
           flush()
           val last = parts.remove(parts.length - 1)
+          // consecutive indices ("a[0][1]") would overwrite the first
+          // index here and silently merge distinct columns — the Seg
+          // model carries ONE index per name, and flatten never emits
+          // such paths (inner arrays are JSON-encoded), so reject loudly
+          require(last.idx.isEmpty,
+            s"unflatten path '$path': nested array indices are not " +
+              "supported (one [i] per name segment)")
           parts += Seg(last.name, Some(path.substring(i + 1, k).toInt))
           i = k + 1
         } else { buf += '['; i += 1 }
@@ -86,10 +93,16 @@ object Flatten {
           cols(s"$prefix.${escapeKey(f.name)}", c.getField(f.name), f.dataType)
         }
       case at: ArrayType => arrayBound match {
-        case Some(n) =>
+        // inner (nested) arrays stay JSON-encoded even under arrayBound:
+        // `a[0][1]`-style columns cannot round-trip through unflatten's
+        // one-index-per-segment model, so the element falls back to the
+        // same encoding unbounded arrays use
+        case Some(n) if !at.elementType.isInstanceOf[ArrayType] =>
           // get() is 0-based and null-tolerant past the end (ANSI-safe)
           (0 until n).flatMap(i =>
             cols(s"$prefix[$i]", get(c, lit(i)), at.elementType))
+        case Some(n) =>
+          (0 until n).map(i => s"$prefix[$i]" -> to_json(get(c, lit(i))))
         case None => Seq(prefix -> to_json(c))
       }
       case _ => Seq(prefix -> c)
@@ -116,7 +129,18 @@ object Flatten {
     def insert(node: Node, segs: List[(String, Option[Int])], c: Column): Unit = segs match {
       case Nil => ()
       case (name, idx) :: rest =>
-        val obj = node.asInstanceOf[ObjN]
+        val obj = node match {
+          case o: ObjN => o
+          case other => throw new IllegalArgumentException(
+            s"unflatten: column path segment '$name' expects an object but " +
+              s"an earlier column already made it a ${other.getClass.getSimpleName
+                .stripSuffix("N").toLowerCase} — conflicting headers " +
+              "(e.g. both 'a' and 'a.b', or 'a' and 'a[0]')")
+        }
+        def containerConflict(found: Node, want: String): Nothing =
+          throw new IllegalArgumentException(
+            s"unflatten: column '$name' is used both as a leaf/other " +
+              s"container and as $want — conflicting headers")
         idx match {
           case None =>
             if (rest.isEmpty) obj.kids(name) = LeafN(c)
@@ -127,7 +151,10 @@ object Flatten {
             }
           case Some(i) =>
             val arr = obj.kids.getOrElseUpdate(name,
-              ArrN(scala.collection.mutable.LinkedHashMap.empty)).asInstanceOf[ArrN]
+              ArrN(scala.collection.mutable.LinkedHashMap.empty)) match {
+              case a: ArrN  => a
+              case found    => containerConflict(found, "an array")
+            }
             if (rest.isEmpty) arr.kids(i) = LeafN(c)
             else {
               val child = arr.kids.getOrElseUpdate(i,

@@ -71,6 +71,9 @@ object FilterOp {
         case (other, _) => throw new IllegalArgumentException(s"unknown operator: $other")
       }
     case Node(lo, rules) => lo.toUpperCase match {
+      case "AND" | "OR" if rules.isEmpty =>
+        throw new IllegalArgumentException(
+          s"$lo needs at least 1 rule (empty 'rules' list in config)")
       case "AND" => rules.map(compile).reduce(_ && _)
       case "OR"  => rules.map(compile).reduce(_ || _)
       case "NOT" =>

@@ -58,7 +58,12 @@ object SchemaMappingOp {
     final case class NodeT(children: Seq[(String, Tree)]) extends Tree
 
     def insert(node: NodeT, path: List[String], src: String): NodeT = path match {
-      case last :: Nil => NodeT(node.children :+ (last -> LeafT(src)))
+      case last :: Nil =>
+        // appending without this check would emit two same-named columns
+        // (the opposite insertion order already threw below)
+        require(!node.children.exists(_._1 == last),
+          s"destination path conflict at $last")
+        NodeT(node.children :+ (last -> LeafT(src)))
       case head :: rest =>
         node.children.indexWhere(_._1 == head) match {
           case -1 => NodeT(node.children :+ (head -> insert(NodeT(Nil), rest, src)))
@@ -107,9 +112,17 @@ object SchemaMappingOp {
         if (step.leftOn == step.rightOn)
           l.join(r, step.leftOn, h)
         else {
+          // alias both sides before building the condition: dataframe-
+          // attribute references (l(lk) === r(rk)) break on self-joins or
+          // chained steps where the right frame's lineage already occurs
+          // inside the left (Spark's ambiguous-self-join detection), while
+          // alias-qualified column references always resolve one side
+          val la = l.alias("__jl")
+          val ra = r.alias("__jr")
           val cond = step.leftOn.zip(step.rightOn)
-            .map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
-          l.join(r, cond, h)
+            .map { case (lk, rk) => col(s"__jl.`$lk`") === col(s"__jr.`$rk`") }
+            .reduce(_ && _)
+          la.join(ra, cond, h)
         }
       env + (step.outputPort -> joined)
     }

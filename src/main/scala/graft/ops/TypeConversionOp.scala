@@ -65,13 +65,16 @@ object TypeConversionOp {
       case BooleanType => lit(null).cast(LongType)            // bool rejected
       case _: IntegerType | LongType | ShortType | ByteType => c.cast(LongType)
       case DoubleType | FloatType | _: DecimalType =>
-        // floats accepted iff integral
-        when(c === floor(c), c.cast(LongType))
+        // floats accepted iff integral; try_cast, not cast: under ANSI
+        // (Spark 4 default) a plain cast of Infinity or an integral value
+        // beyond Long range (1e19 == floor(1e19)) throws CAST_OVERFLOW
+        // and would crash the job even under on_error=null/skip
+        when(c === floor(c), c.try_cast("long"))
       case StringType =>
         val s = normalizeNullish(c)
         val d = s.try_cast("double")
-        // int parse, else float-if-integral
-        coalesce(s.try_cast("long"), when(d === floor(d), d.cast(LongType)))
+        // int parse, else float-if-integral (try_cast: see ANSI note above)
+        coalesce(s.try_cast("long"), when(d === floor(d), d.try_cast("long")))
       case _ => c.try_cast("long")
     }
     case TFloat => from match {
@@ -158,6 +161,11 @@ object TypeConversionOp {
     case (at: ArrayType, "*" :: rest) =>
       transform(c, x => rebuildNested(at.elementType, x, rest, r))
     case (st: StructType, seg :: rest) =>
+      // a segment matching no field is a config error, not a no-op: a
+      // typo'd nested rule must fail like a typo'd top-level path does
+      require(st.fieldNames.contains(seg),
+        s"type_conversion path '${r.columnPath}': no field '$seg' in " +
+          s"struct(${st.fieldNames.mkString(", ")})")
       val fields = st.fields.map { f =>
         if (f.name == seg) rebuildNested(f.dataType, c.getField(f.name), rest, r).as(f.name)
         else c.getField(f.name).as(f.name)

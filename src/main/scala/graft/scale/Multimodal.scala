@@ -49,11 +49,13 @@ object Multimodal {
       (math.max(1, n % 1024), math.max(1, (n / 1024) % 1024 + 1), mean / 255.0)
     }
 
-    /** "Resize": deterministic byte subsample to ~targetBytes. */
+    /** "Resize": deterministic byte subsample to ≤ targetBytes. The
+      * stride rounds UP — a floor stride of 1 for inputs under 2×target
+      * would return the input unreduced (up to 2× the asked-for size). */
     def resize(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
       if (bytes.length <= targetBytes) bytes
       else {
-        val stride = math.max(1, bytes.length / targetBytes)
+        val stride = (bytes.length + targetBytes - 1) / targetBytes
         bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
       }
 
@@ -71,6 +73,14 @@ object Multimodal {
       * exact values are reproducible in plain SQL for correctness oracles:
       * k_j = (Σ_{i ≡ j (mod d)} byte_i · (i+1)) mod 1000, f_j = k_j/1000. */
     def features(bytes: Array[Byte], d: Int = 16): Array[Float] = {
+      // overflow precondition, enforced loudly: worst case Σ ≈ 255·n²/(2d)
+      // stays under Long.MaxValue only for n ≲ 1e9; a silent wrap would
+      // produce negative (v % 1000) values and break the SQL-replayable
+      // contract. Real payloads at this size belong in frameSample/resize
+      // first.
+      require(bytes.length <= (1 << 30),
+        s"features: payload of ${bytes.length} bytes exceeds the 1 GiB " +
+          "no-overflow bound; resize or frame-sample first")
       val acc = new Array[Long](d)
       var i = 0
       while (i < bytes.length) {

@@ -100,11 +100,19 @@ object TextAnalysis {
    * whitespace, distinct-sort tokens, md5 of the joined token list. Two
    * documents with the same bag of words collide — the cheap exact-ish
    * canonical fingerprint used before heavier MinHash passes.
+   *
+   * The tokenizer is deliberately ASCII ([a-z0-9]) for bit-exact oracle
+   * parity across engines (unicode lower/word rules differ). A document
+   * with NO ascii tokens (e.g. fully CJK text) falls back to the md5 of
+   * its whitespace-normalized raw text — without the fallback every
+   * non-Latin document would share md5("") and a fingerprint-dedup pass
+   * would collapse them all into one survivor.
    */
   def fingerprint(text: Column): Column = {
     val cleaned = regexp_replace(lower(text), "[^a-z0-9\\s]", " ")
     val toks = filter(split(trim(cleaned), "\\s+"), t => length(t) > 0)
-    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+    when(size(toks) === 0, md5(Dedup.exactKey(text).cast("binary")))
+      .otherwise(md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary")))
   }
 
   /** All analyses as one projection, for pipeline use. */
