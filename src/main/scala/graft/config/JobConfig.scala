@@ -218,15 +218,25 @@ object JobConfig {
     case other => throw new IllegalArgumentException(s"bad scalar value: $other")
   }
 
+  /** Required string field of a JSON object — a missing or non-string
+    * value is a loud config error. (`(v \ key).values.toString` turned a
+    * missing key into the literal string "None".) */
+  private def reqStrAt(v: JValue, key: String, ctx: String): String = (v \ key) match {
+    case JString(s) if s.nonEmpty => s
+    case JNothing => throw new IllegalArgumentException(s"$ctx: missing '$key'")
+    case other => throw new IllegalArgumentException(
+      s"$ctx: '$key' must be a non-empty string, got $other")
+  }
+
   /** Aggregation config (reference aggregation/types.py:22-31). */
   def parseAggregations(spec: ComponentSpec): (Seq[String], Seq[AggregateOp.AggSpec]) = {
     val groupBy = strSeq(spec.params \ "group_by")
     val aggs = (spec.params \ "aggregations") match {
       case JArray(items) => items.map { a =>
         AggregateOp.AggSpec(
-          src = (a \ "src").values.toString,
-          op = (a \ "op").values.toString,
-          dest = (a \ "dest").values.toString)
+          src = reqStrAt(a, "src", "aggregation"),
+          op = reqStrAt(a, "op", "aggregation"),
+          dest = reqStrAt(a, "dest", "aggregation"))
       }
       case _ => throw new IllegalArgumentException(
         s"component ${spec.name}: missing 'aggregations'")
@@ -242,8 +252,8 @@ object JobConfig {
         dstPort -> (rules match {
           case JObject(rs) => rs.map { case (dstPath, r) =>
             SchemaMappingOp.MapRule(
-              srcPort = (r \ "src_port").values.toString,
-              srcPath = (r \ "src_path").values.toString,
+              srcPort = reqStrAt(r, "src_port", "schema_mapping rule"),
+              srcPath = reqStrAt(r, "src_path", "schema_mapping rule"),
               dstPath = dstPath)
           }
           case other => throw new IllegalArgumentException(
@@ -258,12 +268,12 @@ object JobConfig {
     (spec.params \ "join_plan" \ "steps") match {
       case JArray(steps) => steps.map { s =>
         SchemaMappingOp.JoinStep(
-          leftPort = (s \ "left_port").values.toString,
-          rightPort = (s \ "right_port").values.toString,
+          leftPort = reqStrAt(s, "left_port", "join step"),
+          rightPort = reqStrAt(s, "right_port", "join step"),
           leftOn = strSeq(s \ "left_on"),
           rightOn = strSeq(s \ "right_on"),
           how = (s \ "how") match { case JString(h) => h; case _ => "inner" },
-          outputPort = (s \ "output_port").values.toString)
+          outputPort = reqStrAt(s, "output_port", "join step"))
       }
       case _ => Nil
     }
@@ -273,8 +283,8 @@ object JobConfig {
     (spec.params \ "rules") match {
       case JArray(items) => items.map { r =>
         TypeConversionOp.CastRule(
-          columnPath = (r \ "column_path").values.toString,
-          target = GraftType.fromName((r \ "target").values.toString),
+          columnPath = reqStrAt(r, "column_path", "type_conversion rule"),
+          target = GraftType.fromName(reqStrAt(r, "target", "type_conversion rule")),
           onError = TypeConversionOp.OnError.fromName(
             (r \ "on_error") match { case JString(s) => s; case _ => "raise" }))
       }

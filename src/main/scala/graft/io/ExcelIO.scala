@@ -133,7 +133,12 @@ object ExcelIO {
     if (e == null) IndexedSeq.empty
     else {
       val xml = XML.load(zf.getInputStream(e))
-      (xml \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
+      // direct <t> and rich-run <r><t> only: a descendant search would
+      // also pick up phonetic runs (<rPh><t>, furigana) and concatenate
+      // them into the cell value (openpyxl, the reference engine,
+      // excludes rPh the same way)
+      (xml \ "si").map(si =>
+        ((si \ "t") ++ (si \ "r" \ "t")).map(_.text).mkString).toIndexedSeq
     }
   }
 
@@ -177,9 +182,10 @@ object ExcelIO {
       } else incoming
     // collect() below materializes before the stream re-creates the file,
     // so append's read-back cannot race its own overwrite
-    val rows = flat.limit(MaxRows + 1).collect()
-    require(rows.length <= MaxRows,
-      s"xlsx: ${rows.length} rows exceed Excel's $MaxRows-row sheet limit")
+    val rows = flat.limit(MaxRows).collect()
+    // the header occupies row 1, so data may fill at most MaxRows - 1
+    require(rows.length <= MaxRows - 1,
+      s"xlsx: ${rows.length} data rows + header exceed Excel's $MaxRows-row sheet limit")
     val header = flat.columns
     Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
@@ -224,7 +230,12 @@ object ExcelIO {
             v match {
               case n: Long   => sb ++= s"""<c r="$ref"><v>$n</v></c>"""
               case n: Int    => sb ++= s"""<c r="$ref"><v>$n</v></c>"""
+              // NaN/Infinity are not valid OOXML numerics (Excel treats
+              // the workbook as corrupt) — such cells stay blank, the
+              // same null-sanitization the JSON writer applies
+              case n: Double if n.isNaN || n.isInfinite => ()
               case n: Double => sb ++= s"""<c r="$ref"><v>$n</v></c>"""
+              case n: Float if n.isNaN || n.isInfinite => ()
               case other =>
                 sb ++= s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(other.toString)}</t></is></c>"""
             }

@@ -104,7 +104,10 @@ object JsonIO {
       case DoubleType | FloatType => when(isnan(c) || abs(c) === Double.PositiveInfinity,
         lit(null).cast(dt)).otherwise(c)
       case st: StructType =>
-        struct(st.fields.toSeq.map(f => fix(c.getField(f.name), f.dataType).as(f.name)): _*)
+        // struct(...) is never null: keep NULL structs null instead of
+        // rebuilding them into non-null structs of nulls
+        when(c.isNull, lit(null)).otherwise(
+          struct(st.fields.toSeq.map(f => fix(c.getField(f.name), f.dataType).as(f.name)): _*))
       case at: ArrayType => transform(c, x => fix(x, at.elementType))
       case _ => c
     }
@@ -178,25 +181,49 @@ object JsonIO {
   }
 
   /** NDJSON row-append (append_ndjson_record parity): new rows serialize
-    * distributed, then concatenate onto the existing file. */
+    * distributed, then join the existing output. Two target layouts:
+    *  - a Spark output DIRECTORY (what JsonIO.write produces): the staged
+    *    part files MOVE into it under unique names — no rewrite of
+    *    existing data at all, the scalable path;
+    *  - a plain file (externally created): lines are appended, with a
+    *    newline inserted first if the file doesn't end in one (otherwise
+    *    the first new record would merge into the last existing line). */
   def appendNdjson(df: DataFrame, path: String): Unit = {
     import java.nio.file.{Files, Paths, StandardOpenOption}
     val stage = path + ".stage"
     sanitizeFloats(df).toJSON.write.mode("overwrite").text(stage)
-    val out = Files.newBufferedWriter(Paths.get(path),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    try {
-      IOSwap.partFiles(stage).foreach { p =>
-        val reader = Files.newBufferedReader(p)
-        try {
-          var line = reader.readLine()
-          while (line != null) {
-            if (line.nonEmpty) { out.write(line); out.write("\n") }
-            line = reader.readLine()
-          }
-        } finally reader.close()
+    val target = Paths.get(path)
+    if (Files.isDirectory(target)) {
+      val salt = java.util.UUID.randomUUID().toString.take(8)
+      IOSwap.partFiles(stage).zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, target.resolve(f"part-append-$salt-$i%05d.txt"))
       }
-    } finally out.close()
+    } else {
+      val needsNewline = Files.exists(target) && Files.size(target) > 0 && {
+        val ch = Files.newByteChannel(target)
+        try {
+          ch.position(ch.size() - 1)
+          val bb = java.nio.ByteBuffer.allocate(1)
+          ch.read(bb)
+          bb.get(0) != '\n'.toByte
+        } finally ch.close()
+      }
+      val out = Files.newBufferedWriter(target,
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      try {
+        if (needsNewline) out.write("\n")
+        IOSwap.partFiles(stage).foreach { p =>
+          val reader = Files.newBufferedReader(p)
+          try {
+            var line = reader.readLine()
+            while (line != null) {
+              if (line.nonEmpty) { out.write(line); out.write("\n") }
+              line = reader.readLine()
+            }
+          } finally reader.close()
+        }
+      } finally out.close()
+    }
     IOSwap.deleteRecursively(Paths.get(stage))
   }
 }

@@ -53,10 +53,13 @@ object XmlIO {
         val existing = ungroupAttrs(read(df.sparkSession, path, rowTag))
         require(existing.columns.sorted.sameElements(flat.columns.sorted),
           s"xml append: column mismatch (${existing.columns.mkString(",")} vs ${flat.columns.mkString(",")})")
-        // read-back leaves are strings; stringify the new rows to match
+        // read-back leaves are strings; conform the new rows BY FIELD NAME
+        // (a struct-to-struct cast matches positionally and would silently
+        // swap values when nested field order differs between the reader's
+        // schema and the incoming one)
         existing.unionByName(flat.select(flat.columns.toSeq.map(c =>
-          org.apache.spark.sql.functions.col(s"`$c`").cast(
-            existing.schema(c).dataType).as(c)): _*))
+          castByName(org.apache.spark.sql.functions.col(s"`$c`"),
+            flat.schema(c).dataType, existing.schema(c).dataType).as(c)): _*))
       } else flat
     val out = if (singleFile) target.coalesce(1) else target
     IOSwap.writeSwapped(path, append && IOSwap.exists(path)) { staging =>
@@ -68,6 +71,24 @@ object XmlIO {
         .xml(staging)
     }
   }
+
+  /** Recursive cast that matches struct fields BY NAME (Spark's native
+    * struct cast is positional). Field sets must agree; arrays recurse
+    * into their element type; leaves use a plain cast. */
+  private[io] def castByName(c: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (fs: StructType, ts: StructType) =>
+        require(fs.fieldNames.sorted.sameElements(ts.fieldNames.sorted),
+          s"xml append: nested field mismatch (${fs.fieldNames.mkString(",")} " +
+            s"vs ${ts.fieldNames.mkString(",")})")
+        when(c.isNull, lit(null)).otherwise(struct(ts.fields.toSeq.map { tf =>
+          castByName(c.getField(tf.name), fs(tf.name).dataType, tf.dataType).as(tf.name)
+        }: _*))
+      case (fa: ArrayType, ta: ArrayType) =>
+        transform(c, x => castByName(x, fa.elementType, ta.elementType))
+      case (f, t) if f == t => c
+      case (_, t) => c.cast(t)
+    }
 
   /** Sibling `_gattr_x` fields → one nested "@attrs" struct, recursively. */
   private[io] def regroupAttrs(df: DataFrame): DataFrame = {
@@ -83,7 +104,11 @@ object XmlIO {
           if (attrs.isEmpty) Nil
           else Seq(struct(attrs.toSeq.map(f =>
             c.getField(f.name).as(f.name.stripPrefix(AttrPrefix))): _*).as(AttrsField))
-        (struct(attrStruct ++ rebuilt: _*), attrs.nonEmpty)
+        // a struct(...) rebuild is never null — guard so absent optional
+        // elements stay null instead of becoming structs of nulls (the
+        // NullType literal unifies to the struct type in when/otherwise)
+        val built = struct(attrStruct ++ rebuilt: _*)
+        (when(c.isNull, lit(null)).otherwise(built), attrs.nonEmpty)
       case at: ArrayType => at.elementType match {
         case st: StructType => (transform(c, x => rebuild(x, st)._1), true)
         case _              => (c, false)
@@ -114,7 +139,7 @@ object XmlIO {
           case f =>
             Seq(rebuild(c.getField(f.name), f.dataType).as(f.name))
         }
-        struct(fields: _*)
+        when(c.isNull, lit(null)).otherwise(struct(fields: _*))
       case at: ArrayType if at.elementType.isInstanceOf[StructType] =>
         transform(c, x => rebuild(x, at.elementType))
       case _ => c

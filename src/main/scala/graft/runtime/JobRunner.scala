@@ -83,7 +83,10 @@ object JobRunner {
           succeeded = true
           lastError = None
         } catch {
-          case e: Throwable => lastError = Some(e)
+          // NonFatal only: retrying after OutOfMemoryError/LinkageError
+          // re-runs the job on a corrupted JVM, and swallowing
+          // InterruptedException loses cancellation
+          case scala.util.control.NonFatal(e) => lastError = Some(e)
         }
         attemptLog += Attempt(attempt, aStart,
           System.currentTimeMillis() - aStart,

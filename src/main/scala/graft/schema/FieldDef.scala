@@ -130,24 +130,34 @@ object SchemaValidator {
    * combinable; never collects rows to the driver.
    */
   def dataViolations(df: DataFrame, expected: Seq[FieldDef]): Map[String, Long] = {
-    def checks(prefix: String, fds: Seq[FieldDef]): Seq[(String, Column)] = fds.flatMap { fd =>
+    def checks(prefix: String, fds: Seq[FieldDef],
+               parentPresent: Option[Column]): Seq[(String, Column)] = fds.flatMap { fd =>
       val path = if (prefix.isEmpty) fd.name else s"$prefix.${fd.name}"
       val c = col(path)
+      // child checks apply only where every ancestor struct is non-null:
+      // col("o.b") is null whenever o itself is (legitimately) null, and
+      // counting that as a violation of b's non-nullability would fail
+      // valid rows
+      def guarded(cond: Column): Column =
+        parentPresent.fold(cond)(p => p && cond)
       val nullCheck =
-        if (!fd.nullable) Seq(s"null:$path" -> sum(when(c.isNull, 1L).otherwise(0L)))
+        if (!fd.nullable)
+          Seq(s"null:$path" -> sum(when(guarded(c.isNull), 1L).otherwise(0L)))
         else Nil
       val enumCheck =
         if (fd.dataType == GraftType.TEnum && fd.enumValues.nonEmpty)
           Seq(s"enum:$path" ->
-            sum(when(c.isNotNull && !c.isin(fd.enumValues: _*), 1L).otherwise(0L)))
+            sum(when(guarded(c.isNotNull && !c.isin(fd.enumValues: _*)), 1L).otherwise(0L)))
         else Nil
       val nested = fd.dataType match {
-        case GraftType.TObject => checks(path, fd.children)
-        case _                 => Nil
+        case GraftType.TObject =>
+          val present = parentPresent.fold(c.isNotNull)(_ && c.isNotNull)
+          checks(path, fd.children, Some(present))
+        case _ => Nil
       }
       nullCheck ++ enumCheck ++ nested
     }
-    val cs = checks("", expected)
+    val cs = checks("", expected, None)
     if (cs.isEmpty) Map.empty
     else {
       val row = df.agg(cs.head._2.as("c0"), cs.tail.zipWithIndex.map {
