@@ -598,6 +598,11 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  // 16x10 measured AGAINST 32x12 head-to-head at sf0.1: 2.0 s vs 4.2 s
+  // median. At 2k vectors the projection term O(n*dim*bands*r) dominates
+  // the background-candidate term O(n^2*bands*2^-r), so fewer planes win;
+  // the crossover where wider bands pay is ~100k vectors (see the
+  // embeddingNearDups scaladoc for the scaling rule).
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingDedup(table(s, dir, "embeddings"), "embedding", "vec_id",
       simThreshold = 0.95, dim = 64, bands = 16, r = 10)

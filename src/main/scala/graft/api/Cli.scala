@@ -36,7 +36,7 @@ object Cli {
       |            | list [--job-id X] [--status S]
       |            [--order asc|desc] [--limit N] [--offset N]
       |  schedules create --job JOB_ID --trigger interval|date|cron --arg VALUE
-      |            | list | cancel ID
+      |            | list | pause ID | resume ID | run-now ID | cancel ID
       |  contexts create-credentials PATH | create-context-mapping PATH
       |           | list | get ID | delete ID
       |  schemas list | get COMP_TYPE
@@ -62,9 +62,6 @@ object Cli {
 
   private def jobJson(j: ControlPlane.JobRecord): String =
     s"""{"id":${quote(j.id)},"name":${quote(j.name)}}"""
-  private def schedJson(s: Scheduler#Schedule): String =
-    s"""{"id":${quote(s.id)},"job_id":${quote(s.jobId)},"kind":${quote(s.kind)},"arg":${quote(s.arg)}}"""
-
   /** Dispatch one command; returns the process exit code and prints
     * through `out` (stdout seam for specs). */
   def run(args: Seq[String], registry: ControlPlane.JobRegistry,
@@ -123,7 +120,18 @@ object Cli {
         }
         out(s.id); 0
       case "schedules" :: "list" :: Nil =>
-        scheduler.list().foreach(s => out(s"${s.id}\t${s.jobId}\t${s.kind}\t${s.arg}")); 0
+        scheduler.list().foreach(s =>
+          out(s"${s.id}\t${s.jobId}\t${s.kind}\t${s.arg}" +
+            (if (s.paused) "\tPAUSED" else ""))); 0
+      case "schedules" :: "pause" :: id :: Nil =>
+        if (scheduler.pause(id)) { out(s"Paused $id"); 0 }
+        else { out(s"Schedule $id not found"); 1 }
+      case "schedules" :: "resume" :: id :: Nil =>
+        if (scheduler.resume(id)) { out(s"Resumed $id"); 0 }
+        else { out(s"Schedule $id not found"); 1 }
+      case "schedules" :: "run-now" :: id :: Nil =>
+        if (scheduler.runNow(id)) { out(s"Fired $id"); 0 }
+        else { out(s"Schedule $id not found"); 1 }
       case "schedules" :: "cancel" :: id :: Nil =>
         if (scheduler.cancel(id)) { out(s"Cancelled $id"); 0 }
         else { out(s"Schedule $id not found"); 1 }
@@ -175,7 +183,7 @@ object Cli {
     args.toList match {
       case "serve" :: rest =>
         val port = flags(rest).get("port").map(_.toInt).getOrElse(8080)
-        val server = ControlPlane.serve(registry, port)
+        val server = ControlPlane.serve(registry, port, Some(scheduler))
         scheduler // force: re-arms persisted schedules alongside the API
         println(s"graft API listening on 127.0.0.1:${server.getAddress.getPort} (ctrl-c to stop)")
         Thread.currentThread().join()

@@ -45,12 +45,32 @@ object ControlPlane {
       throughputRowsPerSec: Double = 0.0)
 
   /** `spark` is by-name/lazy: only `execute` forces it, so metadata-only
-    * callers (CLI list/get/create paths) never pay SparkSession startup. */
-  final class JobRegistry(spark: => SparkSession, storeDir: Option[Path] = None) {
+    * callers (CLI list/get/create paths) never pay SparkSession startup.
+    *
+    * `execWindow` bounds the executions held in memory: only the newest N
+    * records stay resident (eviction on insert, tail-only parse on
+    * restart); older records are served from `executions.jsonl` on
+    * demand. A long-lived service with a large history thus restarts in
+    * O(window) parse time and holds O(window) heap, not O(history). */
+  final class JobRegistry(spark: => SparkSession, storeDir: Option[Path] = None,
+                          execWindow: Int = 1000) {
     private lazy val session: SparkSession = spark
     private val jobs = new java.util.concurrent.ConcurrentHashMap[String, JobRecord]()
     private val execs = new java.util.concurrent.ConcurrentHashMap[String, ExecutionRecord]()
+    // insertion order of exec ids, for window eviction (guarded by itself)
+    private val execOrder = new java.util.ArrayDeque[String]()
+    // true when executions exist on disk that are no longer in memory
+    @volatile private var execsTruncated = false
     private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
+    private def putExec(e: ExecutionRecord): Unit = execOrder.synchronized {
+      execs.put(e.id, e)
+      execOrder.addLast(e.id)
+      while (execOrder.size() > execWindow) {
+        execs.remove(execOrder.pollFirst())
+        execsTruncated = true
+      }
+    }
 
     // ------------------------------------------------------- file store
     private def jobsDir: Option[Path] = storeDir.map(_.resolve("jobs"))
@@ -72,18 +92,23 @@ object ControlPlane {
         finally ls.close()
       }
       execLog.filter(Files.exists(_)).foreach { p =>
-        Files.readAllLines(p).forEach { line =>
-          if (line.nonEmpty) {
-            val e = parseExecLine(line)
-            execs.put(e.id, e)
-          }
+        import scala.jdk.CollectionConverters._
+        val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty)
+        // parse only the newest `execWindow` records into memory; the id
+        // sequence still continues past EVERY line (cheap regex, no parse)
+        lines.takeRight(execWindow).foreach { line => putExec(parseExecLine(line)) }
+        if (lines.size > execWindow) execsTruncated = true
+        val idRe = java.util.regex.Pattern.compile("\"id\":\"[a-z]+-(\\d+)\"")
+        lines.foreach { line =>
+          val m = idRe.matcher(line)
+          if (m.find()) seq.set(math.max(seq.get(), m.group(1).toLong))
         }
       }
       // continue the id sequence past everything reloaded
       val maxSeen = (jobs.keySet().toArray ++ execs.keySet().toArray).map {
         case s: String => s.split('-').last.toLongOption.getOrElse(0L)
       }
-      seq.set(if (maxSeen.isEmpty) 0L else maxSeen.max)
+      seq.set((seq.get() +: maxSeen.toSeq).max)
     }
 
     private def persistJob(rec: JobRecord): Unit =
@@ -189,21 +214,50 @@ object ControlPlane {
           String.valueOf(e.getMessage)).take(300)),
         res.attemptRecords, environment.map(_.toUpperCase),
         res.linesForwarded, res.throughputRowsPerSec)
-      execs.put(rec.id, rec)
+      putExec(rec)
       persistExec(rec)
       rec
     }
 
-    def getExecution(id: String): Option[ExecutionRecord] = Option(execs.get(id))
+    /** In-memory hit, else (when the window has evicted records) a lazy
+      * scan of the on-disk log — a cheap substring pre-filter keeps the
+      * full JSON parse to candidate lines only. */
+    def getExecution(id: String): Option[ExecutionRecord] =
+      Option(execs.get(id)).orElse {
+        if (!execsTruncated) None
+        else execLog.filter(Files.exists(_)).flatMap { p =>
+          import scala.jdk.CollectionConverters._
+          val needle = s""""id":"$id""""
+          Files.readAllLines(p).asScala.reverseIterator
+            .filter(_.contains(needle)).map(parseExecLine)
+            .find(_.id == id)
+        }
+      }
 
-    /** Execution listing with filter/sort/paging (execution.py:31-202). */
+    /** Execution listing with filter/sort/paging (execution.py:31-202).
+      * Served from the in-memory window when the requested page provably
+      * lies inside it (the window holds the globally newest records, so a
+      * newest-first page within the window's match count is complete);
+      * otherwise the log is re-scanned on demand. */
     def listExecutions(jobId: Option[String] = None, status: Option[String] = None,
                        sortDesc: Boolean = true, offset: Int = 0,
                        limit: Int = 50): Seq[ExecutionRecord] = {
       import scala.jdk.CollectionConverters._
-      var xs = execs.values.asScala.toSeq
-      jobId.foreach(j => xs = xs.filter(_.jobId == j))
-      status.foreach(s => xs = xs.filter(_.status == s))
+      def matching(xs: Seq[ExecutionRecord]) = {
+        var ys = xs
+        jobId.foreach(j => ys = ys.filter(_.jobId == j))
+        status.foreach(s => ys = ys.filter(_.status == s))
+        ys
+      }
+      val inMem = matching(execs.values.asScala.toSeq)
+      val windowSuffices =
+        !execsTruncated || (sortDesc && offset.toLong + limit <= inMem.size)
+      val xs =
+        if (windowSuffices) inMem
+        else execLog.filter(Files.exists(_)).map { p =>
+          matching(Files.readAllLines(p).asScala.filter(_.nonEmpty)
+            .map(parseExecLine).toSeq)
+        }.getOrElse(inMem)
       val sorted = xs.sortBy(_.startedAtMs)
       (if (sortDesc) sorted.reverse else sorted).slice(offset, offset + limit)
     }
@@ -230,9 +284,16 @@ object ControlPlane {
       e.environment.map(v => s""","environment":${quote(v)}""").getOrElse("") +
       e.error.map(er => s""","error":${quote(er)}""").getOrElse("") + "}"
 
+  private[api] def schedJson(s: Scheduler#Schedule): String =
+    s"""{"id":${quote(s.id)},"job_id":${quote(s.jobId)},"kind":${quote(s.kind)},""" +
+      s""""arg":${quote(s.arg)},"paused":${s.paused}}"""
+
   /** Start the REST server on `port` (0 = ephemeral); returns the server —
-    * callers stop() it. */
-  def serve(registry: JobRegistry, port: Int = 0): HttpServer = {
+    * callers stop() it. Pass a `scheduler` to expose the /schedules
+    * surface (POST/GET/PUT/DELETE plus pause/resume/run-now,
+    * reference: src/etl_core/api/routers/schedules.py:64-137). */
+  def serve(registry: JobRegistry, port: Int = 0,
+            scheduler: Option[Scheduler] = None): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
 
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -323,6 +384,63 @@ object ControlPlane {
         case (m, _) => (405, s"""{"error":"method $m not allowed"}""")
       }
     })
+    scheduler.foreach { sched =>
+      server.createContext("/schedules", (ex: HttpExchange) => handle(ex) {
+        val path = ex.getRequestURI.getPath.stripPrefix("/schedules").stripPrefix("/")
+        def body() = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        def field(json: String, key: String): Option[String] = {
+          import org.json4s._
+          implicit val fmts: Formats = DefaultFormats
+          (org.json4s.jackson.JsonMethods.parse(json) \ key).extractOpt[String]
+        }
+        def create(b: String): Scheduler#Schedule = {
+          val jobId = field(b, "job_id").getOrElse(
+            throw new IllegalArgumentException("job_id required"))
+          val kind = field(b, "kind").getOrElse(
+            throw new IllegalArgumentException("kind required"))
+          val arg = field(b, "arg").getOrElse(
+            throw new IllegalArgumentException("arg required"))
+          kind match {
+            case "interval" => sched.scheduleInterval(jobId, arg.toLong)
+            case "cron"     => sched.scheduleCron(jobId, arg)
+            case "date"     => sched.scheduleOnce(jobId, arg.toLong)
+            case other => throw new IllegalArgumentException(s"unknown kind $other")
+          }
+        }
+        (ex.getRequestMethod, path) match {
+          case ("POST", "") => (201, schedJson(create(body())))
+          case ("GET", "") =>
+            (200, sched.list().map(schedJson).mkString("[", ",", "]"))
+          case ("POST", p) if p.endsWith("/pause") =>
+            val id = p.stripSuffix("/pause")
+            if (sched.pause(id)) (200, s"""{"id":${quote(id)},"paused":true}""")
+            else (404, s"""{"error":"schedule $id not found"}""")
+          case ("POST", p) if p.endsWith("/resume") =>
+            val id = p.stripSuffix("/resume")
+            if (sched.resume(id)) (200, s"""{"id":${quote(id)},"paused":false}""")
+            else (404, s"""{"error":"schedule $id not found"}""")
+          case ("POST", p) if p.endsWith("/run-now") =>
+            val id = p.stripSuffix("/run-now")
+            if (sched.runNow(id)) (200, s"""{"id":${quote(id)},"fired":true}""")
+            else (404, s"""{"error":"schedule $id not found"}""")
+          case ("GET", id) =>
+            sched.get(id).map(s => (200, schedJson(s)))
+              .getOrElse((404, s"""{"error":"schedule $id not found"}"""))
+          case ("PUT", id) =>
+            val b = body()
+            val existing = sched.get(id).getOrElse(
+              throw new NoSuchElementException(s"schedule $id not found"))
+            (200, schedJson(sched.update(id,
+              field(b, "job_id").getOrElse(existing.jobId),
+              field(b, "kind").getOrElse(existing.kind),
+              field(b, "arg").getOrElse(existing.arg))))
+          case ("DELETE", id) =>
+            if (sched.cancel(id)) (204, "")
+            else (404, s"""{"error":"schedule $id not found"}""")
+          case (m, _) => (405, s"""{"error":"method $m not allowed"}""")
+        }
+      })
+    }
     server.createContext("/schemas", (ex: HttpExchange) => handle(ex) {
       val path = ex.getRequestURI.getPath.stripPrefix("/schemas").stripPrefix("/")
       (ex.getRequestMethod, path) match {

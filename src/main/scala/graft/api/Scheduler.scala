@@ -9,28 +9,46 @@ import graft.util.JsonStr.quote
  * jobs, mirroring the reference's scheduling surface (reference:
  * src/etl_core/scheduling/scheduler_service.py:190-303,
  * persistence/configs/schedule_config.py:41-181 — APScheduler
- * interval/cron/date). Executions run through the registry, so every fire
- * produces a normal ExecutionRecord with retries and metrics.
+ * interval/cron/date) plus the router's lifecycle verbs
+ * (src/etl_core/api/routers/schedules.py:64-137 — pause, resume,
+ * update, run-now).
+ *
+ * THREADING: the timer pool is a single thread that only arms/fires
+ * triggers; the actual `registry.execute` runs on a separate worker pool,
+ * so one long-running job can never starve another schedule's fire or a
+ * cron re-arm (the reference gets the same property from the asyncio
+ * loop: jobs are awaitables, the scheduler thread never blocks on them).
+ * Cron re-arms the NEXT fire before submitting the current one for the
+ * same reason.
  *
  * With a `storeDir` the schedule specs persist to `schedules.jsonl`
- * (one JSON object per line, tombstones for cancels) and re-arm on
- * construction — matching the reference, where schedules live in a table
- * and resume on service start. Spark-cluster note: scheduling is
+ * (one JSON object per line; cancels are tombstones, pause/resume are
+ * flag entries, updates are full re-statements — last writer per id wins)
+ * and re-arm on construction — matching the reference, where schedules
+ * live in a table and resume on service start. A schedule paused before a
+ * restart comes back paused. Spark-cluster note: scheduling is
  * driver-side control flow only — the triggered work is ordinary
  * distributed jobs.
  */
 final class Scheduler(registry: ControlPlane.JobRegistry,
-                      storeDir: Option[Path] = None) {
+                      storeDir: Option[Path] = None,
+                      workerThreads: Int = 2) {
 
   /** `arg` is everyMs for interval, delayMs for date, the expression for
-    * cron. Cron fires re-arm themselves, replacing `future` in place. */
+    * cron. Cron fires re-arm themselves, replacing `future` in place.
+    * A paused schedule keeps its spec but has no armed future. */
   final case class Schedule(id: String, jobId: String, kind: String, arg: String,
-                            @transient future: ScheduledFuture[_]) {
+                            @transient future: ScheduledFuture[_],
+                            paused: Boolean = false) {
     def everyMs: Long = if (kind == "cron") -1L else arg.toLong
   }
 
   private val pool = Executors.newScheduledThreadPool(1, r => {
     val t = new Thread(r, "graft-scheduler"); t.setDaemon(true); t
+  })
+  // fires run here, never on the timer thread
+  private val workers = Executors.newFixedThreadPool(workerThreads.max(1), r => {
+    val t = new Thread(r, "graft-scheduler-worker"); t.setDaemon(true); t
   })
   private val schedules = new java.util.concurrent.ConcurrentHashMap[String, Schedule]()
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
@@ -41,24 +59,32 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     log.filter(Files.exists(_)).foreach { p =>
       import org.json4s._
       implicit val fmts: Formats = DefaultFormats
+      // replay: spec lines set/replace the spec, pause/resume lines flip
+      // the flag, cancel tombstones drop the id
       val last = scala.collection.mutable.LinkedHashMap[String, Option[(String, String, String)]]()
+      val pausedIds = scala.collection.mutable.Set[String]()
       Files.readAllLines(p).forEach { line =>
         if (line.nonEmpty) {
           val j = org.json4s.jackson.JsonMethods.parse(line)
           val id = (j \ "id").extract[String]
-          if ((j \ "cancelled").extractOpt[Boolean].contains(true)) last(id) = None
-          else last(id) = Some(((j \ "job_id").extract[String],
-            (j \ "kind").extract[String], (j \ "arg").extract[String]))
+          if ((j \ "cancelled").extractOpt[Boolean].contains(true)) {
+            last(id) = None; pausedIds -= id
+          } else (j \ "paused").extractOpt[Boolean] match {
+            case Some(true)  => pausedIds += id
+            case Some(false) => pausedIds -= id
+            case None => last(id) = Some(((j \ "job_id").extract[String],
+              (j \ "kind").extract[String], (j \ "arg").extract[String]))
+          }
         }
       }
       seq.set(last.keys.flatMap(_.split('-').lastOption.flatMap(_.toLongOption))
         .foldLeft(0L)(math.max))
       last.foreach {
         case (id, Some((jobId, kind, arg))) if registry.getJob(jobId).isDefined =>
-          kind match {
-            case "interval" => arm(id, jobId, kind, arg,
-              pool.scheduleAtFixedRate(() => fire(jobId), arg.toLong, arg.toLong,
-                TimeUnit.MILLISECONDS))
+          if (pausedIds.contains(id))
+            schedules.put(id, Schedule(id, jobId, kind, arg, null, paused = true))
+          else kind match {
+            case "interval" => armInterval(id, jobId, arg.toLong)
             case "cron"     => armCron(id, jobId, Cron.parse(arg), arg)
             case _          => () // one-shot date triggers do not survive restart
           }
@@ -67,17 +93,24 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     }
   }
 
-  private def fire(jobId: String): Unit =
-    try registry.execute(jobId)
-    catch { case _: Exception => () } // failures live in the execution record
+  /** Submit the job to the worker pool; the caller (timer thread) returns
+    * immediately. Failures live in the execution record. */
+  private def fire(jobId: String): Unit = {
+    workers.submit(new Runnable {
+      def run(): Unit =
+        try { registry.execute(jobId); () } catch { case _: Exception => () }
+    })
+    ()
+  }
 
-  private def persist(s: Schedule): Unit =
-    log.foreach(p => Files.writeString(p,
-      s"""{"id":${quote(s.id)},"job_id":${quote(s.jobId)},"kind":${quote(s.kind)},"arg":${quote(s.arg)}}""" + "\n",
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND))
+  private def persist(s: Schedule): Unit = appendLine(
+    s"""{"id":${quote(s.id)},"job_id":${quote(s.jobId)},"kind":${quote(s.kind)},"arg":${quote(s.arg)}}""")
   private def persistCancel(id: String): Unit =
-    log.foreach(p => Files.writeString(p,
-      s"""{"id":${quote(id)},"cancelled":true}""" + "\n",
+    appendLine(s"""{"id":${quote(id)},"cancelled":true}""")
+  private def persistPaused(id: String, paused: Boolean): Unit =
+    appendLine(s"""{"id":${quote(id)},"paused":$paused}""")
+  private def appendLine(json: String): Unit =
+    log.foreach(p => Files.writeString(p, json + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND))
 
   private def arm(id: String, jobId: String, kind: String, arg: String,
@@ -87,12 +120,18 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     s
   }
 
-  /** Arm the next cron fire; each fire executes then re-arms itself. */
+  private def armInterval(id: String, jobId: String, everyMs: Long): Schedule =
+    arm(id, jobId, "interval", everyMs.toString,
+      pool.scheduleAtFixedRate(() => fire(jobId), everyMs, everyMs,
+        TimeUnit.MILLISECONDS))
+
+  /** Arm the next cron fire. Each timer tick re-arms FIRST, then submits
+    * the job to the workers — the next fire is never gated on this run. */
   private def armCron(id: String, jobId: String, cron: Cron, expr: String): Schedule = {
     val delay = cron.nextAfterMillis(System.currentTimeMillis())
     val runnable: Runnable = () => {
-      fire(jobId)
       if (schedules.containsKey(id)) armCron(id, jobId, cron, expr)
+      fire(jobId)
     }
     arm(id, jobId, "cron", expr, pool.schedule(runnable, delay, TimeUnit.MILLISECONDS))
   }
@@ -102,9 +141,7 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
   /** Run `jobId` every `everyMs` (first fire after one interval). */
   def scheduleInterval(jobId: String, everyMs: Long): Schedule = {
     require(registry.getJob(jobId).isDefined, s"job $jobId not found")
-    val s = arm(nextId(), jobId, "interval", everyMs.toString,
-      pool.scheduleAtFixedRate(() => fire(jobId), everyMs, everyMs,
-        TimeUnit.MILLISECONDS))
+    val s = armInterval(nextId(), jobId, everyMs)
     persist(s)
     s
   }
@@ -134,10 +171,78 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     schedules.values.asScala.toSeq.sortBy(_.id)
   }
 
-  def cancel(id: String): Boolean = Option(schedules.remove(id)) match {
-    case Some(s) => s.future.cancel(false); persistCancel(id); true
+  def get(id: String): Option[Schedule] = Option(schedules.get(id))
+
+  /** Replace a schedule's trigger in place (PUT /schedules/{id},
+    * schedules.py:86-101): same id, new kind/arg (and optionally a new
+    * job). The new spec is validated/armed exactly like create; a paused
+    * schedule stays paused with the new spec. */
+  def update(id: String, jobId: String, kind: String, arg: String): Schedule = {
+    val old = Option(schedules.get(id)).getOrElse(
+      throw new NoSuchElementException(s"schedule $id not found"))
+    require(registry.getJob(jobId).isDefined, s"job $jobId not found")
+    if (old.future != null) { old.future.cancel(false); () }
+    require(Set("interval", "cron", "date").contains(kind), s"unknown kind $kind")
+    val s =
+      if (old.paused) {
+        if (kind == "cron") Cron.parse(arg) else arg.toLong // validate eagerly
+        val ns = Schedule(id, jobId, kind, arg, null, paused = true)
+        schedules.put(id, ns); ns
+      } else kind match {
+        case "interval" => armInterval(id, jobId, arg.toLong)
+        case "cron"     => armCron(id, jobId, Cron.parse(arg), arg)
+        case "date"     => arm(id, jobId, "date", arg,
+          pool.schedule((() => fire(jobId)): Runnable, arg.toLong, TimeUnit.MILLISECONDS))
+        case other      => throw new IllegalArgumentException(s"unknown kind $other")
+      }
+    persist(s)
+    s
+  }
+
+  /** Disarm without forgetting (POST /schedules/{id}/pause,
+    * schedules.py:104-111). Survives restart via a flag entry. */
+  def pause(id: String): Boolean = Option(schedules.get(id)) match {
+    case Some(s) if !s.paused =>
+      if (s.future != null) { s.future.cancel(false); () }
+      schedules.put(id, s.copy(future = null, paused = true))
+      persistPaused(id, paused = true)
+      true
+    case Some(_) => true // already paused: idempotent
     case None    => false
   }
 
-  def shutdown(): Unit = { pool.shutdownNow(); () }
+  /** Re-arm a paused schedule (POST /schedules/{id}/resume). Interval and
+    * cron re-arm from now; a paused date trigger re-arms with its original
+    * delay (the reference's date schedules simply fire when resumed past
+    * due — delay-from-resume is the closest restart-safe equivalent). */
+  def resume(id: String): Boolean = Option(schedules.get(id)) match {
+    case Some(s) if s.paused =>
+      s.kind match {
+        case "interval" => armInterval(id, s.jobId, s.arg.toLong)
+        case "cron"     => armCron(id, s.jobId, Cron.parse(s.arg), s.arg)
+        case _          => arm(id, s.jobId, "date", s.arg,
+          pool.schedule((() => fire(s.jobId)): Runnable, s.arg.toLong, TimeUnit.MILLISECONDS))
+      }
+      persistPaused(id, paused = false)
+      true
+    case Some(_) => true // already running: idempotent
+    case None    => false
+  }
+
+  /** Fire immediately on the worker pool, independent of the trigger
+    * (POST /schedules/{id}/run-now, schedules.py:128-137). Works on
+    * paused schedules too, like the reference. */
+  def runNow(id: String): Boolean = Option(schedules.get(id)) match {
+    case Some(s) => fire(s.jobId); true
+    case None    => false
+  }
+
+  def cancel(id: String): Boolean = Option(schedules.remove(id)) match {
+    case Some(s) =>
+      if (s.future != null) { s.future.cancel(false); () }
+      persistCancel(id); true
+    case None => false
+  }
+
+  def shutdown(): Unit = { pool.shutdownNow(); workers.shutdownNow(); () }
 }

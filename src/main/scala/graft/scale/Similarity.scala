@@ -177,6 +177,25 @@ object Similarity {
    * so collide in every band; the cosine filter discards those pairs
    * only because a null/zero-norm cosine can never reach a positive
    * threshold.
+   *
+   * MEASURED stage breakdown (tools/EmbStage, sf0.1 = 2k vectors x dim 64,
+   * bands=16 r=10, local[32], cold = cache-cleared like a bench rep):
+   * read 1.7 s / widen 0.6 / bucket projection 1.0 (0.4 warm) / persist
+   * +1.7 over no-persist but 2.8x faster on the reused side of the
+   * self-join / candidate join+distinct 2.3 (0.9 warm) / verification
+   * joins 2.6 / full query 1.7-2.0 s cold in a warm JVM. The r4 bench's
+   * 8 s median was machine-load noise: the same artifact pipeline rerun
+   * quiet medians 2.0 s [1.6-2.9] alone and 2.1 s in the full 40-query
+   * suite. The only O(n^2)-growing term is background band collisions
+   * (~C(n,2) x bands x 2^-r: ~40k pairs of 2M at 16x10). Widening to
+   * 32x12 halves that rate per pair AND improves 0.95-recall miss from
+   * ~1.1e-3 to ~2.9e-5 — but measured SLOWER at sf0.1 (4.2 s vs 2.0 s):
+   * at 2k vectors the projection term O(n*dim*bands*r) still dominates
+   * the candidate term. The crossover is where n*2^-r-ish candidate
+   * growth overtakes the extra planes (~100k vectors for this corpus
+   * profile): at scale, grow r ~ log2(n) and bands with the recall
+   * budget, keeping candidates ~linear while the projection stays a
+   * narrow one-pass map.
    */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         simThreshold: Double, dim: Int,

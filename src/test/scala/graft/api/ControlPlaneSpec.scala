@@ -112,6 +112,103 @@ class ControlPlaneSpec extends SparkTestBase {
     assert(reg4.listJobs().isEmpty)
   }
 
+  test("execution window: eviction, log-backed get/list, fast restart over a 10k log") {
+    import spark.implicits._
+    val store = Files.createDirectories(
+      Paths.get("target", "test-tmp", "api", s"win-${System.nanoTime()}"))
+    val in = tmp("win_in")
+    graft.io.CsvIO.write(Seq(("1", "x")).toDF("a", "b"), in, singleFile = true)
+
+    val reg1 = new ControlPlane.JobRegistry(spark, Some(store), execWindow = 3)
+    val job = reg1.createJob(jobJson(in, tmp("win_out")))
+    val execs = (1 to 5).map(_ => reg1.execute(job.id))
+    // only the newest 3 are resident, but evicted ones still resolve (log)
+    assert(reg1.getExecution(execs.head.id).map(_.id) === Some(execs.head.id))
+    assert(reg1.getExecution(execs.head.id).get.status === "SUCCESS")
+    // a full newest-first list reaches past the window into the log
+    assert(reg1.listExecutions(limit = 10).map(_.id) === execs.map(_.id).reverse)
+    // a page inside the window is served from memory (same answer)
+    assert(reg1.listExecutions(limit = 2).map(_.id) === execs.map(_.id).reverse.take(2))
+    assert(reg1.listExecutions(sortDesc = false, limit = 10).map(_.id) === execs.map(_.id))
+
+    // restart: tail-only parse, but older records stay reachable
+    val reg2 = new ControlPlane.JobRegistry(spark, Some(store), execWindow = 3)
+    assert(reg2.getExecution(execs.head.id).map(_.id) === Some(execs.head.id))
+    assert(reg2.listExecutions(limit = 10).size === 5)
+
+    // a synthetic 10k-line history: restart stays fast (tail-only parse)
+    // and both get and list still see beyond the window
+    val log = store.resolve("executions.jsonl")
+    val lines = (1 to 10000).map { i =>
+      s"""{"id":"exec-$i","job_id":"job-synth","started_at_ms":${1000000L + i},""" +
+        s""""wall_ms":1,"status":"SUCCESS","attempts":1,"lines_forwarded":{},""" +
+        s""""throughput_rows_per_sec":0.0,"attempt_list":[]}"""
+    }
+    Files.writeString(log, lines.mkString("", "\n", "\n"))
+    val t0 = System.nanoTime()
+    val reg3 = new ControlPlane.JobRegistry(spark, Some(store), execWindow = 100)
+    val buildMs = (System.nanoTime() - t0) / 1e6
+    assert(buildMs < 5000, s"10k-log restart took ${buildMs}ms")
+    assert(reg3.getExecution("exec-1").map(_.startedAtMs) === Some(1000001L))
+    assert(reg3.listExecutions(jobId = Some("job-synth"), limit = 10, offset = 9000)
+      .map(_.id).head === "exec-1000")
+    // id sequence continued past the full history, not just the window
+    assert(reg3.execute(job.id).id === "exec-10001")
+  }
+
+  test("/schedules REST: lifecycle with pause/resume/run-now/update") {
+    import spark.implicits._
+    val reg = new ControlPlane.JobRegistry(spark)
+    val sched = new Scheduler(reg)
+    val server = ControlPlane.serve(reg, 0, Some(sched))
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val client = HttpClient.newHttpClient()
+    def send(r: HttpRequest): HttpResponse[String] =
+      client.send(r, HttpResponse.BodyHandlers.ofString())
+    def post(url: String, body: String = ""): HttpResponse[String] =
+      send(HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+    try {
+      val in = tmp("sched_rest_in")
+      graft.io.CsvIO.write(Seq(("1", "x")).toDF("a", "b"), in, singleFile = true)
+      val job = reg.createJob(jobJson(in, tmp("sched_rest_out")))
+
+      val created = post(s"$base/schedules",
+        s"""{"job_id":"${job.id}","kind":"interval","arg":"3600000"}""")
+      assert(created.statusCode() === 201 && created.body().contains("\"paused\":false"))
+      val sid = """"id":"([^"]+)"""".r.findFirstMatchIn(created.body()).get.group(1)
+
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/schedules")).GET().build())
+        .body().contains(sid))
+      assert(post(s"$base/schedules/$sid/pause").body().contains("\"paused\":true"))
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/schedules/$sid")).GET().build())
+        .body().contains("\"paused\":true"))
+      assert(post(s"$base/schedules/$sid/resume").body().contains("\"paused\":false"))
+
+      // run-now fires an execution through the registry
+      assert(post(s"$base/schedules/$sid/run-now").statusCode() === 200)
+      val deadline = System.currentTimeMillis() + 20000
+      while (reg.listExecutions(jobId = Some(job.id)).isEmpty &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(reg.listExecutions(jobId = Some(job.id)).nonEmpty)
+
+      val put = send(HttpRequest.newBuilder(URI.create(s"$base/schedules/$sid"))
+        .PUT(HttpRequest.BodyPublishers.ofString("""{"kind":"cron","arg":"0 3 * * *"}""")).build())
+      assert(put.statusCode() === 200 && put.body().contains("\"kind\":\"cron\""))
+
+      // errors: unknown id 404, bad kind 400, missing fields 400
+      assert(post(s"$base/schedules/sched-ghost/pause").statusCode() === 404)
+      assert(post(s"$base/schedules", s"""{"job_id":"${job.id}","kind":"warp","arg":"1"}""")
+        .statusCode() === 400)
+      assert(post(s"$base/schedules", """{"kind":"interval"}""").statusCode() === 400)
+
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/schedules/$sid"))
+        .DELETE().build()).statusCode() === 204)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/schedules/$sid")).GET().build())
+        .statusCode() === 404)
+    } finally { server.stop(0); sched.shutdown() }
+  }
+
   test("REST surface: POST/GET/DELETE /jobs, POST /execution, GET /executions") {
     import spark.implicits._
     val reg = new ControlPlane.JobRegistry(spark)

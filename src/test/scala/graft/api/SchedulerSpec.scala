@@ -81,6 +81,103 @@ class SchedulerSpec extends SparkTestBase {
     } finally sched.shutdown()
   }
 
+  test("fires run on the worker pool: a slow job cannot starve another schedule") {
+    import spark.implicits._
+    val reg = new ControlPlane.JobRegistry(spark)
+    val in = tmp("worker_in")
+    graft.io.CsvIO.write(Seq("1").toDF("a"), in, singleFile = true)
+    val fast = reg.createJob(smallJob(in, tmp("worker_out")))
+    // a job that FAILS with a retry budget: each retry sleeps the constant
+    // 1s backoff, so the execution occupies its worker for >= 8 s
+    val slow = reg.createJob(
+      s"""{ "name": "slowjob", "num_of_retries": 8, "components": [
+         |  { "name": "r", "comp_type": "read_csv",
+         |    "filepath": "${tmp("missing_nope")}",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": { "fields": [
+         |      { "name": "a", "data_type": "string" } ] } } },
+         |  { "name": "w", "comp_type": "write_csv", "filepath": "${tmp("slow_out")}",
+         |    "in_port_schemas": { "in": { "fields": [
+         |      { "name": "a", "data_type": "string" } ] } } } ] }""".stripMargin)
+    val sched = new Scheduler(reg)
+    try {
+      sched.scheduleOnce(slow.id, delayMs = 10)
+      Thread.sleep(300) // slow fire is now deep in its retry loop
+      sched.scheduleInterval(fast.id, everyMs = 300)
+      val deadline = System.currentTimeMillis() + 20000
+      while (reg.listExecutions(jobId = Some(fast.id)).size < 2 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      // the fast schedule fired (twice) WHILE the slow execution was still
+      // occupying its worker — with fires on the timer thread this blocks
+      assert(reg.listExecutions(jobId = Some(fast.id)).size >= 2)
+      assert(reg.listExecutions(jobId = Some(slow.id)).isEmpty,
+        "slow job should still be retrying while fast fires land")
+      // and the slow execution does eventually complete, as FAILED
+      val slowDeadline = System.currentTimeMillis() + 30000
+      while (reg.listExecutions(jobId = Some(slow.id)).isEmpty &&
+             System.currentTimeMillis() < slowDeadline) Thread.sleep(200)
+      assert(reg.listExecutions(jobId = Some(slow.id)).head.status === "FAILED")
+    } finally sched.shutdown()
+  }
+
+  test("pause/resume/run-now/update; pause survives restart") {
+    import spark.implicits._
+    val store = Files.createDirectories(
+      Paths.get("target", "test-tmp", "sched", s"pause-${System.nanoTime()}"))
+    val reg = new ControlPlane.JobRegistry(spark, Some(store))
+    val in = tmp("pause_in")
+    graft.io.CsvIO.write(Seq("1").toDF("a"), in, singleFile = true)
+    val job = reg.createJob(smallJob(in, tmp("pause_out")))
+
+    val s1 = new Scheduler(reg, Some(store))
+    val iv = s1.scheduleInterval(job.id, everyMs = 400)
+    assert(s1.pause(iv.id)) // before the first fire at 400ms
+    assert(s1.get(iv.id).exists(_.paused))
+    assert(s1.pause(iv.id)) // idempotent
+    Thread.sleep(900)
+    assert(reg.listExecutions(jobId = Some(job.id)).isEmpty,
+      "a paused interval must not fire")
+    s1.shutdown()
+
+    // restart: the schedule comes back paused and disarmed
+    val s2 = new Scheduler(reg, Some(store))
+    try {
+      val re = s2.get(iv.id).getOrElse(fail(s"schedule ${iv.id} lost on restart"))
+      assert(re.paused && re.future == null)
+      Thread.sleep(600)
+      assert(reg.listExecutions(jobId = Some(job.id)).isEmpty)
+
+      // run-now fires even while paused
+      assert(s2.runNow(iv.id))
+      val deadline = System.currentTimeMillis() + 20000
+      while (reg.listExecutions(jobId = Some(job.id)).isEmpty &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val afterRunNow = reg.listExecutions(jobId = Some(job.id)).size
+      assert(afterRunNow >= 1)
+
+      // resume re-arms: the interval fires again on its own
+      assert(s2.resume(iv.id))
+      assert(s2.get(iv.id).exists(s => !s.paused && s.future != null))
+      while (reg.listExecutions(jobId = Some(job.id)).size <= afterRunNow &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(reg.listExecutions(jobId = Some(job.id)).size > afterRunNow)
+
+      // update replaces the trigger in place (same id, new arg)
+      val up = s2.update(iv.id, job.id, "interval", "3600000")
+      assert(up.id === iv.id && up.arg === "3600000" && !up.paused)
+      intercept[NoSuchElementException] { s2.update("sched-ghost", job.id, "interval", "5") }
+      intercept[IllegalArgumentException] { s2.update(iv.id, job.id, "warp", "5") }
+    } finally s2.shutdown()
+
+    // the updated spec (not the original) survives another restart
+    val s3 = new Scheduler(reg, Some(store))
+    try {
+      val re = s3.get(iv.id).get
+      assert(re.arg === "3600000" && !re.paused && re.future != null)
+      assert(!s3.pause("sched-ghost") && !s3.resume("sched-ghost") && !s3.runNow("sched-ghost"))
+    } finally s3.shutdown()
+  }
+
   test("schedules persist and re-arm on restart; cancels are tombstoned") {
     import spark.implicits._
     val store = Files.createDirectories(
