@@ -42,7 +42,9 @@ object ControlPlane {
       attemptRecords: Seq[JobRunner.Attempt] = Nil,
       environment: Option[String] = None,
       linesForwarded: Map[String, Long] = Map.empty,
-      throughputRowsPerSec: Double = 0.0)
+      throughputRowsPerSec: Double = 0.0,
+      linesReceived: Map[String, Long] = Map.empty,
+      linesDismissed: Map[String, Long] = Map.empty)
 
   /** `spark` is by-name/lazy: only `execute` forces it, so metadata-only
     * callers (CLI list/get/create paths) never pay SparkSession startup.
@@ -126,6 +128,8 @@ object ControlPlane {
         e.error.map(er => s""","error":${quote(er)}""").getOrElse("") +
         e.environment.map(v => s""","environment":${quote(v)}""").getOrElse("") +
         s""","lines_forwarded":${linesJson(e)},"throughput_rows_per_sec":${e.throughputRowsPerSec}""" +
+        s""","lines_received":${countsJson(e.linesReceived)}""" +
+        s""","lines_dismissed":${countsJson(e.linesDismissed)}""" +
         s""","attempt_list":$atts}"""
     }
 
@@ -142,7 +146,7 @@ object ControlPlane {
         }
         case _ => Nil
       }
-      val lines = (j \ "lines_forwarded") match {
+      def counts(key: String): Map[String, Long] = (j \ key) match {
         case JObject(fs) => fs.collect { case (k, JInt(v)) => k -> v.toLong }.toMap
         case _           => Map.empty[String, Long]
       }
@@ -151,8 +155,9 @@ object ControlPlane {
         (j \ "started_at_ms").extract[Long], (j \ "wall_ms").extract[Long],
         (j \ "status").extract[String], (j \ "attempts").extract[Int],
         (j \ "error").extractOpt[String], atts,
-        (j \ "environment").extractOpt[String], lines,
-        (j \ "throughput_rows_per_sec").extractOpt[Double].getOrElse(0.0))
+        (j \ "environment").extractOpt[String], counts("lines_forwarded"),
+        (j \ "throughput_rows_per_sec").extractOpt[Double].getOrElse(0.0),
+        counts("lines_received"), counts("lines_dismissed"))
     }
 
     private def nextId(prefix: String): String = s"$prefix-${seq.incrementAndGet()}"
@@ -213,7 +218,8 @@ object ControlPlane {
         res.lastError.map(e => (e.getClass.getSimpleName + ": " +
           String.valueOf(e.getMessage)).take(300)),
         res.attemptRecords, environment.map(_.toUpperCase),
-        res.linesForwarded, res.throughputRowsPerSec)
+        res.linesForwarded, res.throughputRowsPerSec,
+        res.linesReceived, res.linesDismissed)
       putExec(rec)
       persistExec(rec)
       rec
@@ -269,9 +275,10 @@ object ControlPlane {
 
   private def jobJson(j: JobRecord): String =
     s"""{"id":${quote(j.id)},"name":${quote(j.name)}}"""
-  private[api] def linesJson(e: ExecutionRecord): String =
-    e.linesForwarded.toSeq.sortBy(_._1)
+  private[api] def countsJson(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")
+  private[api] def linesJson(e: ExecutionRecord): String = countsJson(e.linesForwarded)
   private[api] def attemptJson(a: JobRunner.Attempt): String =
     s"""{"index":${a.index},"started_at_ms":${a.startedAtMs},"wall_ms":${a.wallMs},""" +
       s""""status":${quote(a.status)}""" +
@@ -348,14 +355,18 @@ object ControlPlane {
         case ("GET", p) if p.endsWith("/metrics") =>
           val execId = p.stripSuffix("/metrics")
           registry.getExecution(execId).map(e => (200,
-            s"""{"lines_forwarded":${linesJson(e)},""" +
+            s"""{"lines_received":${countsJson(e.linesReceived)},""" +
+              s""""lines_forwarded":${linesJson(e)},""" +
+              s""""lines_dismissed":${countsJson(e.linesDismissed)},""" +
               s""""throughput_rows_per_sec":${e.throughputRowsPerSec}}"""))
             .getOrElse((404, s"""{"error":"execution $execId not found"}"""))
         case ("GET", execId) if execId.nonEmpty =>
           // reference shape: { execution, attempts } (docs/cli.md:58-60)
           registry.getExecution(execId).map(e =>
             (200, s"""{"execution":${execJson(e)},"attempts":${attemptsJson(e)},""" +
-              s""""metrics":{"lines_forwarded":${linesJson(e)},""" +
+              s""""metrics":{"lines_received":${countsJson(e.linesReceived)},""" +
+              s""""lines_forwarded":${linesJson(e)},""" +
+              s""""lines_dismissed":${countsJson(e.linesDismissed)},""" +
               s""""throughput_rows_per_sec":${e.throughputRowsPerSec}}}"""))
             .getOrElse((404, s"""{"error":"execution $execId not found"}"""))
         case ("GET", "") =>

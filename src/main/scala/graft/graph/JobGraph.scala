@@ -84,8 +84,26 @@ object JobGraph {
     }
   }
 
+  /** type_conversion out-schema derivation (reference
+    * type_conversion_component.py:83-97, helper :380-435): a
+    * type_conversion with no declared "out" schema gets one derived from
+    * its in-schema + rules (target type swap, nullability from the error
+    * policy — see TypeConversionOp.deriveOutSchema). Explicit declaration
+    * stays the override; idempotent, so validate-then-build derives once. */
+  private def deriveSchemas(spec: JobSpec): JobSpec =
+    spec.copy(components = spec.components.map { c =>
+      if (c.compType == "type_conversion" && !c.outPortSchemas.contains("out"))
+        c.inPortSchemas.get("in") match {
+          case Some(in) => c.copy(outPortSchemas = c.outPortSchemas +
+            ("out" -> TypeConversionOp.deriveOutSchema(in, parseCastRules(c))))
+          case None => c
+        }
+      else c
+    })
+
   /** Validate wiring only (throws on contract violations). */
-  def validate(spec: JobSpec): Unit = {
+  def validate(spec0: JobSpec): Unit = {
+    val spec = deriveSchemas(spec0)
     val byName = spec.components.map(c => c.name -> c).toMap
     require(byName.size == spec.components.size, {
       val dups = spec.components.groupBy(_.name).filter(_._2.size > 1).keys
@@ -166,9 +184,10 @@ object JobGraph {
     * runs the null/enum data checks on every edge (one aggregate scan);
     * `instrument` attaches an observe() row counter per produced port
     * (lines_forwarded, harvested by JobRunner's listener). */
-  def build(spark: SparkSession, spec: JobSpec,
+  def build(spark: SparkSession, spec0: JobSpec,
             validateData: Boolean = false,
             instrument: Boolean = false): BuiltJob = {
+    val spec = deriveSchemas(spec0)
     validate(spec)
     val order = topoOrder(spec)
     val frames = scala.collection.mutable.Map.empty[(String, String), DataFrame]
@@ -212,9 +231,19 @@ object JobGraph {
           if (edges.size > 1) { val h = observed.persist(); cached += h; h }
           else observed
         frames((c.name, port)) = shared
-        for (e <- edges)
+        for ((e, i) <- edges.zipWithIndex) {
+          // lines_received metric on the consuming edge (reference
+          // component_metrics.py:4-30 records received per component; the
+          // ':'-separated name disambiguates even if component names
+          // contain dots — JobRunner aggregates per "<to>.<inPort>")
+          val wired =
+            if (instrument)
+              shared.observe(s"graft.recv:${e.to}.${e.inPort}:${c.name}.$port.$i",
+                count(lit(1)).as("rows"))
+            else shared
           inputs((e.to, e.inPort)) =
-            inputs.getOrElse((e.to, e.inPort), Vector.empty) :+ shared
+            inputs.getOrElse((e.to, e.inPort), Vector.empty) :+ wired
+        }
       }
     }
     BuiltJob(frames.toMap, sinks.toSeq, cached.toSeq)

@@ -141,6 +141,54 @@ object TypeConversionOp {
     }
   }
 
+  private def stringFamily(t: GraftType): Boolean =
+    t == TString || t == TEnum || t == TPath
+
+  /**
+   * Derive the out-port schema from the in-port schema + rules, so a
+   * type_conversion component needs no declared out schema (reference:
+   * src/etl_core/components/data_operations/type_conversion/
+   * type_conversion_component.py:83-97, helper :380-435): each rule swaps
+   * its leaf's declared type for the target. Nullability is derived from
+   * what the conversion can actually produce: a string-family target
+   * never introduces nulls (identity/plain cast), any other target goes
+   * nullable unless on_error=raise AND the source is non-string (string
+   * sources null-normalize ""/na/nan/null/none under every policy).
+   * An explicitly declared out schema always wins over derivation.
+   */
+  def deriveOutSchema(in: Seq[graft.schema.FieldDef],
+                      rules: Seq[CastRule]): Seq[graft.schema.FieldDef] =
+    rules.foldLeft(in)((fds, r) => rewriteFields(fds, r.columnPath.split('.').toList, r))
+
+  private def rewriteFields(fds: Seq[graft.schema.FieldDef], path: List[String],
+                            r: CastRule): Seq[graft.schema.FieldDef] = path match {
+    case seg :: rest =>
+      require(fds.exists(_.name == seg),
+        s"type_conversion derive: path '${r.columnPath}': no field '$seg' in " +
+          s"(${fds.map(_.name).mkString(", ")})")
+      fds.map(fd => if (fd.name == seg) rewriteLeaf(fd, rest, r) else fd)
+    case Nil => fds
+  }
+
+  private def rewriteLeaf(fd: graft.schema.FieldDef, rest: List[String],
+                          r: CastRule): graft.schema.FieldDef = rest match {
+    case Nil =>
+      val nullable =
+        if (stringFamily(r.target)) fd.nullable
+        else fd.nullable || r.onError != RaisePolicy || stringFamily(fd.dataType)
+      fd.copy(dataType = r.target, nullable = nullable,
+        enumValues = if (r.target == TEnum) fd.enumValues else Nil,
+        children = Nil, item = None)
+    case "*" :: rest2 =>
+      require(fd.dataType == TArray && fd.item.isDefined,
+        s"type_conversion derive: path '${r.columnPath}': '*' under non-array '${fd.name}'")
+      fd.copy(item = fd.item.map(rewriteLeaf(_, rest2, r)))
+    case _ =>
+      require(fd.dataType == TObject,
+        s"type_conversion derive: path '${r.columnPath}': cannot descend into '${fd.name}'")
+      fd.copy(children = rewriteFields(fd.children, rest, r))
+  }
+
   /** Apply rules to top-level or nested (dotted) paths. Array elements via `*`. */
   def apply(df: DataFrame, rules: Seq[CastRule]): DataFrame =
     rules.foldLeft(df) { (d, r) =>

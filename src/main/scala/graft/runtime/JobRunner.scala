@@ -46,7 +46,9 @@ object JobRunner {
       linesForwarded: Map[String, Long],
       throughputRowsPerSec: Double,
       lastError: Option[Throwable],
-      attemptRecords: Seq[Attempt] = Nil)
+      attemptRecords: Seq[Attempt] = Nil,
+      linesReceived: Map[String, Long] = Map.empty,
+      linesDismissed: Map[String, Long] = Map.empty)
 
   /** Collects observed metrics named `graft.<component>.<port>`. */
   private final class MetricsListener extends QueryExecutionListener {
@@ -106,13 +108,33 @@ object JobRunner {
       spark.listenerManager.unregister(listener)
     }
     val wallMs = (System.nanoTime() - t0) / 1000000
-    val lines = {
+    val harvested = {
       import scala.jdk.CollectionConverters._
       listener.rows.asScala.toMap
     }
+    // edge observes are tagged "recv:<to>.<inPort>:<from>.<port>.<i>":
+    // aggregate them per consuming "<to>.<inPort>" (reference
+    // component_metrics.py lines_received); everything else is a produced
+    // port (lines_forwarded)
+    val (recvRaw, lines) = harvested.partition(_._1.startsWith("recv:"))
+    val received: Map[String, Long] = recvRaw.toSeq
+      .map { case (k, v) => k.split(':')(1) -> v }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // filter's dismissed = rows its rule diverted off the pass port
+    // (filter_metrics.py:6-14): the measured fail-port count when that
+    // branch executed, else received minus pass-forwarded
+    val dismissed: Map[String, Long] = spec.components
+      .filter(_.compType == "filter").flatMap { c =>
+        lines.get(s"${c.name}.fail")
+          .orElse(for {
+            in <- received.get(s"${c.name}.in")
+            pass <- lines.get(s"${c.name}.pass")
+          } yield math.max(0L, in - pass))
+          .map(c.name -> _)
+      }.toMap
     val total = lines.values.sum
     RunResult(attempt, succeeded, wallMs, lines,
       if (wallMs == 0) 0.0 else total * 1000.0 / wallMs, lastError,
-      attemptLog.toSeq)
+      attemptLog.toSeq, received, dismissed)
   }
 }

@@ -51,6 +51,38 @@ class JobComponentsSpec extends SparkTestBase {
     assert(back.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3"))
   }
 
+  test("type_conversion derives its out schema from in-schema + rules") {
+    import spark.implicits._
+    val in = tmp("derive_in")
+    graft.io.CsvIO.write(
+      Seq(("1", "x"), ("na", "y"), ("3", "z")).toDF("a", "b"), in, singleFile = true)
+    val out = tmp("derive_out")
+    // NOTE: no out_port_schemas on the conversion component — derived
+    val json =
+      s"""{ "name": "derive", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "tc", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "tc", "comp_type": "type_conversion",
+         |    "rules": [ { "column_path": "a", "target": "integer",
+         |                 "on_error": "null" } ],
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": { "fields": [
+         |      { "name": "a", "data_type": "integer", "nullable": true },
+         |      { "name": "b", "data_type": "string" } ] } } } ] }""".stripMargin
+    // derivation also satisfies the data-level validation pass: the null
+    // produced by on_error=null must not violate the derived nullability
+    val built = JobGraph.build(spark, JobConfig.parse(json), validateData = true)
+    built.runSinks()
+    built.close()
+    val back = spark.read.parquet(out)
+    assert(back.schema("a").dataType.typeName === "long")
+    assert(back.select("a").collect().map(r => Option(r.get(0))).toSet ===
+      Set(Some(1L), None, Some(3L)))
+  }
+
   test("mongodb source with pushdown params → json sink, from config") {
     import spark.implicits._
     graft.io.MongoIO.InMemoryStores.drop("jobstore")

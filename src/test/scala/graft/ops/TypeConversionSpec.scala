@@ -105,4 +105,38 @@ class TypeConversionSpec extends SparkTestBase {
     val out = TypeConversionOp(df, Seq(CastRule("arr.*", TInteger, NullPolicy)))
     assert(out.head().getSeq[Any](0) === Seq(1L, 2L, null))
   }
+
+  test("deriveOutSchema: type swap + nullability from policy and source") {
+    import graft.schema.FieldDef
+    val in = Seq(
+      FieldDef("a", TString),
+      FieldDef("b", TString, nullable = true),
+      FieldDef("n", TFloat),
+      FieldDef("o", TObject, children = Seq(FieldDef("x", TString))),
+      FieldDef("arr", TArray, item = Some(FieldDef("item", TString))))
+    def derived(rules: CastRule*) =
+      TypeConversionOp.deriveOutSchema(in, rules).map(f => f.name -> f).toMap
+    // on_error=null: target swapped, nullable flipped
+    val d1 = derived(CastRule("a", TInteger, NullPolicy))
+    assert(d1("a").dataType === TInteger && d1("a").nullable)
+    assert(d1("b") === in(1)) // untouched fields pass through
+    // raise + STRING source still flips: nullish strings null-normalize
+    val d2 = derived(CastRule("a", TInteger, RaisePolicy))
+    assert(d2("a").nullable)
+    // raise + non-string source: no new nulls, nullability kept
+    val d3 = derived(CastRule("n", TInteger, RaisePolicy))
+    assert(d3("n").dataType === TInteger && !d3("n").nullable)
+    // string-family target never introduces nulls
+    val d4 = derived(CastRule("n", TString, NullPolicy))
+    assert(d4("n").dataType === TString && !d4("n").nullable)
+    // nested + array wildcard paths rewrite the leaf
+    val d5 = derived(CastRule("o.x", TInteger, NullPolicy),
+      CastRule("arr.*", TFloat, NullPolicy))
+    assert(d5("o").children.head.dataType === TInteger && d5("o").children.head.nullable)
+    assert(d5("arr").item.get.dataType === TFloat)
+    // a typo'd path fails like the conversion itself would
+    intercept[IllegalArgumentException] {
+      TypeConversionOp.deriveOutSchema(in, Seq(CastRule("ghost", TInteger, NullPolicy)))
+    }
+  }
 }

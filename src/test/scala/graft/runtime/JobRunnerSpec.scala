@@ -45,6 +45,43 @@ class JobRunnerSpec extends SparkTestBase {
     assert(res.linesForwarded.get("r.out") === Some(3L))
     assert(res.linesForwarded.get("f.pass") === Some(2L))
     assert(res.throughputRowsPerSec > 0)
+    // metrics parity (component_metrics.py): received on every consumed
+    // edge, filter's dismissed = received - pass (fail port unrouted here),
+    // and the three reconcile
+    assert(res.linesReceived.get("f.in") === Some(3L))
+    assert(res.linesReceived.get("w.in") === Some(2L))
+    assert(res.linesDismissed.get("f") === Some(1L))
+    assert(res.linesReceived("f.in") ===
+      res.linesForwarded("f.pass") + res.linesDismissed("f"))
+  }
+
+  test("dismissed uses the measured fail-port count when that branch runs") {
+    import spark.implicits._
+    val in = tmp("in_fail_port")
+    graft.io.CsvIO.write(
+      Seq(("1", "x"), ("2", "drop"), ("3", "drop")).toDF("a", "b"), in, singleFile = true)
+    val json =
+      s"""{ "name": "t2", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "f", "comp_type": "filter",
+         |    "rule": { "column": "b", "operator": "!=", "value": "drop" },
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "pass": [ { "to": "w", "in_port": "in" } ],
+         |                "fail": [ { "to": "wf", "in_port": "in" } ] },
+         |    "out_port_schemas": { "pass": $abSchema, "fail": $abSchema } },
+         |  { "name": "w", "comp_type": "write_csv",
+         |    "filepath": "${tmp("out_pass")}",
+         |    "in_port_schemas": { "in": $abSchema } },
+         |  { "name": "wf", "comp_type": "write_csv",
+         |    "filepath": "${tmp("out_fail_rows")}",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val res = JobRunner.run(spark, JobConfig.parse(json))
+    assert(res.succeeded)
+    assert(res.linesDismissed.get("f") === Some(2L))
+    assert(res.linesReceived.get("f.in") === Some(3L))
+    assert(res.linesForwarded.get("f.fail") === Some(2L))
   }
 
   test("retry loop: missing input exhausts attempts, reports last error") {
