@@ -340,7 +340,8 @@ object JobGraph {
           graft.io.MongoIO.InMemory(c.reqStr("store")), c.reqStr("entity_name"),
           schema, filter = c.scalarMapParam("query_filter"), sort = sort,
           skip = c.int("skip", 0),
-          limit = if (c.int("limit", -1) >= 0) Some(c.int("limit", -1)) else None)), None)
+          limit = if (c.int("limit", -1) >= 0) Some(c.int("limit", -1)) else None,
+          splitKey = c.str("split_key"))), None)
 
       case "write_mongodb" =>
         val df = one()

@@ -293,8 +293,66 @@ object JdbcIO {
     }.toMap
   }
 
-  /** foreachPartition sink: one connection + prepared statement per
-    * partition, executeBatch every `batchSize` rows, single commit. */
+  /**
+   * Executor-local connection pool keyed by URL + connection options
+   * (reference pool_registry.py:16-60 pools per URL+kwargs). Lives in the
+   * executor JVM as a static object: every partition of every component
+   * in a job (and across jobs of a long-lived service) borrows from the
+   * same pool, so a many-component JDBC job opens
+   * O(executors × concurrency) connections instead of
+   * O(components × partitions). A connection that saw an error is closed,
+   * never returned; idle connections are capped per key (excess closes).
+   */
+  private[io] object ConnectionPool {
+    private val maxIdlePerKey = 4
+    private val pools = new java.util.concurrent.ConcurrentHashMap[
+      (String, Map[String, String]),
+      java.util.concurrent.ArrayBlockingQueue[Connection]]()
+    /** Physical opens — observable seam for the reuse spec. */
+    val opens = new java.util.concurrent.atomic.AtomicLong(0)
+
+    private def queue(key: (String, Map[String, String])) =
+      pools.computeIfAbsent(key,
+        _ => new java.util.concurrent.ArrayBlockingQueue[Connection](maxIdlePerKey))
+
+    def borrow(url: String, options: Map[String, String]): Connection = {
+      val q = queue((url, options))
+      var c = q.poll()
+      while (c != null && c.isClosed) c = q.poll() // drop stale handles
+      if (c != null) c
+      else {
+        val props = new java.util.Properties()
+        options.foreachEntry((k, v) => props.setProperty(k, v))
+        opens.incrementAndGet()
+        DriverManager.getConnection(url, props)
+      }
+    }
+
+    /** Return a HEALTHY connection; `broken` ones close instead (their
+      * transaction state is unknown). */
+    def release(url: String, options: Map[String, String],
+                c: Connection, broken: Boolean): Unit =
+      if (broken || c.isClosed || !queue((url, options)).offer(c))
+        try c.close() catch { case _: java.sql.SQLException => () }
+
+    /** Close every pooled connection (tests / orderly shutdown). */
+    def closeAll(): Unit = {
+      import scala.jdk.CollectionConverters._
+      pools.values.asScala.foreach { q =>
+        var c = q.poll()
+        while (c != null) {
+          try c.close() catch { case _: java.sql.SQLException => () }
+          c = q.poll()
+        }
+      }
+      pools.clear()
+    }
+  }
+
+  /** foreachPartition sink: borrow a pooled connection per partition
+    * (executor-local reuse across partitions, components and jobs),
+    * prepared statement per partition, executeBatch every `batchSize`
+    * rows, single commit. */
   private def executeBatched(df: DataFrame, url: String, sql: String,
                              paramCols: Seq[String], batchSize: Int,
                              options: Map[String, String]): Unit = {
@@ -302,9 +360,8 @@ object JdbcIO {
     require(indices.forall(_ >= 0), s"param columns $paramCols missing from ${df.columns.toSeq}")
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
-        val props = new java.util.Properties()
-        options.foreachEntry((k, v) => props.setProperty(k, v))
-        val conn: Connection = DriverManager.getConnection(url, props)
+        val conn: Connection = ConnectionPool.borrow(url, options)
+        var broken = true
         try {
           conn.setAutoCommit(false)
           val ps: PreparedStatement = conn.prepareStatement(sql)
@@ -320,7 +377,8 @@ object JdbcIO {
           if (pending > 0) ps.executeBatch()
           conn.commit()
           ps.close()
-        } finally conn.close()
+          broken = false
+        } finally ConnectionPool.release(url, options, conn, broken)
       }
     }
   }

@@ -29,12 +29,17 @@ import graft.schema.FieldDef
  */
 object MongoIO {
 
+  /** Half-open range predicate on a splittable key (Mongo:
+    * {field: {$gte: .., $lt: ..}}); None bound = unbounded side. */
+  final case class KeyRange(field: String, gte: Option[Any], lt: Option[Any])
+
   final case class FindSpec(
       filter: Map[String, Any] = Map.empty,     // top-level equality match
       sort: Seq[(String, Int)] = Nil,           // (field, 1|-1)
       skip: Int = 0,
       limit: Option[Int] = None,
-      projection: Seq[String] = Nil)            // dotted leaf paths; empty = all
+      projection: Seq[String] = Nil,            // dotted leaf paths; empty = all
+      range: Option[KeyRange] = None)           // partition range pushdown
 
   /** Store seam: a real Mongo impl wraps a MongoClient per instance. */
   trait DocumentStore {
@@ -52,6 +57,13 @@ object MongoIO {
     def update(collection: String, docs: Seq[String], keys: Seq[String],
                matchFilter: Map[String, Any], updateFields: Seq[String]): Unit
     def truncate(collection: String): Unit
+    /** Up to `parts - 1` ascending split values of `field` over the
+      * documents matching `filter` — cheap server-side metadata (real
+      * MongoDB: splitVector on _id, or a $sample + sort aggregation).
+      * Nil = store cannot split this key; readers fall back to
+      * skip/limit slicing. */
+    def splitPoints(collection: String, filter: Map[String, Any],
+                    field: String, parts: Int): Seq[Any] = Nil
   }
 
   /** Serializable handle that opens a store on an executor. */
@@ -70,51 +82,79 @@ object MongoIO {
   /** Read: pushdown filter/sort/skip/limit/projection into the store, parse
     * the returned documents against the declared schema.
     *
-    * DISTRIBUTED: the driver touches only count metadata (countDocuments);
-    * the documents themselves are fetched inside `mapPartitions`-style
-    * tasks, one store per partition (mirroring the write path), each task
-    * running the same find with its own disjoint skip/limit slice of the
-    * global result. No document ever materializes on the driver, so the
+    * DISTRIBUTED: the driver touches only metadata (countDocuments /
+    * splitPoints); the documents themselves are fetched inside
+    * `mapPartitions`-style tasks, one store per partition (mirroring the
+    * write path). No document ever materializes on the driver, so the
     * read scales with executor count instead of driver heap.
     *
-    * Slice correctness requires the store to enumerate a given query in a
-    * stable order between the count and the fetches (real MongoDB: natural
-    * order absent concurrent writes, or deterministic `sort`); this is the
-    * same contract a paginated reader of any document store relies on. */
+    * PARTITIONING, preferred path: when `splitKey` is set and the query
+    * is splittable (no sort/skip/limit — those impose a global order the
+    * server must own), the driver fetches up to P-1 split values of the
+    * key and each task runs an independent range find
+    * ({key: {$gte, $lt}}): against a real MongoDB every task is an
+    * indexed range scan, total server work O(n). Fallback path
+    * (unsplittable queries, or a store that cannot split the key):
+    * disjoint skip/limit slices of the one global enumeration — correct
+    * under the stable-order contract, but server-side skip is O(skip),
+    * so the slice fleet costs O(n·P) cursor-walk; fine for
+    * bounded/sorted reads, which is exactly where it still applies. */
   def read(spark: SparkSession, factory: StoreFactory, collection: String,
            schema: Seq[FieldDef], filter: Map[String, Any] = Map.empty,
            sort: Seq[(String, Int)] = Nil, skip: Int = 0,
-           limit: Option[Int] = None, numPartitions: Int = 0): DataFrame = {
+           limit: Option[Int] = None, numPartitions: Int = 0,
+           splitKey: Option[String] = None): DataFrame = {
     import spark.implicits._
     val spec = FindSpec(filter, sort, skip, limit, projectionOf(schema))
-    val matched = factory.open().count(collection, filter)
-    val avail = math.max(0L, matched - skip)
-    val n = limit.fold(avail)(l => math.min(avail, l.toLong))
+    val st = FieldDef.toStructType(schema)
     val target = if (numPartitions > 0) numPartitions
                  else spark.sparkContext.defaultParallelism
-    // don't spin up a task per handful of docs; at production scale the
-    // slice count is driven by the declared parallelism
-    val minChunk = 100L
-    val parts = math.max(1L, math.min(target.toLong, (n + minChunk - 1) / minChunk)).toInt
-    val slices = (0 until parts).map { i =>
-      val start = n * i / parts
-      val end = n * (i + 1) / parts
-      (skip + start, (end - start).toInt)
-    }.filter(_._2 > 0)
-    val st = FieldDef.toStructType(schema)
-    val docs =
-      if (slices.isEmpty) spark.emptyDataset[String]
-      else spark.createDataset(
-        spark.sparkContext.parallelize(slices, slices.size)
+    def fromDocs(docs: org.apache.spark.sql.Dataset[String]): DataFrame =
+      docs.toDF("doc")
+        .select(from_json(col("doc"), st).as("rec"))
+        .select(col("rec.*"))
+
+    val splittable = splitKey.isDefined && sort.isEmpty && skip == 0 && limit.isEmpty
+    val points =
+      if (splittable)
+        factory.open().splitPoints(collection, filter, splitKey.get, target)
+      else Nil
+    if (splittable && points.nonEmpty) {
+      // range partitions: (-inf, p1), [p1, p2), ..., [pLast, +inf)
+      val key = splitKey.get
+      val bounds = (None +: points.map(Some(_))) :+ None
+      val ranges = bounds.sliding(2).map {
+        case Seq(lo, hi) => KeyRange(key, lo, hi)
+      }.toSeq
+      fromDocs(spark.createDataset(
+        spark.sparkContext.parallelize(ranges, ranges.size)
           .mapPartitions { it =>
             val store = factory.open() // one store per partition, like write
+            it.flatMap(r => store.find(collection, spec.copy(range = Some(r))))
+          }))
+    } else {
+      val matched = factory.open().count(collection, filter)
+      val avail = math.max(0L, matched - skip)
+      val n = limit.fold(avail)(l => math.min(avail, l.toLong))
+      // don't spin up a task per handful of docs; at production scale the
+      // slice count is driven by the declared parallelism
+      val minChunk = 100L
+      val parts = math.max(1L, math.min(target.toLong, (n + minChunk - 1) / minChunk)).toInt
+      val slices = (0 until parts).map { i =>
+        val start = n * i / parts
+        val end = n * (i + 1) / parts
+        (skip + start, (end - start).toInt)
+      }.filter(_._2 > 0)
+      if (slices.isEmpty) fromDocs(spark.emptyDataset[String])
+      else fromDocs(spark.createDataset(
+        spark.sparkContext.parallelize(slices, slices.size)
+          .mapPartitions { it =>
+            val store = factory.open()
             it.flatMap { case (sk, ln) =>
               store.find(collection, spec.copy(skip = sk.toInt, limit = Some(ln)))
             }
-          })
-    docs.toDF("doc")
-      .select(from_json(col("doc"), st).as("rec"))
-      .select(col("rec.*"))
+          }))
+    }
   }
 
   /** Write with insert/upsert/update/truncate modes, one store per
@@ -182,6 +222,26 @@ object MongoIO {
     private def field(doc: JValue, path: String): JValue =
       path.split('.').foldLeft(doc)((j, seg) => j \ seg)
 
+    private def toJ(v: Any): JValue = v match {
+      case s: String  => JString(s)
+      case i: Int     => JInt(BigInt(i))
+      case l: Long    => JInt(BigInt(l))
+      case i: BigInt  => JInt(i)
+      case d: Double  => JDouble(d)
+      case b: Boolean => JBool(b)
+      case j: JValue  => j
+      case other      => JString(String.valueOf(other))
+    }
+
+    private def inRange(d: JValue, r: KeyRange): Boolean = {
+      val v = field(d, r.field)
+      // a doc missing the key sorts below every value (BSON missing-first):
+      // it belongs to the unbounded-below partition, never lost
+      if (v == JNothing) r.gte.isEmpty
+      else r.gte.forall(b => jOrd.compare(v, toJ(b)) >= 0) &&
+        r.lt.forall(b => jOrd.compare(v, toJ(b)) < 0)
+    }
+
     private def matches(d: JValue, filter: Map[String, Any]): Boolean =
       filter.forall { case (k, v) =>
         field(d, k) match {
@@ -201,29 +261,33 @@ object MongoIO {
       else docs.count(s => matches(JsonMethods.parse(s), filter)).toLong
     }
 
+    private val jOrd = new Ordering[JValue] {
+      def compare(a: JValue, b: JValue): Int = (a, b) match {
+        case (JInt(x), JInt(y))       => x.compare(y)
+        case (JLong(x), JLong(y))     => x.compare(y)
+        case (JInt(x), JLong(y))      => x.toLong.compare(y)
+        case (JLong(x), JInt(y))      => x.compare(y.toLong)
+        case (JDouble(x), JDouble(y)) => x.compare(y)
+        case (JInt(x), JDouble(y))    => x.toDouble.compare(y)
+        case (JDouble(x), JInt(y))    => x.compare(y.toDouble)
+        case (JString(x), JString(y)) => x.compare(y)
+        case (JNothing, JNothing)     => 0
+        case (JNothing, _)            => -1
+        case (_, JNothing)            => 1
+        case (x, y) => JsonMethods.compact(JsonMethods.render(x))
+          .compare(JsonMethods.compact(JsonMethods.render(y)))
+      }
+    }
+
     def find(collection: String, spec: FindSpec): Seq[String] = {
       import scala.jdk.CollectionConverters._
       var docs = coll(collection).asScala.toSeq.map(JsonMethods.parse(_))
       if (spec.filter.nonEmpty)
         docs = docs.filter(matches(_, spec.filter))
+      spec.range.foreach(r => docs = docs.filter(inRange(_, r)))
       if (spec.sort.nonEmpty) {
-        val ord = new Ordering[JValue] {
-          def compare(a: JValue, b: JValue): Int = (a, b) match {
-            case (JInt(x), JInt(y))       => x.compare(y)
-            case (JLong(x), JLong(y))     => x.compare(y)
-            case (JInt(x), JLong(y))      => x.toLong.compare(y)
-            case (JLong(x), JInt(y))      => x.compare(y.toLong)
-            case (JDouble(x), JDouble(y)) => x.compare(y)
-            case (JString(x), JString(y)) => x.compare(y)
-            case (JNothing, JNothing)     => 0
-            case (JNothing, _)            => -1
-            case (_, JNothing)            => 1
-            case (x, y) => JsonMethods.compact(JsonMethods.render(x))
-              .compare(JsonMethods.compact(JsonMethods.render(y)))
-          }
-        }
         docs = spec.sort.reverse.foldLeft(docs) { case (ds, (f, dir)) =>
-          val sorted = ds.sortBy(field(_, f))(ord)
+          val sorted = ds.sortBy(field(_, f))(jOrd)
           if (dir < 0) sorted.reverse else sorted
         }
       }
@@ -293,5 +357,26 @@ object MongoIO {
     }
 
     def truncate(collection: String): Unit = coll(collection).clear()
+
+    /** Quantile split values of `field` (real MongoDB: splitVector /
+      * $sample). Returns distinct interior points only — may be fewer
+      * than parts-1 on small or low-cardinality data. */
+    override def splitPoints(collection: String, filter: Map[String, Any],
+                             field0: String, parts: Int): Seq[Any] = {
+      import scala.jdk.CollectionConverters._
+      var docs = coll(collection).asScala.toSeq.map(JsonMethods.parse(_))
+      if (filter.nonEmpty) docs = docs.filter(matches(_, filter))
+      val vals = docs.map(field(_, field0)).filter(_ != JNothing).sorted(jOrd)
+      if (vals.isEmpty || parts <= 1) Nil
+      else (1 until parts).map(i => vals(vals.size * i / parts)).distinct
+        .map {
+          case JString(s) => s: Any
+          case JInt(i)    => i.toLong: Any
+          case JLong(l)   => l: Any
+          case JDouble(d) => d: Any
+          case JBool(b)   => b: Any
+          case other      => JsonMethods.compact(JsonMethods.render(other)): Any
+        }
+    }
   }
 }

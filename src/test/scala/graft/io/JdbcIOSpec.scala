@@ -81,6 +81,29 @@ class JdbcIOSpec extends SparkTestBase {
     assert(rows("t_trunc").toSeq === Seq((9L, "only", 9.0)))
   }
 
+  test("executor-local pool reuses connections across partitions and writes") {
+    fresh("t_pool")
+    JdbcIO.ConnectionPool.closeAll()
+    val before = JdbcIO.ConnectionPool.opens.get()
+    // single-partition batched writes, back to back: the second (and every
+    // later) partition must reuse the first's pooled connection
+    JdbcIO.write(df((1L, "a", 1.0)).repartition(1), url, "t_pool",
+      JdbcIO.Upsert, JdbcIO.Derby, keys = Seq("id"))
+    JdbcIO.write(df((2L, "b", 2.0)).repartition(1), url, "t_pool",
+      JdbcIO.Upsert, JdbcIO.Derby, keys = Seq("id"))
+    JdbcIO.write(df((1L, "a2", 3.0)).repartition(1), url, "t_pool",
+      JdbcIO.Update, JdbcIO.Derby, where = Seq("id"))
+    assert(JdbcIO.ConnectionPool.opens.get() - before === 1,
+      "three sequential single-partition writes must share one physical connection")
+    assert(rows("t_pool") === Seq((1L, "a2", 3.0), (2L, "b", 2.0)))
+    // a multi-partition write still lands correct rows (concurrent
+    // partitions may open extra connections; they pool for later reuse)
+    JdbcIO.write(df((10L, "x", 1.0), (11L, "y", 2.0)).repartition(2), url,
+      "t_pool", JdbcIO.Upsert, JdbcIO.Derby, keys = Seq("id"))
+    assert(rows("t_pool").length === 4)
+    JdbcIO.ConnectionPool.closeAll()
+  }
+
   test("MariaDB upsert SQL shape (mariadb_write.py:58-65)") {
     val sql = JdbcIO.MariaDb.upsertSql("t", Seq("id", "name"), Seq("id"))
     assert(sql === "INSERT INTO t (`id`, `name`) VALUES (?, ?)" +

@@ -203,4 +203,71 @@ class XmlExcelMongoSpec extends SparkTestBase {
     assert(sliced.length === 400)
     assert(sliced.sorted.toSeq === (546L to 945L)) // 950..946 skipped, then 945..546
   }
+
+  test("splittable read partitions by key range, not skip slices") {
+    MongoIO.InMemoryStores.drop("t_range")
+    RecordingStores.reset()
+    val factory = RecordingFactory("t_range")
+    import spark.implicits._
+    MongoIO.write((1L to 500L).map(i => (i, s"n$i")).toDF("k", "name"),
+      factory, "c", "insert")
+    // one doc without the split key: must land in the unbounded-below
+    // range, never silently dropped
+    factory.open().insert("c", Seq("""{"name":"nokey"}"""))
+    RecordingStores.reset()
+
+    val back = MongoIO.read(spark, factory, "c", docSchema,
+      numPartitions = 4, splitKey = Some("k"))
+    val rows = back.collect()
+    assert(rows.length === 501)
+    assert(rows.map(r => Option(r.get(0))).count(_.isEmpty) === 1)
+    assert(rows.flatMap(r => Option(r.get(0))).map(_.asInstanceOf[Long]).sorted
+      .toSeq === (1L to 500L))
+    // every partition's find carried a RANGE predicate — no skip, no limit
+    import scala.jdk.CollectionConverters._
+    val specs = RecordingStores.finds.asScala.toSeq
+    assert(specs.size === 4)
+    assert(specs.forall(s => s.range.isDefined && s.skip == 0 && s.limit.isEmpty))
+    val ranges = specs.flatMap(_.range)
+    assert(ranges.count(_.gte.isEmpty) === 1) // one unbounded-below
+    assert(ranges.count(_.lt.isEmpty) === 1)  // one unbounded-above
+    assert(ranges.map(_.field).distinct === Seq("k"))
+
+    // an ORDERED read is unsplittable: same factory falls back to
+    // skip/limit slicing and stays correct
+    RecordingStores.reset()
+    // missing key sorts first (BSON missing-first): page = nokey, 1..9
+    val sorted = MongoIO.read(spark, factory, "c", docSchema,
+      sort = Seq(("k", 1)), limit = Some(10), splitKey = Some("k"))
+      .collect().flatMap(r => Option(r.get(0)))
+    assert(sorted.map(_.asInstanceOf[Long]).toSeq === (1L to 9L))
+    assert(RecordingStores.finds.asScala.forall(_.range.isEmpty))
+  }
+}
+
+/** Store wrapper recording every FindSpec an executor issues (local-mode
+  * test seam for asserting pushdown shapes). */
+object RecordingStores {
+  val finds = new java.util.concurrent.ConcurrentLinkedQueue[MongoIO.FindSpec]()
+  def reset(): Unit = finds.clear()
+}
+
+final case class RecordingFactory(name: String) extends MongoIO.StoreFactory {
+  def open(): MongoIO.DocumentStore = new MongoIO.DocumentStore {
+    private val inner = MongoIO.InMemoryStores.get(name)
+    def find(c: String, s: MongoIO.FindSpec): Seq[String] = {
+      RecordingStores.finds.add(s); inner.find(c, s)
+    }
+    def count(c: String, f: Map[String, Any]): Long = inner.count(c, f)
+    def insert(c: String, docs: Seq[String]): Unit = inner.insert(c, docs)
+    def upsert(c: String, docs: Seq[String], keys: Seq[String]): Unit =
+      inner.upsert(c, docs, keys)
+    def update(c: String, docs: Seq[String], keys: Seq[String],
+               mf: Map[String, Any], uf: Seq[String]): Unit =
+      inner.update(c, docs, keys, mf, uf)
+    def truncate(c: String): Unit = inner.truncate(c)
+    override def splitPoints(c: String, f: Map[String, Any],
+                             field: String, parts: Int): Seq[Any] =
+      inner.splitPoints(c, f, field, parts)
+  }
 }
