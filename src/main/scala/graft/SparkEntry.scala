@@ -568,6 +568,200 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("n_name"))
   }
 
+  /** Shared helper: inline schema JSON from (name, type) pairs. */
+  private def fieldsJson(fs: (String, String)*): String =
+    fs.map { case (n, t) => s"""{ "name": "$n", "data_type": "$t", "nullable": true }""" }
+      .mkString("""{ "fields": [ """, ", ", " ] }")
+
+  /** Combination job: XML source → type_conversion with a DERIVED out
+    * schema (none declared) → aggregation → parquet sink. */
+  private def qJobXmlAgg(s: SparkSession, dir: String): DataFrame = {
+    val in = s"$tmpRoot/job_xml_in"
+    val outDir = s"$tmpRoot/job_out_xmlagg"
+    graft.io.XmlIO.write(table(s, dir, "nation"), in,
+      rootTag = "nations", rowTag = "nation", singleFile = true)
+    val strSchema = fieldsJson("n_nationkey" -> "string", "n_name" -> "string",
+      "n_regionkey" -> "string")
+    val typedSchema = fieldsJson("n_nationkey" -> "integer", "n_name" -> "string",
+      "n_regionkey" -> "integer")
+    val aggSchema = fieldsJson("n_regionkey" -> "integer",
+      "n_nations" -> "integer", "sum_key" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "xml_convert_agg",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_xml", "filepath": "$in",
+         |      "record_tag": "nation",
+         |      "routes": { "out": [ { "to": "conv", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $strSchema } },
+         |    { "name": "conv", "comp_type": "type_conversion",
+         |      "rules": [
+         |        { "column_path": "n_nationkey", "target": "integer", "on_error": "raise" },
+         |        { "column_path": "n_regionkey", "target": "integer", "on_error": "raise" } ],
+         |      "in_port_schemas": { "in": $strSchema },
+         |      "routes": { "out": [ { "to": "agg", "in_port": "in" } ] } },
+         |    { "name": "agg", "comp_type": "aggregation",
+         |      "group_by": ["n_regionkey"],
+         |      "aggregations": [
+         |        { "src": "n_nationkey", "op": "count", "dest": "n_nations" },
+         |        { "src": "n_nationkey", "op": "sum", "dest": "sum_key" } ],
+         |      "in_port_schemas": { "in": $typedSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("n_regionkey"))
+  }
+
+  /** Combination job: Excel source → type_conversion → filter →
+    * aggregation → parquet sink. */
+  private def qJobExcelFilterAgg(s: SparkSession, dir: String): DataFrame = {
+    val in = s"$tmpRoot/job_excel_in.xlsx"
+    val outDir = s"$tmpRoot/job_out_excelagg"
+    graft.io.ExcelIO.write(
+      table(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey")),
+      in, sheetName = "customers")
+    val strSchema = fieldsJson("c_custkey" -> "string",
+      "c_mktsegment" -> "string", "c_nationkey" -> "string")
+    val typedSchema = fieldsJson("c_custkey" -> "integer",
+      "c_mktsegment" -> "string", "c_nationkey" -> "integer")
+    val aggSchema = fieldsJson("c_nationkey" -> "integer",
+      "n_custs" -> "integer", "min_cust" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "excel_filter_agg",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_excel", "filepath": "$in",
+         |      "sheet_name": "customers",
+         |      "routes": { "out": [ { "to": "conv", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $strSchema } },
+         |    { "name": "conv", "comp_type": "type_conversion",
+         |      "rules": [
+         |        { "column_path": "c_custkey", "target": "integer", "on_error": "raise" },
+         |        { "column_path": "c_nationkey", "target": "integer", "on_error": "raise" } ],
+         |      "in_port_schemas": { "in": $strSchema },
+         |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] } },
+         |    { "name": "flt", "comp_type": "filter",
+         |      "rule": { "column": "c_mktsegment", "operator": "==", "value": "BUILDING" },
+         |      "in_port_schemas": { "in": $typedSchema },
+         |      "routes": { "pass": [ { "to": "agg", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $typedSchema } },
+         |    { "name": "agg", "comp_type": "aggregation",
+         |      "group_by": ["c_nationkey"],
+         |      "aggregations": [
+         |        { "src": "c_custkey", "op": "count", "dest": "n_custs" },
+         |        { "src": "c_custkey", "op": "min", "dest": "min_cust" } ],
+         |      "in_port_schemas": { "in": $typedSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("c_nationkey"))
+  }
+
+  /** Combination job: Mongo source read with RANGE partitioning
+    * (split_key, no sort/skip/limit → per-task {$gte,$lt} finds) →
+    * exact dedup component → parquet sink. */
+  private def qJobMongoDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.MongoIO
+    val outDir = s"$tmpRoot/job_out_mongodedup"
+    MongoIO.InMemoryStores.drop("q_job_mongo_dedup")
+    val factory = MongoIO.InMemory("q_job_mongo_dedup")
+    MongoIO.write(
+      table(s, dir, "documents").select(col("doc_id"), col("text"), col("lang")),
+      factory, "docs", "truncate")
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "mongo_dedup",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_mongodb",
+         |      "store": "q_job_mongo_dedup", "entity_name": "docs",
+         |      "split_key": "doc_id",
+         |      "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "dd", "comp_type": "dedup", "method": "exact",
+         |      "text_column": "text", "id_column": "doc_id",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $docSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Combination job: split tee → two filters → merge union →
+    * aggregation, exercising the fan-out/fan-in wiring declaratively. */
+  private def qJobSplitMergeAgg(s: SparkSession, dir: String): DataFrame = {
+    val in = s"$tmpRoot/job_splitmerge_in"
+    val outDir = s"$tmpRoot/job_out_splitmerge"
+    graft.io.CsvIO.write(
+      table(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+      in, sep = ",")
+    val ordSchema = fieldsJson("o_orderkey" -> "string", "o_orderstatus" -> "string")
+    val aggSchema = fieldsJson("o_orderstatus" -> "string", "n_orders" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "split_merge_agg",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |      "routes": { "out": [ { "to": "sp", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $ordSchema } },
+         |    { "name": "sp", "comp_type": "split",
+         |      "extra_output_ports": ["a", "b"],
+         |      "in_port_schemas": { "in": $ordSchema },
+         |      "routes": { "a": [ { "to": "fa", "in_port": "in" } ],
+         |                  "b": [ { "to": "fb", "in_port": "in" } ] },
+         |      "out_port_schemas": { "a": $ordSchema, "b": $ordSchema } },
+         |    { "name": "fa", "comp_type": "filter",
+         |      "rule": { "column": "o_orderstatus", "operator": "==", "value": "F" },
+         |      "in_port_schemas": { "in": $ordSchema },
+         |      "routes": { "pass": [ { "to": "m", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $ordSchema } },
+         |    { "name": "fb", "comp_type": "filter",
+         |      "rule": { "column": "o_orderstatus", "operator": "==", "value": "O" },
+         |      "in_port_schemas": { "in": $ordSchema },
+         |      "routes": { "pass": [ { "to": "m", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $ordSchema } },
+         |    { "name": "m", "comp_type": "merge",
+         |      "in_port_schemas": { "in": $ordSchema },
+         |      "routes": { "merge": [ { "to": "agg", "in_port": "in" } ] },
+         |      "out_port_schemas": { "merge": $ordSchema } },
+         |    { "name": "agg", "comp_type": "aggregation",
+         |      "group_by": ["o_orderstatus"],
+         |      "aggregations": [
+         |        { "src": "o_orderkey", "op": "count", "dest": "n_orders" } ],
+         |      "in_port_schemas": { "in": $ordSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("o_orderstatus"))
+  }
+
   // ------------------------------------------------------------------ dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -693,6 +887,10 @@ object SparkEntry {
     "q_flatten_roundtrip" -> (qFlattenRoundtrip _),
     "q_job_csv_filter" -> (qJobCsvFilter _),
     "q_job_join_agg" -> (qJobJoinAgg _),
+    "q_job_xml_agg" -> (qJobXmlAgg _),
+    "q_job_excel_agg" -> (qJobExcelFilterAgg _),
+    "q_job_mongo_dedup" -> (qJobMongoDedup _),
+    "q_job_split_merge" -> (qJobSplitMergeAgg _),
     "q_sql_join" -> (qSqlJoin _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
     "q_excel_roundtrip" -> (qExcelRoundtrip _),
@@ -912,6 +1110,28 @@ object SparkEntry {
         |  sum(round(c_acctbal * 100)::BIGINT) / 100.0 AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_job_xml_agg" ->
+      """SELECT n_regionkey::BIGINT AS n_regionkey,
+        |  count(n_nationkey)::BIGINT AS n_nations,
+        |  sum(n_nationkey)::BIGINT AS sum_key
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_job_excel_agg" ->
+      """SELECT c_nationkey::BIGINT AS c_nationkey,
+        |  count(c_custkey)::BIGINT AS n_custs,
+        |  min(c_custkey)::BIGINT AS min_cust
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_job_mongo_dedup" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_job_split_merge" ->
+      """SELECT o_orderstatus, count(o_orderkey)::BIGINT AS n_orders
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_xml_roundtrip" ->
       """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
         |  n_regionkey::VARCHAR AS n_regionkey
