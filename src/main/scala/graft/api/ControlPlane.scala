@@ -59,17 +59,26 @@ object ControlPlane {
     private lazy val session: SparkSession = spark
     private val jobs = new java.util.concurrent.ConcurrentHashMap[String, JobRecord]()
     private val execs = new java.util.concurrent.ConcurrentHashMap[String, ExecutionRecord]()
-    // insertion order of exec ids, for window eviction (guarded by itself)
-    private val execOrder = new java.util.ArrayDeque[String]()
     // true when executions exist on disk that are no longer in memory
     @volatile private var execsTruncated = false
     private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+    // windowing requires a log to fall back to: a memory-only registry
+    // must never destroy history it alone holds
+    private val window = if (storeDir.isDefined) execWindow else Int.MaxValue
+    private val evictLock = new Object
 
-    private def putExec(e: ExecutionRecord): Unit = execOrder.synchronized {
+    /** Insert + evict down to the window. Eviction removes the MINIMAL
+      * startedAtMs record (not insertion order): records arrive at
+      * completion, so with concurrent executions insertion order differs
+      * from start order, and the fast list path below depends on the
+      * window holding exactly the newest-started records. Linear scan per
+      * insert is O(window) against second-long executions — fine. */
+    private def putExec(e: ExecutionRecord): Unit = evictLock.synchronized {
       execs.put(e.id, e)
-      execOrder.addLast(e.id)
-      while (execOrder.size() > execWindow) {
-        execs.remove(execOrder.pollFirst())
+      while (execs.size() > window) {
+        import scala.jdk.CollectionConverters._
+        val oldest = execs.values.asScala.minBy(r => (r.startedAtMs, r.id))
+        execs.remove(oldest.id)
         execsTruncated = true
       }
     }
@@ -94,17 +103,24 @@ object ControlPlane {
         finally ls.close()
       }
       execLog.filter(Files.exists(_)).foreach { p =>
-        import scala.jdk.CollectionConverters._
-        val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty)
-        // parse only the newest `execWindow` records into memory; the id
-        // sequence still continues past EVERY line (cheap regex, no parse)
-        lines.takeRight(execWindow).foreach { line => putExec(parseExecLine(line)) }
-        if (lines.size > execWindow) execsTruncated = true
+        // stream the log once: only a ring buffer of the newest `window`
+        // lines is ever resident (restart heap O(window), not O(history));
+        // the id sequence still continues past EVERY line (cheap regex)
         val idRe = java.util.regex.Pattern.compile("\"id\":\"[a-z]+-(\\d+)\"")
-        lines.foreach { line =>
-          val m = idRe.matcher(line)
-          if (m.find()) seq.set(math.max(seq.get(), m.group(1).toLong))
-        }
+        val tail = new java.util.ArrayDeque[String](math.min(window, 4096))
+        var total = 0L
+        val stream = Files.lines(p)
+        try stream.forEach { line =>
+          if (line.nonEmpty) {
+            total += 1
+            if (tail.size() >= window) tail.pollFirst()
+            tail.addLast(line)
+            val m = idRe.matcher(line)
+            if (m.find()) seq.set(math.max(seq.get(), m.group(1).toLong))
+          }
+        } finally stream.close()
+        tail.forEach(line => putExec(parseExecLine(line)))
+        if (total > window) execsTruncated = true
       }
       // continue the id sequence past everything reloaded
       val maxSeen = (jobs.keySet().toArray ++ execs.keySet().toArray).map {
@@ -232,11 +248,14 @@ object ControlPlane {
       Option(execs.get(id)).orElse {
         if (!execsTruncated) None
         else execLog.filter(Files.exists(_)).flatMap { p =>
-          import scala.jdk.CollectionConverters._
           val needle = s""""id":"$id""""
-          Files.readAllLines(p).asScala.reverseIterator
-            .filter(_.contains(needle)).map(parseExecLine)
-            .find(_.id == id)
+          val stream = Files.lines(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            stream.iterator().asScala
+              .filter(_.contains(needle)).map(parseExecLine)
+              .find(_.id == id)
+          } finally stream.close()
         }
       }
 
@@ -261,8 +280,10 @@ object ControlPlane {
       val xs =
         if (windowSuffices) inMem
         else execLog.filter(Files.exists(_)).map { p =>
-          matching(Files.readAllLines(p).asScala.filter(_.nonEmpty)
-            .map(parseExecLine).toSeq)
+          val stream = Files.lines(p)
+          try matching(stream.iterator().asScala
+            .filter(_.nonEmpty).map(parseExecLine).toSeq)
+          finally stream.close()
         }.getOrElse(inMem)
       val sorted = xs.sortBy(_.startedAtMs)
       (if (sortDesc) sorted.reverse else sorted).slice(offset, offset + limit)
@@ -399,18 +420,18 @@ object ControlPlane {
       server.createContext("/schedules", (ex: HttpExchange) => handle(ex) {
         val path = ex.getRequestURI.getPath.stripPrefix("/schedules").stripPrefix("/")
         def body() = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-        def field(json: String, key: String): Option[String] = {
+        // parse the body ONCE; extract string fields from the tree
+        def fields(json: String): String => Option[String] = {
           import org.json4s._
           implicit val fmts: Formats = DefaultFormats
-          (org.json4s.jackson.JsonMethods.parse(json) \ key).extractOpt[String]
+          val tree = org.json4s.jackson.JsonMethods.parse(json)
+          key => (tree \ key).extractOpt[String]
         }
         def create(b: String): Scheduler#Schedule = {
-          val jobId = field(b, "job_id").getOrElse(
-            throw new IllegalArgumentException("job_id required"))
-          val kind = field(b, "kind").getOrElse(
-            throw new IllegalArgumentException("kind required"))
-          val arg = field(b, "arg").getOrElse(
-            throw new IllegalArgumentException("arg required"))
+          val f = fields(b)
+          def req(key: String): String = f(key).getOrElse(
+            throw new IllegalArgumentException(s"$key required"))
+          val (jobId, kind, arg) = (req("job_id"), req("kind"), req("arg"))
           kind match {
             case "interval" => sched.scheduleInterval(jobId, arg.toLong)
             case "cron"     => sched.scheduleCron(jobId, arg)
@@ -438,13 +459,13 @@ object ControlPlane {
             sched.get(id).map(s => (200, schedJson(s)))
               .getOrElse((404, s"""{"error":"schedule $id not found"}"""))
           case ("PUT", id) =>
-            val b = body()
+            val f = fields(body())
             val existing = sched.get(id).getOrElse(
               throw new NoSuchElementException(s"schedule $id not found"))
             (200, schedJson(sched.update(id,
-              field(b, "job_id").getOrElse(existing.jobId),
-              field(b, "kind").getOrElse(existing.kind),
-              field(b, "arg").getOrElse(existing.arg))))
+              f("job_id").getOrElse(existing.jobId),
+              f("kind").getOrElse(existing.kind),
+              f("arg").getOrElse(existing.arg))))
           case ("DELETE", id) =>
             if (sched.cancel(id)) (204, "")
             else (404, s"""{"error":"schedule $id not found"}""")

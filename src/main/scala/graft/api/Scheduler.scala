@@ -51,6 +51,12 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     val t = new Thread(r, "graft-scheduler-worker"); t.setDaemon(true); t
   })
   private val schedules = new java.util.concurrent.ConcurrentHashMap[String, Schedule]()
+  /** Guards every schedules-map TRANSITION (arm, pause, resume, update,
+    * cancel, cron tick re-arm). A cron tick re-arms only when the entry
+    * it was armed for is still current — same spec, not paused — so a
+    * concurrent pause/update/cancel can never be overwritten by a stale
+    * tick, and a tick never fires a job whose schedule just changed. */
+  private val stateLock = new Object
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def log: Option[Path] = storeDir.map(_.resolve("schedules.jsonl"))
@@ -79,16 +85,18 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
       }
       seq.set(last.keys.flatMap(_.split('-').lastOption.flatMap(_.toLongOption))
         .foldLeft(0L)(math.max))
-      last.foreach {
-        case (id, Some((jobId, kind, arg))) if registry.getJob(jobId).isDefined =>
-          if (pausedIds.contains(id))
-            schedules.put(id, Schedule(id, jobId, kind, arg, null, paused = true))
-          else kind match {
-            case "interval" => armInterval(id, jobId, arg.toLong)
-            case "cron"     => armCron(id, jobId, Cron.parse(arg), arg)
-            case _          => () // one-shot date triggers do not survive restart
-          }
-        case _ => ()
+      stateLock.synchronized {
+        last.foreach {
+          case (id, Some((jobId, kind, arg))) if registry.getJob(jobId).isDefined =>
+            if (pausedIds.contains(id))
+              schedules.put(id, Schedule(id, jobId, kind, arg, null, paused = true))
+            else kind match {
+              case "interval" => armInterval(id, jobId, arg.toLong)
+              case "cron"     => armCron(id, jobId, Cron.parse(arg), arg)
+              case _          => () // one-shot date triggers do not survive restart
+            }
+          case _ => ()
+        }
       }
     }
   }
@@ -126,12 +134,21 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
         TimeUnit.MILLISECONDS))
 
   /** Arm the next cron fire. Each timer tick re-arms FIRST, then submits
-    * the job to the workers — the next fire is never gated on this run. */
+    * the job to the workers — the next fire is never gated on this run.
+    * The re-arm is guarded by stateLock and a currency check: a tick
+    * whose schedule was paused, replaced or cancelled in the meantime
+    * does nothing (neither re-arm nor fire). */
   private def armCron(id: String, jobId: String, cron: Cron, expr: String): Schedule = {
     val delay = cron.nextAfterMillis(System.currentTimeMillis())
     val runnable: Runnable = () => {
-      if (schedules.containsKey(id)) armCron(id, jobId, cron, expr)
-      fire(jobId)
+      val current = stateLock.synchronized {
+        val cur = schedules.get(id)
+        val ok = cur != null && !cur.paused && cur.kind == "cron" &&
+          cur.arg == expr && cur.jobId == jobId
+        if (ok) armCron(id, jobId, cron, expr)
+        ok
+      }
+      if (current) fire(jobId)
     }
     arm(id, jobId, "cron", expr, pool.schedule(runnable, delay, TimeUnit.MILLISECONDS))
   }
@@ -141,7 +158,7 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
   /** Run `jobId` every `everyMs` (first fire after one interval). */
   def scheduleInterval(jobId: String, everyMs: Long): Schedule = {
     require(registry.getJob(jobId).isDefined, s"job $jobId not found")
-    val s = armInterval(nextId(), jobId, everyMs)
+    val s = stateLock.synchronized { armInterval(nextId(), jobId, everyMs) }
     persist(s)
     s
   }
@@ -150,8 +167,10 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
   def scheduleOnce(jobId: String, delayMs: Long): Schedule = {
     require(registry.getJob(jobId).isDefined, s"job $jobId not found")
     val runnable: Runnable = () => fire(jobId)
-    val s = arm(nextId(), jobId, "date", delayMs.toString,
-      pool.schedule(runnable, delayMs, TimeUnit.MILLISECONDS))
+    val s = stateLock.synchronized {
+      arm(nextId(), jobId, "date", delayMs.toString,
+        pool.schedule(runnable, delayMs, TimeUnit.MILLISECONDS))
+    }
     persist(s)
     s
   }
@@ -161,7 +180,7 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
   def scheduleCron(jobId: String, expr: String): Schedule = {
     require(registry.getJob(jobId).isDefined, s"job $jobId not found")
     val cron = Cron.parse(expr)
-    val s = armCron(nextId(), jobId, cron, expr)
+    val s = stateLock.synchronized { armCron(nextId(), jobId, cron, expr) }
     persist(s)
     s
   }
@@ -178,55 +197,61 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     * job). The new spec is validated/armed exactly like create; a paused
     * schedule stays paused with the new spec. */
   def update(id: String, jobId: String, kind: String, arg: String): Schedule = {
-    val old = Option(schedules.get(id)).getOrElse(
-      throw new NoSuchElementException(s"schedule $id not found"))
+    // validate EVERYTHING before touching the live trigger: a rejected
+    // PUT must leave the old schedule armed exactly as it was
     require(registry.getJob(jobId).isDefined, s"job $jobId not found")
-    if (old.future != null) { old.future.cancel(false); () }
     require(Set("interval", "cron", "date").contains(kind), s"unknown kind $kind")
-    val s =
+    val parsedCron = if (kind == "cron") Some(Cron.parse(arg)) else { arg.toLong; None }
+    val s = stateLock.synchronized {
+      val old = Option(schedules.get(id)).getOrElse(
+        throw new NoSuchElementException(s"schedule $id not found"))
+      if (old.future != null) { old.future.cancel(false); () }
       if (old.paused) {
-        if (kind == "cron") Cron.parse(arg) else arg.toLong // validate eagerly
         val ns = Schedule(id, jobId, kind, arg, null, paused = true)
         schedules.put(id, ns); ns
       } else kind match {
         case "interval" => armInterval(id, jobId, arg.toLong)
-        case "cron"     => armCron(id, jobId, Cron.parse(arg), arg)
-        case "date"     => arm(id, jobId, "date", arg,
+        case "cron"     => armCron(id, jobId, parsedCron.get, arg)
+        case _          => arm(id, jobId, "date", arg,
           pool.schedule((() => fire(jobId)): Runnable, arg.toLong, TimeUnit.MILLISECONDS))
-        case other      => throw new IllegalArgumentException(s"unknown kind $other")
       }
+    }
     persist(s)
     s
   }
 
   /** Disarm without forgetting (POST /schedules/{id}/pause,
     * schedules.py:104-111). Survives restart via a flag entry. */
-  def pause(id: String): Boolean = Option(schedules.get(id)) match {
-    case Some(s) if !s.paused =>
-      if (s.future != null) { s.future.cancel(false); () }
-      schedules.put(id, s.copy(future = null, paused = true))
-      persistPaused(id, paused = true)
-      true
-    case Some(_) => true // already paused: idempotent
-    case None    => false
+  def pause(id: String): Boolean = stateLock.synchronized {
+    Option(schedules.get(id)) match {
+      case Some(s) if !s.paused =>
+        if (s.future != null) { s.future.cancel(false); () }
+        schedules.put(id, s.copy(future = null, paused = true))
+        persistPaused(id, paused = true)
+        true
+      case Some(_) => true // already paused: idempotent
+      case None    => false
+    }
   }
 
   /** Re-arm a paused schedule (POST /schedules/{id}/resume). Interval and
     * cron re-arm from now; a paused date trigger re-arms with its original
     * delay (the reference's date schedules simply fire when resumed past
     * due — delay-from-resume is the closest restart-safe equivalent). */
-  def resume(id: String): Boolean = Option(schedules.get(id)) match {
-    case Some(s) if s.paused =>
-      s.kind match {
-        case "interval" => armInterval(id, s.jobId, s.arg.toLong)
-        case "cron"     => armCron(id, s.jobId, Cron.parse(s.arg), s.arg)
-        case _          => arm(id, s.jobId, "date", s.arg,
-          pool.schedule((() => fire(s.jobId)): Runnable, s.arg.toLong, TimeUnit.MILLISECONDS))
-      }
-      persistPaused(id, paused = false)
-      true
-    case Some(_) => true // already running: idempotent
-    case None    => false
+  def resume(id: String): Boolean = stateLock.synchronized {
+    Option(schedules.get(id)) match {
+      case Some(s) if s.paused =>
+        s.kind match {
+          case "interval" => armInterval(id, s.jobId, s.arg.toLong)
+          case "cron"     => armCron(id, s.jobId, Cron.parse(s.arg), s.arg)
+          case _          => arm(id, s.jobId, "date", s.arg,
+            pool.schedule((() => fire(s.jobId)): Runnable, s.arg.toLong, TimeUnit.MILLISECONDS))
+        }
+        persistPaused(id, paused = false)
+        true
+      case Some(_) => true // already running: idempotent
+      case None    => false
+    }
   }
 
   /** Fire immediately on the worker pool, independent of the trigger
@@ -237,11 +262,13 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     case None    => false
   }
 
-  def cancel(id: String): Boolean = Option(schedules.remove(id)) match {
-    case Some(s) =>
-      if (s.future != null) { s.future.cancel(false); () }
-      persistCancel(id); true
-    case None => false
+  def cancel(id: String): Boolean = stateLock.synchronized {
+    Option(schedules.remove(id)) match {
+      case Some(s) =>
+        if (s.future != null) { s.future.cancel(false); () }
+        persistCancel(id); true
+      case None => false
+    }
   }
 
   def shutdown(): Unit = { pool.shutdownNow(); workers.shutdownNow(); () }

@@ -102,8 +102,11 @@ object JobGraph {
     })
 
   /** Validate wiring only (throws on contract violations). */
-  def validate(spec0: JobSpec): Unit = {
-    val spec = deriveSchemas(spec0)
+  def validate(spec0: JobSpec): Unit = validateDerived(deriveSchemas(spec0))
+
+  /** Validation body over an already-derived spec (build() derives once
+    * and calls this directly instead of re-deriving via validate). */
+  private def validateDerived(spec: JobSpec): Unit = {
     val byName = spec.components.map(c => c.name -> c).toMap
     require(byName.size == spec.components.size, {
       val dups = spec.components.groupBy(_.name).filter(_._2.size > 1).keys
@@ -188,7 +191,7 @@ object JobGraph {
             validateData: Boolean = false,
             instrument: Boolean = false): BuiltJob = {
     val spec = deriveSchemas(spec0)
-    validate(spec)
+    validateDerived(spec)
     val order = topoOrder(spec)
     val frames = scala.collection.mutable.Map.empty[(String, String), DataFrame]
     val inputs = scala.collection.mutable.Map.empty[(String, String), Vector[DataFrame]]

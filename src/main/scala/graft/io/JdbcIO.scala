@@ -315,10 +315,22 @@ object JdbcIO {
       pools.computeIfAbsent(key,
         _ => new java.util.concurrent.ArrayBlockingQueue[Connection](maxIdlePerKey))
 
+    /** Liveness probe that can never throw: isClosed/isValid both may
+      * raise on a dead socket, and isValid may be unsupported (treat as
+      * alive — the next use will fail and the task retries). */
+    private def alive(c: Connection): Boolean =
+      try !c.isClosed &&
+        (try c.isValid(1)
+         catch { case _: java.sql.SQLFeatureNotSupportedException => true })
+      catch { case _: java.sql.SQLException => false }
+
     def borrow(url: String, options: Map[String, String]): Connection = {
       val q = queue((url, options))
       var c = q.poll()
-      while (c != null && c.isClosed) c = q.poll() // drop stale handles
+      while (c != null && !alive(c)) { // drop stale/dead handles
+        try c.close() catch { case _: java.sql.SQLException => () }
+        c = q.poll()
+      }
       if (c != null) c
       else {
         val props = new java.util.Properties()
@@ -329,11 +341,14 @@ object JdbcIO {
     }
 
     /** Return a HEALTHY connection; `broken` ones close instead (their
-      * transaction state is unknown). */
+      * transaction state is unknown). Never throws: this runs in finally
+      * blocks, where an exception would mask the batch's real error. */
     def release(url: String, options: Map[String, String],
                 c: Connection, broken: Boolean): Unit =
-      if (broken || c.isClosed || !queue((url, options)).offer(c))
-        try c.close() catch { case _: java.sql.SQLException => () }
+      try {
+        if (broken || !alive(c) || !queue((url, options)).offer(c))
+          try c.close() catch { case _: java.sql.SQLException => () }
+      } catch { case _: java.sql.SQLException => () }
 
     /** Close every pooled connection (tests / orderly shutdown). */
     def closeAll(): Unit = {

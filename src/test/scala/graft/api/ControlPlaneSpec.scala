@@ -154,6 +154,14 @@ class ControlPlaneSpec extends SparkTestBase {
       .map(_.id).head === "exec-1000")
     // id sequence continued past the full history, not just the window
     assert(reg3.execute(job.id).id === "exec-10001")
+
+    // a MEMORY-ONLY registry has no log to fall back to: the window must
+    // not apply, or history would be silently destroyed
+    val regMem = new ControlPlane.JobRegistry(spark, None, execWindow = 3)
+    val jobM = regMem.createJob(jobJson(in, tmp("win_out_mem")))
+    val memExecs = (1 to 5).map(_ => regMem.execute(jobM.id))
+    assert(regMem.getExecution(memExecs.head.id).isDefined)
+    assert(regMem.listExecutions(limit = 10).size === 5)
   }
 
   test("/schedules REST: lifecycle with pause/resume/run-now/update") {

@@ -167,6 +167,10 @@ class SchedulerSpec extends SparkTestBase {
       assert(up.id === iv.id && up.arg === "3600000" && !up.paused)
       intercept[NoSuchElementException] { s2.update("sched-ghost", job.id, "interval", "5") }
       intercept[IllegalArgumentException] { s2.update(iv.id, job.id, "warp", "5") }
+      intercept[NumberFormatException] { s2.update(iv.id, job.id, "interval", "abc") }
+      // a REJECTED update must leave the old trigger armed and unchanged
+      val after = s2.get(iv.id).get
+      assert(after.arg === "3600000" && after.future != null && !after.future.isCancelled)
     } finally s2.shutdown()
 
     // the updated spec (not the original) survives another restart
