@@ -27,10 +27,16 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two float-array columns (double accumulation). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float-array columns (double accumulation).
+    * Backed by the codegen'd ArrayDot expression — bit-identical to the
+    * interpreted aggregate(zip_with) HOF form it replaced (same cast-to-
+    * double-then-multiply per element, same left-to-right accumulation;
+    * ArrayDotSpec pins the equivalence incl. null/length edges), but the
+    * per-element cost is a compiled loop instead of ~100ns of HOF
+    * interpreter dispatch — the difference between interpreted and
+    * compiled math on every (pair, element) of the kNN/IVF/near-dup
+    * verification hot path. */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot.dot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
