@@ -115,7 +115,18 @@ object Similarity {
    * already negligible (see lshCosineBands note). Null/short/long vectors
    * propagate null → all-zero signature, same as before.
    */
-  private[graft] def planeSums(vec: Column, dim: Int, nPlanes: Int): Column = {
+  private[graft] def planeSums(vec: Column, dim: Int, nPlanes: Int): Column =
+    graft.functions.MatVecSums.sums(vec, planeMatrix(dim, nPlanes))
+
+  /** Weight matrix (vector position i → plane p) for planeSums. */
+  private[graft] def planeMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(dim, nPlanes)((i, p) => planeWeights(p, dim)(i))
+
+  /** The interpreted HOF form planeSums replaced (zip_with a 2D typedLit,
+    * fold an nPlanes-wide accumulator). Kept as the semantic reference:
+    * MatVecSumsSpec pins the codegen'd expression bit-for-bit against it,
+    * including the null/length poisoning edge cases. */
+  private[graft] def planeSumsHof(vec: Column, dim: Int, nPlanes: Int): Column = {
     val wt: Seq[Seq[Double]] =
       (0 until dim).map(i => (0 until nPlanes).map(p => planeWeights(p, dim)(i)))
     val prods = zip_with(vec, typedLit(wt),
