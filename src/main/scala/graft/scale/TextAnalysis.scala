@@ -45,11 +45,14 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
-  /** Fraction of whitespace tokens that are (lowercased) stopwords. */
+  /** Fraction of whitespace tokens that are (lowercased) stopwords.
+    * The membership count is the codegen'd CountInSet expression —
+    * identical counts to the size(filter(isin)) HOF form it replaced
+    * (CountInSetSpec pins the equivalence), one compiled pass. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val n = tokenCount(text)
-    val stops = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)).cast("array<string>"))
+    val stops = graft.functions.CountInSet.count(toks, stopwords)
     when(n === 0, lit(0.0)).otherwise(stops.cast("double") / n.cast("double"))
   }
 
@@ -84,9 +87,10 @@ object TextAnalysis {
     // ties, i.e. lexicographic language code (LangMarkers is sorted).
     // (A when-chain fold references each accumulated score twice per step,
     // doubling the interpreted expression tree per language — measured 4×
-    // slower at 5 languages.)
+    // slower at 5 languages.) Marker counting is the codegen'd CountInSet
+    // (one compiled loop per lexicon vs an interpreted ArrayFilter pass).
     val scores = array(LangMarkers.map { case (_, markers) =>
-      size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+      graft.functions.CountInSet.count(toks, markers)
     }: _*)
     val langs = array(LangMarkers.map(m => lit(m._1)): _*)
     val mx = array_max(scores)
