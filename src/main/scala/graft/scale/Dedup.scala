@@ -263,11 +263,21 @@ object Dedup {
     conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /**
-   * SimHash fingerprint as 4×15-bit blocks. Per-bit ±1 votes from the
-   * token hashes accumulate in ONE aggregate pass with a 60-wide array
-   * state (the naive form runs 60+ separate passes over the token array).
+   * SimHash fingerprint as 4×15-bit blocks, via the codegen'd
+   * SimHashBlocks60 expression — one compiled pass per row instead of
+   * the interpreted 60-wide zip_with per TOKEN of the HOF form
+   * (simhashBlocksHof, kept as the semantic reference;
+   * SimHashBlocks60Spec pins the two identical over the real documents
+   * fixture including null/empty/CJK texts).
    */
-  def simhashBlocks(text: Column): Column = {
+  def simhashBlocks(text: Column): Column =
+    graft.functions.SimHashBlocks60.blocks(array_distinct(split(exactKey(text), " ")))
+
+  /** The interpreted HOF form simhashBlocks replaced: per-bit ±1 votes
+    * accumulate in one aggregate pass with a 60-wide array state (itself
+    * the measured-fastest HOF formulation — the naive form ran 60+
+    * passes over the token array). */
+  private[graft] def simhashBlocksHof(text: Column): Column = {
     val toks = array_distinct(split(exactKey(text), " "))
     val hashes = transform(toks, t => tokenHash60(t))
     val votes = aggregate(hashes, array_repeat(lit(0L), 60),
