@@ -67,17 +67,23 @@ object ControlPlane {
     private val window = if (storeDir.isDefined) execWindow else Int.MaxValue
     private val evictLock = new Object
 
+    /** Numeric suffix of an id ("exec-123" → 123) — ordering ids
+      * lexicographically would evict "exec-1000" before "exec-999". */
+    private def idNum(id: String): Long =
+      id.split('-').last.toLongOption.getOrElse(0L)
+
     /** Insert + evict down to the window. Eviction removes the MINIMAL
-      * startedAtMs record (not insertion order): records arrive at
-      * completion, so with concurrent executions insertion order differs
-      * from start order, and the fast list path below depends on the
-      * window holding exactly the newest-started records. Linear scan per
-      * insert is O(window) against second-long executions — fine. */
+      * (startedAtMs, numeric id) record (not insertion order): records
+      * arrive at completion, so with concurrent executions insertion
+      * order differs from start order, and the fast list path below
+      * depends on the window holding exactly the newest-started records.
+      * Linear scan per insert is O(window) against second-long
+      * executions — fine. */
     private def putExec(e: ExecutionRecord): Unit = evictLock.synchronized {
       execs.put(e.id, e)
       while (execs.size() > window) {
         import scala.jdk.CollectionConverters._
-        val oldest = execs.values.asScala.minBy(r => (r.startedAtMs, r.id))
+        val oldest = execs.values.asScala.minBy(r => (r.startedAtMs, idNum(r.id)))
         execs.remove(oldest.id)
         execsTruncated = true
       }
@@ -103,23 +109,33 @@ object ControlPlane {
         finally ls.close()
       }
       execLog.filter(Files.exists(_)).foreach { p =>
-        // stream the log once: only a ring buffer of the newest `window`
-        // lines is ever resident (restart heap O(window), not O(history));
-        // the id sequence still continues past EVERY line (cheap regex)
+        // stream the log once keeping the window's records in a bounded
+        // min-heap on (startedAtMs, numeric id) — NOT the newest lines:
+        // lines are completion-ordered, and the fast list path requires
+        // the window to hold the newest-STARTED records. Heap O(window);
+        // per-line work is two cheap regexes, full JSON parse only for
+        // the surviving window. The id sequence continues past EVERY line.
         val idRe = java.util.regex.Pattern.compile("\"id\":\"[a-z]+-(\\d+)\"")
-        val tail = new java.util.ArrayDeque[String](math.min(window, 4096))
+        val startRe = java.util.regex.Pattern.compile("\"started_at_ms\":(\\d+)")
+        // min-heap of (startedAtMs, idNum, line): smallest = first evicted
+        implicit val ord: Ordering[(Long, Long, String)] =
+          Ordering.by(t => (-t._1, -t._2)) // PriorityQueue is a MAX-heap
+        val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, String)]
         var total = 0L
         val stream = Files.lines(p)
         try stream.forEach { line =>
           if (line.nonEmpty) {
             total += 1
-            if (tail.size() >= window) tail.pollFirst()
-            tail.addLast(line)
-            val m = idRe.matcher(line)
-            if (m.find()) seq.set(math.max(seq.get(), m.group(1).toLong))
+            val im = idRe.matcher(line)
+            val idn = if (im.find()) im.group(1).toLong else 0L
+            seq.set(math.max(seq.get(), idn))
+            val sm = startRe.matcher(line)
+            val started = if (sm.find()) sm.group(1).toLong else 0L
+            heap.enqueue((started, idn, line))
+            if (heap.size > window) { heap.dequeue(); () } // drops the MIN
           }
         } finally stream.close()
-        tail.forEach(line => putExec(parseExecLine(line)))
+        heap.foreach { case (_, _, line) => putExec(parseExecLine(line)) }
         if (total > window) execsTruncated = true
       }
       // continue the id sequence past everything reloaded

@@ -36,10 +36,14 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
 
   /** `arg` is everyMs for interval, delayMs for date, the expression for
     * cron. Cron fires re-arm themselves, replacing `future` in place.
-    * A paused schedule keeps its spec but has no armed future. */
+    * A paused schedule keeps its spec but has no armed future. `gen` is
+    * the arming GENERATION: every (re-)arm bumps it, and a cron tick
+    * re-arms only if the map still holds its own generation — a value
+    * comparison (jobId/kind/arg) cannot distinguish an update to the
+    * SAME spec, which would leave two live timer chains double-firing. */
   final case class Schedule(id: String, jobId: String, kind: String, arg: String,
                             @transient future: ScheduledFuture[_],
-                            paused: Boolean = false) {
+                            paused: Boolean = false, gen: Long = 0L) {
     def everyMs: Long = if (kind == "cron") -1L else arg.toLong
   }
 
@@ -58,6 +62,7 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     * tick, and a tick never fires a job whose schedule just changed. */
   private val stateLock = new Object
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val genSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def log: Option[Path] = storeDir.map(_.resolve("schedules.jsonl"))
 
@@ -122,8 +127,8 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND))
 
   private def arm(id: String, jobId: String, kind: String, arg: String,
-                  f: ScheduledFuture[_]): Schedule = {
-    val s = Schedule(id, jobId, kind, arg, f)
+                  f: ScheduledFuture[_], gen: Long = genSeq.incrementAndGet()): Schedule = {
+    val s = Schedule(id, jobId, kind, arg, f, paused = false, gen = gen)
     schedules.put(id, s)
     s
   }
@@ -140,17 +145,22 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     * does nothing (neither re-arm nor fire). */
   private def armCron(id: String, jobId: String, cron: Cron, expr: String): Schedule = {
     val delay = cron.nextAfterMillis(System.currentTimeMillis())
+    val myGen = genSeq.incrementAndGet()
     val runnable: Runnable = () => {
       val current = stateLock.synchronized {
         val cur = schedules.get(id)
-        val ok = cur != null && !cur.paused && cur.kind == "cron" &&
-          cur.arg == expr && cur.jobId == jobId
+        // generation check, not value equality: an update to the SAME
+        // spec bumps gen, and this stale tick must die rather than arm
+        // a second live timer chain. paused is checked separately —
+        // pause() keeps the gen while disarming.
+        val ok = cur != null && !cur.paused && cur.gen == myGen
         if (ok) armCron(id, jobId, cron, expr)
         ok
       }
       if (current) fire(jobId)
     }
-    arm(id, jobId, "cron", expr, pool.schedule(runnable, delay, TimeUnit.MILLISECONDS))
+    arm(id, jobId, "cron", expr,
+      pool.schedule(runnable, delay, TimeUnit.MILLISECONDS), myGen)
   }
 
   private def nextId(): String = s"sched-${seq.incrementAndGet()}"
@@ -158,21 +168,23 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
   /** Run `jobId` every `everyMs` (first fire after one interval). */
   def scheduleInterval(jobId: String, everyMs: Long): Schedule = {
     require(registry.getJob(jobId).isDefined, s"job $jobId not found")
-    val s = stateLock.synchronized { armInterval(nextId(), jobId, everyMs) }
-    persist(s)
-    s
+    stateLock.synchronized {
+      val s = armInterval(nextId(), jobId, everyMs)
+      persist(s) // inside the lock: log order must match transition order
+      s
+    }
   }
 
   /** Run `jobId` once after `delayMs` (date trigger). */
   def scheduleOnce(jobId: String, delayMs: Long): Schedule = {
     require(registry.getJob(jobId).isDefined, s"job $jobId not found")
     val runnable: Runnable = () => fire(jobId)
-    val s = stateLock.synchronized {
-      arm(nextId(), jobId, "date", delayMs.toString,
+    stateLock.synchronized {
+      val s = arm(nextId(), jobId, "date", delayMs.toString,
         pool.schedule(runnable, delayMs, TimeUnit.MILLISECONDS))
+      persist(s)
+      s
     }
-    persist(s)
-    s
   }
 
   /** Run `jobId` on a 5-field cron expression (minute hour dom month dow),
@@ -180,9 +192,11 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
   def scheduleCron(jobId: String, expr: String): Schedule = {
     require(registry.getJob(jobId).isDefined, s"job $jobId not found")
     val cron = Cron.parse(expr)
-    val s = stateLock.synchronized { armCron(nextId(), jobId, cron, expr) }
-    persist(s)
-    s
+    stateLock.synchronized {
+      val s = armCron(nextId(), jobId, cron, expr)
+      persist(s)
+      s
+    }
   }
 
   def list(): Seq[Schedule] = {
@@ -216,7 +230,7 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
           pool.schedule((() => fire(jobId)): Runnable, arg.toLong, TimeUnit.MILLISECONDS))
       }
     }
-    persist(s)
+    stateLock.synchronized { persist(s) }
     s
   }
 

@@ -342,11 +342,15 @@ object JdbcIO {
 
     /** Return a HEALTHY connection; `broken` ones close instead (their
       * transaction state is unknown). Never throws: this runs in finally
-      * blocks, where an exception would mask the batch's real error. */
+      * blocks, where an exception would mask the batch's real error.
+      * Only the cheap local isClosed check runs here — isValid costs a
+      * network round trip and borrow() already validates on the way out,
+      * so a dead handle offered back is merely discarded at next borrow. */
     def release(url: String, options: Map[String, String],
                 c: Connection, broken: Boolean): Unit =
       try {
-        if (broken || !alive(c) || !queue((url, options)).offer(c))
+        val closed = try c.isClosed catch { case _: java.sql.SQLException => true }
+        if (broken || closed || !queue((url, options)).offer(c))
           try c.close() catch { case _: java.sql.SQLException => () }
       } catch { case _: java.sql.SQLException => () }
 

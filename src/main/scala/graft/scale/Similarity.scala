@@ -118,9 +118,13 @@ object Similarity {
   private[graft] def planeSums(vec: Column, dim: Int, nPlanes: Int): Column =
     graft.functions.MatVecSums.sums(vec, planeMatrix(dim, nPlanes))
 
-  /** Weight matrix (vector position i → plane p) for planeSums. */
-  private[graft] def planeMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] =
-    Array.tabulate(dim, nPlanes)((i, p) => planeWeights(p, dim)(i))
+  /** Weight matrix (vector position i → plane p) for planeSums. Each
+    * plane's LCG vector is generated once and transposed — tabulating
+    * per cell would re-draw the full vector dim times per plane. */
+  private[graft] def planeMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] = {
+    val byPlane = Array.tabulate(nPlanes)(p => planeWeights(p, dim))
+    Array.tabulate(dim, nPlanes)((i, p) => byPlane(p)(i))
+  }
 
   /** The interpreted HOF form planeSums replaced (zip_with a 2D typedLit,
     * fold an nPlanes-wide accumulator). Kept as the semantic reference:

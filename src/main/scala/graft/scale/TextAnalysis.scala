@@ -52,7 +52,11 @@ object TextAnalysis {
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val n = tokenCount(text)
-    val stops = graft.functions.CountInSet.count(toks, stopwords)
+    // empty stopword list: ratio is 0 by definition (CountInSet requires
+    // a non-empty probe set; the old filter(isin) form allowed empty)
+    val stops =
+      if (stopwords.isEmpty) lit(0)
+      else graft.functions.CountInSet.count(toks, stopwords)
     when(n === 0, lit(0.0)).otherwise(stops.cast("double") / n.cast("double"))
   }
 

@@ -29,7 +29,7 @@ object HofProbe {
     // simhashBlocks HOF edge cases: null text, empty text, blank text
     val tdf = Seq((1, "hello world of text"), (2, ""), (3, "   "),
       (4, null.asInstanceOf[String])).toDF("id", "text")
-    tdf.select(col("id"), graft.scale.Dedup.simhashBlocks(col("text")).as("b"))
+    tdf.select(col("id"), graft.scale.Dedup.simhashBlocksHof(col("text")).as("b"))
       .orderBy(col("id"))
       .collect().foreach(r => println(s"sid=${r.getInt(0)} b=${if (r.isNullAt(1)) "NULL" else r.getSeq[Any](1)}"))
     spark.stop()
