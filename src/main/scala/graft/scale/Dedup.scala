@@ -69,21 +69,32 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Character shingles (n-grams) of the normalized text, distinct. */
-  def shingles(text: Column, n: Int = 5): Column = {
+  /** Character shingles (n-grams) of the normalized text, distinct —
+    * the codegen'd CharShingles expression (one compiled pass vs an
+    * interpreted substr per character position; WordShinglesSpec pins
+    * equality with shinglesHof over the real fixture incl. CJK). */
+  def shingles(text: Column, n: Int = 5): Column =
+    graft.functions.CharShingles.shingles(exactKey(text), n)
+
+  /** The interpreted HOF form shingles replaced (semantic reference). */
+  private[graft] def shinglesHof(text: Column, n: Int = 5): Column = {
     val norm = exactKey(text)
     val idxs = sequence(lit(1), greatest(length(norm) - (n - 1), lit(1)))
     array_distinct(transform(idxs, i => norm.substr(i, lit(n))))
   }
 
-  /** Word shingles (token n-grams), distinct. Built as n-1 zip_with passes
-    * over shifted token arrays (each position concatenates with the k-step
-    * shifted copy) instead of a per-position slice+join — no per-shingle
-    * array allocation, ~3× faster in the interpreted HOF evaluator. The
-    * final slice drops the partial trailing shingles, keeping exactly
-    * max(|toks|-n+1, 1) entries like the reference (short texts collapse
-    * to one whole-text shingle). */
-  def wordShingles(text: Column, n: Int = 3): Column = {
+  /** Word shingles (token n-grams), distinct — the codegen'd
+    * WordShingles expression, one compiled pass per row. Keeps exactly
+    * max(|toks|-n+1, 1) positions like the reference (short texts
+    * collapse to one whole-text shingle); WordShinglesSpec pins equality
+    * with wordShinglesHof over the real fixture. */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    graft.functions.WordShingles.shingles(split(exactKey(text), " "), n)
+
+  /** The interpreted HOF form wordShingles replaced: n-1 zip_with passes
+    * over shifted token arrays. Kept as the semantic reference for
+    * WordShinglesSpec's bit-parity pin. */
+  private[graft] def wordShinglesHof(text: Column, n: Int = 3): Column = {
     val toks = split(exactKey(text), " ")
     val grown = (1 until n).foldLeft(toks) { (acc, k) =>
       zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
