@@ -73,16 +73,25 @@ object Bench {
     }
     def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts pre-sorted
 
-    val qs = results.map { case (k, ts) => s"${quote(k)}:${median(ts)}" }.mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 chars of output (BENCH_r04/
+    // r05 both recorded parsed:null because the full line, with the spread
+    // map, ran ~4 KB and its {"metric","value"...} head fell off the
+    // window). stdout gets a COMPACT line — 4-decimal medians, no spread —
+    // printed LAST, after spark.stop(); the full-precision detail
+    // (spreads included) goes to BENCH_LOCAL.json.
+    def r4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, ts) => s"${quote(k)}:${r4(median(ts))}" }.mkString("{", ",", "}")
     val spread = results
       .map { case (k, ts) => s"${quote(k)}:[${ts.head},${ts.last}]" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts) }.sum
     val json =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+    val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
-    println(json)
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), detail + "\n")
     spark.stop()
+    println(json)
   }
 }

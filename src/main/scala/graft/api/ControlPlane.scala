@@ -296,10 +296,29 @@ object ControlPlane {
       val xs =
         if (windowSuffices) inMem
         else execLog.filter(Files.exists(_)).map { p =>
+          // Bounded-heap scan, O(page) memory not O(full history): raw
+          // lines are substring-pre-filtered (same trick as getExecution)
+          // before any JSON parse, and only the offset+limit best records
+          // by start time are retained — the heap's head is the WORST
+          // retained record, evicted whenever a better one arrives.
+          val needles = jobId.map(j => s""""job_id":${quote(j)}""").toSeq ++
+            status.map(s => s""""status":${quote(s)}""").toSeq
+          val k = math.min(offset.toLong + limit, Int.MaxValue.toLong).toInt.max(0)
+          val heapOrd = // max under this ordering = record to evict first
+            if (sortDesc) Ordering.by[ExecutionRecord, Long](-_.startedAtMs)
+            else Ordering.by[ExecutionRecord, Long](_.startedAtMs)
+          val best = new scala.collection.mutable.PriorityQueue[ExecutionRecord]()(heapOrd)
           val stream = Files.lines(p)
-          try matching(stream.iterator().asScala
-            .filter(_.nonEmpty).map(parseExecLine).toSeq)
+          try stream.iterator().asScala
+            .filter(l => l.nonEmpty && needles.forall(l.contains))
+            .map(parseExecLine)
+            .filter(r => jobId.forall(_ == r.jobId) && status.forall(_ == r.status))
+            .foreach { r =>
+              best.enqueue(r)
+              if (best.size > k) { best.dequeue(); () }
+            }
           finally stream.close()
+          best.toSeq
         }.getOrElse(inMem)
       val sorted = xs.sortBy(_.startedAtMs)
       (if (sortDesc) sorted.reverse else sorted).slice(offset, offset + limit)

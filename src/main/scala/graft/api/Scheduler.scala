@@ -216,11 +216,11 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     require(registry.getJob(jobId).isDefined, s"job $jobId not found")
     require(Set("interval", "cron", "date").contains(kind), s"unknown kind $kind")
     val parsedCron = if (kind == "cron") Some(Cron.parse(arg)) else { arg.toLong; None }
-    val s = stateLock.synchronized {
+    stateLock.synchronized {
       val old = Option(schedules.get(id)).getOrElse(
         throw new NoSuchElementException(s"schedule $id not found"))
       if (old.future != null) { old.future.cancel(false); () }
-      if (old.paused) {
+      val s = if (old.paused) {
         val ns = Schedule(id, jobId, kind, arg, null, paused = true)
         schedules.put(id, ns); ns
       } else kind match {
@@ -229,9 +229,9 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
         case _          => arm(id, jobId, "date", arg,
           pool.schedule((() => fire(jobId)): Runnable, arg.toLong, TimeUnit.MILLISECONDS))
       }
+      persist(s) // inside the lock: log order must match transition order
+      s
     }
-    stateLock.synchronized { persist(s) }
-    s
   }
 
   /** Disarm without forgetting (POST /schedules/{id}/pause,

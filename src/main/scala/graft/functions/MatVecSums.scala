@@ -136,6 +136,20 @@ final case class MatVecSums(child: Expression, weights: Array[Array[Double]])
     copy(child = newChild)
 
   override def prettyName: String = "matvec_sums"
+
+  // Structural equality: the case-class default compares the
+  // Array[Array[Double]] field by REFERENCE, so two structurally
+  // identical instances would never be equal and Catalyst
+  // canonicalization / subexpression elimination could not dedupe them.
+  override def equals(other: Any): Boolean = other match {
+    case m: MatVecSums =>
+      child == m.child && java.util.Arrays.deepEquals(
+        weights.asInstanceOf[Array[AnyRef]], m.weights.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(weights.asInstanceOf[Array[AnyRef]])
 }
 
 object MatVecSums {

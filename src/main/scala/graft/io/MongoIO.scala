@@ -366,7 +366,16 @@ object MongoIO {
       import scala.jdk.CollectionConverters._
       var docs = coll(collection).asScala.toSeq.map(JsonMethods.parse(_))
       if (filter.nonEmpty) docs = docs.filter(matches(_, filter))
-      val vals = docs.map(field(_, field0)).filter(_ != JNothing).sorted(jOrd)
+      // SCALARS ONLY: a JNull/object/array split value would round-trip
+      // through toJ as a rendered string (JNull -> JString("null")), making
+      // the bound compare differently in inRange than the value did here —
+      // range bounds would lose monotonicity and a doc could match zero or
+      // two partitions. Docs whose key is null/missing/non-scalar still
+      // land deterministically via jOrd's total order against scalar bounds.
+      val vals = docs.map(field(_, field0)).filter {
+        case JString(_) | JInt(_) | JLong(_) | JDouble(_) | JBool(_) => true
+        case _ => false
+      }.sorted(jOrd)
       if (vals.isEmpty || parts <= 1) Nil
       else (1 until parts).map(i => vals(vals.size * i / parts)).distinct
         .map {

@@ -120,11 +120,19 @@ object Similarity {
 
   /** Weight matrix (vector position i → plane p) for planeSums. Each
     * plane's LCG vector is generated once and transposed — tabulating
-    * per cell would re-draw the full vector dim times per plane. */
-  private[graft] def planeMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] = {
-    val byPlane = Array.tabulate(nPlanes)(p => planeWeights(p, dim))
-    Array.tabulate(dim, nPlanes)((i, p) => byPlane(p)(i))
-  }
+    * per cell would re-draw the full vector dim times per plane.
+    * Memoized per (dim, nPlanes) so repeated planeSums calls hand
+    * Catalyst the SAME matrix instance (MatVecSums also has structural
+    * equals, but instance reuse makes dedupe trivially cheap and avoids
+    * rebuilding the matrix per call). The cache stays tiny: one entry
+    * per distinct (dim, nPlanes) configuration seen in the process. */
+  private val planeMatrixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private[graft] def planeMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] =
+    planeMatrixCache.computeIfAbsent((dim, nPlanes), { case (d, np) =>
+      val byPlane = Array.tabulate(np)(p => planeWeights(p, d))
+      Array.tabulate(d, np)((i, p) => byPlane(p)(i))
+    })
 
   /** The interpreted HOF form planeSums replaced (zip_with a 2D typedLit,
     * fold an nPlanes-wide accumulator). Kept as the semantic reference:
