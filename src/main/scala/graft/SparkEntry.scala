@@ -762,6 +762,253 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("o_orderstatus"))
   }
 
+  /** Combination job (json_row_typeconv_null_csv.json shape): NDJSON
+    * source → type_conversion with on_error=null alongside raise rules →
+    * NDJSON sink. Pins the error-policy cast surface declaratively: the
+    * unparseable "x<k>" values become nulls, the parseable ones convert. */
+  private def qJobJsonTypeconv(s: SparkSession, dir: String): DataFrame = {
+    // .jsonl suffix selects the NDJSON read path in read_json (an
+    // extensionless dir would be read in array/multiLine mode, which
+    // takes ONE object per file)
+    val in = s"$tmpRoot/job_json_tc_in.jsonl"
+    val outDir = s"$tmpRoot/job_out_jsontc"
+    graft.io.JsonIO.write(
+      table(s, dir, "supplier").select(
+        col("s_suppkey").cast("string"),
+        col("s_acctbal").cast("string"),
+        when(pmod(col("s_suppkey"), lit(3)) === 0, col("s_suppkey").cast("string"))
+          .otherwise(concat(lit("x"), col("s_suppkey"))).as("maybe_int")),
+      in)
+    val strSchema = fieldsJson("s_suppkey" -> "string", "s_acctbal" -> "string",
+      "maybe_int" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "json_typeconv_json",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_json", "filepath": "$in",
+         |      "routes": { "out": [ { "to": "conv", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $strSchema } },
+         |    { "name": "conv", "comp_type": "type_conversion",
+         |      "rules": [
+         |        { "column_path": "s_suppkey", "target": "integer", "on_error": "raise" },
+         |        { "column_path": "s_acctbal", "target": "float", "on_error": "raise" },
+         |        { "column_path": "maybe_int", "target": "integer", "on_error": "null" } ],
+         |      "in_port_schemas": { "in": $strSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] } },
+         |    { "name": "w", "comp_type": "write_json", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": ${fieldsJson("s_suppkey" -> "integer",
+              "s_acctbal" -> "float", "maybe_int" -> "integer")} } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    import org.apache.spark.sql.types._
+    graft.io.JsonIO.read(s, outDir, Some(StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_acctbal", DoubleType),
+      StructField("maybe_int", LongType)))))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Combination job (csv_bulk_map_fanout_csv.json shape): one source →
+    * schema_mapping map mode fanning out to TWO dest ports with different
+    * projections → two parquet sinks; the result unions both files back
+    * with a port tag. */
+  private def qJobMapFanout(s: SparkSession, dir: String): DataFrame = {
+    val in = s"$tmpRoot/job_fanout_in"
+    val outA = s"$tmpRoot/job_out_fanout_a"
+    val outB = s"$tmpRoot/job_out_fanout_b"
+    graft.io.CsvIO.write(
+      table(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+      in, sep = ",")
+    val srcSchema = fieldsJson("n_nationkey" -> "string", "n_name" -> "string")
+    val aSchema = fieldsJson("uid" -> "string", "uname" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "map_fanout",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |      "routes": { "out": [ { "to": "map", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $srcSchema } },
+         |    { "name": "map", "comp_type": "schema_mapping",
+         |      "extra_input_ports": ["in"],
+         |      "extra_output_ports": ["A", "B"],
+         |      "rules_by_dest": {
+         |        "A": { "uid":   { "src_port": "in", "src_path": "n_nationkey" },
+         |               "uname": { "src_port": "in", "src_path": "n_name" } },
+         |        "B": { "n_nationkey": { "src_port": "in", "src_path": "n_nationkey" },
+         |               "n_name":      { "src_port": "in", "src_path": "n_name" } } },
+         |      "in_port_schemas": { "in": $srcSchema },
+         |      "routes": { "A": [ { "to": "wa", "in_port": "in" } ],
+         |                  "B": [ { "to": "wb", "in_port": "in" } ] },
+         |      "out_port_schemas": { "A": $aSchema, "B": $srcSchema } },
+         |    { "name": "wa", "comp_type": "write_parquet", "filepath": "$outA",
+         |      "in_port_schemas": { "in": $aSchema } },
+         |    { "name": "wb", "comp_type": "write_parquet", "filepath": "$outB",
+         |      "in_port_schemas": { "in": $srcSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outA).withColumn("port", lit("A"))
+      .unionByName(s.read.parquet(outB)
+        .select(col("n_nationkey").as("uid"), col("n_name").as("uname"))
+        .withColumn("port", lit("B")))
+      .orderBy(col("port"), col("uid"))
+  }
+
+  /** Combination job (excel_bulk_agg_nunique_json.json shape): Excel
+    * source → type_conversion → aggregation with NUNIQUE and `src="*"`
+    * row count → JSON ARRAY sink (the reference's indent-2 single-file
+    * format), read back as the result. */
+  private def qJobAggNunique(s: SparkSession, dir: String): DataFrame = {
+    val in = s"$tmpRoot/job_nunique_in.xlsx"
+    val out = s"$tmpRoot/job_out_nunique.json"
+    graft.io.ExcelIO.write(
+      table(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey")),
+      in, sheetName = "suppliers")
+    val strSchema = fieldsJson("s_suppkey" -> "string", "s_name" -> "string",
+      "s_nationkey" -> "string")
+    val typedSchema = fieldsJson("s_suppkey" -> "integer", "s_name" -> "string",
+      "s_nationkey" -> "integer")
+    val aggSchema = fieldsJson("s_nationkey" -> "integer",
+      "n_names" -> "integer", "n_sups" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "excel_agg_nunique_json",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_excel", "filepath": "$in",
+         |      "sheet_name": "suppliers",
+         |      "routes": { "out": [ { "to": "conv", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $strSchema } },
+         |    { "name": "conv", "comp_type": "type_conversion",
+         |      "rules": [
+         |        { "column_path": "s_suppkey", "target": "integer", "on_error": "raise" },
+         |        { "column_path": "s_nationkey", "target": "integer", "on_error": "raise" } ],
+         |      "in_port_schemas": { "in": $strSchema },
+         |      "routes": { "out": [ { "to": "agg", "in_port": "in" } ] } },
+         |    { "name": "agg", "comp_type": "aggregation",
+         |      "group_by": ["s_nationkey"],
+         |      "aggregations": [
+         |        { "src": "s_name", "op": "nunique", "dest": "n_names" },
+         |        { "src": "*", "op": "count", "dest": "n_sups" } ],
+         |      "in_port_schemas": { "in": $typedSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_json", "filepath": "$out",
+         |      "format": "array",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    import org.apache.spark.sql.types._
+    // multiLine: the sink wrote ONE pretty-printed JSON array document
+    graft.io.JsonIO.read(s, out, Some(StructType(Seq(
+      StructField("s_nationkey", LongType), StructField("n_names", LongType),
+      StructField("n_sups", LongType)))), multiLine = true)
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Combination job (database e2e shape): declarative JDBC source with a
+    * parameterized query (named :rk binding) → filter (case-insensitive
+    * contains) → declarative JDBC sink (insert) on Derby, read back. */
+  private def qJobJdbcFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.JdbcIO
+    val url = "jdbc:derby:memory:graftjobq6;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      for (t <- Seq("src_nat", "dst_nat")) {
+        try st.execute(s"DROP TABLE $t") catch { case _: Exception => () }
+        st.execute(s"""CREATE TABLE $t ("n_nationkey" VARCHAR(20), "n_name" VARCHAR(200), "n_regionkey" VARCHAR(20))""")
+      }
+    } finally conn.close()
+    JdbcIO.write(
+      table(s, dir, "nation").select(col("n_nationkey").cast("string"),
+        col("n_name"), col("n_regionkey").cast("string")),
+      url, "src_nat", JdbcIO.Insert, JdbcIO.Derby)
+    val natSchema = fieldsJson("n_nationkey" -> "string", "n_name" -> "string",
+      "n_regionkey" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "jdbc_filter_jdbc",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_jdbc", "url": "$url",
+         |      "query": "SELECT * FROM src_nat WHERE \\"n_regionkey\\" <> :rk",
+         |      "params": { "rk": "4" },
+         |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "flt", "comp_type": "filter",
+         |      "rule": { "column": "n_name", "operator": "contains", "value": "AR" },
+         |      "in_port_schemas": { "in": $natSchema },
+         |      "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $natSchema } },
+         |    { "name": "w", "comp_type": "write_jdbc", "url": "$url",
+         |      "entity_name": "dst_nat", "if_exists": "insert", "dialect": "derby",
+         |      "in_port_schemas": { "in": $natSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    JdbcIO.read(s, url, table = Some("dst_nat"))
+      .orderBy(col("n_nationkey").cast("long"))
+  }
+
+  /** Combination job: parquet documents → text_analysis component →
+    * filter on a COMPUTED column (n_tokens) → aggregation by the
+    * predicted language → parquet sink. Exercises the scale operators as
+    * mid-pipeline declarative citizens. */
+  private def qJobTextFilterAgg(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_textagg"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val taSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer",
+      "n_tokens" -> "integer", "n_tokens_bpe" -> "integer",
+      "punct_ratio" -> "float", "stopword_ratio" -> "float",
+      "quality" -> "float", "lang_pred" -> "string", "fingerprint" -> "string")
+    val aggSchema = fieldsJson("lang_pred" -> "string",
+      "n_docs" -> "integer", "sum_tokens" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "text_filter_agg",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "ta", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "ta", "comp_type": "text_analysis", "text_column": "text",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $taSchema } },
+         |    { "name": "flt", "comp_type": "filter",
+         |      "rule": { "column": "n_tokens", "operator": ">", "value": 50 },
+         |      "in_port_schemas": { "in": $taSchema },
+         |      "routes": { "pass": [ { "to": "agg", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $taSchema } },
+         |    { "name": "agg", "comp_type": "aggregation",
+         |      "group_by": ["lang_pred"],
+         |      "aggregations": [
+         |        { "src": "*", "op": "count", "dest": "n_docs" },
+         |        { "src": "n_tokens", "op": "sum", "dest": "sum_tokens" } ],
+         |      "in_port_schemas": { "in": $taSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("lang_pred"))
+  }
+
   // ------------------------------------------------------------------ dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -891,6 +1138,11 @@ object SparkEntry {
     "q_job_excel_agg" -> (qJobExcelFilterAgg _),
     "q_job_mongo_dedup" -> (qJobMongoDedup _),
     "q_job_split_merge" -> (qJobSplitMergeAgg _),
+    "q_job_json_typeconv" -> (qJobJsonTypeconv _),
+    "q_job_map_fanout" -> (qJobMapFanout _),
+    "q_job_agg_nunique" -> (qJobAggNunique _),
+    "q_job_jdbc_filter" -> (qJobJdbcFilter _),
+    "q_job_text_agg" -> (qJobTextFilterAgg _),
     "q_sql_join" -> (qSqlJoin _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
     "q_excel_roundtrip" -> (qExcelRoundtrip _),
@@ -1132,6 +1384,56 @@ object SparkEntry {
       """SELECT o_orderstatus, count(o_orderkey)::BIGINT AS n_orders
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_job_json_typeconv" ->
+      """SELECT s_suppkey, s_acctbal,
+        |  CASE WHEN s_suppkey % 3 = 0 THEN s_suppkey ELSE NULL END AS maybe_int
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_job_map_fanout" ->
+      """SELECT 'A' AS port, n_nationkey::VARCHAR AS uid, n_name AS uname
+        |FROM nation
+        |UNION ALL
+        |SELECT 'B' AS port, n_nationkey::VARCHAR AS uid, n_name AS uname
+        |FROM nation
+        |ORDER BY port, uid""".stripMargin,
+    "q_job_agg_nunique" ->
+      """SELECT s_nationkey::BIGINT AS s_nationkey,
+        |  count(DISTINCT s_name)::BIGINT AS n_names,
+        |  count(*)::BIGINT AS n_sups
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_job_jdbc_filter" ->
+      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+        |  n_regionkey::VARCHAR AS n_regionkey
+        |FROM nation
+        |WHERE n_regionkey <> 4 AND contains(lower(n_name), 'ar')
+        |ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_job_text_agg" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS n_tokens,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, n_tokens,
+        |    len(list_filter(t, x -> list_contains(['der','die','das','und','nicht','ist','ein','mit'], x))) AS s_de,
+        |    len(list_filter(t, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |    len(list_filter(t, x -> list_contains(['el','la','los','las','que','de','es','una'], x))) AS s_es,
+        |    len(list_filter(t, x -> list_contains(['le','la','les','des','est','une','que','dans'], x))) AS s_fr,
+        |    len(list_filter(t, x -> list_contains(['的','是','了','在','我','有','和','不'], x))) AS s_zh
+        |  FROM toks),
+        |pred AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        |         WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+        |         WHEN s_es > greatest(s_de, s_en) THEN 'es'
+        |         WHEN s_en > s_de THEN 'en'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM scores)
+        |SELECT lang_pred, count(*)::BIGINT AS n_docs,
+        |  sum(n_tokens)::BIGINT AS sum_tokens
+        |FROM pred WHERE n_tokens > 50
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
     "q_xml_roundtrip" ->
       """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
         |  n_regionkey::VARCHAR AS n_regionkey
