@@ -90,7 +90,7 @@ object JobGraph {
     * its in-schema + rules (target type swap, nullability from the error
     * policy — see TypeConversionOp.deriveOutSchema). Explicit declaration
     * stays the override; idempotent, so validate-then-build derives once. */
-  private def deriveSchemas(spec: JobSpec): JobSpec =
+  private[graft] def deriveSchemas(spec: JobSpec): JobSpec =
     spec.copy(components = spec.components.map { c =>
       if (c.compType == "type_conversion" && !c.outPortSchemas.contains("out"))
         c.inPortSchemas.get("in") match {
@@ -161,7 +161,7 @@ object JobGraph {
     topoOrder(spec) // raises on cycles
   }
 
-  private def topoOrder(spec: JobSpec): Seq[ComponentSpec] = {
+  private[graft] def topoOrder(spec: JobSpec): Seq[ComponentSpec] = {
     val preds: Map[String, Set[String]] = {
       val m = scala.collection.mutable.Map.empty[String, Set[String]]
       spec.components.foreach(c => m(c.name) = Set.empty)

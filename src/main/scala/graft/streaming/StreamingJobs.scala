@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.config.JobConfig._
+import graft.graph.JobGraph
+import graft.ops._
+import graft.schema.{FieldDef, SchemaValidator}
+
+/**
+ * Incremental execution of a declarative job config: the SAME JobSpec the
+ * batch engine folds into DataFrames (graph/JobGraph.scala) runs as a
+ * Structured Streaming pipeline — sources become `readStream` over their
+ * directories, the transform vocabulary compiles to the identical Column
+ * expressions (FilterOp / TypeConversionOp / SchemaMappingOp /
+ * TextAnalysis are expression-only, so they apply to streaming frames
+ * unchanged), and each sink runs as its own StreamingQuery with an
+ * exactly-once checkpoint.
+ *
+ * This is the Spark-first mapping of the reference's `row` strategy
+ * (SURVEY.md §1.4: record-at-a-time push streaming,
+ * src/etl_core/strategies/row_strategy.py:17-25): where the reference
+ * pipelines dicts through asyncio queues and asserts cross-strategy result
+ * equality in its e2e suite, the Spark engine gets incremental execution
+ * from the SAME operator implementations — StreamingJobsSpec asserts
+ * batch/streaming parity per config, which is the reference's own
+ * cross-strategy contract.
+ *
+ * Scale/runtime notes:
+ *  - No persist/cache is inserted (illegal on streaming frames). A config
+ *    whose DAG fans out feeds several sink queries; each maintains its own
+ *    incremental scan of the shared lineage — the streaming-native way to
+ *    express a tee, with per-sink exactly-once instead of a shared
+ *    materialization.
+ *  - `Trigger.AvailableNow` (the `runOnce` entry point) drains available
+ *    input then stops, giving deterministic "process the backlog" runs —
+ *    the closest incremental analogue of one batch job execution; pass a
+ *    processing-time trigger to `start` for continuous tailing.
+ *  - State: the supported vocabulary is stateless (narrow maps/filters +
+ *    unions), so there is no state store to size; dedup/aggregation need
+ *    watermark semantics the JSON surface does not declare — they are
+ *    rejected here and live as explicit streaming twins in
+ *    streaming/Streaming.scala (streamingExactDedup, windowedCounts).
+ *
+ * Sources read ONLY with a declared schema (streaming refuses inference):
+ * read_csv consumes its all-string declared schema, read_json (NDJSON
+ * layouts) and read_parquet their declared port schema.
+ */
+object StreamingJobs {
+
+  /** comp_types that run incrementally (see scaladoc for why aggregation /
+    * dedup / join mode are excluded). */
+  val supportedTypes: Set[String] = Set(
+    "read_csv", "read_json", "read_parquet",
+    "filter", "type_conversion", "schema_mapping", "split", "merge",
+    "text_analysis",
+    "write_csv", "write_json", "write_parquet")
+
+  final case class SinkPlan(component: String, df: DataFrame, format: String,
+                            path: String, options: Map[String, String])
+
+  /** Fold the spec into per-sink streaming plans (no query started yet). */
+  def plan(spark: SparkSession, spec0: JobSpec): Seq[SinkPlan] = {
+    val spec = JobGraph.deriveSchemas(spec0)
+    JobGraph.validate(spec)
+    for (c <- spec.components) {
+      require(supportedTypes.contains(c.compType),
+        s"streaming job ${spec.name}: comp_type '${c.compType}' (${c.name}) is not " +
+          s"streamable — supported: ${supportedTypes.toSeq.sorted.mkString(", ")}; " +
+          "aggregation/dedup need watermark semantics (see streaming/Streaming.scala)")
+      require(c.compType != "schema_mapping" || parseJoinPlan(c).isEmpty,
+        s"streaming job ${spec.name}: schema_mapping join mode (${c.name}) is not " +
+          "streamable (stream-stream joins need watermark bounds); map mode is")
+    }
+
+    val frames = scala.collection.mutable.Map.empty[(String, String), DataFrame]
+    val inbound: Map[(String, String), Seq[(String, String)]] = {
+      val m = scala.collection.mutable.Map.empty[(String, String), Vector[(String, String)]]
+        .withDefaultValue(Vector.empty)
+      for (c <- spec.components; (port, dsts) <- c.routes; d <- dsts)
+        m((d.to, d.inPort)) = m((d.to, d.inPort)) :+ ((c.name, port))
+      m.toMap
+    }
+    def in(c: ComponentSpec, port: String = "in"): Seq[DataFrame] =
+      inbound.getOrElse((c.name, port), Nil).map(frames(_))
+    def one(c: ComponentSpec): DataFrame = {
+      val xs = in(c)
+      require(xs.size == 1, s"${c.name}: expected exactly one 'in' edge")
+      xs.head
+    }
+    def declared(c: ComponentSpec, port: String): Option[Seq[FieldDef]] =
+      c.outPortSchemas.get(port)
+    def schemaFor(c: ComponentSpec): org.apache.spark.sql.types.StructType =
+      FieldDef.toStructType(declared(c, "out").getOrElse(
+        throw new IllegalArgumentException(
+          s"streaming source ${c.name}: out schema required (no inference on streams)")))
+
+    val sinks = scala.collection.mutable.ListBuffer.empty[SinkPlan]
+
+    for (c <- JobGraph.topoOrder(spec)) {
+      val outs: Map[String, DataFrame] = c.compType match {
+        case "read_csv" =>
+          Map("out" -> spark.readStream.schema(schemaFor(c))
+            .option("header", "true")
+            .option("sep", c.str("separator").getOrElse(","))
+            .csv(c.reqStr("filepath")))
+        case "read_json" =>
+          Map("out" -> spark.readStream.schema(schemaFor(c))
+            .json(c.reqStr("filepath")))
+        case "read_parquet" =>
+          Map("out" -> spark.readStream.schema(schemaFor(c))
+            .parquet(c.reqStr("filepath")))
+
+        case "filter" => FilterOp(one(c), parseRule(c.params \ "rule"))
+        case "type_conversion" =>
+          Map("out" -> TypeConversionOp(one(c), parseCastRules(c)))
+        case "schema_mapping" =>
+          val byPort = c.inPortSchemas.keys.map(p => p -> {
+            val xs = in(c, p)
+            require(xs.size == 1, s"${c.name}: port $p needs exactly one edge")
+            xs.head
+          }).toMap
+          SchemaMappingOp.mapMode(byPort, parseMapRules(c))
+        case "split" => c.extraOutputPorts.map(_ -> one(c)).toMap
+        case "merge" =>
+          val xs = in(c)
+          require(xs.nonEmpty, s"merge ${c.name}: no inputs")
+          Map("merge" -> xs.reduce(_.unionByName(_)))
+        case "text_analysis" =>
+          Map("out" -> graft.scale.TextAnalysis.analyze(one(c),
+            c.str("text_column").getOrElse("text")))
+
+        case t if t.startsWith("write_") =>
+          val df = one(c)
+          val (fmt, opts) = t match {
+            case "write_parquet" => ("parquet", Map.empty[String, String])
+            case "write_csv" => ("csv", Map("header" -> "true",
+              "sep" -> c.str("separator").getOrElse(",")))
+            case "write_json" =>
+              require(c.str("format").forall(_ == "ndjson"),
+                s"streaming write_json ${c.name}: only ndjson (array is a " +
+                  "single-document format; a stream has no final document)")
+              ("json", Map.empty[String, String])
+            case other => throw new IllegalArgumentException(s"unstreamable sink $other")
+          }
+          sinks += SinkPlan(c.name, df, fmt, c.reqStr("filepath"), opts)
+          Map("out" -> df) // optional passthrough port, like the batch fold
+        case other => throw new IllegalArgumentException(s"unreachable: $other")
+      }
+      // same structural contract as the batch fold, per produced port
+      for ((port, df) <- outs) {
+        val checked = c.outPortSchemas.get(port) match {
+          case Some(expected) if c.routes.getOrElse(port, Nil).nonEmpty =>
+            SchemaValidator.enforce(df, expected, structuralOnly = true)
+          case _ => df
+        }
+        frames((c.name, port)) = checked
+      }
+    }
+    sinks.toSeq
+  }
+
+  /** Start every sink query. Checkpoints live under
+    * `checkpointRoot/<sinkComponentName>` — stable across restarts, which
+    * is what makes each sink exactly-once on re-run. */
+  def start(spark: SparkSession, spec: JobSpec, checkpointRoot: String,
+            trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] =
+    plan(spark, spec).map { s =>
+      s.df.writeStream
+        .format(s.format)
+        .options(s.options)
+        .option("path", s.path)
+        .option("checkpointLocation", s"$checkpointRoot/${s.component}")
+        .trigger(trigger)
+        .start()
+    }
+
+  /** Drain all currently-available input through every sink, then stop —
+    * one incremental "execution" of the job (AvailableNow). */
+  def runOnce(spark: SparkSession, spec: JobSpec, checkpointRoot: String): Unit =
+    start(spark, spec, checkpointRoot).foreach(_.awaitTermination())
+}
