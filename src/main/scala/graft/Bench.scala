@@ -16,7 +16,15 @@ import graft.util.JsonStr.quote
   * run is hostage to machine load during its window (BENCH_r03 recorded
   * 4-10x inflation on queries whose code hadn't changed); the median of
   * three interleaves that risk across ~3x the wall clock and discards
-  * any one loaded window. */
+  * any one loaded window.
+  *
+  * Even 3-rep medians inflate when the whole bench window is loaded:
+  * BENCH_r06 recorded dedup_simhash 4.73 s / dedup_ngram_jaccard 5.50 s /
+  * q_agg_* ~0.4 s on code untouched since r5, and two quiet back-to-back
+  * reruns (r7, same commit) measured 1.56/1.58 s, 1.64/1.65 s and
+  * 0.11-0.23 s — all inside the r5 spreads, totals 24.9/26.2 s vs the
+  * driver-recorded 34.2 s. A cross-round regression on an untouched query
+  * is machine load until two quiet reruns reproduce it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,8 +94,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => median(ts) }.sum
+    // compact total = sum of the ROUNDED per-query medians, so the printed
+    // line is internally consistent (values sum to the total a strict
+    // parser recomputes); full-precision total lives in BENCH_LOCAL.json
+    val totalRounded = results.map { case (_, ts) => r4(median(ts)).toDouble }.sum
     val json =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+      s"""{"metric":"total","value":${r4(totalRounded)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), detail + "\n")

@@ -810,6 +810,55 @@ object SparkEntry {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Combination job pinning `on_error: skip` declaratively (SURVEY §7.3,
+    * reference type_conversion_helper.py:19-23,149-162): mixed
+    * parseable/garbage cells under a skip rule. With a STRING-family
+    * target skip keeps the original value (lossless identity); with a
+    * typed target a failed cell cannot keep its original inside a typed
+    * column, so it nulls — the one documented divergence, pinned here
+    * against the oracle. */
+  private def qJobTypeconvSkip(s: SparkSession, dir: String): DataFrame = {
+    val in = s"$tmpRoot/job_tc_skip_in.jsonl"
+    val outDir = s"$tmpRoot/job_out_tc_skip"
+    graft.io.JsonIO.write(
+      table(s, dir, "supplier").select(
+        col("s_suppkey").cast("string"),
+        // parseable on even keys, garbage ("g<k>") on odd keys
+        when(pmod(col("s_suppkey"), lit(2)) === 0, col("s_suppkey").cast("string"))
+          .otherwise(concat(lit("g"), col("s_suppkey"))).as("skip_int"),
+        concat(lit("v_"), col("s_suppkey")).as("skip_str")),
+      in)
+    val strSchema = fieldsJson("s_suppkey" -> "string", "skip_int" -> "string",
+      "skip_str" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "json_typeconv_skip_json",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_json", "filepath": "$in",
+         |      "routes": { "out": [ { "to": "conv", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $strSchema } },
+         |    { "name": "conv", "comp_type": "type_conversion",
+         |      "rules": [
+         |        { "column_path": "s_suppkey", "target": "integer", "on_error": "raise" },
+         |        { "column_path": "skip_int", "target": "integer", "on_error": "skip" },
+         |        { "column_path": "skip_str", "target": "string", "on_error": "skip" } ],
+         |      "in_port_schemas": { "in": $strSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] } },
+         |    { "name": "w", "comp_type": "write_json", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": ${fieldsJson("s_suppkey" -> "integer",
+              "skip_int" -> "integer", "skip_str" -> "string")} } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    import org.apache.spark.sql.types._
+    graft.io.JsonIO.read(s, outDir, Some(StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("skip_int", LongType),
+      StructField("skip_str", StringType)))))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Combination job (csv_bulk_map_fanout_csv.json shape): one source →
     * schema_mapping map mode fanning out to TWO dest ports with different
     * projections → two parquet sinks; the result unions both files back
@@ -943,7 +992,7 @@ object SparkEntry {
          |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
          |      "out_port_schemas": { "out": $natSchema } },
          |    { "name": "flt", "comp_type": "filter",
-         |      "rule": { "column": "n_name", "operator": "contains", "value": "AR" },
+         |      "rule": { "column": "n_name", "operator": "contains", "value": "ION_1" },
          |      "in_port_schemas": { "in": $natSchema },
          |      "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
          |      "out_port_schemas": { "pass": $natSchema } },
@@ -957,6 +1006,117 @@ object SparkEntry {
     built.close()
     JdbcIO.read(s, url, table = Some("dst_nat"))
       .orderBy(col("n_nationkey").cast("long"))
+  }
+
+  /** Combination job (database write-mode e2e shape,
+    * mariadb_write.py:58-74): TWO declarative jobs against one Derby
+    * table — job A drives `write_jdbc if_exists=upsert` (key-merge:
+    * seeded OLD_ rows overwritten, unseen keys inserted, out-of-range
+    * seeds untouched), job B drives `if_exists=update` with
+    * where_conditions (no insert-if-missing). The readback is the table
+    * after both, so the oracle must reproduce upsert-then-update. */
+  private def qJobJdbcUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.JdbcIO
+    val url = "jdbc:derby:memory:graftjobup;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      for (t <- Seq("src_up", "dst_up")) {
+        try st.execute(s"DROP TABLE $t") catch { case _: Exception => () }
+      }
+      st.execute("""CREATE TABLE src_up ("n_nationkey" VARCHAR(20), "n_name" VARCHAR(200))""")
+      st.execute("""CREATE TABLE dst_up ("n_nationkey" VARCHAR(20) PRIMARY KEY, "n_name" VARCHAR(200))""")
+      // seeds: keys 0-4 get overwritten by the upsert, 90/91 must survive
+      for (k <- 0 to 4) st.execute(s"INSERT INTO dst_up VALUES ('$k', 'OLD_$k')")
+      for (k <- Seq(90, 91)) st.execute(s"INSERT INTO dst_up VALUES ('$k', 'SEED_$k')")
+    } finally conn.close()
+    JdbcIO.write(
+      table(s, dir, "nation").select(col("n_nationkey").cast("string"),
+        col("n_name")),
+      url, "src_up", JdbcIO.Insert, JdbcIO.Derby)
+    val natSchema = fieldsJson("n_nationkey" -> "string", "n_name" -> "string")
+    def job(name: String, srcQuery: String, sinkExtra: String) =
+      s"""{
+         |  "name": "$name",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_jdbc", "url": "$url",
+         |      "query": "$srcQuery",
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "w", "comp_type": "write_jdbc", "url": "$url",
+         |      "entity_name": "dst_up", "dialect": "derby", $sinkExtra
+         |      "in_port_schemas": { "in": $natSchema } }
+         |  ]
+         |}""".stripMargin
+    val upsertJob = job("jdbc_upsert",
+      """SELECT * FROM src_up WHERE CAST(\"n_nationkey\" AS INT) < 8""",
+      """"if_exists": "upsert", "key_fields": ["n_nationkey"],""")
+    val updateJob = job("jdbc_update",
+      """SELECT \"n_nationkey\", 'UPD' AS \"n_name\" FROM src_up WHERE CAST(\"n_nationkey\" AS INT) < 3""",
+      """"if_exists": "update", "where_conditions": ["n_nationkey"],""")
+    for (j <- Seq(upsertJob, updateJob)) {
+      val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(j))
+      built.runSinks()
+      built.close()
+    }
+    JdbcIO.read(s, url, table = Some("dst_up"))
+      .orderBy(col("n_nationkey").cast("long"))
+  }
+
+  /** Combination job (mongodb_write.py:32-44 upsert/update): job A
+    * upserts nation-derived docs into a seeded collection by key_fields
+    * ($set merge: seeded 0-4 overwritten, 5-7 inserted, out-of-range
+    * seed 9 untouched); job B runs `if_exists=update` restricted to
+    * update_fields, so only `w` changes and `v` proves no-merge. The
+    * `sql` component manufactures the constant columns declaratively. */
+  private def qJobMongoUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.MongoIO
+    MongoIO.InMemoryStores.drop("upstore")
+    import s.implicits._
+    MongoIO.write(
+      ((0 to 4).map(k => (k.toString, s"OLD_$k", s"seed_$k")) :+
+        (("9", "OLD_9", "seed_9"))).toDF("k", "v", "w"),
+      MongoIO.InMemory("upstore"), "t", "insert")
+    val natSchema = fieldsJson("n_nationkey" -> "integer", "n_name" -> "string",
+      "n_regionkey" -> "integer")
+    val kvwSchema = fieldsJson("k" -> "string", "v" -> "string", "w" -> "string")
+    val kwSchema = fieldsJson("k" -> "string", "w" -> "string")
+    def job(name: String, sql: String, outSchema: String, sinkExtra: String) =
+      s"""{
+         |  "name": "$name",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/nation.parquet",
+         |      "routes": { "out": [ { "to": "q", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "q", "comp_type": "sql", "query": "$sql",
+         |      "in_port_schemas": { "in": $natSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_mongodb", "store": "upstore",
+         |      "entity_name": "t", $sinkExtra
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val upsertJob = job("mongo_upsert",
+      "SELECT CAST(n_nationkey AS STRING) AS k, n_name AS v, 'nat' AS w " +
+        "FROM q_in WHERE n_nationkey < 8",
+      kvwSchema, """"if_exists": "upsert", "key_fields": ["k"],""")
+    val updateJob = job("mongo_update",
+      "SELECT CAST(n_nationkey AS STRING) AS k, 'UPD' AS w " +
+        "FROM q_in WHERE n_nationkey < 3",
+      kwSchema,
+      """"if_exists": "update", "key_fields": ["k"], "update_fields": ["w"],""")
+    for (j <- Seq(upsertJob, updateJob)) {
+      val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(j))
+      built.runSinks()
+      built.close()
+    }
+    MongoIO.read(s, MongoIO.InMemory("upstore"), "t",
+      Seq(graft.schema.FieldDef("k", graft.schema.GraftType.TString, nullable = true),
+        graft.schema.FieldDef("v", graft.schema.GraftType.TString, nullable = true),
+        graft.schema.FieldDef("w", graft.schema.GraftType.TString, nullable = true)))
+      .orderBy(col("k"))
   }
 
   /** Combination job: parquet documents → text_analysis component →
@@ -1142,6 +1302,9 @@ object SparkEntry {
     "q_job_map_fanout" -> (qJobMapFanout _),
     "q_job_agg_nunique" -> (qJobAggNunique _),
     "q_job_jdbc_filter" -> (qJobJdbcFilter _),
+    "q_job_jdbc_upsert" -> (qJobJdbcUpsert _),
+    "q_job_mongo_upsert" -> (qJobMongoUpsert _),
+    "q_job_typeconv_skip" -> (qJobTypeconvSkip _),
     "q_job_text_agg" -> (qJobTextFilterAgg _),
     "q_sql_join" -> (qSqlJoin _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
@@ -1388,6 +1551,32 @@ object SparkEntry {
       """SELECT s_suppkey, s_acctbal,
         |  CASE WHEN s_suppkey % 3 = 0 THEN s_suppkey ELSE NULL END AS maybe_int
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_job_jdbc_upsert" ->
+      """WITH src AS (
+        |  SELECT n_nationkey::VARCHAR AS n_nationkey, n_name
+        |  FROM nation WHERE n_nationkey < 8
+        |), seeds AS (
+        |  SELECT * FROM (VALUES ('90','SEED_90'),('91','SEED_91')) t(n_nationkey, n_name)
+        |), after_upsert AS (
+        |  SELECT * FROM src UNION ALL SELECT * FROM seeds
+        |)
+        |SELECT n_nationkey,
+        |  CASE WHEN n_nationkey::INT < 3 THEN 'UPD' ELSE n_name END AS n_name
+        |FROM after_upsert
+        |ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_job_mongo_upsert" ->
+      """WITH ups AS (
+        |  SELECT n_nationkey::VARCHAR AS k, n_name AS v, 'nat' AS w
+        |  FROM nation WHERE n_nationkey < 8
+        |  UNION ALL SELECT '9', 'OLD_9', 'seed_9'
+        |)
+        |SELECT k, v, CASE WHEN k::INT < 3 THEN 'UPD' ELSE w END AS w
+        |FROM ups ORDER BY k""".stripMargin,
+    "q_job_typeconv_skip" ->
+      """SELECT s_suppkey,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN s_suppkey END AS skip_int,
+        |  'v_' || s_suppkey AS skip_str
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_job_map_fanout" ->
       """SELECT 'A' AS port, n_nationkey::VARCHAR AS uid, n_name AS uname
         |FROM nation
@@ -1404,7 +1593,7 @@ object SparkEntry {
       """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
         |  n_regionkey::VARCHAR AS n_regionkey
         |FROM nation
-        |WHERE n_regionkey <> 4 AND contains(lower(n_name), 'ar')
+        |WHERE n_regionkey <> 4 AND contains(lower(n_name), 'ion_1')
         |ORDER BY n_nationkey::BIGINT""".stripMargin,
     "q_job_text_agg" ->
       """WITH toks AS (

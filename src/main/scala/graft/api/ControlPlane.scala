@@ -304,9 +304,14 @@ object ControlPlane {
           val needles = jobId.map(j => s""""job_id":${quote(j)}""").toSeq ++
             status.map(s => s""""status":${quote(s)}""").toSeq
           val k = math.min(offset.toLong + limit, Int.MaxValue.toLong).toInt.max(0)
+          // (startedAtMs, idNum) total order — same tiebreak as the
+          // in-memory window's eviction, so tied timestamps at the k
+          // boundary page deterministically
           val heapOrd = // max under this ordering = record to evict first
-            if (sortDesc) Ordering.by[ExecutionRecord, Long](-_.startedAtMs)
-            else Ordering.by[ExecutionRecord, Long](_.startedAtMs)
+            if (sortDesc) Ordering.by[ExecutionRecord, (Long, Long)](
+              r => (-r.startedAtMs, -idNum(r.id)))
+            else Ordering.by[ExecutionRecord, (Long, Long)](
+              r => (r.startedAtMs, idNum(r.id)))
           val best = new scala.collection.mutable.PriorityQueue[ExecutionRecord]()(heapOrd)
           val stream = Files.lines(p)
           try stream.iterator().asScala
@@ -320,7 +325,7 @@ object ControlPlane {
           finally stream.close()
           best.toSeq
         }.getOrElse(inMem)
-      val sorted = xs.sortBy(_.startedAtMs)
+      val sorted = xs.sortBy(r => (r.startedAtMs, idNum(r.id)))
       (if (sortDesc) sorted.reverse else sorted).slice(offset, offset + limit)
     }
   }

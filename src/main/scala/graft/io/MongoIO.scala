@@ -261,21 +261,42 @@ object MongoIO {
       else docs.count(s => matches(JsonMethods.parse(s), filter)).toLong
     }
 
+    /** Total order over JValues, BSON-flavoured: missing < null < numbers
+      * < strings < objects < arrays < booleans. Ranking FIRST keeps the
+      * order transitive on mixed-type keys (a rendered-string fallback
+      * across types is not: JInt(10) < JString("3") < JInt(9)), so
+      * TimSort never throws and range bounds stay monotone. Within a
+      * rank: numbers compare numerically across JInt/JLong/JDouble,
+      * strings/bools natively, composites by rendered JSON. */
     private val jOrd = new Ordering[JValue] {
-      def compare(a: JValue, b: JValue): Int = (a, b) match {
-        case (JInt(x), JInt(y))       => x.compare(y)
-        case (JLong(x), JLong(y))     => x.compare(y)
-        case (JInt(x), JLong(y))      => x.toLong.compare(y)
-        case (JLong(x), JInt(y))      => x.compare(y.toLong)
-        case (JDouble(x), JDouble(y)) => x.compare(y)
-        case (JInt(x), JDouble(y))    => x.toDouble.compare(y)
-        case (JDouble(x), JInt(y))    => x.compare(y.toDouble)
-        case (JString(x), JString(y)) => x.compare(y)
-        case (JNothing, JNothing)     => 0
-        case (JNothing, _)            => -1
-        case (_, JNothing)            => 1
-        case (x, y) => JsonMethods.compact(JsonMethods.render(x))
-          .compare(JsonMethods.compact(JsonMethods.render(y)))
+      private def rank(v: JValue): Int = v match {
+        case JNothing                        => 0
+        case JNull                           => 1
+        case JInt(_) | JLong(_) | JDouble(_) | JDecimal(_) => 2
+        case JString(_)                      => 3
+        case JObject(_)                      => 4
+        case JArray(_)                       => 5
+        case JBool(_)                        => 6
+        case _                               => 7
+      }
+      private def num(v: JValue): BigDecimal = v match {
+        case JInt(x)     => BigDecimal(x)
+        case JLong(x)    => BigDecimal(x)
+        case JDouble(x)  => BigDecimal(x)
+        case JDecimal(x) => x
+        case _           => BigDecimal(0)
+      }
+      def compare(a: JValue, b: JValue): Int = {
+        val byRank = rank(a).compare(rank(b))
+        if (byRank != 0) byRank
+        else (a, b) match {
+          case (JString(x), JString(y)) => x.compare(y)
+          case (JBool(x), JBool(y))     => x.compare(y)
+          case _ if rank(a) == 2        => num(a).compare(num(b))
+          case _ if rank(a) <= 1        => 0
+          case (x, y) => JsonMethods.compact(JsonMethods.render(x))
+            .compare(JsonMethods.compact(JsonMethods.render(y)))
+        }
       }
     }
 

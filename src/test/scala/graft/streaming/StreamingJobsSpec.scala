@@ -1,0 +1,210 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.config.JobConfig
+import graft.graph.JobGraph
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Paths}
+
+/** Batch/streaming result parity for declarative job configs — the Spark
+  * mapping of the reference's cross-strategy contract (its e2e suite runs
+  * the same config under row/bulk/bigdata and asserts equal results,
+  * tests/combinations_jobs/mixed/file_filter_file/test_file_filter_file_jobs.py:1-60).
+  * Here the SAME JobSpec runs through the batch fold (JobGraph.build →
+  * runSinks) and through StreamingJobs.runOnce (readStream +
+  * Trigger.AvailableNow), and each sink's readback must match exactly.
+  */
+class StreamingJobsSpec extends SparkTestBase {
+
+  // wiped per suite run: inputs are rewritten with fresh part-file names
+  // each run, so a persisted checkpoint would re-process them and append
+  // to sinks the batch side overwrites
+  locally {
+    val root = Paths.get("target", "test-tmp", "sjobs")
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  private def tmp(name: String): String = {
+    val p = Paths.get("target", "test-tmp", "sjobs", name).toAbsolutePath
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  /** Read a sink directory back and canonicalize to sorted row strings. */
+  private def slurp(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(v => String.valueOf(v)).mkString("|")).sorted.toSeq
+
+  private val abSchema =
+    """{ "fields": [
+      |  { "name": "a", "data_type": "string" },
+      |  { "name": "b", "data_type": "string" } ] }""".stripMargin
+
+  test("csv → filter(pass+fail) → parquet: streaming matches batch on both ports") {
+    import spark.implicits._
+    val in = tmp("flt_in")
+    graft.io.CsvIO.write(
+      Seq(("1", "keep"), ("2", "drop"), ("3", "keep"), ("4", "drop"), ("5", "keep"))
+        .toDF("a", "b"), in)
+    def cfg(passOut: String, failOut: String) =
+      s"""{ "name": "flt", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "f", "comp_type": "filter",
+         |    "rule": { "column": "b", "operator": "==", "value": "keep" },
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "pass": [ { "to": "wp", "in_port": "in" } ],
+         |                "fail": [ { "to": "wf", "in_port": "in" } ] },
+         |    "out_port_schemas": { "pass": $abSchema, "fail": $abSchema } },
+         |  { "name": "wp", "comp_type": "write_parquet", "filepath": "$passOut",
+         |    "in_port_schemas": { "in": $abSchema } },
+         |  { "name": "wf", "comp_type": "write_parquet", "filepath": "$failOut",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+
+    val (bp, bf) = (tmp("flt_batch_pass"), tmp("flt_batch_fail"))
+    val built = JobGraph.build(spark, JobConfig.parse(cfg(bp, bf)))
+    built.runSinks(); built.close()
+
+    val (sp, sf) = (tmp("flt_stream_pass"), tmp("flt_stream_fail"))
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg(sp, sf)), tmp("flt_ckpt"))
+
+    assert(slurp(spark.read.parquet(sp)) === slurp(spark.read.parquet(bp)))
+    assert(slurp(spark.read.parquet(sf)) === slurp(spark.read.parquet(bf)))
+    assert(slurp(spark.read.parquet(sp)).size === 3)
+  }
+
+  test("ndjson → type_conversion → ndjson: streaming matches batch") {
+    val inDir = tmp("tc_in")
+    Files.createDirectories(Paths.get(inDir))
+    // glob keeps the batch NDJSON path heuristic (suffix) AND gives the
+    // streaming file source a directory base path
+    val in = s"$inDir/*.ndjson"
+    Files.writeString(Paths.get(inDir, "part.ndjson"),
+      """{"a":"1","b":"x"}
+        |{"a":"oops","b":"y"}
+        |{"a":"3","b":"z"}
+        |""".stripMargin)
+    def cfg(out: String) =
+      s"""{ "name": "tc", "components": [
+         |  { "name": "r", "comp_type": "read_json", "filepath": "$in",
+         |    "format": "ndjson",
+         |    "routes": { "out": [ { "to": "c", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "c", "comp_type": "type_conversion",
+         |    "rules": [ { "column_path": "a", "target": "integer",
+         |                 "on_error": "null" } ],
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] } },
+         |  { "name": "w", "comp_type": "write_json", "filepath": "$out",
+         |    "format": "ndjson",
+         |    "in_port_schemas": { "in": { "fields": [
+         |      { "name": "a", "data_type": "integer", "nullable": true },
+         |      { "name": "b", "data_type": "string" } ] } } } ] }""".stripMargin
+
+    val bOut = tmp("tc_batch_out")
+    val built = JobGraph.build(spark, JobConfig.parse(cfg(bOut)))
+    built.runSinks(); built.close()
+
+    val sOut = tmp("tc_stream_out")
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg(sOut)), tmp("tc_ckpt"))
+
+    assert(slurp(spark.read.json(sOut)) === slurp(spark.read.json(bOut)))
+    assert(spark.read.json(sOut).count() === 3)
+  }
+
+  test("parquet → schema_mapping map fan-out → two parquet sinks: parity per port") {
+    import spark.implicits._
+    val in = tmp("map_in")
+    Seq(("1", "alpha"), ("2", "beta"), ("3", "gamma"))
+      .toDF("a", "b").write.mode("overwrite").parquet(in)
+    val uidSchema =
+      """{ "fields": [
+        |  { "name": "uid", "data_type": "string" },
+        |  { "name": "uname", "data_type": "string" } ] }""".stripMargin
+    def cfg(outA: String, outB: String) =
+      s"""{ "name": "fan", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "map", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "map", "comp_type": "schema_mapping",
+         |    "extra_input_ports": ["in"],
+         |    "extra_output_ports": ["A", "B"],
+         |    "rules_by_dest": {
+         |      "A": { "uid":   { "src_port": "in", "src_path": "a" },
+         |             "uname": { "src_port": "in", "src_path": "b" } },
+         |      "B": { "a": { "src_port": "in", "src_path": "a" },
+         |             "b": { "src_port": "in", "src_path": "b" } } },
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "A": [ { "to": "wa", "in_port": "in" } ],
+         |                "B": [ { "to": "wb", "in_port": "in" } ] },
+         |    "out_port_schemas": { "A": $uidSchema, "B": $abSchema } },
+         |  { "name": "wa", "comp_type": "write_parquet", "filepath": "$outA",
+         |    "in_port_schemas": { "in": $uidSchema } },
+         |  { "name": "wb", "comp_type": "write_parquet", "filepath": "$outB",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+
+    val (ba, bb) = (tmp("map_batch_a"), tmp("map_batch_b"))
+    val built = JobGraph.build(spark, JobConfig.parse(cfg(ba, bb)))
+    built.runSinks(); built.close()
+
+    val (sa, sb) = (tmp("map_stream_a"), tmp("map_stream_b"))
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg(sa, sb)), tmp("map_ckpt"))
+
+    assert(slurp(spark.read.parquet(sa)) === slurp(spark.read.parquet(ba)))
+    assert(slurp(spark.read.parquet(sb)) === slurp(spark.read.parquet(bb)))
+    assert(slurp(spark.read.parquet(sa)).size === 3)
+  }
+
+  test("runOnce is incremental: new files are drained, old ones not rewritten") {
+    import spark.implicits._
+    val in = tmp("inc_in")
+    val out = tmp("inc_out")
+    graft.io.CsvIO.write(Seq(("1", "x")).toDF("a", "b"), in)
+    val cfg =
+      s"""{ "name": "inc", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val ckpt = tmp("inc_ckpt")
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), ckpt)
+    assert(slurp(spark.read.parquet(out)) === Seq("1|x"))
+    // drop a second file into the source dir; a re-run with the same
+    // checkpoint must process ONLY the new file (exactly-once per input)
+    Files.writeString(Paths.get(in, "more.csv"), "a,b\n2,y\n")
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), ckpt)
+    assert(slurp(spark.read.parquet(out)) === Seq("1|x", "2|y"))
+  }
+
+  test("stateful comp_types are rejected with a pointer to streaming twins") {
+    val cfg =
+      s"""{ "name": "bad", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "${tmp("bad_in")}",
+         |    "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "agg", "comp_type": "aggregation",
+         |    "group_by": ["a"],
+         |    "aggregations": [ { "src": "b", "op": "count", "dest": "n" } ],
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": { "fields": [
+         |      { "name": "a", "data_type": "string" },
+         |      { "name": "n", "data_type": "integer" } ] } } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "${tmp("bad_out")}",
+         |    "in_port_schemas": { "in": { "fields": [
+         |      { "name": "a", "data_type": "string" },
+         |      { "name": "n", "data_type": "integer" } ] } } } ] }""".stripMargin
+    val ex = intercept[IllegalArgumentException] {
+      StreamingJobs.plan(spark, JobConfig.parse(cfg))
+    }
+    assert(ex.getMessage.contains("not streamable") ||
+      ex.getMessage.contains("not") && ex.getMessage.contains("stream"))
+  }
+}
