@@ -12,19 +12,18 @@ import graft.util.JsonStr.quote
   * failures are recorded per-query instead of being swallowed.
   *
   * Each query is timed SPARK_GRAFT_REPS times (default 3) and reported
-  * as the MEDIAN, with per-query [min,max] spread in "spread". A single
-  * run is hostage to machine load during its window (BENCH_r03 recorded
-  * 4-10x inflation on queries whose code hadn't changed); the median of
-  * three interleaves that risk across ~3x the wall clock and discards
-  * any one loaded window.
+  * as the MEDIAN, with per-query [min,max] spread in "spread".
   *
-  * Even 3-rep medians inflate when the whole bench window is loaded:
-  * BENCH_r06 recorded dedup_simhash 4.73 s / dedup_ngram_jaccard 5.50 s /
-  * q_agg_* ~0.4 s on code untouched since r5, and two quiet back-to-back
-  * reruns (r7, same commit) measured 1.56/1.58 s, 1.64/1.65 s and
-  * 0.11-0.23 s — all inside the r5 spreads, totals 24.9/26.2 s vs the
-  * driver-recorded 34.2 s. A cross-round regression on an untouched query
-  * is machine load until two quiet reruns reproduce it. */
+  * Reps are INTERLEAVED (rep-major): rep 1 of all queries runs first,
+  * then rep 2, then rep 3. With the old query-major loop (all reps of
+  * one query back-to-back) a single loaded minute inflated EVERY rep of
+  * whichever few queries it landed on, so their medians were hostage to
+  * load — BENCH_r06/r07/r08 each recorded 4-5x inflation on queries
+  * whose code hadn't changed (e.g. r08: q_job_map_fanout 3.53 s recorded
+  * vs 0.67 s quiet). Rep-major spreads a loaded window across one rep of
+  * many queries instead, and each per-query median discards that rep.
+  * A cross-round regression on an untouched query is machine load until
+  * two quiet reruns reproduce it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,8 +64,13 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = sorted.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // Rep-major loop (see scaladoc): a loaded window inflates one rep of
+    // many queries — each discarded by that query's median — instead of
+    // all reps of a few.
+    val timed = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    sorted.foreach { case (name, _) => timed(name) = Vector.empty }
+    (1 to reps).foreach { _ =>
+      sorted.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
@@ -75,10 +79,10 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // each run measured self-contained
-        dt
-      }.sorted
-      name -> times
+        timed(name) = timed(name) :+ dt
+      }
     }
+    val results = sorted.map { case (name, _) => name -> timed(name).sorted }
     def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts pre-sorted
 
     // The driver captures only the LAST ~2000 chars of output (BENCH_r04/
@@ -96,10 +100,14 @@ object Bench {
     val total = results.map { case (_, ts) => median(ts) }.sum
     // compact total = sum of the ROUNDED per-query medians, so the printed
     // line is internally consistent (values sum to the total a strict
-    // parser recomputes); full-precision total lives in BENCH_LOCAL.json
-    val totalRounded = results.map { case (_, ts) => r4(median(ts)).toDouble }.sum
+    // parser recomputes); summed as BigDecimal so the printed decimals add
+    // up EXACTLY (Double addition of 52 four-decimal values accumulates
+    // ulp noise a strict parser would flag); full-precision total lives in
+    // BENCH_LOCAL.json
+    val totalRounded =
+      results.map { case (_, ts) => BigDecimal(r4(median(ts))) }.sum
     val json =
-      s"""{"metric":"total","value":${r4(totalRounded)},"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+      s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), detail + "\n")

@@ -1169,6 +1169,247 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("lang_pred"))
   }
 
+  /** Delete a file or directory tree (append-sink queries reset their
+    * target so each invocation is self-contained across bench reps). */
+  private def deletePath(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Row-append family, CSV sink (reference csv_helper.py:42-52: header
+    * written iff the file is empty): the SAME declarative job shape runs
+    * TWICE with `append=true` — batch 1 filters n_regionkey <= 1, batch 2
+    * the complement — and the readback must contain batch1+batch2, i.e.
+    * every nation exactly once. */
+  private def qJobAppendCsv(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_append_csv"
+    deletePath(outDir)
+    val natSchema = fieldsJson("n_nationkey" -> "integer", "n_name" -> "string",
+      "n_regionkey" -> "integer")
+    def job(op: String, v: Int) =
+      s"""{
+         |  "name": "append_csv_batch",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/nation.parquet",
+         |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "flt", "comp_type": "filter",
+         |      "rule": { "column": "n_regionkey", "operator": "$op", "value": $v },
+         |      "in_port_schemas": { "in": $natSchema },
+         |      "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $natSchema } },
+         |    { "name": "w", "comp_type": "write_csv", "filepath": "$outDir",
+         |      "append": true, "single_file": false,
+         |      "in_port_schemas": { "in": $natSchema } }
+         |  ]
+         |}""".stripMargin
+    for (j <- Seq(job("<=", 1), job(">", 1))) {
+      val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(j))
+      built.runSinks()
+      built.close()
+    }
+    graft.io.CsvIO.read(s, outDir).orderBy(col("n_nationkey").cast("long"))
+  }
+
+  /** Row-append family, JSON ARRAY sink (reference json_receiver.py:248-259:
+    * array append is an atomic read-modify-write of one document): two
+    * declarative batches with `append=true`; the readback array must hold
+    * both batches. */
+  private def qJobAppendJson(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/job_out_append.json"
+    deletePath(out)
+    val supSchema = fieldsJson("s_suppkey" -> "integer", "s_name" -> "string",
+      "s_nationkey" -> "integer", "s_acctbal" -> "float")
+    val prjSchema = fieldsJson("s_suppkey" -> "integer", "s_name" -> "string")
+    def job(op: String, v: Int) =
+      s"""{
+         |  "name": "append_json_batch",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/supplier.parquet",
+         |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $supSchema } },
+         |    { "name": "flt", "comp_type": "filter",
+         |      "rule": { "column": "s_suppkey", "operator": "$op", "value": $v },
+         |      "in_port_schemas": { "in": $supSchema },
+         |      "routes": { "pass": [ { "to": "map", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $supSchema } },
+         |    { "name": "map", "comp_type": "schema_mapping",
+         |      "extra_input_ports": ["in"],
+         |      "rules_by_dest": { "out": {
+         |        "s_suppkey": { "src_port": "in", "src_path": "s_suppkey" },
+         |        "s_name":    { "src_port": "in", "src_path": "s_name" } } },
+         |      "in_port_schemas": { "in": $supSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $prjSchema } },
+         |    { "name": "w", "comp_type": "write_json", "filepath": "$out",
+         |      "format": "array", "append": true,
+         |      "in_port_schemas": { "in": $prjSchema } }
+         |  ]
+         |}""".stripMargin
+    for (j <- Seq(job("<=", 50), job(">", 50))) {
+      val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(j))
+      built.runSinks()
+      built.close()
+    }
+    import org.apache.spark.sql.types._
+    graft.io.JsonIO.read(s, out, Some(StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType)))),
+      multiLine = true)
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Row-append family, XML sink (reference xml_helper.py:300-377: insert
+    * before the closing root tag): two declarative batches with
+    * `append=true`; the readback document must hold both. */
+  private def qJobAppendXml(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/job_out_append_xml"
+    deletePath(out)
+    val natSchema = fieldsJson("n_nationkey" -> "integer", "n_name" -> "string",
+      "n_regionkey" -> "integer")
+    def job(op: String, v: Int) =
+      s"""{
+         |  "name": "append_xml_batch",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/nation.parquet",
+         |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "flt", "comp_type": "filter",
+         |      "rule": { "column": "n_regionkey", "operator": "$op", "value": $v },
+         |      "in_port_schemas": { "in": $natSchema },
+         |      "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $natSchema } },
+         |    { "name": "w", "comp_type": "write_xml", "filepath": "$out",
+         |      "root_tag": "nations", "record_tag": "nation", "append": true,
+         |      "in_port_schemas": { "in": $natSchema } }
+         |  ]
+         |}""".stripMargin
+    for (j <- Seq(job("<=", 1), job(">", 1))) {
+      val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(j))
+      built.runSinks()
+      built.close()
+    }
+    graft.io.XmlIO.read(s, out, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey").cast("long"))
+  }
+
+  /** Mapping-family job with a 3-input CHAINED join plan (reference
+    * tests/combinations_jobs/mapping/csv_bulk_join_inner_csv.json family;
+    * chaining semantics join_rules.py:17-38): step 1 joins orders⋈customer
+    * into port "oc", step 2 joins THAT output against nation — a step's
+    * output_port feeding a later step's left_port — and map rules prune
+    * the final port to the declared schema. */
+  private def qJobJoin3(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_join3"
+    val ordSchema = fieldsJson("o_orderkey" -> "integer", "o_custkey" -> "integer",
+      "o_orderstatus" -> "string", "o_totalprice" -> "float",
+      "o_orderdate" -> "string", "o_orderpriority" -> "string")
+    val custSchema = fieldsJson("c_custkey" -> "integer", "c_name" -> "string",
+      "c_nationkey" -> "integer", "c_acctbal" -> "float", "c_mktsegment" -> "string")
+    val natSchema = fieldsJson("n_nationkey" -> "integer", "n_name" -> "string",
+      "n_regionkey" -> "integer")
+    val outSchema = fieldsJson("order_id" -> "integer", "cust" -> "string",
+      "nation" -> "string", "price" -> "float")
+    val jobJson =
+      s"""{
+         |  "name": "join3_chain",
+         |  "components": [
+         |    { "name": "ord", "comp_type": "read_parquet",
+         |      "filepath": "$dir/orders.parquet",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "orders" } ] },
+         |      "out_port_schemas": { "out": $ordSchema } },
+         |    { "name": "cust", "comp_type": "read_parquet",
+         |      "filepath": "$dir/customer.parquet",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "customer" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "nat", "comp_type": "read_parquet",
+         |      "filepath": "$dir/nation.parquet",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "nation" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "sm", "comp_type": "schema_mapping",
+         |      "join_plan": { "steps": [
+         |        { "left_port": "orders", "right_port": "customer",
+         |          "left_on": ["o_custkey"], "right_on": ["c_custkey"],
+         |          "how": "inner", "output_port": "oc" },
+         |        { "left_port": "oc", "right_port": "nation",
+         |          "left_on": ["c_nationkey"], "right_on": ["n_nationkey"],
+         |          "how": "inner", "output_port": "ocn" } ] },
+         |      "rules_by_dest": { "out": {
+         |        "order_id": { "src_port": "ocn", "src_path": "o_orderkey" },
+         |        "cust":     { "src_port": "ocn", "src_path": "c_name" },
+         |        "nation":   { "src_port": "ocn", "src_path": "n_name" },
+         |        "price":    { "src_port": "ocn", "src_path": "o_totalprice" } } },
+         |      "in_port_schemas": { "orders": $ordSchema, "customer": $custSchema,
+         |                           "nation": $natSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("order_id"))
+  }
+
+  /** Mixed-family job crossing three subsystem boundaries in ONE config
+    * (reference tests/combinations_jobs/mixed/): mongo source (range-
+    * partitioned read) → schema_mapping map-mode rename → Excel sink; the
+    * result is the Excel readback. */
+  private def qJobMongoExcel(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.MongoIO
+    val out = s"$tmpRoot/job_mongo_excel.xlsx"
+    deletePath(out)
+    MongoIO.InMemoryStores.drop("q_job_mongo_excel")
+    val factory = MongoIO.InMemory("q_job_mongo_excel")
+    MongoIO.write(
+      table(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment")),
+      factory, "customers", "truncate")
+    val custSchema = fieldsJson("c_custkey" -> "integer", "c_name" -> "string",
+      "c_mktsegment" -> "string")
+    val outSchema = fieldsJson("cust_id" -> "integer", "name" -> "string",
+      "segment" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "mongo_map_excel",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_mongodb",
+         |      "store": "q_job_mongo_excel", "entity_name": "customers",
+         |      "split_key": "c_custkey",
+         |      "routes": { "out": [ { "to": "map", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "map", "comp_type": "schema_mapping",
+         |      "extra_input_ports": ["in"],
+         |      "rules_by_dest": { "out": {
+         |        "cust_id": { "src_port": "in", "src_path": "c_custkey" },
+         |        "name":    { "src_port": "in", "src_path": "c_name" },
+         |        "segment": { "src_port": "in", "src_path": "c_mktsegment" } } },
+         |      "in_port_schemas": { "in": $custSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_excel", "filepath": "$out",
+         |      "sheet_name": "mapped",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    graft.io.ExcelIO.read(s, out, Some("mapped"))
+      .orderBy(col("cust_id").cast("long"))
+  }
+
   // ------------------------------------------------------------------ dedup
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -1306,6 +1547,11 @@ object SparkEntry {
     "q_job_mongo_upsert" -> (qJobMongoUpsert _),
     "q_job_typeconv_skip" -> (qJobTypeconvSkip _),
     "q_job_text_agg" -> (qJobTextFilterAgg _),
+    "q_job_append_csv" -> (qJobAppendCsv _),
+    "q_job_append_json" -> (qJobAppendJson _),
+    "q_job_append_xml" -> (qJobAppendXml _),
+    "q_job_join3" -> (qJobJoin3 _),
+    "q_job_mongo_excel" -> (qJobMongoExcel _),
     "q_sql_join" -> (qSqlJoin _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
     "q_excel_roundtrip" -> (qExcelRoundtrip _),
@@ -1623,6 +1869,27 @@ object SparkEntry {
         |  sum(n_tokens)::BIGINT AS sum_tokens
         |FROM pred WHERE n_tokens > 50
         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+    "q_job_append_csv" ->
+      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+        |  n_regionkey::VARCHAR AS n_regionkey
+        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_job_append_json" ->
+      """SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_job_append_xml" ->
+      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+        |  n_regionkey::VARCHAR AS n_regionkey
+        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_job_join3" ->
+      """SELECT o_orderkey AS order_id, c_name AS cust, n_name AS nation,
+        |  o_totalprice AS price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY order_id""".stripMargin,
+    "q_job_mongo_excel" ->
+      """SELECT c_custkey::VARCHAR AS cust_id, c_name AS name,
+        |  c_mktsegment AS segment
+        |FROM customer ORDER BY cust_id::BIGINT""".stripMargin,
     "q_xml_roundtrip" ->
       """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
         |  n_regionkey::VARCHAR AS n_regionkey

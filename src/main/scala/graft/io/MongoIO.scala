@@ -286,12 +286,28 @@ object MongoIO {
         case JDecimal(x) => x
         case _           => BigDecimal(0)
       }
+      // BigDecimal(Double) throws on NaN/±Infinity, which a stored doc can
+      // legally carry; rank such pairs with IEEE total order instead
+      // (Double.compare: -Inf < finite < +Inf < NaN — still transitive).
+      private def nonFinite(v: JValue): Boolean = v match {
+        case JDouble(x) => !java.lang.Double.isFinite(x)
+        case _          => false
+      }
+      private def dbl(v: JValue): Double = v match {
+        case JInt(x)     => x.toDouble
+        case JLong(x)    => x.toDouble
+        case JDouble(x)  => x
+        case JDecimal(x) => x.toDouble
+        case _           => 0.0
+      }
       def compare(a: JValue, b: JValue): Int = {
         val byRank = rank(a).compare(rank(b))
         if (byRank != 0) byRank
         else (a, b) match {
           case (JString(x), JString(y)) => x.compare(y)
           case (JBool(x), JBool(y))     => x.compare(y)
+          case _ if rank(a) == 2 && (nonFinite(a) || nonFinite(b)) =>
+            java.lang.Double.compare(dbl(a), dbl(b))
           case _ if rank(a) == 2        => num(a).compare(num(b))
           case _ if rank(a) <= 1        => 0
           case (x, y) => JsonMethods.compact(JsonMethods.render(x))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_timestamp, window}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.config.JobConfig._
 import graft.graph.JobGraph
@@ -48,12 +49,15 @@ import graft.schema.{FieldDef, SchemaValidator}
  */
 object StreamingJobs {
 
-  /** comp_types that run incrementally (see scaladoc for why aggregation /
-    * dedup / join mode are excluded). */
+  /** comp_types that run incrementally. Batch `aggregation` stays excluded
+    * (its JSON surface declares no watermark, so its state would be
+    * unbounded); `streaming_aggregation` is the watermark-bounded twin
+    * reachable from JSON. Dedup/join mode remain explicit streaming twins
+    * in streaming/Streaming.scala. */
   val supportedTypes: Set[String] = Set(
     "read_csv", "read_json", "read_parquet",
     "filter", "type_conversion", "schema_mapping", "split", "merge",
-    "text_analysis",
+    "text_analysis", "streaming_aggregation",
     "write_csv", "write_json", "write_parquet")
 
   final case class SinkPlan(component: String, df: DataFrame, format: String,
@@ -129,6 +133,41 @@ object StreamingJobs {
         case "text_analysis" =>
           Map("out" -> graft.scale.TextAnalysis.analyze(one(c),
             c.str("text_column").getOrElse("text")))
+
+        // Watermark-bounded windowed aggregation, the streaming twin of the
+        // batch `aggregation` comp_type: `time_column` is the event-time
+        // column (parsed with to_timestamp when the declared schema carries
+        // it as a string — the engine's schema vocabulary travels times as
+        // strings, SURVEY §1.2), `watermark` bounds state AND late data,
+        // `window` (+ optional `slide`) tumbles/slides, and group_by/
+        // aggregations reuse the batch vocabulary (AggregateOp.aggColumn).
+        // Window bounds are emitted as STRING columns window_start/
+        // window_end so the out-port schema stays declarable. In append
+        // mode (file sinks) a window emits once the watermark passes its
+        // end — the deterministic drain contract for runOnce.
+        case "streaming_aggregation" =>
+          import org.apache.spark.sql.types.TimestampType
+          val df = one(c)
+          val timeCol = c.reqStr("time_column")
+          val wm = c.reqStr("watermark")
+          val win = c.reqStr("window")
+          val (groupBy, aggs) = parseAggregations(c)
+          require(aggs.nonEmpty, s"streaming_aggregation ${c.name}: needs aggregations")
+          val et =
+            if (df.schema(timeCol).dataType == TimestampType) df
+            else df.withColumn(timeCol, to_timestamp(col(timeCol)))
+          val winCol = c.str("slide") match {
+            case Some(sl) => window(col(timeCol), win, sl)
+            case None     => window(col(timeCol), win)
+          }
+          val aggCols = aggs.map(AggregateOp.aggColumn)
+          val agged = et.withWatermark(timeCol, wm)
+            .groupBy(winCol.as("__w") +: groupBy.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+            .select(col("__w.start").cast("string").as("window_start") +:
+              col("__w.end").cast("string").as("window_end") +:
+              (groupBy.map(col) ++ aggs.map(a => col(a.dest))): _*)
+          Map("out" -> agged)
 
         case t if t.startsWith("write_") =>
           val df = one(c)

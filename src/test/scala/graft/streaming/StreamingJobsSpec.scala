@@ -183,6 +183,70 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(slurp(spark.read.parquet(out)) === Seq("1|x", "2|y"))
   }
 
+  test("streaming_aggregation: drained windowed counts match the batch computation") {
+    import org.apache.spark.sql.functions._
+    val inDir = tmp("sagg_in")
+    Files.createDirectories(Paths.get(inDir))
+    val in = s"$inDir/*.ndjson"
+    // two real hour-windows plus a far-future sentinel row: on the drain's
+    // closing (no-data) micro-batch the watermark advances to sentinel-10min,
+    // so every REAL window is past the watermark and append mode emits it;
+    // the sentinel's own window stays open and is withheld — the
+    // deterministic drain contract the comp_type documents
+    Files.writeString(Paths.get(inDir, "part.ndjson"),
+      """{"ts":"2024-01-01 00:05:00","k":"a","v":1}
+        |{"ts":"2024-01-01 00:15:00","k":"a","v":2}
+        |{"ts":"2024-01-01 00:25:00","k":"b","v":4}
+        |{"ts":"2024-01-01 01:10:00","k":"a","v":8}
+        |{"ts":"2024-01-02 00:00:00","k":"z","v":0}
+        |""".stripMargin)
+    val evtSchema =
+      """{ "fields": [
+        |  { "name": "ts", "data_type": "string" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "v", "data_type": "integer" } ] }""".stripMargin
+    val aggSchema =
+      """{ "fields": [
+        |  { "name": "window_start", "data_type": "string" },
+        |  { "name": "window_end", "data_type": "string" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "n", "data_type": "integer" },
+        |  { "name": "sv", "data_type": "integer" } ] }""".stripMargin
+    val out = tmp("sagg_out")
+    val cfg =
+      s"""{ "name": "sagg", "components": [
+         |  { "name": "r", "comp_type": "read_json", "filepath": "$in",
+         |    "format": "ndjson",
+         |    "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $evtSchema } },
+         |  { "name": "agg", "comp_type": "streaming_aggregation",
+         |    "time_column": "ts", "watermark": "10 minutes", "window": "1 hour",
+         |    "group_by": ["k"],
+         |    "aggregations": [ { "src": "*", "op": "count", "dest": "n" },
+         |                      { "src": "v", "op": "sum", "dest": "sv" } ],
+         |    "in_port_schemas": { "in": $evtSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $aggSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $aggSchema } } ] }""".stripMargin
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp("sagg_ckpt"))
+
+    // batch reference: identical windowed aggregation over the real rows
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("ts", StringType),
+      StructField("k", StringType), StructField("v", LongType)))
+    val batch = spark.read.schema(sch).json(inDir)
+      .filter(col("ts") < "2024-01-02")
+      .withColumn("et", to_timestamp(col("ts")))
+      .groupBy(window(col("et"), "1 hour").as("w"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("w.end").cast("string").as("window_end"),
+        col("k"), col("n"), col("sv"))
+    assert(slurp(spark.read.parquet(out)) === slurp(batch))
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
   test("stateful comp_types are rejected with a pointer to streaming twins") {
     val cfg =
       s"""{ "name": "bad", "components": [
@@ -204,7 +268,9 @@ class StreamingJobsSpec extends SparkTestBase {
     val ex = intercept[IllegalArgumentException] {
       StreamingJobs.plan(spark, JobConfig.parse(cfg))
     }
-    assert(ex.getMessage.contains("not streamable") ||
-      ex.getMessage.contains("not") && ex.getMessage.contains("stream"))
+    // exact fragment + offending comp_type: a different IllegalArgumentException
+    // that merely mentions "stream" must not satisfy this test
+    assert(ex.getMessage.contains("comp_type 'aggregation' (agg) is not streamable"))
+    assert(ex.getMessage.contains("streaming/Streaming.scala"))
   }
 }
