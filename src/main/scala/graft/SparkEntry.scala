@@ -1362,6 +1362,62 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("order_id"))
   }
 
+  /** Mapping-family job, `how: left` (reference
+    * tests/combinations_jobs/mapping/csv_bulk_join_left_csv.json): customer
+    * LEFT orders from JSON config, then an aggregation whose count(src)
+    * vs count(*) split pins the null-extension semantics declaratively —
+    * customers without orders survive with n_orders=0. */
+  private def qJobJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_joinleft"
+    val custSchema = fieldsJson("c_custkey" -> "integer", "c_name" -> "string",
+      "c_nationkey" -> "integer", "c_acctbal" -> "float", "c_mktsegment" -> "string")
+    val ordSchema = fieldsJson("o_orderkey" -> "integer", "o_custkey" -> "integer",
+      "o_orderstatus" -> "string", "o_totalprice" -> "float",
+      "o_orderdate" -> "string", "o_orderpriority" -> "string")
+    val mapSchema = fieldsJson("c_custkey" -> "integer", "o_orderkey" -> "integer")
+    val aggSchema = fieldsJson("c_custkey" -> "integer",
+      "n_orders" -> "integer", "n_rows" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "join_left_agg",
+         |  "components": [
+         |    { "name": "cust", "comp_type": "read_parquet",
+         |      "filepath": "$dir/customer.parquet",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "customer" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "ord", "comp_type": "read_parquet",
+         |      "filepath": "$dir/orders.parquet",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "orders" } ] },
+         |      "out_port_schemas": { "out": $ordSchema } },
+         |    { "name": "sm", "comp_type": "schema_mapping",
+         |      "join_plan": { "steps": [
+         |        { "left_port": "customer", "right_port": "orders",
+         |          "left_on": ["c_custkey"], "right_on": ["o_custkey"],
+         |          "how": "left", "output_port": "co" } ] },
+         |      "rules_by_dest": { "out": {
+         |        "c_custkey":  { "src_port": "co", "src_path": "c_custkey" },
+         |        "o_orderkey": { "src_port": "co", "src_path": "o_orderkey" } } },
+         |      "in_port_schemas": { "customer": $custSchema, "orders": $ordSchema },
+         |      "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $mapSchema } },
+         |    { "name": "agg", "comp_type": "aggregation",
+         |      "group_by": ["c_custkey"],
+         |      "aggregations": [
+         |        { "src": "o_orderkey", "op": "count", "dest": "n_orders" },
+         |        { "src": "*", "op": "count", "dest": "n_rows" } ],
+         |      "in_port_schemas": { "in": $mapSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("c_custkey"))
+  }
+
   /** Mixed-family job crossing three subsystem boundaries in ONE config
     * (reference tests/combinations_jobs/mixed/): mongo source (range-
     * partitioned read) → schema_mapping map-mode rename → Excel sink; the
@@ -1551,6 +1607,7 @@ object SparkEntry {
     "q_job_append_json" -> (qJobAppendJson _),
     "q_job_append_xml" -> (qJobAppendXml _),
     "q_job_join3" -> (qJobJoin3 _),
+    "q_job_join_left" -> (qJobJoinLeft _),
     "q_job_mongo_excel" -> (qJobMongoExcel _),
     "q_sql_join" -> (qSqlJoin _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
@@ -1886,6 +1943,11 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY order_id""".stripMargin,
+    "q_job_join_left" ->
+      """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
+        |  count(*)::BIGINT AS n_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q_job_mongo_excel" ->
       """SELECT c_custkey::VARCHAR AS cust_id, c_name AS name,
         |  c_mktsegment AS segment

@@ -29,12 +29,37 @@ import org.apache.spark.sql.functions._
  *
  * Everything is built from codegen'd Catalyst expressions — no UDFs.
  *
- * Measured scaling (tools/ScaleProbe, sf0.1 docs replicated 10x to 50k
- * with salted near-dup replicas, local[32]): minhashNearDups 2.7x time
- * for 10x input while the OUTPUT pair count grew ~1000x (256 → 250,600);
- * simhashDedup 3.7x; ngramJaccardPairs 2.2x; embeddingNearDups 3.1x on
- * isometric (cyclic-shift) replicas. No quadratic stage surfaces even
- * when the duplicate structure itself becomes quadratic.
+ * Measured scaling (tools/ScaleProbe, sf0.1 docs replicated Nx with
+ * salted near-dup replicas, local[32] / 96g driver):
+ *
+ *  | stage             | 10x (50k docs)    | 100x decade (500k docs)        |
+ *  |-------------------|-------------------|--------------------------------|
+ *  | minhashNearDups   | 2.7x time,        | 49.1x time (16.1 s → 792 s)    |
+ *  |                   | pairs 256→250,600 | while pairs grew ~107,000x     |
+ *  |                   |                   | (256 → 27,310,000)             |
+ *  | simhashDedup      | 3.7x              | 15.6x at 30x (150k docs);      |
+ *  |                   |                   | 100x disk-bound, see below     |
+ *  | ngramJaccardPairs | 2.2x              | 12.1x at 30x, pairs 256→2.4M;  |
+ *  |                   |                   | 100x disk-bound, see below     |
+ *  | embeddingNearDups | 3.1x (isometric   | 4.7x at 100x (200k vectors,    |
+ *  |                   | replicas)         | 3.3 s → 15.5 s) with LSH depth |
+ *  |                   |                   | scaled per the operator's rule |
+ *
+ * Every stage stays well under linear-in-input even where the TRUE output
+ * pair structure is quadratic in the replica factor (each base doc's N
+ * salted replicas are mutual near-dups: at 100x that is ~27M real pairs,
+ * all found). Two caveats the 100x decade surfaced, both environmental or
+ * parametric rather than algorithmic:
+ *  - simhash/ngram at 100x exhaust THIS BOX's disk (~80 GB shuffle spill):
+ *    with ~25M+ true pairs the candidate/verify shuffles legitimately
+ *    carry tens of GB; on a cluster that volume spreads across executors'
+ *    local disks. 30x is the largest factor that fits locally.
+ *  - embeddingNearDups run at a fixed small-corpus LSH depth (16 bands x
+ *    r=10) degenerates at 200k vectors exactly as its scaladoc predicts
+ *    (background collisions ~C(n,2)·bands·2^-r ≈ 6e8 candidates, ~60 GB
+ *    spill); with r ~ log2(n) and bands from the recall budget (29x18 at
+ *    200k, ~99% recall at cos 0.95) candidates stay ~linear and the 100x
+ *    run costs 4.7x. ScaleProbe derives the per-scale params.
  */
 object Dedup {
 

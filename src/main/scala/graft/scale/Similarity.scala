@@ -225,6 +225,13 @@ object Similarity {
    * profile): at scale, grow r ~ log2(n) and bands with the recall
    * budget, keeping candidates ~linear while the projection stays a
    * narrow one-pass map.
+   *
+   * The rule is MEASURED at 100x (tools/ScaleProbe, 200k vectors,
+   * local[32]): fixed 16x10 params degenerate exactly as predicted
+   * (~6e8 background candidates, ~60 GB spill, run killed), while
+   * r=18 / bands=29 (r ~ log2(n), bands solved from a 1% miss budget at
+   * cos 0.95) completes in 15.5 s — 4.7x the 2k-vector time for 100x
+   * the input.
    */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         simThreshold: Double, dim: Int,

@@ -42,21 +42,37 @@ object ScaleProbe {
     val emb1 = table(spark, dir, "embeddings").persist()
     emb1.count()
     val embN = (0 until factor).map { i =>
-      // per-replica CYCLIC SHIFT: an isometry, so each replica keeps the
-      // original's internal near-dup structure while cross-replica
-      // cosines stay unstructured (an additive constant would instead
-      // collapse every vector toward the all-ones direction and
-      // manufacture a quadratic near-dup clique)
+      // per-replica CYCLIC SHIFT composed with a SIGN FLIP on every second
+      // 64-replica period: both are isometries, so each replica keeps the
+      // original's internal near-dup structure while cross-replica cosines
+      // stay unstructured (an additive constant would instead collapse
+      // every vector toward the all-ones direction and manufacture a
+      // quadratic near-dup clique). The shift alone has period 64 — at
+      // factor > 64 replica i and i+64 would be IDENTICAL vectors under
+      // fresh ids (an artificial exact-dup clique, and slice(…, 64-i)
+      // throws on a negative length); the alternating negation makes the
+      // period-64 twin the antipode (cosine −1), which no near-dup
+      // threshold matches.
+      val s = i % 64
       val shifted =
-        if (i == 0) col("embedding")
-        else concat(slice(col("embedding"), i + 1, 64 - i),
-          slice(col("embedding"), 1, i))
+        if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s + 1, 64 - s),
+          slice(col("embedding"), 1, s))
+      val iso =
+        if ((i / 64) % 2 == 0) shifted
+        else transform(shifted, x => -x)
       emb1.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
-        shifted.as("embedding"), col("label"))
+        iso.as("embedding"), col("label"))
     }.reduce(_ union _).repartition(32).persist()
     embN.count()
 
+    // args(2..): stage-name filter — at high factors a single stage can
+    // take minutes and spill tens of GB, so stages must be runnable one at
+    // a time with a disk cleanup between (the 100x simhash/ngram probes
+    // are disk-bound on this box, not compute-bound)
+    val only = args.drop(2).toSet
     def ratio(name: String, one: => Long, many: => Long): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val t1 = t(s"$name 1x")(one)
       OpCaches.drain(); spark.catalog.clearCache()
       docs1.persist().count(); docsN.persist().count()
@@ -75,9 +91,27 @@ object ScaleProbe {
     ratio("ngramJaccardPairs",
       Dedup.ngramJaccardPairs(docs1.select(col("doc_id"), col("text")), "text", "doc_id", n = 4, threshold = 0.3).count(),
       Dedup.ngramJaccardPairs(docsN, "text", "doc_id", n = 4, threshold = 0.3).count())
+    // LSH depth follows the operator's own scaling rule (embeddingNearDups
+    // scaladoc: grow r ~ log2(n), bands from the recall budget). Running
+    // 200k vectors at the 2k-vector parameters (16x10) is the documented
+    // anti-pattern: background collisions C(n,2)*bands*2^-r go quadratic
+    // (~60 GB of shuffle spill at 100x on this box). Per-scale parameters
+    // keep candidates ~linear; recall at cos>=0.95 is held ~99% by solving
+    // bands = ln(miss)/ln(1 - p^r), p = 1 - acos(0.95)/pi.
+    val nVecs1 = emb1.count()
+    def lshParams(n: Long): (Int, Int) = {
+      val r = math.max(10, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+      val p = 1.0 - math.acos(0.95) / math.Pi
+      val pBand = math.pow(p, r)
+      val bands = math.max(16, math.ceil(math.log(0.01) / math.log1p(-pBand)).toInt)
+      (bands, r)
+    }
+    val (b1, r1) = lshParams(nVecs1)
+    val (bN, rN) = lshParams(nVecs1 * factor)
+    println(s"embedding LSH params: 1x bands=$b1 r=$r1, ${factor}x bands=$bN r=$rN")
     ratio("embeddingNearDups",
-      Similarity.embeddingNearDups(emb1, "embedding", "vec_id", 0.95, 64, 16, 10).count(),
-      Similarity.embeddingNearDups(embN, "embedding", "vec_id", 0.95, 64, 16, 10).count())
+      Similarity.embeddingNearDups(emb1, "embedding", "vec_id", 0.95, 64, b1, r1).count(),
+      Similarity.embeddingNearDups(embN, "embedding", "vec_id", 0.95, 64, bN, rN).count())
 
     println(s"docs: $nDocs -> ${nDocs * factor}")
     spark.stop()
