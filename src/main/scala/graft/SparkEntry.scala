@@ -1418,6 +1418,192 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("c_custkey"))
   }
 
+  /** Mapping-family job, `how: right` (reference
+    * tests/combinations_jobs/mapping/csv_bulk_join_right_csv.json):
+    * orders RIGHT customer — the mirror of q_job_join_left, keeping every
+    * customer; the shared oracle shape proves right(A,B) == left(B,A). */
+  private def qJobJoinRight(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_joinright"
+    val custSchema = fieldsJson("c_custkey" -> "integer", "c_name" -> "string",
+      "c_nationkey" -> "integer", "c_acctbal" -> "float", "c_mktsegment" -> "string")
+    val ordSchema = fieldsJson("o_orderkey" -> "integer", "o_custkey" -> "integer",
+      "o_orderstatus" -> "string", "o_totalprice" -> "float",
+      "o_orderdate" -> "string", "o_orderpriority" -> "string")
+    val mapSchema = fieldsJson("c_custkey" -> "integer", "o_orderkey" -> "integer")
+    val aggSchema = fieldsJson("c_custkey" -> "integer",
+      "n_orders" -> "integer", "n_rows" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "join_right_agg",
+         |  "components": [
+         |    { "name": "ord", "comp_type": "read_parquet",
+         |      "filepath": "$dir/orders.parquet",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "orders" } ] },
+         |      "out_port_schemas": { "out": $ordSchema } },
+         |    { "name": "cust", "comp_type": "read_parquet",
+         |      "filepath": "$dir/customer.parquet",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "customer" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "sm", "comp_type": "schema_mapping",
+         |      "join_plan": { "steps": [
+         |        { "left_port": "orders", "right_port": "customer",
+         |          "left_on": ["o_custkey"], "right_on": ["c_custkey"],
+         |          "how": "right", "output_port": "oc" } ] },
+         |      "rules_by_dest": { "out": {
+         |        "c_custkey":  { "src_port": "oc", "src_path": "c_custkey" },
+         |        "o_orderkey": { "src_port": "oc", "src_path": "o_orderkey" } } },
+         |      "in_port_schemas": { "orders": $ordSchema, "customer": $custSchema },
+         |      "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $mapSchema } },
+         |    { "name": "agg", "comp_type": "aggregation",
+         |      "group_by": ["c_custkey"],
+         |      "aggregations": [
+         |        { "src": "o_orderkey", "op": "count", "dest": "n_orders" },
+         |        { "src": "*", "op": "count", "dest": "n_rows" } ],
+         |      "in_port_schemas": { "in": $mapSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("c_custkey"))
+  }
+
+  /** Mapping-family job, `how: outer` (reference
+    * tests/combinations_jobs/mapping/csv_bulk_join_outer_csv.json): two
+    * OVERLAPPING nation slices (keys 0-14 and 10-24) full-outer-joined
+    * from JSON config, so the result has left-only, right-only and
+    * matched rows — each region pinned by which side's name survives. */
+  private def qJobJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_joinouter"
+    val natSchema = fieldsJson("n_nationkey" -> "integer", "n_name" -> "string",
+      "n_regionkey" -> "integer")
+    val loSchema = fieldsJson("lk" -> "integer", "lname" -> "string")
+    val hiSchema = fieldsJson("hk" -> "integer", "hname" -> "string")
+    val outSchema = fieldsJson("lk" -> "integer", "lname" -> "string",
+      "hk" -> "integer", "hname" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "join_outer",
+         |  "components": [
+         |    { "name": "nat", "comp_type": "read_parquet",
+         |      "filepath": "$dir/nation.parquet",
+         |      "routes": { "out": [ { "to": "sp", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "sp", "comp_type": "split",
+         |      "extra_output_ports": ["a", "b"],
+         |      "in_port_schemas": { "in": $natSchema },
+         |      "routes": { "a": [ { "to": "fl", "in_port": "in" } ],
+         |                  "b": [ { "to": "fh", "in_port": "in" } ] },
+         |      "out_port_schemas": { "a": $natSchema, "b": $natSchema } },
+         |    { "name": "fl", "comp_type": "filter",
+         |      "rule": { "column": "n_nationkey", "operator": "<", "value": 15 },
+         |      "in_port_schemas": { "in": $natSchema },
+         |      "routes": { "pass": [ { "to": "ml", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $natSchema } },
+         |    { "name": "fh", "comp_type": "filter",
+         |      "rule": { "column": "n_nationkey", "operator": ">=", "value": 10 },
+         |      "in_port_schemas": { "in": $natSchema },
+         |      "routes": { "pass": [ { "to": "mh", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $natSchema } },
+         |    { "name": "ml", "comp_type": "schema_mapping",
+         |      "extra_input_ports": ["in"],
+         |      "rules_by_dest": { "out": {
+         |        "lk":    { "src_port": "in", "src_path": "n_nationkey" },
+         |        "lname": { "src_port": "in", "src_path": "n_name" } } },
+         |      "in_port_schemas": { "in": $natSchema },
+         |      "routes": { "out": [ { "to": "sm", "in_port": "lo" } ] },
+         |      "out_port_schemas": { "out": $loSchema } },
+         |    { "name": "mh", "comp_type": "schema_mapping",
+         |      "extra_input_ports": ["in"],
+         |      "rules_by_dest": { "out": {
+         |        "hk":    { "src_port": "in", "src_path": "n_nationkey" },
+         |        "hname": { "src_port": "in", "src_path": "n_name" } } },
+         |      "in_port_schemas": { "in": $natSchema },
+         |      "routes": { "out": [ { "to": "sm", "in_port": "hi" } ] },
+         |      "out_port_schemas": { "out": $hiSchema } },
+         |    { "name": "sm", "comp_type": "schema_mapping",
+         |      "join_plan": { "steps": [
+         |        { "left_port": "lo", "right_port": "hi",
+         |          "left_on": ["lk"], "right_on": ["hk"],
+         |          "how": "outer", "output_port": "out" } ] },
+         |      "in_port_schemas": { "lo": $loSchema, "hi": $hiSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .orderBy(col("lk").asc_nulls_last, col("hk").asc_nulls_last)
+  }
+
+  /** Mongo-family single-config job (reference
+    * tests/combinations_jobs/mongodb/mongo_bulk_join_people_orders.json):
+    * TWO mongo collections join declaratively and the result lands back
+    * in a third mongo collection — source, join plan and sink all in one
+    * config, the shape COVERAGE.md row 37 previously called composite. */
+  private def qJobMongoJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.MongoIO
+    MongoIO.InMemoryStores.drop("q_job_mongo_join")
+    val factory = MongoIO.InMemory("q_job_mongo_join")
+    MongoIO.write(
+      table(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_nationkey")),
+      factory, "people", "truncate")
+    MongoIO.write(
+      table(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+      factory, "nations", "truncate")
+    val peopleSchema = fieldsJson("c_custkey" -> "integer", "c_name" -> "string",
+      "c_nationkey" -> "integer")
+    val natSchema = fieldsJson("n_nationkey" -> "integer", "n_name" -> "string")
+    val outSchema = fieldsJson("cust" -> "string", "nation" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "mongo_join_mongo",
+         |  "components": [
+         |    { "name": "rp", "comp_type": "read_mongodb",
+         |      "store": "q_job_mongo_join", "entity_name": "people",
+         |      "split_key": "c_custkey",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "people" } ] },
+         |      "out_port_schemas": { "out": $peopleSchema } },
+         |    { "name": "rn", "comp_type": "read_mongodb",
+         |      "store": "q_job_mongo_join", "entity_name": "nations",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "nations" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "sm", "comp_type": "schema_mapping",
+         |      "join_plan": { "steps": [
+         |        { "left_port": "people", "right_port": "nations",
+         |          "left_on": ["c_nationkey"], "right_on": ["n_nationkey"],
+         |          "how": "inner", "output_port": "pn" } ] },
+         |      "rules_by_dest": { "out": {
+         |        "cust":   { "src_port": "pn", "src_path": "c_name" },
+         |        "nation": { "src_port": "pn", "src_path": "n_name" } } },
+         |      "in_port_schemas": { "people": $peopleSchema, "nations": $natSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_mongodb",
+         |      "store": "q_job_mongo_join", "entity_name": "joined",
+         |      "if_exists": "truncate",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    MongoIO.read(s, factory, "joined",
+      Seq(graft.schema.FieldDef("cust", graft.schema.GraftType.TString, nullable = true),
+        graft.schema.FieldDef("nation", graft.schema.GraftType.TString, nullable = true)))
+      .orderBy(col("cust"), col("nation"))
+  }
+
   /** Mixed-family job crossing three subsystem boundaries in ONE config
     * (reference tests/combinations_jobs/mixed/): mongo source (range-
     * partitioned read) → schema_mapping map-mode rename → Excel sink; the
@@ -1608,6 +1794,9 @@ object SparkEntry {
     "q_job_append_xml" -> (qJobAppendXml _),
     "q_job_join3" -> (qJobJoin3 _),
     "q_job_join_left" -> (qJobJoinLeft _),
+    "q_job_join_right" -> (qJobJoinRight _),
+    "q_job_join_outer" -> (qJobJoinOuter _),
+    "q_job_mongo_join" -> (qJobMongoJoin _),
     "q_job_mongo_excel" -> (qJobMongoExcel _),
     "q_sql_join" -> (qSqlJoin _),
     "q_xml_roundtrip" -> (qXmlRoundtrip _),
@@ -1948,6 +2137,24 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_rows
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_job_join_right" ->
+      """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
+        |  count(*)::BIGINT AS n_rows
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_job_join_outer" ->
+      """SELECT l.lk, l.lname, h.hk, h.hname
+        |FROM (SELECT n_nationkey AS lk, n_name AS lname FROM nation
+        |      WHERE n_nationkey < 15) l
+        |FULL OUTER JOIN
+        |     (SELECT n_nationkey AS hk, n_name AS hname FROM nation
+        |      WHERE n_nationkey >= 10) h
+        |ON l.lk = h.hk
+        |ORDER BY lk NULLS LAST, hk NULLS LAST""".stripMargin,
+    "q_job_mongo_join" ->
+      """SELECT c_name AS cust, n_name AS nation
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY cust, nation""".stripMargin,
     "q_job_mongo_excel" ->
       """SELECT c_custkey::VARCHAR AS cust_id, c_name AS name,
         |  c_mktsegment AS segment
