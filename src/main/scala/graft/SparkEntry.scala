@@ -1302,6 +1302,41 @@ object SparkEntry {
       .orderBy(col("n_nationkey").cast("long"))
   }
 
+  /** Row-append family, Excel sink (reference excel_helper.py:192-217:
+    * append keeps header row 1): two declarative batches with
+    * `append=true`; the sheet readback must hold both. */
+  private def qJobAppendExcel(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/job_out_append.xlsx"
+    deletePath(out)
+    val natSchema = fieldsJson("n_nationkey" -> "integer", "n_name" -> "string",
+      "n_regionkey" -> "integer")
+    def job(op: String, v: Int) =
+      s"""{
+         |  "name": "append_excel_batch",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/nation.parquet",
+         |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "flt", "comp_type": "filter",
+         |      "rule": { "column": "n_regionkey", "operator": "$op", "value": 1 },
+         |      "in_port_schemas": { "in": $natSchema },
+         |      "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $natSchema } },
+         |    { "name": "w", "comp_type": "write_excel", "filepath": "$out",
+         |      "sheet_name": "nations", "append": true,
+         |      "in_port_schemas": { "in": $natSchema } }
+         |  ]
+         |}""".stripMargin
+    for (j <- Seq(job("<=", 1), job(">", 1))) {
+      val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(j))
+      built.runSinks()
+      built.close()
+    }
+    graft.io.ExcelIO.read(s, out, Some("nations"))
+      .orderBy(col("n_nationkey").cast("long"))
+  }
+
   /** Mapping-family job with a 3-input CHAINED join plan (reference
     * tests/combinations_jobs/mapping/csv_bulk_join_inner_csv.json family;
     * chaining semantics join_rules.py:17-38): step 1 joins orders⋈customer
@@ -1792,6 +1827,7 @@ object SparkEntry {
     "q_job_append_csv" -> (qJobAppendCsv _),
     "q_job_append_json" -> (qJobAppendJson _),
     "q_job_append_xml" -> (qJobAppendXml _),
+    "q_job_append_excel" -> (qJobAppendExcel _),
     "q_job_join3" -> (qJobJoin3 _),
     "q_job_join_left" -> (qJobJoinLeft _),
     "q_job_join_right" -> (qJobJoinRight _),
@@ -2122,6 +2158,10 @@ object SparkEntry {
     "q_job_append_json" ->
       """SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_job_append_xml" ->
+      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+        |  n_regionkey::VARCHAR AS n_regionkey
+        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_job_append_excel" ->
       """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
         |  n_regionkey::VARCHAR AS n_regionkey
         |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,

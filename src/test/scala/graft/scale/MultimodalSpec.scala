@@ -70,6 +70,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.forall(_.getSeq[Float](5).size === 16))
   }
 
+  test("ImageCodecs never throws and never fabricates dims (adversarial bytes)") {
+    val rnd = new scala.util.Random(0xC0DEC5)
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    def randomBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); rnd.nextBytes(a); a
+    }
+    val adversarial: Seq[Array[Byte]] =
+      (0 until 200).map(i => randomBytes(i % 64)) ++            // short garbage
+      (0 until 100).map(_ => randomBytes(512)) ++               // long garbage
+      (0 until 50).map(_ => Array(0xFF, 0xD8).map(_.toByte) ++ randomBytes(64)) ++ // SOI+junk
+      (0 until 50).map(_ => pngSig ++ randomBytes(32)) ++       // PNG sig+junk
+      (0 until 20).map(_ => "GIF89a".getBytes("US-ASCII") ++ randomBytes(8))
+    adversarial.foreach { b =>
+      Multimodal.ImageCodecs.dimensions(b) match {
+        case Some((mime, w, h)) =>
+          assert(w >= 1 && h >= 1 && mime.startsWith("image/"))
+        case None => ()
+      }
+    }
+    // every truncation of a REAL encoded image: no throw; if dims come
+    // back they must be the true ones (the header either parses whole or
+    // not at all — never misreads)
+    for (fmt <- Seq("png", "jpg")) {
+      val full = encode(fmt, 33, 17)
+      (0 to full.length).foreach { n =>
+        Multimodal.ImageCodecs.dimensions(java.util.Arrays.copyOf(full, n)) match {
+          case Some((_, w, h)) => assert((w, h) === ((33, 17)), s"$fmt prefix $n")
+          case None => ()
+        }
+      }
+    }
+  }
+
   test("ByteKernels: resize bound, frame count, feature determinism") {
     val bytes = Array.tabulate[Byte](10000)(i => (i * 13).toByte)
     assert(Multimodal.ByteKernels.resize(bytes, 1000).length <= 1000)
