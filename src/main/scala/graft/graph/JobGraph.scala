@@ -428,7 +428,15 @@ object JobGraph {
       case "write_parquet" =>
         val df = one()
         val path = c.reqStr("filepath")
-        (Map("out" -> df), Some(() => df.write.mode("overwrite").parquet(path)))
+        // partition_by: Hive-style directory partitioning — the 100 TB
+        // layout lever (a reader filtering on a partition column scans
+        // only its directories: PartitionFilters, not data IO). Beyond
+        // the reference's surface, which has no partitioned sinks.
+        val parts = c.strSeqParam("partition_by")
+        (Map("out" -> df), Some(() => {
+          val w = df.write.mode("overwrite")
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+        }))
 
       case "filter" =>
         val rule = parseRule(c.params \ "rule")

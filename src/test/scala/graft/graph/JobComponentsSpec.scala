@@ -51,6 +51,43 @@ class JobComponentsSpec extends SparkTestBase {
     assert(back.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3"))
   }
 
+  test("write_parquet partition_by: Hive layout + partition-pruned readback") {
+    import spark.implicits._
+    val out = tmp("part_out")
+    val in = tmp("part_in")
+    Seq(("1", "F"), ("2", "O"), ("3", "F"), ("4", "P"), ("5", "O"))
+      .toDF("a", "b").write.mode("overwrite").parquet(in)
+    val json =
+      s"""{ "name": "p", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "partition_by": ["b"],
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks()
+    built.close()
+    // Hive-style directories per partition value
+    assert(Seq("b=F", "b=O", "b=P").forall(d =>
+      Files.isDirectory(Paths.get(out, d))))
+    // a filter on the partition column prunes at PLAN time: only the b=F
+    // directory's files appear in the scan (partition pruning, no data IO
+    // on the other partitions)
+    val back = spark.read.parquet(out).filter(col("b") === "F")
+    assert(back.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3"))
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("b#"),
+      s"expected partition filters in scan:\n$scan")
+    val prunedFiles = back.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .flatMap(_.files).map(_.getPath.toString)
+      }.flatten
+    assert(prunedFiles.nonEmpty && prunedFiles.forall(_.contains("b=F")),
+      s"scan should touch only b=F files, got: $prunedFiles")
+  }
+
   test("type_conversion derives its out schema from in-schema + rules") {
     import spark.implicits._
     val in = tmp("derive_in")

@@ -32,6 +32,30 @@ class ScaleIdiomsSpec extends SparkTestBase {
     }
   }
 
+  test("chained dimension joins broadcast both small sides (no shuffle exchange)") {
+    // the q_job_join3 shape: fact ⋈ dim ⋈ dim through the SAME joinMode
+    // fold the declarative job dispatches to — both dimension sides must
+    // come in as broadcasts and the fact side must never shuffle
+    import graft.ops.SchemaMappingOp
+    import graft.ops.SchemaMappingOp.JoinStep
+    val fact = spark.range(20000).select(col("id").as("fk"),
+      (col("id") % 100).as("d1k"), (col("id") % 7).as("v"))
+    val dim1 = spark.range(100).select(col("id").as("d1id"),
+      concat(lit("n"), col("id")).as("d1name"), (col("id") % 10).as("d2k"))
+    val dim2 = spark.range(10).select(col("id").as("d2id"),
+      concat(lit("m"), col("id")).as("d2name"))
+    val joined = SchemaMappingOp.joinMode(
+      Map("fact" -> fact, "dim1" -> dim1, "dim2" -> dim2),
+      Seq(JoinStep("fact", "dim1", Seq("d1k"), Seq("d1id"), "inner", "fd"),
+        JoinStep("fd", "dim2", Seq("d2k"), Seq("d2id"), "inner", "out")))("out")
+    assert(joined.count() === 20000) // keys constructed total
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension joins should broadcast:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"fact side must not shuffle through a chained dim join:\n$plan")
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     // a fresh JVM's in-memory catalog doesn't know tables left on disk by
     // a previous run: drop via catalog AND remove the stale locations
