@@ -247,6 +247,63 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("streaming_aggregation with slide: overlapping windows match batch") {
+    import org.apache.spark.sql.functions._
+    val inDir = tmp("sagg2_in")
+    Files.createDirectories(Paths.get(inDir))
+    val in = s"$inDir/*.ndjson"
+    Files.writeString(Paths.get(inDir, "part.ndjson"),
+      """{"ts":"2024-01-01 00:05:00","k":"a","v":1}
+        |{"ts":"2024-01-01 00:40:00","k":"a","v":2}
+        |{"ts":"2024-01-01 01:10:00","k":"b","v":4}
+        |{"ts":"2024-01-02 00:00:00","k":"z","v":0}
+        |""".stripMargin)
+    val evtSchema =
+      """{ "fields": [
+        |  { "name": "ts", "data_type": "string" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "v", "data_type": "integer" } ] }""".stripMargin
+    val aggSchema =
+      """{ "fields": [
+        |  { "name": "window_start", "data_type": "string" },
+        |  { "name": "window_end", "data_type": "string" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "sv", "data_type": "integer" } ] }""".stripMargin
+    val out = tmp("sagg2_out")
+    val cfg =
+      s"""{ "name": "sagg2", "components": [
+         |  { "name": "r", "comp_type": "read_json", "filepath": "$in",
+         |    "format": "ndjson",
+         |    "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $evtSchema } },
+         |  { "name": "agg", "comp_type": "streaming_aggregation",
+         |    "time_column": "ts", "watermark": "10 minutes",
+         |    "window": "1 hour", "slide": "30 minutes",
+         |    "group_by": ["k"],
+         |    "aggregations": [ { "src": "v", "op": "sum", "dest": "sv" } ],
+         |    "in_port_schemas": { "in": $evtSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $aggSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $aggSchema } } ] }""".stripMargin
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp("sagg2_ckpt"))
+
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("ts", StringType),
+      StructField("k", StringType), StructField("v", LongType)))
+    val batch = spark.read.schema(sch).json(inDir)
+      .filter(col("ts") < "2024-01-02")
+      .withColumn("et", to_timestamp(col("ts")))
+      .groupBy(window(col("et"), "1 hour", "30 minutes").as("w"), col("k"))
+      .agg(sum(col("v")).as("sv"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("w.end").cast("string").as("window_end"), col("k"), col("sv"))
+    assert(slurp(spark.read.parquet(out)) === slurp(batch))
+    // each real event lands in TWO overlapping hour windows; the two `a`
+    // events share the 00:00-01:00 window, so 3 events → 5 (window,k) rows
+    assert(spark.read.parquet(out).count() === 5)
+  }
+
   test("stateful comp_types are rejected with a pointer to streaming twins") {
     val cfg =
       s"""{ "name": "bad", "components": [
