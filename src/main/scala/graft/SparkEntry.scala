@@ -1302,6 +1302,39 @@ object SparkEntry {
       .orderBy(col("n_nationkey").cast("long"))
   }
 
+  /** Partitioned parquet sink from config (beyond the reference's surface;
+    * the 100 TB layout lever): orders land Hive-partitioned by
+    * o_orderstatus, and the readback filters one partition — plan-time
+    * pruning (PartitionFilters), pinned structurally in
+    * JobComponentsSpec — then aggregates by priority. */
+  private def qJobPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_partitioned"
+    val ordSchema = fieldsJson("o_orderkey" -> "integer", "o_custkey" -> "integer",
+      "o_orderstatus" -> "string", "o_totalprice" -> "float",
+      "o_orderdate" -> "string", "o_orderpriority" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "partitioned_sink",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/orders.parquet",
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $ordSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "partition_by": ["o_orderstatus"],
+         |      "in_port_schemas": { "in": $ordSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .filter(col("o_orderstatus") === "F") // prunes to the F directory
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Row-append family, Excel sink (reference excel_helper.py:192-217:
     * append keeps header row 1): two declarative batches with
     * `append=true`; the sheet readback must hold both. */
@@ -1828,6 +1861,7 @@ object SparkEntry {
     "q_job_append_json" -> (qJobAppendJson _),
     "q_job_append_xml" -> (qJobAppendXml _),
     "q_job_append_excel" -> (qJobAppendExcel _),
+    "q_job_partitioned" -> (qJobPartitioned _),
     "q_job_join3" -> (qJobJoin3 _),
     "q_job_join_left" -> (qJobJoinLeft _),
     "q_job_join_right" -> (qJobJoinRight _),
@@ -2165,6 +2199,11 @@ object SparkEntry {
       """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
         |  n_regionkey::VARCHAR AS n_regionkey
         |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_job_partitioned" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  max(o_totalprice) AS max_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_job_join3" ->
       """SELECT o_orderkey AS order_id, c_name AS cust, n_name AS nation,
         |  o_totalprice AS price
