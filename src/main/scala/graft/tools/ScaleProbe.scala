@@ -99,15 +99,8 @@ object ScaleProbe {
     // keep candidates ~linear; recall at cos>=0.95 is held ~99% by solving
     // bands = ln(miss)/ln(1 - p^r), p = 1 - acos(0.95)/pi.
     val nVecs1 = emb1.count()
-    def lshParams(n: Long): (Int, Int) = {
-      val r = math.max(10, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
-      val p = 1.0 - math.acos(0.95) / math.Pi
-      val pBand = math.pow(p, r)
-      val bands = math.max(16, math.ceil(math.log(0.01) / math.log1p(-pBand)).toInt)
-      (bands, r)
-    }
-    val (b1, r1) = lshParams(nVecs1)
-    val (bN, rN) = lshParams(nVecs1 * factor)
+    val (b1, r1) = Similarity.lshDepthFor(nVecs1, 0.95)
+    val (bN, rN) = Similarity.lshDepthFor(nVecs1 * factor, 0.95)
     println(s"embedding LSH params: 1x bands=$b1 r=$r1, ${factor}x bands=$bN r=$rN")
     ratio("embeddingNearDups",
       Similarity.embeddingNearDups(emb1, "embedding", "vec_id", 0.95, 64, b1, r1).count(),

@@ -111,4 +111,26 @@ class DedupSimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
+
+  test("lshDepthFor: depth grows with corpus, recall budget always met") {
+    // r must be monotone in n (that is the whole point of the rule), and
+    // the returned (bands, r) must satisfy the recall inequality it is
+    // solved from: (1 - p^r)^bands <= missBudget at the threshold
+    val sizes = Seq(1000L, 10000L, 100000L, 1000000L, 100000000L)
+    val depths = sizes.map(n => Similarity.lshDepthFor(n, 0.95))
+    assert(depths.map(_._2) === depths.map(_._2).sorted) // r monotone
+    for ((n, (bands, r)) <- sizes.zip(depths)) {
+      val p = 1.0 - math.acos(0.95) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, r), bands)
+      assert(miss <= 0.01 + 1e-12, s"n=$n bands=$bands r=$r miss=$miss")
+      // and candidates stay ~linear: r >= log2(n) means n·2^-r <= 1, so
+      // expected background collisions per vector are bounded by `bands`
+      // (which grows only with r, i.e. logarithmically in n)
+      assert(n * math.pow(2.0, -r) <= 1.0 + 1e-12,
+        s"n=$n r=$r: n·2^-r=${n * math.pow(2.0, -r)}")
+    }
+    // measured 100x points from ScaleProbe reproduce
+    assert(Similarity.lshDepthFor(2000L, 0.95) === ((16, 11)))
+    assert(Similarity.lshDepthFor(200000L, 0.95) === ((29, 18)))
+  }
 }
