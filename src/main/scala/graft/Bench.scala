@@ -54,8 +54,15 @@ object Bench {
     // Warmup at the smallest scale factor: exercises codegen/JIT for every
     // query's plan shape outside the timed loop.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    sorted.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    sorted.foreach { case (name, fn) =>
+      // Non-fatal, but LOUD: a query broken only at warmup scale would
+      // otherwise skip warmup invisibly and absorb codegen cost into its
+      // first timed rep.
+      try fn(spark, warmDir).count() catch {
+        case e: Throwable => System.err.println(
+          s"[bench] warmup failed for $name: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200))
+      }
     }
     // drop the ~40 persisted tables the warmup pass accumulated (operators
     // persist signature/fingerprint tables); leaking them into the timed

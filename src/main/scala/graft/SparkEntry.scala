@@ -1352,7 +1352,7 @@ object SparkEntry {
          |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
          |      "out_port_schemas": { "out": $natSchema } },
          |    { "name": "flt", "comp_type": "filter",
-         |      "rule": { "column": "n_regionkey", "operator": "$op", "value": 1 },
+         |      "rule": { "column": "n_regionkey", "operator": "$op", "value": $v },
          |      "in_port_schemas": { "in": $natSchema },
          |      "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
          |      "out_port_schemas": { "pass": $natSchema } },

@@ -47,10 +47,13 @@ object JobConfig {
       case JBool(b) => b
       case _        => default
     }
-    def int(key: String, default: Int): Int = (params \ key) match {
-      case JInt(i)  => i.toInt
-      case JLong(l) => l.toInt
-      case _        => default
+    def int(key: String, default: Int): Int = intOpt(key).getOrElse(default)
+    /** Present/absent distinction for params whose default is computed
+      * (e.g. LSH depth sized from a corpus count when not pinned). */
+    def intOpt(key: String): Option[Int] = (params \ key) match {
+      case JInt(i)  => Some(i.toInt)
+      case JLong(l) => Some(l.toInt)
+      case _        => None
     }
     def strSeqParam(key: String): Seq[String] = (params \ key) match {
       case JArray(items) => items.collect { case JString(s) => s }

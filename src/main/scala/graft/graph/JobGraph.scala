@@ -273,6 +273,24 @@ object JobGraph {
 
   /** Serializes the sql component's view-register → analyze → drop
     * critical section (temp views are session-global). */
+  /** LSH depth for the declarative `dedup method=embedding` component.
+    * Explicit `bands`/`rows_per_band` config always wins; any omitted
+    * parameter is sized from the corpus count via the MEASURED
+    * `Similarity.lshDepthFor` rule (the 100x ScaleProbe showed fixed
+    * small-corpus depth degenerating at 200k vectors: ~6e8 background
+    * candidates, ~60 GB spill). `corpusCount` is by-name so fully
+    * explicit configs pay no count() action. */
+  private[graft] def embeddingDepth(explicitBands: Option[Int],
+      explicitR: Option[Int], simThreshold: Double,
+      corpusCount: => Long): (Int, Int) =
+    (explicitBands, explicitR) match {
+      case (Some(b), Some(r)) => (b, r)
+      case _ =>
+        val (db, dr) = graft.scale.Similarity.lshDepthFor(
+          math.max(1L, corpusCount), simThreshold)
+        (explicitBands.getOrElse(db), explicitR.getOrElse(dr))
+    }
+
   private val sqlViewLock = new Object
 
   /** Dispatch one component. Returns (out frames, optional sink action). */
@@ -505,11 +523,16 @@ object JobGraph {
             n = c.int("ngram_n", 3),
             threshold = c.str("threshold").map(_.toDouble).getOrElse(0.5),
             maxDf = c.int("max_df", 10000))
-          case "embedding" => graft.scale.Similarity.embeddingDedup(one(),
-            c.str("vector_column").getOrElse("embedding"), idCol,
-            simThreshold = c.str("sim_threshold").map(_.toDouble).getOrElse(0.95),
-            dim = c.int("dim", 64), bands = c.int("bands", 16),
-            r = c.int("rows_per_band", 8))
+          case "embedding" =>
+            val df = one()
+            val simThreshold =
+              c.str("sim_threshold").map(_.toDouble).getOrElse(0.95)
+            val (bands, r) = embeddingDepth(c.intOpt("bands"),
+              c.intOpt("rows_per_band"), simThreshold, df.count())
+            graft.scale.Similarity.embeddingDedup(df,
+              c.str("vector_column").getOrElse("embedding"), idCol,
+              simThreshold = simThreshold, dim = c.int("dim", 64),
+              bands = bands, r = r)
           case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
         }
         (Map("out" -> out), None)

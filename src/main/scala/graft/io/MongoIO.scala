@@ -307,7 +307,18 @@ object MongoIO {
           case (JString(x), JString(y)) => x.compare(y)
           case (JBool(x), JBool(y))     => x.compare(y)
           case _ if rank(a) == 2 && (nonFinite(a) || nonFinite(b)) =>
-            java.lang.Double.compare(dbl(a), dbl(b))
+            // Never convert the exact side to Double here: a JDecimal whose
+            // toDouble overflows to Infinity would compare EQUAL to
+            // JDouble(Infinity) while two such JDecimals compare exactly —
+            // an intransitive ordering that can trip TimSort. Rank instead:
+            // -Inf < all exact values < +Inf < NaN (IEEE total order for
+            // the both-non-finite case).
+            if (nonFinite(a) && nonFinite(b))
+              java.lang.Double.compare(dbl(a), dbl(b))
+            else if (nonFinite(a))
+              (if (dbl(a) == Double.NegativeInfinity) -1 else 1)
+            else
+              (if (dbl(b) == Double.NegativeInfinity) 1 else -1)
           case _ if rank(a) == 2        => num(a).compare(num(b))
           case _ if rank(a) <= 1        => 0
           case (x, y) => JsonMethods.compact(JsonMethods.render(x))

@@ -196,6 +196,24 @@ object Similarity {
       struct(lit(b).as("band"), sig.as("sig"))
     }: _*)
 
+  /** LSH depth for a corpus of `n` vectors at `simThreshold`, per the
+    * measured scaling rule in embeddingNearDups's doc: r ~ log2(n) keeps
+    * background collisions C(n,2)·bands·2^-r ~linear in n, and bands solves
+    * the recall budget ((1-p^r)^bands ≤ missBudget with
+    * p = 1 - acos(threshold)/π). Returns (bands, r). Use when sizing
+    * embeddingNearDups for a corpus; fixed small-corpus depth at 100x the
+    * corpus is the measured anti-pattern. */
+  def lshDepthFor(n: Long, simThreshold: Double,
+                  missBudget: Double = 0.01): (Int, Int) = {
+    require(n > 0 && simThreshold > 0 && simThreshold < 1 &&
+      missBudget > 0 && missBudget < 1, s"bad lshDepthFor($n, $simThreshold, $missBudget)")
+    val r = math.max(10, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+    val p = 1.0 - math.acos(simThreshold) / math.Pi
+    val pBand = math.pow(p, r)
+    val bands = math.max(16, math.ceil(math.log(missBudget) / math.log1p(-pBand)).toInt)
+    (bands, r)
+  }
+
   /**
    * Near-duplicate pairs by cosine ≥ simThreshold: banded-LSH candidate
    * generation (ids-only join on (band, sig)), pair dedup, then exactly one
@@ -233,23 +251,6 @@ object Similarity {
    * cos 0.95) completes in 15.5 s — 4.7x the 2k-vector time for 100x
    * the input.
    */
-  /** LSH depth for a corpus of `n` vectors at `simThreshold`, per the
-    * measured scaling rule above: r ~ log2(n) keeps background collisions
-    * C(n,2)·bands·2^-r ~linear in n, and bands solves the recall budget
-    * ((1-p^r)^bands ≤ missBudget with p = 1 - acos(threshold)/π). Returns
-    * (bands, r). Use when sizing embeddingNearDups for a corpus; fixed
-    * small-corpus depth at 100x the corpus is the measured anti-pattern. */
-  def lshDepthFor(n: Long, simThreshold: Double,
-                  missBudget: Double = 0.01): (Int, Int) = {
-    require(n > 0 && simThreshold > 0 && simThreshold < 1 &&
-      missBudget > 0 && missBudget < 1, s"bad lshDepthFor($n, $simThreshold, $missBudget)")
-    val r = math.max(10, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
-    val p = 1.0 - math.acos(simThreshold) / math.Pi
-    val pBand = math.pow(p, r)
-    val bands = math.max(16, math.ceil(math.log(missBudget) / math.log1p(-pBand)).toInt)
-    (bands, r)
-  }
-
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         simThreshold: Double, dim: Int,
                         bands: Int = 16, r: Int = 8): DataFrame = {

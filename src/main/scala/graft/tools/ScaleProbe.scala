@@ -41,6 +41,11 @@ object ScaleProbe {
 
     val emb1 = table(spark, dir, "embeddings").persist()
     emb1.count()
+    // The replica isometry below has combined period 128 — at factor >
+    // 128 replica i and i+128 are again identical vectors under fresh
+    // ids, recreating the exact-dup clique; guard loudly.
+    require(factor <= 128,
+      s"embedding replication is an isometry only up to factor 128 (got $factor)")
     val embN = (0 until factor).map { i =>
       // per-replica CYCLIC SHIFT composed with a SIGN FLIP on every second
       // 64-replica period: both are isometries, so each replica keeps the
@@ -52,7 +57,7 @@ object ScaleProbe {
       // fresh ids (an artificial exact-dup clique, and slice(…, 64-i)
       // throws on a negative length); the alternating negation makes the
       // period-64 twin the antipode (cosine −1), which no near-dup
-      // threshold matches.
+      // threshold matches (combined period 128 — guarded above).
       val s = i % 64
       val shifted =
         if (s == 0) col("embedding")

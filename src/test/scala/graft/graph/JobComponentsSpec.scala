@@ -280,6 +280,23 @@ class JobComponentsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
   }
 
+  test("embedding dedup depth: sized from corpus count unless pinned") {
+    // The 100x ScaleProbe showed fixed (16, 8) degenerating at 200k
+    // vectors; an omitted-config job must get the measured rule instead.
+    val auto = JobGraph.embeddingDepth(None, None, 0.95, 200000L)
+    assert(auto !== ((16, 8)))
+    assert(auto._2 >= 17) // r ~ log2(200k) ≈ 17.6
+    // Explicit config is an override — and pays no count() action
+    // (corpusCount is by-name; counting here would throw).
+    val pinned = JobGraph.embeddingDepth(Some(16), Some(8), 0.95,
+      sys.error("count() must not run for a fully pinned config"))
+    assert(pinned === ((16, 8)))
+    // Half-pinned: the explicit half is honored, the other half derived.
+    val half = JobGraph.embeddingDepth(Some(20), None, 0.95, 200000L)
+    assert(half._1 === 20)
+    assert(half._2 >= 17)
+  }
+
   test("jdbc source resolves env-scoped credentials from a context (no url in config)") {
     import graft.runtime.{Contexts, Credentials}
     // seed the engine-side store + context: TEST env → Derby in-memory db.
