@@ -1803,6 +1803,55 @@ object SparkEntry {
       k = 10, nprobe = 3)
   }
 
+  /** Combination job: the `similarity` comp_type from JSON config —
+    * corpus and queries ports wired from two parquet reads (queries
+    * narrowed by a filter component), exact k-NN join, parquet sink.
+    * Same computation as sim_knn, reached declaratively. */
+  private def qJobSimKnn(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_simknn"
+    val embSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } },
+        |  { "name": "label", "data_type": "string" } ] }""".stripMargin
+    val knnSchema = fieldsJson("query_id" -> "integer", "corpus_id" -> "integer",
+      "cosine" -> "float", "rank" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "sim_knn_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/embeddings.parquet",
+         |      "routes": { "out": [ { "to": "sim", "in_port": "corpus" } ] },
+         |      "out_port_schemas": { "out": $embSchema } },
+         |    { "name": "rq", "comp_type": "read_parquet",
+         |      "filepath": "$dir/embeddings.parquet",
+         |      "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $embSchema } },
+         |    { "name": "f", "comp_type": "filter",
+         |      "rule": { "column": "vec_id", "operator": "<", "value": 3 },
+         |      "in_port_schemas": { "in": $embSchema },
+         |      "routes": { "pass": [ { "to": "sim", "in_port": "queries" } ] },
+         |      "out_port_schemas": { "pass": $embSchema } },
+         |    { "name": "sim", "comp_type": "similarity", "method": "knn",
+         |      "vector_column": "embedding", "corpus_id": "vec_id",
+         |      "query_id": "vec_id", "k": 5,
+         |      "in_port_schemas": { "corpus": $embSchema, "queries": $embSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $knnSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $knnSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -1883,6 +1932,7 @@ object SparkEntry {
     "text_langid" -> (qTextLangId _),
     "sim_knn" -> (qSimKnn _),
     "sim_ivf" -> (qSimIvf _),
+    "q_job_sim_knn" -> (qJobSimKnn _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -2337,6 +2387,25 @@ object SparkEntry {
         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY vec_id""".stripMargin,
     "sim_knn" ->
+      """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 3),
+        |s AS (
+        |  SELECT query_id, corpus_id,
+        |    round(CASE WHEN sqrt(list_dot_product(cv, cv))
+        |                 * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+        |          ELSE list_dot_product(cv, qv)
+        |            / (sqrt(list_dot_product(cv, cv))
+        |               * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
+        |  FROM c, q),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, corpus_id, cosine FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // same computation as sim_knn, reached through the declarative
+    // `similarity` component — identical oracle by construction
+    "q_job_sim_knn" ->
       """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |      FROM embeddings WHERE vec_id < 3),

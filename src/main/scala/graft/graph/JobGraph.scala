@@ -63,6 +63,12 @@ object JobGraph {
       val declared = (c.inPortSchemas.keySet ++ c.extraInputPorts).toSeq
       val exposed = if (declared.nonEmpty) declared else Seq("in")
       exposed.sorted.map(PortSpec(_, required = true, multi = false))
+    case "similarity" =>
+      val ports = c.params \ "method" match {
+        case org.json4s.JString("ivf") => Seq("corpus", "centroids", "query")
+        case _                         => Seq("corpus", "queries")
+      }
+      ports.map(PortSpec(_, required = true, multi = false))
     case _ => Seq(PortSpec("in", required = true, multi = false))
   }
 
@@ -540,6 +546,33 @@ object JobGraph {
       case "text_analysis" =>
         (Map("out" -> graft.scale.TextAnalysis.analyze(one(),
           c.str("text_column").getOrElse("text"))), None)
+
+      // Approximate/exact nearest-neighbor search as a declarative
+      // component, like `dedup` is for the dedup family. method=knn:
+      // exact top-k per query row (corpus streamed once, queries
+      // broadcast — ports `corpus`, `queries`); method=ivf: cell-probed
+      // approximate top-k (ports `corpus`, `centroids` as (cell, cvec),
+      // `query` as a one-row (qvec) frame).
+      case "similarity" =>
+        import graft.scale.Similarity
+        def port(p: String): DataFrame = {
+          val xs = in.getOrElse(p, Nil)
+          require(xs.size == 1, s"similarity ${c.name}: port '$p' needs exactly one edge")
+          xs.head
+        }
+        val vecCol = c.str("vector_column").getOrElse("embedding")
+        val k = c.int("k", 10)
+        val out = c.str("method").getOrElse("knn") match {
+          case "knn" => Similarity.knnJoin(port("corpus"), port("queries"),
+            vecCol, c.str("corpus_id").getOrElse("id"),
+            c.str("query_id").getOrElse("id"), k)
+          case "ivf" => Similarity.ivfTopK(port("corpus"), vecCol,
+            c.str("id_column").getOrElse("id"), port("centroids"),
+            port("query"), k, nprobe = c.int("nprobe", 2))
+          case other =>
+            throw new IllegalArgumentException(s"unknown similarity method: $other")
+        }
+        (Map("out" -> out), None)
 
       case "merge" =>
         val dfs = in.getOrElse("in", Nil)

@@ -436,4 +436,155 @@ object MongoIO {
         }
     }
   }
+
+  // ------------------------------------------------ wire-protocol store
+
+  /** StoreFactory over the official MongoDB sync driver, bound by
+    * REFLECTION: the offline build carries no driver jar and may add none
+    * (zero egress), so the adapter resolves `com.mongodb.client.*` at
+    * runtime when a deployment puts `mongodb-driver-sync` (and its bson /
+    * mongodb-driver-core companions) on the classpath. Everything above
+    * this seam — range-partitioned reads, executor-side batching, the four
+    * write modes — is shared with the in-memory store, so pointing a job
+    * at a live server is a config change, not a rewrite. Gated integration
+    * coverage: io/RealDbIntegrationSpec (GRAFT_ITEST_MONGO_URI).
+    * Mirrors the reference's opt-in layer
+    * (tests/components/databases/test_real_database_connection.py). */
+  final case class RealMongo(uri: String, database: String) extends StoreFactory {
+    def open(): DocumentStore = new DriverStore(uri, database)
+  }
+
+  object DriverStore {
+    /** True when the sync driver is on the classpath. */
+    def available: Boolean =
+      try { Class.forName("com.mongodb.client.MongoClients"); true }
+      catch { case _: ClassNotFoundException => false }
+
+    // one client per URI per JVM — the driver manages its own socket pool,
+    // mirroring JdbcIO.ConnectionPool's executor-local reuse
+    private val clients =
+      new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    private[io] def client(uri: String): AnyRef =
+      clients.computeIfAbsent(uri, u =>
+        Class.forName("com.mongodb.client.MongoClients")
+          .getMethod("create", classOf[String]).invoke(null, u))
+  }
+
+  /** DocumentStore over a live server. Method handles are looked up on the
+    * driver's PUBLIC INTERFACES (MongoDatabase/MongoCollection/
+    * FindIterable), never on implementation classes — impl classes are
+    * package-private and direct getMethod on them throws
+    * IllegalAccessException. Documents cross the seam as driver-rendered
+    * JSON (`Document.toJson`), the same contract the in-memory store
+    * speaks. */
+  final class DriverStore(uri: String, database: String) extends DocumentStore {
+    require(DriverStore.available,
+      "mongodb-driver-sync is not on the classpath — RealMongo needs the " +
+        "official MongoDB sync driver at runtime (the offline build ships none)")
+
+    private val docCls    = Class.forName("org.bson.Document")
+    private val bsonCls   = Class.forName("org.bson.conversions.Bson")
+    private val dbCls     = Class.forName("com.mongodb.client.MongoDatabase")
+    private val collCls   = Class.forName("com.mongodb.client.MongoCollection")
+    private val findCls   = Class.forName("com.mongodb.client.FindIterable")
+    private val updOptCls = Class.forName("com.mongodb.client.model.UpdateOptions")
+
+    private def newDoc(): AnyRef =
+      docCls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+    private def parse(json: String): AnyRef =
+      docCls.getMethod("parse", classOf[String]).invoke(null, json)
+    private def append(d: AnyRef, k: String, v: Any): AnyRef =
+      docCls.getMethod("append", classOf[String], classOf[Object])
+        .invoke(d, k, v.asInstanceOf[Object])
+    private def getField(d: AnyRef, k: String): AnyRef =
+      docCls.getMethod("get", classOf[Object]).invoke(d, k)
+    private def toJson(d: AnyRef): String =
+      docCls.getMethod("toJson").invoke(d).asInstanceOf[String]
+    private def docOf(fields: Iterable[(String, Any)]): AnyRef =
+      fields.foldLeft(newDoc()) { case (d, (k, v)) => append(d, k, v) }
+
+    private val db = {
+      val c = DriverStore.client(uri)
+      Class.forName("com.mongodb.client.MongoClient")
+        .getMethod("getDatabase", classOf[String]).invoke(c, database)
+    }
+    private def coll(name: String): AnyRef =
+      dbCls.getMethod("getCollection", classOf[String]).invoke(db, name)
+
+    private def rangeDoc(r: KeyRange): Option[(String, Any)] = {
+      val bounds = r.gte.map("$gte" -> _).toSeq ++ r.lt.map("$lt" -> _).toSeq
+      if (bounds.isEmpty) None else Some(r.field -> docOf(bounds))
+    }
+
+    def find(collection: String, spec: FindSpec): Seq[String] = {
+      val filter = docOf(spec.filter ++ spec.range.flatMap(rangeDoc))
+      var it = collCls.getMethod("find", bsonCls).invoke(coll(collection), filter)
+      if (spec.sort.nonEmpty)
+        it = findCls.getMethod("sort", bsonCls)
+          .invoke(it, docOf(spec.sort.map { case (f, d) => f -> (d: Any) }))
+      if (spec.skip > 0)
+        it = findCls.getMethod("skip", classOf[Int])
+          .invoke(it, Int.box(spec.skip))
+      spec.limit.foreach { l =>
+        it = findCls.getMethod("limit", classOf[Int]).invoke(it, Int.box(l))
+      }
+      if (spec.projection.nonEmpty) {
+        // same contract as the in-memory store: _id only when declared
+        val incl = spec.projection.map(p => p -> (1: Any))
+        val proj =
+          if (spec.projection.contains("_id")) docOf(incl)
+          else append(docOf(incl), "_id", 0)
+        it = findCls.getMethod("projection", bsonCls).invoke(it, proj)
+      }
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      val cursor = it.asInstanceOf[java.lang.Iterable[AnyRef]].iterator()
+      while (cursor.hasNext) out += toJson(cursor.next())
+      out.toSeq
+    }
+
+    def count(collection: String, filter: Map[String, Any]): Long =
+      collCls.getMethod("countDocuments", bsonCls)
+        .invoke(coll(collection), docOf(filter)).asInstanceOf[Long]
+
+    def insert(collection: String, docs: Seq[String]): Unit = {
+      val list = new java.util.ArrayList[AnyRef](docs.size)
+      docs.foreach(d => list.add(parse(d)))
+      collCls.getMethod("insertMany", classOf[java.util.List[_]])
+        .invoke(coll(collection), list)
+    }
+
+    def upsert(collection: String, docs: Seq[String], keys: Seq[String]): Unit = {
+      val c = coll(collection)
+      val upsertOpts = {
+        val o = updOptCls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+        updOptCls.getMethod("upsert", classOf[Boolean]).invoke(o, Boolean.box(true))
+        o
+      }
+      val updateOne = collCls.getMethod("updateOne", bsonCls, bsonCls, updOptCls)
+      docs.foreach { s =>
+        val d = parse(s)
+        val filter = docOf(keys.map(k => k -> (getField(d, k): Any)))
+        updateOne.invoke(c, filter, append(newDoc(), "$set", d), upsertOpts)
+      }
+    }
+
+    def update(collection: String, docs: Seq[String], keys: Seq[String],
+               matchFilter: Map[String, Any], updateFields: Seq[String]): Unit = {
+      val c = coll(collection)
+      val updateMany = collCls.getMethod("updateMany", bsonCls, bsonCls)
+      docs.foreach { s =>
+        val d = parse(s)
+        val filter =
+          if (matchFilter.nonEmpty) docOf(matchFilter)
+          else docOf(keys.map(k => k -> (getField(d, k): Any)))
+        val setDoc =
+          if (updateFields.isEmpty) d
+          else docOf(updateFields.map(f => f -> (getField(d, f): Any)))
+        updateMany.invoke(c, filter, append(newDoc(), "$set", setDoc))
+      }
+    }
+
+    def truncate(collection: String): Unit =
+      collCls.getMethod("deleteMany", bsonCls).invoke(coll(collection), newDoc())
+  }
 }

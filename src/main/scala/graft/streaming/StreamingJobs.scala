@@ -49,15 +49,15 @@ import graft.schema.{FieldDef, SchemaValidator}
  */
 object StreamingJobs {
 
-  /** comp_types that run incrementally. Batch `aggregation` stays excluded
-    * (its JSON surface declares no watermark, so its state would be
-    * unbounded); `streaming_aggregation` is the watermark-bounded twin
-    * reachable from JSON. Dedup/join mode remain explicit streaming twins
-    * in streaming/Streaming.scala. */
+  /** comp_types that run incrementally. Batch `aggregation`/`dedup` stay
+    * excluded (their JSON surfaces declare no watermark, so their state
+    * would be unbounded); `streaming_aggregation` and `streaming_dedup`
+    * are the watermark-bounded twins reachable from JSON. Join mode
+    * remains an explicit streaming twin in streaming/Streaming.scala. */
   val supportedTypes: Set[String] = Set(
     "read_csv", "read_json", "read_parquet",
     "filter", "type_conversion", "schema_mapping", "split", "merge",
-    "text_analysis", "streaming_aggregation",
+    "text_analysis", "streaming_aggregation", "streaming_dedup",
     "write_csv", "write_json", "write_parquet")
 
   final case class SinkPlan(component: String, df: DataFrame, format: String,
@@ -75,6 +75,10 @@ object StreamingJobs {
       require(c.compType != "schema_mapping" || parseJoinPlan(c).isEmpty,
         s"streaming job ${spec.name}: schema_mapping join mode (${c.name}) is not " +
           "streamable (stream-stream joins need watermark bounds); map mode is")
+      require(c.compType != "streaming_dedup" || c.str("method").forall(_ == "exact"),
+        s"streaming_dedup ${c.name}: only method=exact is streamable — " +
+          "near-dup families need a corpus self-join; run them as a batch " +
+          s"`dedup` component (got method=${c.str("method").getOrElse("")})")
     }
 
     val frames = scala.collection.mutable.Map.empty[(String, String), DataFrame]
@@ -168,6 +172,32 @@ object StreamingJobs {
               col("__w.end").cast("string").as("window_end") +:
               (groupBy.map(col) ++ aggs.map(a => col(a.dest))): _*)
           Map("out" -> agged)
+
+        // Watermark-bounded exact dedup, the streaming twin of the batch
+        // `dedup` comp_type (ingest-side face of
+        // Streaming.streamingExactDedup): dropDuplicatesWithinWatermark on
+        // the normalized text key bounds state by the watermark horizon —
+        // a duplicate arriving after the horizon can re-emit, the right
+        // trade for continuous ingest. Only method=exact is streamable:
+        // the near-dup families (minhash/simhash/ngram/embedding) need a
+        // corpus-wide self-join and stay batch-only. The event-time column
+        // rides in a temp column so the input schema passes through
+        // unchanged (declared schemas travel times as strings).
+        case "streaming_dedup" => // method=exact enforced at plan entry
+          import org.apache.spark.sql.types.TimestampType
+          val df = one(c)
+          val textCol = c.str("text_column").getOrElse("text")
+          val timeCol = c.reqStr("time_column")
+          val wm = c.str("watermark").getOrElse("1 hour")
+          val et =
+            if (df.schema(timeCol).dataType == TimestampType)
+              df.withColumn("__t", col(timeCol))
+            else df.withColumn("__t", to_timestamp(col(timeCol)))
+          Map("out" -> et
+            .withColumn("__key", graft.scale.Dedup.exactKey(col(textCol)))
+            .withWatermark("__t", wm)
+            .dropDuplicatesWithinWatermark("__key")
+            .drop("__key", "__t"))
 
         case t if t.startsWith("write_") =>
           val df = one(c)

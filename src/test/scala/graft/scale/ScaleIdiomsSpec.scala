@@ -56,6 +56,62 @@ class ScaleIdiomsSpec extends SparkTestBase {
       s"fact side must not shuffle through a chained dim join:\n$plan")
   }
 
+  test("partition_by sinks prune partitions on readback (PartitionFilters)") {
+    // The 100 TB value of a partitioned sink IS the pruning: a reader
+    // filtering on the partition column must scan only its directories.
+    // q_job_partitioned pins result correctness; this pins the plan.
+    val out = java.nio.file.Files.createTempDirectory("graft_prune")
+      .resolve("orders_part").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_prune_in")
+      .resolve("orders_in").toString
+    spark.range(3000).select(col("id").as("o_orderkey"),
+      when(col("id") % 3 === 0, "F").when(col("id") % 3 === 1, "O")
+        .otherwise("P").as("o_orderstatus"),
+      (col("id") % 97).cast("double").as("o_totalprice"))
+      .write.mode("overwrite").parquet(in)
+    val schema =
+      """{ "fields": [
+        |  { "name": "o_orderkey", "data_type": "integer" },
+        |  { "name": "o_orderstatus", "data_type": "string" },
+        |  { "name": "o_totalprice", "data_type": "float" } ] }""".stripMargin
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "partition_by": ["o_orderstatus"],
+         |    "in_port_schemas": { "in": $schema } } ] }""".stripMargin
+    val built = graft.graph.JobGraph.build(spark,
+      graft.config.JobConfig.parse(json))
+    built.runSinks(); built.close()
+
+    val filtered = spark.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+    val formatted = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PartitionFilters") &&
+      formatted.contains("o_orderstatus"),
+      s"scan must carry a PartitionFilter on o_orderstatus:\n$formatted")
+    // The stronger check: execute and read the scan's own metrics —
+    // exactly ONE of the three o_orderstatus directories was read.
+    // (inputFiles can't pin this: it reports the pre-pruning listing;
+    // count() would execute a DIFFERENT QueryExecution — collect() runs
+    // this DataFrame's own plan so its scan metrics populate.)
+    assert(filtered.collect().length === 1000)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val executed = filtered.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val scan = executed.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }
+      .getOrElse(fail(s"no FileSourceScanExec in:\n$executed"))
+    assert(scan.metrics("numPartitions").value === 1,
+      s"expected 1 of 3 partition directories read, metrics: ${scan.metrics}")
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     // a fresh JVM's in-memory catalog doesn't know tables left on disk by
     // a previous run: drop via catalog AND remove the stale locations

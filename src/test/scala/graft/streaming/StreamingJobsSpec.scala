@@ -304,6 +304,78 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === 5)
   }
 
+  test("streaming_dedup: drained exact dedup matches Dedup.exact") {
+    import org.apache.spark.sql.functions._
+    val inDir = tmp("sdd_in")
+    Files.createDirectories(Paths.get(inDir))
+    val in = s"$inDir/*.ndjson"
+    // duplicates are IDENTICAL rows (id, ts and text): the batch operator
+    // keeps the lowest id per key, the stream keeps first arrival — on
+    // identical rows both describe the same output, so parity is
+    // arrival-order-independent. Keys normalize (trim/case/whitespace)
+    // through the shared Dedup.exactKey.
+    Files.writeString(Paths.get(inDir, "part.ndjson"),
+      """{"doc_id":1,"ts":"2024-01-01 00:01:00","text":"alpha beta"}
+        |{"doc_id":1,"ts":"2024-01-01 00:01:00","text":"alpha beta"}
+        |{"doc_id":3,"ts":"2024-01-01 00:03:00","text":"  ALPHA   beta "}
+        |{"doc_id":4,"ts":"2024-01-01 00:04:00","text":"gamma delta"}
+        |{"doc_id":5,"ts":"2024-01-01 00:05:00","text":"epsilon"}
+        |{"doc_id":5,"ts":"2024-01-01 00:05:00","text":"epsilon"}
+        |""".stripMargin)
+    val docSchema =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "ts", "data_type": "string" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val out = tmp("sdd_out")
+    val cfg =
+      s"""{ "name": "sdd", "components": [
+         |  { "name": "r", "comp_type": "read_json", "filepath": "$in",
+         |    "format": "ndjson",
+         |    "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "dd", "comp_type": "streaming_dedup",
+         |    "text_column": "text", "time_column": "ts",
+         |    "watermark": "1 hour",
+         |    "in_port_schemas": { "in": $docSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $docSchema } } ] }""".stripMargin
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp("sdd_ckpt"))
+
+    // batch reference: the SAME input through the batch operator. doc 3 is
+    // a normalized duplicate of doc 1 — the watermark horizon covers the
+    // whole drain, so the stream must drop it exactly like the batch side.
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", StringType), StructField("text", StringType)))
+    val batch = graft.scale.Dedup.exact(
+      spark.read.schema(sch).json(inDir), "text", "doc_id")
+    assert(slurp(spark.read.parquet(out)) === slurp(batch))
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
+  test("streaming_dedup rejects near-dup methods with a batch pointer") {
+    val cfg =
+      s"""{ "name": "sddbad", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "${tmp("sddbad_in")}",
+         |    "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "dd", "comp_type": "streaming_dedup", "method": "minhash",
+         |    "text_column": "a", "time_column": "b",
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "${tmp("sddbad_out")}",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val ex = intercept[IllegalArgumentException] {
+      StreamingJobs.plan(spark, JobConfig.parse(cfg))
+    }
+    assert(ex.getMessage.contains("only method=exact is streamable"))
+    assert(ex.getMessage.contains("got method=minhash"))
+  }
+
   test("stateful comp_types are rejected with a pointer to streaming twins") {
     val cfg =
       s"""{ "name": "bad", "components": [
