@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
  * `binary` columns with typed metadata structs. The Spark side — schemas,
  * partition sizing, batch iteration shape, output contracts — is real and
  * tested, and container HEADERS decode for real (ImageCodecs: JPEG SOF /
- * PNG IHDR / GIF LSD, pure JDK). Pixel/sample decoding (needed for true
+ * PNG IHDR / GIF LSD; AvCodecs: WAV/RIFF fmt+data, MP4 moov/mvhd — all
+ * pure JDK). Pixel/sample decoding (needed for true
  * visual features) would require media libraries unavailable in this
  * environment, so the feature kernel is a deterministic byte-level
  * fingerprint (ByteKernels.features) documented as standing in for a
@@ -116,6 +117,122 @@ object Multimodal {
   }
 
   /**
+   * REAL audio/video container-header codecs, pure JDK byte walks like
+   * ImageCodecs: WAV/RIFF fmt+data chunks (sample rate, channels,
+   * duration) and MP4/ISO-BMFF moov/mvhd (timescale-normalized duration).
+   * Header-only — no sample decoding — so a 100 TB media scan extracts
+   * metadata at O(header) per row.
+   */
+  object AvCodecs {
+
+    /** Probed metadata: WAV fills every field; MP4's mvhd carries only
+      * the presentation duration (width/height live in per-track tkhd
+      * boxes, sample rate in stsd — out of scope for the movie header). */
+    final case class AvMeta(mime: String, sampleRate: Option[Int],
+                            channels: Option[Int], durationMs: Option[Long])
+
+    private def ascii(b: Array[Byte], i: Int, n: Int): String =
+      if (i < 0 || i + n > b.length) ""
+      else new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+    private def u16le(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+    private def u32le(b: Array[Byte], i: Int): Long =
+      ((b(i + 3) & 0xFFL) << 24) | ((b(i + 2) & 0xFFL) << 16) |
+        ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+    private def u32be(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    private def u64be(b: Array[Byte], i: Int): Long =
+      (u32be(b, i) << 32) | u32be(b, i + 4)
+
+    /** WAV (RIFF §4): "RIFF" + size + "WAVE", then word-aligned chunks of
+      * fourcc + LE u32 size. The "fmt " chunk carries channels (u16le@+2),
+      * sample rate (u32le@+4) and byte rate (u32le@+8) of its payload; the
+      * "data" chunk's DECLARED size over the byte rate is the duration —
+      * header math only, valid even on a truncated capture. */
+    private def wav(b: Array[Byte]): Option[AvMeta] = {
+      if (b.length < 12 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
+        return None
+      var i = 12L
+      var fmt: Option[(Int, Int, Long)] = None // (channels, rate, byteRate)
+      var dataLen: Option[Long] = None
+      while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+        val at = i.toInt
+        val id = ascii(b, at, 4)
+        val size = u32le(b, at + 4)
+        if (id == "fmt ") {
+          if (size < 16 || i + 24 > b.length) return None
+          val ch = u16le(b, at + 10)
+          val rate = u32le(b, at + 12)
+          val byteRate = u32le(b, at + 16)
+          if (ch < 1 || rate < 1 || rate > Int.MaxValue || byteRate < 1) return None
+          fmt = Some((ch, rate.toInt, byteRate))
+        } else if (id == "data") dataLen = Some(size)
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      for ((ch, rate, br) <- fmt; dl <- dataLen)
+        yield AvMeta("audio/wav", Some(rate), Some(ch), Some(dl * 1000L / br))
+    }
+
+    /** ISO-BMFF box spans in [start, end): (fourcc, payloadStart,
+      * payloadEnd). Handles the 64-bit largesize (size==1) and
+      * to-end-of-enclosure (size==0) forms; stops at the first malformed
+      * or truncated box — a prefix either parses cleanly or not at all. */
+    private def boxSpans(b: Array[Byte], start: Long, end: Long): Seq[(String, Long, Long)] = {
+      val out = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+      var i = start
+      while (i + 8 <= end) {
+        val size0 = u32be(b, i.toInt)
+        val typ = ascii(b, i.toInt + 4, 4)
+        var hdr = 8L
+        val size: Long =
+          if (size0 == 1) {
+            if (i + 16 > end) return out.toSeq
+            hdr = 16; u64be(b, i.toInt + 8)
+          } else if (size0 == 0) end - i
+          else size0
+        if (size < hdr || size > end - i) return out.toSeq
+        out += ((typ, i + hdr, i + size))
+        i += size
+      }
+      out.toSeq
+    }
+
+    /** mvhd (ISO 14496-12 §8.2.2): version byte selects the layout —
+      * v0: timescale u32@+12, duration u32@+16 of the payload;
+      * v1: timescale u32@+20, duration u64@+24 (64-bit times). */
+    private def mvhd(b: Array[Byte], ps: Long, pe: Long): Option[AvMeta] = {
+      if (ps + 4 > pe) return None
+      val (tsOff, durLen) = (b(ps.toInt) & 0xFF) match {
+        case 0 => (12, 4)
+        case 1 => (20, 8)
+        case _ => return None
+      }
+      if (ps + tsOff + 4 + durLen > pe) return None
+      val timescale = u32be(b, (ps + tsOff).toInt)
+      val duration =
+        if (durLen == 4) u32be(b, (ps + tsOff + 4).toInt)
+        else u64be(b, (ps + tsOff + 4).toInt)
+      if (timescale < 1 || duration < 0 || duration > Long.MaxValue / 1000) None
+      else Some(AvMeta("video/mp4", None, None, Some(duration * 1000L / timescale)))
+    }
+
+    /** MP4: an `ftyp` box must lead (brand sniff), then the movie header
+      * is moov/mvhd wherever moov sits in the top-level box list. */
+    private def mp4(b: Array[Byte]): Option[AvMeta] = {
+      if (b.length < 12 || ascii(b, 4, 4) != "ftyp") return None
+      boxSpans(b, 0L, b.length.toLong)
+        .collectFirst { case ("moov", s, e) =>
+          boxSpans(b, s, e).collectFirst { case ("mvhd", ps, pe) => mvhd(b, ps, pe) }.flatten
+        }.flatten
+    }
+
+    /** Metadata when the payload is a recognized AV container; None
+      * otherwise (caller decides the fallback). */
+    def probe(bytes: Array[Byte]): Option[AvMeta] = wav(bytes).orElse(mp4(bytes))
+  }
+
+  /**
    * Deterministic byte-level kernels. These are real operations on real
    * bytes (subsampling, slicing, position-weighted fingerprinting) — not
    * stubs — but `features` is a byte fingerprint, not a learned visual
@@ -179,16 +296,21 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("mean_luma", DoubleType, nullable = true),
-    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true)))
 
   /**
    * Decode + feature-extract over partitions of binary payloads
    * (iterator-of-rows per partition, constant memory). Recognized image
    * containers (JPEG/PNG/GIF) get their REAL mime + header dimensions via
-   * ImageCodecs; unrecognized payloads keep their declared meta mime and
-   * fall back to deterministic synthetic dimensions derived from byte
-   * stats (width = n mod 1024, height = n/1024 mod 1024 + 1, both ≥ 1) so
-   * synthetic test corpora stay SQL-replayable.
+   * ImageCodecs; recognized AV containers (WAV/MP4) get their REAL mime +
+   * duration/sample-rate/channels via AvCodecs; unrecognized payloads
+   * keep their declared meta mime and fall back to deterministic
+   * synthetic dimensions derived from byte stats (width = n mod 1024,
+   * height = n/1024 mod 1024 + 1, both ≥ 1) so synthetic test corpora
+   * stay SQL-replayable.
    */
   def extractFeatures(media: DataFrame): DataFrame = {
     val enc = Encoders.row(featureSchema)
@@ -197,12 +319,24 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val (mime, w, h) = ImageCodecs.dimensions(bytes).getOrElse {
-            val n = bytes.length
-            (r.getString(2), math.max(1, n % 1024), math.max(1, (n / 1024) % 1024 + 1))
+          val luma = ByteKernels.byteMean(bytes)
+          val feat = ByteKernels.features(bytes).toSeq
+          ImageCodecs.dimensions(bytes) match {
+            case Some((mime, w, h)) =>
+              Row(id, mime, w, h, luma, feat, null, null, null)
+            case None => AvCodecs.probe(bytes) match {
+              case Some(av) =>
+                Row(id, av.mime, null, null, luma, feat,
+                  av.durationMs.map(Long.box).orNull,
+                  av.sampleRate.map(Int.box).orNull,
+                  av.channels.map(Int.box).orNull)
+              case None =>
+                val n = bytes.length
+                Row(id, r.getString(2), math.max(1, n % 1024),
+                  math.max(1, (n / 1024) % 1024 + 1), luma, feat,
+                  null, null, null)
+            }
           }
-          Row(id, mime, w, h, ByteKernels.byteMean(bytes),
-            ByteKernels.features(bytes).toSeq)
         }
       }(enc)
   }

@@ -103,6 +103,136 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------ audio/video
+
+  /** Genuine RIFF/WAVE bytes from the JDK's own encoder (javax.sound). */
+  private def encodeWav(rateHz: Int, channels: Int, seconds: Double): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rateHz.toFloat, 16, channels, true, false)
+    val nFrames = (rateHz * seconds).toLong
+    val pcm = new Array[Byte]((nFrames * channels * 2).toInt)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def be32(v: Long): Array[Byte] =
+    Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+
+  /** Spec-conformant minimal MP4: ftyp + moov(mvhd). v0 layout unless
+    * v1 (64-bit creation/modification/duration times). */
+  private def encodeMp4(timescale: Long, duration: Long, v1: Boolean = false): Array[Byte] = {
+    val ftyp = be32(16) ++ "ftypisom".getBytes("US-ASCII") ++ be32(512)
+    val payload =
+      if (!v1)
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ // v0+flags, times
+          be32(timescale) ++ be32(duration) ++ new Array[Byte](80)
+      else
+        Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ // v1+flags, times
+          be32(timescale) ++ be64(duration) ++ new Array[Byte](80)
+    val mvhd = be32(8L + payload.length) ++ "mvhd".getBytes("US-ASCII") ++ payload
+    val moov = be32(8L + mvhd.length) ++ "moov".getBytes("US-ASCII") ++ mvhd
+    ftyp ++ moov
+  }
+
+  test("WAV fmt+data chunks decode from real JDK-encoded bytes") {
+    val bytes = encodeWav(16000, 2, 1.0)
+    val meta = Multimodal.AvCodecs.probe(bytes)
+    assert(meta === Some(Multimodal.AvCodecs.AvMeta(
+      "audio/wav", Some(16000), Some(2), Some(1000L))))
+    // mono at another rate, half a second
+    val mono = Multimodal.AvCodecs.probe(encodeWav(8000, 1, 0.5)).get
+    assert((mono.sampleRate, mono.channels, mono.durationMs) ===
+      ((Some(8000), Some(1), Some(500L))))
+  }
+
+  test("MP4 mvhd duration decodes for v0 and v1 layouts (hand-built, spec-conformant)") {
+    assert(Multimodal.AvCodecs.probe(encodeMp4(600, 1200)) ===
+      Some(Multimodal.AvCodecs.AvMeta("video/mp4", None, None, Some(2000L))))
+    assert(Multimodal.AvCodecs.probe(encodeMp4(90000, 45000, v1 = true)) ===
+      Some(Multimodal.AvCodecs.AvMeta("video/mp4", None, None, Some(500L))))
+  }
+
+  test("non-AV payloads are rejected, not misparsed") {
+    val junk = Array.tabulate[Byte](4096)(i => (i * 131).toByte)
+    assert(Multimodal.AvCodecs.probe(junk) === None)
+    assert(Multimodal.AvCodecs.probe(Array.emptyByteArray) === None)
+    // RIFF but not WAVE (e.g. AVI's RIFF form) must not parse as wav
+    val avi = "RIFF".getBytes("US-ASCII") ++ be32(100).reverse ++
+      "AVI ".getBytes("US-ASCII") ++ new Array[Byte](32)
+    assert(Multimodal.AvCodecs.probe(avi) === None)
+    // ftyp with a truncated moov must not fabricate a duration
+    val trunc = encodeMp4(600, 1200).dropRight(20)
+    assert(Multimodal.AvCodecs.probe(trunc) === None)
+  }
+
+  test("AvCodecs never throws and never fabricates metadata (adversarial bytes)") {
+    val rnd = new scala.util.Random(0xA7C0DE5)
+    def randomBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); rnd.nextBytes(a); a
+    }
+    val adversarial: Seq[Array[Byte]] =
+      (0 until 200).map(i => randomBytes(i % 64)) ++
+      (0 until 100).map(_ => randomBytes(512)) ++
+      (0 until 50).map(_ => "RIFF".getBytes("US-ASCII") ++ randomBytes(40)) ++
+      (0 until 50).map(_ => be32(16) ++ "ftyp".getBytes("US-ASCII") ++ randomBytes(40))
+    adversarial.foreach { b =>
+      Multimodal.AvCodecs.probe(b) match {
+        case Some(m) =>
+          assert(m.mime == "audio/wav" || m.mime == "video/mp4")
+          assert(m.durationMs.forall(_ >= 0L))
+          assert(m.sampleRate.forall(_ >= 1) && m.channels.forall(_ >= 1))
+        case None => ()
+      }
+    }
+    // every truncation of real containers: no throw; if metadata comes
+    // back it must be the true value (parse whole or not at all)
+    val wavFull = encodeWav(16000, 2, 0.25)
+    (0 to wavFull.length).foreach { n =>
+      Multimodal.AvCodecs.probe(java.util.Arrays.copyOf(wavFull, n)).foreach { m =>
+        assert((m.sampleRate, m.channels, m.durationMs) ===
+          ((Some(16000), Some(2), Some(250L))), s"wav prefix $n")
+      }
+    }
+    val mp4Full = encodeMp4(600, 1200)
+    (0 to mp4Full.length).foreach { n =>
+      Multimodal.AvCodecs.probe(java.util.Arrays.copyOf(mp4Full, n)).foreach { m =>
+        assert(m.durationMs === Some(2000L), s"mp4 prefix $n")
+      }
+    }
+  }
+
+  test("extractFeatures emits AV metadata for recognized containers") {
+    import spark.implicits._
+    val wav = encodeWav(16000, 2, 1.0)
+    val mp4 = encodeMp4(600, 1800)
+    val fake = Array.tabulate[Byte](999)(i => (i * 7).toByte)
+    val rows = Seq((1L, wav, "application/blob"), (2L, mp4, "application/blob"),
+      (3L, fake, "application/blob"))
+      .toDF("media_id", "payload", "mime")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+    val out = Multimodal.extractFeatures(rows).orderBy("media_id").collect()
+    // WAV: real mime + audio fields, no dims
+    assert(out(0).getString(1) === "audio/wav")
+    assert(out(0).isNullAt(2) && out(0).isNullAt(3))
+    assert((out(0).getLong(6), out(0).getInt(7), out(0).getInt(8)) ===
+      ((1000L, 16000, 2)))
+    // MP4: real mime + duration only
+    assert(out(1).getString(1) === "video/mp4")
+    assert(out(1).getLong(6) === 3000L)
+    assert(out(1).isNullAt(7) && out(1).isNullAt(8))
+    // fallback: declared mime, synthetic dims, no AV fields
+    assert(out(2).getString(1) === "application/blob")
+    assert(out(2).isNullAt(6) && out(2).isNullAt(7) && out(2).isNullAt(8))
+  }
+
   test("ByteKernels: resize bound, frame count, feature determinism") {
     val bytes = Array.tabulate[Byte](10000)(i => (i * 13).toByte)
     assert(Multimodal.ByteKernels.resize(bytes, 1000).length <= 1000)
