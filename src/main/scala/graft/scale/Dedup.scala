@@ -59,7 +59,11 @@ import org.apache.spark.sql.functions._
  *    (background collisions ~C(n,2)·bands·2^-r ≈ 6e8 candidates, ~60 GB
  *    spill); with r ~ log2(n) and bands from the recall budget (29x18 at
  *    200k, ~99% recall at cos 0.95) candidates stay ~linear and the 100x
- *    run costs 4.7x. ScaleProbe derives the per-scale params.
+ *    run costs 4.7x. ScaleProbe derives the per-scale params, exposed as
+ *    Similarity.lshDepthFor — and the declarative `dedup method=embedding`
+ *    component sizes omitted bands/rows_per_band from the corpus count
+ *    through that rule (JobGraph.embeddingDepth), so the measured
+ *    anti-pattern is no longer any path's default.
  */
 object Dedup {
 

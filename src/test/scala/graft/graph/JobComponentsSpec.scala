@@ -280,6 +280,91 @@ class JobComponentsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
   }
 
+  test("similarity component: ivf method from config (3-port wiring)") {
+    import spark.implicits._
+    // corpus: two cluster directions + a stray; centroids = vectors 0,1;
+    // query = vector 0. nprobe=1 probes cell 0, whose members are
+    // 0 (cos 1.0), 2 (≈0.994), 4 (≈0.970) — the expected top-3 order.
+    val ein = tmp("ivf_in")
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.1f, 0.9f, 0f, 0f)),
+      (4L, Array(0.8f, 0.2f, 0f, 0f)),
+      (5L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(ein)
+    val out = tmp("ivf_out")
+    val embSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val centSchema =
+      """{ "fields": [
+        |  { "name": "cell", "data_type": "integer" },
+        |  { "name": "cvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val qSchema =
+      """{ "fields": [
+        |  { "name": "qvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "cosine", "data_type": "float" } ] }""".stripMargin
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "rc", "comp_type": "read_parquet", "filepath": "$ein",
+         |    "routes": { "out": [ { "to": "sim", "in_port": "corpus" } ] },
+         |    "out_port_schemas": { "out": $embSchema } },
+         |  { "name": "rcen", "comp_type": "read_parquet", "filepath": "$ein",
+         |    "routes": { "out": [ { "to": "fcen", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $embSchema } },
+         |  { "name": "fcen", "comp_type": "filter",
+         |    "rule": { "column": "vec_id", "operator": "<", "value": 2 },
+         |    "in_port_schemas": { "in": $embSchema },
+         |    "routes": { "pass": [ { "to": "mcen", "in_port": "in" } ] },
+         |    "out_port_schemas": { "pass": $embSchema } },
+         |  { "name": "mcen", "comp_type": "schema_mapping",
+         |    "extra_input_ports": ["in"],
+         |    "rules_by_dest": {
+         |      "out": { "cell": { "src_port": "in", "src_path": "vec_id" },
+         |               "cvec": { "src_port": "in", "src_path": "embedding" } } },
+         |    "in_port_schemas": { "in": $embSchema },
+         |    "routes": { "out": [ { "to": "sim", "in_port": "centroids" } ] },
+         |    "out_port_schemas": { "out": $centSchema } },
+         |  { "name": "rq", "comp_type": "read_parquet", "filepath": "$ein",
+         |    "routes": { "out": [ { "to": "fq", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $embSchema } },
+         |  { "name": "fq", "comp_type": "filter",
+         |    "rule": { "column": "vec_id", "operator": "==", "value": 0 },
+         |    "in_port_schemas": { "in": $embSchema },
+         |    "routes": { "pass": [ { "to": "mq", "in_port": "in" } ] },
+         |    "out_port_schemas": { "pass": $embSchema } },
+         |  { "name": "mq", "comp_type": "schema_mapping",
+         |    "extra_input_ports": ["in"],
+         |    "rules_by_dest": {
+         |      "out": { "qvec": { "src_port": "in", "src_path": "embedding" } } },
+         |    "in_port_schemas": { "in": $embSchema },
+         |    "routes": { "out": [ { "to": "sim", "in_port": "query" } ] },
+         |    "out_port_schemas": { "out": $qSchema } },
+         |  { "name": "sim", "comp_type": "similarity", "method": "ivf",
+         |    "vector_column": "embedding", "id_column": "vec_id",
+         |    "k": 3, "nprobe": 1,
+         |    "in_port_schemas": { "corpus": $embSchema,
+         |                         "centroids": $centSchema, "query": $qSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks(); built.close()
+    val got = spark.read.parquet(out).orderBy(col("cosine").desc).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L, 2L, 4L))
+    assert(got.head.getDouble(1) === 1.0)
+  }
+
   test("embedding dedup depth: sized from corpus count unless pinned") {
     // The 100x ScaleProbe showed fixed (16, 8) degenerating at 200k
     // vectors; an omitted-config job must get the measured rule instead.
