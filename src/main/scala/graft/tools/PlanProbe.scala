@@ -1,22 +1,29 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.SparkEntry
 
-/** Dev-only: dump formatted plans for headline queries to audit pushdown,
-  * broadcast choices, and codegen spans. */
+/** Dev probe: print the formatted physical plan of named CORRECTNESS
+  * queries (all of them with no args) — the `.explain` feedback loop the
+  * scale work runs on. Usage:
+  *   sbt "runMain graft.tools.PlanProbe /root/testdata/sf0.001 sim_knn ..."
+  */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val names = args.headOption.map(_.split(",").toSeq)
-      .getOrElse(Seq("q_filter_pass", "q_join_star", "q_agg_groups"))
-    val spark = SparkSession.builder().master("local[4]")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
-      println(s"========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      println(s"==== $n ====")
+      println(graft.SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }

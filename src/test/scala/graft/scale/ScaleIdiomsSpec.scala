@@ -56,6 +56,29 @@ class ScaleIdiomsSpec extends SparkTestBase {
       s"fact side must not shuffle through a chained dim join:\n$plan")
   }
 
+  test("knnJoin pre-reduces top-k per partition before the shuffle (WindowGroupLimit)") {
+    // The scored set is |corpus| x |queries| rows; the rank<=k filter over
+    // row_number lets Catalyst insert WindowGroupLimit BELOW the window's
+    // Exchange (InferWindowGroupLimit), so each task forwards at most
+    // queries*k rows instead of its whole scored slice — the difference
+    // between a bounded and an O(n*q) shuffle at 100 TB. Pinned here so a
+    // refactor to an uninferable ranking shape can't silently lose it.
+    import org.apache.spark.sql.functions._
+    val corpus = spark.range(5000).select(col("id").as("vec_id"),
+      array((0 until 8).map(i => (rand(i) * 2 - 1).cast("float")): _*).as("embedding"))
+    val queries = corpus.filter(col("vec_id") < 4)
+    val out = Similarity.knnJoin(corpus, queries, "embedding", "vec_id", "vec_id", 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must compile to a WindowGroupLimit pre-reduction:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"queries side must broadcast (corpus never shuffles to score):\n$plan")
+    // partial (pre-shuffle) + final (post-shuffle) instances
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial AND final WindowGroupLimit nodes:\n$plan")
+    assert(out.count() === 20) // 4 queries x k=5
+  }
+
   test("partition_by sinks prune partitions on readback (PartitionFilters)") {
     // The 100 TB value of a partitioned sink IS the pruning: a reader
     // filtering on the partition column must scan only its directories.
