@@ -1852,6 +1852,22 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Backward as-of join over the events stream: each click aligned with
+    * the user's most recent purchase at or before it (ops/AsofJoin.scala —
+    * union + one window pass, one shuffle; the right side is unique per
+    * (user_id, ts) in this corpus). Oracle: DuckDB's NATIVE ASOF LEFT
+    * JOIN — an independent algorithm, not a replica of this plan. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+    graft.ops.AsofJoin(clicks, purchases, on = "ts", by = Seq("user_id"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -1889,6 +1905,7 @@ object SparkEntry {
     "q_sort_limit" -> (qSortLimit _),
     "q_window_topn" -> (qWindowTopN _),
     "q_events_window" -> (qEventsWindow _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_flatten_roundtrip" -> (qFlattenRoundtrip _),
@@ -2086,6 +2103,15 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_events,
         |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN — independent of the Spark
+    // union+window formulation, so the two algorithms check each other
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, c.value,
+        |       p.value AS p_value, p.ts AS p_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars, row_number() OVER (

@@ -69,6 +69,8 @@ object JobGraph {
         case _                         => Seq("corpus", "queries")
       }
       ports.map(PortSpec(_, required = true, multi = false))
+    case "asof_join" =>
+      Seq("left", "right").map(PortSpec(_, required = true, multi = false))
     case _ => Seq(PortSpec("in", required = true, multi = false))
   }
 
@@ -578,6 +580,20 @@ object JobGraph {
         val dfs = in.getOrElse("in", Nil)
         require(dfs.nonEmpty, s"merge ${c.name}: no inputs")
         (Map("merge" -> dfs.reduce(_.unionByName(_))), None)
+
+      // Backward as-of join (ops/AsofJoin.scala): ports `left`/`right`,
+      // `on` = event-time column on both sides, `by` = equality keys.
+      case "asof_join" =>
+        def port(p: String): DataFrame = {
+          val xs = in.getOrElse(p, Nil)
+          require(xs.size == 1, s"asof_join ${c.name}: port '$p' needs exactly one edge")
+          xs.head
+        }
+        val by = c.strSeqParam("by")
+        require(by.nonEmpty, s"asof_join ${c.name}: needs non-empty 'by' keys")
+        (Map("out" -> AsofJoin(port("left"), port("right"),
+          on = c.reqStr("on"), by = by,
+          suffix = c.str("suffix").getOrElse("_r"))), None)
 
       case other =>
         throw new IllegalArgumentException(s"unknown comp_type: $other")

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Backward as-of join: for each left row, the single most recent right
+ * row (right.`on` <= left.`on`, equal instants match) within the same
+ * `by` group — null right columns when no prior right row exists. A
+ * join variant the reference lacks entirely (SURVEY §2.4) and a staple
+ * of event/feature alignment in training-data pipelines ("the last
+ * purchase before this click", "the features as of this label's time").
+ *
+ * Spark-first shape: a naive range join explodes to O(|L|·|R|) pairs per
+ * key before picking the max. Instead the two sides are UNIONED, sorted
+ * once per key by (time, side), and each right value column is carried
+ * forward with last(ignoreNulls) over an unbounded-preceding row frame —
+ * ONE shuffle on the by-keys, one sort per partition, and the window
+ * state is a single value per column (Spark's running-frame
+ * implementation never buffers the group). All right columns share one
+ * Window node in the plan (same spec, collapsed by Catalyst).
+ *
+ * Preconditions:
+ *  - `right` must be unique per (by, on): with duplicates the carried
+ *    value is partition-order-dependent. Dedup upstream.
+ *  - null `on` values sort FIRST (asc nulls-first), so a null-time left
+ *    row matches only null-time right rows — the conservative reading.
+ */
+object AsofJoin {
+
+  def apply(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+            suffix: String = "_r"): DataFrame = {
+    require(by.nonEmpty, "asof join needs at least one by-key")
+    require(left.columns.contains(on) && right.columns.contains(on),
+      s"asof join: time column '$on' must exist on both sides")
+    val rightVal = right.columns.filterNot(c => by.contains(c) || c == on).toSeq
+    val outName = rightVal.map(c => if (left.columns.contains(c)) c + suffix else c)
+    val leftRest = left.columns.filterNot(by.contains).toSeq // keeps `on` + data cols
+    val clash = outName.toSet.intersect(leftRest.toSet ++ by)
+    require(clash.isEmpty,
+      s"asof join: suffixed right columns still collide with left: ${clash.mkString(", ")}")
+
+    val lhs = left.select(
+      by.map(col) ++ Seq(col(on).as("__t"), lit(1).as("__is_left")) ++
+        leftRest.map(col) ++
+        rightVal.zip(outName).map { case (c, o) =>
+          lit(null).cast(right.schema(c).dataType).as(o) }: _*)
+    val rhs = right.select(
+      by.map(col) ++ Seq(col(on).as("__t"), lit(0).as("__is_left")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVal.zip(outName).map { case (c, o) => col(c).as(o) }: _*)
+
+    // right rows sort before left rows at the same instant → inclusive
+    // (right.on <= left.on) match semantics
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = outName.foldLeft(lhs.unionByName(rhs))((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    filled.filter(col("__is_left") === 1).drop("__t", "__is_left")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asof join picks the latest right row at or before each left time") {
+    val left = Seq(
+      (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 5L),
+      (4L, "u2", 15L), (5L, "u3", 100L))
+      .toDF("id", "user", "t")
+    val right = Seq(
+      ("u1", 10L, "a"), ("u1", 18L, "b"), // t=10 matches id=1 inclusively
+      ("u2", 16L, "c"))                   // after id=4 → no match
+      .toDF("user", "t", "tag")
+    val out = AsofJoin(left, right, on = "t", by = Seq("user"))
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(1), Option(r.getString(3)).orNull))
+    // id→expected: 1→a (equal instant), 2→b (latest ≤ 20), 3→null (none
+    // before t=5), 4→null (right is later), 5→null (no right rows for u3)
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b"), (3L, null), (4L, null), (5L, null)))
+  }
+
+  test("asof join suffixes clashing right columns and keeps left intact") {
+    val left = Seq((1L, "u1", 10L, 1.5)).toDF("id", "user", "t", "value")
+    val right = Seq(("u1", 8L, 9.9)).toDF("user", "t", "value")
+    val out = AsofJoin(left, right, on = "t", by = Seq("user"), suffix = "_p")
+    assert(out.columns.sorted.toSeq === Seq("id", "t", "user", "value", "value_p"))
+    val row = out.head()
+    assert(row.getAs[Double]("value") === 1.5)
+    assert(row.getAs[Double]("value_p") === 9.9)
+  }
+
+  test("asof_join component runs from JSON config") {
+    val lin = tmpDir("asof_l"); val rin = tmpDir("asof_r"); val out = tmpDir("asof_out")
+    Seq((1L, "u1", 10L), (2L, "u1", 20L)).toDF("id", "user", "t")
+      .write.mode("overwrite").parquet(lin)
+    Seq(("u1", 15L, "x")).toDF("user", "t", "tag")
+      .write.mode("overwrite").parquet(rin)
+    val lSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "user", "data_type": "string" },
+        |  { "name": "t", "data_type": "integer" } ] }""".stripMargin
+    val rSchema =
+      """{ "fields": [
+        |  { "name": "user", "data_type": "string" },
+        |  { "name": "t", "data_type": "integer" },
+        |  { "name": "tag", "data_type": "string" } ] }""".stripMargin
+    val oSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "user", "data_type": "string" },
+        |  { "name": "t", "data_type": "integer" },
+        |  { "name": "tag", "data_type": "string", "nullable": true } ] }""".stripMargin
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "rl", "comp_type": "read_parquet", "filepath": "$lin",
+         |    "routes": { "out": [ { "to": "aj", "in_port": "left" } ] },
+         |    "out_port_schemas": { "out": $lSchema } },
+         |  { "name": "rr", "comp_type": "read_parquet", "filepath": "$rin",
+         |    "routes": { "out": [ { "to": "aj", "in_port": "right" } ] },
+         |    "out_port_schemas": { "out": $rSchema } },
+         |  { "name": "aj", "comp_type": "asof_join", "on": "t", "by": ["user"],
+         |    "in_port_schemas": { "left": $lSchema, "right": $rSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $oSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $oSchema } } ] }""".stripMargin
+    val built = graft.graph.JobGraph.build(spark, graft.config.JobConfig.parse(json))
+    built.runSinks(); built.close()
+    val got = spark.read.parquet(out).orderBy(col("id"))
+      .collect().map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("tag")).orNull))
+    assert(got.toSeq === Seq((1L, null), (2L, "x"))) // 15 ≤ 20 only
+  }
+
+  private def tmpDir(name: String): String = {
+    val p = java.nio.file.Paths.get("target", "test-tmp", "asof", name).toAbsolutePath
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+}
