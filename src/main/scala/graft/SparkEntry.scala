@@ -136,6 +136,23 @@ object SparkEntry {
         col("n_rows"))
       .orderBy(col("o_orderstatus"))
 
+  /** Rollup grouping through AggregateOp's grouping-set face
+    * (beyond-reference: SURVEY §2.4 lists grouping sets as absent).
+    * Cents technique keeps the money sum bit-exact; subtotal rows carry
+    * null keys, same as SQL ROLLUP. */
+  private def qAggRollup(s: SparkSession, dir: String): DataFrame = {
+    import AggregateOp.AggSpec
+    AggregateOp(
+      table(s, dir, "orders").withColumn("cents",
+        round(col("o_totalprice") * 100).cast("long")),
+      Seq("o_orderstatus", "o_orderpriority"),
+      Seq(AggSpec("*", "count", "n_rows"), AggSpec("cents", "sum", "cents")),
+      grouping = "rollup")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("n_rows"), (col("cents") / 100.0).as("total_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   // -------------------------------------------------- schema mapping / join
 
   private def qProjectRename(s: SparkSession, dir: String): DataFrame = {
@@ -194,6 +211,24 @@ object SparkEntry {
         "left", "out")))("out")
     joined.groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"), count(lit(1)).as("n_rows"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Anti join through the joinMode vocabulary (beyond-reference how:
+    * SURVEY §2.4 lists semi/anti as absent): customers with no URGENT
+    * order (every customer has some order in this corpus, so the right
+    * side is filtered to keep the result non-trivial: 18 rows at
+    * sf0.001). LeftAnti never materializes right columns — keys-only
+    * shuffle or a broadcast of the right side. */
+  private def qJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    import SchemaMappingOp.JoinStep
+    SchemaMappingOp.joinMode(
+      Map("customer" -> table(s, dir, "customer"),
+        "urgent" -> table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")),
+      Seq(JoinStep("customer", "urgent", Seq("c_custkey"), Seq("o_custkey"),
+        "anti", "out")))("out")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .orderBy(col("c_custkey"))
   }
 
@@ -1894,10 +1929,12 @@ object SparkEntry {
     "q_agg_global" -> (qAggGlobal _),
     "q_agg_nullkeys" -> (qAggNullKeys _),
     "q_agg_money" -> (qAggMoney _),
+    "q_agg_rollup" -> (qAggRollup _),
     "q_project_rename" -> (qProjectRename _),
     "q_project_nested" -> (qProjectNested _),
     "q_join_plan" -> (qJoinPlan _),
     "q_join_left_nulls" -> (qJoinLeftNulls _),
+    "q_join_anti" -> (qJoinAnti _),
     "q_join_star" -> (qJoinStar _),
     "q_type_conversion" -> (qTypeConversion _),
     "q_merge_union" -> (qMergeUnion _),
@@ -1995,6 +2032,11 @@ object SparkEntry {
         |    / count(*) AS avg_price,
         |  count(*)::BIGINT AS n_rows
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_rows,
+        |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q_project_rename" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
         |  c_mktsegment AS segment, c_acctbal AS balance
@@ -2037,6 +2079,12 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_rows
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "q_join_star" ->
       """SELECT r_name, n_name,
         |  sum(round(l_extendedprice * (1.0 - l_discount) * 10000)::BIGINT)

@@ -470,7 +470,8 @@ object JobGraph {
 
       case "aggregation" =>
         val (groupBy, aggs) = parseAggregations(c)
-        (Map("out" -> AggregateOp(one(), groupBy, aggs)), None)
+        (Map("out" -> AggregateOp(one(), groupBy, aggs,
+          c.str("grouping").getOrElse("groups"))), None)
 
       case "type_conversion" =>
         (Map("out" -> TypeConversionOp(one(), parseCastRules(c))), None)

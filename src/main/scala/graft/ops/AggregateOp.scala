@@ -45,10 +45,29 @@ object AggregateOp {
     c.as(spec.dest)
   }
 
-  def apply(df: DataFrame, groupBy: Seq[String], aggs: Seq[AggSpec]): DataFrame = {
+  def apply(df: DataFrame, groupBy: Seq[String], aggs: Seq[AggSpec]): DataFrame =
+    apply(df, groupBy, aggs, "groups")
+
+  /** `grouping` selects the grouping-set family — "groups" (plain
+    * GROUP BY), "rollup" (hierarchical subtotals + grand total) or "cube"
+    * (all key subsets). Beyond the reference (SURVEY §2.4: no grouping
+    * sets); Spark plans all three through the same partial-agg + shuffle
+    * pipeline (rollup/cube expand each input row once per grouping set,
+    * map-side combined before the exchange). Subtotal rows carry null in
+    * the rolled-up keys, same as SQL. */
+  def apply(df: DataFrame, groupBy: Seq[String], aggs: Seq[AggSpec],
+            grouping: String): DataFrame = {
     require(aggs.nonEmpty, "aggregation needs at least one agg spec")
     val cols = aggs.map(aggColumn)
-    if (groupBy.isEmpty) df.agg(cols.head, cols.tail: _*)
-    else df.groupBy(groupBy.map(col): _*).agg(cols.head, cols.tail: _*)
+    if (groupBy.isEmpty) {
+      require(grouping == "groups",
+        s"grouping '$grouping' needs non-empty group_by keys")
+      df.agg(cols.head, cols.tail: _*)
+    } else grouping match {
+      case "groups" => df.groupBy(groupBy.map(col): _*).agg(cols.head, cols.tail: _*)
+      case "rollup" => df.rollup(groupBy.map(col): _*).agg(cols.head, cols.tail: _*)
+      case "cube"   => df.cube(groupBy.map(col): _*).agg(cols.head, cols.tail: _*)
+      case other => throw new IllegalArgumentException(s"unknown grouping: $other")
+    }
   }
 }

@@ -98,8 +98,12 @@ object SchemaMappingOp {
    * are disambiguated by the caller's port schema projection.
    */
   def joinMode(inputs: Map[String, DataFrame], steps: Seq[JoinStep]): Map[String, DataFrame] = {
+    // semi/anti are beyond the reference's four variants (SURVEY §2.4):
+    // left-side filtering by key existence without duplicating matches —
+    // Spark's LeftSemi/LeftAnti never materialize right columns, so the
+    // shuffle carries keys only (or broadcasts the right side outright)
     val how = Map("inner" -> "inner", "left" -> "left", "right" -> "right",
-      "outer" -> "full_outer")
+      "outer" -> "full_outer", "semi" -> "left_semi", "anti" -> "left_anti")
     steps.foldLeft(inputs) { (env, step) =>
       val l = env.getOrElse(step.leftPort,
         throw new IllegalArgumentException(s"unknown join port ${step.leftPort}"))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, to_timestamp, window}
+import org.apache.spark.sql.functions.{col, session_window, to_timestamp, window}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.config.JobConfig._
 import graft.graph.JobGraph
@@ -154,15 +154,23 @@ object StreamingJobs {
           val df = one(c)
           val timeCol = c.reqStr("time_column")
           val wm = c.reqStr("watermark")
-          val win = c.reqStr("window")
           val (groupBy, aggs) = parseAggregations(c)
           require(aggs.nonEmpty, s"streaming_aggregation ${c.name}: needs aggregations")
           val et =
             if (df.schema(timeCol).dataType == TimestampType) df
             else df.withColumn(timeCol, to_timestamp(col(timeCol)))
-          val winCol = c.str("slide") match {
-            case Some(sl) => window(col(timeCol), win, sl)
-            case None     => window(col(timeCol), win)
+          // `session_gap` selects data-driven session windows (rows gap
+          // apart merge; a session closes when the watermark passes its
+          // end) — mutually exclusive with the fixed `window`/`slide` pair
+          val winCol = (c.str("session_gap"), c.str("slide")) match {
+            case (Some(gap), None) =>
+              require(c.str("window").isEmpty,
+                s"streaming_aggregation ${c.name}: session_gap and window are exclusive")
+              session_window(col(timeCol), gap)
+            case (Some(_), Some(_)) => throw new IllegalArgumentException(
+              s"streaming_aggregation ${c.name}: session windows do not slide")
+            case (None, Some(sl)) => window(col(timeCol), c.reqStr("window"), sl)
+            case (None, None)     => window(col(timeCol), c.reqStr("window"))
           }
           val aggCols = aggs.map(AggregateOp.aggColumn)
           val agged = et.withWatermark(timeCol, wm)

@@ -140,6 +140,48 @@ class SchemaMappingAggSpec extends SparkTestBase {
     }
   }
 
+  test("semi and anti join variants filter without duplicating matches") {
+    import SchemaMappingOp.JoinStep
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "lv")
+    // k=1 matches TWICE: semi must still emit the left row once
+    val right = Seq((1L, "x"), (1L, "y"), (3L, "z")).toDF("k", "rv")
+    val semi = SchemaMappingOp.joinMode(
+      Map("l" -> left, "r" -> right),
+      Seq(JoinStep("l", "r", Seq("k"), Seq("k"), "semi", "out")))("out")
+    assert(semi.columns.toSeq === Seq("k", "lv")) // right columns never appear
+    assert(semi.orderBy("k").collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val anti = SchemaMappingOp.joinMode(
+      Map("l" -> left, "r" -> right),
+      Seq(JoinStep("l", "r", Seq("k"), Seq("k"), "anti", "out")))("out")
+    assert(anti.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("rollup and cube groupings equal the union of their grouping sets") {
+    import AggregateOp.AggSpec
+    val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L), ("b", "x", 8L))
+      .toDF("g1", "g2", "v")
+    val aggs = Seq(AggSpec("*", "count", "n"), AggSpec("v", "sum", "s"))
+    def canon(d: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      d.select("g1", "g2", "n", "s").collect().map(_.toSeq).toSet
+    val bySet = canon(AggregateOp(df, Seq("g1", "g2"), aggs))
+    val byG1 = AggregateOp(df, Seq("g1"), aggs)
+      .select(col("g1"), lit(null).as("g2"), col("n"), col("s"))
+    val byG2 = AggregateOp(df, Seq("g2"), aggs)
+      .select(lit(null).as("g1"), col("g2"), col("n"), col("s"))
+    val global = AggregateOp(df, Nil, aggs)
+      .select(lit(null).as("g1"), lit(null).as("g2"), col("n"), col("s"))
+    assert(canon(AggregateOp(df, Seq("g1", "g2"), aggs, "rollup")) ===
+      bySet ++ canon(byG1) ++ canon(global))
+    assert(canon(AggregateOp(df, Seq("g1", "g2"), aggs, "cube")) ===
+      bySet ++ canon(byG1) ++ canon(byG2) ++ canon(global))
+    intercept[IllegalArgumentException] {
+      AggregateOp(df, Nil, aggs, "rollup") // grouping sets need keys
+    }
+    intercept[IllegalArgumentException] {
+      AggregateOp(df, Seq("g1"), aggs, "lattice")
+    }
+  }
+
   test("FieldDef ⇄ StructType codec round-trips") {
     import graft.schema._
     import graft.schema.GraftType._

@@ -304,6 +304,66 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === 5)
   }
 
+  test("streaming_aggregation with session_gap: sessions match batch session_window") {
+    import org.apache.spark.sql.functions._
+    val inDir = tmp("sagg3_in")
+    Files.createDirectories(Paths.get(inDir))
+    val in = s"$inDir/*.ndjson"
+    // user a: two events 5 min apart (one session with a 10-min gap) then
+    // one 30 min later (second session); user b: one event. The far-future
+    // sentinel advances the watermark past every real session on the drain.
+    Files.writeString(Paths.get(inDir, "part.ndjson"),
+      """{"ts":"2024-01-01 00:00:00","k":"a","v":1}
+        |{"ts":"2024-01-01 00:05:00","k":"a","v":2}
+        |{"ts":"2024-01-01 00:35:00","k":"a","v":4}
+        |{"ts":"2024-01-01 00:07:00","k":"b","v":8}
+        |{"ts":"2024-01-02 00:00:00","k":"z","v":0}
+        |""".stripMargin)
+    val evtSchema =
+      """{ "fields": [
+        |  { "name": "ts", "data_type": "string" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "v", "data_type": "integer" } ] }""".stripMargin
+    val aggSchema =
+      """{ "fields": [
+        |  { "name": "window_start", "data_type": "string" },
+        |  { "name": "window_end", "data_type": "string" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "sv", "data_type": "integer" } ] }""".stripMargin
+    val out = tmp("sagg3_out")
+    val cfg =
+      s"""{ "name": "sagg3", "components": [
+         |  { "name": "r", "comp_type": "read_json", "filepath": "$in",
+         |    "format": "ndjson",
+         |    "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $evtSchema } },
+         |  { "name": "agg", "comp_type": "streaming_aggregation",
+         |    "time_column": "ts", "watermark": "10 minutes",
+         |    "session_gap": "10 minutes",
+         |    "group_by": ["k"],
+         |    "aggregations": [ { "src": "v", "op": "sum", "dest": "sv" } ],
+         |    "in_port_schemas": { "in": $evtSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $aggSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $aggSchema } } ] }""".stripMargin
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp("sagg3_ckpt"))
+
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("ts", StringType),
+      StructField("k", StringType), StructField("v", LongType)))
+    val batch = spark.read.schema(sch).json(inDir)
+      .filter(col("ts") < "2024-01-02")
+      .withColumn("et", to_timestamp(col("ts")))
+      .groupBy(session_window(col("et"), "10 minutes").as("w"), col("k"))
+      .agg(sum(col("v")).as("sv"))
+      .select(col("w.start").cast("string").as("window_start"),
+        col("w.end").cast("string").as("window_end"), col("k"), col("sv"))
+    assert(slurp(spark.read.parquet(out)) === slurp(batch))
+    // a's first two events merge into ONE session; 3 sessions total
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
   test("streaming_dedup: drained exact dedup matches Dedup.exact") {
     import org.apache.spark.sql.functions._
     val inDir = tmp("sdd_in")
