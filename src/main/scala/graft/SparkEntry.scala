@@ -153,6 +153,16 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  /** Column profile over orders (scale/Profile.scala): exact
+    * count/nulls/distinct/min/max per column in one scan — the
+    * data-validation pass before training-data ingest. */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.scale.Profile.profile(
+      table(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority"))
+      .orderBy(col("col_name"))
+
   // -------------------------------------------------- schema mapping / join
 
   private def qProjectRename(s: SparkSession, dir: String): DataFrame = {
@@ -1930,6 +1940,7 @@ object SparkEntry {
     "q_agg_nullkeys" -> (qAggNullKeys _),
     "q_agg_money" -> (qAggMoney _),
     "q_agg_rollup" -> (qAggRollup _),
+    "q_profile" -> (qProfile _),
     "q_project_rename" -> (qProjectRename _),
     "q_project_nested" -> (qProjectNested _),
     "q_join_plan" -> (qJoinPlan _),
@@ -2037,6 +2048,18 @@ object SparkEntry {
         |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_profile" -> Seq(
+      ("o_custkey", true), ("o_orderkey", true), ("o_orderpriority", false),
+      ("o_orderstatus", false), ("o_totalprice", true)).map { case (c, num) =>
+      val (mn, mx, ms, xs) =
+        if (num) (s"min($c)::DOUBLE", s"max($c)::DOUBLE", "NULL::VARCHAR", "NULL::VARCHAR")
+        else ("NULL::DOUBLE", "NULL::DOUBLE", s"min($c)::VARCHAR", s"max($c)::VARCHAR")
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num,
+         |  $ms AS min_str, $xs AS max_str FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q_project_rename" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
         |  c_mktsegment AS segment, c_acctbal AS balance

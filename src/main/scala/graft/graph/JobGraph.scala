@@ -550,6 +550,13 @@ object JobGraph {
         (Map("out" -> graft.scale.TextAnalysis.analyze(one(),
           c.str("text_column").getOrElse("text"))), None)
 
+      // Column-level data profile (scale/Profile.scala): `columns`
+      // restricts the profiled set (default all), `approx` swaps exact
+      // distinct counts for HyperLogLog at scale.
+      case "profile" =>
+        (Map("out" -> graft.scale.Profile.profile(one(),
+          c.strSeqParam("columns"), approx = c.bool("approx", false))), None)
+
       // Approximate/exact nearest-neighbor search as a declarative
       // component, like `dedup` is for the dedup family. method=knn:
       // exact top-k per query row (corpus streamed once, queries

@@ -1,0 +1,47 @@
+package graft.scale
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profile counts rows, nulls, distincts and ranges in one pass") {
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, Some(-1.0)),
+      (3L, Some("b"), None),
+      (4L, Some("a"), Some(7.25)))
+      .toDF("id", "tag", "score")
+    val out = Profile.profile(df).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))
+    assert(out(0) === (("id", 4L, 0L, 4L, Some(1.0), Some(4.0), None, None)))
+    assert(out(1) === (("score", 4L, 1L, 3L, Some(-1.0), Some(7.25), None, None)))
+    assert(out(2) === (("tag", 4L, 1L, 2L, None, None, Some("a"), Some("b"))))
+  }
+
+  test("profile restricts to named columns and rejects unknown ones") {
+    val df = Seq((1L, "x")).toDF("id", "tag")
+    assert(Profile.profile(df, Seq("tag")).collect().map(_.getString(0)).toSeq
+      === Seq("tag"))
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("nope"))
+    }
+  }
+
+  test("approx profile drops the Expand and stays within 10% on distincts") {
+    val df = spark.range(5000).select(col("id"), (col("id") % 97).as("bucket"))
+    // two DISTINCT columns force the Expand (one distinct column alone is
+    // planned as a group-by and never expands)
+    val exactPlan = Profile.profile(df, Seq("id", "bucket"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      s"exact multi-column distinct should plan through Expand:\n$exactPlan")
+    val approxDf = Profile.profile(df, Seq("id", "bucket"), approx = true)
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must not pay the Expand")
+    val approx = approxDf.filter(col("col_name") === "bucket").head().getLong(3)
+    assert(math.abs(approx - 97L) <= 10, s"approx distinct $approx vs 97")
+  }
+}
