@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
  *    value is partition-order-dependent. Dedup upstream.
  *  - null `on` values sort FIRST (asc nulls-first), so a null-time left
  *    row matches only null-time right rows — the conservative reading.
+ *
+ * MEASURED scaling (tools/AsofProbe, synthetic events over n/100 users,
+ * local[32], one aggregate forcing the carried column): 10M rows 1.66 s,
+ * 30M 2.68 s, 100M 7.71 s — 10x input costs 4.6x time (the 1M point,
+ * 3.0 s, is JIT-cold). The only shuffle is the window's hash partition
+ * on the by-keys; a bare count() over the result is NOT a valid probe
+ * (column pruning deletes the window — AsofProbe aggregates p_value).
  */
 object AsofJoin {
 
