@@ -365,6 +365,49 @@ class JobComponentsSpec extends SparkTestBase {
     assert(got.head.getDouble(1) === 1.0)
   }
 
+  test("profile component from config: one row per named column") {
+    import spark.implicits._
+    val in = tmp("prof_in")
+    Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a"))
+      .toDF("id", "tag").write.mode("overwrite").parquet(in)
+    val out = tmp("prof_out")
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "tag", "data_type": "string", "nullable": true } ] }""".stripMargin
+    val profSchema =
+      """{ "fields": [
+        |  { "name": "col_name", "data_type": "string" },
+        |  { "name": "n_rows", "data_type": "integer" },
+        |  { "name": "n_nulls", "data_type": "integer" },
+        |  { "name": "n_distinct", "data_type": "integer" },
+        |  { "name": "min_num", "data_type": "float", "nullable": true },
+        |  { "name": "max_num", "data_type": "float", "nullable": true },
+        |  { "name": "min_str", "data_type": "string", "nullable": true },
+        |  { "name": "max_str", "data_type": "string", "nullable": true } ] }""".stripMargin
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "p", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "p", "comp_type": "profile", "columns": ["tag"],
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $profSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $profSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks(); built.close()
+    val got = spark.read.parquet(out).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[String]("col_name") === "tag")
+    assert(r.getAs[Long]("n_rows") === 3L)
+    assert(r.getAs[Long]("n_nulls") === 1L)
+    assert(r.getAs[Long]("n_distinct") === 1L)
+    assert(r.getAs[String]("min_str") === "a")
+  }
+
   test("embedding dedup depth: sized from corpus count unless pinned") {
     // The 100x ScaleProbe showed fixed (16, 8) degenerating at 200k
     // vectors; an omitted-config job must get the measured rule instead.

@@ -33,6 +33,34 @@ class AsofJoinSpec extends SparkTestBase {
     assert(row.getAs[Double]("value_p") === 9.9)
   }
 
+  test("asof join matches a naive per-row model on 300 random rows") {
+    // model: for each left row, linear-scan the right side — O(n^2) but
+    // unambiguous. Random keys/times WITH collisions across groups; right
+    // times are made unique per (key, t) upfront (the operator's
+    // documented precondition).
+    val rnd = new scala.util.Random(0x45F01)
+    val leftRows = Seq.fill(300)((rnd.nextInt(100000).toLong,
+      s"k${rnd.nextInt(7)}", rnd.nextInt(50).toLong))
+    val rightRaw = Seq.fill(200)((s"k${rnd.nextInt(9)}",
+      rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+    val rightRows = rightRaw.groupBy(r => (r._1, r._2))
+      .map(_._2.head).toSeq // unique per (key, t)
+    val left = leftRows.toDF("id", "k", "t")
+    val right = rightRows.toDF("k", "t", "rv")
+    val got = AsofJoin(left, right, on = "t", by = Seq("k"))
+      .select(col("id"), col("k"), col("t"), col("rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    val model = leftRows.map { case (id, k, t) =>
+      val best = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      (id, k, t, best)
+    }.toSet
+    assert(got === model)
+  }
+
   test("asof_join component runs from JSON config") {
     val lin = tmpDir("asof_l"); val rin = tmpDir("asof_r"); val out = tmpDir("asof_out")
     Seq((1L, "u1", 10L), (2L, "u1", 20L)).toDF("id", "user", "t")
