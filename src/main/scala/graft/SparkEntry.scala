@@ -153,6 +153,23 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  /** Pivoted aggregation (beyond-reference): order status becomes
+    * columns, one money sum per (priority, status) cell via the cents
+    * technique. Explicit pivot values — no discovery scan. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import AggregateOp.AggSpec
+    AggregateOp.pivoted(
+      table(s, dir, "orders").withColumn("cents",
+        round(col("o_totalprice") * 100).cast("long")),
+      Seq("o_orderpriority"), "o_orderstatus", Seq("F", "O", "P"),
+      Seq(AggSpec("cents", "sum", "cents")))
+      .select(col("o_orderpriority"),
+        (col("F") / 100.0).as("total_f"),
+        (col("O") / 100.0).as("total_o"),
+        (col("P") / 100.0).as("total_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Column profile over orders (scale/Profile.scala): exact
     * count/nulls/distinct/min/max per column in one scan — the
     * data-validation pass before training-data ingest. */
@@ -1941,6 +1958,7 @@ object SparkEntry {
     "q_agg_money" -> (qAggMoney _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_profile" -> (qProfile _),
+    "q_pivot" -> (qPivot _),
     "q_project_rename" -> (qProjectRename _),
     "q_project_nested" -> (qProjectNested _),
     "q_join_plan" -> (qJoinPlan _),
@@ -2060,6 +2078,15 @@ object SparkEntry {
          |  $mn AS min_num, $mx AS max_num,
          |  $ms AS min_str, $xs AS max_str FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  sum(round(o_totalprice * 100)::BIGINT)
+        |    FILTER (WHERE o_orderstatus = 'F') / 100.0 AS total_f,
+        |  sum(round(o_totalprice * 100)::BIGINT)
+        |    FILTER (WHERE o_orderstatus = 'O') / 100.0 AS total_o,
+        |  sum(round(o_totalprice * 100)::BIGINT)
+        |    FILTER (WHERE o_orderstatus = 'P') / 100.0 AS total_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_project_rename" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
         |  c_mktsegment AS segment, c_acctbal AS balance

@@ -470,8 +470,17 @@ object JobGraph {
 
       case "aggregation" =>
         val (groupBy, aggs) = parseAggregations(c)
-        (Map("out" -> AggregateOp(one(), groupBy, aggs,
-          c.str("grouping").getOrElse("groups"))), None)
+        val out = c.str("pivot_column") match {
+          case Some(pc) =>
+            require(c.str("grouping").forall(_ == "groups"),
+              s"aggregation ${c.name}: pivot and rollup/cube are exclusive")
+            val values = c.strSeqParam("pivot_values")
+            (Map("out" -> AggregateOp.pivoted(one(), groupBy, pc, values, aggs)), None)
+          case None =>
+            (Map("out" -> AggregateOp(one(), groupBy, aggs,
+              c.str("grouping").getOrElse("groups"))), None)
+        }
+        out
 
       case "type_conversion" =>
         (Map("out" -> TypeConversionOp(one(), parseCastRules(c))), None)

@@ -70,4 +70,24 @@ object AggregateOp {
       case other => throw new IllegalArgumentException(s"unknown grouping: $other")
     }
   }
+
+  /** Pivoted aggregation (beyond-reference): one output column per
+    * `pivotValues` entry (single agg → column named by the value;
+    * several → `<value>_<dest>`). Values are EXPLICIT by design — the
+    * values-discovery overload would add a whole extra distinct scan
+    * and, at 100 TB, an unbounded output width; a declared list keeps
+    * the plan one pass and the schema static. Cells with no input rows
+    * are null (SQL `FILTER`-aggregate semantics for sum/min/max; count
+    * differs — SQL FILTER counts 0, pivot yields null). */
+  def pivoted(df: DataFrame, groupBy: Seq[String], pivotColumn: String,
+              pivotValues: Seq[Any], aggs: Seq[AggSpec]): DataFrame = {
+    require(aggs.nonEmpty, "pivot needs at least one agg spec")
+    require(pivotValues.nonEmpty,
+      "pivot needs explicit pivot_values (discovery would rescan the input " +
+        "and unbound the schema)")
+    val cols = aggs.map(aggColumn)
+    df.groupBy(groupBy.map(col): _*)
+      .pivot(pivotColumn, pivotValues)
+      .agg(cols.head, cols.tail: _*)
+  }
 }

@@ -182,6 +182,26 @@ class SchemaMappingAggSpec extends SparkTestBase {
     }
   }
 
+  test("pivoted aggregation: one column per declared value, null empty cells") {
+    import AggregateOp.AggSpec
+    val df = Seq(("p1", "F", 10L), ("p1", "O", 20L), ("p2", "F", 40L))
+      .toDF("prio", "status", "v")
+    val out = AggregateOp.pivoted(df, Seq("prio"), "status", Seq("F", "O"),
+      Seq(AggSpec("v", "sum", "s"))).orderBy("prio").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("p1", "p2"))
+    assert((out(0).getLong(1), out(0).getLong(2)) === ((10L, 20L)))
+    assert(out(1).getLong(1) === 40L)
+    assert(out(1).isNullAt(2)) // p2 has no O rows: null, not 0
+    // undeclared values are excluded, not discovered
+    val narrow = AggregateOp.pivoted(df, Seq("prio"), "status", Seq("F"),
+      Seq(AggSpec("v", "sum", "s")))
+    assert(narrow.columns.toSeq === Seq("prio", "F"))
+    intercept[IllegalArgumentException] {
+      AggregateOp.pivoted(df, Seq("prio"), "status", Nil,
+        Seq(AggSpec("v", "sum", "s")))
+    }
+  }
+
   test("FieldDef ⇄ StructType codec round-trips") {
     import graft.schema._
     import graft.schema.GraftType._
