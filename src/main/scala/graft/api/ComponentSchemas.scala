@@ -37,7 +37,8 @@ object ComponentSchemas {
       p("format", "string", "'ndjson' (default) or 'array' (pretty-printed JSON array)"),
       p("append", "boolean", "append rows to an existing file instead of overwriting"))),
     "read_parquet" -> ("Read a parquet file or directory" -> Seq(filepath)),
-    "write_parquet" -> ("Write parquet" -> Seq(filepath)),
+    "write_parquet" -> ("Write parquet" -> Seq(filepath,
+      p("partition_by", "array", "Hive-style partition columns (directory layout)"))),
     "read_xml" -> ("Read XML rows (@attr/#text conventions)" -> Seq(
       filepath, p("record_tag", "string", "element name of one record, default 'record'"))),
     "write_xml" -> ("Write XML rows" -> Seq(
@@ -67,7 +68,10 @@ object ComponentSchemas {
       req("rule", "object", "nested {column, operator, value} / {logical_operator, rules} tree"))),
     "aggregation" -> ("Group-by aggregation (count/sum/min/max/mean/median/std/nunique)" -> Seq(
       p("group_by", "array", "grouping columns; empty = one global row"),
-      req("aggregations", "array", "[{column, op, alias}, ...]"))),
+      req("aggregations", "array", "[{column, op, alias}, ...]"),
+      p("grouping", "string", "groups (default) | rollup | cube"),
+      p("pivot_column", "string", "pivot this column's values into output columns"),
+      p("pivot_values", "array", "explicit pivot values (required with pivot_column)"))),
     "type_conversion" -> ("Cast columns with raise/null/skip policies" -> Seq(
       req("rules", "array", "[{column_path, target, on_error}, ...]; nested paths with '*' supported"))),
     "schema_mapping" -> ("Project/rename columns (map mode) or join inputs (join mode)" -> Seq(
@@ -91,9 +95,24 @@ object ComponentSchemas {
       p("vector_column", "string", "embedding column, default 'embedding'"),
       p("sim_threshold", "number", "embedding cosine threshold, default 0.95"),
       p("dim", "integer", "embedding dimension, default 64"),
-      p("rows_per_band", "integer", "embedding sign bits per band, default 8"))),
+      p("rows_per_band", "integer", "embedding sign bits per band; omitted = sized from the corpus count (measured lshDepthFor rule)"))),
     "text_analysis" -> ("Token counts, quality ratios, language id" -> Seq(
-      p("text_column", "string", "document text column, default 'text'")))
+      p("text_column", "string", "document text column, default 'text'"))),
+    "similarity" -> ("Nearest-neighbor search: exact k-NN join or IVF cell probe" -> Seq(
+      p("method", "string", "knn (default; ports corpus/queries) | ivf (ports corpus/centroids/query)"),
+      p("vector_column", "string", "embedding column, default 'embedding'"),
+      p("k", "integer", "neighbors per query, default 10"),
+      p("corpus_id", "string", "knn: corpus id column, default 'id'"),
+      p("query_id", "string", "knn: query id column, default 'id'"),
+      p("id_column", "string", "ivf: corpus id column, default 'id'"),
+      p("nprobe", "integer", "ivf: probed cells, default 2"))),
+    "asof_join" -> ("Backward as-of join: latest right row at or before each left time (ports left/right)" -> Seq(
+      req("on", "string", "event-time column present on both sides"),
+      req("by", "array", "equality keys"),
+      p("suffix", "string", "suffix for clashing right columns, default '_r'"))),
+    "profile" -> ("Column-level data profile: count/nulls/distinct/min/max in one scan" -> Seq(
+      p("columns", "array", "columns to profile, default all"),
+      p("approx", "boolean", "HyperLogLog distincts instead of exact (the at-scale path)")))
   ) ++ Seq("mariadb", "postgresql", "sqlserver", "jdbc").flatMap { db =>
     Seq(
       s"read_$db" -> (s"Read from $db via JDBC (table or query)" -> Seq(
