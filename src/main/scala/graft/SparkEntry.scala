@@ -170,6 +170,23 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Unpivot/melt (beyond-reference): lineitem's quantity/price/discount
+    * measures become (measure, value_cents) rows — aggregated per measure
+    * so the gate row count stays bounded while every melted cell still
+    * feeds the checksum. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RelationalOps.unpivot(
+      table(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * 100).cast("long").as("quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("extendedprice"),
+        round(col("l_discount") * 100).cast("long").as("discount")),
+      ids = Seq("l_orderkey", "l_linenumber"),
+      valueCols = Seq("quantity", "extendedprice", "discount"),
+      varName = "measure", valueName = "cents")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("measure"))
+
   /** Column profile over orders (scale/Profile.scala): exact
     * count/nulls/distinct/min/max per column in one scan — the
     * data-validation pass before training-data ingest. */
@@ -1959,6 +1976,7 @@ object SparkEntry {
     "q_agg_rollup" -> (qAggRollup _),
     "q_profile" -> (qProfile _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_project_rename" -> (qProjectRename _),
     "q_project_nested" -> (qProjectNested _),
     "q_join_plan" -> (qJoinPlan _),
@@ -2087,6 +2105,16 @@ object SparkEntry {
         |  sum(round(o_totalprice * 100)::BIGINT)
         |    FILTER (WHERE o_orderstatus = 'P') / 100.0 AS total_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'quantity' AS measure, round(l_quantity * 100)::BIGINT AS cents
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', round(l_extendedprice * 100)::BIGINT FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', round(l_discount * 100)::BIGINT FROM lineitem)
+        |SELECT measure, count(*)::BIGINT AS n_cells, sum(cents) AS sum_cents
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     "q_project_rename" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
         |  c_mktsegment AS segment, c_acctbal AS balance

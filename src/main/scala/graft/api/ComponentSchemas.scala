@@ -110,6 +110,11 @@ object ComponentSchemas {
       req("on", "string", "event-time column present on both sides"),
       req("by", "array", "equality keys"),
       p("suffix", "string", "suffix for clashing right columns, default '_r'"))),
+    "unpivot" -> ("Unpivot/melt: value columns become (variable, value) rows" -> Seq(
+      req("value_columns", "array", "columns melted into rows (must share a common type)"),
+      p("id_columns", "array", "columns kept as row identity"),
+      p("var_column", "string", "name of the variable column, default 'variable'"),
+      p("value_column", "string", "name of the value column, default 'value'"))),
     "profile" -> ("Column-level data profile: count/nulls/distinct/min/max in one scan" -> Seq(
       p("columns", "array", "columns to profile, default all"),
       p("approx", "boolean", "HyperLogLog distincts instead of exact (the at-scale path)")))

@@ -559,6 +559,15 @@ object JobGraph {
         (Map("out" -> graft.scale.TextAnalysis.analyze(one(),
           c.str("text_column").getOrElse("text"))), None)
 
+      // Unpivot/melt (RelationalOps.unpivot): value columns become
+      // (variable, value) rows next to the id columns.
+      case "unpivot" =>
+        val values = c.strSeqParam("value_columns")
+        require(values.nonEmpty, s"unpivot ${c.name}: needs value_columns")
+        (Map("out" -> RelationalOps.unpivot(one(), c.strSeqParam("id_columns"),
+          values, c.str("var_column").getOrElse("variable"),
+          c.str("value_column").getOrElse("value"))), None)
+
       // Column-level data profile (scale/Profile.scala): `columns`
       // restricts the profiled set (default all), `approx` swaps exact
       // distinct counts for HyperLogLog at scale.

@@ -66,4 +66,16 @@ object RelationalOps {
     if (projection.nonEmpty) d = d.select(projection.map(col): _*)
     d
   }
+
+  /** Unpivot/melt (beyond-reference; the reshape inverse of
+    * AggregateOp.pivoted): `valueCols` become (variable, value) row pairs
+    * next to the `ids`. Dataset.unpivot is an Expand — each input row
+    * emits |valueCols| rows in the same task, no shuffle. Value columns
+    * must share a least common type (Spark coerces; incompatible mixes
+    * are a loud AnalysisException). */
+  def unpivot(df: DataFrame, ids: Seq[String], valueCols: Seq[String],
+              varName: String = "variable", valueName: String = "value"): DataFrame = {
+    require(valueCols.nonEmpty, "unpivot needs at least one value column")
+    df.unpivot(ids.map(col).toArray, valueCols.map(col).toArray, varName, valueName)
+  }
 }
