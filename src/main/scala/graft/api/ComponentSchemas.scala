@@ -117,7 +117,21 @@ object ComponentSchemas {
       p("value_column", "string", "name of the value column, default 'value'"))),
     "profile" -> ("Column-level data profile: count/nulls/distinct/min/max in one scan" -> Seq(
       p("columns", "array", "columns to profile, default all"),
-      p("approx", "boolean", "HyperLogLog distincts instead of exact (the at-scale path)")))
+      p("approx", "boolean", "HyperLogLog distincts instead of exact (the at-scale path)"))),
+    // streaming-only comp_types (StreamingJobs dispatch, not JobGraph):
+    "streaming_aggregation" -> ("Watermark-bounded windowed aggregation (streaming jobs only)" -> Seq(
+      req("time_column", "string", "event-time column (string times are parsed)"),
+      req("watermark", "string", "late-data horizon, e.g. '10 minutes'"),
+      p("window", "string", "tumbling window width (required unless session_gap)"),
+      p("slide", "string", "slide interval for overlapping windows"),
+      p("session_gap", "string", "session window gap (exclusive with window/slide)"),
+      p("group_by", "array", "grouping columns next to the window"),
+      req("aggregations", "array", "[{column, op, alias}, ...]"))),
+    "streaming_dedup" -> ("Watermark-bounded exact dedup (streaming jobs only)" -> Seq(
+      req("time_column", "string", "event-time column (string times are parsed)"),
+      p("watermark", "string", "dedup state horizon, default '1 hour'"),
+      p("text_column", "string", "document text column, default 'text'"),
+      p("method", "string", "only 'exact' is streamable (near-dup families are batch-only)")))
   ) ++ Seq("mariadb", "postgresql", "sqlserver", "jdbc").flatMap { db =>
     Seq(
       s"read_$db" -> (s"Read from $db via JDBC (table or query)" -> Seq(

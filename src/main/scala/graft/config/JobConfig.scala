@@ -59,6 +59,15 @@ object JobConfig {
       case JArray(items) => items.collect { case JString(s) => s }
       case _             => Nil
     }
+    /** Typed scalar list: keeps ints/doubles/bools as their own types —
+      * `pivot_values: [2023, 2024]` through strSeqParam would silently
+      * collect NOTHING (it keeps only JStrings) and a mixed list would
+      * silently drop the non-string entries. Non-scalar entries are
+      * rejected loudly. */
+    def scalarSeqParam(key: String): Seq[Any] = (params \ key) match {
+      case JArray(items) => items.map(jsonScalar)
+      case _             => Nil
+    }
     def strMapParam(key: String): Map[String, String] = (params \ key) match {
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
       case _               => Map.empty

@@ -279,26 +279,27 @@ object JobGraph {
           graft.io.JdbcIO.credentialOptions(dialect, creds))
     }
 
-  /** Serializes the sql component's view-register → analyze → drop
-    * critical section (temp views are session-global). */
   /** LSH depth for the declarative `dedup method=embedding` component.
-    * Explicit `bands`/`rows_per_band` config always wins; any omitted
-    * parameter is sized from the corpus count via the MEASURED
-    * `Similarity.lshDepthFor` rule (the 100x ScaleProbe showed fixed
-    * small-corpus depth degenerating at 200k vectors: ~6e8 background
-    * candidates, ~60 GB spill). `corpusCount` is by-name so fully
-    * explicit configs pay no count() action. */
+    * Explicit `bands`/`rows_per_band` config always wins; each OMITTED
+    * parameter is solved CONDITIONAL on the pinned one via the MEASURED
+    * rule halves (the 100x ScaleProbe showed fixed small-corpus depth
+    * degenerating at 200k vectors: ~6e8 background candidates, ~60 GB
+    * spill): r from the corpus count (candidate volume), bands from the
+    * EFFECTIVE r (recall budget) — deriving bands against a fresh r when
+    * the user pinned a different r would satisfy neither half.
+    * `corpusCount` is by-name and only forced when r itself is derived,
+    * so pinning rows_per_band alone also skips the count() action. */
   private[graft] def embeddingDepth(explicitBands: Option[Int],
       explicitR: Option[Int], simThreshold: Double,
-      corpusCount: => Long): (Int, Int) =
-    (explicitBands, explicitR) match {
-      case (Some(b), Some(r)) => (b, r)
-      case _ =>
-        val (db, dr) = graft.scale.Similarity.lshDepthFor(
-          math.max(1L, corpusCount), simThreshold)
-        (explicitBands.getOrElse(db), explicitR.getOrElse(dr))
-    }
+      corpusCount: => Long): (Int, Int) = {
+    import graft.scale.Similarity
+    val r = explicitR.getOrElse(Similarity.lshRowsFor(math.max(1L, corpusCount)))
+    val bands = explicitBands.getOrElse(Similarity.lshBandsFor(r, simThreshold))
+    (bands, r)
+  }
 
+  /** Serializes the sql component's view-register → analyze → drop
+    * critical section (temp views are session-global). */
   private val sqlViewLock = new Object
 
   /** Dispatch one component. Returns (out frames, optional sink action). */
@@ -474,7 +475,7 @@ object JobGraph {
           case Some(pc) =>
             require(c.str("grouping").forall(_ == "groups"),
               s"aggregation ${c.name}: pivot and rollup/cube are exclusive")
-            val values = c.strSeqParam("pivot_values")
+            val values = c.scalarSeqParam("pivot_values") // typed: [2023] stays numeric
             (Map("out" -> AggregateOp.pivoted(one(), groupBy, pc, values, aggs)), None)
           case None =>
             (Map("out" -> AggregateOp(one(), groupBy, aggs,
@@ -542,9 +543,16 @@ object JobGraph {
             threshold = c.str("threshold").map(_.toDouble).getOrElse(0.5),
             maxDf = c.int("max_df", 10000))
           case "embedding" =>
-            val df = one()
+            val df0 = one()
             val simThreshold =
               c.str("sim_threshold").map(_.toDouble).getOrElse(0.95)
+            // persist BEFORE the sizing count when r must be derived —
+            // otherwise the count() action and the dedup itself would
+            // each materialize the full upstream DAG (released by
+            // BuiltJob.close → OpCaches.drain, like the operators'
+            // internal tables)
+            val df = if (c.intOpt("rows_per_band").isDefined) df0
+                     else graft.scale.OpCaches.persist(df0)
             val (bands, r) = embeddingDepth(c.intOpt("bands"),
               c.intOpt("rows_per_band"), simThreshold, df.count())
             graft.scale.Similarity.embeddingDedup(df,

@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
  * implementation never buffers the group). All right columns share one
  * Window node in the plan (same spec, collapsed by Catalyst).
  *
- * Preconditions:
+ * Preconditions / null semantics:
  *  - `right` must be unique per (by, on): with duplicates the carried
  *    value is partition-order-dependent. Dedup upstream.
  *  - null `on` values sort FIRST (asc nulls-first), so a null-time left
  *    row matches only null-time right rows — the conservative reading.
+ *  - null `by` keys match NOTHING (SQL equality, same as the ASOF JOIN
+ *    oracle): null-keyed right rows are dropped, null-keyed left rows
+ *    come back with null right columns.
+ *  - right rows carry as ONE struct, so a match's genuinely-null value
+ *    stays null instead of resurrecting an older row's value.
  *
  * MEASURED scaling (tools/AsofProbe, synthetic events over n/100 users,
  * local[32], one aggregate forcing the carried column): 10M rows 1.66 s,
@@ -47,24 +52,42 @@ object AsofJoin {
     val clash = outName.toSet.intersect(leftRest.toSet ++ by)
     require(clash.isEmpty,
       s"asof join: suffixed right columns still collide with left: ${clash.mkString(", ")}")
+    require(rightVal.nonEmpty,
+      "asof join: right side carries no value columns beyond the keys — " +
+        "nothing to join (select the right columns to carry first)")
 
+    // Right values travel as ONE struct (null on the left side, never
+    // null on the right side even when every field is null): last() then
+    // carries whole right ROWS atomically. A per-column
+    // last(ignoreNulls) would treat a genuinely-null right value like
+    // the left-side placeholder and stitch fields from DIFFERENT right
+    // rows into one match — resurrecting values the true match nulled.
+    val rvStruct = struct(rightVal.zip(outName)
+      .map { case (c, o) => col(c).as(o) }: _*)
     val lhs = left.select(
       by.map(col) ++ Seq(col(on).as("__t"), lit(1).as("__is_left")) ++
-        leftRest.map(col) ++
-        rightVal.zip(outName).map { case (c, o) =>
-          lit(null).cast(right.schema(c).dataType).as(o) }: _*)
-    val rhs = right.select(
-      by.map(col) ++ Seq(col(on).as("__t"), lit(0).as("__is_left")) ++
-        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVal.zip(outName).map { case (c, o) => col(c).as(o) }: _*)
+        leftRest.map(col) :+
+        lit(null).cast(right.select(rvStruct).schema.head.dataType).as("__rv"): _*)
+    // SQL equality semantics for the by-keys: a null key matches nothing
+    // (Window.partitionBy would group null keys together), so null-keyed
+    // right rows are dropped — null-keyed left rows then see an empty
+    // right side and carry nulls, exactly like the ASOF JOIN oracle.
+    val rhs = right
+      .filter(by.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        by.map(col) ++ Seq(col(on).as("__t"), lit(0).as("__is_left")) ++
+          leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          rvStruct.as("__rv"): _*)
 
     // right rows sort before left rows at the same instant → inclusive
     // (right.on <= left.on) match semantics
     val w = Window.partitionBy(by.map(col): _*)
       .orderBy(col("__t").asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = outName.foldLeft(lhs.unionByName(rhs))((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("__is_left") === 1).drop("__t", "__is_left")
+    lhs.unionByName(rhs)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(by.map(col) ++ leftRest.map(col) ++
+        outName.map(o => col(s"__rv.`$o`").as(o)): _*)
   }
 }

@@ -205,13 +205,29 @@ object Similarity {
     * corpus is the measured anti-pattern. */
   def lshDepthFor(n: Long, simThreshold: Double,
                   missBudget: Double = 0.01): (Int, Int) = {
-    require(n > 0 && simThreshold > 0 && simThreshold < 1 &&
-      missBudget > 0 && missBudget < 1, s"bad lshDepthFor($n, $simThreshold, $missBudget)")
-    val r = math.max(10, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+    val r = lshRowsFor(n)
+    (lshBandsFor(r, simThreshold, missBudget), r)
+  }
+
+  /** The candidate-volume half of the rule alone: r ~ log2(n) keeps
+    * background collisions ~linear in n regardless of bands. */
+  def lshRowsFor(n: Long): Int = {
+    require(n > 0, s"bad lshRowsFor($n)")
+    math.max(10, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+  }
+
+  /** The recall half of the rule alone, CONDITIONAL on a given r: bands
+    * solving (1-p^r)^bands ≤ missBudget. Deriving bands from a freshly
+    * computed r when the caller pinned a different r would satisfy
+    * neither half — each omitted parameter must be solved given the
+    * pinned one. */
+  def lshBandsFor(r: Int, simThreshold: Double,
+                  missBudget: Double = 0.01): Int = {
+    require(r > 0 && simThreshold > 0 && simThreshold < 1 &&
+      missBudget > 0 && missBudget < 1, s"bad lshBandsFor($r, $simThreshold, $missBudget)")
     val p = 1.0 - math.acos(simThreshold) / math.Pi
     val pBand = math.pow(p, r)
-    val bands = math.max(16, math.ceil(math.log(missBudget) / math.log1p(-pBand)).toInt)
-    (bands, r)
+    math.max(16, math.ceil(math.log(missBudget) / math.log1p(-pBand)).toInt)
   }
 
   /**

@@ -25,8 +25,11 @@ class ComponentSchemasSpec extends AnyFunSuite {
   private val guardArms =
     "\"((?:read|write)_(?:jdbc|mariadb|postgresql|sqlserver))\"".r
       .findAllMatchIn(source).map(_.group(1)).toSet
+  // streaming-only comp_types dispatch through StreamingJobs, not JobGraph
+  private val streamingArms =
+    StreamingJobsTypes.streamingOnly
 
-  private val dispatched = literalArms ++ guardArms
+  private val dispatched = literalArms ++ guardArms ++ streamingArms
   private val documented = ComponentSchemas.compTypes.toSet
 
   test("every dispatched comp_type is documented in the discovery registry") {
@@ -43,6 +46,12 @@ class ComponentSchemasSpec extends AnyFunSuite {
         vaporware.toSeq.sorted.mkString(", "))
   }
 
+  test("streaming-only comp_types come from the live StreamingJobs set") {
+    // the streaming side needs no source scan: supportedTypes is a value
+    assert(StreamingJobsTypes.streamingOnly ===
+      Set("streaming_aggregation", "streaming_dedup"))
+  }
+
   test("the source scan actually found the dispatch (anchor sanity)") {
     // if JobGraph is reformatted and the indent anchor breaks, this fails
     // loudly instead of the two set checks passing vacuously
@@ -50,4 +59,11 @@ class ComponentSchemasSpec extends AnyFunSuite {
     assert(Seq("filter", "aggregation", "dedup", "similarity", "asof_join",
       "profile").forall(literalArms.contains))
   }
+}
+
+/** Streaming-only comp_types = StreamingJobs.supportedTypes minus the
+  * batch vocabulary it shares with JobGraph. */
+private object StreamingJobsTypes {
+  val streamingOnly: Set[String] =
+    graft.streaming.StreamingJobs.supportedTypes.filter(_.startsWith("streaming_"))
 }

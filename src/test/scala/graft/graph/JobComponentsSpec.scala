@@ -365,6 +365,45 @@ class JobComponentsSpec extends SparkTestBase {
     assert(got.head.getDouble(1) === 1.0)
   }
 
+  test("aggregation pivot from config keeps numeric pivot_values typed") {
+    import spark.implicits._
+    val in = tmp("piv_in")
+    Seq(("a", 2023L, 1L), ("a", 2024L, 2L), ("b", 2023L, 4L))
+      .toDF("k", "year", "v").write.mode("overwrite").parquet(in)
+    val out = tmp("piv_out")
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "year", "data_type": "integer" },
+        |  { "name": "v", "data_type": "integer" } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "2023", "data_type": "integer", "nullable": true },
+        |  { "name": "2024", "data_type": "integer", "nullable": true } ] }""".stripMargin
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "agg", "comp_type": "aggregation",
+         |    "group_by": ["k"], "pivot_column": "year",
+         |    "pivot_values": [2023, 2024],
+         |    "aggregations": [ { "src": "v", "op": "sum", "dest": "s" } ],
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks(); built.close()
+    val got = spark.read.parquet(out).orderBy(col("k")).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert((got(0).getLong(1), got(0).getLong(2)) === ((1L, 2L)))
+    assert(got(1).getLong(1) === 4L)
+    assert(got(1).isNullAt(2))
+  }
+
   test("profile component from config: one row per named column") {
     import spark.implicits._
     val in = tmp("prof_in")
@@ -419,10 +458,18 @@ class JobComponentsSpec extends SparkTestBase {
     val pinned = JobGraph.embeddingDepth(Some(16), Some(8), 0.95,
       sys.error("count() must not run for a fully pinned config"))
     assert(pinned === ((16, 8)))
-    // Half-pinned: the explicit half is honored, the other half derived.
+    // Half-pinned bands: the explicit half is honored, r derived from n.
     val half = JobGraph.embeddingDepth(Some(20), None, 0.95, 200000L)
     assert(half._1 === 20)
     assert(half._2 >= 17)
+    // Half-pinned r: bands must be solved FOR THE PINNED r (not for a
+    // fresh r ~ log2(n), which would satisfy neither rule half) — and r
+    // alone needs no corpus count.
+    val rPinned = JobGraph.embeddingDepth(None, Some(18), 0.95,
+      sys.error("count() must not run when r is pinned"))
+    assert(rPinned._2 === 18)
+    assert(rPinned._1 ===
+      graft.scale.Similarity.lshBandsFor(18, 0.95))
   }
 
   test("jdbc source resolves env-scoped credentials from a context (no url in config)") {

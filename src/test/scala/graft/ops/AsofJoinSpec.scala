@@ -33,6 +33,40 @@ class AsofJoinSpec extends SparkTestBase {
     assert(row.getAs[Double]("value_p") === 9.9)
   }
 
+  test("a match's genuinely-null value stays null (rows carry atomically)") {
+    // right t=8 is the true match and has p=null: a per-column
+    // last(ignoreNulls) would resurrect t=5's p=1.0 while taking t=8's
+    // tag — fields from two different right rows stitched together
+    val left = Seq((1L, "u1", 10L)).toDF("id", "user", "t")
+    val right = Seq(
+      ("u1", 5L, Some(1.0), "a"),
+      ("u1", 8L, None, "b"))
+      .toDF("user", "t", "p", "tag")
+    val row = AsofJoin(left, right, on = "t", by = Seq("user")).head()
+    assert(row.getAs[String]("tag") === "b")
+    assert(row.isNullAt(row.fieldIndex("p")), "t=5's p must not be resurrected")
+  }
+
+  test("null by-keys match nothing (SQL equality, like the ASOF JOIN oracle)") {
+    val left = Seq((1L, null.asInstanceOf[String], 10L), (2L, "u1", 10L))
+      .toDF("id", "user", "t")
+    val right = Seq((null.asInstanceOf[String], 5L, "x"), ("u1", 5L, "y"))
+      .toDF("user", "t", "tag")
+    val out = AsofJoin(left, right, on = "t", by = Seq("user"))
+      .orderBy(col("id")).collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("tag")),
+      "null-keyed left row must not match the null-keyed right row")
+    assert(out(1).getAs[String]("tag") === "y")
+  }
+
+  test("a right side with nothing to carry is rejected loudly") {
+    val left = Seq((1L, "u1", 10L)).toDF("id", "user", "t")
+    val right = Seq(("u1", 5L)).toDF("user", "t")
+    intercept[IllegalArgumentException] {
+      AsofJoin(left, right, on = "t", by = Seq("user"))
+    }
+  }
+
   test("asof join matches a naive per-row model on 300 random rows") {
     // model: for each left row, linear-scan the right side — O(n^2) but
     // unambiguous. Random keys/times WITH collisions across groups; right
