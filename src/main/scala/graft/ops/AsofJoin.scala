@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
  *    stays null instead of resurrecting an older row's value.
  *
  * MEASURED scaling (tools/AsofProbe, synthetic events over n/100 users,
- * local[32], one aggregate forcing the carried column): 10M rows 1.66 s,
- * 30M 2.68 s, 100M 7.71 s — 10x input costs 4.6x time (the 1M point,
- * 3.0 s, is JIT-cold). The only shuffle is the window's hash partition
- * on the by-keys; a bare count() over the result is NOT a valid probe
- * (column pruning deletes the window — AsofProbe aggregates p_value).
+ * local[32], one aggregate forcing the carried column; struct-carry
+ * implementation): 10M rows 1.48 s, 30M 2.35 s, 100M 9.05 s — 10x input
+ * costs ~6x time (the 1M point, 2.8 s, is JIT-cold; checksums identical
+ * to the pre-struct implementation). The only shuffle is the window's
+ * hash partition on the by-keys; a bare count() over the result is NOT
+ * a valid probe (column pruning deletes the window — AsofProbe
+ * aggregates p_value).
  */
 object AsofJoin {
 
