@@ -404,6 +404,43 @@ class JobComponentsSpec extends SparkTestBase {
     assert(got(1).isNullAt(2))
   }
 
+  test("unpivot component from config: value columns melt into rows") {
+    import spark.implicits._
+    val in = tmp("unpiv_in")
+    Seq((1L, 10L, 100L), (2L, 20L, 200L))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(in)
+    val out = tmp("unpiv_out")
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "a", "data_type": "integer" },
+        |  { "name": "b", "data_type": "integer" } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "measure", "data_type": "string" },
+        |  { "name": "val", "data_type": "integer" } ] }""".stripMargin
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "u", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "u", "comp_type": "unpivot",
+         |    "id_columns": ["id"], "value_columns": ["a", "b"],
+         |    "var_column": "measure", "value_column": "val",
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks(); built.close()
+    val got = spark.read.parquet(out).orderBy(col("id"), col("measure"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "a", 10L), (1L, "b", 100L),
+      (2L, "a", 20L), (2L, "b", 200L)))
+  }
+
   test("profile component from config: one row per named column") {
     import spark.implicits._
     val in = tmp("prof_in")
