@@ -87,7 +87,7 @@ object ComponentSchemas {
       p("id_column", "string", "unique id column, default 'id'"),
       p("shingle_n", "integer", "minhash verification shingle width, default 5"),
       p("num_hashes", "integer", "minhash signature width, default 32"),
-      p("bands", "integer", "LSH bands (minhash/embedding), default 16"),
+      p("bands", "integer", "LSH bands: minhash default 16; embedding omitted = solved for the effective rows_per_band (recall-budget rule)"),
       p("threshold", "number", "jaccard threshold: minhash 0.6, ngram 0.5"),
       p("max_hamming", "integer", "simhash distance cap, default 3"),
       p("ngram_n", "integer", "ngram width, default 3"),

@@ -59,14 +59,24 @@ object JobConfig {
       case JArray(items) => items.collect { case JString(s) => s }
       case _             => Nil
     }
-    /** Typed scalar list: keeps ints/doubles/bools as their own types —
-      * `pivot_values: [2023, 2024]` through strSeqParam would silently
-      * collect NOTHING (it keeps only JStrings) and a mixed list would
-      * silently drop the non-string entries. Non-scalar entries are
-      * rejected loudly. */
+    /** Typed FLAT scalar list: keeps ints/doubles/bools as their own
+      * types — `pivot_values: [2023, 2024]` through strSeqParam would
+      * silently collect NOTHING (it keeps only JStrings) and a mixed
+      * list would silently drop the non-string entries. Nested arrays/
+      * objects/nulls are rejected HERE with the component context, not
+      * ten layers down inside Spark literal conversion. */
     def scalarSeqParam(key: String): Seq[Any] = (params \ key) match {
-      case JArray(items) => items.map(jsonScalar)
-      case _             => Nil
+      case JArray(items) => items.map {
+        case JString(s)  => s
+        case JInt(i)     => i.toLong
+        case JLong(l)    => l
+        case JDouble(d)  => d
+        case JDecimal(d) => d.toDouble
+        case JBool(b)    => b
+        case other => throw new IllegalArgumentException(
+          s"component $name: '$key' entries must be flat scalars, got $other")
+      }
+      case _ => Nil
     }
     def strMapParam(key: String): Map[String, String] = (params \ key) match {
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap

@@ -471,7 +471,7 @@ object JobGraph {
 
       case "aggregation" =>
         val (groupBy, aggs) = parseAggregations(c)
-        val out = c.str("pivot_column") match {
+        c.str("pivot_column") match {
           case Some(pc) =>
             require(c.str("grouping").forall(_ == "groups"),
               s"aggregation ${c.name}: pivot and rollup/cube are exclusive")
@@ -481,7 +481,6 @@ object JobGraph {
             (Map("out" -> AggregateOp(one(), groupBy, aggs,
               c.str("grouping").getOrElse("groups"))), None)
         }
-        out
 
       case "type_conversion" =>
         (Map("out" -> TypeConversionOp(one(), parseCastRules(c))), None)

@@ -25,16 +25,6 @@ import org.apache.spark.sql.types._
  */
 object Profile {
 
-  val outputSchema: StructType = StructType(Seq(
-    StructField("col_name", StringType, nullable = false),
-    StructField("n_rows", LongType, nullable = false),
-    StructField("n_nulls", LongType, nullable = false),
-    StructField("n_distinct", LongType, nullable = false),
-    StructField("min_num", DoubleType, nullable = true),
-    StructField("max_num", DoubleType, nullable = true),
-    StructField("min_str", StringType, nullable = true),
-    StructField("max_str", StringType, nullable = true)))
-
   private def isNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType => true
     case _              => false
@@ -42,9 +32,16 @@ object Profile {
 
   def profile(df: DataFrame, columns: Seq[String] = Nil,
               approx: Boolean = false): DataFrame = {
-    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
-    val missing = cols.filterNot(df.columns.contains)
-    require(missing.isEmpty, s"profile: unknown columns ${missing.mkString(", ")}")
+    // resolve requested names case-insensitively (like the rest of
+    // Spark's column resolution) and reject duplicates/unknowns HERE —
+    // both would otherwise surface as AnalysisExceptions naming the
+    // internal __nn_/__nd_ aliases the user never wrote
+    val cols =
+      if (columns.isEmpty) df.columns.toSeq
+      else columns.map(c => df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"profile: unknown column $c")))
+    val dups = cols.diff(cols.distinct).distinct
+    require(dups.isEmpty, s"profile: duplicate columns ${dups.mkString(", ")}")
 
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
       val base = Seq(

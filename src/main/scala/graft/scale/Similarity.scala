@@ -223,7 +223,11 @@ object Similarity {
     * pinned one. */
   def lshBandsFor(r: Int, simThreshold: Double,
                   missBudget: Double = 0.01): Int = {
-    require(r > 0 && simThreshold > 0 && simThreshold < 1 &&
+    // r ≤ 63: a band's r sign bits pack into one long signature
+    // (bandKeysFromSums shifts 1L << j for j < r). The bound also keeps
+    // the derived band count finite — an unguarded user-pinned r (e.g.
+    // 200) drives pBand toward 0 and this formula toward Int overflow.
+    require(r > 0 && r <= 63 && simThreshold > 0 && simThreshold < 1 &&
       missBudget > 0 && missBudget < 1, s"bad lshBandsFor($r, $simThreshold, $missBudget)")
     val p = 1.0 - math.acos(simThreshold) / math.Pi
     val pBand = math.pow(p, r)
