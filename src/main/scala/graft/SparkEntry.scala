@@ -153,6 +153,22 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  /** Cube grouping through the same grouping-set face as rollup: all
+    * four grouping-set combinations of (status, priority); subtotal rows
+    * carry null keys, same as SQL CUBE. */
+  private def qAggCube(s: SparkSession, dir: String): DataFrame = {
+    import AggregateOp.AggSpec
+    AggregateOp(
+      table(s, dir, "orders").withColumn("cents",
+        round(col("o_totalprice") * 100).cast("long")),
+      Seq("o_orderstatus", "o_orderpriority"),
+      Seq(AggSpec("*", "count", "n_rows"), AggSpec("cents", "sum", "cents")),
+      grouping = "cube")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("n_rows"), (col("cents") / 100.0).as("total_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   /** Pivoted aggregation (beyond-reference): order status becomes
     * columns, one money sum per (priority, status) cell via the cents
     * technique. Explicit pivot values — no discovery scan. */
@@ -1974,6 +1990,7 @@ object SparkEntry {
     "q_agg_nullkeys" -> (qAggNullKeys _),
     "q_agg_money" -> (qAggMoney _),
     "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
     "q_profile" -> (qProfile _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
@@ -2084,6 +2101,11 @@ object SparkEntry {
         |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_rows,
+        |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "q_profile" -> Seq(
       ("o_custkey", true), ("o_orderkey", true), ("o_orderpriority", false),
       ("o_orderstatus", false), ("o_totalprice", true)).map { case (c, num) =>
@@ -2113,7 +2135,7 @@ object SparkEntry {
         |  SELECT 'extendedprice', round(l_extendedprice * 100)::BIGINT FROM lineitem
         |  UNION ALL
         |  SELECT 'discount', round(l_discount * 100)::BIGINT FROM lineitem)
-        |SELECT measure, count(*)::BIGINT AS n_cells, sum(cents) AS sum_cents
+        |SELECT measure, count(*)::BIGINT AS n_cells, sum(cents)::BIGINT AS sum_cents
         |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     "q_project_rename" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,

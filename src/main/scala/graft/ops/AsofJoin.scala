@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
  * Preconditions / null semantics:
  *  - `right` must be unique per (by, on): with duplicates the carried
  *    value is partition-order-dependent. Dedup upstream.
- *  - null `on` values sort FIRST (asc nulls-first), so a null-time left
- *    row matches only null-time right rows — the conservative reading.
+ *  - null-time right rows match NOTHING (they are filtered out, like
+ *    null by-keys): SQL ASOF's `l.t >= r.t` is never true for a null
+ *    right time. Null-time left rows sort first (asc nulls-first) so
+ *    they precede every real right row and come back with null right
+ *    columns — SQL ASOF matches them nowhere either.
  *  - null `by` keys match NOTHING (SQL equality, same as the ASOF JOIN
  *    oracle): null-keyed right rows are dropped, null-keyed left rows
  *    come back with null right columns.
@@ -54,6 +57,16 @@ object AsofJoin {
     val clash = outName.toSet.intersect(leftRest.toSet ++ by)
     require(clash.isEmpty,
       s"asof join: suffixed right columns still collide with left: ${clash.mkString(", ")}")
+    // Two right columns can land on the SAME suffixed name (right has
+    // both `value` and `value_r` while left has `value`) — catch it here
+    // instead of failing opaquely at the struct-field extraction.
+    require(outName.distinct.size == outName.size,
+      s"asof join: suffixed right columns collide with each other: " +
+        outName.diff(outName.distinct).distinct.mkString(", "))
+    val reserved = Set("__t", "__is_left", "__rv")
+    val reservedHit = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(reservedHit.isEmpty,
+      s"asof join: column names ${reservedHit.mkString(", ")} are reserved internally")
     require(rightVal.nonEmpty,
       "asof join: right side carries no value columns beyond the keys — " +
         "nothing to join (select the right columns to carry first)")
@@ -74,8 +87,12 @@ object AsofJoin {
     // (Window.partitionBy would group null keys together), so null-keyed
     // right rows are dropped — null-keyed left rows then see an empty
     // right side and carry nulls, exactly like the ASOF JOIN oracle.
+    // Null-TIME right rows are dropped for the same reason: SQL ASOF's
+    // range predicate (l.t >= r.t) is never true for a null right time,
+    // but asc-nulls-first ordering would otherwise sort them before
+    // every real row and hand them to every early left row.
     val rhs = right
-      .filter(by.map(col(_).isNotNull).reduce(_ && _))
+      .filter((by.map(col(_).isNotNull) :+ col(on).isNotNull).reduce(_ && _))
       .select(
         by.map(col) ++ Seq(col(on).as("__t"), lit(0).as("__is_left")) ++
           leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+

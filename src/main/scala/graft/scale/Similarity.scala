@@ -231,7 +231,16 @@ object Similarity {
       missBudget > 0 && missBudget < 1, s"bad lshBandsFor($r, $simThreshold, $missBudget)")
     val p = 1.0 - math.acos(simThreshold) / math.Pi
     val pBand = math.pow(p, r)
-    math.max(16, math.ceil(math.log(missBudget) / math.log1p(-pBand)).toInt)
+    val bands = math.ceil(math.log(missBudget) / math.log1p(-pBand))
+    // r ≤ 63 alone does NOT keep this finite: a pinned r near 63 with a
+    // low threshold drives pBand toward 1e-10 and bands toward 1e10,
+    // which toInt would silently clamp to Int.MaxValue. Each band is a
+    // full signature pass + a join fan-out — past ~10k the combination
+    // is a mis-sizing, not a plan.
+    require(bands <= 10000,
+      s"lshBandsFor($r, $simThreshold, $missBudget) derives $bands bands — " +
+        "the pinned r is too deep for this threshold; lower r or raise the threshold")
+    math.max(16, bands.toInt)
   }
 
   /**

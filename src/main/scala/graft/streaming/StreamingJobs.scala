@@ -197,6 +197,12 @@ object StreamingJobs {
           val textCol = c.str("text_column").getOrElse("text")
           val timeCol = c.reqStr("time_column")
           val wm = c.str("watermark").getOrElse("1 hour")
+          // the temp columns are added with withColumn, which silently
+          // OVERWRITES an existing column of the same name — that would
+          // be user data loss at the final drop
+          val reservedHit = df.columns.toSet.intersect(Set("__t", "__key"))
+          require(reservedHit.isEmpty, s"streaming_dedup ${c.name}: column names " +
+            s"${reservedHit.mkString(", ")} are reserved internally")
           val et =
             if (df.schema(timeCol).dataType == TimestampType)
               df.withColumn("__t", col(timeCol))

@@ -59,6 +59,40 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out(1).getAs[String]("tag") === "y")
   }
 
+  test("null event times match nothing (SQL ASOF: l.t >= r.t never true for null)") {
+    // right has a null-time row that asc-nulls-first ordering would hand
+    // to every early left row if it weren't filtered; left has a
+    // null-time row that must come back unmatched.
+    val left = Seq((1L, "u1", Some(3L)), (2L, "u1", None))
+      .toDF("id", "user", "t")
+    val right = Seq(("u1", None, "ghost"), ("u1", Some(5L), "late"))
+      .toDF("user", "t", "tag")
+    val out = AsofJoin(left, right, on = "t", by = Seq("user"))
+      .orderBy(col("id")).collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("tag")),
+      "left t=3 precedes every real right time — must not match the null-time row")
+    assert(out(1).isNullAt(out(1).fieldIndex("tag")),
+      "null-time left row must match nothing")
+  }
+
+  test("right columns colliding after suffixing are rejected loudly") {
+    val left = Seq((1L, "u1", 10L, 1.0)).toDF("id", "user", "t", "value")
+    val right = Seq(("u1", 5L, 2.0, 3.0)).toDF("user", "t", "value", "value_r")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin(left, right, on = "t", by = Seq("user"))
+    }
+    assert(e.getMessage.contains("collide with each other"))
+  }
+
+  test("reserved internal column names are rejected loudly") {
+    val left = Seq((1L, "u1", 10L, 0)).toDF("id", "user", "t", "__rv")
+    val right = Seq(("u1", 5L, "x")).toDF("user", "t", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin(left, right, on = "t", by = Seq("user"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("a right side with nothing to carry is rejected loudly") {
     val left = Seq((1L, "u1", 10L)).toDF("id", "user", "t")
     val right = Seq(("u1", 5L)).toDF("user", "t")
