@@ -24,7 +24,9 @@ object SparkEntry {
     * timestamps (events.ts) are read as long and normalized to micros. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // schema-cached read: the sf tables never change under a session, so
+    // per-query footer inference is pure constant overhead
+    val df = graft.io.ParquetIO.read(spark, s"$dir/$name.parquet")
     if (name == "events")
       // integer division: double division would promote the ~1.7e18 nanos
       // value past 2^53 and lose ±1µs

@@ -329,7 +329,10 @@ object JobGraph {
         (Map("out" -> df), None)
 
       case "read_parquet" =>
-        (Map("out" -> spark.read.parquet(c.reqStr("filepath"))), None)
+        // ParquetIO caches inferred schemas (listing-fingerprint
+        // invalidated) — repeated builds over the same inputs skip the
+        // ~70 ms footer-inference constant (tools/JobPhaseProbe)
+        (Map("out" -> graft.io.ParquetIO.read(spark, c.reqStr("filepath"))), None)
 
       case "read_xml" =>
         (Map("out" -> graft.io.XmlIO.read(spark, c.reqStr("filepath"),
