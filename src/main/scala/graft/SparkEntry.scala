@@ -1949,6 +1949,72 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Combination job: IVF nearest-neighbor search end-to-end from JSON —
+    * one embeddings read fans out to `kmeans_train` (trained centroids)
+    * and the `similarity` corpus port; the query vector arrives via a
+    * `sql` component. nprobe equals k (all 4 cells probed), so the result
+    * is EXACTLY the brute-force cosine top-10 no matter where Lloyd's
+    * iterations put the centroids — an exact SQL oracle for a pipeline
+    * whose training step SQL can't replicate. Recall under partial
+    * probing is the scale probe's job, not the gate's. */
+  private def qJobSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_simivf"
+    val embSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } },
+        |  { "name": "label", "data_type": "string" } ] }""".stripMargin
+    val centSchema =
+      """{ "fields": [
+        |  { "name": "cell", "data_type": "integer" },
+        |  { "name": "cvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val qSchema =
+      """{ "fields": [
+        |  { "name": "qvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val outSchema = fieldsJson("vec_id" -> "integer", "cosine" -> "float")
+    val jobJson =
+      s"""{
+         |  "name": "sim_ivf_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/embeddings.parquet",
+         |      "routes": { "out": [ { "to": "km", "in_port": "in" },
+         |                           { "to": "sim", "in_port": "corpus" } ] },
+         |      "out_port_schemas": { "out": $embSchema } },
+         |    { "name": "rq", "comp_type": "read_parquet",
+         |      "filepath": "$dir/embeddings.parquet",
+         |      "routes": { "out": [ { "to": "q", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $embSchema } },
+         |    { "name": "q", "comp_type": "sql",
+         |      "query": "SELECT embedding AS qvec FROM q_in WHERE vec_id = 0",
+         |      "in_port_schemas": { "in": $embSchema },
+         |      "routes": { "out": [ { "to": "sim", "in_port": "query" } ] },
+         |      "out_port_schemas": { "out": $qSchema } },
+         |    { "name": "km", "comp_type": "kmeans_train",
+         |      "vector_column": "embedding", "k": 4, "iters": 3,
+         |      "in_port_schemas": { "in": $embSchema },
+         |      "routes": { "out": [ { "to": "sim", "in_port": "centroids" } ] },
+         |      "out_port_schemas": { "out": $centSchema } },
+         |    { "name": "sim", "comp_type": "similarity", "method": "ivf",
+         |      "vector_column": "embedding", "id_column": "vec_id",
+         |      "k": 10, "nprobe": 4,
+         |      "in_port_schemas": { "corpus": $embSchema,
+         |        "centroids": $centSchema, "query": $qSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** Backward as-of join over the events stream: each click aligned with
     * the user's most recent purchase at or before it (ops/AsofJoin.scala —
     * union + one window pass, one shuffle; the right side is unique per
@@ -2053,6 +2119,7 @@ object SparkEntry {
     "sim_knn" -> (qSimKnn _),
     "sim_ivf" -> (qSimIvf _),
     "q_job_sim_knn" -> (qJobSimKnn _),
+    "q_job_sim_ivf" -> (qJobSimIvf _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -2598,6 +2665,20 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, rank, corpus_id, cosine FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // nprobe = k cells: every corpus row is probed, so the declarative
+    // kmeans_train -> ivf pipeline reduces to exact brute-force top-10 —
+    // oracle-able even though Lloyd's training isn't SQL-expressible
+    "q_job_sim_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(CASE WHEN sqrt(list_dot_product(v, v))
+        |               * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+        |        ELSE list_dot_product(v, qv)
+        |          / (sqrt(list_dot_product(v, v))
+        |             * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
+        |FROM e, q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "sim_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),

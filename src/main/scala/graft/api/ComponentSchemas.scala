@@ -106,6 +106,10 @@ object ComponentSchemas {
       p("query_id", "string", "knn: query id column, default 'id'"),
       p("id_column", "string", "ivf: corpus id column, default 'id'"),
       p("nprobe", "integer", "ivf: probed cells, default 2"))),
+    "kmeans_train" -> ("Train k-means centroids (cell, cvec) for the ivf similarity method" -> Seq(
+      p("vector_column", "string", "embedding column, default 'embedding'"),
+      p("k", "integer", "number of centroids/cells, default 16"),
+      p("iters", "integer", "Lloyd iterations, default 5"))),
     "asof_join" -> ("Backward as-of join: latest right row at or before each left time (ports left/right)" -> Seq(
       req("on", "string", "event-time column present on both sides"),
       req("by", "array", "equality keys"),

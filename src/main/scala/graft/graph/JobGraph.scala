@@ -612,6 +612,20 @@ object JobGraph {
         }
         (Map("out" -> out), None)
 
+      // Lloyd's k-means over an embedding column (scale/KMeans.scala):
+      // trains the (cell, cvec) centroid table that `similarity
+      // method=ivf` consumes on its centroids port — a JSON author runs
+      // ANN end-to-end without writing Scala. Like the sized embedding
+      // dedup, training executes AT BUILD (the iterations are actions);
+      // the returned table is persisted by train() and its release is
+      // handed to BuiltJob.close via OpCaches, per the cache-ownership
+      // rule.
+      case "kmeans_train" =>
+        val centroids = graft.scale.KMeans.train(one(),
+          c.str("vector_column").getOrElse("embedding"),
+          k = c.int("k", 16), iters = c.int("iters", 5))
+        (Map("out" -> graft.scale.OpCaches.persist(centroids)), None)
+
       case "merge" =>
         val dfs = in.getOrElse("in", Nil)
         require(dfs.nonEmpty, s"merge ${c.name}: no inputs")

@@ -365,6 +365,51 @@ class JobComponentsSpec extends SparkTestBase {
     assert(got.head.getDouble(1) === 1.0)
   }
 
+  test("kmeans_train component trains centroids from config (shape + determinism)") {
+    import spark.implicits._
+    val ein = tmp("km_in")
+    // two tight clusters around e1 and e2
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0.95f, 0.05f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0.1f, 0.9f, 0f, 0f)),
+      (5L, Array(0.05f, 0.95f, 0f, 0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(ein)
+    val embSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val centSchema =
+      """{ "fields": [
+        |  { "name": "cell", "data_type": "integer" },
+        |  { "name": "cvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    def run(out: String): Seq[(Int, Seq[Double])] = {
+      val json =
+        s"""{ "name": "t", "components": [
+           |  { "name": "r", "comp_type": "read_parquet", "filepath": "$ein",
+           |    "routes": { "out": [ { "to": "km", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $embSchema } },
+           |  { "name": "km", "comp_type": "kmeans_train",
+           |    "vector_column": "embedding", "k": 2, "iters": 3,
+           |    "in_port_schemas": { "in": $embSchema },
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $centSchema } },
+           |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+           |    "in_port_schemas": { "in": $centSchema } } ] }""".stripMargin
+      val built = JobGraph.build(spark, JobConfig.parse(json))
+      built.runSinks(); built.close()
+      spark.read.parquet(out).orderBy(col("cell")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    }
+    val got = run(tmp("km_out"))
+    assert(got.map(_._1) === Seq(0, 1), "cells must be 0..k-1")
+    assert(got.forall(_._2.size == 4), "centroids keep the input dimension")
+    // hash-based init + deterministic aggregation: a rerun is identical
+    assert(run(tmp("km_out2")) === got)
+  }
+
   test("aggregation pivot from config keeps numeric pivot_values typed") {
     import spark.implicits._
     val in = tmp("piv_in")
