@@ -394,6 +394,22 @@ object SparkEntry {
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Data-driven session windows over events, the batch face of the
+    * streaming `session_gap` path (stream↔batch parity is pinned in
+    * StreamingJobsSpec). A user's session closes after 12 idle hours;
+    * Spark's session end is `last_ts + gap` and END-EXCLUSIVE, so the
+    * DuckDB oracle opens a new island when `delta >= gap` (not `>`).
+    * One shuffle on (user_id) then a per-key sort — the same shape the
+    * streaming state store maintains incrementally. */
+  private def qEventsSession(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(session_window(col("ts"), "12 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (centsSum(col("value"), 2) / 100.0).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   // --------------------------------------------------------------- file io
 
   private val tmpRoot = "/root/repo/target/tmp"
@@ -2074,6 +2090,7 @@ object SparkEntry {
     "q_sort_limit" -> (qSortLimit _),
     "q_window_topn" -> (qWindowTopN _),
     "q_events_window" -> (qEventsWindow _),
+    "q_events_session" -> (qEventsSession _),
     "q_asof_join" -> (qAsofJoin _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
@@ -2320,6 +2337,26 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_events,
         |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // gap-based islands: a new session when the per-user delta is NULL
+    // (first event) or >= the gap — matching Spark's end-exclusive
+    // session_window, whose end is last_ts + gap
+    "q_events_session" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           < INTERVAL 12 HOUR THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 12 HOUR AS session_end,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+        |FROM i GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN — independent of the Spark
     // union+window formulation, so the two algorithms check each other
     "q_asof_join" ->
