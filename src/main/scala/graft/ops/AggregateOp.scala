@@ -78,7 +78,8 @@ object AggregateOp {
     * and, at 100 TB, an unbounded output width; a declared list keeps
     * the plan one pass and the schema static. Cells with no input rows
     * are null (SQL `FILTER`-aggregate semantics for sum/min/max; count
-    * differs — SQL FILTER counts 0, pivot yields null). */
+    * differs — SQL FILTER counts 0, pivot yields null; pinned against a
+    * per-cell model in ReshapePropertySpec). */
   def pivoted(df: DataFrame, groupBy: Seq[String], pivotColumn: String,
               pivotValues: Seq[Any], aggs: Seq[AggSpec]): DataFrame = {
     require(aggs.nonEmpty, "pivot needs at least one agg spec")

@@ -70,9 +70,11 @@ object RelationalOps {
   /** Unpivot/melt (beyond-reference; the reshape inverse of
     * AggregateOp.pivoted): `valueCols` become (variable, value) row pairs
     * next to the `ids`. Dataset.unpivot is an Expand — each input row
-    * emits |valueCols| rows in the same task, no shuffle. Value columns
-    * must share a least common type (Spark coerces; incompatible mixes
-    * are a loud AnalysisException). */
+    * emits |valueCols| rows in the same task, no shuffle. Null cells are
+    * RETAINED (unlike SQL UNPIVOT's default EXCLUDE NULLS) — every
+    * id×valueCol emits exactly one row (pinned in ReshapePropertySpec).
+    * Value columns must share a least common type (Spark coerces;
+    * incompatible mixes are a loud AnalysisException). */
   def unpivot(df: DataFrame, ids: Seq[String], valueCols: Seq[String],
               varName: String = "variable", valueName: String = "value"): DataFrame = {
     require(valueCols.nonEmpty, "unpivot needs at least one value column")

@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.ops.AggregateOp.AggSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Property tests for the reshape pair — AggregateOp.pivoted and
+ * RelationalOps.unpivot — against independent Scala models of the
+ * documented semantics, in the OpsPropertySpec style: a FIXED seed,
+ * one Spark job per property, model written from the semantics doc
+ * (AggregateOp.scala pivot scaladoc; RelationalOps.scala unpivot
+ * scaladoc), not from the implementation.
+ *
+ * The two semantics this file exists to pin:
+ *  - pivot's null-vs-0 count divergence: a (group, pivot-value) CELL with
+ *    no input rows is null for EVERY agg — including count, where a SQL
+ *    FILTER aggregate would say 0; a cell that has rows but only null
+ *    values counts 0 (and sums null).
+ *  - unpivot RETAINS null cells (one output row per id×valueCol, always)
+ *    — unlike SQL UNPIVOT, which drops them unless INCLUDE NULLS.
+ */
+class ReshapePropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sampleN[A](g: Gen[A], n: Int, seed: Long): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+      val (v, next) = (g.pureApply(params, s), s.next)
+      (next, Some(v))
+    }.drop(1).take(n).flatMap(_._2).toSeq
+  }
+
+  // ------------------------------------------------------------- pivot
+
+  /** (group, pivotCol, value): few group keys incl. null, a pivot domain
+    * wider than the declared pivot_values (extra values must vanish, not
+    * widen the schema), and null-heavy values to hit the count-0 cells. */
+  private val pivotRowGen: Gen[(Option[String], String, Option[Long])] = for {
+    g <- Gen.option(Gen.oneOf("g1", "g2", "g3"))
+    p <- Gen.oneOf("a", "b", "c", "d") // declared: a, b, c — d must drop
+    v <- Gen.frequency(3 -> Gen.chooseNum(-100L, 100L).map(Some(_)),
+      2 -> Gen.const(None))
+  } yield (g, p, v)
+
+  private val pivotValues = Seq("a", "b", "c")
+
+  test("pivot matches a per-cell model incl. the null-vs-0 count cell " +
+    "(multi-agg naming <value>_<dest>)") {
+    val rows = sampleN(pivotRowGen, 300, seed = 41L)
+    val df = rows.toDF("g", "p", "v")
+    val out = AggregateOp.pivoted(df, Seq("g"), "p", pivotValues,
+      Seq(AggSpec("v", "sum", "sv"), AggSpec("v", "count", "nv")))
+    // multi-agg: one column per pivot value per agg dest
+    assert(out.columns.toSeq === Seq("g",
+      "a_sv", "a_nv", "b_sv", "b_nv", "c_sv", "c_nv"))
+
+    val got = out.collect().map { r =>
+      Option(r.getAs[String]("g")) ->
+        pivotValues.map(v => (Option(r.getAs[Any](s"${v}_sv")),
+          Option(r.getAs[Any](s"${v}_nv"))))
+    }.toMap
+
+    val groups = rows.map(_._1).distinct
+    assert(got.keySet === groups.toSet, "one output row per group key incl. null")
+    for (g <- groups; (pv, i) <- pivotValues.zipWithIndex) {
+      val cell = rows.filter(r => r._1 == g && r._2 == pv)
+      val nonNull = cell.flatMap(_._3)
+      val (expSum, expCnt): (Option[Any], Option[Any]) =
+        if (cell.isEmpty) (None, None) // NO rows → null even for count
+        else (if (nonNull.isEmpty) None else Some(nonNull.sum),
+          Some(nonNull.size.toLong)) // rows but all-null values → count 0
+      assert(got(g)(i) === ((expSum, expCnt)),
+        s"cell (g=$g, p=$pv): ${cell.size} rows, ${nonNull.size} non-null")
+    }
+  }
+
+  test("pivot single-agg columns are named by the pivot value alone") {
+    val df = Seq(("g1", "a", 1L), ("g1", "b", 2L)).toDF("g", "p", "v")
+    val out = AggregateOp.pivoted(df, Seq("g"), "p", pivotValues,
+      Seq(AggSpec("v", "sum", "sv")))
+    assert(out.columns.toSeq === Seq("g", "a", "b", "c"))
+  }
+
+  // ----------------------------------------------------------- unpivot
+
+  private val unpivotRowGen: Gen[(Long, Option[Long], Option[Long], Option[Long])] =
+    for {
+      id <- Gen.chooseNum(0L, 10000L)
+      a <- Gen.option(Gen.chooseNum(-100L, 100L))
+      b <- Gen.option(Gen.chooseNum(-100L, 100L))
+      c <- Gen.option(Gen.chooseNum(-100L, 100L))
+    } yield (id, a, b, c)
+
+  test("unpivot matches the row-explode model and RETAINS null cells") {
+    val rows = sampleN(unpivotRowGen, 300, seed = 42L)
+      .zipWithIndex.map { case ((_, a, b, c), i) => (i.toLong, a, b, c) }
+    val df = rows.toDF("id", "va", "vb", "vc")
+    val out = RelationalOps.unpivot(df, ids = Seq("id"),
+      valueCols = Seq("va", "vb", "vc"), varName = "m", valueName = "x")
+    assert(out.columns.toSeq === Seq("id", "m", "x"))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(r => (r._1, r._2))
+    val model = rows.flatMap { case (id, a, b, c) =>
+      Seq((id, "va", a), (id, "vb", b), (id, "vc", c))
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq === model, "every id×valueCol must emit exactly one row")
+  }
+
+  test("pivot(unpivot) roundtrips a dense single-value-per-cell frame") {
+    // the inverse-pair claim in the scaladocs, pinned on a frame where it
+    // actually holds: unique ids, every cell present and non-null
+    val rows = (0L until 40L).map(id => (id, id * 3 + 1, id * 5 + 2))
+    val df = rows.toDF("id", "va", "vb")
+    val melted = RelationalOps.unpivot(df, Seq("id"), Seq("va", "vb"))
+    val back = AggregateOp.pivoted(melted, Seq("id"), "variable",
+      Seq("va", "vb"), Seq(AggSpec("value", "sum", "s")))
+    val got = back.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === rows)
+  }
+
+  test("unpivot rejects value columns with no common type, loudly") {
+    val df = Seq((1L, 2L, "x")).toDF("id", "v_num", "v_str")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      RelationalOps.unpivot(df, Seq("id"), Seq("v_num", "v_str")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("unpivot"))
+  }
+}
