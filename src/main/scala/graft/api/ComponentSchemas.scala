@@ -71,7 +71,11 @@ object ComponentSchemas {
       req("aggregations", "array", "[{column, op, alias}, ...]"),
       p("grouping", "string", "groups (default) | rollup | cube"),
       p("pivot_column", "string", "pivot this column's values into output columns"),
-      p("pivot_values", "array", "explicit pivot values (required with pivot_column)"))),
+      p("pivot_values", "array", "explicit pivot values (required with pivot_column)"),
+      p("time_column", "string", "event-time column: switches to windowed aggregation (batch face of streaming_aggregation)"),
+      p("window", "string", "tumbling/sliding window size, e.g. '1 hour' (with time_column)"),
+      p("slide", "string", "slide interval; requires window"),
+      p("session_gap", "string", "session window gap; exclusive with window/slide"))),
     "type_conversion" -> ("Cast columns with raise/null/skip policies" -> Seq(
       req("rules", "array", "[{column_path, target, on_error}, ...]; nested paths with '*' supported"))),
     "schema_mapping" -> ("Project/rename columns (map mode) or join inputs (join mode)" -> Seq(
@@ -105,10 +109,10 @@ object ComponentSchemas {
       p("corpus_id", "string", "knn: corpus id column, default 'id'"),
       p("query_id", "string", "knn: query id column, default 'id'"),
       p("id_column", "string", "ivf: corpus id column, default 'id'"),
-      p("nprobe", "integer", "ivf: probed cells, default 2"))),
+      p("nprobe", "integer", "ivf: probed cells, default max(2, cells/8) from the centroid count"))),
     "kmeans_train" -> ("Train k-means centroids (cell, cvec) for the ivf similarity method" -> Seq(
       p("vector_column", "string", "embedding column, default 'embedding'"),
-      p("k", "integer", "number of centroids/cells, default 16"),
+      p("k", "integer", "number of centroids/cells, default ceil(sqrt(n)) from the corpus count"),
       p("iters", "integer", "Lloyd iterations, default 5"))),
     "asof_join" -> ("Backward as-of join: latest right row at or before each left time (ports left/right)" -> Seq(
       req("on", "string", "event-time column present on both sides"),

@@ -474,13 +474,24 @@ object JobGraph {
 
       case "aggregation" =>
         val (groupBy, aggs) = parseAggregations(c)
-        c.str("pivot_column") match {
-          case Some(pc) =>
+        (c.str("pivot_column"), c.str("time_column")) match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            s"aggregation ${c.name}: pivot and time windows are exclusive")
+          case (Some(pc), None) =>
             require(c.str("grouping").forall(_ == "groups"),
               s"aggregation ${c.name}: pivot and rollup/cube are exclusive")
             val values = c.scalarSeqParam("pivot_values") // typed: [2023] stays numeric
             (Map("out" -> AggregateOp.pivoted(one(), groupBy, pc, values, aggs)), None)
-          case None =>
+          // batch time-windowed aggregation (tumbling/sliding/session) —
+          // the same window rules as streaming_aggregation, minus the
+          // watermark: config-level batch/stream parity
+          case (None, Some(tc)) =>
+            require(c.str("grouping").forall(_ == "groups"),
+              s"aggregation ${c.name}: time windows and rollup/cube are exclusive")
+            val winCol = AggregateOp.windowColumn(tc, c.str("window"),
+              c.str("slide"), c.str("session_gap"), s"aggregation ${c.name}")
+            (Map("out" -> AggregateOp.windowed(one(), tc, winCol, groupBy, aggs)), None)
+          case (None, None) =>
             (Map("out" -> AggregateOp(one(), groupBy, aggs,
               c.str("grouping").getOrElse("groups"))), None)
         }
@@ -604,9 +615,17 @@ object JobGraph {
           case "knn" => Similarity.knnJoin(port("corpus"), port("queries"),
             vecCol, c.str("corpus_id").getOrElse("id"),
             c.str("query_id").getOrElse("id"), k)
-          case "ivf" => Similarity.ivfTopK(port("corpus"), vecCol,
-            c.str("id_column").getOrElse("id"), port("centroids"),
-            port("query"), k, nprobe = c.int("nprobe", 2))
+          case "ivf" =>
+            val centroids = port("centroids")
+            // explicit nprobe wins; omitted → the IvfProbe-measured
+            // default from the cell count (the count() is a tiny action
+            // over the centroid table — kcells rows, usually persisted
+            // by kmeans_train — and is skipped entirely when pinned)
+            val nprobe = c.intOpt("nprobe").getOrElse(
+              Similarity.ivfNprobeDefault(centroids.count().toInt))
+            Similarity.ivfTopK(port("corpus"), vecCol,
+              c.str("id_column").getOrElse("id"), centroids,
+              port("query"), k, nprobe = nprobe)
           case other =>
             throw new IllegalArgumentException(s"unknown similarity method: $other")
         }
@@ -621,9 +640,15 @@ object JobGraph {
       // handed to BuiltJob.close via OpCaches, per the cache-ownership
       // rule.
       case "kmeans_train" =>
-        val centroids = graft.scale.KMeans.train(one(),
+        val corpus = one()
+        // explicit k wins; omitted → the sqrt-n cell rule from the
+        // corpus count (conditional like embeddingDepth: pinning k
+        // skips the count() action)
+        val k = c.intOpt("k").getOrElse(
+          graft.scale.Similarity.ivfCellsFor(math.max(1L, corpus.count())))
+        val centroids = graft.scale.KMeans.train(corpus,
           c.str("vector_column").getOrElse("embedding"),
-          k = c.int("k", 16), iters = c.int("iters", 5))
+          k = k, iters = c.int("iters", 5))
         (Map("out" -> graft.scale.OpCaches.persist(centroids)), None)
 
       case "merge" =>

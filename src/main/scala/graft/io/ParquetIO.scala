@@ -50,20 +50,32 @@ object ParquetIO {
 
   /** Recursive listing digest, or None when the path is unlistable
     * (nonexistent — let spark.read produce its own error) or too large
-    * to fingerprint cheaply. */
+    * to fingerprint cheaply. A manual listStatus walk, NOT
+    * fs.listFiles(p, recursive=true): the RemoteIterator resolves block
+    * locations per file (a stat/open on LocalFileSystem, an RPC on
+    * distributed stores) — measured at ~8 ms/file on a 142-directory
+    * partitioned index (IvfPhase), which made the fingerprint 3x the
+    * cost of the inference it was saving. listStatus returns
+    * name/length/mtime without touching block metadata. */
   private def fingerprint(spark: SparkSession, pathStr: String): Option[String] =
     try {
-      val p = new org.apache.hadoop.fs.Path(pathStr)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val it = fs.listFiles(p, true)
+      val root = new org.apache.hadoop.fs.Path(pathStr)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val sb = new StringBuilder
       var n = 0
-      while (it.hasNext && n <= MaxFingerprint) {
-        val f = it.next()
-        sb.append(f.getPath.toUri.getPath).append(':')
-          .append(f.getLen).append(':')
-          .append(f.getModificationTime).append(';')
-        n += 1
+      val stack = scala.collection.mutable.Stack(root)
+      while (stack.nonEmpty && n <= MaxFingerprint) {
+        // sort for a stable digest: listStatus order is fs-dependent
+        val entries = fs.listStatus(stack.pop()).sortBy(_.getPath.getName)
+        entries.foreach { f =>
+          if (f.isDirectory) stack.push(f.getPath)
+          else {
+            sb.append(f.getPath.toUri.getPath).append(':')
+              .append(f.getLen).append(':')
+              .append(f.getModificationTime).append(';')
+            n += 1
+          }
+        }
       }
       if (n > MaxFingerprint) None else Some(sb.toString)
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -71,6 +71,49 @@ object AggregateOp {
     }
   }
 
+  /** Window-column selection shared by the batch `aggregation` component
+    * and `streaming_aggregation` (one rule set, two execution modes):
+    * `session_gap` selects data-driven session windows and is exclusive
+    * with the fixed `window`/`slide` pair; `slide` requires `window`. */
+  def windowColumn(timeCol: String, winOpt: Option[String],
+                   slideOpt: Option[String], gapOpt: Option[String],
+                   where: String): Column =
+    (gapOpt, slideOpt) match {
+      case (Some(gap), None) =>
+        require(winOpt.isEmpty, s"$where: session_gap and window are exclusive")
+        session_window(col(timeCol), gap)
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(s"$where: session windows do not slide")
+      case (None, Some(sl)) => window(col(timeCol),
+        winOpt.getOrElse(throw new IllegalArgumentException(
+          s"$where: slide needs window")), sl)
+      case (None, None) => window(col(timeCol),
+        winOpt.getOrElse(throw new IllegalArgumentException(
+          s"$where: needs window or session_gap")))
+    }
+
+  /** Time-windowed grouped aggregation over an event-timed frame — the
+    * shared tail of batch windowed aggregation and streaming_aggregation
+    * (the stream adds its watermark BEFORE calling this). Window bounds
+    * come back as STRINGS: declared port schemas travel times as strings
+    * (SURVEY §1.2 — the reference type system has no timestamp). */
+  def windowed(df: DataFrame, timeCol: String, winCol: Column,
+               groupBy: Seq[String], aggs: Seq[AggSpec]): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    require(aggs.nonEmpty, "windowed aggregation needs at least one agg spec")
+    require(!df.columns.contains("__w"),
+      "windowed aggregation: column name __w is reserved internally")
+    val et =
+      if (df.schema(timeCol).dataType == TimestampType) df
+      else df.withColumn(timeCol, to_timestamp(col(timeCol)))
+    val aggCols = aggs.map(aggColumn)
+    et.groupBy(winCol.as("__w") +: groupBy.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("__w.start").cast("string").as("window_start") +:
+        col("__w.end").cast("string").as("window_end") +:
+        (groupBy.map(col) ++ aggs.map(a => col(a.dest))): _*)
+  }
+
   /** Pivoted aggregation (beyond-reference): one output column per
     * `pivotValues` entry (single agg → column named by the value;
     * several → `<value>_<dest>`). Values are EXPLICIT by design — the

@@ -42,7 +42,8 @@ object KMeans {
       .withColumn("cell", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("h"))) - 1)
       .select(col("cell"), col("v").as("cvec"))
-      .persist()
+      .coalesce(1) // k rows: single-partition, so every downstream
+      .persist()   // centroid action is one task, not shuffle-partitions many
     centroids.count()
 
     var it = 0
@@ -60,6 +61,7 @@ object KMeans {
       val next = centroids.select(col("cell"), col("cvec").as("prev"))
         .join(means, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("cvec"), col("prev")).as("cvec"))
+        .coalesce(1)
         .persist()
       next.count() // materialize BEFORE unpersisting the parent lineage
       centroids.unpersist(false)
@@ -72,27 +74,44 @@ object KMeans {
   /** Write the corpus partitioned by assigned cell: the IVF index layout.
     * A probe reading `nprobe` cells touches only those directories —
     * partition pruning at the file source, the property that makes IVF
-    * pay off at 100 TB. */
+    * pay off at 100 TB.
+    *
+    * The repartition on cell makes each cell directory ONE file instead
+    * of one-per-upstream-task: a probe scans whole cells anyway, and the
+    * small-files alternative (IvfProbe measured 32 files/cell at 142
+    * cells) costs every probe a ~4 s listing + footer-inference floor —
+    * more than the scan itself. At real scale add
+    * spark.sql.files.maxRecordsPerFile to re-split jumbo cells. */
   def indexBucketed(corpus: DataFrame, vecCol: String, idCol: String,
                     centroids: DataFrame, path: String): Unit =
     Similarity.assignCells(corpus, vecCol, idCol, centroids)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** IVF top-k over a bucketed index written by indexBucketed: rank cells
-    * by centroid similarity, scan ONLY the nprobe nearest cells. */
+    * by centroid similarity, scan ONLY the nprobe nearest cells.
+    *
+    * The probed cell ids are resolved DRIVER-SIDE (a deliberate exception
+    * to the no-collect rule, like JobGraph's sizing counts): the centroid
+    * table is bounded at ivfCellsFor's 65536-row clamp, the collect is
+    * O(nprobe) ints, and a static `isin` filter prunes partitions AT
+    * PLAN TIME — the scan lists only the nprobe directories (PartitionCount
+    * pinned in KMeansSpec), where the previous broadcast-join form relied
+    * on runtime DPP and still listed every cell directory per query
+    * (IvfProbe measured it as a flat ~1.2 s/query floor at 142 cells).
+    * The index schema comes from ParquetIO's fingerprint cache, so
+    * repeated probes skip footer re-inference. */
   def searchBucketed(spark: SparkSession, indexPath: String, vecCol: String,
                      idCol: String, centroids: DataFrame, query: Seq[Float],
                      k: Int, nprobe: Int = 2): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    val probeW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("csim").desc, col("cell").asc)
     val probeCells = centroids
       .select(col("cell"), Similarity.cosine(col("cvec"), q).as("csim"))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nprobe)
-      .select(col("cell"))
-    spark.read.parquet(indexPath)
-      .join(broadcast(probeCells), Seq("cell")) // prunes partitions at source
+      .orderBy(col("csim").desc, col("cell").asc)
+      .limit(nprobe)
+      .collect().map(_.getAs[Number](0).intValue) // cell is int in-plan, long off a declared port
+    graft.io.ParquetIO.read(spark, indexPath)
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*)) // static pruning
       .select(col(idCol), round(Similarity.cosine(col(vecCol), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)

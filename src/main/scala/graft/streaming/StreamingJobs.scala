@@ -159,27 +159,16 @@ object StreamingJobs {
           val et =
             if (df.schema(timeCol).dataType == TimestampType) df
             else df.withColumn(timeCol, to_timestamp(col(timeCol)))
-          // `session_gap` selects data-driven session windows (rows gap
-          // apart merge; a session closes when the watermark passes its
-          // end) — mutually exclusive with the fixed `window`/`slide` pair
-          val winCol = (c.str("session_gap"), c.str("slide")) match {
-            case (Some(gap), None) =>
-              require(c.str("window").isEmpty,
-                s"streaming_aggregation ${c.name}: session_gap and window are exclusive")
-              session_window(col(timeCol), gap)
-            case (Some(_), Some(_)) => throw new IllegalArgumentException(
-              s"streaming_aggregation ${c.name}: session windows do not slide")
-            case (None, Some(sl)) => window(col(timeCol), c.reqStr("window"), sl)
-            case (None, None)     => window(col(timeCol), c.reqStr("window"))
-          }
-          val aggCols = aggs.map(AggregateOp.aggColumn)
-          val agged = et.withWatermark(timeCol, wm)
-            .groupBy(winCol.as("__w") +: groupBy.map(col): _*)
-            .agg(aggCols.head, aggCols.tail: _*)
-            .select(col("__w.start").cast("string").as("window_start") +:
-              col("__w.end").cast("string").as("window_end") +:
-              (groupBy.map(col) ++ aggs.map(a => col(a.dest))): _*)
-          Map("out" -> agged)
+          // window-rule selection + the grouped tail are shared with the
+          // batch aggregation component (AggregateOp.windowColumn /
+          // .windowed); the stream's only addition is the watermark —
+          // with session_gap a session closes when the watermark passes
+          // its end
+          val winCol = AggregateOp.windowColumn(timeCol, c.str("window"),
+            c.str("slide"), c.str("session_gap"),
+            s"streaming_aggregation ${c.name}")
+          Map("out" -> AggregateOp.windowed(
+            et.withWatermark(timeCol, wm), timeCol, winCol, groupBy, aggs))
 
         // Watermark-bounded exact dedup, the streaming twin of the batch
         // `dedup` comp_type (ingest-side face of

@@ -15,6 +15,32 @@ import graft.scale._
   * cyclically shifted (an isometry) so the pair structure stays constant
   * per replica and the measurement isolates input-size scaling. */
 object ScaleProbe {
+
+  /** Replicate the embeddings table `factor`x under fresh ids, each
+    * replica a distinct isometry of the original (cyclic shift composed
+    * with a sign flip every second 64-period): per-replica near-dup
+    * structure is preserved while cross-replica cosines stay
+    * unstructured. Shared by the dedup stages below and IvfProbe. */
+  def replicateEmb(emb1: org.apache.spark.sql.DataFrame, factor: Int): org.apache.spark.sql.DataFrame = {
+    // The replica isometry has combined period 128 — at factor > 128
+    // replica i and i+128 are again identical vectors under fresh ids,
+    // recreating the exact-dup clique; guard loudly.
+    require(factor <= 128,
+      s"embedding replication is an isometry only up to factor 128 (got $factor)")
+    (0 until factor).map { i =>
+      val s = i % 64
+      val shifted =
+        if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s + 1, 64 - s),
+          slice(col("embedding"), 1, s))
+      val iso =
+        if ((i / 64) % 2 == 0) shifted
+        else transform(shifted, x => -x)
+      emb1.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        iso.as("embedding"), col("label"))
+    }.reduce(_ union _)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -41,34 +67,18 @@ object ScaleProbe {
 
     val emb1 = table(spark, dir, "embeddings").persist()
     emb1.count()
-    // The replica isometry below has combined period 128 — at factor >
-    // 128 replica i and i+128 are again identical vectors under fresh
-    // ids, recreating the exact-dup clique; guard loudly.
-    require(factor <= 128,
-      s"embedding replication is an isometry only up to factor 128 (got $factor)")
-    val embN = (0 until factor).map { i =>
-      // per-replica CYCLIC SHIFT composed with a SIGN FLIP on every second
-      // 64-replica period: both are isometries, so each replica keeps the
-      // original's internal near-dup structure while cross-replica cosines
-      // stay unstructured (an additive constant would instead collapse
-      // every vector toward the all-ones direction and manufacture a
-      // quadratic near-dup clique). The shift alone has period 64 — at
-      // factor > 64 replica i and i+64 would be IDENTICAL vectors under
-      // fresh ids (an artificial exact-dup clique, and slice(…, 64-i)
-      // throws on a negative length); the alternating negation makes the
-      // period-64 twin the antipode (cosine −1), which no near-dup
-      // threshold matches (combined period 128 — guarded above).
-      val s = i % 64
-      val shifted =
-        if (s == 0) col("embedding")
-        else concat(slice(col("embedding"), s + 1, 64 - s),
-          slice(col("embedding"), 1, s))
-      val iso =
-        if ((i / 64) % 2 == 0) shifted
-        else transform(shifted, x => -x)
-      emb1.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
-        iso.as("embedding"), col("label"))
-    }.reduce(_ union _).repartition(32).persist()
+    // per-replica CYCLIC SHIFT composed with a SIGN FLIP on every second
+    // 64-replica period: both are isometries, so each replica keeps the
+    // original's internal near-dup structure while cross-replica cosines
+    // stay unstructured (an additive constant would instead collapse
+    // every vector toward the all-ones direction and manufacture a
+    // quadratic near-dup clique). The shift alone has period 64 — at
+    // factor > 64 replica i and i+64 would be IDENTICAL vectors under
+    // fresh ids (an artificial exact-dup clique, and slice(…, 64-i)
+    // throws on a negative length); the alternating negation makes the
+    // period-64 twin the antipode (cosine −1), which no near-dup
+    // threshold matches (combined period 128 — guarded in replicateEmb).
+    val embN = replicateEmb(emb1, factor).repartition(32).persist()
     embN.count()
 
     // args(2..): stage-name filter — at high factors a single stage can

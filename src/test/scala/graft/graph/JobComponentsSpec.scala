@@ -410,6 +410,58 @@ class JobComponentsSpec extends SparkTestBase {
     assert(run(tmp("km_out2")) === got)
   }
 
+  test("aggregation with time_column windows in batch (session + tumbling)") {
+    import spark.implicits._
+    val in = tmp("winagg_in")
+    // user a: events at 00:00, 00:05 (one 10-min session) and 00:35
+    // (second session); user b: one event — same shape as the streaming
+    // parity fixture, minus the watermark sentinel (batch needs none)
+    Seq(("2024-01-01 00:00:00", "a", 1L), ("2024-01-01 00:05:00", "a", 2L),
+      ("2024-01-01 00:35:00", "a", 4L), ("2024-01-01 00:07:00", "b", 8L))
+      .toDF("ts", "k", "v").write.mode("overwrite").parquet(in)
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "ts", "data_type": "string" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "v", "data_type": "integer" } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "window_start", "data_type": "string" },
+        |  { "name": "window_end", "data_type": "string" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "sv", "data_type": "integer" } ] }""".stripMargin
+    def run(out: String, windowParams: String): Seq[(String, String, String, Long)] = {
+      val json =
+        s"""{ "name": "t", "components": [
+           |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+           |    "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $inSchema } },
+           |  { "name": "agg", "comp_type": "aggregation",
+           |    "time_column": "ts", $windowParams
+           |    "group_by": ["k"],
+           |    "aggregations": [ { "src": "v", "op": "sum", "dest": "sv" } ],
+           |    "in_port_schemas": { "in": $inSchema },
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $outSchema } },
+           |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+           |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+      val built = JobGraph.build(spark, JobConfig.parse(json))
+      built.runSinks(); built.close()
+      spark.read.parquet(out).orderBy(col("k"), col("window_start")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    }
+    // session windows: a's first two events merge (end = last + gap)
+    assert(run(tmp("winagg_sess"), """"session_gap": "10 minutes",""") === Seq(
+      ("2024-01-01 00:00:00", "2024-01-01 00:15:00", "a", 3L),
+      ("2024-01-01 00:35:00", "2024-01-01 00:45:00", "a", 4L),
+      ("2024-01-01 00:07:00", "2024-01-01 00:17:00", "b", 8L)))
+    // tumbling half-hours: fixed bucket bounds, not data-driven ones
+    assert(run(tmp("winagg_tumb"), """"window": "30 minutes",""") === Seq(
+      ("2024-01-01 00:00:00", "2024-01-01 00:30:00", "a", 3L),
+      ("2024-01-01 00:30:00", "2024-01-01 01:00:00", "a", 4L),
+      ("2024-01-01 00:00:00", "2024-01-01 00:30:00", "b", 8L)))
+  }
+
   test("aggregation pivot from config keeps numeric pivot_values typed") {
     import spark.implicits._
     val in = tmp("piv_in")

@@ -133,4 +133,16 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(Similarity.lshDepthFor(2000L, 0.95) === ((16, 11)))
     assert(Similarity.lshDepthFor(200000L, 0.95) === ((29, 18)))
   }
+
+  test("ivfCellsFor/ivfNprobeDefault: sqrt-n cells, clamped; nprobe knee") {
+    // sqrt-n balances centroid scan (~cells) against cell scan
+    // (~n/cells·nprobe): both grow as sqrt(n)
+    assert(Similarity.ivfCellsFor(20000L) === 142)
+    assert(Similarity.ivfCellsFor(200000L) === 448)
+    assert(Similarity.ivfCellsFor(10L) === 16) // floor clamp
+    assert(Similarity.ivfCellsFor(100L * 1000 * 1000 * 1000) === 65536) // cap
+    // probe-measured default: cells/8, floored at 2
+    assert(Similarity.ivfNprobeDefault(142) === 17)
+    assert(Similarity.ivfNprobeDefault(8) === 2)
+  }
 }

@@ -64,12 +64,20 @@ class KMeansSpec extends SparkTestBase {
     val rows = hits.collect()
     assert(rows.length === 5)
     assert(rows.forall(_.getString(0).startsWith("doc-0-")))
-    // pruning is in the executed plan: the scan carries a partition
-    // filter on cell (dynamic pruning from the broadcast probe join)
-    val plan = hits.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      (plan.contains("dynamicpruning") || plan.contains("cell")),
-      s"expected partition pruning on cell in plan:\n$plan")
+    // pruning is STATIC (isin over the driver-resolved probe cells) and
+    // provable from the executed scan's own metrics: exactly 1 of the 3
+    // cell directories was read
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val executed = hits.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val scan = executed.collectLeaves()
+      .collectFirst { case s: FileSourceScanExec => s }
+      .getOrElse(fail(s"no FileSourceScanExec in:\n$executed"))
+    assert(scan.metrics("numPartitions").value === 1,
+      s"expected 1 of 3 cell directories read, metrics: ${scan.metrics}")
     centroids.unpersist()
   }
 }
