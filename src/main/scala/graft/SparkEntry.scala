@@ -2031,6 +2031,56 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** Combination job: batch SESSION-WINDOW aggregation as a declarative
+    * component (aggregation + time_column/session_gap — the config face
+    * of qEventsSession). Events are staged with string times and integer
+    * cents (declared schemas travel times as strings; cents keep the
+    * sums dtype-exact), the job sessionizes per user, and the gate rolls
+    * the sessions up per user so the oracle needs no timestamp-string
+    * formatting (Spark trims trailing fraction zeros when casting
+    * timestamp→string; DuckDB's strftime pads — per-user session counts
+    * gate the same gap-island logic without that formatting hazard). */
+  private def qJobSessionAgg(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_events_sess"
+    val outDir = s"$tmpRoot/job_out_session_agg"
+    table(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("string").as("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").parquet(stage)
+    val inSchema = fieldsJson("user_id" -> "integer", "ts" -> "string",
+      "cents" -> "integer")
+    val aggSchema = fieldsJson("window_start" -> "string", "window_end" -> "string",
+      "user_id" -> "integer", "n_events" -> "integer", "sum_cents" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "session_agg_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $inSchema } },
+         |    { "name": "agg", "comp_type": "aggregation",
+         |      "time_column": "ts", "session_gap": "12 hours",
+         |      "group_by": ["user_id"],
+         |      "aggregations": [
+         |        { "src": "*", "op": "count", "dest": "n_events" },
+         |        { "src": "cents", "op": "sum", "dest": "sum_cents" } ],
+         |      "in_port_schemas": { "in": $inSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** Backward as-of join over the events stream: each click aligned with
     * the user's most recent purchase at or before it (ops/AsofJoin.scala —
     * union + one window pass, one shuffle; the right side is unique per
@@ -2137,6 +2187,7 @@ object SparkEntry {
     "sim_ivf" -> (qSimIvf _),
     "q_job_sim_knn" -> (qJobSimKnn _),
     "q_job_sim_ivf" -> (qJobSimIvf _),
+    "q_job_session_agg" -> (qJobSessionAgg _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -2357,6 +2408,22 @@ object SparkEntry {
         |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
         |FROM i GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // the declarative session job rolled up per user: same gap islands,
+    // no timestamp-string formatting in the compared columns
+    "q_job_session_agg" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, round(value * 100)::BIGINT AS cents,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           < INTERVAL 12 HOUR THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, cents,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, count(DISTINCT sid)::BIGINT AS n_sessions,
+        |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN — independent of the Spark
     // union+window formulation, so the two algorithms check each other
     "q_asof_join" ->
