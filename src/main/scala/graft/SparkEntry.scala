@@ -1972,7 +1972,11 @@ object SparkEntry {
     * is EXACTLY the brute-force cosine top-10 no matter where Lloyd's
     * iterations put the centroids — an exact SQL oracle for a pipeline
     * whose training step SQL can't replicate. Recall under partial
-    * probing is the scale probe's job, not the gate's. */
+    * probing is IvfProbe's job, not the gate's — which is also why
+    * iters=1: one Lloyd iteration exercises the whole training loop
+    * (assign → update → empty-cell carry) and each extra iteration
+    * only moves centroids the oracle is insensitive to, at ~3 shuffles
+    * per iteration of pure bench cost. */
   private def qJobSimIvf(s: SparkSession, dir: String): DataFrame = {
     val outDir = s"$tmpRoot/job_out_simivf"
     val embSchema =
@@ -2010,7 +2014,7 @@ object SparkEntry {
          |      "routes": { "out": [ { "to": "sim", "in_port": "query" } ] },
          |      "out_port_schemas": { "out": $qSchema } },
          |    { "name": "km", "comp_type": "kmeans_train",
-         |      "vector_column": "embedding", "k": 4, "iters": 3,
+         |      "vector_column": "embedding", "k": 4, "iters": 1,
          |      "in_port_schemas": { "in": $embSchema },
          |      "routes": { "out": [ { "to": "sim", "in_port": "centroids" } ] },
          |      "out_port_schemas": { "out": $centSchema } },

@@ -202,6 +202,25 @@ class SchemaMappingAggSpec extends SparkTestBase {
     }
   }
 
+  test("windowColumn rule set: exclusivity and missing-param failures are loud") {
+    import graft.ops.AggregateOp.windowColumn
+    // happy paths return a column (analysis happens downstream)
+    windowColumn("ts", Some("1 hour"), None, None, "t")
+    windowColumn("ts", Some("1 hour"), Some("10 minutes"), None, "t")
+    windowColumn("ts", None, None, Some("30 minutes"), "t")
+    // session_gap and window are exclusive
+    intercept[IllegalArgumentException](
+      windowColumn("ts", Some("1 hour"), None, Some("30 minutes"), "t"))
+    // session windows do not slide
+    intercept[IllegalArgumentException](
+      windowColumn("ts", None, Some("10 minutes"), Some("30 minutes"), "t"))
+    // slide requires window; bare call needs window or session_gap
+    intercept[IllegalArgumentException](
+      windowColumn("ts", None, Some("10 minutes"), None, "t"))
+    intercept[IllegalArgumentException](
+      windowColumn("ts", None, None, None, "t"))
+  }
+
   test("FieldDef ⇄ StructType codec round-trips") {
     import graft.schema._
     import graft.schema.GraftType._
