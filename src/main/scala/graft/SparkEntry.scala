@@ -397,10 +397,13 @@ object SparkEntry {
   /** Data-driven session windows over events, the batch face of the
     * streaming `session_gap` path (stream↔batch parity is pinned in
     * StreamingJobsSpec). A user's session closes after 12 idle hours;
-    * Spark's session end is `last_ts + gap` and END-EXCLUSIVE, so the
-    * DuckDB oracle opens a new island when `delta >= gap` (not `>`).
-    * One shuffle on (user_id) then a per-key sort — the same shape the
-    * streaming state store maintains incrementally. */
+    * Spark's session end is `last_ts + gap` and the boundary MERGES —
+    * an event landing exactly at the previous end extends the session
+    * (SessionWindowPropertySpec pins it; this doc's first draft claimed
+    * the opposite and the property test caught it), so the DuckDB
+    * oracle opens a new island only when `delta > gap`. One shuffle on
+    * (user_id) then a per-key sort — the same shape the streaming state
+    * store maintains incrementally. */
   private def qEventsSession(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
       .groupBy(session_window(col("ts"), "12 hours").as("w"), col("user_id"))
@@ -2393,13 +2396,14 @@ object SparkEntry {
         |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // gap-based islands: a new session when the per-user delta is NULL
-    // (first event) or >= the gap — matching Spark's end-exclusive
-    // session_window, whose end is last_ts + gap
+    // (first event) or > the gap — an event exactly at the previous
+    // session's end (delta == gap) MERGES, matching Spark's
+    // session_window boundary (pinned in SessionWindowPropertySpec)
     "q_events_session" ->
       """WITH d AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |           < INTERVAL 12 HOUR THEN 0 ELSE 1 END AS new_s
+        |           <= INTERVAL 12 HOUR THEN 0 ELSE 1 END AS new_s
         |  FROM events),
         |i AS (
         |  SELECT user_id, ts, value,
@@ -2412,13 +2416,14 @@ object SparkEntry {
         |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
         |FROM i GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
-    // the declarative session job rolled up per user: same gap islands,
-    // no timestamp-string formatting in the compared columns
+    // the declarative session job rolled up per user: same gap islands
+    // (merge at delta <= gap, split at >), no timestamp-string
+    // formatting in the compared columns
     "q_job_session_agg" ->
       """WITH d AS (
         |  SELECT user_id, ts, round(value * 100)::BIGINT AS cents,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |           < INTERVAL 12 HOUR THEN 0 ELSE 1 END AS new_s
+        |           <= INTERVAL 12 HOUR THEN 0 ELSE 1 END AS new_s
         |  FROM events),
         |i AS (
         |  SELECT user_id, cents,
