@@ -25,6 +25,27 @@ class ScaleIdiomsSpec extends SparkTestBase {
     assert(salted.toSeq === direct.toSeq)
   }
 
+  test("batch session windows: partial agg, ONE exchange, MergingSessions") {
+    // the scale-correct session plan: map-side partial aggregation of
+    // tentative sessions, one shuffle on the group keys, then Spark's
+    // dedicated MergingSessions operator + final aggregate — NOT a
+    // row-level shuffle-then-sort-then-walk
+    val df = spark.range(5000).select(
+      concat(lit("u"), col("id") % 50).as("user"),
+      timestamp_seconds(lit(1704067200L) + col("id") * 97 % 86400).as("ts"),
+      (col("id") % 13).as("v"))
+    val out = AggregateOp.windowed(df, "ts",
+      AggregateOp.windowColumn("ts", None, None, Some("15 minutes"), "spec"),
+      Seq("user"), Seq(AggSpec("v", "sum", "sv")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("MergingSessions"),
+      s"expected the MergingSessions operator:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"session agg must shuffle exactly once:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial AND final aggregate nodes:\n$plan")
+  }
+
   test("saltedAggregate rejects non-decomposable ops") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] {
