@@ -103,13 +103,18 @@ object ComponentSchemas {
     "text_analysis" -> ("Token counts, quality ratios, language id" -> Seq(
       p("text_column", "string", "document text column, default 'text'"))),
     "similarity" -> ("Nearest-neighbor search: exact k-NN join or IVF cell probe" -> Seq(
-      p("method", "string", "knn (default; ports corpus/queries) | ivf (ports corpus/centroids/query)"),
+      p("method", "string", "knn (default; ports corpus/queries) | ivf (ports corpus/centroids/query) | ivf_index (ports centroids/query over a write_ivf_index layout)"),
+      p("index_path", "string", "ivf_index: directory written by write_ivf_index"),
       p("vector_column", "string", "embedding column, default 'embedding'"),
       p("k", "integer", "neighbors per query, default 10"),
       p("corpus_id", "string", "knn: corpus id column, default 'id'"),
       p("query_id", "string", "knn: query id column, default 'id'"),
       p("id_column", "string", "ivf: corpus id column, default 'id'"),
       p("nprobe", "integer", "ivf: probed cells, default max(2, cells/8) from the centroid count"))),
+    "write_ivf_index" -> ("Write the corpus partitioned by nearest centroid cell (ports corpus/centroids) — the probe-prunable IVF layout" -> Seq(
+      req("filepath", "string", "index directory (one subdirectory per cell)"),
+      p("vector_column", "string", "embedding column, default 'embedding'"),
+      p("id_column", "string", "corpus id column, default 'id'"))),
     "kmeans_train" -> ("Train k-means centroids (cell, cvec) for the ivf similarity method" -> Seq(
       p("vector_column", "string", "embedding column, default 'embedding'"),
       p("k", "integer", "number of centroids/cells, default ceil(sqrt(n)) from the corpus count"),

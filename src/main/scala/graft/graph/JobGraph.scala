@@ -65,10 +65,13 @@ object JobGraph {
       exposed.sorted.map(PortSpec(_, required = true, multi = false))
     case "similarity" =>
       val ports = c.params \ "method" match {
-        case org.json4s.JString("ivf") => Seq("corpus", "centroids", "query")
-        case _                         => Seq("corpus", "queries")
+        case org.json4s.JString("ivf")       => Seq("corpus", "centroids", "query")
+        case org.json4s.JString("ivf_index") => Seq("centroids", "query")
+        case _                               => Seq("corpus", "queries")
       }
       ports.map(PortSpec(_, required = true, multi = false))
+    case "write_ivf_index" =>
+      Seq("corpus", "centroids").map(PortSpec(_, required = true, multi = false))
     case "asof_join" =>
       Seq("left", "right").map(PortSpec(_, required = true, multi = false))
     case _ => Seq(PortSpec("in", required = true, multi = false))
@@ -626,6 +629,24 @@ object JobGraph {
             Similarity.ivfTopK(port("corpus"), vecCol,
               c.str("id_column").getOrElse("id"), centroids,
               port("query"), k, nprobe = nprobe)
+          // probe a PREBUILT write_ivf_index layout: no corpus port — the
+          // index at `index_path` is the corpus, and the probed cells
+          // prune its directories at plan time. The single query row is
+          // collected driver-side (bounded and required to be exactly
+          // one row — the same justified exception searchBucketed's doc
+          // records for the probe cells).
+          case "ivf_index" =>
+            val centroids = port("centroids")
+            val qRows = port("query").limit(2).collect()
+            require(qRows.length == 1,
+              s"similarity ${c.name}: the query port must carry exactly one row")
+            val vec = qRows(0).getSeq[Number](qRows(0).fieldIndex("qvec"))
+              .map(_.floatValue).toSeq
+            val nprobe = c.intOpt("nprobe").getOrElse(
+              Similarity.ivfNprobeDefault(centroids.count().toInt))
+            graft.scale.KMeans.searchBucketed(spark, c.reqStr("index_path"),
+              vecCol, c.str("id_column").getOrElse("id"), centroids, vec,
+              k, nprobe = nprobe)
           case other =>
             throw new IllegalArgumentException(s"unknown similarity method: $other")
         }
@@ -639,6 +660,22 @@ object JobGraph {
       // the returned table is persisted by train() and its release is
       // handed to BuiltJob.close via OpCaches, per the cache-ownership
       // rule.
+      // IVF index sink (scale/KMeans.indexBucketed): assigns each corpus
+      // row to its nearest centroid and writes the corpus partitioned by
+      // cell, one file per cell directory — the layout whose probes
+      // prune at the file source. Ports `corpus` + `centroids`.
+      case "write_ivf_index" =>
+        def port(p: String): DataFrame = {
+          val xs = in.getOrElse(p, Nil)
+          require(xs.size == 1, s"write_ivf_index ${c.name}: port '$p' needs exactly one edge")
+          xs.head
+        }
+        val (corpus, centroids) = (port("corpus"), port("centroids"))
+        val path = c.reqStr("filepath")
+        (Map("out" -> corpus), Some(() => graft.scale.KMeans.indexBucketed(
+          corpus, c.str("vector_column").getOrElse("embedding"),
+          c.str("id_column").getOrElse("id"), centroids, path)))
+
       case "kmeans_train" =>
         val corpus = one()
         // explicit k wins; omitted → the sqrt-n cell rule from the

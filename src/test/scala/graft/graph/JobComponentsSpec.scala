@@ -410,6 +410,91 @@ class JobComponentsSpec extends SparkTestBase {
     assert(run(tmp("km_out2")) === got)
   }
 
+  test("write_ivf_index + similarity ivf_index: declarative build-then-probe") {
+    import spark.implicits._
+    // the KMeansSpec fixture shape: three separable clusters on axes
+    val ein = tmp("ivfidx_in")
+    Seq(0, 1, 2).flatMap { cl =>
+      (0 until 20).map { i =>
+        val v = Array.fill(8)(0.05f * ((i + cl) % 3))
+        v(cl * 2) = 10f + (i % 5) * 0.1f
+        (cl * 100L + i, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding").write.mode("overwrite").parquet(ein)
+    val embSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val centSchema =
+      """{ "fields": [
+        |  { "name": "cell", "data_type": "integer" },
+        |  { "name": "cvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val qSchema =
+      """{ "fields": [
+        |  { "name": "qvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "cosine", "data_type": "float" } ] }""".stripMargin
+    val (idx, cents) = (tmp("ivfidx_idx"), tmp("ivfidx_cents"))
+    // job 1: train centroids, write both the index and the centroid table
+    val build =
+      s"""{ "name": "b", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$ein",
+         |    "routes": { "out": [ { "to": "km", "in_port": "in" },
+         |                         { "to": "ix", "in_port": "corpus" } ] },
+         |    "out_port_schemas": { "out": $embSchema } },
+         |  { "name": "km", "comp_type": "kmeans_train",
+         |    "vector_column": "embedding", "k": 3, "iters": 3,
+         |    "in_port_schemas": { "in": $embSchema },
+         |    "routes": { "out": [ { "to": "ix", "in_port": "centroids" },
+         |                         { "to": "wc", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $centSchema } },
+         |  { "name": "ix", "comp_type": "write_ivf_index", "filepath": "$idx",
+         |    "vector_column": "embedding", "id_column": "vec_id",
+         |    "in_port_schemas": { "corpus": $embSchema, "centroids": $centSchema } },
+         |  { "name": "wc", "comp_type": "write_parquet", "filepath": "$cents",
+         |    "in_port_schemas": { "in": $centSchema } } ] }""".stripMargin
+    val b = JobGraph.build(spark, JobConfig.parse(build))
+    b.runSinks(); b.close()
+    // one directory per cell on disk
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(idx)).iterator()
+    var nCells = 0
+    while (dirs.hasNext) { if (dirs.next().getFileName.toString.startsWith("cell=")) nCells += 1 }
+    assert(nCells === 3)
+    // job 2: probe the prebuilt index from config — query near cluster
+    // 1's axis, nprobe=1: every hit must come from cluster 1
+    val qin = tmp("ivfidx_q")
+    Seq(Tuple1(Seq.tabulate(8)(i => if (i == 2) 1f else 0f)))
+      .toDF("qvec").write.mode("overwrite").parquet(qin)
+    val out = tmp("ivfidx_out")
+    val probe =
+      s"""{ "name": "p", "components": [
+         |  { "name": "rc", "comp_type": "read_parquet", "filepath": "$cents",
+         |    "routes": { "out": [ { "to": "sim", "in_port": "centroids" } ] },
+         |    "out_port_schemas": { "out": $centSchema } },
+         |  { "name": "rq", "comp_type": "read_parquet", "filepath": "$qin",
+         |    "routes": { "out": [ { "to": "sim", "in_port": "query" } ] },
+         |    "out_port_schemas": { "out": $qSchema } },
+         |  { "name": "sim", "comp_type": "similarity", "method": "ivf_index",
+         |    "index_path": "$idx", "vector_column": "embedding",
+         |    "id_column": "vec_id", "k": 5, "nprobe": 1,
+         |    "in_port_schemas": { "centroids": $centSchema, "query": $qSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    val p = JobGraph.build(spark, JobConfig.parse(probe))
+    p.runSinks(); p.close()
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0))
+    assert(ids.length === 5)
+    assert(ids.forall(id => id >= 100 && id < 200),
+      s"nprobe=1 near cluster 1's axis must return only cluster-1 ids, got ${ids.toSeq}")
+  }
+
   test("aggregation with time_column windows in batch (session + tumbling)") {
     import spark.implicits._
     val in = tmp("winagg_in")
