@@ -2104,6 +2104,22 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of join: each click aligned with the user's NEXT purchase
+    * at or after it — the mirrored direction (desc-ordered carry, same
+    * one-shuffle plan), against DuckDB's native `ASOF ... ON l.ts <= r.ts`
+    * as the independent oracle. */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+    graft.ops.AsofJoin(clicks, purchases, on = "ts", by = Seq("user_id"),
+      direction = "forward")
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -2149,6 +2165,7 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_events_session" -> (qEventsSession _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_forward" -> (qAsofForward _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_flatten_roundtrip" -> (qFlattenRoundtrip _),
@@ -2441,6 +2458,14 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // the mirrored inequality: DuckDB picks the EARLIEST p.ts >= c.ts
+    "q_asof_forward" ->
+      """SELECT c.event_id, c.user_id, c.ts, c.value,
+        |       p.value AS p_value, p.ts AS p_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (

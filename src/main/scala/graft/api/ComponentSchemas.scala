@@ -119,10 +119,11 @@ object ComponentSchemas {
       p("vector_column", "string", "embedding column, default 'embedding'"),
       p("k", "integer", "number of centroids/cells, default ceil(sqrt(n)) from the corpus count"),
       p("iters", "integer", "Lloyd iterations, default 5"))),
-    "asof_join" -> ("Backward as-of join: latest right row at or before each left time (ports left/right)" -> Seq(
+    "asof_join" -> ("As-of join: nearest right row per left row (ports left/right)" -> Seq(
       req("on", "string", "event-time column present on both sides"),
       req("by", "array", "equality keys"),
-      p("suffix", "string", "suffix for clashing right columns, default '_r'"))),
+      p("suffix", "string", "suffix for clashing right columns, default '_r'"),
+      p("direction", "string", "backward (default): latest right at or before | forward: earliest at or after"))),
     "unpivot" -> ("Unpivot/melt: value columns become (variable, value) rows" -> Seq(
       req("value_columns", "array", "columns melted into rows (must share a common type)"),
       p("id_columns", "array", "columns kept as row identity"),

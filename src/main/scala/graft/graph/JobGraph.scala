@@ -705,7 +705,8 @@ object JobGraph {
         require(by.nonEmpty, s"asof_join ${c.name}: needs non-empty 'by' keys")
         (Map("out" -> AsofJoin(port("left"), port("right"),
           on = c.reqStr("on"), by = by,
-          suffix = c.str("suffix").getOrElse("_r"))), None)
+          suffix = c.str("suffix").getOrElse("_r"),
+          direction = c.str("direction").getOrElse("backward"))), None)
 
       case other =>
         throw new IllegalArgumentException(s"unknown comp_type: $other")

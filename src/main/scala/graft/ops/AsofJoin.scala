@@ -5,12 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Backward as-of join: for each left row, the single most recent right
- * row (right.`on` <= left.`on`, equal instants match) within the same
- * `by` group — null right columns when no prior right row exists. A
+ * As-of join: for each left row, the single nearest right row within the
+ * same `by` group — `direction = "backward"` (default) takes the most
+ * recent right row at or before the left time (right.`on` <= left.`on`),
+ * `"forward"` the earliest at or after (right.`on` >= left.`on`); equal
+ * instants match in both. Null right columns when no such row exists. A
  * join variant the reference lacks entirely (SURVEY §2.4) and a staple
  * of event/feature alignment in training-data pipelines ("the last
- * purchase before this click", "the features as of this label's time").
+ * purchase before this click", "the next error after this deploy").
  *
  * Spark-first shape: a naive range join explodes to O(|L|·|R|) pairs per
  * key before picking the max. Instead the two sides are UNIONED, sorted
@@ -19,16 +21,21 @@ import org.apache.spark.sql.functions._
  * ONE shuffle on the by-keys, one sort per partition, and the window
  * state is a single value per column (Spark's running-frame
  * implementation never buffers the group). All right columns share one
- * Window node in the plan (same spec, collapsed by Catalyst).
+ * Window node in the plan (same spec, collapsed by Catalyst). The
+ * forward direction REVERSES the sort (desc) and keeps the same running
+ * frame — NOT a [currentRow, unboundedFollowing] frame, whose
+ * UnboundedFollowingWindowFunctionFrame re-scans to the partition end
+ * per row (O(n²) per key group).
  *
  * Preconditions / null semantics:
  *  - `right` must be unique per (by, on): with duplicates the carried
  *    value is partition-order-dependent. Dedup upstream.
  *  - null-time right rows match NOTHING (they are filtered out, like
- *    null by-keys): SQL ASOF's `l.t >= r.t` is never true for a null
- *    right time. Null-time left rows sort first (asc nulls-first) so
- *    they precede every real right row and come back with null right
- *    columns — SQL ASOF matches them nowhere either.
+ *    null by-keys): SQL ASOF's range predicate is never true for a null
+ *    right time. Null-time left rows sort first (nulls-first in BOTH
+ *    directions' orderings) so they precede every real right row and
+ *    come back with null right columns — SQL ASOF matches them nowhere
+ *    either.
  *  - null `by` keys match NOTHING (SQL equality, same as the ASOF JOIN
  *    oracle): null-keyed right rows are dropped, null-keyed left rows
  *    come back with null right columns.
@@ -47,8 +54,10 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   def apply(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
-            suffix: String = "_r"): DataFrame = {
+            suffix: String = "_r", direction: String = "backward"): DataFrame = {
     require(by.nonEmpty, "asof join needs at least one by-key")
+    require(direction == "backward" || direction == "forward",
+      s"asof join: unknown direction '$direction' (backward | forward)")
     require(left.columns.contains(on) && right.columns.contains(on),
       s"asof join: time column '$on' must exist on both sides")
     val rightVal = right.columns.filterNot(c => by.contains(c) || c == on).toSeq
@@ -99,9 +108,15 @@ object AsofJoin {
           rvStruct.as("__rv"): _*)
 
     // right rows sort before left rows at the same instant → inclusive
-    // (right.on <= left.on) match semantics
+    // match semantics in both directions. Backward walks time ascending
+    // (carry = most recent prior right row); forward walks DESCENDING so
+    // the same running carry yields the earliest following right row.
+    // Nulls-first explicitly in both: desc's default NULLS LAST would
+    // hand null-time left rows the whole partition's carry.
+    val tOrd = if (direction == "backward") col("__t").asc_nulls_first
+               else col("__t").desc_nulls_first
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__t").asc, col("__is_left").asc)
+      .orderBy(tOrd, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lhs.unionByName(rhs)
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))

@@ -127,6 +127,46 @@ class AsofJoinSpec extends SparkTestBase {
       (id, k, t, best)
     }.toSet
     assert(got === model)
+
+    // forward direction against the mirrored model (earliest r.t >= l.t)
+    val gotF = AsofJoin(left, right, on = "t", by = Seq("k"),
+      direction = "forward")
+      .select(col("id"), col("k"), col("t"), col("rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    val modelF = leftRows.map { case (id, k, t) =>
+      val best = rightRows.filter(r => r._1 == k && r._2 >= t)
+        .sortBy(_._2).headOption.map(_._3)
+      (id, k, t, best)
+    }.toSet
+    assert(gotF === modelF)
+  }
+
+  test("forward direction: earliest right row at or after, nulls match nothing") {
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 21L), (3L, "u2", 5L),
+      (4L, "u1", Long.MinValue)) // sentinel exercised below via null row
+      .toDF("id", "user", "t")
+    val right = Seq(("u1", 10L, "now"), ("u1", 18L, "soon"), ("u2", 4L, "past"))
+      .toDF("user", "t", "tag")
+    val out = AsofJoin(left, right, on = "t", by = Seq("user"),
+      direction = "forward").orderBy(col("id")).collect()
+      .map(r => (r.getLong(1), Option(r.getString(3)).orNull))
+    // 1→now (equal instant inclusive), 2→null (nothing after 21),
+    // 3→null (u2's only right row is earlier), 4→now (earliest overall)
+    assert(out.toSeq === Seq((1L, "now"), (2L, null), (3L, null), (4L, "now")))
+    // null-time left and right rows still match nothing under desc order
+    val leftN = Seq((1L, "u1", None), (2L, "u1", Some(50L)))
+      .toDF("id", "user", "t")
+    val rightN = Seq(("u1", None, "ghost"), ("u1", Some(60L), "after"))
+      .toDF("user", "t", "tag")
+    val outN = AsofJoin(leftN, rightN, on = "t", by = Seq("user"),
+      direction = "forward").orderBy(col("id")).collect()
+    assert(outN(0).isNullAt(outN(0).fieldIndex("tag")),
+      "null-time left row must match nothing")
+    assert(outN(1).getAs[String]("tag") === "after",
+      "and must not be handed the null-time right row")
   }
 
   test("asof_join component runs from JSON config") {
