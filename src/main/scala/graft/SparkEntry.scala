@@ -2120,6 +2120,23 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Tolerance-bounded as-of join (merge_asof semantics): the last
+    * purchase counts only within an hour of the click. The oracle is
+    * DuckDB ASOF plus a CASE null-out — post-filtering the single best
+    * match is exactly the operator's own argument for why a carried-match
+    * filter implements tolerance. */
+  private def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+    graft.ops.AsofJoin(clicks, purchases, on = "ts", by = Seq("user_id"),
+      tolerance = Some("INTERVAL '1' HOUR"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
@@ -2166,6 +2183,7 @@ object SparkEntry {
     "q_events_session" -> (qEventsSession _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_forward" -> (qAsofForward _),
+    "q_asof_tolerance" -> (qAsofTolerance _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_flatten_roundtrip" -> (qFlattenRoundtrip _),
@@ -2455,6 +2473,16 @@ object SparkEntry {
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts, c.value,
         |       p.value AS p_value, p.ts AS p_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // tolerance = post-filter of the single ASOF match: the nearest row
+    // is out of tolerance exactly when every farther row is
+    "q_asof_tolerance" ->
+      """SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN p.value END AS p_value,
+        |  CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN p.ts END AS p_ts
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts

@@ -706,7 +706,8 @@ object JobGraph {
         (Map("out" -> AsofJoin(port("left"), port("right"),
           on = c.reqStr("on"), by = by,
           suffix = c.str("suffix").getOrElse("_r"),
-          direction = c.str("direction").getOrElse("backward"))), None)
+          direction = c.str("direction").getOrElse("backward"),
+          tolerance = c.str("tolerance"))), None)
 
       case other =>
         throw new IllegalArgumentException(s"unknown comp_type: $other")

@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
  *    come back with null right columns.
  *  - right rows carry as ONE struct, so a match's genuinely-null value
  *    stays null instead of resurrecting an older row's value.
+ *  - `tolerance` (optional) bounds the match distance, merge_asof-style:
+ *    a carried right row farther than `tolerance` from the left time is
+ *    nulled out. It is a SQL literal EXPRESSION comparable to the
+ *    difference of two `on` values — an INTERVAL literal
+ *    ("INTERVAL '1' HOUR") for timestamp times, a number for numeric
+ *    times. Post-filtering the single carried match is sufficient: the
+ *    nearest row is out of tolerance exactly when every farther row is.
  *
  * MEASURED scaling (tools/AsofProbe, synthetic events over n/100 users,
  * local[32], one aggregate forcing the carried column; struct-carry
@@ -54,7 +61,8 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   def apply(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
-            suffix: String = "_r", direction: String = "backward"): DataFrame = {
+            suffix: String = "_r", direction: String = "backward",
+            tolerance: Option[String] = None): DataFrame = {
     require(by.nonEmpty, "asof join needs at least one by-key")
     require(direction == "backward" || direction == "forward",
       s"asof join: unknown direction '$direction' (backward | forward)")
@@ -72,7 +80,7 @@ object AsofJoin {
     require(outName.distinct.size == outName.size,
       s"asof join: suffixed right columns collide with each other: " +
         outName.diff(outName.distinct).distinct.mkString(", "))
-    val reserved = Set("__t", "__is_left", "__rv")
+    val reserved = Set("__t", "__is_left", "__rv", "__rt")
     val reservedHit = (left.columns ++ right.columns).toSet.intersect(reserved)
     require(reservedHit.isEmpty,
       s"asof join: column names ${reservedHit.mkString(", ")} are reserved internally")
@@ -86,8 +94,10 @@ object AsofJoin {
     // last(ignoreNulls) would treat a genuinely-null right value like
     // the left-side placeholder and stitch fields from DIFFERENT right
     // rows into one match — resurrecting values the true match nulled.
+    // the matched right TIME rides in the struct too (`__rt`, reserved
+    // above) so the tolerance filter can measure the match distance
     val rvStruct = struct(rightVal.zip(outName)
-      .map { case (c, o) => col(c).as(o) }: _*)
+      .map { case (c, o) => col(c).as(o) } :+ col(on).as("__rt"): _*)
     val lhs = left.select(
       by.map(col) ++ Seq(col(on).as("__t"), lit(1).as("__is_left")) ++
         leftRest.map(col) :+
@@ -118,10 +128,16 @@ object AsofJoin {
     val w = Window.partitionBy(by.map(col): _*)
       .orderBy(tOrd, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lhs.unionByName(rhs)
+    val carried = lhs.unionByName(rhs)
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
-      .select(by.map(col) ++ leftRest.map(col) ++
-        outName.map(o => col(s"__rv.`$o`").as(o)): _*)
+    val bounded = tolerance.fold(carried) { t =>
+      val dist = if (direction == "backward") col("__t") - col("__rv.__rt")
+                 else col("__rv.__rt") - col("__t")
+      carried.withColumn("__rv",
+        when(dist <= expr(t), col("__rv"))) // out of tolerance → no match
+    }
+    bounded.select(by.map(col) ++ leftRest.map(col) ++
+      outName.map(o => col(s"__rv.`$o`").as(o)): _*)
   }
 }

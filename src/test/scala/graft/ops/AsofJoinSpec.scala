@@ -144,6 +144,35 @@ class AsofJoinSpec extends SparkTestBase {
     assert(gotF === modelF)
   }
 
+  test("tolerance bounds the match distance in both directions") {
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 200L)).toDF("id", "user", "t")
+    val right = Seq(("u1", 95L, "near"), ("u1", 120L, "mid")).toDF("user", "t", "tag")
+    // backward: id=1 matches t=95 (distance 5 <= 10); id=2's nearest
+    // prior is t=120 (distance 80) — nulled, NOT replaced by t=95
+    val back = AsofJoin(left, right, on = "t", by = Seq("user"),
+      tolerance = Some("10")).orderBy(col("id")).collect()
+      .map(r => Option(r.getString(3)).orNull)
+    assert(back.toSeq === Seq("near", null))
+    // forward: id=1's next is t=120 (distance 20 > 10) → null;
+    // with tolerance 25 it matches
+    val fwd = AsofJoin(left, right, on = "t", by = Seq("user"),
+      direction = "forward", tolerance = Some("25"))
+      .orderBy(col("id")).collect().map(r => Option(r.getString(3)).orNull)
+    assert(fwd.toSeq === Seq("mid", null))
+    // interval tolerance over timestamps
+    val lts = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "user", "t")
+    val rts = Seq(("u", java.sql.Timestamp.valueOf("2024-01-01 08:30:00"), 7.5))
+      .toDF("user", "t", "v")
+    def tsMatch(tol: String): Boolean = {
+      val r = AsofJoin(lts, rts, on = "t", by = Seq("user"),
+        tolerance = Some(tol)).head()
+      !r.isNullAt(r.fieldIndex("v"))
+    }
+    assert(tsMatch("INTERVAL '2' HOUR"))
+    assert(!tsMatch("INTERVAL '1' HOUR"))
+  }
+
   test("forward direction: earliest right row at or after, nulls match nothing") {
     val left = Seq((1L, "u1", 10L), (2L, "u1", 21L), (3L, "u2", 5L),
       (4L, "u1", Long.MinValue)) // sentinel exercised below via null row
