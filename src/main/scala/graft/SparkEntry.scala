@@ -2120,6 +2120,22 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-direction as-of join: the closer of the last purchase before
+    * and the first after each click, ties to backward. The oracle derives
+    * it from DuckDB's two directed ASOF joins plus a CASE pick with the
+    * same tie rule — two independent formulations of "nearest". */
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+    graft.ops.AsofJoin(clicks, purchases, on = "ts", by = Seq("user_id"),
+      direction = "nearest")
+      .orderBy(col("event_id"))
+  }
+
   /** Tolerance-bounded as-of join (merge_asof semantics): the last
     * purchase counts only within an hour of the click. The oracle is
     * DuckDB ASOF plus a CASE null-out — post-filtering the single best
@@ -2184,6 +2200,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_tolerance" -> (qAsofTolerance _),
+    "q_asof_nearest" -> (qAsofNearest _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_flatten_roundtrip" -> (qFlattenRoundtrip _),
@@ -2487,6 +2504,24 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+    // nearest = CASE-pick over the two directed ASOF joins, ties to
+    // backward — an independent formulation of the desc/asc double carry
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT c.event_id, c.user_id, c.ts, c.value,
+        |             p.value AS bv, p.ts AS bt
+        |      FROM c ASOF LEFT JOIN p
+        |        ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (SELECT c.event_id, p.value AS fv, p.ts AS ft
+        |      FROM c ASOF LEFT JOIN p
+        |        ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT b.event_id, b.user_id, b.ts, b.value,
+        |  CASE WHEN bt IS NULL THEN fv WHEN ft IS NULL THEN bv
+        |       WHEN (ft - b.ts) < (b.ts - bt) THEN fv ELSE bv END AS p_value,
+        |  CASE WHEN bt IS NULL THEN ft WHEN ft IS NULL THEN bt
+        |       WHEN (ft - b.ts) < (b.ts - bt) THEN ft ELSE bt END AS p_ts
+        |FROM b JOIN f USING (event_id) ORDER BY b.event_id""".stripMargin,
     // the mirrored inequality: DuckDB picks the EARLIEST p.ts >= c.ts
     "q_asof_forward" ->
       """SELECT c.event_id, c.user_id, c.ts, c.value,

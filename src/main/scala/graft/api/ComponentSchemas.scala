@@ -123,7 +123,7 @@ object ComponentSchemas {
       req("on", "string", "event-time column present on both sides"),
       req("by", "array", "equality keys"),
       p("suffix", "string", "suffix for clashing right columns, default '_r'"),
-      p("direction", "string", "backward (default): latest right at or before | forward: earliest at or after"),
+      p("direction", "string", "backward (default): latest right at or before | forward: earliest at or after | nearest: closer of the two, ties to backward"),
       p("tolerance", "string", "max match distance as a SQL literal (INTERVAL '1' HOUR for timestamps, a number for numeric times); farther matches become null"))),
     "unpivot" -> ("Unpivot/melt: value columns become (variable, value) rows" -> Seq(
       req("value_columns", "array", "columns melted into rows (must share a common type)"),

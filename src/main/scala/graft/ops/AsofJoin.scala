@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
  * As-of join: for each left row, the single nearest right row within the
  * same `by` group — `direction = "backward"` (default) takes the most
  * recent right row at or before the left time (right.`on` <= left.`on`),
- * `"forward"` the earliest at or after (right.`on` >= left.`on`); equal
- * instants match in both. Null right columns when no such row exists. A
+ * `"forward"` the earliest at or after (right.`on` >= left.`on`),
+ * `"nearest"` whichever of the two is closer (ties to backward); equal
+ * instants match in all. Null right columns when no such row exists. A
  * join variant the reference lacks entirely (SURVEY §2.4) and a staple
  * of event/feature alignment in training-data pipelines ("the last
  * purchase before this click", "the next error after this deploy").
@@ -64,8 +65,8 @@ object AsofJoin {
             suffix: String = "_r", direction: String = "backward",
             tolerance: Option[String] = None): DataFrame = {
     require(by.nonEmpty, "asof join needs at least one by-key")
-    require(direction == "backward" || direction == "forward",
-      s"asof join: unknown direction '$direction' (backward | forward)")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asof join: unknown direction '$direction' (backward | forward | nearest)")
     require(left.columns.contains(on) && right.columns.contains(on),
       s"asof join: time column '$on' must exist on both sides")
     val rightVal = right.columns.filterNot(c => by.contains(c) || c == on).toSeq
@@ -80,7 +81,7 @@ object AsofJoin {
     require(outName.distinct.size == outName.size,
       s"asof join: suffixed right columns collide with each other: " +
         outName.diff(outName.distinct).distinct.mkString(", "))
-    val reserved = Set("__t", "__is_left", "__rv", "__rt")
+    val reserved = Set("__t", "__is_left", "__rv", "__rt", "__rvb", "__rvf")
     val reservedHit = (left.columns ++ right.columns).toSet.intersect(reserved)
     require(reservedHit.isEmpty,
       s"asof join: column names ${reservedHit.mkString(", ")} are reserved internally")
@@ -118,26 +119,49 @@ object AsofJoin {
           rvStruct.as("__rv"): _*)
 
     // right rows sort before left rows at the same instant → inclusive
-    // match semantics in both directions. Backward walks time ascending
+    // match semantics in every direction. Backward walks time ascending
     // (carry = most recent prior right row); forward walks DESCENDING so
     // the same running carry yields the earliest following right row.
     // Nulls-first explicitly in both: desc's default NULLS LAST would
-    // hand null-time left rows the whole partition's carry.
-    val tOrd = if (direction == "backward") col("__t").asc_nulls_first
-               else col("__t").desc_nulls_first
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(tOrd, col("__is_left").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = lhs.unionByName(rhs)
-      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__is_left") === 1)
-    val bounded = tolerance.fold(carried) { t =>
-      val dist = if (direction == "backward") col("__t") - col("__rv.__rt")
-                 else col("__rv.__rt") - col("__t")
-      carried.withColumn("__rv",
-        when(dist <= expr(t), col("__rv"))) // out of tolerance → no match
+    // hand null-time left rows the whole partition's carry. `nearest`
+    // computes BOTH carries — same hash partitioning, so ONE Exchange
+    // with two sorts (pinned in AsofJoinSpec) — and picks the closer
+    // match, ties to backward (the earlier right row).
+    val unioned = lhs.unionByName(rhs)
+    def carried(ord: Column): Column =
+      last(col("__rv"), ignoreNulls = true).over(
+        Window.partitionBy(by.map(col): _*)
+          .orderBy(ord, col("__is_left").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val backOrd = col("__t").asc_nulls_first
+    val fwdOrd = col("__t").desc_nulls_first
+    def inTol(rv: Column, dist: Column): Column =
+      tolerance.fold(rv)(t => when(dist <= expr(t), rv))
+    val withMatch = direction match {
+      case "nearest" =>
+        val both = unioned
+          .withColumn("__rvb", carried(backOrd))
+          .withColumn("__rvf", carried(fwdOrd))
+          .filter(col("__is_left") === 1)
+        val db = col("__t") - col("__rvb.__rt")
+        val df = col("__rvf.__rt") - col("__t")
+        val b = inTol(col("__rvb"), db)
+        val f = inTol(col("__rvf"), df)
+        both.withColumn("__rv",
+            when(b.isNull, f).when(f.isNull, b)
+              .when(df < db, f).otherwise(b)) // tie → backward
+          .drop("__rvb", "__rvf")
+      case _ =>
+        val ord = if (direction == "backward") backOrd else fwdOrd
+        val c = unioned.withColumn("__rv", carried(ord))
+          .filter(col("__is_left") === 1)
+        tolerance.fold(c) { t =>
+          val dist = if (direction == "backward") col("__t") - col("__rv.__rt")
+                     else col("__rv.__rt") - col("__t")
+          c.withColumn("__rv", when(dist <= expr(t), col("__rv")))
+        }
     }
-    bounded.select(by.map(col) ++ leftRest.map(col) ++
+    withMatch.select(by.map(col) ++ leftRest.map(col) ++
       outName.map(o => col(s"__rv.`$o`").as(o)): _*)
   }
 }

@@ -142,6 +142,38 @@ class AsofJoinSpec extends SparkTestBase {
       (id, k, t, best)
     }.toSet
     assert(gotF === modelF)
+
+    // nearest: closer of the two, ties to backward
+    val gotN = AsofJoin(left, right, on = "t", by = Seq("k"),
+      direction = "nearest")
+      .select(col("id"), col("k"), col("t"), col("rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSet
+    val modelN = leftRows.map { case (id, k, t) =>
+      val b = rightRows.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+      val f = rightRows.filter(r => r._1 == k && r._2 >= t).sortBy(_._2).headOption
+      val best = (b, f) match {
+        case (Some(bb), Some(ff)) =>
+          if (ff._2 - t < t - bb._2) Some(ff._3) else Some(bb._3)
+        case (bb, ff) => bb.orElse(ff).map(_._3)
+      }
+      (id, k, t, best)
+    }.toSet
+    assert(gotN === modelN)
+  }
+
+  test("nearest direction plans ONE exchange (two sorts share the shuffle)") {
+    val left = Seq((1L, "u1", 10L)).toDF("id", "user", "t")
+    val right = Seq(("u1", 5L, "x")).toDF("user", "t", "tag")
+    val out = AsofJoin(left, right, on = "t", by = Seq("user"),
+      direction = "nearest")
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"nearest must not shuffle twice:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 2,
+      s"expected both direction windows:\n$plan")
   }
 
   test("tolerance bounds the match distance in both directions") {
