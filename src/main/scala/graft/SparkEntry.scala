@@ -1891,6 +1891,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction over documents. The synthetic corpus carries no PII
+    * (verified: zero '@' occurrences), so the query SEEDS deterministic
+    * emails/phones/IPs from doc_id — identically in the DuckDB oracle —
+    * and both engines must mask the exact same spans. Patterns live in
+    * the Java/RE2 common subset for this bit-parity (TextAnalysis doc). */
+  private def qTextPii(s: SparkSession, dir: String): DataFrame = {
+    val seeded = table(s, dir, "documents")
+      .withColumn("text", concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-1234 at 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".1")))
+    TextAnalysis.redactPiiWithCounts(seeded)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("n_ips"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -2241,6 +2260,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "text_stats" -> (qTextStats _),
+    "text_pii" -> (qTextPii _),
     "text_langid" -> (qTextLangId _),
     "sim_knn" -> (qSimKnn _),
     "sim_ivf" -> (qSimIvf _),
@@ -2937,6 +2957,26 @@ object SparkEntry {
         |  list_sum(ks)::BIGINT AS feature_checksum
         |FROM bytes b JOIN feat f ON b.media_id = f.media_id
         |ORDER BY b.media_id""".stripMargin,
+    // same seed expression, same regexes (Java/RE2 common subset), same
+    // email→phone→ip replace order — byte-identical masked text expected
+    "text_pii" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, text || ' contact u' || doc_id ||
+        |    '@example.com or 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+        |    '-1234 at 10.0.' || (doc_id % 256)::VARCHAR || '.1' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |FROM seeded ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -111,6 +111,8 @@ object ComponentSchemas {
       p("query_id", "string", "knn: query id column, default 'id'"),
       p("id_column", "string", "ivf: corpus id column, default 'id'"),
       p("nprobe", "integer", "ivf: probed cells, default max(2, cells/8) from the centroid count"))),
+    "pii_redact" -> ("Mask emails/phones/IPv4 in a text column (<EMAIL>/<PHONE>/<IP>) and add n_emails/n_phones/n_ips counts" -> Seq(
+      p("text_column", "string", "column to redact in place, default 'text'"))),
     "write_ivf_index" -> ("Write the corpus partitioned by nearest centroid cell (ports corpus/centroids) — the probe-prunable IVF layout" -> Seq(
       req("filepath", "string", "index directory (one subdirectory per cell)"),
       p("vector_column", "string", "embedding column, default 'embedding'"),

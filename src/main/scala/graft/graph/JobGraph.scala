@@ -592,6 +592,14 @@ object JobGraph {
           values, c.str("var_column").getOrElse("variable"),
           c.str("value_column").getOrElse("value"))), None)
 
+      // PII redaction (scale/TextAnalysis.redactPiiWithCounts): masks
+      // emails/phones/IPv4 in the text column and adds per-category
+      // counts for downstream filtering. Codegen'd regex maps, no
+      // shuffle.
+      case "pii_redact" =>
+        (Map("out" -> graft.scale.TextAnalysis.redactPiiWithCounts(one(),
+          c.str("text_column").getOrElse("text"))), None)
+
       // Column-level data profile (scale/Profile.scala): `columns`
       // restricts the profiled set (default all), `approx` swaps exact
       // distinct counts for HyperLogLog at scale.

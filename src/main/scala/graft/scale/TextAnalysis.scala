@@ -123,6 +123,43 @@ object TextAnalysis {
       .otherwise(md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary")))
   }
 
+  /**
+   * PII redaction in the Dolma/RedPajama tradition: regex masking of
+   * emails, US-style phone numbers, and IPv4 addresses. Pure
+   * regexp_replace chains — codegen'd narrow maps like everything else
+   * here, no shuffle at any scale.
+   *
+   * Pattern discipline: Java-regex/RE2 COMMON SUBSET only (no lookahead,
+   * no unicode classes) so a DuckDB/RE2 oracle evaluates the exact same
+   * language — the same reasoning as fingerprint()'s ASCII tokenizer.
+   * The phone pattern is deliberately conservative (separator REQUIRED:
+   * 555-123-4567, 555.123.4567, (555) 123-4567 — not bare 10 digits) to
+   * bound false positives on numeric text; emails before phones before
+   * IPs, so an address inside an email's domain is already masked.
+   */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Masked text: emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP>. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Redact + per-category counts (counted on the ORIGINAL text, before
+    * masking) — the counts drive downstream filtering ("drop documents
+    * with >k PII hits") without a second scan. */
+  def redactPiiWithCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(Ipv4Re)).cast("long"))
+      .withColumn(textCol, redactPii(t))
+  }
+
   /** All analyses as one projection, for pipeline use. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
