@@ -57,7 +57,7 @@ object StreamingJobs {
   val supportedTypes: Set[String] = Set(
     "read_csv", "read_json", "read_parquet",
     "filter", "type_conversion", "schema_mapping", "split", "merge",
-    "text_analysis", "streaming_aggregation", "streaming_dedup",
+    "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "write_csv", "write_json", "write_parquet")
 
   final case class SinkPlan(component: String, df: DataFrame, format: String,
@@ -136,6 +136,11 @@ object StreamingJobs {
           Map("merge" -> xs.reduce(_.unionByName(_)))
         case "text_analysis" =>
           Map("out" -> graft.scale.TextAnalysis.analyze(one(c),
+            c.str("text_column").getOrElse("text")))
+
+        // stateless narrow map like text_analysis: streams as-is
+        case "pii_redact" =>
+          Map("out" -> graft.scale.TextAnalysis.redactPiiWithCounts(one(c),
             c.str("text_column").getOrElse("text")))
 
         // Watermark-bounded windowed aggregation, the streaming twin of the

@@ -118,6 +118,51 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.json(sOut).count() === 3)
   }
 
+  test("ndjson → pii_redact → ndjson: streaming matches batch") {
+    val inDir = tmp("pii_in")
+    Files.createDirectories(Paths.get(inDir))
+    val in = s"$inDir/*.ndjson"
+    Files.writeString(Paths.get(inDir, "part.ndjson"),
+      """{"id":"1","text":"mail bob@x.io or call 555-123-4567"}
+        |{"id":"2","text":"host 10.0.0.1 clean otherwise"}
+        |{"id":"3","text":"no pii"}
+        |""".stripMargin)
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "string" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "string" },
+        |  { "name": "text", "data_type": "string" },
+        |  { "name": "n_emails", "data_type": "integer" },
+        |  { "name": "n_phones", "data_type": "integer" },
+        |  { "name": "n_ips", "data_type": "integer" } ] }""".stripMargin
+    def cfg(out: String) =
+      s"""{ "name": "pii", "components": [
+         |  { "name": "r", "comp_type": "read_json", "filepath": "$in",
+         |    "format": "ndjson",
+         |    "routes": { "out": [ { "to": "p", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "p", "comp_type": "pii_redact",
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_json", "filepath": "$out",
+         |    "format": "ndjson",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    val bOut = tmp("pii_batch_out")
+    val built = JobGraph.build(spark, JobConfig.parse(cfg(bOut)))
+    built.runSinks(); built.close()
+    val sOut = tmp("pii_stream_out")
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg(sOut)), tmp("pii_ckpt"))
+    assert(slurp(spark.read.json(sOut)) === slurp(spark.read.json(bOut)))
+    val masked = spark.read.json(bOut).orderBy("id").collect()
+      .map(_.getAs[String]("text"))
+    assert(masked(0) === "mail <EMAIL> or call <PHONE>")
+    assert(masked(1) === "host <IP> clean otherwise")
+  }
+
   test("parquet → schema_mapping map fan-out → two parquet sinks: parity per port") {
     import spark.implicits._
     val in = tmp("map_in")
