@@ -1866,6 +1866,90 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Connected components over a deterministic multi-hop graph on the
+    * documents ids: chain edges inside each ten-block (diameter 9 —
+    * pointer-jump convergence is actually exercised, not just cliques)
+    * plus hub edges linking the 20/40/60/80 chain starts to their
+    * hundred-block start, giving mixed 50- and 10-member components. The
+    * oracle rebuilds the same edges in SQL and closes them with a
+    * recursive CTE — the labeling must agree vertex by vertex. */
+  private def qCcComponents(s: SparkSession, dir: String): DataFrame = {
+    val ids = table(s, dir, "documents").select(col("doc_id"))
+    val chain = ids.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    val hub = ids.filter(col("doc_id") % 20 === 0 && col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("id_a"),
+        (col("doc_id") - col("doc_id") % 100).as("id_b"))
+      .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    Dedup.connectedComponents(chain.union(hub))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pair → cluster on REAL near-dup pairs: exact word-4-gram Jaccard
+    * pairs (deterministic — no LSH recall caveat) closed into transitive
+    * components. Pins the full dedup-clustering story the pairwise
+    * survivor rule cannot express (see Dedup.connectedComponents). */
+  private def qDedupCluster(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), "text", "doc_id",
+        n = 4, threshold = 0.3))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+
+  /** Combination job: the pair → cluster pipeline fully declarative —
+    * read_parquet → dedup(method=ngram, emit=pairs) →
+    * connected_components → aggregation (members + min id per cluster;
+    * min_doc == component is the label-is-minimum invariant, asserted by
+    * the oracle computing both independently) → parquet sink. */
+  private def qJobDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_dedupcluster"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val pairSchema = fieldsJson("id_a" -> "integer", "id_b" -> "integer",
+      "jaccard" -> "float")
+    val ccSchema = fieldsJson("id" -> "integer", "component" -> "integer")
+    val aggSchema = fieldsJson("component" -> "integer",
+      "n_members" -> "integer", "min_doc" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "dedup_cluster_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "dd", "comp_type": "dedup", "method": "ngram",
+         |      "emit": "pairs", "id_column": "doc_id", "ngram_n": 4,
+         |      "threshold": "0.3",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "cc", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $pairSchema } },
+         |    { "name": "cc", "comp_type": "connected_components",
+         |      "in_port_schemas": { "in": $pairSchema },
+         |      "routes": { "out": [ { "to": "ag", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $ccSchema } },
+         |    { "name": "ag", "comp_type": "aggregation",
+         |      "group_by": ["component"],
+         |      "aggregations": [
+         |        { "src": "*", "op": "count", "dest": "n_members" },
+         |        { "src": "id", "op": "min", "dest": "min_doc" } ],
+         |      "in_port_schemas": { "in": $ccSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .select(col("component"), col("n_members"), col("min_doc"))
+      .orderBy(col("component"))
+  }
+
   // 16x10 measured AGAINST 32x12 head-to-head at sf0.1: 2.0 s vs 4.2 s
   // median. At 2k vectors the projection term O(n*dim*bands*r) dominates
   // the background-candidate term O(n^2*bands*2^-r), so fewer planes win;
@@ -2259,6 +2343,9 @@ object SparkEntry {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_embedding" -> (qDedupEmbedding _),
+    "q_cc_components" -> (qCcComponents _),
+    "q_dedup_cluster" -> (qDedupCluster _),
+    "q_job_dedup_cluster" -> (qJobDedupCluster _),
     "text_stats" -> (qTextStats _),
     "text_pii" -> (qTextPii _),
     "text_langid" -> (qTextLangId _),
@@ -2838,6 +2925,93 @@ object SparkEntry {
         |  round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
         |FROM pairs WHERE inter::DOUBLE / (na + nb - inter) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // recursive-CTE closure over the same deterministic edge set the
+    // Spark side builds: label propagation prunes to lbl < dst (the
+    // component minimum is below every member, so min labels still
+    // reach everything), min() collapses the closure
+    "q_cc_components" ->
+      """WITH RECURSIVE
+        |e0 AS (
+        |  SELECT a.doc_id AS src, a.doc_id + 1 AS dst
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 10 <> 9
+        |  UNION ALL
+        |  SELECT a.doc_id AS src, a.doc_id - a.doc_id % 100 AS dst
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 100
+        |  WHERE a.doc_id % 20 = 0 AND a.doc_id % 100 <> 0),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+        |  WHERE r.lbl < e.dst)
+        |SELECT id AS doc_id, min(lbl) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the ngram pair table (same CTE as dedup_ngram_jaccard) closed into
+    // transitive components by the recursive CTE
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE
+        |norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM norm),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [array_to_string(tk[i:i+3], ' ')
+        |     for i in range(1, greatest(len(tk)-3, 1)+1)]) AS s
+        |  FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |kept AS (SELECT g FROM post GROUP BY g HAVING count(*) <= 10000),
+        |cp AS (SELECT doc_id, n, post.g FROM post JOIN kept USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM cp a JOIN cp b USING (g)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM pairs
+        |      WHERE inter::DOUBLE / (na + nb - inter) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+        |  WHERE r.lbl < e.dst)
+        |SELECT id AS doc_id, min(lbl) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // same closure rolled up per cluster; min_doc recomputed from the
+    // labeling independently pins the label-is-minimum invariant
+    "q_job_dedup_cluster" ->
+      """WITH RECURSIVE
+        |norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM norm),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [array_to_string(tk[i:i+3], ' ')
+        |     for i in range(1, greatest(len(tk)-3, 1)+1)]) AS s
+        |  FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |kept AS (SELECT g FROM post GROUP BY g HAVING count(*) <= 10000),
+        |cp AS (SELECT doc_id, n, post.g FROM post JOIN kept USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM cp a JOIN cp b USING (g)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM pairs
+        |      WHERE inter::DOUBLE / (na + nb - inter) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+        |  WHERE r.lbl < e.dst),
+        |labels AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        |SELECT component, count(*)::BIGINT AS n_members, min(id) AS min_doc
+        |FROM labels GROUP BY component ORDER BY component""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |losers AS (

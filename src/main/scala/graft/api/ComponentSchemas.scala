@@ -99,7 +99,12 @@ object ComponentSchemas {
       p("vector_column", "string", "embedding column, default 'embedding'"),
       p("sim_threshold", "number", "embedding cosine threshold, default 0.95"),
       p("dim", "integer", "embedding dimension, default 64"),
-      p("rows_per_band", "integer", "embedding sign bits per band; omitted = sized from the corpus count (measured lshDepthFor rule)"))),
+      p("rows_per_band", "integer", "embedding sign bits per band; omitted = sized from the corpus count (measured lshDepthFor rule)"),
+      p("emit", "string", "survivors (default) | pairs — pairs exposes the near-dup pair table (id_a, id_b, score) for connected_components"))),
+    "connected_components" -> ("Label every pair-table endpoint with the min id reachable from it (transitive dedup clusters)" -> Seq(
+      p("src_column", "string", "edge source column, default 'id_a'"),
+      p("dst_column", "string", "edge destination column, default 'id_b'"),
+      p("max_iter", "integer", "propagation round cap (rounds are O(log diameter)), default 25"))),
     "text_analysis" -> ("Token counts, quality ratios, language id" -> Seq(
       p("text_column", "string", "document text column, default 'text'"))),
     "similarity" -> ("Nearest-neighbor search: exact k-NN join or IVF cell probe" -> Seq(

@@ -546,18 +546,38 @@ object JobGraph {
         import graft.scale.Dedup
         val textCol = c.str("text_column").getOrElse("text")
         val idCol = c.str("id_column").getOrElse("id")
-        val out = c.str("method").getOrElse("exact") match {
+        val method = c.str("method").getOrElse("exact")
+        // emit=survivors (default) keeps the deduplicated rows; emit=pairs
+        // exposes the raw near-dup PAIR table (id_a, id_b, score) for
+        // downstream clustering (connected_components). Pairs only exist
+        // for the near-dup families — exact/fingerprint dedup groups keys
+        // directly and never materializes pairs.
+        val emit = c.str("emit").getOrElse("survivors")
+        require(emit == "survivors" || emit == "pairs",
+          s"dedup ${c.name}: emit must be survivors|pairs, got '$emit'")
+        require(emit == "survivors" || Set("minhash", "simhash", "ngram",
+          "embedding").contains(method),
+          s"dedup ${c.name}: emit=pairs needs a near-dup method " +
+            s"(minhash|simhash|ngram|embedding), not '$method'")
+        val out = method match {
           case "exact" => Dedup.exact(one(), textCol, idCol)
-          case "minhash" => Dedup.minhashDedup(one(), textCol, idCol,
-            shingleN = c.int("shingle_n", 5), k = c.int("num_hashes", 32),
-            bands = c.int("bands", 16),
-            threshold = c.str("threshold").map(_.toDouble).getOrElse(0.6))
-          case "simhash" => Dedup.simhashDedup(one(), textCol, idCol,
-            maxHamming = c.int("max_hamming", 3))
-          case "ngram" => Dedup.ngramDedup(one(), textCol, idCol,
-            n = c.int("ngram_n", 3),
-            threshold = c.str("threshold").map(_.toDouble).getOrElse(0.5),
-            maxDf = c.int("max_df", 10000))
+          case "minhash" =>
+            val (sn, k, b) = (c.int("shingle_n", 5), c.int("num_hashes", 32),
+              c.int("bands", 16))
+            val th = c.str("threshold").map(_.toDouble).getOrElse(0.6)
+            if (emit == "pairs")
+              Dedup.minhashNearDups(one(), textCol, idCol, sn, k, b, th)
+            else Dedup.minhashDedup(one(), textCol, idCol, sn, k, b, th)
+          case "simhash" =>
+            val mh = c.int("max_hamming", 3)
+            if (emit == "pairs") Dedup.simhashNearDups(one(), textCol, idCol, mh)
+            else Dedup.simhashDedup(one(), textCol, idCol, mh)
+          case "ngram" =>
+            val (n, mdf) = (c.int("ngram_n", 3), c.int("max_df", 10000))
+            val th = c.str("threshold").map(_.toDouble).getOrElse(0.5)
+            if (emit == "pairs")
+              Dedup.ngramJaccardPairs(one(), textCol, idCol, n, th, mdf)
+            else Dedup.ngramDedup(one(), textCol, idCol, n, th, mdf)
           case "embedding" =>
             val df0 = one()
             val simThreshold =
@@ -571,13 +591,27 @@ object JobGraph {
                      else graft.scale.OpCaches.persist(df0)
             val (bands, r) = embeddingDepth(c.intOpt("bands"),
               c.intOpt("rows_per_band"), simThreshold, df.count())
-            graft.scale.Similarity.embeddingDedup(df,
-              c.str("vector_column").getOrElse("embedding"), idCol,
+            val vecCol = c.str("vector_column").getOrElse("embedding")
+            if (emit == "pairs")
+              graft.scale.Similarity.embeddingNearDups(df, vecCol, idCol,
+                simThreshold = simThreshold, dim = c.int("dim", 64),
+                bands = bands, r = r)
+            else graft.scale.Similarity.embeddingDedup(df, vecCol, idCol,
               simThreshold = simThreshold, dim = c.int("dim", 64),
               bands = bands, r = r)
           case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
         }
         (Map("out" -> out), None)
+
+      // Connected components over a pair/edge table (Dedup
+      // .connectedComponents): labels every endpoint with the min id
+      // reachable from it — the pair → transitive-cluster step of a
+      // dedup pipeline (chain with dedup emit=pairs upstream).
+      case "connected_components" =>
+        (Map("out" -> graft.scale.Dedup.connectedComponents(one(),
+          c.str("src_column").getOrElse("id_a"),
+          c.str("dst_column").getOrElse("id_b"),
+          c.int("max_iter", 25))), None)
 
       case "text_analysis" =>
         (Map("out" -> graft.scale.TextAnalysis.analyze(one(),

@@ -430,4 +430,104 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // --------------------------------------------------------- pair → cluster
+
+  /**
+   * Connected components over a near-dup PAIR table: labels every vertex
+   * with the minimum id reachable from it, turning pairwise edges into
+   * transitive clusters. This completes the pairwise survivor rule the
+   * *Dedup methods use: `drop id_b of each pair` over-keeps on chains —
+   * component {1, 3, 5} with edges (1,5), (3,5) drops only 5, so 3
+   * survives although it is transitively a duplicate of 1. Keep-one-per-
+   * component is dedup under the transitive closure.
+   *
+   * Algorithm — iterative min-label propagation with pointer jumping;
+   * each round:
+   *   (1) neighbor min:  comp(v) ← min(comp(v), min over neighbors u of comp(u))
+   *   (2) pointer jump:  comp(v) ← comp(comp(v))
+   * The jump halves the label-forest depth each round, so rounds are
+   * O(log d) in the component diameter d where pure propagation needs
+   * O(d) (the doubling idea behind large-star/small-star in Kiveris et
+   * al., "Connected Components in MapReduce and Beyond", MapReduce'14).
+   * A round is three shuffles (neighbor-min groupBy, its join back, the
+   * jump self-join) over ids-only rows — edges and labels never carry
+   * payload columns, so shuffle volume is O(E + V) longs per round.
+   *
+   * Iteration hygiene at 100 TB: every round ends in an eager
+   * `localCheckpoint`, truncating the logical plan — without it lineage
+   * grows per round until planning dominates, and a task retry would
+   * replay the whole loop. localCheckpoint stores blocks on executors
+   * (cheap, NOT resilient to executor loss); a run that must survive
+   * preemption should configure a checkpoint dir and swap in reliable
+   * `checkpoint`. Convergence needs an action per round (data-dependent
+   * loop); the changed-label count doubles as the convergence proof.
+   *
+   * Near-dup clusters are near-cliques (diameter 2-3), so the loop
+   * typically converges in 2-3 rounds; `maxIter` guards adversarial
+   * chains, and exceeding it raises rather than returning a half-merged
+   * labeling. Null and self-loop edges are dropped; vertices that appear
+   * in no pair are not in the output (their component is trivially
+   * themselves — `clusterDedup` keeps such rows untouched).
+   *
+   * Output: (id, component), one row per distinct endpoint.
+   */
+  def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val dir = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val edges = OpCaches.persist( // consumed once per round
+      dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst"))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dcomp")).as("nmin"))
+      val stepped = labels
+        .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // the jump: comp is itself a vertex id (labels only ever take
+      // vertex-id values), so the inner self-join always finds its row
+      val jumped = stepped
+        .join(stepped.select(col("id").as("comp"), col("comp").as("cc")),
+          Seq("comp"))
+        .select(col("id"), col("cc").as("comp"))
+        .localCheckpoint(true)
+      changed = jumped
+        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels = jumped
+      it += 1
+    }
+    require(changed == 0,
+      s"connectedComponents: not converged after $maxIter rounds — the " +
+        "graph diameter exceeds ~2^maxIter; raise maxIter")
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /**
+   * Survivors under the TRANSITIVE closure of a pair table: keeps exactly
+   * one row — the minimum id — per connected component; rows appearing in
+   * no pair survive untouched. Use with any NearDups or Pairs emitter when
+   * chain merging matters (the pairwise `drop id_b` rule the *Dedup
+   * methods use can keep non-minimal chain members — see
+   * connectedComponents).
+   */
+  def clusterDedup(df: DataFrame, idCol: String, pairs: DataFrame,
+                   srcCol: String = "id_a", dstCol: String = "id_b",
+                   maxIter: Int = 25): DataFrame = {
+    val losers = connectedComponents(pairs, srcCol, dstCol, maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -756,4 +756,75 @@ class JobComponentsSpec extends SparkTestBase {
       .orderBy(col("a")).collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
     assert(back2.toSeq === Seq(("1", "x"), ("2", "y"))) // appended, not replaced
   }
+
+  test("dedup emit=pairs → connected_components from config") {
+    import spark.implicits._
+    val in = tmp("cc_in")
+    // 1↔2 and 2↔3 are near-dups (chain!), 4 unrelated: pairwise survivor
+    // dedup keeps {1, 3, 4}; cluster labeling must merge 1-2-3
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta kappa iota"),
+      (4L, "totally different words nothing shared here at all"))
+      .toDF("id", "text").write.mode("overwrite").parquet(in)
+    val out = tmp("cc_out")
+    val docSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val pairSchema =
+      """{ "fields": [
+        |  { "name": "id_a", "data_type": "integer" },
+        |  { "name": "id_b", "data_type": "integer" },
+        |  { "name": "jaccard", "data_type": "float" } ] }""".stripMargin
+    val ccSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "component", "data_type": "integer" } ] }""".stripMargin
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "dd", "comp_type": "dedup", "method": "ngram",
+         |    "emit": "pairs", "text_column": "text", "id_column": "id",
+         |    "threshold": "0.3",
+         |    "in_port_schemas": { "in": $docSchema },
+         |    "routes": { "out": [ { "to": "cc", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $pairSchema } },
+         |  { "name": "cc", "comp_type": "connected_components",
+         |    "in_port_schemas": { "in": $pairSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $ccSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $ccSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks(); built.close()
+    val labels = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // chain merged; 4 absent
+  }
+
+  test("dedup emit=pairs rejects methods without a pair table") {
+    import spark.implicits._
+    val in = tmp("ccneg_in")
+    Seq(("1", "a")).toDF("a", "b").write.mode("overwrite").parquet(in)
+    val e = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(
+        s"""{ "name": "t", "components": [
+           |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+           |    "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $abSchema } },
+           |  { "name": "dd", "comp_type": "dedup", "method": "exact",
+           |    "emit": "pairs", "text_column": "b", "id_column": "a",
+           |    "in_port_schemas": { "in": $abSchema },
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $abSchema } },
+           |  { "name": "w", "comp_type": "write_parquet",
+           |    "filepath": "${tmp("ccneg_out")}",
+           |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin))
+    }
+    assert(e.getMessage.contains("emit=pairs"))
+  }
 }

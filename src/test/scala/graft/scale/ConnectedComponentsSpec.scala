@@ -1,0 +1,98 @@
+package graft.scale
+
+import graft.SparkTestBase
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Connected components (Dedup.connectedComponents / clusterDedup) against
+ * an independent union-find model, plus the named edge cases: multi-hop
+ * chains (pointer-jump convergence), disjoint components, self-loops,
+ * null endpoints, and the transitive over-keep case that motivates
+ * cluster-level dedup over the pairwise survivor rule.
+ */
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sampleN[A](g: Gen[A], n: Int, seed: Long): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+      val (v, next) = (g.pureApply(params, s), s.next)
+      (next, Some(v))
+    }.drop(1).take(n).flatMap(_._2).toSeq
+  }
+
+  /** Union-find with min-id roots: the semantic model (written from the
+    * definition, not from the implementation). Vertices appearing only in
+    * self-loops are not part of any edge, hence absent — matching the
+    * operator's contract. */
+  private def ufModel(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a 20-vertex chain converges (pointer jumping) and labels the min id") {
+    val out = run((1L until 20L).map(i => (i, i + 1)))
+    assert(out.keySet === (1L to 20L).toSet)
+    assert(out.values.toSet === Set(1L))
+  }
+
+  test("disjoint components; reversed, duplicate and self edges") {
+    val out = run(Seq((5L, 2L), (2L, 5L), (7L, 7L), (9L, 8L), (3L, 2L)))
+    // {2,3,5} → 2, {8,9} → 8; 7 only self-loops, so it is not a vertex
+    assert(out === Map(2L -> 2L, 3L -> 2L, 5L -> 2L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("null endpoints are dropped, not propagated") {
+    val pairs = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(2L)), (Some(3L), None), (None, Some(4L)))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty pair table yields an empty labeling") {
+    assert(run(Nil).isEmpty)
+  }
+
+  test("clusterDedup keeps one row per component; singletons untouched") {
+    // The motivating case: edges (1,5), (3,5). The pairwise rule (drop
+    // id_b of each pair) keeps {1, 3} although 3 is transitively a
+    // duplicate of 1; cluster dedup keeps only the component minimum.
+    val df = Seq((1L, "a"), (3L, "b"), (5L, "c"), (9L, "d"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 5L), (3L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.clusterDedup(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 9L))
+  }
+
+  test("random graphs match the union-find model") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 24L)
+      b <- Gen.chooseNum(0L, 24L)
+    } yield (a, b)
+    val graphGen = Gen.chooseNum(0, 40).flatMap(Gen.listOfN(_, edgeGen))
+    sampleN(graphGen, 8, seed = 20260813L).zipWithIndex.foreach {
+      case (es, i) => assert(run(es) === ufModel(es), s"graph #$i: $es")
+    }
+  }
+}
