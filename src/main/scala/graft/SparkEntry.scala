@@ -2141,6 +2141,98 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** Combination job: the BUCKETED IVF index path end-to-end from JSON —
+    * the layout that matters at 100 TB (probes prune cell directories at
+    * plan time, KMeansSpec pins PartitionCount). Job 1 trains centroids
+    * and writes both the partitioned index (`write_ivf_index`) and the
+    * centroid table; job 2 probes the prebuilt index from config
+    * (`similarity method=ivf_index`) — the two-job split mirrors the
+    * production shape where one pipeline builds the index and many
+    * probe it. nprobe equals k, so the union of probed cells is the
+    * whole corpus and the result is EXACTLY brute-force cosine top-10 —
+    * the same oracle technique q_job_sim_ivf established, now also
+    * verifying the layout round-trip: vectors and ids must survive the
+    * partitionBy(cell) write, the hive-partition read-back, and the
+    * static isin cell filter bit-exactly. Partial-nprobe recall and the
+    * pruning plan itself are pinned by KMeansSpec + IvfProbe; the gate's
+    * job is value correctness of the full build-then-probe chain. */
+  private def qJobIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = s"$tmpRoot/job_ivf_index"
+    val centDir = s"$tmpRoot/job_ivf_cents"
+    val outDir = s"$tmpRoot/job_out_ivf_index"
+    val embSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } },
+        |  { "name": "label", "data_type": "string" } ] }""".stripMargin
+    val centSchema =
+      """{ "fields": [
+        |  { "name": "cell", "data_type": "integer" },
+        |  { "name": "cvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val qSchema =
+      """{ "fields": [
+        |  { "name": "qvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val outSchema = fieldsJson("vec_id" -> "integer", "cosine" -> "float")
+    val buildJson =
+      s"""{
+         |  "name": "ivf_index_build",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/embeddings.parquet",
+         |      "routes": { "out": [ { "to": "km", "in_port": "in" },
+         |                           { "to": "ix", "in_port": "corpus" } ] },
+         |      "out_port_schemas": { "out": $embSchema } },
+         |    { "name": "km", "comp_type": "kmeans_train",
+         |      "vector_column": "embedding", "k": 4, "iters": 1,
+         |      "in_port_schemas": { "in": $embSchema },
+         |      "routes": { "out": [ { "to": "ix", "in_port": "centroids" },
+         |                           { "to": "wc", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $centSchema } },
+         |    { "name": "ix", "comp_type": "write_ivf_index", "filepath": "$idxDir",
+         |      "vector_column": "embedding", "id_column": "vec_id",
+         |      "in_port_schemas": { "corpus": $embSchema, "centroids": $centSchema } },
+         |    { "name": "wc", "comp_type": "write_parquet", "filepath": "$centDir",
+         |      "in_port_schemas": { "in": $centSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(buildJson))
+    built.runSinks()
+    built.close()
+    val probeJson =
+      s"""{
+         |  "name": "ivf_index_probe",
+         |  "components": [
+         |    { "name": "rcent", "comp_type": "read_parquet", "filepath": "$centDir",
+         |      "routes": { "out": [ { "to": "sim", "in_port": "centroids" } ] },
+         |      "out_port_schemas": { "out": $centSchema } },
+         |    { "name": "rq", "comp_type": "read_parquet",
+         |      "filepath": "$dir/embeddings.parquet",
+         |      "routes": { "out": [ { "to": "q", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $embSchema } },
+         |    { "name": "q", "comp_type": "sql",
+         |      "query": "SELECT embedding AS qvec FROM q_in WHERE vec_id = 0",
+         |      "in_port_schemas": { "in": $embSchema },
+         |      "routes": { "out": [ { "to": "sim", "in_port": "query" } ] },
+         |      "out_port_schemas": { "out": $qSchema } },
+         |    { "name": "sim", "comp_type": "similarity", "method": "ivf_index",
+         |      "index_path": "$idxDir", "vector_column": "embedding",
+         |      "id_column": "vec_id", "k": 10, "nprobe": 4,
+         |      "in_port_schemas": { "centroids": $centSchema, "query": $qSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val probe = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(probeJson))
+    probe.runSinks()
+    probe.close()
+    s.read.parquet(outDir).orderBy(col("cosine").desc, col("vec_id"))
+  }
+
   /** Combination job: batch SESSION-WINDOW aggregation as a declarative
     * component (aggregation + time_column/session_gap — the config face
     * of qEventsSession). Events are staged with string times and integer
@@ -2353,6 +2445,7 @@ object SparkEntry {
     "sim_ivf" -> (qSimIvf _),
     "q_job_sim_knn" -> (qJobSimKnn _),
     "q_job_sim_ivf" -> (qJobSimIvf _),
+    "q_job_ivf_index" -> (qJobIvfIndex _),
     "q_job_session_agg" -> (qJobSessionAgg _),
     "multimodal_features" -> (qMultimodal _))
 
@@ -3064,6 +3157,21 @@ object SparkEntry {
     // kmeans_train -> ivf pipeline reduces to exact brute-force top-10 —
     // oracle-able even though Lloyd's training isn't SQL-expressible
     "q_job_sim_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(CASE WHEN sqrt(list_dot_product(v, v))
+        |               * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+        |        ELSE list_dot_product(v, qv)
+        |          / (sqrt(list_dot_product(v, v))
+        |             * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
+        |FROM e, q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // bucketed-index variant of the same identity: nprobe = k means the
+    // probed cells' union is the whole corpus, so the build-then-probe
+    // chain (kmeans_train -> write_ivf_index -> ivf_index probe) must
+    // reproduce exact brute-force top-10 through the partitioned layout
+    "q_job_ivf_index" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         |SELECT vec_id,

@@ -109,7 +109,8 @@ object ComponentSchemas {
       p("text_column", "string", "document text column, default 'text'"))),
     "similarity" -> ("Nearest-neighbor search: exact k-NN join or IVF cell probe" -> Seq(
       p("method", "string", "knn (default; ports corpus/queries) | ivf (ports corpus/centroids/query) | ivf_index (ports centroids/query over a write_ivf_index layout)"),
-      p("index_path", "string", "ivf_index: directory written by write_ivf_index"),
+      p("index_path", "string", "ivf_index: directory written by write_ivf_index (REQUIRED when method=ivf_index)"),
+      p("query_column", "string", "ivf_index: query port's vector column, default 'qvec'"),
       p("vector_column", "string", "embedding column, default 'embedding'"),
       p("k", "integer", "neighbors per query, default 10"),
       p("corpus_id", "string", "knn: corpus id column, default 'id'"),

@@ -678,11 +678,21 @@ object JobGraph {
           // one row — the same justified exception searchBucketed's doc
           // records for the probe cells).
           case "ivf_index" =>
+            require(c.str("index_path").isDefined,
+              s"similarity ${c.name}: method=ivf_index needs index_path " +
+                "(the directory written by write_ivf_index)")
             val centroids = port("centroids")
-            val qRows = port("query").limit(2).collect()
+            val query = port("query")
+            // the query port's vector column: `query_column` param, else
+            // `qvec` by convention (documented in ComponentSchemas)
+            val qCol = c.str("query_column").getOrElse("qvec")
+            require(query.columns.contains(qCol),
+              s"similarity ${c.name}: query port has no column '$qCol' " +
+                s"(columns: ${query.columns.mkString(", ")}); set query_column")
+            val qRows = query.limit(2).collect()
             require(qRows.length == 1,
               s"similarity ${c.name}: the query port must carry exactly one row")
-            val vec = qRows(0).getSeq[Number](qRows(0).fieldIndex("qvec"))
+            val vec = qRows(0).getSeq[Number](qRows(0).fieldIndex(qCol))
               .map(_.floatValue).toSeq
             val nprobe = c.intOpt("nprobe").getOrElse(
               Similarity.ivfNprobeDefault(centroids.count().toInt))
