@@ -2233,6 +2233,73 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** Combination job: the declarative `pii_redact` comp_type end-to-end —
+    * the config face of qTextPii (which drives the same
+    * TextAnalysis.redactPiiWithCounts through the Scala API). A `sql`
+    * component seeds deterministic PII for EVEN doc_ids only, so the
+    * downstream `filter n_emails > 0` meaningfully halves the corpus
+    * (the synthetic documents carry no real PII); the aggregation takes
+    * max(text) per lang so the MASKED text — not just the counts — gates
+    * through the declared-schema contract. Same RE2/Java common-subset
+    * patterns as text_pii, replayed verbatim in the DuckDB oracle. */
+  private def qJobPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_pii_redact"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val seedSchema = fieldsJson("doc_id" -> "integer", "lang" -> "string",
+      "text" -> "string")
+    val redSchema = fieldsJson("doc_id" -> "integer", "lang" -> "string",
+      "text" -> "string", "n_emails" -> "integer", "n_phones" -> "integer",
+      "n_ips" -> "integer")
+    val aggSchema = fieldsJson("lang" -> "string", "n_docs" -> "integer",
+      "sum_emails" -> "integer", "sum_phones" -> "integer",
+      "sum_ips" -> "integer", "max_text" -> "string")
+    val seedSql = "SELECT doc_id, lang, CASE WHEN doc_id % 2 = 0 THEN " +
+      "text || ' contact u' || CAST(doc_id AS STRING) || '@example.com or 555-' || " +
+      "lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-1234 at 10.0.' || " +
+      "CAST(doc_id % 256 AS STRING) || '.1' ELSE text END AS text FROM seed_in"
+    val jobJson =
+      s"""{
+         |  "name": "pii_redact_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "seed", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "seed", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(seedSql)},
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "pii", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $seedSchema } },
+         |    { "name": "pii", "comp_type": "pii_redact", "text_column": "text",
+         |      "in_port_schemas": { "in": $seedSchema },
+         |      "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $redSchema } },
+         |    { "name": "f", "comp_type": "filter",
+         |      "rule": { "column": "n_emails", "operator": ">", "value": 0 },
+         |      "in_port_schemas": { "in": $redSchema },
+         |      "routes": { "pass": [ { "to": "ag", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $redSchema } },
+         |    { "name": "ag", "comp_type": "aggregation", "group_by": ["lang"],
+         |      "aggregations": [
+         |        { "src": "*", "op": "count", "dest": "n_docs" },
+         |        { "src": "n_emails", "op": "sum", "dest": "sum_emails" },
+         |        { "src": "n_phones", "op": "sum", "dest": "sum_phones" },
+         |        { "src": "n_ips", "op": "sum", "dest": "sum_ips" },
+         |        { "src": "text", "op": "max", "dest": "max_text" } ],
+         |      "in_port_schemas": { "in": $redSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("lang"))
+  }
+
   /** Combination job: batch SESSION-WINDOW aggregation as a declarative
     * component (aggregation + time_column/session_gap — the config face
     * of qEventsSession). Events are staged with string times and integer
@@ -2446,6 +2513,7 @@ object SparkEntry {
     "q_job_sim_knn" -> (qJobSimKnn _),
     "q_job_sim_ivf" -> (qJobSimIvf _),
     "q_job_ivf_index" -> (qJobIvfIndex _),
+    "q_job_pii_redact" -> (qJobPiiRedact _),
     "q_job_session_agg" -> (qJobSessionAgg _),
     "multimodal_features" -> (qMultimodal _))
 
@@ -3259,6 +3327,38 @@ object SparkEntry {
         |    '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
         |FROM seeded ORDER BY doc_id""".stripMargin,
+    // declarative pii_redact: seed (even doc_ids), redact, filter on the
+    // email count, roll up per lang — max(text) carries the masked text
+    // itself through the compare (UTF-8 byte order == codepoint order,
+    // so Spark and DuckDB agree on max over strings)
+    "q_job_pii_redact" ->
+      """WITH seeded AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || ' contact u' || doc_id ||
+        |      '@example.com or 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+        |      '-1234 at 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |    len(regexp_extract_all(text,
+        |      '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}'))::BIGINT AS n_phones,
+        |    len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM seeded)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_emails)::BIGINT AS sum_emails,
+        |  sum(n_phones)::BIGINT AS sum_phones,
+        |  sum(n_ips)::BIGINT AS sum_ips,
+        |  max(text) AS max_text
+        |FROM red WHERE n_emails > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,
