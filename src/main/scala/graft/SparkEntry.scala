@@ -1950,6 +1950,42 @@ object SparkEntry {
       .orderBy(col("component"))
   }
 
+  /** Combination job: `dedup emit=cluster` — transitive-closure dedup in
+    * ONE component (q_job_dedup_cluster's 3-component chain collapsed to
+    * what a config author actually asks for): keeps the min-id row per
+    * connected component, rows in no pair untouched. Same ngram pair
+    * machinery as q_dedup_cluster, so the oracle reuses its recursive
+    * closure and anti-joins the non-minimal members. */
+  private def qJobDedupTransitive(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_dedup_transitive"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "dedup_transitive_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "dd", "comp_type": "dedup", "method": "ngram",
+         |      "emit": "cluster", "id_column": "doc_id", "ngram_n": 4,
+         |      "threshold": "0.3",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $docSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // 16x10 measured AGAINST 32x12 head-to-head at sf0.1: 2.0 s vs 4.2 s
   // median. At 2k vectors the projection term O(n*dim*bands*r) dominates
   // the background-candidate term O(n^2*bands*2^-r), so fewer planes win;
@@ -2505,6 +2541,7 @@ object SparkEntry {
     "q_cc_components" -> (qCcComponents _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_job_dedup_cluster" -> (qJobDedupCluster _),
+    "q_job_dedup_transitive" -> (qJobDedupTransitive _),
     "text_stats" -> (qTextStats _),
     "text_pii" -> (qTextPii _),
     "text_langid" -> (qTextLangId _),
@@ -3173,6 +3210,40 @@ object SparkEntry {
         |labels AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
         |SELECT component, count(*)::BIGINT AS n_members, min(id) AS min_doc
         |FROM labels GROUP BY component ORDER BY component""".stripMargin,
+    // emit=cluster: same closure, survivors = everything except the
+    // non-minimal component members
+    "q_job_dedup_transitive" ->
+      """WITH RECURSIVE
+        |norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |toks AS (SELECT doc_id, str_split(t, ' ') AS tk FROM norm),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [array_to_string(tk[i:i+3], ' ')
+        |     for i in range(1, greatest(len(tk)-3, 1)+1)]) AS s
+        |  FROM toks),
+        |post AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+        |kept AS (SELECT g FROM post GROUP BY g HAVING count(*) <= 10000),
+        |cp AS (SELECT doc_id, n, post.g FROM post JOIN kept USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM cp a JOIN cp b USING (g)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM pairs
+        |      WHERE inter::DOUBLE / (na + nb - inter) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id
+        |  WHERE r.lbl < e.dst),
+        |labels AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM labels WHERE id <> component)
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |losers AS (

@@ -100,7 +100,8 @@ object ComponentSchemas {
       p("sim_threshold", "number", "embedding cosine threshold, default 0.95"),
       p("dim", "integer", "embedding dimension, default 64"),
       p("rows_per_band", "integer", "embedding sign bits per band; omitted = sized from the corpus count (measured lshDepthFor rule)"),
-      p("emit", "string", "survivors (default) | pairs — pairs exposes the near-dup pair table (id_a, id_b, score) for connected_components"))),
+      p("emit", "string", "survivors (default, pairwise drop-id_b) | pairs (near-dup pair table (id_a, id_b, score) for connected_components) | cluster (one min-id survivor per TRANSITIVE component; near-dup methods only)"),
+      p("max_iter", "integer", "emit=cluster: connected-components round cap, default 25"))),
     "connected_components" -> ("Label every pair-table endpoint with the min id reachable from it (transitive dedup clusters)" -> Seq(
       p("src_column", "string", "edge source column, default 'id_a'"),
       p("dst_column", "string", "edge destination column, default 'id_b'"),

@@ -547,39 +547,46 @@ object JobGraph {
         val textCol = c.str("text_column").getOrElse("text")
         val idCol = c.str("id_column").getOrElse("id")
         val method = c.str("method").getOrElse("exact")
-        // emit=survivors (default) keeps the deduplicated rows; emit=pairs
-        // exposes the raw near-dup PAIR table (id_a, id_b, score) for
-        // downstream clustering (connected_components). Pairs only exist
-        // for the near-dup families — exact/fingerprint dedup groups keys
-        // directly and never materializes pairs.
+        // emit=survivors (default) keeps rows under the PAIRWISE drop-id_b
+        // rule; emit=pairs exposes the raw near-dup PAIR table (id_a,
+        // id_b, score) for downstream clustering; emit=cluster keeps one
+        // row (min id) per TRANSITIVE component — what a config author
+        // asking for "dedup" almost always wants when chains matter
+        // (pairs → connectedComponents → anti-join, all in one call via
+        // Dedup.clusterDedup). Pairs only exist for the near-dup
+        // families — exact/fingerprint dedup groups keys directly.
         val emit = c.str("emit").getOrElse("survivors")
-        require(emit == "survivors" || emit == "pairs",
-          s"dedup ${c.name}: emit must be survivors|pairs, got '$emit'")
+        require(Set("survivors", "pairs", "cluster").contains(emit),
+          s"dedup ${c.name}: emit must be survivors|pairs|cluster, got '$emit'")
         require(emit == "survivors" || Set("minhash", "simhash", "ngram",
           "embedding").contains(method),
-          s"dedup ${c.name}: emit=pairs needs a near-dup method " +
+          s"dedup ${c.name}: emit=$emit needs a near-dup method " +
             s"(minhash|simhash|ngram|embedding), not '$method'")
+        val wantPairs = emit != "survivors"
+        val base = one()
+        // the frame cluster-survivors are anti-joined from: the persisted
+        // variant when the embedding path persists for its sizing count
+        var clusterSrc = base
         val out = method match {
-          case "exact" => Dedup.exact(one(), textCol, idCol)
+          case "exact" => Dedup.exact(base, textCol, idCol)
           case "minhash" =>
             val (sn, k, b) = (c.int("shingle_n", 5), c.int("num_hashes", 32),
               c.int("bands", 16))
             val th = c.str("threshold").map(_.toDouble).getOrElse(0.6)
-            if (emit == "pairs")
-              Dedup.minhashNearDups(one(), textCol, idCol, sn, k, b, th)
-            else Dedup.minhashDedup(one(), textCol, idCol, sn, k, b, th)
+            if (wantPairs)
+              Dedup.minhashNearDups(base, textCol, idCol, sn, k, b, th)
+            else Dedup.minhashDedup(base, textCol, idCol, sn, k, b, th)
           case "simhash" =>
             val mh = c.int("max_hamming", 3)
-            if (emit == "pairs") Dedup.simhashNearDups(one(), textCol, idCol, mh)
-            else Dedup.simhashDedup(one(), textCol, idCol, mh)
+            if (wantPairs) Dedup.simhashNearDups(base, textCol, idCol, mh)
+            else Dedup.simhashDedup(base, textCol, idCol, mh)
           case "ngram" =>
             val (n, mdf) = (c.int("ngram_n", 3), c.int("max_df", 10000))
             val th = c.str("threshold").map(_.toDouble).getOrElse(0.5)
-            if (emit == "pairs")
-              Dedup.ngramJaccardPairs(one(), textCol, idCol, n, th, mdf)
-            else Dedup.ngramDedup(one(), textCol, idCol, n, th, mdf)
+            if (wantPairs)
+              Dedup.ngramJaccardPairs(base, textCol, idCol, n, th, mdf)
+            else Dedup.ngramDedup(base, textCol, idCol, n, th, mdf)
           case "embedding" =>
-            val df0 = one()
             val simThreshold =
               c.str("sim_threshold").map(_.toDouble).getOrElse(0.95)
             // persist BEFORE the sizing count when r must be derived —
@@ -587,12 +594,13 @@ object JobGraph {
             // each materialize the full upstream DAG (released by
             // BuiltJob.close → OpCaches.drain, like the operators'
             // internal tables)
-            val df = if (c.intOpt("rows_per_band").isDefined) df0
-                     else graft.scale.OpCaches.persist(df0)
+            val df = if (c.intOpt("rows_per_band").isDefined) base
+                     else graft.scale.OpCaches.persist(base)
+            clusterSrc = df
             val (bands, r) = embeddingDepth(c.intOpt("bands"),
               c.intOpt("rows_per_band"), simThreshold, df.count())
             val vecCol = c.str("vector_column").getOrElse("embedding")
-            if (emit == "pairs")
+            if (wantPairs)
               graft.scale.Similarity.embeddingNearDups(df, vecCol, idCol,
                 simThreshold = simThreshold, dim = c.int("dim", 64),
                 bands = bands, r = r)
@@ -601,7 +609,12 @@ object JobGraph {
               bands = bands, r = r)
           case other => throw new IllegalArgumentException(s"unknown dedup method: $other")
         }
-        (Map("out" -> out), None)
+        val result =
+          if (emit == "cluster")
+            Dedup.clusterDedup(clusterSrc, idCol, out,
+              maxIter = c.int("max_iter", 25))
+          else out
+        (Map("out" -> result), None)
 
       // Connected components over a pair/edge table (Dedup
       // .connectedComponents): labels every endpoint with the min id
