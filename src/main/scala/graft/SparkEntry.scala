@@ -3390,12 +3390,12 @@ object SparkEntry {
         |  len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
         |  len(regexp_extract_all(text,
-        |    '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}'))::BIGINT AS n_phones,
+        |    '(^|[^0-9])(\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4})'))::BIGINT AS n_phones,
         |  len(regexp_extract_all(text,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
         |  regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |    '(^|[^0-9])(\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4})', '\1<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
         |FROM seeded ORDER BY doc_id""".stripMargin,
     // declarative pii_redact: seed (even doc_ids), redact, filter on the
@@ -3415,12 +3415,12 @@ object SparkEntry {
         |    len(regexp_extract_all(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
         |    len(regexp_extract_all(text,
-        |      '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}'))::BIGINT AS n_phones,
+        |      '(^|[^0-9])(\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4})'))::BIGINT AS n_phones,
         |    len(regexp_extract_all(text,
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
         |    regexp_replace(regexp_replace(regexp_replace(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g'),
+        |      '(^|[^0-9])(\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4})', '\1<PHONE>', 'g'),
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
         |  FROM seeded)
         |SELECT lang, count(*)::BIGINT AS n_docs,

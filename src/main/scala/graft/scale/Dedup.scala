@@ -486,6 +486,10 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
+    // each round's labels live in executor storage via localCheckpoint;
+    // without the explicit release below, every superseded round's
+    // blocks (~O(V) each) linger until ContextCleaner GC — on a
+    // long-running driver that accumulates rounds × V rows of storage
     while (changed > 0 && it < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")),
@@ -505,14 +509,26 @@ object Dedup {
       changed = jumped
         .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
         .filter(col("comp") =!= col("prev")).count()
+      releaseLocalCheckpoint(labels) // superseded round, count() done
       labels = jumped
       it += 1
     }
+    edges.unpersist(false) // consumed; don't wait for OpCaches.drain
     require(changed == 0,
       s"connectedComponents: not converged after $maxIter rounds — the " +
         "graph diameter exceeds ~2^maxIter; raise maxIter")
     labels.select(col("id"), col("comp").as("component"))
   }
+
+  /** Drop the executor blocks behind a localCheckpoint'd frame.
+    * Dataset.unpersist is a no-op on them (the checkpoint RDD is not in
+    * the CacheManager); the RDD is reachable via the plan's LogicalRDD
+    * leaf. Safe on non-checkpointed frames (no-op). */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /**
    * Survivors under the TRANSITIVE closure of a pair table: keeps exactly

@@ -130,15 +130,29 @@ object TextAnalysis {
    * here, no shuffle at any scale.
    *
    * Pattern discipline: Java-regex/RE2 COMMON SUBSET only (no lookahead,
-   * no unicode classes) so a DuckDB/RE2 oracle evaluates the exact same
-   * language — the same reasoning as fingerprint()'s ASCII tokenizer.
-   * The phone pattern is deliberately conservative (separator REQUIRED:
-   * 555-123-4567, 555.123.4567, (555) 123-4567 — not bare 10 digits) to
-   * bound false positives on numeric text; emails before phones before
-   * IPs, so an address inside an email's domain is already masked.
+   * no lookbehind, no unicode classes) so a DuckDB/RE2 oracle evaluates
+   * the exact same language — the same reasoning as fingerprint()'s
+   * ASCII tokenizer. The phone pattern is deliberately conservative
+   * (separator REQUIRED: 555-123-4567, 555.123.4567, (555) 123-4567 —
+   * not bare 10 digits) to bound false positives on numeric text;
+   * emails before phones before IPs, so an address inside an email's
+   * domain is already masked.
+   *
+   * The phone pattern carries a leading digit-boundary guard — RE2 has
+   * no lookbehind, so the guard is a CONSUMED group (^|[^0-9]) restored
+   * in the replacement as $1: "1555-123-4567" is one digit run, not a
+   * prefix plus a phone, and stays unmasked (TextAnalysisSpec pins it).
+   * No trailing guard: a consumed trailing char would swallow the
+   * single separator between back-to-back phones and miss the second —
+   * trailing extra digits ("555-123-45678") still mask their 3-3-4
+   * prefix, the documented residual of the lookahead-free tradeoff.
    */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}"
+  /** The bare 3-3-4 shape, without the boundary guard. */
+  val PhoneCore = "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}"
+  /** Guarded form used for counting and masking; group 1 = the consumed
+    * boundary (restored on replace), group 2 = the phone itself. */
+  val PhoneRe = s"(^|[^0-9])($PhoneCore)"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** Masked text: emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP>. */
@@ -146,7 +160,7 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(
         regexp_replace(text, EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>"),
+        PhoneRe, "$1<PHONE>"),
       Ipv4Re, "<IP>")
 
   /** Redact + per-category counts (counted on the ORIGINAL text, before

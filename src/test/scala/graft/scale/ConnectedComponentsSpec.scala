@@ -54,6 +54,23 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(out.values.toSet === Set(1L))
   }
 
+  test("superseded rounds release their checkpoint blocks") {
+    val sc = spark.sparkContext
+    graft.scale.OpCaches.drain()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val before = sc.getPersistentRDDs.size
+    // a 64-vertex chain needs several pointer-jump rounds; without the
+    // per-round release every round's labels checkpoint would linger
+    val out = run((1L until 64L).map(i => (i, i + 1)))
+    assert(out.values.toSet === Set(1L))
+    val after = sc.getPersistentRDDs.size
+    // at most the FINAL labels checkpoint survives (edges are
+    // unpersisted at return; OpCaches registration is already drained)
+    assert(after - before <= 1,
+      s"checkpoint blocks leaked: $before persistent RDDs before, $after after")
+    graft.scale.OpCaches.drain()
+  }
+
   test("disjoint components; reversed, duplicate and self edges") {
     val out = run(Seq((5L, 2L), (2L, 5L), (7L, 7L), (9L, 8L), (3L, 2L)))
     // {2,3,5} → 2, {8,9} → 8; 7 only self-loops, so it is not a vertex

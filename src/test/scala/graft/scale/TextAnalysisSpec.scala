@@ -29,6 +29,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(redact("id 5551234567") === (("id 5551234567", 0L, 0L, 0L)))
   }
 
+  test("pii: digit-boundary guard — a longer digit run is not a phone") {
+    // before the (^|[^0-9]) guard this masked the 3-3-4 suffix: "1<PHONE>"
+    assert(redact("ref 1555-123-4567 x") === (("ref 1555-123-4567 x", 0L, 0L, 0L)))
+    // guard at string start and the restored boundary char
+    assert(redact("555-123-4567")._1 === "<PHONE>")
+    assert(redact("a:555-123-4567")._1 === "a:<PHONE>")
+    // back-to-back phones with a single separator both mask (no
+    // trailing guard to swallow the space — the documented tradeoff)
+    assert(redact("555-123-4567 555.123.4567") === (("<PHONE> <PHONE>", 0L, 2L, 0L)))
+  }
+
   test("pii: ipv4 masked, version-like dotted numbers need 4 octets") {
     assert(redact("host 192.168.0.1 up") === (("host <IP> up", 0L, 0L, 1L)))
     assert(redact("spark 4.1.2 release")._4 === 0L, "three octets must not match")
