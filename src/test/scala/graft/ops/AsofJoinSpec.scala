@@ -278,4 +278,79 @@ class AsofJoinSpec extends SparkTestBase {
     java.nio.file.Files.createDirectories(p.getParent)
     p.toString
   }
+
+  // ----------------------------------------------------------- properties
+
+  /** Naive per-left-row model of every direction × tolerance, written
+    * from the scaladoc semantics (null key/time matches nothing; right
+    * nulls dropped; tolerance filters EACH direction's carry before
+    * nearest picks the closer, tie to backward). */
+  private def asofModel(
+      leftRows: Seq[(Long, Option[String], Option[Long])],
+      rightRows: Seq[(Option[String], Option[Long], Long)],
+      direction: String, tol: Option[Long]
+  ): Set[(Long, Option[String], Option[Long], Option[Long])] = {
+    val valid = rightRows.collect { case (Some(k), Some(t), v) => (k, t, v) }
+    leftRows.map { case (id, lk, lt) =>
+      val cands = (lk, lt) match {
+        case (Some(k), Some(_)) => valid.filter(_._1 == k)
+        case _ => Seq.empty
+      }
+      val t = lt.getOrElse(0L)
+      def within(d: Long) = tol.forall(d <= _)
+      val b = cands.filter(_._2 <= t).sortBy(_._2).lastOption
+        .filter(r => within(t - r._2))
+      val f = cands.filter(_._2 >= t).sortBy(_._2).headOption
+        .filter(r => within(r._2 - t))
+      val best = direction match {
+        case "backward" => b
+        case "forward"  => f
+        case "nearest"  => (b, f) match {
+          case (Some(bb), Some(ff)) =>
+            if (ff._2 - t < t - bb._2) Some(ff) else Some(bb) // tie → backward
+          case _ => b.orElse(f)
+        }
+      }
+      (id, lk, lt, best.map(_._3))
+    }.toSet
+  }
+
+  test("property: every direction × tolerance matches the model on random null mixes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sampleN[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+        (s.next, Some(g.pureApply(Gen.Parameters.default, s)))
+      }.drop(1).take(n).flatMap(_._2).toSeq
+    val keyGen: Gen[Option[String]] = Gen.frequency(
+      8 -> Gen.choose(0, 4).map(i => Some(s"k$i")), 1 -> Gen.const(None))
+    val timeGen: Gen[Option[Long]] = Gen.frequency(
+      9 -> Gen.choose(0L, 60L).map(Some(_)), 1 -> Gen.const(None))
+    for (seed <- Seq(0xA50F1L, 0xBEEF2L)) {
+      val leftRows = sampleN(Gen.zip(keyGen, timeGen), 250, seed)
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rightRows = sampleN(Gen.zip(keyGen, timeGen, Gen.choose(0L, 999L)),
+        150, seed + 1)
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique per (key, t)
+      val left = leftRows.toDF("id", "k", "t")
+      val right = rightRows.toDF("k", "t", "rv")
+      for {
+        direction <- Seq("backward", "forward", "nearest")
+        tol <- Seq(None, Some(7L))
+      } {
+        val got = AsofJoin(left, right, on = "t", by = Seq("k"),
+          direction = direction, tolerance = tol.map(_.toString))
+          .select(col("id"), col("k"), col("t"), col("rv"))
+          .collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getString(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toSet
+        val want = asofModel(leftRows, rightRows, direction, tol)
+        assert(got === want,
+          s"direction=$direction tolerance=$tol seed=$seed diverged from the model")
+      }
+    }
+  }
 }
