@@ -119,6 +119,17 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), detail + "\n")
     spark.stop()
+    // The per-query line grows with the suite (~25 chars/query: at 85
+    // queries it exceeds the driver's ~2000-char log-tail window, and
+    // BENCH_r11 recorded parsed:null). A SHORT headline — total, counts,
+    // sf, no per-query map — brackets the full line on BOTH sides, so a
+    // tail window anchored anywhere still contains one complete
+    // parseable JSON object; per-query detail always lives in
+    // BENCH_LOCAL.json.
+    val headline =
+      s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+    println(headline)
     println(json)
+    println(headline)
   }
 }
