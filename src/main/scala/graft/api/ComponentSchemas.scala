@@ -155,7 +155,14 @@ object ComponentSchemas {
       req("time_column", "string", "event-time column (string times are parsed)"),
       p("watermark", "string", "dedup state horizon, default '1 hour'"),
       p("text_column", "string", "document text column, default 'text'"),
-      p("method", "string", "only 'exact' is streamable (near-dup families are batch-only)")))
+      p("method", "string", "only 'exact' is streamable (near-dup families are batch-only)"))),
+    "streaming_asof_join" -> ("Stream-static as-of enrichment: nearest STATIC right row per stream row (streaming jobs only; stateless, right side broadcasts)" -> Seq(
+      req("right_path", "string", "parquet directory of the STATIC right side (dimension table) — read as a batch frame, not a stream"),
+      req("on", "string", "event-time column present on both sides"),
+      req("by", "array", "equality keys"),
+      p("suffix", "string", "suffix for clashing right columns, default '_r'"),
+      p("direction", "string", "backward (default) | forward | nearest — same semantics as batch asof_join"),
+      p("tolerance", "string", "max match distance as a SQL literal; farther matches become null")))
   ) ++ Seq("mariadb", "postgresql", "sqlserver", "jdbc").flatMap { db =>
     Seq(
       s"read_$db" -> (s"Read from $db via JDBC (table or query)" -> Seq(

@@ -164,4 +164,97 @@ object AsofJoin {
     withMatch.select(by.map(col) ++ leftRest.map(col) ++
       outName.map(o => col(s"__rv.`$o`").as(o)): _*)
   }
+
+  /**
+   * As-of enrichment against a STATIC right side, as a single row-wise
+   * left join — the streaming twin of `apply` (and equal to it on batch
+   * input, which is how StreamingJobsSpec pins parity).
+   *
+   * The trick: the right side is prepared (batch-side, so window
+   * functions are legal) into per-key validity intervals — each right
+   * row carries its neighbors' times (`lag`/`lead`) — and the join
+   * condition picks the interval containing the left time:
+   *  - backward: r.t <= l.t < next(r.t)
+   *  - forward:  prev(r.t) < l.t <= r.t
+   *  - nearest:  dist(r.t) < dist(prev) AND dist(r.t) <= dist(next) —
+   *    distances along sorted times are unimodal, so exactly one row
+   *    qualifies, and the asymmetric strictness ties to backward,
+   *    matching `apply`.
+   * Every left row matches AT MOST one right row, so the join is
+   * stateless per stream row: no watermark, no state store, and the
+   * right side broadcasts when small (dimension-table pattern). At
+   * scale: each micro-batch re-executes the static subplan (lag/lead
+   * over the dim table) — fine for dimension-sized rights, which is the
+   * documented limit; a stream-STREAM as-of needs watermark bounds this
+   * operator deliberately does not attempt.
+   *
+   * Same contracts as `apply`: null by-keys and null times match
+   * nothing, right rows must be unique per (by, on), tolerance bounds
+   * the match distance post-join. Right VALUES carry as columns (the
+   * matched row is unique by construction, so the struct-carry
+   * atomicity concern of the window form does not arise).
+   */
+  def enrichStatic(left: DataFrame, right: DataFrame, on: String,
+                   by: Seq[String], suffix: String = "_r",
+                   direction: String = "backward",
+                   tolerance: Option[String] = None): DataFrame = {
+    require(by.nonEmpty, "asof enrich: needs at least one by-key")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asof enrich: unknown direction '$direction' (backward | forward | nearest)")
+    require(left.columns.contains(on) && right.columns.contains(on),
+      s"asof enrich: time column '$on' must exist on both sides")
+    val rightVal = right.columns.filterNot(c => by.contains(c) || c == on).toSeq
+    require(rightVal.nonEmpty,
+      "asof enrich: right side carries no value columns beyond the keys")
+    val outName = rightVal.map(c => if (left.columns.contains(c)) c + suffix else c)
+    val leftRest = left.columns.filterNot(by.contains).toSeq
+    val clash = outName.toSet.intersect(leftRest.toSet ++ by)
+    require(clash.isEmpty,
+      s"asof enrich: suffixed right columns still collide with left: ${clash.mkString(", ")}")
+    require(outName.distinct.size == outName.size,
+      s"asof enrich: suffixed right columns collide with each other: " +
+        outName.diff(outName.distinct).distinct.mkString(", "))
+    val dunder = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(dunder.isEmpty,
+      s"asof enrich: column names ${dunder.mkString(", ")} are reserved internally " +
+        "(no __-prefixed columns)")
+
+    // prepared intervals: every right column renamed behind a __ prefix,
+    // so the join sees zero name overlap with the left side
+    val perKey = Window.partitionBy(by.map(k => col(s"__r_$k")): _*)
+      .orderBy(col("__rt").asc)
+    val rAug = right
+      .filter((by.map(col(_).isNotNull) :+ col(on).isNotNull).reduce(_ && _))
+      .select(by.map(k => col(k).as(s"__r_$k")) ++
+        Seq(col(on).as("__rt")) ++
+        rightVal.zip(outName).map { case (c, o) => col(c).as(s"__rv_$o") }: _*)
+      .withColumn("__prev", lag(col("__rt"), 1).over(perKey))
+      .withColumn("__next", lead(col("__rt"), 1).over(perKey))
+
+    val lt = col(on)
+    val keyEq = by.map(k => col(k) === col(s"__r_$k")).reduce(_ && _)
+    def dist(x: Column): Column = when(lt >= x, lt - x).otherwise(x - lt)
+    val cond = direction match {
+      case "backward" => keyEq && lt >= col("__rt") &&
+        (col("__next").isNull || lt < col("__next"))
+      case "forward" => keyEq && lt <= col("__rt") &&
+        (col("__prev").isNull || lt > col("__prev"))
+      case "nearest" => keyEq &&
+        (col("__prev").isNull || dist(col("__rt")) < dist(col("__prev"))) &&
+        (col("__next").isNull || dist(col("__rt")) <= dist(col("__next")))
+    }
+    val joined = left.join(broadcast(rAug), cond, "left_outer")
+    val tolOk: Column = tolerance match {
+      case None => lit(true)
+      case Some(t) =>
+        val d = direction match {
+          case "backward" => lt - col("__rt")
+          case "forward"  => col("__rt") - lt
+          case "nearest"  => dist(col("__rt"))
+        }
+        d <= expr(t)
+    }
+    joined.select(by.map(col) ++ leftRest.map(col) ++
+      outName.map(o => when(tolOk, col(s"__rv_$o")).as(o)): _*)
+  }
 }

@@ -58,6 +58,7 @@ object StreamingJobs {
     "read_csv", "read_json", "read_parquet",
     "filter", "type_conversion", "schema_mapping", "split", "merge",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
+    "streaming_asof_join",
     "write_csv", "write_json", "write_parquet")
 
   final case class SinkPlan(component: String, df: DataFrame, format: String,
@@ -206,6 +207,23 @@ object StreamingJobs {
             .withWatermark("__t", wm)
             .dropDuplicatesWithinWatermark("__key")
             .drop("__key", "__t"))
+
+        // Stream-static as-of enrichment (ops/AsofJoin.enrichStatic): the
+        // STATIC right side comes from `right_path` (a parquet dimension
+        // table read as a batch frame — NOT a stream port), is prepared
+        // into per-key validity intervals batch-side, and broadcasts
+        // into a stateless row-wise left join — no watermark, no state
+        // store, exact parity with the batch asof_join on the same data
+        // (StreamingJobsSpec pins it per direction). Static-right-only
+        // by design: a stream-stream as-of needs watermark bounds this
+        // surface does not declare.
+        case "streaming_asof_join" =>
+          val rightDf = graft.io.ParquetIO.read(spark, c.reqStr("right_path"))
+          Map("out" -> AsofJoin.enrichStatic(one(c), rightDf,
+            on = c.reqStr("on"), by = c.strSeqParam("by"),
+            suffix = c.str("suffix").getOrElse("_r"),
+            direction = c.str("direction").getOrElse("backward"),
+            tolerance = c.str("tolerance")))
 
         case t if t.startsWith("write_") =>
           val df = one(c)

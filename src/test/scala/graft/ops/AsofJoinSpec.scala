@@ -350,6 +350,19 @@ class AsofJoinSpec extends SparkTestBase {
         val want = asofModel(leftRows, rightRows, direction, tol)
         assert(got === want,
           s"direction=$direction tolerance=$tol seed=$seed diverged from the model")
+        // the static-right enrichment form (streaming twin) must agree
+        // with the same model on the same batch inputs
+        val gotE = AsofJoin.enrichStatic(left, right, on = "t", by = Seq("k"),
+          direction = direction, tolerance = tol.map(_.toString))
+          .select(col("id"), col("k"), col("t"), col("rv"))
+          .collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getString(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toSet
+        assert(gotE === want,
+          s"enrichStatic direction=$direction tolerance=$tol seed=$seed diverged")
       }
     }
   }

@@ -461,6 +461,64 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("streaming_asof_join: stream-static enrichment matches batch AsofJoin per direction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lin = tmp("sasof_left")
+    val rin = tmp("sasof_right")
+    // the AsofJoinSpec fixture plus a boundary row per direction: equal
+    // instants (id=1), between-rows (id=2), before-all (id=3),
+    // after-all-for-key (id=5 has no u3 rows at all)
+    Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 5L),
+      (4L, "u2", 15L), (5L, "u3", 100L), (6L, "u2", 16L), (7L, "u1", 14L))
+      .toDF("id", "user", "t").write.mode("overwrite").parquet(lin)
+    Seq(("u1", 10L, "a"), ("u1", 18L, "b"), ("u2", 16L, "c"))
+      .toDF("user", "t", "tag").write.mode("overwrite").parquet(rin)
+    val lSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "user", "data_type": "string" },
+        |  { "name": "t", "data_type": "integer" } ] }""".stripMargin
+    val oSchema =
+      """{ "fields": [
+        |  { "name": "user", "data_type": "string" },
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "t", "data_type": "integer" },
+        |  { "name": "tag", "data_type": "string", "nullable": true } ] }""".stripMargin
+    for ((dir, tol) <- Seq(("backward", None), ("forward", None),
+                           ("nearest", None), ("backward", Some("4")))) {
+      val tag = s"${dir}_${tol.getOrElse("notol")}"
+      val out = tmp(s"sasof_out_$tag")
+      val tolJson = tol.fold("")(t => s""""tolerance": "$t", """)
+      val cfg =
+        s"""{ "name": "sasof", "components": [
+           |  { "name": "r", "comp_type": "read_parquet", "filepath": "$lin",
+           |    "routes": { "out": [ { "to": "aj", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $lSchema } },
+           |  { "name": "aj", "comp_type": "streaming_asof_join",
+           |    "right_path": "$rin", "on": "t", "by": ["user"],
+           |    "direction": "$dir", $tolJson
+           |    "in_port_schemas": { "in": $lSchema },
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $oSchema } },
+           |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+           |    "in_port_schemas": { "in": $oSchema } } ] }""".stripMargin
+      StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp(s"sasof_ckpt_$tag"))
+      val batch = graft.ops.AsofJoin(
+        spark.read.parquet(lin), spark.read.parquet(rin),
+        on = "t", by = Seq("user"), direction = dir, tolerance = tol)
+      assert(slurp(spark.read.parquet(out)) === slurp(batch),
+        s"stream/batch divergence for direction=$dir tolerance=$tol")
+      assert(spark.read.parquet(out).count() === 7)
+    }
+    // the static side must stay a batch frame: the enriched stream plan
+    // carries no state store (stateless row-wise join)
+    val probe = graft.ops.AsofJoin.enrichStatic(
+      spark.readStream.schema(spark.read.parquet(lin).schema).parquet(lin),
+      spark.read.parquet(rin), on = "t", by = Seq("user"))
+    assert(probe.isStreaming, "enrichment must preserve streaming-ness")
+  }
+
   test("streaming_dedup rejects near-dup methods with a batch pointer") {
     val cfg =
       s"""{ "name": "sddbad", "components": [
