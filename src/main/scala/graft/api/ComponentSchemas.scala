@@ -105,7 +105,8 @@ object ComponentSchemas {
     "connected_components" -> ("Label every pair-table endpoint with the min id reachable from it (transitive dedup clusters)" -> Seq(
       p("src_column", "string", "edge source column, default 'id_a'"),
       p("dst_column", "string", "edge destination column, default 'id_b'"),
-      p("max_iter", "integer", "propagation round cap (rounds are O(log diameter)), default 25"))),
+      p("max_iter", "integer", "propagation round cap (rounds are O(log diameter)), default 25"),
+      p("check_every", "integer", "convergence-count cadence, default 1 (ScaleProbe-measured: the count is ~21% of a round, so skipping only pays when rounds >> cadence)"))),
     "text_analysis" -> ("Token counts, quality ratios, language id" -> Seq(
       p("text_column", "string", "document text column, default 'text'"))),
     "similarity" -> ("Nearest-neighbor search: exact k-NN join or IVF cell probe" -> Seq(

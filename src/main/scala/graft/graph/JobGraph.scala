@@ -624,7 +624,8 @@ object JobGraph {
         (Map("out" -> graft.scale.Dedup.connectedComponents(one(),
           c.str("src_column").getOrElse("id_a"),
           c.str("dst_column").getOrElse("id_b"),
-          c.int("max_iter", 25))), None)
+          c.int("max_iter", 25),
+          c.int("check_every", 1))), None)
 
       case "text_analysis" =>
         (Map("out" -> graft.scale.TextAnalysis.analyze(one(),

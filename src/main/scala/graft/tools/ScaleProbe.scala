@@ -121,6 +121,38 @@ object ScaleProbe {
       Similarity.embeddingNearDups(emb1, "embedding", "vec_id", 0.95, 64, b1, r1).count(),
       Similarity.embeddingNearDups(embN, "embedding", "vec_id", 0.95, 64, bN, rN).count())
 
+    // connectedComponents: salted replica CHAINS (length 512 → ~9-10
+    // pointer-jump rounds, well past the near-clique 2-3) so the probe
+    // measures multi-round behavior. 1x = 1M vertices; factor scales the
+    // vertex/edge count at constant chain length, isolating per-round
+    // cost scaling from round-count scaling. Reports per-round step
+    // (label update + eager checkpoint) vs check (changed-count action)
+    // seconds — the data behind the checkEvery default.
+    if (only.isEmpty || only.contains("connectedComponents")) {
+      def ccStage(v: Long, tag: String): Unit = {
+        val chainLen = 512L
+        val edges = spark.range(v).toDF("id_a")
+          .filter((col("id_a") + 1) % chainLen =!= 0)
+          .select(col("id_a"), (col("id_a") + 1).as("id_b"))
+          .repartition(32)
+        val rounds = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Long)]()
+        val t0 = System.nanoTime()
+        val n = Dedup.ccProbed(edges, "id_a", "id_b", 25, 1,
+          (r, st, ct, ch) => rounds += ((r, st, ct, ch))).count()
+        val total = (System.nanoTime() - t0) / 1e9
+        val stepSum = rounds.map(_._2).sum
+        val checkSum = rounds.map(_._3).sum
+        println(f"cc $tag%-6s v=$v%-10d labeled=$n%-10d rounds=${rounds.size} " +
+          f"total=$total%.2f s step=$stepSum%.2f s check=$checkSum%.2f s " +
+          f"(check share ${100 * checkSum / (stepSum + checkSum)}%.0f%%)")
+        rounds.foreach { case (r, st, ct, ch) =>
+          println(f"    round $r%2d step=$st%6.2f s check=$ct%6.2f s changed=$ch") }
+        OpCaches.drain(); spark.catalog.clearCache()
+      }
+      ccStage(1000000L, "1x")
+      ccStage(1000000L * factor, s"${factor}x")
+    }
+
     println(s"docs: $nDocs -> ${nDocs * factor}")
     spark.stop()
   }

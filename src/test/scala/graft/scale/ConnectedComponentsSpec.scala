@@ -54,6 +54,17 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(out.values.toSet === Set(1L))
   }
 
+  test("check_every > 1 converges to the identical labeling") {
+    import spark.implicits._
+    val edges = (1L until 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
+    val every = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val everyThird = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+      checkEvery = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(everyThird === every)
+  }
+
   test("superseded rounds release their checkpoint blocks") {
     val sc = spark.sparkContext
     graft.scale.OpCaches.drain()
