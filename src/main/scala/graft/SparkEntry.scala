@@ -2402,6 +2402,23 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** The SAME backward as-of computation through the broadcast strategy
+    * (AsofJoin.enrichStatic): the purchase side is prepared into per-user
+    * validity intervals and broadcast, so the click side is never
+    * shuffled — the plan for a corpus-sized left against a dimension
+    * right (AsofJoinSpec pins zero Exchange on the left). Identical
+    * oracle as q_asof_join: two physical strategies, one semantics. */
+  private def qAsofBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("p_value"), col("ts").as("p_ts"))
+    graft.ops.AsofJoin.enrichStatic(clicks, purchases, on = "ts", by = Seq("user_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Forward as-of join: each click aligned with the user's NEXT purchase
     * at or after it — the mirrored direction (desc-ordered carry, same
     * one-shuffle plan), against DuckDB's native `ASOF ... ON l.ts <= r.ts`
@@ -2496,6 +2513,7 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_events_session" -> (qEventsSession _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_broadcast" -> (qAsofBroadcast _),
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_asof_nearest" -> (qAsofNearest _),
@@ -2793,6 +2811,14 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN — independent of the Spark
     // union+window formulation, so the two algorithms check each other
     "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, c.value,
+        |       p.value AS p_value, p.ts AS p_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // identical semantics through the broadcast (interval-join) strategy
+    "q_asof_broadcast" ->
       """SELECT c.event_id, c.user_id, c.ts, c.value,
         |       p.value AS p_value, p.ts AS p_ts
         |FROM (SELECT * FROM events WHERE event_type = 'click') c

@@ -134,7 +134,8 @@ object ComponentSchemas {
       req("by", "array", "equality keys"),
       p("suffix", "string", "suffix for clashing right columns, default '_r'"),
       p("direction", "string", "backward (default): latest right at or before | forward: earliest at or after | nearest: closer of the two, ties to backward"),
-      p("tolerance", "string", "max match distance as a SQL literal (INTERVAL '1' HOUR for timestamps, a number for numeric times); farther matches become null"))),
+      p("tolerance", "string", "max match distance as a SQL literal (INTERVAL '1' HOUR for timestamps, a number for numeric times); farther matches become null"),
+      p("strategy", "string", "window (default; one shuffle on the by-keys, right side any size) | broadcast (interval-prepared right broadcasts, ZERO shuffle of the left — for corpus-sized left x dimension-sized right)"))),
     "unpivot" -> ("Unpivot/melt: value columns become (variable, value) rows" -> Seq(
       req("value_columns", "array", "columns melted into rows (must share a common type)"),
       p("id_columns", "array", "columns kept as row identity"),

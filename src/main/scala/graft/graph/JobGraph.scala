@@ -769,11 +769,22 @@ object JobGraph {
         }
         val by = c.strSeqParam("by")
         require(by.nonEmpty, s"asof_join ${c.name}: needs non-empty 'by' keys")
-        (Map("out" -> AsofJoin(port("left"), port("right"),
-          on = c.reqStr("on"), by = by,
-          suffix = c.str("suffix").getOrElse("_r"),
-          direction = c.str("direction").getOrElse("backward"),
-          tolerance = c.str("tolerance"))), None)
+        // strategy=window (default): union + one window pass — ONE
+        // shuffle of left+right on the by-keys; right side any size.
+        // strategy=broadcast (AsofJoin.enrichStatic): the right side is
+        // prepared into validity intervals and BROADCAST — zero Exchange
+        // on the left, the plan to pick when left is corpus-sized and
+        // right is a dimension table. Same results (AsofJoinSpec pins
+        // both against one model).
+        val strategy = c.str("strategy").getOrElse("window")
+        require(Set("window", "broadcast").contains(strategy),
+          s"asof_join ${c.name}: strategy must be window|broadcast, got '$strategy'")
+        val join = if (strategy == "broadcast") AsofJoin.enrichStatic _ else AsofJoin.apply _
+        (Map("out" -> join(port("left"), port("right"),
+          c.reqStr("on"), by,
+          c.str("suffix").getOrElse("_r"),
+          c.str("direction").getOrElse("backward"),
+          c.str("tolerance"))), None)
 
       case other =>
         throw new IllegalArgumentException(s"unknown comp_type: $other")

@@ -164,6 +164,20 @@ class AsofJoinSpec extends SparkTestBase {
     assert(gotN === modelN)
   }
 
+  test("enrichStatic broadcasts the right side: zero exchange on the left") {
+    val left = Seq((1L, "u1", 10L)).toDF("id", "user", "t")
+    val right = Seq(("u1", 5L, "x")).toDF("user", "t", "tag")
+    val out = AsofJoin.enrichStatic(left, right, on = "t", by = Seq("user"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(plan).nonEmpty,
+      s"right side must broadcast:\n$plan")
+    // the only Exchange allowed is the broadcast one (right side + its
+    // interval window prep); the LEFT side must not shuffle
+    assert(!plan.contains("Exchange hashpartitioning") ||
+      "Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"left side must not hash-shuffle:\n$plan")
+  }
+
   test("nearest direction plans ONE exchange (two sorts share the shuffle)") {
     val left = Seq((1L, "u1", 10L)).toDF("id", "user", "t")
     val right = Seq(("u1", 5L, "x")).toDF("user", "t", "tag")
@@ -230,12 +244,14 @@ class AsofJoinSpec extends SparkTestBase {
       "and must not be handed the null-time right row")
   }
 
-  test("asof_join component runs from JSON config") {
-    val lin = tmpDir("asof_l"); val rin = tmpDir("asof_r"); val out = tmpDir("asof_out")
+  test("asof_join component runs from JSON config (window and broadcast strategies)") {
+    val lin = tmpDir("asof_l"); val rin = tmpDir("asof_r")
     Seq((1L, "u1", 10L), (2L, "u1", 20L)).toDF("id", "user", "t")
       .write.mode("overwrite").parquet(lin)
     Seq(("u1", 15L, "x")).toDF("user", "t", "tag")
       .write.mode("overwrite").parquet(rin)
+    for (strategy <- Seq("window", "broadcast")) {
+    val out = tmpDir(s"asof_out_$strategy")
     val lSchema =
       """{ "fields": [
         |  { "name": "id", "data_type": "integer" },
@@ -261,6 +277,7 @@ class AsofJoinSpec extends SparkTestBase {
          |    "routes": { "out": [ { "to": "aj", "in_port": "right" } ] },
          |    "out_port_schemas": { "out": $rSchema } },
          |  { "name": "aj", "comp_type": "asof_join", "on": "t", "by": ["user"],
+         |    "strategy": "$strategy",
          |    "in_port_schemas": { "left": $lSchema, "right": $rSchema },
          |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
          |    "out_port_schemas": { "out": $oSchema } },
@@ -270,7 +287,9 @@ class AsofJoinSpec extends SparkTestBase {
     built.runSinks(); built.close()
     val got = spark.read.parquet(out).orderBy(col("id"))
       .collect().map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("tag")).orNull))
-    assert(got.toSeq === Seq((1L, null), (2L, "x"))) // 15 ≤ 20 only
+    assert(got.toSeq === Seq((1L, null), (2L, "x")),
+      s"strategy=$strategy") // 15 ≤ 20 only
+    }
   }
 
   private def tmpDir(name: String): String = {
