@@ -2336,6 +2336,60 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("lang"))
   }
 
+  /** Combination job: `hash_split` — the deterministic train/val/test
+    * primitive, fully declarative: documents route to three split ports
+    * by md5 bucket of doc_id, each port rolls up (count + sum of ids —
+    * the sum pins MEMBERSHIP, not just sizes) through a `sql` component
+    * that also tags the split name, and a merge unions the three rows.
+    * The oracle replays the identical md5-prefix arithmetic in DuckDB —
+    * both engines hash the same "42"-style decimal string. */
+  private def qJobHashSplit(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_hash_split"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val aggSchema = fieldsJson("split" -> "string", "n_docs" -> "integer",
+      "sum_ids" -> "integer")
+    def aggComp(name: String): String =
+      s"""{ "name": "a_$name", "comp_type": "sql",
+         |  "query": "SELECT '$name' AS split, count(*) AS n_docs, sum(doc_id) AS sum_ids FROM a_${name}_in",
+         |  "in_port_schemas": { "in": $docSchema },
+         |  "routes": { "out": [ { "to": "m", "in_port": "in" } ] },
+         |  "out_port_schemas": { "out": $aggSchema } }""".stripMargin
+    val jobJson =
+      s"""{
+         |  "name": "hash_split_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "hs", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "hs", "comp_type": "hash_split", "id_column": "doc_id",
+         |      "splits": [ { "name": "train", "fraction": 0.8 },
+         |                  { "name": "val", "fraction": 0.1 },
+         |                  { "name": "test", "fraction": 0.1 } ],
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "train": [ { "to": "a_train", "in_port": "in" } ],
+         |                  "val":   [ { "to": "a_val", "in_port": "in" } ],
+         |                  "test":  [ { "to": "a_test", "in_port": "in" } ] },
+         |      "out_port_schemas": { "train": $docSchema, "val": $docSchema,
+         |                            "test": $docSchema } },
+         |    ${aggComp("train")},
+         |    ${aggComp("val")},
+         |    ${aggComp("test")},
+         |    { "name": "m", "comp_type": "merge",
+         |      "in_port_schemas": { "in": $aggSchema },
+         |      "routes": { "merge": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "merge": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("split"))
+  }
+
   /** Combination job: batch SESSION-WINDOW aggregation as a declarative
     * component (aggregation + time_column/session_gap — the config face
     * of qEventsSession). Events are staged with string times and integer
@@ -2569,6 +2623,7 @@ object SparkEntry {
     "q_job_sim_ivf" -> (qJobSimIvf _),
     "q_job_ivf_index" -> (qJobIvfIndex _),
     "q_job_pii_redact" -> (qJobPiiRedact _),
+    "q_job_hash_split" -> (qJobHashSplit _),
     "q_job_session_agg" -> (qJobSessionAgg _),
     "multimodal_features" -> (qMultimodal _))
 
@@ -3456,6 +3511,19 @@ object SparkEntry {
         |  max(text) AS max_text
         |FROM red WHERE n_emails > 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // md5-bucket replay: both engines hash the decimal-string id; sum of
+    // member ids pins per-row routing, not just split sizes
+    "q_job_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CASE WHEN bucket < 8000 THEN 'train'
+        |    WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -102,6 +102,9 @@ object ComponentSchemas {
       p("rows_per_band", "integer", "embedding sign bits per band; omitted = sized from the corpus count (measured lshDepthFor rule)"),
       p("emit", "string", "survivors (default, pairwise drop-id_b) | pairs (near-dup pair table (id_a, id_b, score) for connected_components) | cluster (one min-id survivor per TRANSITIVE component; near-dup methods only)"),
       p("max_iter", "integer", "emit=cluster: connected-components round cap, default 25"))),
+    "hash_split" -> ("Deterministic train/val/test split: md5-bucket of the id routes each row to exactly one named out port (stable across engines/runs; no shuffle)" -> Seq(
+      req("splits", "array", "[{name, fraction}, ...] — out ports are the names; fractions must sum to 1 (honored to 0.01% on the 10,000-bucket grid)"),
+      p("id_column", "string", "column hashed for routing, default 'id'"))),
     "connected_components" -> ("Label every pair-table endpoint with the min id reachable from it (transitive dedup clusters)" -> Seq(
       p("src_column", "string", "edge source column, default 'id_a'"),
       p("dst_column", "string", "edge destination column, default 'id_b'"),

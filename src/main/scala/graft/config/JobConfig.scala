@@ -266,6 +266,25 @@ object JobConfig {
     (groupBy, aggs)
   }
 
+  /** hash_split config: `splits` = [{name, fraction}, ...]; out ports are
+    * the split names, fractions validated by RelationalOps.hashSplit. */
+  def parseSplits(spec: ComponentSpec): Seq[(String, Double)] =
+    (spec.params \ "splits") match {
+      case JArray(items) => items.map { s =>
+        val frac = (s \ "fraction") match {
+          case JDouble(d)  => d
+          case JInt(i)     => i.toDouble
+          case JDecimal(d) => d.toDouble
+          case JString(x)  => x.toDouble
+          case other => throw new IllegalArgumentException(
+            s"hash_split ${spec.name}: bad fraction $other")
+        }
+        (reqStrAt(s, "name", "hash_split split"), frac)
+      }
+      case _ => throw new IllegalArgumentException(
+        s"component ${spec.name}: missing 'splits' ([{name, fraction}, ...])")
+    }
+
   /** schema_mapping map-mode rules_by_dest (reference mapping_rule.py:141-190):
     * {dst_port: {dst_path: {src_port, src_path}}}. */
   def parseMapRules(spec: ComponentSpec): Map[String, Seq[SchemaMappingOp.MapRule]] =

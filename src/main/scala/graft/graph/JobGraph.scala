@@ -45,6 +45,10 @@ object JobGraph {
     case "filter" => Seq(PortSpec("pass", required = true, multi = true),
       PortSpec("fail", required = false, multi = true))
     case "split" => c.extraOutputPorts.map(PortSpec(_, required = true, multi = true))
+    // one out port per declared split; unrouted splits are legal (a
+    // pipeline keeping only `train` simply doesn't route val/test)
+    case "hash_split" =>
+      parseSplits(c).map(s => PortSpec(s._1, required = false, multi = true))
     case "merge" => Seq(PortSpec("merge", required = true, multi = false))
     case "schema_mapping" =>
       val declared = (parseMapRules(c).keySet ++ parseJoinPlan(c).map(_.outputPort).toSet ++
@@ -517,6 +521,14 @@ object JobGraph {
       case "split" =>
         val df = one()
         (c.extraOutputPorts.map(_ -> df).toMap, None)
+
+      // Deterministic md5-bucket split (RelationalOps.hashSplit): each
+      // row routes to exactly one split port; no shuffle, stable across
+      // engines/runs — the train/val/test primitive of a training-data
+      // pipeline.
+      case "hash_split" =>
+        (RelationalOps.hashSplit(one(), c.str("id_column").getOrElse("id"),
+          parseSplits(c)), None)
 
       // Spark-native escape hatch the DataFrame components compose with:
       // every inbound port is registered as a temp view named

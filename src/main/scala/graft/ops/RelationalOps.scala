@@ -37,6 +37,38 @@ object RelationalOps {
   }
 
   /**
+   * Deterministic hash split (train/val/test and friends): each row lands
+   * in exactly one named split, chosen by an md5 bucket of its id —
+   * b = first 8 hex chars of md5(id as string) mod 10000 — against
+   * cumulative-fraction boundaries. Engine-independent and stable across
+   * runs, partitionings, and row order (the properties `randomSplit`
+   * lacks): the same id routes to the same split on any engine that can
+   * compute md5, which is how the DuckDB oracle replays it bit-exactly.
+   *
+   * At scale: one narrow filter per split — no shuffle, no sampling scan;
+   * a consumer reading only `train` evaluates one filter over the input.
+   * Fractions must sum to 1 (±1e-6); boundaries are rounded on the
+   * 10,000-bucket grid, so fractions are honored to 0.01%.
+   */
+  def hashSplit(df: DataFrame, idCol: String,
+                fractions: Seq[(String, Double)]): Map[String, DataFrame] = {
+    require(fractions.nonEmpty, "hash_split: needs at least one split")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"hash_split: duplicate split names in ${fractions.map(_._1).mkString(", ")}")
+    require(fractions.forall(_._2 > 0), "hash_split: fractions must be > 0")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-6,
+      s"hash_split: fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(10000L))
+    val bounds = fractions.scanLeft(0.0)(_ + _._2)
+      .map(f => math.round(f * 10000).toInt)
+    fractions.zipWithIndex.map { case ((name, _), i) =>
+      name -> df.filter(bucket >= bounds(i) && bucket < bounds(i + 1))
+    }.toMap
+  }
+
+  /**
    * Mongo-read-shaped query surface over any DataFrame: filter, multi-key
    * sort with per-key direction, skip, limit, projection.
    *

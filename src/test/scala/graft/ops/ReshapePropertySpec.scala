@@ -132,4 +132,36 @@ class ReshapePropertySpec extends SparkTestBase {
     }
     assert(e.getMessage.toLowerCase.contains("unpivot"))
   }
+
+  test("hashSplit: disjoint, exhaustive, deterministic, roughly proportional") {
+    val df = (0L until 2000L).toDF("id")
+    val splits = RelationalOps.hashSplit(df, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val sets = splits.view.mapValues(_.collect().map(_.getLong(0)).toSet).toMap
+    // every row in exactly one split
+    assert(sets.values.map(_.size).sum === 2000)
+    assert(sets.values.reduce(_ ++ _).size === 2000)
+    // a rerun routes identically (md5 of the id, not sampling)
+    val again = RelationalOps.hashSplit(df, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .view.mapValues(_.collect().map(_.getLong(0)).toSet).toMap
+    assert(again === sets)
+    // proportions within a loose band (md5 is uniform; 2000 rows)
+    assert(sets("train").size > 1500 && sets("train").size < 1750,
+      s"train=${sets("train").size}")
+    assert(sets("val").size > 120 && sets("val").size < 280)
+  }
+
+  test("hashSplit validates fractions loudly") {
+    val df = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      RelationalOps.hashSplit(df, "id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+    intercept[IllegalArgumentException] {
+      RelationalOps.hashSplit(df, "id", Seq(("a", 0.5), ("a", 0.5)))
+    }
+    intercept[IllegalArgumentException] {
+      RelationalOps.hashSplit(df, "id", Nil)
+    }
+  }
 }
