@@ -57,6 +57,7 @@ object StreamingJobs {
   val supportedTypes: Set[String] = Set(
     "read_csv", "read_json", "read_parquet",
     "filter", "type_conversion", "schema_mapping", "split", "merge",
+    "unpivot", "hash_split",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "streaming_asof_join",
     "write_csv", "write_json", "write_parquet")
@@ -131,6 +132,18 @@ object StreamingJobs {
           }).toMap
           SchemaMappingOp.mapMode(byPort, parseMapRules(c))
         case "split" => c.extraOutputPorts.map(_ -> one(c)).toMap
+        // stateless narrow ops, streamable unchanged (same dispatch as
+        // the batch fold): unpivot is an expression-level expand;
+        // hash_split is one md5-bucket filter per split port
+        case "unpivot" =>
+          val values = c.strSeqParam("value_columns")
+          require(values.nonEmpty, s"unpivot ${c.name}: needs value_columns")
+          Map("out" -> RelationalOps.unpivot(one(c), c.strSeqParam("id_columns"),
+            values, c.str("var_column").getOrElse("variable"),
+            c.str("value_column").getOrElse("value")))
+        case "hash_split" =>
+          RelationalOps.hashSplit(one(c), c.str("id_column").getOrElse("id"),
+            parseSplits(c))
         case "merge" =>
           val xs = in(c)
           require(xs.nonEmpty, s"merge ${c.name}: no inputs")

@@ -519,6 +519,52 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(probe.isStreaming, "enrichment must preserve streaming-ness")
   }
 
+  test("hash_split and unpivot stream: per-port parity with the batch fold") {
+    import spark.implicits._
+    val in = tmp("hsu_in")
+    (0L until 200L).map(i => (i, i * 3, i * 5)).toDF("id", "va", "vb")
+      .write.mode("overwrite").parquet(in)
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "va", "data_type": "integer" },
+        |  { "name": "vb", "data_type": "integer" } ] }""".stripMargin
+    val meltSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "variable", "data_type": "string" },
+        |  { "name": "value", "data_type": "integer" } ] }""".stripMargin
+    def cfg(trainOut: String, meltOut: String) =
+      s"""{ "name": "hsu", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "hs", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "hs", "comp_type": "hash_split", "id_column": "id",
+         |    "splits": [ { "name": "train", "fraction": 0.7 },
+         |                { "name": "rest", "fraction": 0.3 } ],
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "train": [ { "to": "up", "in_port": "in" } ],
+         |                "rest":  [ { "to": "wr", "in_port": "in" } ] },
+         |    "out_port_schemas": { "train": $inSchema, "rest": $inSchema } },
+         |  { "name": "up", "comp_type": "unpivot", "id_columns": ["id"],
+         |    "value_columns": ["va", "vb"],
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "wm", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $meltSchema } },
+         |  { "name": "wm", "comp_type": "write_parquet", "filepath": "$meltOut",
+         |    "in_port_schemas": { "in": $meltSchema } },
+         |  { "name": "wr", "comp_type": "write_parquet", "filepath": "$trainOut",
+         |    "in_port_schemas": { "in": $inSchema } } ] }""".stripMargin
+    val (bRest, bMelt) = (tmp("hsu_b_rest"), tmp("hsu_b_melt"))
+    val built = JobGraph.build(spark, JobConfig.parse(cfg(bRest, bMelt)))
+    built.runSinks(); built.close()
+    val (sRest, sMelt) = (tmp("hsu_s_rest"), tmp("hsu_s_melt"))
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg(sRest, sMelt)), tmp("hsu_ckpt"))
+    assert(slurp(spark.read.parquet(sRest)) === slurp(spark.read.parquet(bRest)))
+    assert(slurp(spark.read.parquet(sMelt)) === slurp(spark.read.parquet(bMelt)))
+    assert(spark.read.parquet(sMelt).count() > 0)
+  }
+
   test("streaming_dedup rejects near-dup methods with a batch pointer") {
     val cfg =
       s"""{ "name": "sddbad", "components": [
