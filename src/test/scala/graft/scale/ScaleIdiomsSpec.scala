@@ -100,6 +100,17 @@ class ScaleIdiomsSpec extends SparkTestBase {
     assert(out.count() === 20) // 4 queries x k=5
   }
 
+  test("hashSplit ports are narrow filters: zero Exchange in every split plan") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("id")
+    graft.ops.RelationalOps.hashSplit(df, "id",
+      Seq(("train", 0.8), ("rest", 0.2))).foreach { case (name, split) =>
+      val plan = split.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"hash_split '$name' must not shuffle:\n$plan")
+    }
+  }
+
   test("partition_by sinks prune partitions on readback (PartitionFilters)") {
     // The 100 TB value of a partitioned sink IS the pruning: a reader
     // filtering on the partition column must scan only its directories.
