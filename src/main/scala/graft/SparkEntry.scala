@@ -2269,6 +2269,92 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** Combination job: BATCH probing of the bucketed IVF index — the
+    * multi-query face of q_job_ivf_index (a query port carrying a
+    * query_id column dispatches KMeans.searchBucketedMany: per-query
+    * cell ranking, one pruned scan, top-k per query). nprobe = k cells
+    * again, so each query's result is exact brute-force top-5 and the
+    * oracle is the q_job_sim_knn computation replayed over the same
+    * vectors the index round-tripped. */
+  private def qJobIvfMany(s: SparkSession, dir: String): DataFrame = {
+    val idxDir = s"$tmpRoot/job_ivfm_index"
+    val centDir = s"$tmpRoot/job_ivfm_cents"
+    val outDir = s"$tmpRoot/job_out_ivf_many"
+    val embSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } },
+        |  { "name": "label", "data_type": "string" } ] }""".stripMargin
+    val centSchema =
+      """{ "fields": [
+        |  { "name": "cell", "data_type": "integer" },
+        |  { "name": "cvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val qSchema =
+      """{ "fields": [
+        |  { "name": "query_id", "data_type": "integer" },
+        |  { "name": "qvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val outSchema = fieldsJson("query_id" -> "integer", "rank" -> "integer",
+      "vec_id" -> "integer", "cosine" -> "float")
+    val buildJson =
+      s"""{
+         |  "name": "ivf_many_build",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/embeddings.parquet",
+         |      "routes": { "out": [ { "to": "km", "in_port": "in" },
+         |                           { "to": "ix", "in_port": "corpus" } ] },
+         |      "out_port_schemas": { "out": $embSchema } },
+         |    { "name": "km", "comp_type": "kmeans_train",
+         |      "vector_column": "embedding", "k": 4, "iters": 1,
+         |      "in_port_schemas": { "in": $embSchema },
+         |      "routes": { "out": [ { "to": "ix", "in_port": "centroids" },
+         |                           { "to": "wc", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $centSchema } },
+         |    { "name": "ix", "comp_type": "write_ivf_index", "filepath": "$idxDir",
+         |      "vector_column": "embedding", "id_column": "vec_id",
+         |      "in_port_schemas": { "corpus": $embSchema, "centroids": $centSchema } },
+         |    { "name": "wc", "comp_type": "write_parquet", "filepath": "$centDir",
+         |      "in_port_schemas": { "in": $centSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(buildJson))
+    built.runSinks()
+    built.close()
+    val probeJson =
+      s"""{
+         |  "name": "ivf_many_probe",
+         |  "components": [
+         |    { "name": "rcent", "comp_type": "read_parquet", "filepath": "$centDir",
+         |      "routes": { "out": [ { "to": "sim", "in_port": "centroids" } ] },
+         |      "out_port_schemas": { "out": $centSchema } },
+         |    { "name": "rq", "comp_type": "read_parquet",
+         |      "filepath": "$dir/embeddings.parquet",
+         |      "routes": { "out": [ { "to": "q", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $embSchema } },
+         |    { "name": "q", "comp_type": "sql",
+         |      "query": "SELECT vec_id AS query_id, embedding AS qvec FROM q_in WHERE vec_id < 3",
+         |      "in_port_schemas": { "in": $embSchema },
+         |      "routes": { "out": [ { "to": "sim", "in_port": "query" } ] },
+         |      "out_port_schemas": { "out": $qSchema } },
+         |    { "name": "sim", "comp_type": "similarity", "method": "ivf_index",
+         |      "index_path": "$idxDir", "vector_column": "embedding",
+         |      "id_column": "vec_id", "k": 5, "nprobe": 4,
+         |      "in_port_schemas": { "centroids": $centSchema, "query": $qSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val probe = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(probeJson))
+    probe.runSinks()
+    probe.close()
+    s.read.parquet(outDir).orderBy(col("query_id"), col("rank"))
+  }
+
   /** Combination job: the declarative `pii_redact` comp_type end-to-end —
     * the config face of qTextPii (which drives the same
     * TextAnalysis.redactPiiWithCounts through the Scala API). A `sql`
@@ -2622,6 +2708,7 @@ object SparkEntry {
     "q_job_sim_knn" -> (qJobSimKnn _),
     "q_job_sim_ivf" -> (qJobSimIvf _),
     "q_job_ivf_index" -> (qJobIvfIndex _),
+    "q_job_ivf_many" -> (qJobIvfMany _),
     "q_job_pii_redact" -> (qJobPiiRedact _),
     "q_job_hash_split" -> (qJobHashSplit _),
     "q_job_session_agg" -> (qJobSessionAgg _),
@@ -3402,6 +3489,26 @@ object SparkEntry {
         |             * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
         |FROM e, q
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // batch probe at nprobe = all cells: per-query exact brute-force
+    // top-5 through the bucketed layout — the q_job_sim_knn computation
+    // over the index's round-tripped vectors
+    "q_job_ivf_many" ->
+      """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 3),
+        |s AS (
+        |  SELECT query_id, corpus_id,
+        |    round(CASE WHEN sqrt(list_dot_product(cv, cv))
+        |                 * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+        |          ELSE list_dot_product(cv, qv)
+        |            / (sqrt(list_dot_product(cv, cv))
+        |               * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
+        |  FROM c, q),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, corpus_id AS vec_id, cosine FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "sim_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),

@@ -116,6 +116,7 @@ object ComponentSchemas {
       p("method", "string", "knn (default; ports corpus/queries) | ivf (ports corpus/centroids/query) | ivf_index (ports centroids/query over a write_ivf_index layout)"),
       p("index_path", "string", "ivf_index: directory written by write_ivf_index (REQUIRED when method=ivf_index)"),
       p("query_column", "string", "ivf_index: query port's vector column, default 'qvec'"),
+      p("query_id", "string", "ivf_index: if the query port carries this column (default 'query_id'), it is a multi-row BATCH probe — per-query cell ranking, one pruned scan, top-k per query; without it the port must carry exactly one row"),
       p("vector_column", "string", "embedding column, default 'embedding'"),
       p("k", "integer", "neighbors per query, default 10"),
       p("corpus_id", "string", "knn: corpus id column, default 'id'"),

@@ -715,16 +715,28 @@ object JobGraph {
             require(query.columns.contains(qCol),
               s"similarity ${c.name}: query port has no column '$qCol' " +
                 s"(columns: ${query.columns.mkString(", ")}); set query_column")
-            val qRows = query.limit(2).collect()
-            require(qRows.length == 1,
-              s"similarity ${c.name}: the query port must carry exactly one row")
-            val vec = qRows(0).getSeq[Number](qRows(0).fieldIndex(qCol))
-              .map(_.floatValue).toSeq
             val nprobe = c.intOpt("nprobe").getOrElse(
               Similarity.ivfNprobeDefault(centroids.count().toInt))
-            graft.scale.KMeans.searchBucketed(spark, c.reqStr("index_path"),
-              vecCol, c.str("id_column").getOrElse("id"), centroids, vec,
-              k, nprobe = nprobe)
+            val qidCol = c.str("query_id").getOrElse("query_id")
+            if (query.columns.contains(qidCol))
+              // BATCH probe: a query-id column marks a multi-row query
+              // set — per-query cell ranking, one pruned scan, top-k
+              // per query (KMeans.searchBucketedMany)
+              graft.scale.KMeans.searchBucketedMany(spark,
+                c.reqStr("index_path"), vecCol,
+                c.str("id_column").getOrElse("id"), centroids, query,
+                qidCol, qCol, k, nprobe = nprobe)
+            else {
+              val qRows = query.limit(2).collect()
+              require(qRows.length == 1,
+                s"similarity ${c.name}: the query port must carry exactly " +
+                  s"one row (or carry a '$qidCol' column for batch probing)")
+              val vec = qRows(0).getSeq[Number](qRows(0).fieldIndex(qCol))
+                .map(_.floatValue).toSeq
+              graft.scale.KMeans.searchBucketed(spark, c.reqStr("index_path"),
+                vecCol, c.str("id_column").getOrElse("id"), centroids, vec,
+                k, nprobe = nprobe)
+            }
           case other =>
             throw new IllegalArgumentException(s"unknown similarity method: $other")
         }

@@ -101,6 +101,47 @@ object KMeans {
     * (IvfProbe measured it as a flat ~1.2 s/query floor at 142 cells).
     * The index schema comes from ParquetIO's fingerprint cache, so
     * repeated probes skip footer re-inference. */
+  /** Batch-probe a bucketed index with MANY queries: rank cells per query
+    * by centroid cosine (centroids broadcast under the 65536-cell clamp),
+    * keep nprobe cells per query, scan ONLY the union of probed cells
+    * (static `isin` — the distinct-cell resolve is a bounded driver-side
+    * collect, ≤ kcells ints, same justification as searchBucketed's),
+    * then join the scan to the per-query probe set on cell and take
+    * top-k per query through a rank-filter (WindowGroupLimit pre-reduces
+    * per partition before the shuffle — the knnJoin idiom).
+    *
+    * Sized for BOUNDED query batches (the probe set, q·nprobe rows each
+    * carrying a query vector, broadcasts into the scan join — the same
+    * contract as knnJoin's broadcast queries): the corpus-side scan
+    * never shuffles, so cost is (probed cells scanned) × (queries per
+    * cell). Corpus-scale query sets belong in knnJoin or a dedup pass.
+    * Output: (query_id, rank, idCol, cosine), k rows per query. */
+  def searchBucketedMany(spark: SparkSession, indexPath: String, vecCol: String,
+                         idCol: String, centroids: DataFrame, queries: DataFrame,
+                         qIdCol: String, qVecCol: String,
+                         k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+      .crossJoin(broadcast(centroids.select(col("cell"), col("cvec"))))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(Similarity.cosine(col("cvec"), col("__qv")).desc, col("cell").asc)))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    val probed = OpCaches.persist(ranked)
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getAs[Number](0).intValue) // bounded: ≤ kcells ints
+    graft.io.ParquetIO.read(spark, indexPath)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*)) // plan-time pruning
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("query_id"), col(idCol),
+        round(Similarity.cosine(col(vecCol), col("__qv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def searchBucketed(spark: SparkSession, indexPath: String, vecCol: String,
                      idCol: String, centroids: DataFrame, query: Seq[Float],
                      k: Int, nprobe: Int = 2): DataFrame = {

@@ -80,4 +80,33 @@ class KMeansSpec extends SparkTestBase {
       s"expected 1 of 3 cell directories read, metrics: ${scan.metrics}")
     centroids.unpersist()
   }
+
+  test("batch probe: per-query cells, one pruned scan, top-k per query") {
+    val df = fixture()
+    val centroids = KMeans.train(df, "embedding", k = 3, iters = 3)
+    val idx = tmp("ivf_idx_many")
+    KMeans.indexBucketed(df, "embedding", "id", centroids, idx)
+    // one query near each cluster's axis; nprobe=1 → every query's hits
+    // must come from its own cluster only
+    val queries = Seq(0, 1, 2).map { c =>
+      val v = Array.fill(8)(0f); v(c * 2) = 1f
+      (s"q$c", v.toSeq)
+    }.toDF("query_id", "qvec")
+    val hits = KMeans.searchBucketedMany(spark, idx, "embedding", "id",
+      centroids, queries, "query_id", "qvec", k = 4, nprobe = 1)
+    val rows = hits.collect()
+    assert(rows.length === 12, s"4 hits per query, got ${rows.length}")
+    rows.foreach { r =>
+      val (qid, id, rank) = (r.getString(0), r.getString(2), r.getInt(1))
+      assert(id.startsWith(s"doc-${qid.drop(1)}-"),
+        s"query $qid rank $rank hit $id from a foreign cluster")
+    }
+    // the union of probed cells is all 3 here, but only 3 directories
+    // exist — pin that the scan carries the static isin filter (the
+    // plan-time pruning contract), not a full unfiltered read path
+    assert(hits.queryExecution.executedPlan.toString.contains("cell"),
+      "scan must filter on the probed cells")
+    OpCaches.drain()
+    centroids.unpersist()
+  }
 }
