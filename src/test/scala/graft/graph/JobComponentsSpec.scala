@@ -495,6 +495,55 @@ class JobComponentsSpec extends SparkTestBase {
       s"nprobe=1 near cluster 1's axis must return only cluster-1 ids, got ${ids.toSeq}")
   }
 
+  test("similarity ivf_index validates index_path and the query column loudly") {
+    import spark.implicits._
+    val (cents, qin) = (tmp("ivfbad_cents"), tmp("ivfbad_q"))
+    Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cell", "cvec")
+      .write.mode("overwrite").parquet(cents)
+    Seq(Tuple1(Seq(1f, 0f))).toDF("wrongname")
+      .write.mode("overwrite").parquet(qin)
+    val centSchema =
+      """{ "fields": [
+        |  { "name": "cell", "data_type": "integer" },
+        |  { "name": "cvec", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val qSchema =
+      """{ "fields": [
+        |  { "name": "wrongname", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "cosine", "data_type": "float" } ] }""".stripMargin
+    def cfg(extra: String) =
+      s"""{ "name": "p", "components": [
+         |  { "name": "rc", "comp_type": "read_parquet", "filepath": "$cents",
+         |    "routes": { "out": [ { "to": "sim", "in_port": "centroids" } ] },
+         |    "out_port_schemas": { "out": $centSchema } },
+         |  { "name": "rq", "comp_type": "read_parquet", "filepath": "$qin",
+         |    "routes": { "out": [ { "to": "sim", "in_port": "query" } ] },
+         |    "out_port_schemas": { "out": $qSchema } },
+         |  { "name": "sim", "comp_type": "similarity", "method": "ivf_index",
+         |    $extra "vector_column": "embedding", "id_column": "vec_id", "k": 5,
+         |    "in_port_schemas": { "centroids": $centSchema, "query": $qSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "${tmp("ivfbad_out")}",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    // missing index_path → method-specific message, not an opaque reqStr
+    val e1 = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(cfg("")))
+    }
+    assert(e1.getMessage.contains("method=ivf_index needs index_path"))
+    // index_path present but the query port lacks the vector column →
+    // names the missing column and the remedy
+    val e2 = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(cfg(s""""index_path": "${tmp("ivfbad_idx")}", """)))
+    }
+    assert(e2.getMessage.contains("no column 'qvec'") &&
+      e2.getMessage.contains("query_column"))
+  }
+
   test("aggregation with time_column windows in batch (session + tumbling)") {
     import spark.implicits._
     val in = tmp("winagg_in")
