@@ -115,7 +115,14 @@ object KMeans {
     * contract as knnJoin's broadcast queries): the corpus-side scan
     * never shuffles, so cost is (probed cells scanned) × (queries per
     * cell). Corpus-scale query sets belong in knnJoin or a dedup pass.
-    * Output: (query_id, rank, idCol, cosine), k rows per query. */
+    * Output: (query_id, rank, idCol, cosine), k rows per query.
+    *
+    * MEASURED amortization (tools/IvfProbe, 20k-vector index, 142 cells,
+    * nprobe=2, local[32]): point probes (searchBucketed) cost ~0.66 s
+    * per query — a floor of plan/listing per probe; batch probing runs
+    * 8/64/256 queries in 4.6/4.9/7.6 s = 0.57/0.077/0.030 s per query,
+    * ~20x amortization at 256 queries, with recall identical to the
+    * point probe at the same nprobe (same computation, one scan). */
   def searchBucketedMany(spark: SparkSession, indexPath: String, vecCol: String,
                          idCol: String, centroids: DataFrame, queries: DataFrame,
                          qIdCol: String, qVecCol: String,

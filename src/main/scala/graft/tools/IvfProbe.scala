@@ -93,6 +93,28 @@ object IvfProbe {
         f"per-query=${tot / queries.length}%.2f s")
     }
 
+    // batch probe (searchBucketedMany): amortization of the per-probe
+    // floor across query-batch sizes — the line that justifies batching
+    for (nq <- Seq(1, 8, 64, 256)) {
+      import spark.implicits._
+      val qdf = emb1.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val ((rows, hit), tMany) = timed {
+        val got = KMeans.searchBucketedMany(spark, idx, "embedding", "vec_id",
+          centroids, qdf, "query_id", "qvec", k = 10, nprobe = 2)
+          .collect()
+        val byQ = got.groupBy(_.getLong(0))
+        val h = byQ.collect { case (qid, rs) if truth.contains(qid) =>
+          rs.map(_.getLong(2)).toSet.intersect(truth(qid)).size }.sum
+        (got.length, h)
+      }
+      OpCaches.drain()
+      val checked = math.min(nq, queries.length)
+      println(f"searchBucketedMany nq=$nq%-4d rows=$rows%-6d " +
+        f"recall@10(first $checked)=${hit.toDouble / (10 * checked)}%.3f " +
+        f"total=$tMany%.2f s per-query=${tMany / nq}%.3f s")
+    }
+
     // unindexed in-plan path, one setting, for the comparison line
     val (ids0, tPlan) = timed {
       val (qid, vec) = queries.head
