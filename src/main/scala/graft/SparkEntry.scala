@@ -2177,6 +2177,50 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  private val ivfEmbSchema =
+    """{ "fields": [
+      |  { "name": "vec_id", "data_type": "integer" },
+      |  { "name": "embedding", "data_type": "array",
+      |    "item": { "name": "item", "data_type": "float" } },
+      |  { "name": "label", "data_type": "string" } ] }""".stripMargin
+  private val ivfCentSchema =
+    """{ "fields": [
+      |  { "name": "cell", "data_type": "integer" },
+      |  { "name": "cvec", "data_type": "array",
+      |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+
+  /** Shared index-build job for the ivf_index gates: embeddings →
+    * kmeans_train (k=4, 1 iter) → write_ivf_index + centroid parquet.
+    * One definition so both gates probe the SAME layout shape. */
+  private def runIvfBuildJob(s: SparkSession, dir: String,
+                             idxDir: String, centDir: String): Unit = {
+    val buildJson =
+      s"""{
+         |  "name": "ivf_index_build",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/embeddings.parquet",
+         |      "routes": { "out": [ { "to": "km", "in_port": "in" },
+         |                           { "to": "ix", "in_port": "corpus" } ] },
+         |      "out_port_schemas": { "out": $ivfEmbSchema } },
+         |    { "name": "km", "comp_type": "kmeans_train",
+         |      "vector_column": "embedding", "k": 4, "iters": 1,
+         |      "in_port_schemas": { "in": $ivfEmbSchema },
+         |      "routes": { "out": [ { "to": "ix", "in_port": "centroids" },
+         |                           { "to": "wc", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $ivfCentSchema } },
+         |    { "name": "ix", "comp_type": "write_ivf_index", "filepath": "$idxDir",
+         |      "vector_column": "embedding", "id_column": "vec_id",
+         |      "in_port_schemas": { "corpus": $ivfEmbSchema, "centroids": $ivfCentSchema } },
+         |    { "name": "wc", "comp_type": "write_parquet", "filepath": "$centDir",
+         |      "in_port_schemas": { "in": $ivfCentSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(buildJson))
+    built.runSinks()
+    built.close()
+  }
+
   /** Combination job: the BUCKETED IVF index path end-to-end from JSON —
     * the layout that matters at 100 TB (probes prune cell directories at
     * plan time, KMeansSpec pins PartitionCount). Job 1 trains centroids
@@ -2196,47 +2240,14 @@ object SparkEntry {
     val idxDir = s"$tmpRoot/job_ivf_index"
     val centDir = s"$tmpRoot/job_ivf_cents"
     val outDir = s"$tmpRoot/job_out_ivf_index"
-    val embSchema =
-      """{ "fields": [
-        |  { "name": "vec_id", "data_type": "integer" },
-        |  { "name": "embedding", "data_type": "array",
-        |    "item": { "name": "item", "data_type": "float" } },
-        |  { "name": "label", "data_type": "string" } ] }""".stripMargin
-    val centSchema =
-      """{ "fields": [
-        |  { "name": "cell", "data_type": "integer" },
-        |  { "name": "cvec", "data_type": "array",
-        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val embSchema = ivfEmbSchema
+    val centSchema = ivfCentSchema
     val qSchema =
       """{ "fields": [
         |  { "name": "qvec", "data_type": "array",
         |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
     val outSchema = fieldsJson("vec_id" -> "integer", "cosine" -> "float")
-    val buildJson =
-      s"""{
-         |  "name": "ivf_index_build",
-         |  "components": [
-         |    { "name": "rc", "comp_type": "read_parquet",
-         |      "filepath": "$dir/embeddings.parquet",
-         |      "routes": { "out": [ { "to": "km", "in_port": "in" },
-         |                           { "to": "ix", "in_port": "corpus" } ] },
-         |      "out_port_schemas": { "out": $embSchema } },
-         |    { "name": "km", "comp_type": "kmeans_train",
-         |      "vector_column": "embedding", "k": 4, "iters": 1,
-         |      "in_port_schemas": { "in": $embSchema },
-         |      "routes": { "out": [ { "to": "ix", "in_port": "centroids" },
-         |                           { "to": "wc", "in_port": "in" } ] },
-         |      "out_port_schemas": { "out": $centSchema } },
-         |    { "name": "ix", "comp_type": "write_ivf_index", "filepath": "$idxDir",
-         |      "vector_column": "embedding", "id_column": "vec_id",
-         |      "in_port_schemas": { "corpus": $embSchema, "centroids": $centSchema } },
-         |    { "name": "wc", "comp_type": "write_parquet", "filepath": "$centDir",
-         |      "in_port_schemas": { "in": $centSchema } }
-         |  ]
-         |}""".stripMargin
-    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(buildJson))
-    built.runSinks()
-    built.close()
+    runIvfBuildJob(s, dir, idxDir, centDir)
     val probeJson =
       s"""{
          |  "name": "ivf_index_probe",
@@ -2280,17 +2291,8 @@ object SparkEntry {
     val idxDir = s"$tmpRoot/job_ivfm_index"
     val centDir = s"$tmpRoot/job_ivfm_cents"
     val outDir = s"$tmpRoot/job_out_ivf_many"
-    val embSchema =
-      """{ "fields": [
-        |  { "name": "vec_id", "data_type": "integer" },
-        |  { "name": "embedding", "data_type": "array",
-        |    "item": { "name": "item", "data_type": "float" } },
-        |  { "name": "label", "data_type": "string" } ] }""".stripMargin
-    val centSchema =
-      """{ "fields": [
-        |  { "name": "cell", "data_type": "integer" },
-        |  { "name": "cvec", "data_type": "array",
-        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val embSchema = ivfEmbSchema
+    val centSchema = ivfCentSchema
     val qSchema =
       """{ "fields": [
         |  { "name": "query_id", "data_type": "integer" },
@@ -2298,31 +2300,7 @@ object SparkEntry {
         |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
     val outSchema = fieldsJson("query_id" -> "integer", "rank" -> "integer",
       "vec_id" -> "integer", "cosine" -> "float")
-    val buildJson =
-      s"""{
-         |  "name": "ivf_many_build",
-         |  "components": [
-         |    { "name": "rc", "comp_type": "read_parquet",
-         |      "filepath": "$dir/embeddings.parquet",
-         |      "routes": { "out": [ { "to": "km", "in_port": "in" },
-         |                           { "to": "ix", "in_port": "corpus" } ] },
-         |      "out_port_schemas": { "out": $embSchema } },
-         |    { "name": "km", "comp_type": "kmeans_train",
-         |      "vector_column": "embedding", "k": 4, "iters": 1,
-         |      "in_port_schemas": { "in": $embSchema },
-         |      "routes": { "out": [ { "to": "ix", "in_port": "centroids" },
-         |                           { "to": "wc", "in_port": "in" } ] },
-         |      "out_port_schemas": { "out": $centSchema } },
-         |    { "name": "ix", "comp_type": "write_ivf_index", "filepath": "$idxDir",
-         |      "vector_column": "embedding", "id_column": "vec_id",
-         |      "in_port_schemas": { "corpus": $embSchema, "centroids": $centSchema } },
-         |    { "name": "wc", "comp_type": "write_parquet", "filepath": "$centDir",
-         |      "in_port_schemas": { "in": $centSchema } }
-         |  ]
-         |}""".stripMargin
-    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(buildJson))
-    built.runSinks()
-    built.close()
+    runIvfBuildJob(s, dir, idxDir, centDir)
     val probeJson =
       s"""{
          |  "name": "ivf_many_probe",
@@ -2435,9 +2413,12 @@ object SparkEntry {
       "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
     val aggSchema = fieldsJson("split" -> "string", "n_docs" -> "integer",
       "sum_ids" -> "integer")
+    // HAVING drops the aggregate row when the split is empty — the
+    // oracle's GROUP BY produces no row for an empty split, and a
+    // (name, 0, NULL) row would spuriously diverge on tiny corpora
     def aggComp(name: String): String =
       s"""{ "name": "a_$name", "comp_type": "sql",
-         |  "query": "SELECT '$name' AS split, count(*) AS n_docs, sum(doc_id) AS sum_ids FROM a_${name}_in",
+         |  "query": "SELECT '$name' AS split, count(*) AS n_docs, sum(doc_id) AS sum_ids FROM a_${name}_in HAVING count(*) > 0",
          |  "in_port_schemas": { "in": $docSchema },
          |  "routes": { "out": [ { "to": "m", "in_port": "in" } ] },
          |  "out_port_schemas": { "out": $aggSchema } }""".stripMargin

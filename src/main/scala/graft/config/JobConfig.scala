@@ -266,6 +266,17 @@ object JobConfig {
     (groupBy, aggs)
   }
 
+  /** unpivot config, shared by the batch and streaming dispatches so the
+    * two folds can never drift on parsing/defaults (the parity spec's
+    * guarantee depends on it): (id_columns, value_columns, var, value). */
+  def parseUnpivot(spec: ComponentSpec): (Seq[String], Seq[String], String, String) = {
+    val values = spec.strSeqParam("value_columns")
+    require(values.nonEmpty, s"unpivot ${spec.name}: needs value_columns")
+    (spec.strSeqParam("id_columns"), values,
+      spec.str("var_column").getOrElse("variable"),
+      spec.str("value_column").getOrElse("value"))
+  }
+
   /** hash_split config: `splits` = [{name, fraction}, ...]; out ports are
     * the split names, fractions validated by RelationalOps.hashSplit. */
   def parseSplits(spec: ComponentSpec): Seq[(String, Double)] =
@@ -275,7 +286,9 @@ object JobConfig {
           case JDouble(d)  => d
           case JInt(i)     => i.toDouble
           case JDecimal(d) => d.toDouble
-          case JString(x)  => x.toDouble
+          case JString(x)  => x.toDoubleOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"hash_split ${spec.name}: bad fraction '$x'"))
           case other => throw new IllegalArgumentException(
             s"hash_split ${spec.name}: bad fraction $other")
         }

@@ -646,11 +646,8 @@ object JobGraph {
       // Unpivot/melt (RelationalOps.unpivot): value columns become
       // (variable, value) rows next to the id columns.
       case "unpivot" =>
-        val values = c.strSeqParam("value_columns")
-        require(values.nonEmpty, s"unpivot ${c.name}: needs value_columns")
-        (Map("out" -> RelationalOps.unpivot(one(), c.strSeqParam("id_columns"),
-          values, c.str("var_column").getOrElse("variable"),
-          c.str("value_column").getOrElse("value"))), None)
+        val (ids, values, varC, valC) = parseUnpivot(c)
+        (Map("out" -> RelationalOps.unpivot(one(), ids, values, varC, valC)), None)
 
       // PII redaction (scale/TextAnalysis.redactPiiWithCounts): masks
       // emails/phones/IPv4 in the text column and adds per-category

@@ -61,33 +61,47 @@ import org.apache.spark.sql.functions._
  */
 object AsofJoin {
 
-  def apply(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
-            suffix: String = "_r", direction: String = "backward",
-            tolerance: Option[String] = None): DataFrame = {
-    require(by.nonEmpty, "asof join needs at least one by-key")
+  /** Shared surface validation for both strategies (window `apply` and
+    * broadcast `enrichStatic`): derives (rightVal, outName, leftRest)
+    * and enforces the shape/collision contracts — one definition, so
+    * the two strategies' accepted-input surfaces cannot drift. Reserved
+    * internal names differ per strategy and stay with each method. */
+  private def validateSurface(left: DataFrame, right: DataFrame, on: String,
+                              by: Seq[String], suffix: String,
+                              direction: String, what: String
+                             ): (Seq[String], Seq[String], Seq[String]) = {
+    require(by.nonEmpty, s"$what: needs at least one by-key")
     require(Set("backward", "forward", "nearest").contains(direction),
-      s"asof join: unknown direction '$direction' (backward | forward | nearest)")
+      s"$what: unknown direction '$direction' (backward | forward | nearest)")
     require(left.columns.contains(on) && right.columns.contains(on),
-      s"asof join: time column '$on' must exist on both sides")
+      s"$what: time column '$on' must exist on both sides")
     val rightVal = right.columns.filterNot(c => by.contains(c) || c == on).toSeq
+    require(rightVal.nonEmpty,
+      s"$what: right side carries no value columns beyond the keys — " +
+        "nothing to join (select the right columns to carry first)")
     val outName = rightVal.map(c => if (left.columns.contains(c)) c + suffix else c)
     val leftRest = left.columns.filterNot(by.contains).toSeq // keeps `on` + data cols
     val clash = outName.toSet.intersect(leftRest.toSet ++ by)
     require(clash.isEmpty,
-      s"asof join: suffixed right columns still collide with left: ${clash.mkString(", ")}")
+      s"$what: suffixed right columns still collide with left: ${clash.mkString(", ")}")
     // Two right columns can land on the SAME suffixed name (right has
     // both `value` and `value_r` while left has `value`) — catch it here
     // instead of failing opaquely at the struct-field extraction.
     require(outName.distinct.size == outName.size,
-      s"asof join: suffixed right columns collide with each other: " +
+      s"$what: suffixed right columns collide with each other: " +
         outName.diff(outName.distinct).distinct.mkString(", "))
+    (rightVal, outName, leftRest)
+  }
+
+  def apply(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+            suffix: String = "_r", direction: String = "backward",
+            tolerance: Option[String] = None): DataFrame = {
+    val (rightVal, outName, leftRest) =
+      validateSurface(left, right, on, by, suffix, direction, "asof join")
     val reserved = Set("__t", "__is_left", "__rv", "__rt", "__rvb", "__rvf")
     val reservedHit = (left.columns ++ right.columns).toSet.intersect(reserved)
     require(reservedHit.isEmpty,
       s"asof join: column names ${reservedHit.mkString(", ")} are reserved internally")
-    require(rightVal.nonEmpty,
-      "asof join: right side carries no value columns beyond the keys — " +
-        "nothing to join (select the right columns to carry first)")
 
     // Right values travel as ONE struct (null on the left side, never
     // null on the right side even when every field is null): last() then
@@ -198,22 +212,8 @@ object AsofJoin {
                    by: Seq[String], suffix: String = "_r",
                    direction: String = "backward",
                    tolerance: Option[String] = None): DataFrame = {
-    require(by.nonEmpty, "asof enrich: needs at least one by-key")
-    require(Set("backward", "forward", "nearest").contains(direction),
-      s"asof enrich: unknown direction '$direction' (backward | forward | nearest)")
-    require(left.columns.contains(on) && right.columns.contains(on),
-      s"asof enrich: time column '$on' must exist on both sides")
-    val rightVal = right.columns.filterNot(c => by.contains(c) || c == on).toSeq
-    require(rightVal.nonEmpty,
-      "asof enrich: right side carries no value columns beyond the keys")
-    val outName = rightVal.map(c => if (left.columns.contains(c)) c + suffix else c)
-    val leftRest = left.columns.filterNot(by.contains).toSeq
-    val clash = outName.toSet.intersect(leftRest.toSet ++ by)
-    require(clash.isEmpty,
-      s"asof enrich: suffixed right columns still collide with left: ${clash.mkString(", ")}")
-    require(outName.distinct.size == outName.size,
-      s"asof enrich: suffixed right columns collide with each other: " +
-        outName.diff(outName.distinct).distinct.mkString(", "))
+    val (rightVal, outName, leftRest) =
+      validateSurface(left, right, on, by, suffix, direction, "asof enrich")
     val dunder = (left.columns ++ right.columns).filter(_.startsWith("__"))
     require(dunder.isEmpty,
       s"asof enrich: column names ${dunder.mkString(", ")} are reserved internally " +

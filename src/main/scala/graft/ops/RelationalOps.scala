@@ -47,20 +47,26 @@ object RelationalOps {
    *
    * At scale: one narrow filter per split — no shuffle, no sampling scan;
    * a consumer reading only `train` evaluates one filter over the input.
-   * Fractions must sum to 1 (±1e-6); boundaries are rounded on the
-   * 10,000-bucket grid, so fractions are honored to 0.01%.
+   * Fractions must sum to 1 (±1e-6) and each be ≥ 0.0001; boundaries are
+   * rounded on the 10,000-bucket grid, so fractions are honored to 0.01%.
+   *
+   * NULL ids route to the LAST split (a null id hashes to a null bucket;
+   * leaving it null would silently drop the row from every split — the
+   * one outcome a splitter must never produce). The DuckDB oracle's
+   * CASE ... ELSE branch encodes the same rule.
    */
   def hashSplit(df: DataFrame, idCol: String,
                 fractions: Seq[(String, Double)]): Map[String, DataFrame] = {
     require(fractions.nonEmpty, "hash_split: needs at least one split")
     require(fractions.map(_._1).distinct.size == fractions.size,
       s"hash_split: duplicate split names in ${fractions.map(_._1).mkString(", ")}")
-    require(fractions.forall(_._2 > 0), "hash_split: fractions must be > 0")
+    require(fractions.forall(_._2 >= 1e-4),
+      "hash_split: fractions must be >= 0.0001 (the bucket-grid resolution)")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-6,
       s"hash_split: fractions must sum to 1, got ${fractions.map(_._2).sum}")
-    val bucket = pmod(
+    val bucket = coalesce(pmod(
       conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("long"), lit(10000L))
+        .cast("long"), lit(10000L)), lit(9999L)) // null id → last split
     val bounds = fractions.scanLeft(0.0)(_ + _._2)
       .map(f => math.round(f * 10000).toInt)
     fractions.zipWithIndex.map { case ((name, _), i) =>

@@ -136,11 +136,8 @@ object StreamingJobs {
         // the batch fold): unpivot is an expression-level expand;
         // hash_split is one md5-bucket filter per split port
         case "unpivot" =>
-          val values = c.strSeqParam("value_columns")
-          require(values.nonEmpty, s"unpivot ${c.name}: needs value_columns")
-          Map("out" -> RelationalOps.unpivot(one(c), c.strSeqParam("id_columns"),
-            values, c.str("var_column").getOrElse("variable"),
-            c.str("value_column").getOrElse("value")))
+          val (ids, values, varC, valC) = parseUnpivot(c)
+          Map("out" -> RelationalOps.unpivot(one(c), ids, values, varC, valC))
         case "hash_split" =>
           RelationalOps.hashSplit(one(c), c.str("id_column").getOrElse("id"),
             parseSplits(c))

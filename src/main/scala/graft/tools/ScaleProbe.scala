@@ -132,7 +132,9 @@ object ScaleProbe {
       def ccStage(v: Long, tag: String): Unit = {
         val chainLen = 512L
         val edges = spark.range(v).toDF("id_a")
-          .filter((col("id_a") + 1) % chainLen =!= 0)
+          // two exclusions: chain boundaries, and the final vertex when v
+          // is not a chainLen multiple (else id_b = v escapes the range)
+          .filter((col("id_a") + 1) % chainLen =!= 0 && col("id_a") + 1 < v)
           .select(col("id_a"), (col("id_a") + 1).as("id_b"))
           .repartition(32)
         val rounds = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Long)]()

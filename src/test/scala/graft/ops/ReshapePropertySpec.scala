@@ -152,6 +152,16 @@ class ReshapePropertySpec extends SparkTestBase {
     assert(sets("val").size > 120 && sets("val").size < 280)
   }
 
+  test("hashSplit routes null ids to the last split instead of dropping them") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val splits = RelationalOps.hashSplit(df, "id",
+      Seq(("train", 0.8), ("rest", 0.2)))
+    val total = splits.values.map(_.count()).sum
+    assert(total === 3, "a splitter must never lose rows")
+    assert(splits("rest").filter(col("id").isNull).count() === 1,
+      "the null id belongs to the LAST split (the oracle's ELSE branch)")
+  }
+
   test("hashSplit validates fractions loudly") {
     val df = Seq(1L).toDF("id")
     intercept[IllegalArgumentException] {
