@@ -2457,6 +2457,48 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("split"))
   }
 
+  /** Combination job: `sample` — the deterministic stratified-sampling
+    * primitive of a training-mix pipeline, fully declarative: documents
+    * keep/drop by md5(seed:doc_id) bucket against per-language rates
+    * (downsample dominant `en`, keep all of `fr`, default rate for the
+    * rest), then roll up per language (count + sum of kept ids — the sum
+    * pins per-row MEMBERSHIP, not just sample sizes). The oracle replays
+    * the identical seeded md5-prefix arithmetic in DuckDB. */
+  private def qJobSample(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_sample"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val aggSchema = fieldsJson("lang" -> "string", "n_docs" -> "integer",
+      "sum_ids" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "sample_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "sm", "comp_type": "sample", "id_column": "doc_id",
+         |      "fraction": 0.6, "seed": "r12", "strata_column": "lang",
+         |      "strata_fractions": { "en": 0.3, "fr": 1.0 },
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "a", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "a", "comp_type": "sql",
+         |      "query": "SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_ids FROM a_in GROUP BY lang",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("lang"))
+  }
+
   /** Combination job: batch SESSION-WINDOW aggregation as a declarative
     * component (aggregation + time_column/session_gap — the config face
     * of qEventsSession). Events are staged with string times and integer
@@ -2692,6 +2734,7 @@ object SparkEntry {
     "q_job_ivf_many" -> (qJobIvfMany _),
     "q_job_pii_redact" -> (qJobPiiRedact _),
     "q_job_hash_split" -> (qJobHashSplit _),
+    "q_job_sample" -> (qJobSample _),
     "q_job_session_agg" -> (qJobSessionAgg _),
     "multimodal_features" -> (qMultimodal _))
 
@@ -3612,6 +3655,18 @@ object SparkEntry {
         |  FROM b)
         |SELECT split, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // seeded md5-bucket replay with per-stratum thresholds (0.3/1.0/0.6
+    // on the 10,000 grid); sum of kept ids pins per-row keep/drop
+    "q_job_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('r12:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang FROM b
+        |  WHERE bucket < CASE lang WHEN 'en' THEN 3000 WHEN 'fr' THEN 10000 ELSE 6000 END)
+        |SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -105,6 +105,12 @@ object ComponentSchemas {
     "hash_split" -> ("Deterministic train/val/test split: md5-bucket of the id routes each row to exactly one named out port (stable across engines/runs; no shuffle)" -> Seq(
       req("splits", "array", "[{name, fraction}, ...] — out ports are the names; fractions must sum to 1 (honored to 0.01% on the 10,000-bucket grid)"),
       p("id_column", "string", "column hashed for routing, default 'id'"))),
+    "sample" -> ("Deterministic seeded Bernoulli sample: keep a row iff md5(seed:id) bucket < rate*10000 (stable across engines/runs/partitionings; one narrow filter, no shuffle). Null ids are kept only at rate 1.0" -> Seq(
+      req("fraction", "number", "default keep rate in [0, 1], honored to 0.01% on the 10,000-bucket grid"),
+      p("id_column", "string", "column hashed for the keep/drop decision, default 'id'"),
+      p("seed", "string", "hash salt, default '' — different seeds draw independent samples, and any seed is independent of hash_split's routing"),
+      p("strata_column", "string", "column whose values select per-stratum rates from strata_fractions"),
+      p("strata_fractions", "object", "{value: rate} overrides of the default fraction per stratum (downsample dominant strata, keep rare ones); unlisted and NULL strata use 'fraction'"))),
     "connected_components" -> ("Label every pair-table endpoint with the min id reachable from it (transitive dedup clusters)" -> Seq(
       p("src_column", "string", "edge source column, default 'id_a'"),
       p("dst_column", "string", "edge destination column, default 'id_b'"),

@@ -298,6 +298,29 @@ object JobConfig {
         s"component ${spec.name}: missing 'splits' ([{name, fraction}, ...])")
     }
 
+  /** sample config, shared by the batch and streaming folds:
+    * (id_column, fraction, seed, strata_column, strata_fractions).
+    * `fraction` is required; `strata_fractions` is a {value: rate}
+    * object overriding it per stratum (sorted by value so the built
+    * CASE chain — and therefore the plan — is config-order stable). */
+  def parseSample(spec: ComponentSpec): (String, Double, String, Option[String], Seq[(String, Double)]) = {
+    def num(what: String, v: Any): Double = v match {
+      case d: Double => d
+      case l: Long   => l.toDouble
+      case other => throw new IllegalArgumentException(
+        s"sample ${spec.name}: $what must be a number, got $other")
+    }
+    val fraction = (spec.params \ "fraction") match {
+      case JNothing => throw new IllegalArgumentException(
+        s"sample ${spec.name}: missing 'fraction'")
+      case v => num("'fraction'", jsonScalar(v))
+    }
+    val strata = spec.scalarMapParam("strata_fractions").toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> num(s"strata_fractions['$k']", v) }
+    (spec.str("id_column").getOrElse("id"), fraction,
+      spec.str("seed").getOrElse(""), spec.str("strata_column"), strata)
+  }
+
   /** schema_mapping map-mode rules_by_dest (reference mapping_rule.py:141-190):
     * {dst_port: {dst_path: {src_port, src_path}}}. */
   def parseMapRules(spec: ComponentSpec): Map[String, Seq[SchemaMappingOp.MapRule]] =

@@ -530,6 +530,14 @@ object JobGraph {
         (RelationalOps.hashSplit(one(), c.str("id_column").getOrElse("id"),
           parseSplits(c)), None)
 
+      // Deterministic seeded Bernoulli sample (RelationalOps.hashSample):
+      // the training-mix primitive — one narrow filter, per-stratum rates,
+      // engine-replayable md5 arithmetic.
+      case "sample" =>
+        val (idCol, fraction, seed, strataCol, strata) = parseSample(c)
+        (Map("out" -> RelationalOps.hashSample(one(), idCol, fraction, seed,
+          strataCol, strata)), None)
+
       // Spark-native escape hatch the DataFrame components compose with:
       // every inbound port is registered as a temp view named
       // <component>_<port> and the declared SQL runs against them —

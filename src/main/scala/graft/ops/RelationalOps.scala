@@ -75,6 +75,57 @@ object RelationalOps {
   }
 
   /**
+   * Deterministic seeded Bernoulli sample (beyond-reference; the
+   * training-mix primitive next to hashSplit): keep a row iff
+   * b = first 8 hex chars of md5(seed ++ ":" ++ id) mod 10000 falls
+   * below rate·10000. The seed makes repeated samples over the same
+   * corpus independent of each other AND of hashSplit's routing (which
+   * hashes the bare id) — sampling 10% inside `train` is not correlated
+   * with the train/val/test assignment. Same id + same seed always
+   * keeps/drops together, on any engine that computes md5 — the DuckDB
+   * oracle replays the arithmetic bit-exactly.
+   *
+   * `strataFractions` overrides the default rate per value of
+   * `strataCol` (downsample the dominant language, keep all of a rare
+   * one); strata not listed — including a NULL stratum — sample at the
+   * default `fraction`. Rates are honored to 0.01% on the same
+   * 10,000-bucket grid as hashSplit.
+   *
+   * NULL ids land in the last bucket (9999), mirroring hashSplit's
+   * null rule: they are kept only when their effective rate is 1.0,
+   * never pseudo-randomly.
+   *
+   * At scale: one narrow filter — no shuffle, no sampling scan, no
+   * driver randomness; partition-count and row-order independent
+   * (everything `DataFrame.sample` is not).
+   */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 seed: String = "",
+                 strataCol: Option[String] = None,
+                 strataFractions: Seq[(String, Double)] = Nil): DataFrame = {
+    def checkRate(what: String, f: Double): Unit =
+      require(f >= 0.0 && f <= 1.0, s"sample: $what must be in [0, 1], got $f")
+    checkRate("fraction", fraction)
+    strataFractions.foreach { case (v, f) => checkRate(s"stratum '$v' fraction", f) }
+    require(strataFractions.isEmpty || strataCol.nonEmpty,
+      "sample: strata_fractions needs strata_column")
+    require(strataFractions.map(_._1).distinct.size == strataFractions.size,
+      s"sample: duplicate stratum values in ${strataFractions.map(_._1).mkString(", ")}")
+    val bucket = coalesce(pmod(
+      conv(substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long"), lit(10000L)), lit(9999L))
+    def grid(f: Double): Int = math.round(f * 10000).toInt
+    val threshold = strataCol match {
+      case None => lit(grid(fraction))
+      case Some(sc) => strataFractions.foldLeft(lit(grid(fraction))) {
+        // null stratum fails every equality and falls through to the default
+        case (acc, (v, f)) => when(col(sc) === lit(v), lit(grid(f))).otherwise(acc)
+      }
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /**
    * Mongo-read-shaped query surface over any DataFrame: filter, multi-key
    * sort with per-key direction, skip, limit, projection.
    *

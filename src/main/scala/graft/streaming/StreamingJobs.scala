@@ -57,7 +57,7 @@ object StreamingJobs {
   val supportedTypes: Set[String] = Set(
     "read_csv", "read_json", "read_parquet",
     "filter", "type_conversion", "schema_mapping", "split", "merge",
-    "unpivot", "hash_split",
+    "unpivot", "hash_split", "sample",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "streaming_asof_join",
     "write_csv", "write_json", "write_parquet")
@@ -141,6 +141,11 @@ object StreamingJobs {
         case "hash_split" =>
           RelationalOps.hashSplit(one(c), c.str("id_column").getOrElse("id"),
             parseSplits(c))
+        // sample is a single stateless md5-threshold filter: streams as-is
+        case "sample" =>
+          val (idCol, fraction, seed, strataCol, strata) = parseSample(c)
+          Map("out" -> RelationalOps.hashSample(one(c), idCol, fraction, seed,
+            strataCol, strata))
         case "merge" =>
           val xs = in(c)
           require(xs.nonEmpty, s"merge ${c.name}: no inputs")

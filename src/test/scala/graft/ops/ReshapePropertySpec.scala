@@ -174,4 +174,61 @@ class ReshapePropertySpec extends SparkTestBase {
       RelationalOps.hashSplit(df, "id", Nil)
     }
   }
+
+  test("hashSample: deterministic subset, seed-dependent, roughly proportional") {
+    val df = (0L until 2000L).toDF("id")
+    val ids = (s: org.apache.spark.sql.DataFrame) => s.collect().map(_.getLong(0)).toSet
+    val kept = ids(RelationalOps.hashSample(df, "id", 0.25, seed = "a"))
+    // a rerun keeps exactly the same rows (md5 of the id, not sampling)
+    assert(ids(RelationalOps.hashSample(df, "id", 0.25, seed = "a")) === kept)
+    assert(kept.size > 380 && kept.size < 620, s"kept=${kept.size}")
+    // another seed draws a genuinely different sample at the same rate
+    val other = ids(RelationalOps.hashSample(df, "id", 0.25, seed = "b"))
+    assert(other !== kept)
+    assert((kept intersect other).size < kept.size)
+    // rate edges: 0 keeps nothing, 1 keeps everything
+    assert(RelationalOps.hashSample(df, "id", 0.0).count() === 0)
+    assert(RelationalOps.hashSample(df, "id", 1.0).count() === 2000)
+  }
+
+  test("hashSample applies per-stratum rates; null stratum uses the default") {
+    val df = (0L until 3000L).map(i => (i, i % 3 match {
+      case 0 => "keep_all"; case 1 => "drop_all"; case 2 => null
+    })).toDF("id", "lang")
+    val out = RelationalOps.hashSample(df, "id", 0.5, seed = "s",
+      strataCol = Some("lang"),
+      strataFractions = Seq(("keep_all", 1.0), ("drop_all", 0.0)))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(byLang("keep_all") === 1000L, "rate-1.0 stratum keeps every row")
+    assert(!byLang.contains("drop_all"), "rate-0.0 stratum keeps none")
+    assert(byLang("NULL") > 400 && byLang("NULL") < 600,
+      s"null stratum samples at the default rate: ${byLang.get("NULL")}")
+  }
+
+  test("hashSample null ids: kept only at an effective rate of 1.0") {
+    val df = Seq((Some(1L), "a"), (Some(2L), "a"), (None, "a")).toDF("id", "lang")
+    assert(RelationalOps.hashSample(df, "id", 0.9999)
+      .filter(col("id").isNull).count() === 0)
+    assert(RelationalOps.hashSample(df, "id", 1.0)
+      .filter(col("id").isNull).count() === 1)
+  }
+
+  test("hashSample validates rates loudly") {
+    val df = Seq(1L).toDF("id")
+    intercept[IllegalArgumentException] {
+      RelationalOps.hashSample(df, "id", 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      RelationalOps.hashSample(df, "id", 0.5, strataCol = Some("lang"),
+        strataFractions = Seq(("a", -0.1)))
+    }
+    intercept[IllegalArgumentException] { // strata rates without a column
+      RelationalOps.hashSample(df, "id", 0.5, strataFractions = Seq(("a", 0.5)))
+    }
+    intercept[IllegalArgumentException] {
+      RelationalOps.hashSample(df, "id", 0.5, strataCol = Some("lang"),
+        strataFractions = Seq(("a", 0.5), ("a", 0.6)))
+    }
+  }
 }

@@ -111,6 +111,20 @@ class ScaleIdiomsSpec extends SparkTestBase {
     }
   }
 
+  test("hashSample is a narrow filter: zero Exchange, stratified or not") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    Seq(
+      graft.ops.RelationalOps.hashSample(df, "id", 0.3, seed = "s"),
+      graft.ops.RelationalOps.hashSample(df, "id", 0.3, seed = "s",
+        strataCol = Some("lang"), strataFractions = Seq(("en", 0.1)))
+    ).foreach { sampled =>
+      val plan = sampled.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
+    }
+  }
+
   test("partition_by sinks prune partitions on readback (PartitionFilters)") {
     // The 100 TB value of a partitioned sink IS the pruning: a reader
     // filtering on the partition column must scan only its directories.

@@ -565,6 +565,37 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(sMelt).count() > 0)
   }
 
+  test("sample streams: stratified parity with the batch fold") {
+    import spark.implicits._
+    val in = tmp("smp_in")
+    (0L until 300L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang").write.mode("overwrite").parquet(in)
+    val sch =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "lang", "data_type": "string" } ] }""".stripMargin
+    def cfg(out: String) =
+      s"""{ "name": "smp", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "sm", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "sm", "comp_type": "sample", "id_column": "id",
+         |    "fraction": 0.5, "seed": "st", "strata_column": "lang",
+         |    "strata_fractions": { "en": 0.2 },
+         |    "in_port_schemas": { "in": $sch },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $sch } } ] }""".stripMargin
+    val bOut = tmp("smp_b")
+    val built = JobGraph.build(spark, JobConfig.parse(cfg(bOut)))
+    built.runSinks(); built.close()
+    val sOut = tmp("smp_s")
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg(sOut)), tmp("smp_ckpt"))
+    assert(slurp(spark.read.parquet(sOut)) === slurp(spark.read.parquet(bOut)))
+    assert(spark.read.parquet(sOut).count() > 0)
+  }
+
   test("streaming_dedup rejects near-dup methods with a batch pointer") {
     val cfg =
       s"""{ "name": "sddbad", "components": [
