@@ -117,7 +117,11 @@ object Bench {
       s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","queries":$qs,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), detail + "\n")
+    // A filtered dev run must not clobber the full-suite artifact the
+    // driver and the round notes read (a 1-query rerun once overwrote the
+    // 88-query BENCH_LOCAL.json): name-restricted runs write elsewhere.
+    val outName = if (args.isEmpty) "BENCH_LOCAL.json" else "BENCH_FILTERED.json"
+    Files.writeString(Paths.get(outName), detail + "\n")
     spark.stop()
     // The per-query line grows with the suite (~25 chars/query: at 85
     // queries it exceeds the driver's ~2000-char log-tail window, and

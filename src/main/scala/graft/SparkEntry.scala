@@ -2499,6 +2499,44 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("lang"))
   }
 
+  /** Combination job: `shuffle` — the deterministic seeded global
+    * shuffle (reproducible training order): every document gets
+    * shuffle_key = md5(seed:doc_id) and the sink is written in total
+    * key order (one range exchange — ShufflePlanSpec pins the plan and
+    * the cross-partitioning determinism; the driver compare is
+    * order-insensitive, so the gate pins the per-row KEY values). The
+    * oracle replays the identical md5 arithmetic in DuckDB. */
+  private def qJobShuffle(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_shuffle"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val outSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer",
+      "shuffle_key" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "shuffle_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "sh", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "sh", "comp_type": "shuffle", "id_column": "doc_id",
+         |      "seed": "r12s",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).select(col("doc_id"), col("lang"), col("shuffle_key"))
+      .orderBy(col("shuffle_key"))
+  }
+
   /** Combination job: batch SESSION-WINDOW aggregation as a declarative
     * component (aggregation + time_column/session_gap — the config face
     * of qEventsSession). Events are staged with string times and integer
@@ -2735,6 +2773,7 @@ object SparkEntry {
     "q_job_pii_redact" -> (qJobPiiRedact _),
     "q_job_hash_split" -> (qJobHashSplit _),
     "q_job_sample" -> (qJobSample _),
+    "q_job_shuffle" -> (qJobShuffle _),
     "q_job_session_agg" -> (qJobSessionAgg _),
     "multimodal_features" -> (qMultimodal _))
 
@@ -3667,6 +3706,12 @@ object SparkEntry {
         |  WHERE bucket < CASE lang WHEN 'en' THEN 3000 WHEN 'fr' THEN 10000 ELSE 6000 END)
         |SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // seeded md5 order-key replay: per-row key parity pins the whole
+    // permutation (the compare is order-insensitive; ShufflePlanSpec
+    // pins the total ORDER on the Spark side)
+    "q_job_shuffle" ->
+      """SELECT doc_id, lang, md5('r12s:' || doc_id::VARCHAR) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
     "text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -111,6 +111,10 @@ object ComponentSchemas {
       p("seed", "string", "hash salt, default '' — different seeds draw independent samples, and any seed is independent of hash_split's routing"),
       p("strata_column", "string", "column whose values select per-stratum rates from strata_fractions"),
       p("strata_fractions", "object", "{value: rate} overrides of the default fraction per stratum (downsample dominant strata, keep rare ones); unlisted and NULL strata use 'fraction'"))),
+    "shuffle" -> ("Deterministic seeded global shuffle: adds key_column = md5(seed:id) and returns a TOTAL order over it (one range exchange; same row order on any run/engine/partitioning — reproducible training order). Null ids take the fixed md5(seed:) key" -> Seq(
+      p("id_column", "string", "column hashed for the permutation, default 'id'"),
+      p("seed", "string", "hash salt, default '' — different seeds draw independent permutations, independent of hash_split/sample hashing"),
+      p("key_column", "string", "name of the added order-key column, default 'shuffle_key' (must not collide with an input column)"))),
     "connected_components" -> ("Label every pair-table endpoint with the min id reachable from it (transitive dedup clusters)" -> Seq(
       p("src_column", "string", "edge source column, default 'id_a'"),
       p("dst_column", "string", "edge destination column, default 'id_b'"),

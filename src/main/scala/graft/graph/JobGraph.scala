@@ -538,6 +538,15 @@ object JobGraph {
         (Map("out" -> RelationalOps.hashSample(one(), idCol, fraction, seed,
           strataCol, strata)), None)
 
+      // Deterministic seeded global shuffle (RelationalOps.hashShuffle):
+      // adds shuffle_key = md5(seed:id) and returns a total order over it
+      // — the reproducible-training-order primitive. One range exchange.
+      case "shuffle" =>
+        (Map("out" -> RelationalOps.hashShuffle(one(),
+          c.str("id_column").getOrElse("id"),
+          c.str("seed").getOrElse(""),
+          c.str("key_column").getOrElse("shuffle_key"))), None)
+
       // Spark-native escape hatch the DataFrame components compose with:
       // every inbound port is registered as a temp view named
       // <component>_<port> and the declared SQL runs against them —

@@ -126,6 +126,43 @@ object RelationalOps {
   }
 
   /**
+   * Deterministic seeded global shuffle (beyond-reference; the
+   * reproducible-training-order primitive next to hashSplit/hashSample):
+   * every row gets `keyCol` = md5(seed ++ ":" ++ id) and the frame comes
+   * back range-partitioned and sorted by that key — a TOTAL order across
+   * output partitions, so writing the result produces the same row order
+   * on any run, any engine, any input partitioning (everything
+   * `orderBy(rand(seed))` is not: rand is partition-layout-dependent).
+   * Different seeds draw independent permutations, and any seed's order
+   * is independent of hashSplit's routing and hashSample's keep/drop
+   * (each hashes a different string).
+   *
+   * NULL ids take the FIXED key md5(seed ++ ":") — the same key an
+   * empty-string id gets (documented collision): a null md5 would sort
+   * engine-dependently, and a shuffler must not drop or float rows.
+   * Duplicate ids share a key; their relative order is the one
+   * in-partition tie Spark's sort leaves unspecified.
+   *
+   * At scale: ONE range exchange + in-partition sort — the same cost as
+   * any total sort, and there is no cheaper global permutation. No
+   * window, no single-partition stage, no driver state. The range
+   * boundaries come from Spark's reservoir sampling over a uniform md5
+   * key space, so output partitions are balanced regardless of input
+   * skew — hot ids do not co-locate (they hash apart unless identical).
+   */
+  def hashShuffle(df: DataFrame, idCol: String, seed: String = "",
+                  keyCol: String = "shuffle_key"): DataFrame = {
+    require(keyCol.nonEmpty, "shuffle: key_column must be non-empty")
+    require(!df.columns.contains(keyCol),
+      s"shuffle: input already has a '$keyCol' column; set key_column")
+    val key = md5(concat(lit(seed), lit(":"),
+      coalesce(col(idCol).cast("string"), lit(""))).cast("binary"))
+    df.withColumn(keyCol, key)
+      .repartitionByRange(col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+  }
+
+  /**
    * Mongo-read-shaped query surface over any DataFrame: filter, multi-key
    * sort with per-key direction, skip, limit, projection.
    *
