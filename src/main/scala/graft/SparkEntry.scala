@@ -373,16 +373,29 @@ object SparkEntry {
       limit = Some(20),
       projection = Seq("event_id", "user_id", "value"))
 
-  private def qWindowTopN(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    table(s, dir, "orders")
-      .withColumn("rank", row_number().over(w))
+  private def qWindowTopN(s: SparkSession, dir: String): DataFrame =
+    WindowOp(table(s, dir, "orders"), Seq("o_orderpriority"),
+      Seq(("o_totalprice", -1), ("o_orderkey", 1)),
+      Seq(WindowOp.WinFn("row_number", None, 1, "rank")))
       .filter(col("rank") <= 3)
       .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderpriority"), col("rank"))
-  }
+
+  /** lag + running sum per user (WindowOp's offset/ordered-aggregate
+    * faces; q_window_topn covers the rank face): integer cents keep the
+    * running sum dtype-exact, the unique event_id order makes the SQL
+    * default frame (peers included) coincide with ROWS, and the top-5
+    * cut bounds the gate's output. */
+  private def qWindowLag(s: SparkSession, dir: String): DataFrame =
+    WindowOp(table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+      Seq("user_id"), Seq(("event_id", 1)),
+      Seq(WindowOp.WinFn("lag", Some("cents"), 1, "prev_cents"),
+        WindowOp.WinFn("sum", Some("cents"), 1, "run_cents"),
+        WindowOp.WinFn("row_number", None, 1, "n_th")))
+      .filter(col("n_th") <= 5)
+      .orderBy(col("user_id"), col("n_th"))
 
   /** Tumbling-window event aggregation (batch parity of the streaming path). */
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
@@ -2537,6 +2550,150 @@ object SparkEntry {
       .orderBy(col("shuffle_key"))
   }
 
+  /** Combination job: `sort` — the declarative ORDER BY / OFFSET / LIMIT
+    * face of RelationalOps.findLike (the Scala face is q_sort_limit):
+    * filter value > 100, total order (value desc, event_id asc — the
+    * unique tiebreak makes skip/limit a well-defined row SET, which is
+    * what the driver's order-insensitive compare hashes), skip 10, keep
+    * 20. */
+  private def qJobSort(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_events_sort"
+    val outDir = s"$tmpRoot/job_out_sort"
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.mode("overwrite").parquet(stage)
+    val evSchema = fieldsJson("event_id" -> "integer", "user_id" -> "integer",
+      "value" -> "float")
+    val jobJson =
+      s"""{
+         |  "name": "sort_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $evSchema } },
+         |    { "name": "f", "comp_type": "filter",
+         |      "rule": { "column": "value", "operator": ">", "value": 100 },
+         |      "in_port_schemas": { "in": $evSchema },
+         |      "routes": { "pass": [ { "to": "so", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $evSchema } },
+         |    { "name": "so", "comp_type": "sort",
+         |      "sort": [ ["value", -1], ["event_id", 1] ],
+         |      "skip": 10, "limit": 20,
+         |      "in_port_schemas": { "in": $evSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $evSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $evSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("event_id"))
+  }
+
+  /** Combination job: `window` + filter — declarative top-n per group
+    * (the config face of q_window_topn): row_number over
+    * (o_orderpriority | o_totalprice desc, o_orderkey) then rank <= 3
+    * through the filter component. One hash exchange on the partition
+    * key; the rank filter composes downstream instead of being a window
+    * parameter — the vocabulary stays orthogonal. */
+  private def qJobWindowTopn(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_orders_win"
+    val outDir = s"$tmpRoot/job_out_window_topn"
+    table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(stage)
+    val inSchema = fieldsJson("o_orderkey" -> "integer",
+      "o_orderpriority" -> "string", "o_totalprice" -> "float")
+    val winSchema = fieldsJson("o_orderkey" -> "integer",
+      "o_orderpriority" -> "string", "o_totalprice" -> "float",
+      "rank" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "window_topn_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "wi", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $inSchema } },
+         |    { "name": "wi", "comp_type": "window",
+         |      "partition_by": ["o_orderpriority"],
+         |      "order_by": [ ["o_totalprice", -1], ["o_orderkey", 1] ],
+         |      "functions": [ { "fn": "row_number", "dest": "rank" } ],
+         |      "in_port_schemas": { "in": $inSchema },
+         |      "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $winSchema } },
+         |    { "name": "f", "comp_type": "filter",
+         |      "rule": { "column": "rank", "operator": "<=", "value": 3 },
+         |      "in_port_schemas": { "in": $winSchema },
+         |      "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $winSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $winSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  /** Combination job: schema_mapping join with the per-step `broadcast`
+    * hint — the declarative face of the 100 TB dimension-join lever
+    * (SchemaMappingAggSpec pins that the hint actually flips the plan to
+    * BroadcastHashJoin with auto-broadcast disabled; this gate pins that
+    * the CONFIG path parses and joins correctly). Customer × nation with
+    * nation broadcast, rolled up per nation name. */
+  private def qJobJoinBcast(s: SparkSession, dir: String): DataFrame = {
+    val custStage = s"$tmpRoot/job_in_cust_bcast"
+    val natStage = s"$tmpRoot/job_in_nat_bcast"
+    val outDir = s"$tmpRoot/job_out_join_bcast"
+    table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .write.mode("overwrite").parquet(custStage)
+    table(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(natStage)
+    val custSchema = fieldsJson("c_custkey" -> "integer", "c_nationkey" -> "integer")
+    val natSchema = fieldsJson("n_nationkey" -> "integer", "n_name" -> "string")
+    val joinedSchema = fieldsJson("c_custkey" -> "integer",
+      "c_nationkey" -> "integer", "n_nationkey" -> "integer", "n_name" -> "string")
+    val aggSchema = fieldsJson("n_name" -> "string", "n_customers" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "join_bcast_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet", "filepath": "$custStage",
+         |      "routes": { "out": [ { "to": "j", "in_port": "cust" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "rn", "comp_type": "read_parquet", "filepath": "$natStage",
+         |      "routes": { "out": [ { "to": "j", "in_port": "nat" } ] },
+         |      "out_port_schemas": { "out": $natSchema } },
+         |    { "name": "j", "comp_type": "schema_mapping",
+         |      "join_plan": { "steps": [
+         |        { "left_port": "cust", "right_port": "nat",
+         |          "left_on": ["c_nationkey"], "right_on": ["n_nationkey"],
+         |          "how": "inner", "output_port": "joined",
+         |          "broadcast": "right" } ] },
+         |      "in_port_schemas": { "cust": $custSchema, "nat": $natSchema },
+         |      "routes": { "joined": [ { "to": "a", "in_port": "in" } ] },
+         |      "out_port_schemas": { "joined": $joinedSchema } },
+         |    { "name": "a", "comp_type": "aggregation", "group_by": ["n_name"],
+         |      "aggregations": [ { "src": "c_custkey", "op": "count", "dest": "n_customers" } ],
+         |      "in_port_schemas": { "in": $joinedSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("n_name"))
+  }
+
   /** Combination job: batch SESSION-WINDOW aggregation as a declarative
     * component (aggregation + time_column/session_gap — the config face
     * of qEventsSession). Events are staged with string times and integer
@@ -2711,6 +2868,10 @@ object SparkEntry {
     "q_split_branches" -> (qSplitBranches _),
     "q_sort_limit" -> (qSortLimit _),
     "q_window_topn" -> (qWindowTopN _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_job_sort" -> (qJobSort _),
+    "q_job_window_topn" -> (qJobWindowTopn _),
+    "q_job_join_bcast" -> (qJobJoinBcast _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_session" -> (qEventsSession _),
     "q_asof_join" -> (qAsofJoin _),
@@ -2970,6 +3131,34 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |  FROM orders)
         |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    // unique event_id order: the SQL default frame (RANGE, peers
+    // included) coincides with ROWS on both engines; integer cents make
+    // the running sum dtype-exact
+    "q_window_lag" ->
+      """SELECT event_id, user_id, cents, prev_cents, run_cents, n_th FROM (
+        |  SELECT event_id, user_id, round(value * 100)::BIGINT AS cents,
+        |    lag(round(value * 100)::BIGINT)
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS prev_cents,
+        |    sum(round(value * 100)::BIGINT)
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS run_cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n_th
+        |  FROM events)
+        |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin,
+    "q_job_sort" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value > 100
+        |ORDER BY value DESC, event_id LIMIT 20 OFFSET 10""".stripMargin,
+    "q_job_window_topn" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "q_job_join_bcast" ->
+      """SELECT n_name, count(c_custkey) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_events_window" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
         |  count(*)::BIGINT AS n_events,

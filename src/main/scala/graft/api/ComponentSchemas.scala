@@ -80,7 +80,7 @@ object ComponentSchemas {
       req("rules", "array", "[{column_path, target, on_error}, ...]; nested paths with '*' supported"))),
     "schema_mapping" -> ("Project/rename columns (map mode) or join inputs (join mode)" -> Seq(
       p("rules_by_dest", "object", "map mode: {dst_port: {dst_path: {src_port, src_path}}}"),
-      p("join_plan", "object", "join mode: {steps: [{left_port, right_port, left_on, right_on, how, output_port}]}"))),
+      p("join_plan", "object", "join mode: {steps: [{left_port, right_port, left_on, right_on, how, output_port, broadcast?}]} — broadcast: left|right pins a broadcast-hash plan for a known-small side above Catalyst's auto threshold (results identical; the shuffle of the big side disappears)"))),
     "split" -> ("Fan one input out to N identical ports (ports come from routes)" -> Seq()),
     "sql" -> ("Run Spark SQL over the inbound ports (views named <component>_<port>)" -> Seq(
       req("query", "string", "SQL text; reference inputs as <component>_<port>"))),
@@ -115,6 +115,15 @@ object ComponentSchemas {
       p("id_column", "string", "column hashed for the permutation, default 'id'"),
       p("seed", "string", "hash salt, default '' — different seeds draw independent permutations, independent of hash_split/sample hashing"),
       p("key_column", "string", "name of the added order-key column, default 'shuffle_key' (must not collide with an input column)"))),
+    "sort" -> ("ORDER BY / OFFSET / LIMIT over the input (one range exchange; skip compiles to GlobalLimit-with-offset, no global window)" -> Seq(
+      req("sort", "array", "[[field, 1|-1], ...] — include a unique tie-breaking key for deterministic output"),
+      p("skip", "integer", "rows to skip after sorting, default 0"),
+      p("limit", "integer", "max rows after skip"))),
+    "window" -> ("Window functions over PARTITION BY + ORDER BY: row_number/rank/dense_rank, lag/lead, running sum/min/max/avg/count/first/last — top-n per group composes as window then filter (rank <= n). One hash exchange on the partition keys" -> Seq(
+      req("functions", "array", "[{fn, src?, offset?, dest}, ...] — rank family takes no src; lag/lead use offset (default 1); ordered aggregates run UNBOUNDED PRECEDING..CURRENT ROW (SQL default frame), unordered span the partition"),
+      p("partition_by", "array", "partition keys; empty requires allow_global"),
+      p("order_by", "array", "[[field, 1|-1], ...] — required by rank/lag/lead/first/last; include a unique tie-breaker for determinism"),
+      p("allow_global", "boolean", "opt into an empty partition_by — the whole input flows through ONE task (small frames only; use sort/shuffle for global order at scale)"))),
     "connected_components" -> ("Label every pair-table endpoint with the min id reachable from it (transitive dedup clusters)" -> Seq(
       p("src_column", "string", "edge source column, default 'id_a'"),
       p("dst_column", "string", "edge destination column, default 'id_b'"),

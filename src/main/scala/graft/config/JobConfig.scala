@@ -321,6 +321,60 @@ object JobConfig {
       spec.str("seed").getOrElse(""), spec.str("strata_column"), strata)
   }
 
+  /** sort config — the generic ORDER BY / OFFSET / LIMIT surface
+    * (RelationalOps.findLike minus filter/projection, which are the
+    * filter and schema_mapping components' jobs): `sort` uses the same
+    * [[field, 1|-1]] shape as read_mongodb's sort param. */
+  def parseSortSpec(spec: ComponentSpec): (Seq[(String, Int)], Int, Option[Int]) = {
+    val keys = (spec.params \ "sort") match {
+      case JArray(items) => items.map {
+        case JArray(List(JString(f), JInt(d)))  => (f, d.toInt)
+        case JArray(List(JString(f), JLong(d))) => (f, d.toInt)
+        case other => throw new IllegalArgumentException(
+          s"sort ${spec.name}: sort entries must be [field, 1|-1], got $other")
+      }
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(
+        s"sort ${spec.name}: 'sort' must be an array of [field, 1|-1], got $other")
+    }
+    require(keys.nonEmpty, s"sort ${spec.name}: needs non-empty 'sort' keys")
+    val limit = spec.intOpt("limit")
+    limit.foreach(n => require(n >= 0, s"sort ${spec.name}: limit must be >= 0"))
+    val skip = spec.int("skip", 0)
+    require(skip >= 0, s"sort ${spec.name}: skip must be >= 0")
+    (keys, skip, limit)
+  }
+
+  /** window config: partition_by, order_by ([[field, 1|-1]], like sort),
+    * functions = [{fn, src?, offset?, dest}]. Shared shape validation
+    * here; WindowOp validates fn names / order requirements / dest
+    * collisions against the actual frame. */
+  def parseWindowFns(spec: ComponentSpec): (Seq[String], Seq[(String, Int)], Seq[graft.ops.WindowOp.WinFn]) = {
+    val orderBy = (spec.params \ "order_by") match {
+      case JArray(items) => items.map {
+        case JArray(List(JString(f), JInt(d)))  => (f, d.toInt)
+        case JArray(List(JString(f), JLong(d))) => (f, d.toInt)
+        case other => throw new IllegalArgumentException(
+          s"window ${spec.name}: order_by entries must be [field, 1|-1], got $other")
+      }
+      case _ => Nil
+    }
+    val fns = (spec.params \ "functions") match {
+      case JArray(items) => items.map { f =>
+        graft.ops.WindowOp.WinFn(
+          fn = reqStrAt(f, "fn", s"window ${spec.name} function"),
+          src = (f \ "src") match { case JString(s) => Some(s); case _ => None },
+          offset = (f \ "offset") match {
+            case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 1
+          },
+          dest = reqStrAt(f, "dest", s"window ${spec.name} function"))
+      }
+      case _ => throw new IllegalArgumentException(
+        s"window ${spec.name}: missing 'functions' ([{fn, src?, offset?, dest}])")
+    }
+    (spec.strSeqParam("partition_by"), orderBy, fns)
+  }
+
   /** schema_mapping map-mode rules_by_dest (reference mapping_rule.py:141-190):
     * {dst_port: {dst_path: {src_port, src_path}}}. */
   def parseMapRules(spec: ComponentSpec): Map[String, Seq[SchemaMappingOp.MapRule]] =
@@ -350,7 +404,10 @@ object JobConfig {
           leftOn = strSeq(s \ "left_on"),
           rightOn = strSeq(s \ "right_on"),
           how = (s \ "how") match { case JString(h) => h; case _ => "inner" },
-          outputPort = reqStrAt(s, "output_port", "join step"))
+          outputPort = reqStrAt(s, "output_port", "join step"),
+          broadcastSide = (s \ "broadcast") match {
+            case JString(side) => Some(side); case _ => None
+          })
       }
       case _ => Nil
     }

@@ -547,6 +547,25 @@ object JobGraph {
           c.str("seed").getOrElse(""),
           c.str("key_column").getOrElse("shuffle_key"))), None)
 
+      // Generic ORDER BY / OFFSET / LIMIT (RelationalOps.findLike): the
+      // Mongo-read-shaped sort surface over ANY upstream frame. skip
+      // compiles to GlobalLimit-with-offset (no global window); pass a
+      // unique tie-breaking key for deterministic output.
+      case "sort" =>
+        val (keys, skip, limit) = parseSortSpec(c)
+        (Map("out" -> RelationalOps.findLike(one(), sort = keys,
+          skip = skip, limit = limit)), None)
+
+      // Declarative window functions (ops/WindowOp.scala): rank /
+      // row_number / lag / lead / running aggregates over
+      // PARTITION BY + ORDER BY — "top-n per group" composes as
+      // window → filter (rank <= n). One hash exchange on the
+      // partition keys; empty partition_by needs allow_global.
+      case "window" =>
+        val (partitionBy, orderBy, fns) = parseWindowFns(c)
+        (Map("out" -> WindowOp(one(), partitionBy, orderBy, fns,
+          allowGlobal = c.bool("allow_global", false))), None)
+
       // Spark-native escape hatch the DataFrame components compose with:
       // every inbound port is registered as a temp view named
       // <component>_<port> and the declared SQL runs against them —

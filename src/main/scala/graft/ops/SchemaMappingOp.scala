@@ -29,11 +29,20 @@ object SchemaMappingOp {
   /** One projection rule: source dotted path → destination dotted path. */
   final case class MapRule(srcPort: String, srcPath: String, dstPath: String)
 
-  /** One join step in a plan. */
+  /** One join step in a plan. `broadcastSide` ("left"|"right") pins a
+    * broadcast-hash plan for that side — the 100 TB lever when a
+    * dimension side is known-small but sits above Catalyst's
+    * autoBroadcastJoinThreshold (default 10 MB), where the planner
+    * would otherwise shuffle BOTH sides into a sort-merge. The hint is
+    * advisory Catalyst metadata: results are identical either way
+    * (SchemaMappingAggSpec pins plan + parity), and a broadcast side that does
+    * not fit driver/executor memory fails loudly rather than silently
+    * degrading. */
   final case class JoinStep(
       leftPort: String, rightPort: String,
       leftOn: Seq[String], rightOn: Seq[String],
-      how: String, outputPort: String)
+      how: String, outputPort: String,
+      broadcastSide: Option[String] = None)
 
   /**
    * Map mode: for each destination port, select the mapped columns.
@@ -112,17 +121,28 @@ object SchemaMappingOp {
       require(step.leftOn.size == step.rightOn.size, "left_on/right_on arity mismatch")
       val h = how.getOrElse(step.how.toLowerCase,
         throw new IllegalArgumentException(s"unknown join how: ${step.how}"))
+      require(step.broadcastSide.forall(Set("left", "right")),
+        s"join step → ${step.outputPort}: broadcast must be left|right, " +
+          s"got '${step.broadcastSide.get}'")
+      // the hint goes ON TOP of any alias so it sits directly under the
+      // Join node — EliminateResolvedHint attaches hints to the nearest
+      // enclosing join, and burying one beneath a SubqueryAlias risks it
+      // being generated-then-dropped
+      def hintL(df: DataFrame): DataFrame =
+        if (step.broadcastSide.contains("left")) broadcast(df) else df
+      def hintR(df: DataFrame): DataFrame =
+        if (step.broadcastSide.contains("right")) broadcast(df) else df
       val joined =
         if (step.leftOn == step.rightOn)
-          l.join(r, step.leftOn, h)
+          hintL(l).join(hintR(r), step.leftOn, h)
         else {
           // alias both sides before building the condition: dataframe-
           // attribute references (l(lk) === r(rk)) break on self-joins or
           // chained steps where the right frame's lineage already occurs
           // inside the left (Spark's ambiguous-self-join detection), while
           // alias-qualified column references always resolve one side
-          val la = l.alias("__jl")
-          val ra = r.alias("__jr")
+          val la = hintL(l.alias("__jl"))
+          val ra = hintR(r.alias("__jr"))
           val cond = step.leftOn.zip(step.rightOn)
             .map { case (lk, rk) => col(s"__jl.`$lk`") === col(s"__jr.`$rk`") }
             .reduce(_ && _)

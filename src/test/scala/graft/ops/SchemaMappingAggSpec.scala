@@ -156,6 +156,39 @@ class SchemaMappingAggSpec extends SparkTestBase {
     assert(anti.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("broadcast hint pins a broadcast-hash plan; results identical") {
+    import SchemaMappingOp.JoinStep
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "lv")
+    val right = Seq((1L, "x"), (3L, "z"), (9L, "q")).toDF("j", "rv")
+    // kill auto-broadcast so only the HINT can produce a broadcast plan —
+    // proves the config param reaches Catalyst, not that the side is tiny
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def run(hint: Option[String]) = SchemaMappingOp.joinMode(
+        Map("l" -> left, "r" -> right),
+        Seq(JoinStep("l", "r", Seq("k"), Seq("j"), "inner", "out",
+          broadcastSide = hint)))("out")
+      val plain = run(None)
+      val hinted = run(Some("right"))
+      assert(!plain.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(hinted.orderBy("k").collect().map(_.toSeq).toSeq ===
+        plain.orderBy("k").collect().map(_.toSeq).toSeq)
+      // same-name-keys branch takes the hint too
+      val sameKey = SchemaMappingOp.joinMode(
+        Map("l" -> left, "r" -> right.withColumnRenamed("j", "k")),
+        Seq(JoinStep("l", "r", Seq("k"), Seq("k"), "left", "out",
+          broadcastSide = Some("right"))))("out")
+      assert(sameKey.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(sameKey.count() === 4)
+      val bad = intercept[IllegalArgumentException] {
+        run(Some("both")).count()
+      }
+      assert(bad.getMessage.contains("left|right"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("rollup and cube groupings equal the union of their grouping sets") {
     import AggregateOp.AggSpec
     val df = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L), ("b", "x", 8L))
