@@ -20,18 +20,16 @@ import graft.scale._
  */
 object SparkEntry {
 
-  /** Read a driver-provided table from an sf directory. Parquet NANOS
-    * timestamps (events.ts) are read as long and normalized to micros. */
+  /** Read a driver-provided table from an sf directory. `events.ts` is
+    * normalized to canonical TimestampType whatever its on-disk
+    * representation (INT64 epoch-nanos, TIMESTAMP µs/ms, NTZ/LTZ — the
+    * driver has shipped two of these already; see [[graft.util.EventTime]]). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // schema-cached read: the sf tables never change under a session, so
     // per-query footer inference is pure constant overhead
     val df = graft.io.ParquetIO.read(spark, s"$dir/$name.parquet")
-    if (name == "events")
-      // integer division: double division would promote the ~1.7e18 nanos
-      // value past 2^53 and lose ±1µs
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") graft.util.EventTime.normalize(df, "ts") else df
   }
 
   /** Exact decimal sum: round to 10^scale units, sum as long. */

@@ -1,0 +1,58 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Event-time column normalization to a single canonical type:
+ * `TimestampType` (instant, rendered in the session time zone — all graft
+ * entry points pin `spark.sql.session.timeZone=UTC`).
+ *
+ * The driver's testdata contract for `events.ts` has already changed once
+ * (rounds ≤11: parquet TIMESTAMP(NANOS) surfaced as INT64 nanos under
+ * `spark.sql.legacy.parquet.nanosAsLong`; round 12+: native
+ * TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaced as TimestampNTZ), so
+ * ingestion tolerates every representation it could plausibly become next:
+ *
+ *  - `LongType`           → epoch **nanos** → `timestamp_micros(v div 1000)`.
+ *    Integer division: a double division would promote ~1.7e18 past 2^53
+ *    and lose ±1 µs.
+ *  - `TimestampNTZType`   → reinterpreted as a UTC wall clock via
+ *    `to_utc_timestamp(cast ntz, session tz)`-free path: under a UTC
+ *    session, `cast(ntz as timestamp)` keeps the micros bit-identical,
+ *    and that is the only session tz graft runs with.
+ *  - `TimestampType`      → already canonical, untouched.
+ *  - `DateType`           → midnight UTC of that day.
+ *  - `StringType`         → `cast(ts as timestamp)` (ISO-8601, session tz).
+ *
+ * Parquet's µs/ms units both land on TimestampNTZ/Timestamp after the scan
+ * (Spark converts units during decode), so no unit branch is needed beyond
+ * the legacy nanos-as-long case.
+ */
+object EventTime {
+
+  /** Normalizing projection for one column of `schema`; None when the
+    * column is absent or already canonical (no projection needed). */
+  def normalizeExpr(schema: StructType, colName: String): Option[Column] =
+    schema.find(_.name == colName).flatMap { f =>
+      f.dataType match {
+        case TimestampType    => None
+        case LongType         => Some(timestamp_micros(expr(s"`${colName.replace("`", "``")}` div 1000")))
+        case TimestampNTZType => Some(col(colName).cast(TimestampType))
+        case DateType         => Some(col(colName).cast(TimestampType))
+        case StringType       => Some(col(colName).cast(TimestampType))
+        case other =>
+          throw new IllegalArgumentException(
+            s"EventTime: column '$colName' has unsupported type $other " +
+              "(expected INT64 epoch-nanos, timestamp, timestamp_ntz, date, or string)")
+      }
+    }
+
+  /** `df` with `colName` (if present) normalized to `TimestampType`. */
+  def normalize(df: DataFrame, colName: String): DataFrame =
+    normalizeExpr(df.schema, colName) match {
+      case Some(e) => df.withColumn(colName, e)
+      case None    => df
+    }
+}
