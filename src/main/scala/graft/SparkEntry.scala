@@ -136,6 +136,26 @@ object SparkEntry {
         col("n_rows"))
       .orderBy(col("o_orderstatus"))
 
+  /** Same aggregate through the two-phase salted path (scale/Skew.scala) —
+    * the 100 TB hot-key shape. Exactness: the money sum goes through
+    * integer cents so the extra merge step cannot reorder float adds. */
+  private def qAggSalted(s: SparkSession, dir: String): DataFrame = {
+    import AggregateOp.AggSpec
+    val base = table(s, dir, "lineitem")
+      .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
+    Skew.saltedAggregate(base, Seq("l_returnflag"),
+      Seq(
+        AggSpec("*", "count", "n_rows"),
+        AggSpec("qty_c", "sum", "qty_cents"),
+        AggSpec("l_extendedprice", "min", "min_price"),
+        AggSpec("l_extendedprice", "max", "max_price")),
+      saltFactor = 8)
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("qty_cents") / 100.0).as("sum_qty"),
+        col("min_price"), col("max_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Rollup grouping through AggregateOp's grouping-set face
     * (beyond-reference: SURVEY §2.4 lists grouping sets as absent).
     * Cents technique keeps the money sum bit-exact; subtotal rows carry
@@ -2639,6 +2659,58 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"), col("rank"))
   }
 
+  /** Declarative face of WindowOp's offset/ordered-aggregate functions
+    * (q_job_window_topn covers the rank face; the Scala face is
+    * q_window_lag): lag + running sum + row_number per user from a JSON
+    * window component config. Cents keep the running sum dtype-exact. */
+  private def qJobWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_events_lag"
+    val outDir = s"$tmpRoot/job_out_window_lag"
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").parquet(stage)
+    val inSchema = fieldsJson("event_id" -> "integer",
+      "user_id" -> "integer", "cents" -> "integer")
+    val winSchema = fieldsJson("event_id" -> "integer",
+      "user_id" -> "integer", "cents" -> "integer",
+      "prev_cents" -> "integer", "run_cents" -> "integer",
+      "n_th" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "window_lag_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "wi", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $inSchema } },
+         |    { "name": "wi", "comp_type": "window",
+         |      "partition_by": ["user_id"],
+         |      "order_by": [ ["event_id", 1] ],
+         |      "functions": [
+         |        { "fn": "lag", "src": "cents", "dest": "prev_cents" },
+         |        { "fn": "sum", "src": "cents", "dest": "run_cents" },
+         |        { "fn": "row_number", "dest": "n_th" } ],
+         |      "in_port_schemas": { "in": $inSchema },
+         |      "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $winSchema } },
+         |    { "name": "f", "comp_type": "filter",
+         |      "rule": { "column": "n_th", "operator": "<=", "value": 5 },
+         |      "in_port_schemas": { "in": $winSchema },
+         |      "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $winSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $winSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("prev_cents"), col("run_cents"), col("n_th"))
+      .orderBy(col("user_id"), col("n_th"))
+  }
+
   /** Combination job: schema_mapping join with the per-step `broadcast`
     * hint — the declarative face of the 100 TB dimension-join lever
     * (SchemaMappingAggSpec pins that the hint actually flips the plan to
@@ -2850,6 +2922,7 @@ object SparkEntry {
     "q_agg_global" -> (qAggGlobal _),
     "q_agg_nullkeys" -> (qAggNullKeys _),
     "q_agg_money" -> (qAggMoney _),
+    "q_agg_salted" -> (qAggSalted _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_agg_cube" -> (qAggCube _),
     "q_profile" -> (qProfile _),
@@ -2869,6 +2942,7 @@ object SparkEntry {
     "q_window_lag" -> (qWindowLag _),
     "q_job_sort" -> (qJobSort _),
     "q_job_window_topn" -> (qJobWindowTopn _),
+    "q_job_window_lag" -> (qJobWindowLag _),
     "q_job_join_bcast" -> (qJobJoinBcast _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_session" -> (qEventsSession _),
@@ -2979,6 +3053,12 @@ object SparkEntry {
         |    / count(*) AS avg_price,
         |  count(*)::BIGINT AS n_rows
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_rows,
         |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
@@ -3153,6 +3233,16 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |  FROM orders)
         |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "q_job_window_lag" ->
+      """SELECT event_id, user_id, cents, prev_cents, run_cents, n_th FROM (
+        |  SELECT event_id, user_id, round(value * 100)::BIGINT AS cents,
+        |    lag(round(value * 100)::BIGINT)
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS prev_cents,
+        |    sum(round(value * 100)::BIGINT)
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS run_cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n_th
+        |  FROM events)
+        |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin,
     "q_job_join_bcast" ->
       """SELECT n_name, count(c_custkey) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -327,12 +327,7 @@ object JobConfig {
     * [[field, 1|-1]] shape as read_mongodb's sort param. */
   def parseSortSpec(spec: ComponentSpec): (Seq[(String, Int)], Int, Option[Int]) = {
     val keys = (spec.params \ "sort") match {
-      case JArray(items) => items.map {
-        case JArray(List(JString(f), JInt(d)))  => (f, d.toInt)
-        case JArray(List(JString(f), JLong(d))) => (f, d.toInt)
-        case other => throw new IllegalArgumentException(
-          s"sort ${spec.name}: sort entries must be [field, 1|-1], got $other")
-      }
+      case JArray(items) => items.map(orderEntry(_, s"sort ${spec.name}", "sort"))
       case JNothing => Nil
       case other => throw new IllegalArgumentException(
         s"sort ${spec.name}: 'sort' must be an array of [field, 1|-1], got $other")
@@ -345,19 +340,30 @@ object JobConfig {
     (keys, skip, limit)
   }
 
+  /** One `[field, 1|-1]` order entry; loud on any other shape or
+    * direction value (a swallowed typo here silently turns a running
+    * aggregate into a whole-partition aggregate). */
+  private def orderEntry(v: JValue, ctx: String, key: String): (String, Int) = {
+    val parsed = v match {
+      case JArray(List(JString(f), JInt(d)))  => Some((f, d.toInt))
+      case JArray(List(JString(f), JLong(d))) => Some((f, d.toInt))
+      case _ => None
+    }
+    parsed.filter { case (_, d) => d == 1 || d == -1 }.getOrElse(
+      throw new IllegalArgumentException(
+        s"$ctx: $key entries must be [field, 1|-1], got $v"))
+  }
+
   /** window config: partition_by, order_by ([[field, 1|-1]], like sort),
     * functions = [{fn, src?, offset?, dest}]. Shared shape validation
     * here; WindowOp validates fn names / order requirements / dest
     * collisions against the actual frame. */
   def parseWindowFns(spec: ComponentSpec): (Seq[String], Seq[(String, Int)], Seq[graft.ops.WindowOp.WinFn]) = {
     val orderBy = (spec.params \ "order_by") match {
-      case JArray(items) => items.map {
-        case JArray(List(JString(f), JInt(d)))  => (f, d.toInt)
-        case JArray(List(JString(f), JLong(d))) => (f, d.toInt)
-        case other => throw new IllegalArgumentException(
-          s"window ${spec.name}: order_by entries must be [field, 1|-1], got $other")
-      }
-      case _ => Nil
+      case JArray(items) => items.map(orderEntry(_, s"window ${spec.name}", "order_by"))
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(
+        s"window ${spec.name}: 'order_by' must be an array of [field, 1|-1], got $other")
     }
     val fns = (spec.params \ "functions") match {
       case JArray(items) => items.map { f =>
@@ -365,7 +371,11 @@ object JobConfig {
           fn = reqStrAt(f, "fn", s"window ${spec.name} function"),
           src = (f \ "src") match { case JString(s) => Some(s); case _ => None },
           offset = (f \ "offset") match {
-            case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => 1
+            case JInt(i) => i.toInt
+            case JLong(l) => l.toInt
+            case JNothing => 1
+            case other => throw new IllegalArgumentException(
+              s"window ${spec.name}: 'offset' must be an integer, got $other")
           },
           dest = reqStrAt(f, "dest", s"window ${spec.name} function"))
       }

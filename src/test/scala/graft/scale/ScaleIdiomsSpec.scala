@@ -46,6 +46,24 @@ class ScaleIdiomsSpec extends SparkTestBase {
       s"expected partial AND final aggregate nodes:\n$plan")
   }
 
+  test("saltedAggregate compiles to the two-phase shape: salt exchange, then key exchange") {
+    // exactly two shuffles: phase 1 partials land on (keys, __salt) so the
+    // hot key spreads over saltFactor reducers; phase 2 merges the tiny
+    // keys x saltFactor partial set on the keys alone
+    val skewed = spark.range(10000).select(lit("hot").as("g"),
+      (col("id") % 97).cast("double").as("v"))
+    val out = Skew.saltedAggregate(skewed, Seq("g"),
+      Seq(AggSpec("v", "sum", "s")), saltFactor = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"expected exactly two exchanges (salted partial, key merge):\n$plan")
+    assert("hashpartitioning\\([^)]*__salt".r.findAllIn(plan).size === 1,
+      s"phase-1 exchange must partition on the salt:\n$plan")
+    // 2 phases x (partial + final) hash aggregates
+    assert("HashAggregate".r.findAllIn(plan).size === 4,
+      s"expected partial+final aggregates in both phases:\n$plan")
+  }
+
   test("saltedAggregate rejects non-decomposable ops") {
     val df = Seq(("a", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] {
