@@ -31,10 +31,14 @@ object Streaming {
   final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
   /** Streaming source over a parquet directory (schema required by
-    * Structured Streaming file sources). */
+    * Structured Streaming file sources). `ts` is normalized to canonical
+    * TimestampType exactly like batch ingestion (graft.util.EventTime —
+    * the driver testdata has shipped both nanos-INT64 and native
+    * TIMESTAMP(µs) NTZ representations), so the watermark/window
+    * operators downstream cannot diverge from the batch contract. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+    graft.util.EventTime.normalize(spark.readStream.schema(schema).parquet(dir), "ts")
   }
 
   /**

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, session_window, to_timestamp, window}
+import org.apache.spark.sql.functions.{col, session_window, window}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.config.JobConfig._
 import graft.graph.JobGraph
@@ -161,7 +161,7 @@ object StreamingJobs {
 
         // Watermark-bounded windowed aggregation, the streaming twin of the
         // batch `aggregation` comp_type: `time_column` is the event-time
-        // column (parsed with to_timestamp when the declared schema carries
+        // column (normalized via EventTime when the declared schema carries
         // it as a string — the engine's schema vocabulary travels times as
         // strings, SURVEY §1.2), `watermark` bounds state AND late data,
         // `window` (+ optional `slide`) tumbles/slides, and group_by/
@@ -171,15 +171,16 @@ object StreamingJobs {
         // mode (file sinks) a window emits once the watermark passes its
         // end — the deterministic drain contract for runOnce.
         case "streaming_aggregation" =>
-          import org.apache.spark.sql.types.TimestampType
           val df = one(c)
           val timeCol = c.reqStr("time_column")
           val wm = c.reqStr("watermark")
           val (groupBy, aggs) = parseAggregations(c)
           require(aggs.nonEmpty, s"streaming_aggregation ${c.name}: needs aggregations")
-          val et =
-            if (df.schema(timeCol).dataType == TimestampType) df
-            else df.withColumn(timeCol, to_timestamp(col(timeCol)))
+          // same event-time vocabulary as batch ingestion: string, NTZ,
+          // epoch-nanos-INT64 and native timestamp all normalize to
+          // TimestampType (graft.util.EventTime — the testdata contract
+          // has changed representation across driver rounds)
+          val et = graft.util.EventTime.normalize(df, timeCol)
           // window-rule selection + the grouped tail are shared with the
           // batch aggregation component (AggregateOp.windowColumn /
           // .windowed); the stream's only addition is the watermark —
@@ -202,7 +203,6 @@ object StreamingJobs {
         // rides in a temp column so the input schema passes through
         // unchanged (declared schemas travel times as strings).
         case "streaming_dedup" => // method=exact enforced at plan entry
-          import org.apache.spark.sql.types.TimestampType
           val df = one(c)
           val textCol = c.str("text_column").getOrElse("text")
           val timeCol = c.reqStr("time_column")
@@ -213,10 +213,10 @@ object StreamingJobs {
           val reservedHit = df.columns.toSet.intersect(Set("__t", "__key"))
           require(reservedHit.isEmpty, s"streaming_dedup ${c.name}: column names " +
             s"${reservedHit.mkString(", ")} are reserved internally")
-          val et =
-            if (df.schema(timeCol).dataType == TimestampType)
-              df.withColumn("__t", col(timeCol))
-            else df.withColumn("__t", to_timestamp(col(timeCol)))
+          // EventTime: same normalization vocabulary as batch (see above)
+          val et = df.withColumn("__t",
+            graft.util.EventTime.normalizeExpr(df.schema, timeCol)
+              .getOrElse(col(timeCol)))
           Map("out" -> et
             .withColumn("__key", graft.scale.Dedup.exactKey(col(textCol)))
             .withWatermark("__t", wm)

@@ -60,11 +60,45 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("eventStream reads the driver parquet as a stream (schema from batch)") {
-    // driver fixture stores NANOS timestamps (TESTDATA gotcha)
+    // the on-disk ts representation has changed across driver rounds
+    // (nanos-INT64 → native TIMESTAMP(µs) NTZ); eventStream must surface
+    // canonical TimestampType either way
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = eventStream(spark, "/root/testdata/sf0.001/events.parquet")
     assert(df.isStreaming)
     assert(df.schema.fieldNames.contains("event_type"))
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("windowedCounts over the REAL events.parquet (native timestamp) matches batch") {
+    // stream↔batch parity on the driver's actual file, so the streaming
+    // path cannot silently diverge from the current timestamp contract.
+    // Byte-identical copy into a directory: file-source streams need one.
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
+    val dirP = java.nio.file.Files.createTempDirectory("real_events")
+    dirP.toFile.deleteOnExit()
+    java.nio.file.Files.copy(src, dirP.resolve("events.parquet"))
+    val dir = dirP.toString
+    val q = startToMemory(windowedCounts(eventStream(spark, dir)),
+      "real_evt_win", OutputMode.Complete())
+    try {
+      q.processAllAvailable()
+      def slurp(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getTimestamp(0).toString, r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val streamed = slurp(spark.table("real_evt_win"))
+      val batch = slurp(windowedCounts( // watermark is a no-op on batch
+        graft.util.EventTime.normalize(spark.read.parquet(dir), "ts")))
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (k, (n, sv)) =>
+        val (bn, bsv) = batch(k)
+        assert(n === bn, s"n_events diverged for $k")
+        // double sum: stream/batch partial order may differ in the last bits
+        assert(math.abs(sv - bsv) < 1e-6, s"sum_value diverged for $k: $sv vs $bsv")
+      }
+      assert(streamed.nonEmpty)
+    } finally q.stop()
   }
 
   private def docs = Seq(
