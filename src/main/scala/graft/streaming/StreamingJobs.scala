@@ -180,6 +180,9 @@ object StreamingJobs {
           // epoch-nanos-INT64 and native timestamp all normalize to
           // TimestampType (graft.util.EventTime — the testdata contract
           // has changed representation across driver rounds)
+          require(df.columns.contains(timeCol),
+            s"streaming_aggregation ${c.name}: time_column '$timeCol' not in " +
+              s"input columns ${df.columns.mkString(", ")}")
           val et = graft.util.EventTime.normalize(df, timeCol)
           // window-rule selection + the grouped tail are shared with the
           // batch aggregation component (AggregateOp.windowColumn /
@@ -214,6 +217,9 @@ object StreamingJobs {
           require(reservedHit.isEmpty, s"streaming_dedup ${c.name}: column names " +
             s"${reservedHit.mkString(", ")} are reserved internally")
           // EventTime: same normalization vocabulary as batch (see above)
+          require(df.columns.contains(timeCol),
+            s"streaming_dedup ${c.name}: time_column '$timeCol' not in " +
+              s"input columns ${df.columns.mkString(", ")}")
           val et = df.withColumn("__t",
             graft.util.EventTime.normalizeExpr(df.schema, timeCol)
               .getOrElse(col(timeCol)))
