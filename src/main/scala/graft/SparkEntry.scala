@@ -371,6 +371,30 @@ object SparkEntry {
       .orderBy(col("branch"))
   }
 
+  /** Set ops (RelationalOps.setOp, beyond-reference): customers ordering
+    * in BOTH status classes (INTERSECT — both sides dedup), and parts
+    * never ordered (EXCEPT). One shuffle per side, no driver work. */
+  private def qSetIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    RelationalOps.setOp(
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey")),
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey")),
+      "intersect")
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Customers with F-status orders but no O-status ones — a non-empty
+    * EXCEPT in this generator (every customer has SOME order, so the
+    * customer∖orders shape would gate on an empty result). */
+  private def qSetExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    RelationalOps.setOp(
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey")),
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey")),
+      "except")
+      .orderBy(col("o_custkey"))
+  }
+
   private def qSplitBranches(s: SparkSession, dir: String): DataFrame = {
     val ports = RelationalOps.split(table(s, dir, "lineitem"), Seq("a", "b"))
     val sums = ports("a").groupBy(col("l_returnflag"))
@@ -419,6 +443,19 @@ object SparkEntry {
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (centsSum(col("value"), 2) / 100.0).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sliding-window event aggregation (window=1h, slide=30m): each event
+    * lands in exactly two overlapping windows. Oracle replays the window
+    * assignment as a UNION ALL of the two 30-minute-bucket candidates —
+    * an independent construction, not Spark's expansion. */
+  private def qEventsSlide(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         (centsSum(col("value"), 2) / 100.0).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
@@ -2936,6 +2973,8 @@ object SparkEntry {
     "q_join_star" -> (qJoinStar _),
     "q_type_conversion" -> (qTypeConversion _),
     "q_merge_union" -> (qMergeUnion _),
+    "q_set_intersect" -> (qSetIntersect _),
+    "q_set_except" -> (qSetExcept _),
     "q_split_branches" -> (qSplitBranches _),
     "q_sort_limit" -> (qSortLimit _),
     "q_window_topn" -> (qWindowTopN _),
@@ -2945,6 +2984,7 @@ object SparkEntry {
     "q_job_window_lag" -> (qJobWindowLag _),
     "q_job_join_bcast" -> (qJobJoinBcast _),
     "q_events_window" -> (qEventsWindow _),
+    "q_events_slide" -> (qEventsSlide _),
     "q_events_session" -> (qEventsSession _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_broadcast" -> (qAsofBroadcast _),
@@ -3189,6 +3229,16 @@ object SparkEntry {
         |  SELECT l_orderkey, l_linenumber, 'discounted' AS branch
         |  FROM lineitem WHERE l_discount >= 0.09)
         |GROUP BY branch ORDER BY branch""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
     "q_split_branches" ->
       """SELECT a.l_returnflag, round(a.sum_qty, 2) AS sum_qty, b.n_rows FROM
         |  (SELECT l_returnflag, sum(l_quantity) AS sum_qty
@@ -3252,6 +3302,16 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_events,
         |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_events_slide" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+        |    event_type, value FROM events)
+        |SELECT window_start, event_type, count(*)::BIGINT AS n_events,
+        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // gap-based islands: a new session when the per-user delta is NULL
     // (first event) or > the gap — an event exactly at the previous
     // session's end (delta == gap) MERGES, matching Spark's

@@ -85,6 +85,10 @@ object ComponentSchemas {
     "sql" -> ("Run Spark SQL over the inbound ports (views named <component>_<port>)" -> Seq(
       req("query", "string", "SQL text; reference inputs as <component>_<port>"))),
     "merge" -> ("Union all inbound branches by column name" -> Seq()),
+    "set_op" -> ("Set operation over same-schema ports left/right" -> Seq(
+      p("op", "string",
+        "intersect | intersect_all | except | except_all | union_distinct " +
+          "(REQUIRED; SQL semantics — non-_all variants deduplicate)"))),
     "dedup" -> ("Deduplicate documents: exact, minhash, simhash, ngram, or embedding" -> Seq(
       p("method", "string", "exact (default) | minhash | simhash | ngram | embedding"),
       p("text_column", "string", "document text column, default 'text'"),

@@ -76,7 +76,7 @@ object JobGraph {
       ports.map(PortSpec(_, required = true, multi = false))
     case "write_ivf_index" =>
       Seq("corpus", "centroids").map(PortSpec(_, required = true, multi = false))
-    case "asof_join" =>
+    case "asof_join" | "set_op" =>
       Seq("left", "right").map(PortSpec(_, required = true, multi = false))
     case _ => Seq(PortSpec("in", required = true, multi = false))
   }
@@ -842,6 +842,17 @@ object JobGraph {
           c.str("suffix").getOrElse("_r"),
           c.str("direction").getOrElse("backward"),
           c.str("tolerance"))), None)
+
+      // Set operations over same-schema ports (ops/RelationalOps.setOp;
+      // beyond-reference — the reference's only set-ish op is merge).
+      case "set_op" =>
+        def port(p: String): DataFrame = {
+          val xs = in.getOrElse(p, Nil)
+          require(xs.size == 1, s"set_op ${c.name}: port '$p' needs exactly one edge")
+          xs.head
+        }
+        (Map("out" -> RelationalOps.setOp(port("left"), port("right"),
+          c.reqStr("op"))), None)
 
       case other =>
         throw new IllegalArgumentException(s"unknown comp_type: $other")

@@ -36,6 +36,24 @@ object RelationalOps {
     inputs.reduce(_.unionByName(_))
   }
 
+  /** Set operations over same-schema frames (beyond-reference: SURVEY
+    * §2.4 lists intersect/except as absent — merge is the reference's
+    * only set-ish op). SQL semantics: `intersect`/`except`/
+    * `union_distinct` deduplicate both sides; the `_all` variants keep
+    * multiplicities (INTERSECT ALL / EXCEPT ALL). At scale each is one
+    * shuffle per side on all columns (Catalyst compiles them to
+    * distinct + left-semi/anti joins, AQE-sized) — no driver-side work. */
+  def setOp(left: DataFrame, right: DataFrame, op: String): DataFrame = op match {
+    case "intersect"      => left.intersect(right)
+    case "intersect_all"  => left.intersectAll(right)
+    case "except"         => left.except(right)
+    case "except_all"     => left.exceptAll(right)
+    case "union_distinct" => left.unionByName(right).distinct()
+    case other => throw new IllegalArgumentException(
+      s"set_op: unknown op '$other' " +
+        "(intersect|intersect_all|except|except_all|union_distinct)")
+  }
+
   /**
    * Deterministic hash split (train/val/test and friends): each row lands
    * in exactly one named split, chosen by an md5 bucket of its id —

@@ -51,6 +51,42 @@ class JobComponentsSpec extends SparkTestBase {
     assert(back.collect().map(_.getString(0)).sorted.toSeq === Seq("1", "3"))
   }
 
+  test("set_op component: intersect/except from config; unknown op is loud") {
+    import spark.implicits._
+    val inL = tmp("setop_l")
+    val inR = tmp("setop_r")
+    Seq("1", "2", "2", "3").toDF("a").withColumn("b", lit("x"))
+      .write.mode("overwrite").parquet(inL)
+    Seq("2", "3", "4").toDF("a").withColumn("b", lit("x"))
+      .write.mode("overwrite").parquet(inR)
+    def cfg(op: String, out: String) =
+      s"""{ "name": "t", "components": [
+         |  { "name": "l", "comp_type": "read_parquet", "filepath": "$inL",
+         |    "routes": { "out": [ { "to": "s", "in_port": "left" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$inR",
+         |    "routes": { "out": [ { "to": "s", "in_port": "right" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "s", "comp_type": "set_op", "op": "$op",
+         |    "in_port_schemas": { "left": $abSchema, "right": $abSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    def run(op: String): Seq[String] = {
+      val out = tmp(s"setop_out_$op")
+      val built = JobGraph.build(spark, JobConfig.parse(cfg(op, out)))
+      built.runSinks(); built.close()
+      spark.read.parquet(out).collect().map(_.getString(0)).sorted.toSeq
+    }
+    assert(run("intersect") === Seq("2", "3"))
+    assert(run("except") === Seq("1"))
+    val e = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(cfg("minus", tmp("setop_bad")))).runSinks()
+    }
+    assert(e.getMessage.contains("unknown op"))
+  }
+
   test("write_parquet partition_by: Hive layout + partition-pruned readback") {
     import spark.implicits._
     val out = tmp("part_out")
