@@ -2856,6 +2856,23 @@ object SparkEntry {
     * union + one window pass, one shuffle; the right side is unique per
     * (user_id, ts) in this corpus). Oracle: DuckDB's NATIVE ASOF LEFT
     * JOIN — an independent algorithm, not a replica of this plan. */
+  /** Range join (ops/RangeJoin.scala): clicks inside the 1-hour window
+    * after any same-user purchase — one-to-many interval containment,
+    * keyed equi-join carrying the range condition (no cross product).
+    * Oracle replays the intervals with DuckDB timestamp arithmetic. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"),
+        col("event_id").as("purchase_id"))
+    graft.ops.RangeJoin(clicks, windows, on = "ts",
+      start = "w_start", end = "w_end", by = Seq("user_id"))
+      .orderBy(col("event_id"), col("purchase_id"))
+  }
+
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = table(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
@@ -2986,6 +3003,7 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_events_slide" -> (qEventsSlide _),
     "q_events_session" -> (qEventsSession _),
+    "q_range_join" -> (qRangeJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_broadcast" -> (qAsofBroadcast _),
     "q_asof_forward" -> (qAsofForward _),
@@ -3350,6 +3368,15 @@ object SparkEntry {
         |SELECT user_id, count(DISTINCT sid)::BIGINT AS n_sessions,
         |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents
         |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.w_start, p.w_end, p.purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end,
+        |        event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.w_start AND c.ts <= p.w_end
+        |ORDER BY c.event_id, p.purchase_id""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN — independent of the Spark
     // union+window formulation, so the two algorithms check each other
     "q_asof_join" ->

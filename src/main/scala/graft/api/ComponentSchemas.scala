@@ -156,6 +156,13 @@ object ComponentSchemas {
       p("vector_column", "string", "embedding column, default 'embedding'"),
       p("k", "integer", "number of centroids/cells, default ceil(sqrt(n)) from the corpus count"),
       p("iters", "integer", "Lloyd iterations, default 5"))),
+    "range_join" -> ("Range/interval join: left rows matched to right [start,end] intervals, one-to-many (ports left/right)" -> Seq(
+      req("on", "string", "left-side value/time column the interval must contain (inclusive bounds)"),
+      req("start", "string", "right-side interval start column"),
+      req("end", "string", "right-side interval end column"),
+      p("by", "array", "optional equality keys — REQUIRED at scale unless the interval side is dimension-sized (without keys the right side broadcasts)"),
+      p("suffix", "string", "suffix for clashing right columns, default '_r'"),
+      p("join_type", "string", "inner (default) | left"))),
     "asof_join" -> ("As-of join: nearest right row per left row (ports left/right)" -> Seq(
       req("on", "string", "event-time column present on both sides"),
       req("by", "array", "equality keys"),

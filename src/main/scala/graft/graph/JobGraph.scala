@@ -76,7 +76,7 @@ object JobGraph {
       ports.map(PortSpec(_, required = true, multi = false))
     case "write_ivf_index" =>
       Seq("corpus", "centroids").map(PortSpec(_, required = true, multi = false))
-    case "asof_join" | "set_op" =>
+    case "asof_join" | "set_op" | "range_join" =>
       Seq("left", "right").map(PortSpec(_, required = true, multi = false))
     case _ => Seq(PortSpec("in", required = true, multi = false))
   }
@@ -842,6 +842,22 @@ object JobGraph {
           c.str("suffix").getOrElse("_r"),
           c.str("direction").getOrElse("backward"),
           c.str("tolerance"))), None)
+
+      // Range/interval join (ops/RangeJoin.scala): left rows matched to
+      // right [start,end] intervals, one-to-many; with `by` keys an
+      // equi-join carries the range condition (no cross product), without
+      // them the interval side broadcasts.
+      case "range_join" =>
+        def port(p: String): DataFrame = {
+          val xs = in.getOrElse(p, Nil)
+          require(xs.size == 1, s"range_join ${c.name}: port '$p' needs exactly one edge")
+          xs.head
+        }
+        (Map("out" -> RangeJoin(port("left"), port("right"),
+          c.reqStr("on"), c.reqStr("start"), c.reqStr("end"),
+          c.strSeqParam("by"),
+          c.str("suffix").getOrElse("_r"),
+          c.str("join_type").getOrElse("inner"))), None)
 
       // Set operations over same-schema ports (ops/RelationalOps.setOp;
       // beyond-reference — the reference's only set-ish op is merge).

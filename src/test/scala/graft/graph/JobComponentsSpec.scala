@@ -87,6 +87,54 @@ class JobComponentsSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown op"))
   }
 
+  test("range_join component: keyed interval containment from config") {
+    import spark.implicits._
+    val inL = tmp("rj_l")
+    val inR = tmp("rj_r")
+    // numeric intervals: the declarative schema vocabulary travels times
+    // as strings/numbers, and range containment is type-generic
+    Seq(("k1", 1L), ("k1", 3L), ("k2", 5L), ("k2", 9L)).toDF("k", "t")
+      .write.mode("overwrite").parquet(inL)
+    Seq(("k1", 2L, 4L, "A"), ("k2", 5L, 6L, "B")).toDF("k", "s", "e", "tag")
+      .write.mode("overwrite").parquet(inR)
+    val lSchema =
+      """{ "fields": [ { "name": "k", "data_type": "string" },
+        |  { "name": "t", "data_type": "integer" } ] }""".stripMargin
+    val rSchema =
+      """{ "fields": [ { "name": "k", "data_type": "string" },
+        |  { "name": "s", "data_type": "integer" },
+        |  { "name": "e", "data_type": "integer" },
+        |  { "name": "tag", "data_type": "string" } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [ { "name": "k", "data_type": "string" },
+        |  { "name": "t", "data_type": "integer" },
+        |  { "name": "s", "data_type": "integer" },
+        |  { "name": "e", "data_type": "integer" },
+        |  { "name": "tag", "data_type": "string" } ] }""".stripMargin
+    val out = tmp("rj_out")
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "l", "comp_type": "read_parquet", "filepath": "$inL",
+         |    "routes": { "out": [ { "to": "rj", "in_port": "left" } ] },
+         |    "out_port_schemas": { "out": $lSchema } },
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$inR",
+         |    "routes": { "out": [ { "to": "rj", "in_port": "right" } ] },
+         |    "out_port_schemas": { "out": $rSchema } },
+         |  { "name": "rj", "comp_type": "range_join", "on": "t",
+         |    "start": "s", "end": "e", "by": ["k"],
+         |    "in_port_schemas": { "left": $lSchema, "right": $rSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks(); built.close()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("t"),
+        r.getAs[String]("tag"))).sorted
+    assert(got.toSeq === Seq(("k1", 3L, "A"), ("k2", 5L, "B")))
+  }
+
   test("write_parquet partition_by: Hive layout + partition-pruned readback") {
     import spark.implicits._
     val out = tmp("part_out")
