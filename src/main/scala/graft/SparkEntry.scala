@@ -2851,11 +2851,6 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
-  /** Backward as-of join over the events stream: each click aligned with
-    * the user's most recent purchase at or before it (ops/AsofJoin.scala —
-    * union + one window pass, one shuffle; the right side is unique per
-    * (user_id, ts) in this corpus). Oracle: DuckDB's NATIVE ASOF LEFT
-    * JOIN — an independent algorithm, not a replica of this plan. */
   /** Range join (ops/RangeJoin.scala): clicks inside the 1-hour window
     * after any same-user purchase — one-to-many interval containment,
     * keyed equi-join carrying the range condition (no cross product).
@@ -2873,6 +2868,11 @@ object SparkEntry {
       .orderBy(col("event_id"), col("purchase_id"))
   }
 
+  /** Backward as-of join over the events stream: each click aligned with
+    * the user's most recent purchase at or before it (ops/AsofJoin.scala —
+    * union + one window pass, one shuffle; the right side is unique per
+    * (user_id, ts) in this corpus). Oracle: DuckDB's NATIVE ASOF LEFT
+    * JOIN — an independent algorithm, not a replica of this plan. */
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = table(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")

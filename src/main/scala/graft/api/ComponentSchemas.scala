@@ -86,9 +86,9 @@ object ComponentSchemas {
       req("query", "string", "SQL text; reference inputs as <component>_<port>"))),
     "merge" -> ("Union all inbound branches by column name" -> Seq()),
     "set_op" -> ("Set operation over same-schema ports left/right" -> Seq(
-      p("op", "string",
+      req("op", "string",
         "intersect | intersect_all | except | except_all | union_distinct " +
-          "(REQUIRED; SQL semantics — non-_all variants deduplicate)"))),
+          "(SQL semantics — non-_all variants deduplicate)"))),
     "dedup" -> ("Deduplicate documents: exact, minhash, simhash, ngram, or embedding" -> Seq(
       p("method", "string", "exact (default) | minhash | simhash | ngram | embedding"),
       p("text_column", "string", "document text column, default 'text'"),
@@ -180,7 +180,8 @@ object ComponentSchemas {
       p("approx", "boolean", "HyperLogLog distincts instead of exact (the at-scale path)"))),
     // streaming-only comp_types (StreamingJobs dispatch, not JobGraph):
     "streaming_aggregation" -> ("Watermark-bounded windowed aggregation (streaming jobs only)" -> Seq(
-      req("time_column", "string", "event-time column (string times are parsed)"),
+      req("time_column", "string", "event-time column (string/timestamp/date parsed; INT64 epochs additionally need time_unit)"),
+      p("time_unit", "string", "epoch scale when time_column is INT64: seconds | millis | micros | nanos (REQUIRED for integer time columns — the scale is not inferable)"),
       req("watermark", "string", "late-data horizon, e.g. '10 minutes'"),
       p("window", "string", "tumbling window width (required unless session_gap)"),
       p("slide", "string", "slide interval for overlapping windows"),
@@ -188,7 +189,8 @@ object ComponentSchemas {
       p("group_by", "array", "grouping columns next to the window"),
       req("aggregations", "array", "[{column, op, alias}, ...]"))),
     "streaming_dedup" -> ("Watermark-bounded exact dedup (streaming jobs only)" -> Seq(
-      req("time_column", "string", "event-time column (string times are parsed)"),
+      req("time_column", "string", "event-time column (string/timestamp/date parsed; INT64 epochs additionally need time_unit)"),
+      p("time_unit", "string", "epoch scale when time_column is INT64: seconds | millis | micros | nanos (REQUIRED for integer time columns)"),
       p("watermark", "string", "dedup state horizon, default '1 hour'"),
       p("text_column", "string", "document text column, default 'text'"),
       p("method", "string", "only 'exact' is streamable (near-dup families are batch-only)"))),

@@ -318,6 +318,15 @@ object JobGraph {
       in.getOrElse(port, throw new IllegalArgumentException(
         s"component ${c.name}: no input on port '$port'")).head
 
+    // multi-port components (similarity, asof/range join, set_op, index
+    // sinks): exactly one edge per named port
+    def port(p: String): DataFrame = {
+      val xs = in.getOrElse(p, Nil)
+      require(xs.size == 1,
+        s"${c.compType} ${c.name}: port '$p' needs exactly one edge")
+      xs.head
+    }
+
     def declaredSchema(port: String): Option[Seq[FieldDef]] = c.outPortSchemas.get(port)
 
     c.compType match {
@@ -708,11 +717,6 @@ object JobGraph {
       // `query` as a one-row (qvec) frame).
       case "similarity" =>
         import graft.scale.Similarity
-        def port(p: String): DataFrame = {
-          val xs = in.getOrElse(p, Nil)
-          require(xs.size == 1, s"similarity ${c.name}: port '$p' needs exactly one edge")
-          xs.head
-        }
         val vecCol = c.str("vector_column").getOrElse("embedding")
         val k = c.int("k", 10)
         val out = c.str("method").getOrElse("knn") match {
@@ -788,11 +792,6 @@ object JobGraph {
       // cell, one file per cell directory — the layout whose probes
       // prune at the file source. Ports `corpus` + `centroids`.
       case "write_ivf_index" =>
-        def port(p: String): DataFrame = {
-          val xs = in.getOrElse(p, Nil)
-          require(xs.size == 1, s"write_ivf_index ${c.name}: port '$p' needs exactly one edge")
-          xs.head
-        }
         val (corpus, centroids) = (port("corpus"), port("centroids"))
         val path = c.reqStr("filepath")
         (Map("out" -> corpus), Some(() => graft.scale.KMeans.indexBucketed(
@@ -819,11 +818,6 @@ object JobGraph {
       // Backward as-of join (ops/AsofJoin.scala): ports `left`/`right`,
       // `on` = event-time column on both sides, `by` = equality keys.
       case "asof_join" =>
-        def port(p: String): DataFrame = {
-          val xs = in.getOrElse(p, Nil)
-          require(xs.size == 1, s"asof_join ${c.name}: port '$p' needs exactly one edge")
-          xs.head
-        }
         val by = c.strSeqParam("by")
         require(by.nonEmpty, s"asof_join ${c.name}: needs non-empty 'by' keys")
         // strategy=window (default): union + one window pass — ONE
@@ -848,11 +842,6 @@ object JobGraph {
       // equi-join carries the range condition (no cross product), without
       // them the interval side broadcasts.
       case "range_join" =>
-        def port(p: String): DataFrame = {
-          val xs = in.getOrElse(p, Nil)
-          require(xs.size == 1, s"range_join ${c.name}: port '$p' needs exactly one edge")
-          xs.head
-        }
         (Map("out" -> RangeJoin(port("left"), port("right"),
           c.reqStr("on"), c.reqStr("start"), c.reqStr("end"),
           c.strSeqParam("by"),
@@ -862,11 +851,6 @@ object JobGraph {
       // Set operations over same-schema ports (ops/RelationalOps.setOp;
       // beyond-reference — the reference's only set-ish op is merge).
       case "set_op" =>
-        def port(p: String): DataFrame = {
-          val xs = in.getOrElse(p, Nil)
-          require(xs.size == 1, s"set_op ${c.name}: port '$p' needs exactly one edge")
-          xs.head
-        }
         (Map("out" -> RelationalOps.setOp(port("left"), port("right"),
           c.reqStr("op"))), None)
 

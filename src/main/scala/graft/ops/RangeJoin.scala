@@ -48,6 +48,8 @@ object RangeJoin {
     by.foreach(k => require(
       left.columns.contains(k) && right.columns.contains(k),
       s"range join: by-key '$k' must exist on both sides"))
+    require(!by.contains(start) && !by.contains(end),
+      s"range join: interval columns '$start'/'$end' cannot also be by-keys")
     val rightVal = right.columns.filterNot(by.contains).toSeq
     val outName = rightVal.map(c => if (left.columns.contains(c)) c + suffix else c)
     val clash = outName.toSet.intersect(left.columns.toSet)

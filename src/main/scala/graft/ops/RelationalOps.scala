@@ -43,15 +43,23 @@ object RelationalOps {
     * multiplicities (INTERSECT ALL / EXCEPT ALL). At scale each is one
     * shuffle per side on all columns (Catalyst compiles them to
     * distinct + left-semi/anti joins, AQE-sized) — no driver-side work. */
-  def setOp(left: DataFrame, right: DataFrame, op: String): DataFrame = op match {
-    case "intersect"      => left.intersect(right)
-    case "intersect_all"  => left.intersectAll(right)
-    case "except"         => left.except(right)
-    case "except_all"     => left.exceptAll(right)
-    case "union_distinct" => left.unionByName(right).distinct()
-    case other => throw new IllegalArgumentException(
-      s"set_op: unknown op '$other' " +
-        "(intersect|intersect_all|except|except_all|union_distinct)")
+  def setOp(left: DataFrame, right: DataFrame, op: String): DataFrame = {
+    // Dataset.intersect/except match columns by POSITION; the schema
+    // contract upstream is order-insensitive (and two parquet files with
+    // the same columns can disagree on order), so align the right side
+    // to the left's order BY NAME first — a missing column is a loud
+    // AnalysisException instead of a silent wrong-column comparison.
+    def aligned = right.select(left.columns.map(col).toSeq: _*)
+    op match {
+      case "intersect"      => left.intersect(aligned)
+      case "intersect_all"  => left.intersectAll(aligned)
+      case "except"         => left.except(aligned)
+      case "except_all"     => left.exceptAll(aligned)
+      case "union_distinct" => left.unionByName(right).distinct()
+      case other => throw new IllegalArgumentException(
+        s"set_op: unknown op '$other' " +
+          "(intersect|intersect_all|except|except_all|union_distinct)")
+    }
   }
 
   /**

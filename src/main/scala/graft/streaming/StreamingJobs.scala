@@ -65,6 +65,40 @@ object StreamingJobs {
   final case class SinkPlan(component: String, df: DataFrame, format: String,
                             path: String, options: Map[String, String])
 
+  /** Event-time column for the streaming components, normalized to
+    * TimestampType with the same vocabulary as batch ingestion
+    * (graft.util.EventTime: string / date / NTZ / native timestamp).
+    * INT64 time columns additionally REQUIRE an explicit `time_unit`
+    * (seconds|millis|micros|nanos): an epoch long's scale is not
+    * inferable — guessing turns every event into garbage watermarks that
+    * run green with wrong output, the one failure a streaming job can't
+    * surface. */
+  private def eventTimeCol(df: DataFrame, timeCol: String,
+                           c: ComponentSpec, what: String
+                          ): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, timestamp_millis, timestamp_seconds}
+    require(df.columns.contains(timeCol),
+      s"$what ${c.name}: time_column '$timeCol' not in input columns " +
+        df.columns.mkString(", "))
+    df.schema(timeCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val unit = c.str("time_unit").getOrElse(throw new IllegalArgumentException(
+          s"$what ${c.name}: time_column '$timeCol' is an INT64 epoch — " +
+            "declare 'time_unit' (seconds|millis|micros|nanos) so the scale is explicit"))
+        unit match {
+          case "seconds" => timestamp_seconds(col(timeCol))
+          case "millis"  => timestamp_millis(col(timeCol))
+          case "micros"  => timestamp_micros(col(timeCol))
+          case "nanos"   =>
+            timestamp_micros(expr(s"`${timeCol.replace("`", "``")}` div 1000"))
+          case other => throw new IllegalArgumentException(
+            s"$what ${c.name}: unknown time_unit '$other' (seconds|millis|micros|nanos)")
+        }
+      case _ =>
+        graft.util.EventTime.normalizeExpr(df.schema, timeCol).getOrElse(col(timeCol))
+    }
+  }
+
   /** Fold the spec into per-sink streaming plans (no query started yet). */
   def plan(spark: SparkSession, spec0: JobSpec): Seq[SinkPlan] = {
     val spec = JobGraph.deriveSchemas(spec0)
@@ -176,14 +210,8 @@ object StreamingJobs {
           val wm = c.reqStr("watermark")
           val (groupBy, aggs) = parseAggregations(c)
           require(aggs.nonEmpty, s"streaming_aggregation ${c.name}: needs aggregations")
-          // same event-time vocabulary as batch ingestion: string, NTZ,
-          // epoch-nanos-INT64 and native timestamp all normalize to
-          // TimestampType (graft.util.EventTime — the testdata contract
-          // has changed representation across driver rounds)
-          require(df.columns.contains(timeCol),
-            s"streaming_aggregation ${c.name}: time_column '$timeCol' not in " +
-              s"input columns ${df.columns.mkString(", ")}")
-          val et = graft.util.EventTime.normalize(df, timeCol)
+          val et = df.withColumn(timeCol,
+            eventTimeCol(df, timeCol, c, "streaming_aggregation"))
           // window-rule selection + the grouped tail are shared with the
           // batch aggregation component (AggregateOp.windowColumn /
           // .windowed); the stream's only addition is the watermark —
@@ -216,13 +244,8 @@ object StreamingJobs {
           val reservedHit = df.columns.toSet.intersect(Set("__t", "__key"))
           require(reservedHit.isEmpty, s"streaming_dedup ${c.name}: column names " +
             s"${reservedHit.mkString(", ")} are reserved internally")
-          // EventTime: same normalization vocabulary as batch (see above)
-          require(df.columns.contains(timeCol),
-            s"streaming_dedup ${c.name}: time_column '$timeCol' not in " +
-              s"input columns ${df.columns.mkString(", ")}")
           val et = df.withColumn("__t",
-            graft.util.EventTime.normalizeExpr(df.schema, timeCol)
-              .getOrElse(col(timeCol)))
+            eventTimeCol(df, timeCol, c, "streaming_dedup"))
           Map("out" -> et
             .withColumn("__key", graft.scale.Dedup.exactKey(col(textCol)))
             .withWatermark("__t", wm)

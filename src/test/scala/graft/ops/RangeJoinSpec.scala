@@ -69,6 +69,10 @@ class RangeJoinSpec extends SparkTestBase {
       RangeJoin(left, right, "t", "s", "e", Seq("missing"))
     }
     assert(e3.getMessage.contains("by-key"))
+    val e4 = intercept[IllegalArgumentException] {
+      RangeJoin(left.withColumn("s", col("t")), right, "t", "s", "e", Seq("s"))
+    }
+    assert(e4.getMessage.contains("cannot also be by-keys"))
   }
 
   test("null on / null bounds / null keys never match") {

@@ -409,6 +409,58 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("INT64 time_column requires an explicit time_unit; seconds unit windows correctly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val inDir = tmp("sunit_in")
+    Files.createDirectories(Paths.get(inDir))
+    // epoch-SECONDS longs: 2024-01-01T00:10 and T00:50 (same hour
+    // window) + a far-future sentinel that advances the watermark past
+    // the real window on the drain (it stays open itself, append mode)
+    Seq((1704067800L, "a", 1L), (1704070200L, "a", 2L),
+        (1704154200L, "z", 0L))
+      .toDF("ts", "k", "v").write.mode("overwrite").parquet(inDir)
+    val evtSchema =
+      """{ "fields": [
+        |  { "name": "ts", "data_type": "integer" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "v", "data_type": "integer" } ] }""".stripMargin
+    val aggSchema =
+      """{ "fields": [
+        |  { "name": "window_start", "data_type": "string" },
+        |  { "name": "window_end", "data_type": "string" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "sv", "data_type": "integer" } ] }""".stripMargin
+    def cfg(unitLine: String, out: String) =
+      s"""{ "name": "sunit", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$inDir",
+         |    "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $evtSchema } },
+         |  { "name": "agg", "comp_type": "streaming_aggregation",
+         |    "time_column": "ts", "watermark": "10 minutes",
+         |    "window": "1 hour", $unitLine
+         |    "group_by": ["k"],
+         |    "aggregations": [ { "src": "v", "op": "sum", "dest": "sv" } ],
+         |    "in_port_schemas": { "in": $evtSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $aggSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $aggSchema } } ] }""".stripMargin
+    // no time_unit: an epoch long's scale is not inferable — loud error
+    val e = intercept[IllegalArgumentException] {
+      StreamingJobs.plan(spark, JobConfig.parse(cfg("", tmp("sunit_bad"))))
+    }
+    assert(e.getMessage.contains("time_unit"))
+    // declared seconds: both events land in the 00:00-01:00 window
+    val out = tmp("sunit_out")
+    StreamingJobs.runOnce(spark,
+      JobConfig.parse(cfg(""""time_unit": "seconds",""", out)), tmp("sunit_ckpt"))
+    val got = spark.read.parquet(out).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[String]("window_start") === "2024-01-01 00:00:00")
+    assert(got.head.getAs[Long]("sv") === 3L)
+  }
+
   test("streaming_dedup: drained exact dedup matches Dedup.exact") {
     import org.apache.spark.sql.functions._
     val inDir = tmp("sdd_in")
