@@ -73,6 +73,7 @@ object ComponentSchemas {
       p("pivot_column", "string", "pivot this column's values into output columns"),
       p("pivot_values", "array", "explicit pivot values (required with pivot_column)"),
       p("time_column", "string", "event-time column: switches to windowed aggregation (batch face of streaming_aggregation)"),
+      p("time_unit", "string", "epoch scale when time_column is INT64: seconds | millis | micros | nanos (REQUIRED for integer time columns — same contract as streaming_aggregation)"),
       p("window", "string", "tumbling/sliding window size, e.g. '1 hour' (with time_column)"),
       p("slide", "string", "slide interval; requires window"),
       p("session_gap", "string", "session window gap; exclusive with window/slide"))),

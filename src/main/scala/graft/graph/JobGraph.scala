@@ -506,7 +506,13 @@ object JobGraph {
               s"aggregation ${c.name}: time windows and rollup/cube are exclusive")
             val winCol = AggregateOp.windowColumn(tc, c.str("window"),
               c.str("slide"), c.str("session_gap"), s"aggregation ${c.name}")
-            (Map("out" -> AggregateOp.windowed(one(), tc, winCol, groupBy, aggs)), None)
+            // same event-time normalization as streaming_aggregation
+            // (EventTime.forComponent), so a config with an INT64 epoch
+            // time column + time_unit means ONE thing in both modes
+            val base = one()
+            val et = base.withColumn(tc, graft.util.EventTime.forComponent(
+              base.schema, tc, c.str("time_unit"), s"aggregation ${c.name}"))
+            (Map("out" -> AggregateOp.windowed(et, tc, winCol, groupBy, aggs)), None)
           case (None, None) =>
             (Map("out" -> AggregateOp(one(), groupBy, aggs,
               c.str("grouping").getOrElse("groups"))), None)

@@ -65,39 +65,16 @@ object StreamingJobs {
   final case class SinkPlan(component: String, df: DataFrame, format: String,
                             path: String, options: Map[String, String])
 
-  /** Event-time column for the streaming components, normalized to
-    * TimestampType with the same vocabulary as batch ingestion
-    * (graft.util.EventTime: string / date / NTZ / native timestamp).
-    * INT64 time columns additionally REQUIRE an explicit `time_unit`
-    * (seconds|millis|micros|nanos): an epoch long's scale is not
-    * inferable — guessing turns every event into garbage watermarks that
-    * run green with wrong output, the one failure a streaming job can't
-    * surface. */
+  /** Event-time column for the streaming components — the SAME
+    * normalization the batch `aggregation` time-window path applies
+    * (graft.util.EventTime.forComponent: string/date/NTZ/native
+    * timestamps normalize; INT64 epochs require an explicit
+    * `time_unit`), so a config means one thing in both modes. */
   private def eventTimeCol(df: DataFrame, timeCol: String,
                            c: ComponentSpec, what: String
-                          ): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros, timestamp_millis, timestamp_seconds}
-    require(df.columns.contains(timeCol),
-      s"$what ${c.name}: time_column '$timeCol' not in input columns " +
-        df.columns.mkString(", "))
-    df.schema(timeCol).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        val unit = c.str("time_unit").getOrElse(throw new IllegalArgumentException(
-          s"$what ${c.name}: time_column '$timeCol' is an INT64 epoch — " +
-            "declare 'time_unit' (seconds|millis|micros|nanos) so the scale is explicit"))
-        unit match {
-          case "seconds" => timestamp_seconds(col(timeCol))
-          case "millis"  => timestamp_millis(col(timeCol))
-          case "micros"  => timestamp_micros(col(timeCol))
-          case "nanos"   =>
-            timestamp_micros(expr(s"`${timeCol.replace("`", "``")}` div 1000"))
-          case other => throw new IllegalArgumentException(
-            s"$what ${c.name}: unknown time_unit '$other' (seconds|millis|micros|nanos)")
-        }
-      case _ =>
-        graft.util.EventTime.normalizeExpr(df.schema, timeCol).getOrElse(col(timeCol))
-    }
-  }
+                          ): org.apache.spark.sql.Column =
+    graft.util.EventTime.forComponent(df.schema, timeCol,
+      c.str("time_unit"), s"$what ${c.name}")
 
   /** Fold the spec into per-sink streaming plans (no query started yet). */
   def plan(spark: SparkSession, spec0: JobSpec): Seq[SinkPlan] = {

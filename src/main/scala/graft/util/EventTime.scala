@@ -55,4 +55,34 @@ object EventTime {
       case Some(e) => df.withColumn(colName, e)
       case None    => df
     }
+
+  /** Component-facing event-time normalization, shared by the batch
+    * `aggregation` time-window path and the streaming components so a
+    * config means the SAME thing in both modes. String/date/NTZ/native
+    * timestamps normalize like [[normalizeExpr]]; an INT64 column
+    * additionally REQUIRES an explicit `time_unit`
+    * (seconds|millis|micros|nanos) — an epoch long's scale is not
+    * inferable, and guessing yields garbage windows that run green. */
+  def forComponent(schema: StructType, colName: String,
+                   unit: Option[String], what: String): Column = {
+    require(schema.fieldNames.contains(colName),
+      s"$what: time_column '$colName' not in input columns " +
+        schema.fieldNames.mkString(", "))
+    schema(colName).dataType match {
+      case LongType =>
+        val u = unit.getOrElse(throw new IllegalArgumentException(
+          s"$what: time_column '$colName' is an INT64 epoch — declare " +
+            "'time_unit' (seconds|millis|micros|nanos) so the scale is explicit"))
+        val quoted = s"`${colName.replace("`", "``")}`"
+        u match {
+          case "seconds" => timestamp_seconds(col(colName))
+          case "millis"  => timestamp_millis(col(colName))
+          case "micros"  => timestamp_micros(col(colName))
+          case "nanos"   => timestamp_micros(expr(s"$quoted div 1000"))
+          case other => throw new IllegalArgumentException(
+            s"$what: unknown time_unit '$other' (seconds|millis|micros|nanos)")
+        }
+      case _ => normalizeExpr(schema, colName).getOrElse(col(colName))
+    }
+  }
 }

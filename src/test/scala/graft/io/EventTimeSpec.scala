@@ -53,6 +53,36 @@ class EventTimeSpec extends SparkTestBase {
     assert(microsOf(ltz) == Seq(micros))
   }
 
+  test("forComponent: INT64 requires explicit time_unit, all four scales agree") {
+    import spark.implicits._
+    def viaUnit(v: Long, unit: String): Long = {
+      val df = Seq(v).toDF("ts")
+      df.select(unix_micros(EventTime.forComponent(df.schema, "ts",
+        Some(unit), "test"))).collect().head.getLong(0)
+    }
+    assert(viaUnit(micros / 1000000L, "seconds") === micros / 1000000L * 1000000L)
+    assert(viaUnit(micros / 1000L, "millis") === micros / 1000L * 1000L)
+    assert(viaUnit(micros, "micros") === micros)
+    assert(viaUnit(micros * 1000L, "nanos") === micros)
+    val longDf = Seq(1L).toDF("ts")
+    val e1 = intercept[IllegalArgumentException] {
+      EventTime.forComponent(longDf.schema, "ts", None, "test")
+    }
+    assert(e1.getMessage.contains("time_unit"))
+    val e2 = intercept[IllegalArgumentException] {
+      EventTime.forComponent(longDf.schema, "ts", Some("days"), "test")
+    }
+    assert(e2.getMessage.contains("unknown time_unit"))
+    val e3 = intercept[IllegalArgumentException] {
+      EventTime.forComponent(longDf.schema, "nope", None, "test")
+    }
+    assert(e3.getMessage.contains("not in input columns"))
+    // non-INT64 columns ignore time_unit and normalize as usual
+    val sDf = Seq("2024-03-05T17:30:01.123456").toDF("ts")
+    assert(sDf.select(unix_micros(EventTime.forComponent(sDf.schema, "ts",
+      Some("nanos"), "test"))).collect().head.getLong(0) === micros)
+  }
+
   test("ISO string and date variants cast; absent column is a no-op; bad type throws") {
     import spark.implicits._
     assert(microsOf(Seq("2024-03-05T17:30:01.123456").toDF("ts")) == Seq(micros))

@@ -459,6 +459,19 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(got.length === 1)
     assert(got.head.getAs[String]("window_start") === "2024-01-01 00:00:00")
     assert(got.head.getAs[Long]("sv") === 3L)
+    // batch/stream parity: the SAME time_unit contract through the batch
+    // `aggregation` comp_type produces the same window (plus the
+    // sentinel's still-open window, which batch has no watermark to hold)
+    val outB = tmp("sunit_out_batch")
+    val batchCfg = cfg(""""time_unit": "seconds",""", outB)
+      .replace("streaming_aggregation", "aggregation")
+    val built = JobGraph.build(spark, JobConfig.parse(batchCfg))
+    built.runSinks(); built.close()
+    val gotB = spark.read.parquet(outB).collect()
+      .map(r => (r.getAs[String]("window_start"), r.getAs[String]("k"),
+        r.getAs[Long]("sv"))).sortBy(_._1)
+    assert(gotB.toSeq === Seq(("2024-01-01 00:00:00", "a", 3L),
+      ("2024-01-02 00:00:00", "z", 0L)))
   }
 
   test("streaming_dedup: drained exact dedup matches Dedup.exact") {
