@@ -2748,6 +2748,49 @@ object SparkEntry {
       .orderBy(col("user_id"), col("n_th"))
   }
 
+  /** Declarative set_op with the two staged branches written in
+    * DIFFERENT on-disk column orders — the gate drives the by-name
+    * alignment (Dataset.intersect is positional; SetOpSpec pins the
+    * fix at unit level, this pins it through the config path). */
+  private def qJobSetOp(s: SparkSession, dir: String): DataFrame = {
+    val lStage = s"$tmpRoot/job_in_setop_l"
+    val rStage = s"$tmpRoot/job_in_setop_r"
+    val outDir = s"$tmpRoot/job_out_setop"
+    val o = table(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(lStage)
+    o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderpriority"), col("o_custkey")) // reversed order
+      .write.mode("overwrite").parquet(rStage)
+    val schema = fieldsJson("o_custkey" -> "integer",
+      "o_orderpriority" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "set_op_job",
+         |  "components": [
+         |    { "name": "l", "comp_type": "read_parquet", "filepath": "$lStage",
+         |      "routes": { "out": [ { "to": "s", "in_port": "left" } ] },
+         |      "out_port_schemas": { "out": $schema } },
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$rStage",
+         |      "routes": { "out": [ { "to": "s", "in_port": "right" } ] },
+         |      "out_port_schemas": { "out": $schema } },
+         |    { "name": "s", "comp_type": "set_op", "op": "intersect",
+         |      "in_port_schemas": { "left": $schema, "right": $schema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $schema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $schema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
   /** Combination job: schema_mapping join with the per-step `broadcast`
     * hint — the declarative face of the 100 TB dimension-join lever
     * (SchemaMappingAggSpec pins that the hint actually flips the plan to
@@ -2992,6 +3035,7 @@ object SparkEntry {
     "q_merge_union" -> (qMergeUnion _),
     "q_set_intersect" -> (qSetIntersect _),
     "q_set_except" -> (qSetExcept _),
+    "q_job_set_op" -> (qJobSetOp _),
     "q_split_branches" -> (qSplitBranches _),
     "q_sort_limit" -> (qSortLimit _),
     "q_window_topn" -> (qWindowTopN _),
@@ -3257,6 +3301,11 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+    "q_job_set_op" ->
+      """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey, o_orderpriority""".stripMargin,
     "q_split_branches" ->
       """SELECT a.l_returnflag, round(a.sum_qty, 2) AS sum_qty, b.n_rows FROM
         |  (SELECT l_returnflag, sum(l_quantity) AS sum_qty
