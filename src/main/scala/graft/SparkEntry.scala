@@ -2079,6 +2079,13 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact top-50 vocabulary over documents (TextAnalysis.topTokens):
+    * distributed top-k via TakeOrderedAndProject, deterministic
+    * (count desc, token asc) tiebreak so the k-th boundary is stable
+    * across engines. */
+  private def qTextTopk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTokens(table(s, dir, "documents"), "text", 50)
+
   /** PII redaction over documents. The synthetic corpus carries no PII
     * (verified: zero '@' occurrences), so the query SEEDS deterministic
     * emails/phones/IPs from doc_id — identically in the DuckDB oracle —
@@ -3097,6 +3104,7 @@ object SparkEntry {
     "q_job_dedup_cluster" -> (qJobDedupCluster _),
     "q_job_dedup_transitive" -> (qJobDedupTransitive _),
     "text_stats" -> (qTextStats _),
+    "text_topk" -> (qTextTopk _),
     "text_pii" -> (qTextPii _),
     "text_langid" -> (qTextLangId _),
     "sim_knn" -> (qSimKnn _),
@@ -4125,6 +4133,14 @@ object SparkEntry {
     "q_job_shuffle" ->
       """SELECT doc_id, lang, md5('r12s:' || doc_id::VARCHAR) AS shuffle_key
         |FROM documents ORDER BY shuffle_key""".stripMargin,
+    "text_topk" ->
+      """SELECT token, count(*)::BIGINT AS n_occurrences
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n_occurrences DESC, token
+        |LIMIT 50""".stripMargin,
     "text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -195,6 +195,14 @@ object ComponentSchemas {
       p("watermark", "string", "dedup state horizon, default '1 hour'"),
       p("text_column", "string", "document text column, default 'text'"),
       p("method", "string", "only 'exact' is streamable (near-dup families are batch-only)"))),
+    "streaming_range_join" -> ("Stream-static range/interval enrichment: STATIC right [start,end] intervals containing each stream row's value (streaming jobs only; stateless)" -> Seq(
+      req("right_path", "string", "parquet directory of the STATIC interval side — read as a batch frame, not a stream"),
+      req("on", "string", "stream-side value/time column the interval must contain (inclusive bounds)"),
+      req("start", "string", "right-side interval start column"),
+      req("end", "string", "right-side interval end column"),
+      p("by", "array", "optional equality keys (without them the interval side broadcasts)"),
+      p("suffix", "string", "suffix for clashing right columns, default '_r'"),
+      p("join_type", "string", "inner (default) | left"))),
     "streaming_asof_join" -> ("Stream-static as-of enrichment: nearest STATIC right row per stream row (streaming jobs only; stateless, right side broadcasts)" -> Seq(
       req("right_path", "string", "parquet directory of the STATIC right side (dimension table) — read as a batch frame, not a stream"),
       req("on", "string", "event-time column present on both sides"),

@@ -17,6 +17,23 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
+  /** Exact top-k most frequent whitespace tokens over a corpus — the
+    * vocabulary-stats primitive of training-data analysis (stopword
+    * discovery, template detection, tokenizer budgeting). Distributed
+    * shape: explode → map-side partial count → ONE shuffle on token →
+    * `TakeOrderedAndProject` (each partition forwards only its own
+    * top-k, no global sort — pinned in TextTopkSpec). Deterministic
+    * tiebreak (count desc, token asc) makes the k-th boundary stable,
+    * so the result is engine-reproducible. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"topTokens: k must be positive, got $k")
+    df.select(explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+  }
+
   /**
    * BPE-ish subword proxy: counts word pieces + digits + punctuation runs the
    * way byte-pair tokenizers tend to split. A deterministic upper-ish bound

@@ -59,7 +59,7 @@ object StreamingJobs {
     "filter", "type_conversion", "schema_mapping", "split", "merge",
     "unpivot", "hash_split", "sample",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
-    "streaming_asof_join",
+    "streaming_asof_join", "streaming_range_join",
     "write_csv", "write_json", "write_parquet")
 
   final case class SinkPlan(component: String, df: DataFrame, format: String,
@@ -245,6 +245,21 @@ object StreamingJobs {
             suffix = c.str("suffix").getOrElse("_r"),
             direction = c.str("direction").getOrElse("backward"),
             tolerance = c.str("tolerance")))
+
+        // Stream-static range/interval enrichment (ops/RangeJoin): the
+        // STATIC right side comes from `right_path` (a parquet interval
+        // dimension — calendars, campaigns, config epochs) and joins
+        // statelessly: equi-join on the by-keys with the containment
+        // condition, or a broadcast nested loop without keys. No
+        // watermark, no state store; exact parity with batch range_join
+        // on the same data (StreamingJobsSpec).
+        case "streaming_range_join" =>
+          val rightDf = graft.io.ParquetIO.read(spark, c.reqStr("right_path"))
+          Map("out" -> RangeJoin(one(c), rightDf,
+            c.reqStr("on"), c.reqStr("start"), c.reqStr("end"),
+            c.strSeqParam("by"),
+            c.str("suffix").getOrElse("_r"),
+            c.str("join_type").getOrElse("inner")))
 
         case t if t.startsWith("write_") =>
           val df = one(c)

@@ -49,7 +49,8 @@ class ComponentSchemasSpec extends AnyFunSuite {
   test("streaming-only comp_types come from the live StreamingJobs set") {
     // the streaming side needs no source scan: supportedTypes is a value
     assert(StreamingJobsTypes.streamingOnly ===
-      Set("streaming_aggregation", "streaming_dedup", "streaming_asof_join"))
+      Set("streaming_aggregation", "streaming_dedup", "streaming_asof_join",
+        "streaming_range_join"))
   }
 
   test("the source scan actually found the dispatch (anchor sanity)") {

@@ -584,6 +584,56 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(probe.isStreaming, "enrichment must preserve streaming-ness")
   }
 
+  test("streaming_range_join: stream-static intervals match batch RangeJoin, inner and left") {
+    import spark.implicits._
+    val lin = tmp("srj_left")
+    val rin = tmp("srj_right")
+    // boundary rows: t=4 inside both overlapping k1 intervals, t=1
+    // before all, t=7 outside the k2 interval
+    Seq((1L, "k1", 1L), (2L, "k1", 4L), (3L, "k1", 5L),
+      (4L, "k2", 3L), (5L, "k2", 7L))
+      .toDF("id", "k", "t").write.mode("overwrite").parquet(lin)
+    Seq(("k1", 2L, 4L, "A"), ("k1", 4L, 6L, "B"), ("k2", 1L, 3L, "C"))
+      .toDF("k", "s", "e", "tag").write.mode("overwrite").parquet(rin)
+    val lSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "t", "data_type": "integer" } ] }""".stripMargin
+    val oSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "k", "data_type": "string" },
+        |  { "name": "t", "data_type": "integer" },
+        |  { "name": "s", "data_type": "integer", "nullable": true },
+        |  { "name": "e", "data_type": "integer", "nullable": true },
+        |  { "name": "tag", "data_type": "string", "nullable": true } ] }""".stripMargin
+    for (jt <- Seq("inner", "left")) {
+      val out = tmp(s"srj_out_$jt")
+      val cfg =
+        s"""{ "name": "srj", "components": [
+           |  { "name": "r", "comp_type": "read_parquet", "filepath": "$lin",
+           |    "routes": { "out": [ { "to": "rj", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $lSchema } },
+           |  { "name": "rj", "comp_type": "streaming_range_join",
+           |    "right_path": "$rin", "on": "t", "start": "s", "end": "e",
+           |    "by": ["k"], "join_type": "$jt",
+           |    "in_port_schemas": { "in": $lSchema },
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $oSchema } },
+           |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+           |    "in_port_schemas": { "in": $oSchema } } ] }""".stripMargin
+      StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp(s"srj_ckpt_$jt"))
+      val batch = graft.ops.RangeJoin(
+        spark.read.parquet(lin), spark.read.parquet(rin),
+        on = "t", start = "s", end = "e", by = Seq("k"), joinType = jt)
+      assert(slurp(spark.read.parquet(out)) === slurp(batch),
+        s"stream/batch divergence for join_type=$jt")
+    }
+    assert(spark.read.parquet(tmp("srj_out_inner")).count() === 4)
+    assert(spark.read.parquet(tmp("srj_out_left")).count() === 6)
+  }
+
   test("hash_split and unpivot stream: per-port parity with the batch fold") {
     import spark.implicits._
     val in = tmp("hsu_in")
