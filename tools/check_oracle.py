@@ -25,6 +25,25 @@ def cmp(name, spark_df, duck_df):
         return f"ROWS spark={len(spark_df)} duck={len(duck_df)}"
     a, b = canon(spark_df), canon(duck_df)
     for col in a.columns:
+        # Hash-faithful dtype guard: the driver hashes value *strings*
+        # (int64 310 vs float64 310.0 differ), so an integer column on
+        # one side materializing as float on the other (DuckDB HUGEINT /
+        # DECIMAL -> pandas float64) is a mismatch even when every value
+        # compares numerically equal. Flag it before the value loop.
+        ak, bk = a[col].dtype.kind, b[col].dtype.kind
+        num = set("iuf")
+        if ak in num and bk in num and ((ak in "iu") != (bk in "iu")):
+            return (f"DTYPEDIFF col={col} spark={a[col].dtype} duck={b[col].dtype}"
+                    f" (int-vs-float materialization; driver hash would differ)")
+        # DECIMAL/HUGEINT can also land as object-dtype Decimal values
+        # against a numeric Spark column — same hash hazard.
+        import decimal
+        for kk, side in ((ak, a[col]), (bk, b[col])):
+            if kk == "O" and any(isinstance(v, decimal.Decimal) for v in side.head(5)):
+                other = bk if side is a[col] else ak
+                if other in num:
+                    return (f"DTYPEDIFF col={col} spark={a[col].dtype} duck={b[col].dtype}"
+                            f" (Decimal-vs-numeric materialization)")
         av, bv = a[col], b[col]
         for i, (x, y) in enumerate(zip(av, bv)):
             xn = x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NaT or (x != x)
