@@ -17,6 +17,14 @@ import graft.scale._
  * so Spark's partial-aggregate order and DuckDB's order produce identical
  * bits. Per-row scalar chains (ratios, rounds) are identical IEEE op
  * sequences on both sides and compare exactly.
+ *
+ * Integer-aggregate discipline: every integer aggregate the oracle SQL
+ * *outputs* is cast `::BIGINT` (including window sums — DuckDB widens
+ * `sum(BIGINT)` to HUGEINT, which the driver materializes as float64 and
+ * hash-mismatches against Spark's int64 even when values agree), or is
+ * divided into an exact double (`/ 100.0`). tools/check_oracle.py enforces
+ * this: it DESCRIBEs each oracle and fails on HUGEINT/DECIMAL output
+ * columns, and its value compare is dtype-strict (int-vs-float flags).
  */
 object SparkEntry {
 

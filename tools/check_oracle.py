@@ -60,6 +60,21 @@ def cmp(name, spark_df, duck_df):
                     return f"VALDIFF col={col} row={i} spark={x!r} duck={y!r}"
     return None
 
+def hazard(con, name, sql):
+    """HUGEINT/DECIMAL oracle *output* columns materialize as float64 /
+    Decimal in the driver's hasher and mismatch Spark's int64 even when
+    every value agrees (the q_window_lag r13 incident). Enforce the
+    SparkEntry rule: integer aggregates are cast ::BIGINT (or divided
+    into exact doubles) before they leave the oracle SQL."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return None  # the main loop reports the SQL failure itself
+    for colname, coltype, *_ in desc:
+        if "HUGEINT" in coltype.upper() or "DECIMAL" in coltype.upper():
+            return f"ORACLE DTYPE HAZARD col={colname} type={coltype} (cast ::BIGINT)"
+    return None
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -82,7 +97,7 @@ def main():
             duck_df = con.execute(oracles[q]).df()
         except Exception as e:
             print(f"{q}: ORACLE SQL FAIL {e}"); bad += 1; continue
-        err = cmp(q, spark_df, duck_df)
+        err = cmp(q, spark_df, duck_df) or hazard(con, q, oracles[q])
         if err: print(f"{q}: MISMATCH {err}"); bad += 1
         else: print(f"{q}: OK ({len(spark_df)} rows)"); ok += 1
     print(f"\n{ok} ok, {bad} bad, {len(all_q)-ok-bad} rows-only")
