@@ -403,6 +403,35 @@ object SparkEntry {
       .orderBy(col("o_custkey"))
   }
 
+  /** INTERSECT ALL — multiset semantics: a (custkey, priority) pair kept
+    * min(left multiplicity, right multiplicity) times, the copies plain
+    * `intersect` erases. The two filters overlap but neither contains the
+    * other, so all three multiplicity cases (left-only, right-only,
+    * shared-k) occur. Oracle: DuckDB's native INTERSECT ALL. */
+  private def qSetIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    RelationalOps.setOp(
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), col("o_orderpriority")),
+      o.filter(col("o_totalprice") > 50000)
+        .select(col("o_custkey"), col("o_orderpriority")),
+      "intersect_all")
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
+  /** EXCEPT ALL — multiset difference: each pair keeps
+    * max(0, left multiplicity − right multiplicity) copies. */
+  private def qSetExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    RelationalOps.setOp(
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), col("o_orderpriority")),
+      o.filter(col("o_totalprice") > 50000)
+        .select(col("o_custkey"), col("o_orderpriority")),
+      "except_all")
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
   private def qSplitBranches(s: SparkSession, dir: String): DataFrame = {
     val ports = RelationalOps.split(table(s, dir, "lineitem"), Seq("a", "b"))
     val sums = ports("a").groupBy(col("l_returnflag"))
@@ -2582,6 +2611,53 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("lang"))
   }
 
+  /** Combination job: `sample` with a NULL stratum — documents are staged
+    * with lang nulled for every 7th id, then sampled with per-stratum
+    * overrides. The pin: a NULL stratum value fails every equality in the
+    * threshold fold and falls through to the DEFAULT rate (never a listed
+    * override, never dropped) — RelationalOps.hashSample:144-150's rule,
+    * which q_job_sample cannot exercise (documents.lang has no nulls).
+    * The oracle replays the nulling and the seeded md5 arithmetic; its
+    * CASE ... ELSE branch encodes the same null fall-through. */
+  private def qJobSampleStrata(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_docs_strata"
+    val outDir = s"$tmpRoot/job_out_sample_strata"
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("lang")).as("lang"))
+      .write.mode("overwrite").parquet(stage)
+    val docSchema = fieldsJson("doc_id" -> "integer", "lang" -> "string")
+    val aggSchema = fieldsJson("lang" -> "string", "n_docs" -> "integer",
+      "sum_ids" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "sample_strata_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "sm", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "sm", "comp_type": "sample", "id_column": "doc_id",
+         |      "fraction": 0.5, "seed": "r14", "strata_column": "lang",
+         |      "strata_fractions": { "en": 0.25, "zh": 1.0 },
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "a", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "a", "comp_type": "sql",
+         |      "query": "SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_ids FROM a_in GROUP BY lang",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("lang"))
+  }
+
   /** Combination job: `shuffle` — the deterministic seeded global
     * shuffle (reproducible training order): every document gets
     * shuffle_key = md5(seed:doc_id) and the sink is written in total
@@ -2806,6 +2882,50 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderpriority"))
   }
 
+  /** Declarative set_op, `except_all` face: pins the MULTIPLICITY
+    * semantics through the config path (q_job_set_op pins dedup'd
+    * intersect) — each (custkey, priority) pair survives
+    * max(0, left − right) times. Branches again staged in different
+    * on-disk column orders to keep driving the by-name alignment. */
+  private def qJobSetExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val lStage = s"$tmpRoot/job_in_setxa_l"
+    val rStage = s"$tmpRoot/job_in_setxa_r"
+    val outDir = s"$tmpRoot/job_out_setxa"
+    val o = table(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(lStage)
+    o.filter(col("o_totalprice") > 50000)
+      .select(col("o_orderpriority"), col("o_custkey")) // reversed order
+      .write.mode("overwrite").parquet(rStage)
+    val schema = fieldsJson("o_custkey" -> "integer",
+      "o_orderpriority" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "set_except_all_job",
+         |  "components": [
+         |    { "name": "l", "comp_type": "read_parquet", "filepath": "$lStage",
+         |      "routes": { "out": [ { "to": "s", "in_port": "left" } ] },
+         |      "out_port_schemas": { "out": $schema } },
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$rStage",
+         |      "routes": { "out": [ { "to": "s", "in_port": "right" } ] },
+         |      "out_port_schemas": { "out": $schema } },
+         |    { "name": "s", "comp_type": "set_op", "op": "except_all",
+         |      "in_port_schemas": { "left": $schema, "right": $schema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $schema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $schema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
   /** Combination job: schema_mapping join with the per-step `broadcast`
     * hint — the declarative face of the 100 TB dimension-join lever
     * (SchemaMappingAggSpec pins that the hint actually flips the plan to
@@ -2923,6 +3043,41 @@ object SparkEntry {
         col("event_id").as("purchase_id"))
     graft.ops.RangeJoin(clicks, windows, on = "ts",
       start = "w_start", end = "w_end", by = Seq("user_id"))
+      .orderBy(col("event_id"), col("purchase_id"))
+  }
+
+  /** Range join, LEFT variant: every click survives — clicks outside any
+    * same-user purchase window carry null window columns (the "which
+    * campaign was active, if any" shape). Same keyed equi-join plan. */
+  private def qRangeJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"),
+        col("event_id").as("purchase_id"))
+    graft.ops.RangeJoin(clicks, windows, on = "ts",
+      start = "w_start", end = "w_end", by = Seq("user_id"), joinType = "left")
+      .orderBy(col("event_id"), col("purchase_id"))
+  }
+
+  /** Range join, KEYLESS variant: no equality key, so RangeJoin
+    * broadcasts the (dimension-sized) interval side and the plan is a
+    * BroadcastNestedLoopJoin — the global-calendar / maintenance-window
+    * shape. Interval side kept small (purchases of a few users) exactly
+    * as the 100 TB contract requires; RangeJoinSpec pins the plan. */
+  private def qRangeJoinKeyless(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"))
+    val windows = ev
+      .filter(col("event_type") === "purchase" && col("user_id") <= 5)
+      .select(col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"),
+        col("event_id").as("purchase_id"))
+    graft.ops.RangeJoin(clicks, windows, on = "ts",
+      start = "w_start", end = "w_end")
       .orderBy(col("event_id"), col("purchase_id"))
   }
 
@@ -3050,7 +3205,10 @@ object SparkEntry {
     "q_merge_union" -> (qMergeUnion _),
     "q_set_intersect" -> (qSetIntersect _),
     "q_set_except" -> (qSetExcept _),
+    "q_set_intersect_all" -> (qSetIntersectAll _),
+    "q_set_except_all" -> (qSetExceptAll _),
     "q_job_set_op" -> (qJobSetOp _),
+    "q_job_set_except_all" -> (qJobSetExceptAll _),
     "q_split_branches" -> (qSplitBranches _),
     "q_sort_limit" -> (qSortLimit _),
     "q_window_topn" -> (qWindowTopN _),
@@ -3063,6 +3221,8 @@ object SparkEntry {
     "q_events_slide" -> (qEventsSlide _),
     "q_events_session" -> (qEventsSession _),
     "q_range_join" -> (qRangeJoin _),
+    "q_range_join_left" -> (qRangeJoinLeft _),
+    "q_range_join_keyless" -> (qRangeJoinKeyless _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_broadcast" -> (qAsofBroadcast _),
     "q_asof_forward" -> (qAsofForward _),
@@ -3124,6 +3284,7 @@ object SparkEntry {
     "q_job_pii_redact" -> (qJobPiiRedact _),
     "q_job_hash_split" -> (qJobHashSplit _),
     "q_job_sample" -> (qJobSample _),
+    "q_job_sample_strata" -> (qJobSampleStrata _),
     "q_job_shuffle" -> (qJobShuffle _),
     "q_job_session_agg" -> (qJobSessionAgg _),
     "multimodal_features" -> (qMultimodal _))
@@ -3317,10 +3478,25 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
+        |ORDER BY o_custkey, o_orderpriority""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
+        |ORDER BY o_custkey, o_orderpriority""".stripMargin,
     "q_job_set_op" ->
       """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT
         |SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey, o_orderpriority""".stripMargin,
+    "q_job_set_except_all" ->
+      """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
         |ORDER BY o_custkey, o_orderpriority""".stripMargin,
     "q_split_branches" ->
       """SELECT a.l_returnflag, round(a.sum_qty, 2) AS sum_qty, b.n_rows FROM
@@ -3441,6 +3617,23 @@ object SparkEntry {
         |        event_id AS purchase_id
         |      FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.w_start AND c.ts <= p.w_end
+        |ORDER BY c.event_id, p.purchase_id""".stripMargin,
+    "q_range_join_left" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.w_start, p.w_end, p.purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT user_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end,
+        |        event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.w_start AND c.ts <= p.w_end
+        |ORDER BY c.event_id, p.purchase_id""".stripMargin,
+    "q_range_join_keyless" ->
+      """SELECT c.event_id, c.ts, p.w_start, p.w_end, p.purchase_id
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT ts AS w_start, ts + INTERVAL 1 HOUR AS w_end,
+        |        event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase' AND user_id <= 5) p
+        |  ON c.ts >= p.w_start AND c.ts <= p.w_end
         |ORDER BY c.event_id, p.purchase_id""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN — independent of the Spark
     // union+window formulation, so the two algorithms check each other
@@ -4133,6 +4326,21 @@ object SparkEntry {
         |k AS (
         |  SELECT doc_id, lang FROM b
         |  WHERE bucket < CASE lang WHEN 'en' THEN 3000 WHEN 'fr' THEN 10000 ELSE 6000 END)
+        |SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // same md5 replay with a NULL stratum staged in (doc_id % 7): the
+    // CASE ... ELSE default branch IS the null fall-through rule
+    "q_job_sample_strata" ->
+      """WITH staged AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('r14:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM staged),
+        |k AS (
+        |  SELECT doc_id, lang FROM b
+        |  WHERE bucket < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000 ELSE 5000 END)
         |SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     // seeded md5 order-key replay: per-row key parity pins the whole

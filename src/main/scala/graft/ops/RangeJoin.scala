@@ -58,13 +58,24 @@ object RangeJoin {
     require(outName.distinct.size == outName.size,
       s"range join: suffixed right columns collide with each other: " +
         outName.diff(outName.distinct).distinct.mkString(", "))
+    // The right by-keys get UNIQUE temp names before the join. Dropping
+    // the right key by column reference (`df.drop(r(k))`) mis-resolves
+    // when both sides share lineage (a self-join over the same source):
+    // Spark's attribute dedup can pick the LEFT instance, which a left
+    // join exposes as nulled left keys on every unmatched row. A rename
+    // leaves nothing ambiguous to resolve.
+    val keyAlias = by.map(k => k -> s"__range_by_$k").toMap
+    keyAlias.values.foreach(a => require(
+      !left.columns.contains(a) && !outName.contains(a),
+      s"range join: internal key alias '$a' collides with a data column"))
     val r0 = right.select(
-      (by.map(col) ++ rightVal.zip(outName).map { case (c, o) => col(c).as(o) }): _*)
+      (by.map(k => col(k).as(keyAlias(k))) ++
+        rightVal.zip(outName).map { case (c, o) => col(c).as(o) }): _*)
     val r = if (by.isEmpty) broadcast(r0) else r0
     val sOut = outName(rightVal.indexOf(start))
     val eOut = outName(rightVal.indexOf(end))
     val rangeCond = left(on) >= r(sOut) && left(on) <= r(eOut)
-    val cond = by.map(k => left(k) === r(k)).foldRight(rangeCond)(_ && _)
-    by.foldLeft(left.join(r, cond, joinType))((df, k) => df.drop(r(k)))
+    val cond = by.map(k => left(k) === r(keyAlias(k))).foldRight(rangeCond)(_ && _)
+    keyAlias.values.foldLeft(left.join(r, cond, joinType))((df, a) => df.drop(a))
   }
 }

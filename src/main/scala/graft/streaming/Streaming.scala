@@ -35,7 +35,16 @@ object Streaming {
     * TimestampType exactly like batch ingestion (graft.util.EventTime —
     * the driver testdata has shipped both nanos-INT64 and native
     * TIMESTAMP(µs) NTZ representations), so the watermark/window
-    * operators downstream cannot diverge from the batch contract. */
+    * operators downstream cannot diverge from the batch contract.
+    *
+    * CAVEAT — integral `ts` is assumed epoch-NANOS: that is the driver
+    * testdata's legacy INT64 contract, and it is what batch `table()`
+    * reads, so the parity tests hold. A directory whose longs are
+    * epoch-seconds/millis would be mis-scaled 10^6-10^9 with no error;
+    * such sources must declare the scale instead — the component path
+    * (streaming aggregation/session configs) REQUIRES an explicit
+    * `time_unit` for INT64 columns via EventTime.forComponent and is the
+    * API for anything that is not this driver fixture. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     graft.util.EventTime.normalize(spark.readStream.schema(schema).parquet(dir), "ts")

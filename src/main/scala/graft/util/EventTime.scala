@@ -32,29 +32,47 @@ import org.apache.spark.sql.types._
  */
 object EventTime {
 
-  /** Normalizing projection for one column of `schema`; None when the
-    * column is absent or already canonical (no projection needed). */
+  /** Resolve `colName` the way Spark's default analyzer does —
+    * case-INsensitively — so normalization and downstream column
+    * resolution agree: a column cased 'TS' must normalize, not silently
+    * skip and still resolve later. Ambiguity (two case-variant fields)
+    * is loud; Spark itself would throw on reference. */
+  private def resolve(schema: StructType, colName: String): Option[StructField] =
+    schema.fields.filter(_.name.equalsIgnoreCase(colName)) match {
+      case Array()  => None
+      case Array(f) => Some(f)
+      case many => throw new IllegalArgumentException(
+        s"EventTime: column '$colName' is ambiguous under Spark's " +
+          s"case-insensitive resolution: ${many.map(_.name).mkString(", ")}")
+    }
+
+  /** Normalizing projection for one column of `schema` (resolved
+    * case-insensitively); None when the column is absent or already
+    * canonical (no projection needed). */
   def normalizeExpr(schema: StructType, colName: String): Option[Column] =
-    schema.find(_.name == colName).flatMap { f =>
+    resolve(schema, colName).flatMap { f =>
       f.dataType match {
         case TimestampType    => None
-        case LongType         => Some(timestamp_micros(expr(s"`${colName.replace("`", "``")}` div 1000")))
-        case TimestampNTZType => Some(col(colName).cast(TimestampType))
-        case DateType         => Some(col(colName).cast(TimestampType))
-        case StringType       => Some(col(colName).cast(TimestampType))
+        case LongType         => Some(timestamp_micros(expr(s"`${f.name.replace("`", "``")}` div 1000")))
+        case TimestampNTZType => Some(col(f.name).cast(TimestampType))
+        case DateType         => Some(col(f.name).cast(TimestampType))
+        case StringType       => Some(col(f.name).cast(TimestampType))
         case other =>
           throw new IllegalArgumentException(
-            s"EventTime: column '$colName' has unsupported type $other " +
+            s"EventTime: column '${f.name}' has unsupported type $other " +
               "(expected INT64 epoch-nanos, timestamp, timestamp_ntz, date, or string)")
       }
     }
 
-  /** `df` with `colName` (if present) normalized to `TimestampType`. */
+  /** `df` with `colName` (if present) normalized to `TimestampType`.
+    * Replaces the column under its ACTUAL schema casing. */
   def normalize(df: DataFrame, colName: String): DataFrame =
-    normalizeExpr(df.schema, colName) match {
-      case Some(e) => df.withColumn(colName, e)
-      case None    => df
-    }
+    resolve(df.schema, colName).map { f =>
+      normalizeExpr(df.schema, f.name) match {
+        case Some(e) => df.withColumn(f.name, e)
+        case None    => df
+      }
+    }.getOrElse(df)
 
   /** Component-facing event-time normalization, shared by the batch
     * `aggregation` time-window path and the streaming components so a
@@ -65,24 +83,24 @@ object EventTime {
     * inferable, and guessing yields garbage windows that run green. */
   def forComponent(schema: StructType, colName: String,
                    unit: Option[String], what: String): Column = {
-    require(schema.fieldNames.contains(colName),
+    val f = resolve(schema, colName).getOrElse(throw new IllegalArgumentException(
       s"$what: time_column '$colName' not in input columns " +
-        schema.fieldNames.mkString(", "))
-    schema(colName).dataType match {
+        schema.fieldNames.mkString(", ")))
+    f.dataType match {
       case LongType =>
         val u = unit.getOrElse(throw new IllegalArgumentException(
-          s"$what: time_column '$colName' is an INT64 epoch — declare " +
+          s"$what: time_column '${f.name}' is an INT64 epoch — declare " +
             "'time_unit' (seconds|millis|micros|nanos) so the scale is explicit"))
-        val quoted = s"`${colName.replace("`", "``")}`"
+        val quoted = s"`${f.name.replace("`", "``")}`"
         u match {
-          case "seconds" => timestamp_seconds(col(colName))
-          case "millis"  => timestamp_millis(col(colName))
-          case "micros"  => timestamp_micros(col(colName))
+          case "seconds" => timestamp_seconds(col(f.name))
+          case "millis"  => timestamp_millis(col(f.name))
+          case "micros"  => timestamp_micros(col(f.name))
           case "nanos"   => timestamp_micros(expr(s"$quoted div 1000"))
           case other => throw new IllegalArgumentException(
             s"$what: unknown time_unit '$other' (seconds|millis|micros|nanos)")
         }
-      case _ => normalizeExpr(schema, colName).getOrElse(col(colName))
+      case _ => normalizeExpr(schema, f.name).getOrElse(col(f.name))
     }
   }
 }

@@ -83,6 +83,26 @@ class EventTimeSpec extends SparkTestBase {
       Some("nanos"), "test"))).collect().head.getLong(0) === micros)
   }
 
+  test("column resolution is case-insensitive, like Spark's analyzer") {
+    import spark.implicits._
+    // a column cased 'TS' must still normalize (not silently skip while
+    // resolving downstream), and keep its schema casing
+    val df = Seq(micros * 1000L).toDF("TS")
+    val out = EventTime.normalize(df, "ts")
+    assert(out.columns.toSeq == Seq("TS"))
+    assert(out.schema("TS").dataType == TimestampType)
+    assert(out.select(unix_micros(col("TS"))).collect().head.getLong(0) == micros)
+    // forComponent resolves the same way
+    assert(df.select(unix_micros(EventTime.forComponent(df.schema, "ts",
+      Some("nanos"), "test"))).collect().head.getLong(0) == micros)
+    // case-variant duplicates are loud, as Spark itself would be on reference
+    val dup = StructType(Seq(StructField("ts", LongType), StructField("TS", LongType)))
+    val e = intercept[IllegalArgumentException] {
+      EventTime.normalizeExpr(dup, "ts")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("ISO string and date variants cast; absent column is a no-op; bad type throws") {
     import spark.implicits._
     assert(microsOf(Seq("2024-03-05T17:30:01.123456").toDF("ts")) == Seq(micros))

@@ -43,6 +43,10 @@ class RangeJoinSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"),
       s"keyed range join must not cross-product:\n$plan")
+    // positively: the keys hash — one of Spark's equi-join operators
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        .exists(plan.contains),
+      s"keyed range join must compile to an equi-join operator:\n$plan")
   }
 
   test("keyless plan broadcasts the interval side (nested loop by construction)") {
@@ -51,6 +55,25 @@ class RangeJoinSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"keyless range join must broadcast the interval side:\n$plan")
+  }
+
+  test("left join over SHARED-LINEAGE sides keeps the left by-key (self-join regression)") {
+    import spark.implicits._
+    // both sides derived from the same frame: Spark's attribute dedup
+    // made drop-by-reference remove the LEFT key, nulling it on every
+    // unmatched row (caught by the q_range_join_left oracle gate)
+    val base = Seq(("k1", 1, "ev"), ("k1", 3, "win"), ("k2", 9, "ev"))
+      .toDF("k", "t", "kind")
+    val l = base.filter(col("kind") === "ev").select(col("k"), col("t"))
+    val r = base.filter(col("kind") === "win")
+      .select(col("k"), (col("t") - 1).as("s"), (col("t") + 1).as("e"))
+    val out = RangeJoin(l, r, "t", "s", "e", Seq("k"), joinType = "left")
+    assert(out.columns.count(_ == "k") === 1)
+    val rows = out.select(col("k"), col("t"), col("s"))
+      .collect().map(x => (x.getString(0), x.getInt(1), if (x.isNullAt(2)) None else Some(x.getInt(2))))
+      .sortBy(x => (x._1, x._2))
+    // k is the LEFT key: never null, even on the two unmatched rows
+    assert(rows.toSeq === Seq(("k1", 1, None), ("k2", 9, None)))
   }
 
   test("collisions suffix; failure modes are loud") {

@@ -634,6 +634,56 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(tmp("srj_out_left")).count() === 6)
   }
 
+  test("streaming_range_join: KEYLESS broadcast shape runs under streaming, inner and left") {
+    // pins that the BroadcastNestedLoopJoin against a streaming left side
+    // (RangeJoin's keyless plan) actually executes under Structured
+    // Streaming for both join types — a Spark restriction on stream-side
+    // non-equi joins must surface here, not in a user job
+    import spark.implicits._
+    val lin = tmp("srjk_left")
+    val rin = tmp("srjk_right")
+    Seq((1L, 1L), (2L, 4L), (3L, 5L), (4L, 3L), (5L, 7L))
+      .toDF("id", "t").write.mode("overwrite").parquet(lin)
+    Seq((2L, 4L, "A"), (4L, 6L, "B")).toDF("s", "e", "tag")
+      .write.mode("overwrite").parquet(rin)
+    val lSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "t", "data_type": "integer" } ] }""".stripMargin
+    val oSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "t", "data_type": "integer" },
+        |  { "name": "s", "data_type": "integer", "nullable": true },
+        |  { "name": "e", "data_type": "integer", "nullable": true },
+        |  { "name": "tag", "data_type": "string", "nullable": true } ] }""".stripMargin
+    for (jt <- Seq("inner", "left")) {
+      val out = tmp(s"srjk_out_$jt")
+      val cfg =
+        s"""{ "name": "srjk", "components": [
+           |  { "name": "r", "comp_type": "read_parquet", "filepath": "$lin",
+           |    "routes": { "out": [ { "to": "rj", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $lSchema } },
+           |  { "name": "rj", "comp_type": "streaming_range_join",
+           |    "right_path": "$rin", "on": "t", "start": "s", "end": "e",
+           |    "join_type": "$jt",
+           |    "in_port_schemas": { "in": $lSchema },
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $oSchema } },
+           |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+           |    "in_port_schemas": { "in": $oSchema } } ] }""".stripMargin
+      StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp(s"srjk_ckpt_$jt"))
+      val batch = graft.ops.RangeJoin(
+        spark.read.parquet(lin), spark.read.parquet(rin),
+        on = "t", start = "s", end = "e", joinType = jt)
+      assert(slurp(spark.read.parquet(out)) === slurp(batch),
+        s"stream/batch divergence for keyless join_type=$jt")
+    }
+    // t=4 matches both intervals, t=3/t=5 one each; t=1, t=7 none
+    assert(spark.read.parquet(tmp("srjk_out_inner")).count() === 4)
+    assert(spark.read.parquet(tmp("srjk_out_left")).count() === 6)
+  }
+
   test("hash_split and unpivot stream: per-port parity with the batch fold") {
     import spark.implicits._
     val in = tmp("hsu_in")
