@@ -432,6 +432,19 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderpriority"))
   }
 
+  /** UNION (distinct) — the last un-oracled member of the set_op enum:
+    * dedup'd by-name union of both sides. */
+  private def qSetUnion(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    RelationalOps.setOp(
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"), col("o_orderpriority")),
+      o.filter(col("o_totalprice") > 50000)
+        .select(col("o_orderpriority"), col("o_custkey")), // by-name align
+      "union_distinct")
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
   private def qSplitBranches(s: SparkSession, dir: String): DataFrame = {
     val ports = RelationalOps.split(table(s, dir, "lineitem"), Seq("a", "b"))
     val sums = ports("a").groupBy(col("l_returnflag"))
@@ -3207,6 +3220,7 @@ object SparkEntry {
     "q_set_except" -> (qSetExcept _),
     "q_set_intersect_all" -> (qSetIntersectAll _),
     "q_set_except_all" -> (qSetExceptAll _),
+    "q_set_union" -> (qSetUnion _),
     "q_job_set_op" -> (qJobSetOp _),
     "q_job_set_except_all" -> (qJobSetExceptAll _),
     "q_split_branches" -> (qSplitBranches _),
@@ -3486,6 +3500,11 @@ object SparkEntry {
     "q_set_except_all" ->
       """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT ALL
+        |SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
+        |ORDER BY o_custkey, o_orderpriority""".stripMargin,
+    "q_set_union" ->
+      """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |UNION
         |SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
         |ORDER BY o_custkey, o_orderpriority""".stripMargin,
     "q_job_set_op" ->
