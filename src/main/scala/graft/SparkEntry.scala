@@ -489,6 +489,22 @@ object SparkEntry {
       .filter(col("n_th") <= 5)
       .orderBy(col("user_id"), col("n_th"))
 
+  /** lead + first_value + dense_rank per user — the remaining WindowOp
+    * function faces (q_window_topn: rank family; q_window_lag:
+    * lag/running sum). Unique event_id order makes dense_rank coincide
+    * with row_number (deterministic) and pins first_value to the
+    * partition's first row under the SQL default frame on both engines. */
+  private def qWindowLead(s: SparkSession, dir: String): DataFrame =
+    WindowOp(table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+      Seq("user_id"), Seq(("event_id", 1)),
+      Seq(WindowOp.WinFn("lead", Some("cents"), 1, "next_cents"),
+        WindowOp.WinFn("first", Some("cents"), 0, "first_cents"),
+        WindowOp.WinFn("dense_rank", None, 0, "n_th")))
+      .filter(col("n_th") <= 5)
+      .orderBy(col("user_id"), col("n_th"))
+
   /** Tumbling-window event aggregation (batch parity of the streaming path). */
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
@@ -3227,6 +3243,7 @@ object SparkEntry {
     "q_sort_limit" -> (qSortLimit _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_lag" -> (qWindowLag _),
+    "q_window_lead" -> (qWindowLead _),
     "q_job_sort" -> (qJobSort _),
     "q_job_window_topn" -> (qJobWindowTopn _),
     "q_job_window_lag" -> (qJobWindowLag _),
@@ -3549,6 +3566,17 @@ object SparkEntry {
         |      OVER (PARTITION BY user_id ORDER BY event_id))::BIGINT AS run_cents,
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n_th
         |  FROM events)
+        |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin,
+    "q_window_lead" ->
+      """SELECT event_id, user_id, cents, next_cents, first_cents, n_th FROM (
+        |  SELECT event_id, user_id, round(value * 100)::BIGINT AS cents,
+        |    lead(round(value * 100)::BIGINT)
+        |      OVER w AS next_cents,
+        |    first_value(round(value * 100)::BIGINT)
+        |      OVER w AS first_cents,
+        |    dense_rank() OVER w AS n_th
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
         |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin,
     "q_job_sort" ->
       """SELECT event_id, user_id, value FROM events
