@@ -69,6 +69,9 @@ class RangeJoinSpec extends SparkTestBase {
       .select(col("k"), (col("t") - 1).as("s"), (col("t") + 1).as("e"))
     val out = RangeJoin(l, r, "t", "s", "e", Seq("k"), joinType = "left")
     assert(out.columns.count(_ == "k") === 1)
+    // the renamed-key condition must still be an equi-join, not a
+    // nested loop, under shared lineage too
+    assert(!out.queryExecution.executedPlan.toString.contains("NestedLoop"))
     val rows = out.select(col("k"), col("t"), col("s"))
       .collect().map(x => (x.getString(0), x.getInt(1), if (x.isNullAt(2)) None else Some(x.getInt(2))))
       .sortBy(x => (x._1, x._2))
