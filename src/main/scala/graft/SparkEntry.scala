@@ -2955,6 +2955,105 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderpriority"))
   }
 
+  /** Declarative range_join: the config face of ops/RangeJoin — clicks
+    * against same-user 1-hour purchase windows, join_type=left (the
+    * variant whose shared-lineage key handling q_range_join_left fixed),
+    * staged as epoch-micros integers because the declared-schema type
+    * system (like the reference's) has no timestamp type. The oracle
+    * replays the micros arithmetic with DuckDB epoch_us. */
+  private def qJobRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val lStage = s"$tmpRoot/job_in_rj_clicks"
+    val rStage = s"$tmpRoot/job_in_rj_windows"
+    val outDir = s"$tmpRoot/job_out_range_join"
+    val ev = table(s, dir, "events")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      .write.mode("overwrite").parquet(lStage)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("w_start"),
+        unix_micros(col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"),
+        col("event_id").as("purchase_id"))
+      .write.mode("overwrite").parquet(rStage)
+    val lSchema = fieldsJson("event_id" -> "integer", "user_id" -> "integer",
+      "t" -> "integer")
+    val rSchema = fieldsJson("user_id" -> "integer", "w_start" -> "integer",
+      "w_end" -> "integer", "purchase_id" -> "integer")
+    val oSchema = fieldsJson("event_id" -> "integer", "user_id" -> "integer",
+      "t" -> "integer", "w_start" -> "integer", "w_end" -> "integer",
+      "purchase_id" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "range_join_job",
+         |  "components": [
+         |    { "name": "l", "comp_type": "read_parquet", "filepath": "$lStage",
+         |      "routes": { "out": [ { "to": "rj", "in_port": "left" } ] },
+         |      "out_port_schemas": { "out": $lSchema } },
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$rStage",
+         |      "routes": { "out": [ { "to": "rj", "in_port": "right" } ] },
+         |      "out_port_schemas": { "out": $rSchema } },
+         |    { "name": "rj", "comp_type": "range_join", "on": "t",
+         |      "start": "w_start", "end": "w_end", "by": ["user_id"],
+         |      "join_type": "left",
+         |      "in_port_schemas": { "left": $lSchema, "right": $rSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $oSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $oSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("event_id"), col("purchase_id"))
+  }
+
+  /** Declarative asof_join: the config face of ops/AsofJoin (backward,
+    * strategy=window — the corpus-sized-both-sides plan), same
+    * epoch-micros staging. Oracle: DuckDB's native ASOF LEFT JOIN over
+    * the same integers — an independent algorithm. */
+  private def qJobAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val lStage = s"$tmpRoot/job_in_asof_clicks"
+    val rStage = s"$tmpRoot/job_in_asof_purch"
+    val outDir = s"$tmpRoot/job_out_asof_join"
+    val ev = table(s, dir, "events")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      .write.mode("overwrite").parquet(lStage)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        round(col("value") * 100).cast("long").as("p_cents"))
+      .write.mode("overwrite").parquet(rStage)
+    val lSchema = fieldsJson("event_id" -> "integer", "user_id" -> "integer",
+      "t" -> "integer")
+    val rSchema = fieldsJson("user_id" -> "integer", "t" -> "integer",
+      "p_cents" -> "integer")
+    val oSchema = fieldsJson("event_id" -> "integer", "user_id" -> "integer",
+      "t" -> "integer", "p_cents" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "asof_join_job",
+         |  "components": [
+         |    { "name": "l", "comp_type": "read_parquet", "filepath": "$lStage",
+         |      "routes": { "out": [ { "to": "aj", "in_port": "left" } ] },
+         |      "out_port_schemas": { "out": $lSchema } },
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$rStage",
+         |      "routes": { "out": [ { "to": "aj", "in_port": "right" } ] },
+         |      "out_port_schemas": { "out": $rSchema } },
+         |    { "name": "aj", "comp_type": "asof_join", "on": "t",
+         |      "by": ["user_id"], "direction": "backward",
+         |      "in_port_schemas": { "left": $lSchema, "right": $rSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $oSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $oSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("event_id"))
+  }
+
   /** Combination job: schema_mapping join with the per-step `broadcast`
     * hint — the declarative face of the 100 TB dimension-join lever
     * (SchemaMappingAggSpec pins that the hint actually flips the plan to
@@ -3254,6 +3353,8 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_range_join_left" -> (qRangeJoinLeft _),
     "q_range_join_keyless" -> (qRangeJoinKeyless _),
+    "q_job_range_join" -> (qJobRangeJoin _),
+    "q_job_asof_join" -> (qJobAsofJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_broadcast" -> (qAsofBroadcast _),
     "q_asof_forward" -> (qAsofForward _),
@@ -3682,6 +3783,27 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase' AND user_id <= 5) p
         |  ON c.ts >= p.w_start AND c.ts <= p.w_end
         |ORDER BY c.event_id, p.purchase_id""".stripMargin,
+    "q_job_range_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts)::BIGINT AS t,
+        |       p.w_start, p.w_end, p.purchase_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT user_id, epoch_us(ts)::BIGINT AS w_start,
+        |        epoch_us(ts + INTERVAL 1 HOUR)::BIGINT AS w_end,
+        |        event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_us(c.ts)::BIGINT >= p.w_start
+        |  AND epoch_us(c.ts)::BIGINT <= p.w_end
+        |ORDER BY c.event_id, p.purchase_id""".stripMargin,
+    "q_job_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts)::BIGINT AS t, p.p_cents
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, round(value * 100)::BIGINT AS p_cents
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN — independent of the Spark
     // union+window formulation, so the two algorithms check each other
     "q_asof_join" ->
