@@ -818,6 +818,22 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("n_name"))
   }
 
+  /** Oracle for the 5-column orders profile, shared by the Scala face
+    * (q_profile) and the declarative face (q_job_profile — its staged
+    * input is a pure projection of orders, so the same SQL replays). */
+  private def profileOracleSql: String = Seq(
+    ("o_custkey", true), ("o_orderkey", true), ("o_orderpriority", false),
+    ("o_orderstatus", false), ("o_totalprice", true)).map { case (c, num) =>
+    val (mn, mx, ms, xs) =
+      if (num) (s"min($c)::DOUBLE", s"max($c)::DOUBLE", "NULL::VARCHAR", "NULL::VARCHAR")
+      else ("NULL::DOUBLE", "NULL::DOUBLE", s"min($c)::VARCHAR", s"max($c)::VARCHAR")
+    s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+       |  (count(*) - count($c))::BIGINT AS n_nulls,
+       |  count(DISTINCT $c)::BIGINT AS n_distinct,
+       |  $mn AS min_num, $mx AS max_num,
+       |  $ms AS min_str, $xs AS max_str FROM orders""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   /** Shared helper: inline schema JSON from (name, type) pairs. */
   private def fieldsJson(fs: (String, String)*): String =
     fs.map { case (n, t) => s"""{ "name": "$n", "data_type": "$t", "nullable": true }""" }
@@ -2955,6 +2971,95 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderpriority"))
   }
 
+  /** Declarative unpivot: the config face of RelationalOps.unpivot
+    * (q_unpivot is the Scala face) — cents-staged lineitem measures
+    * melted to (measure, cents) rows, rolled up per measure through the
+    * sql component so the gate pins every melted cell. */
+  private def qJobUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_lineitem_melt"
+    val outDir = s"$tmpRoot/job_out_unpivot"
+    table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * 100).cast("long").as("quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("extendedprice"),
+        round(col("l_discount") * 100).cast("long").as("discount"))
+      .write.mode("overwrite").parquet(stage)
+    val inSchema = fieldsJson("l_orderkey" -> "integer", "l_linenumber" -> "integer",
+      "quantity" -> "integer", "extendedprice" -> "integer", "discount" -> "integer")
+    val meltSchema = fieldsJson("l_orderkey" -> "integer", "l_linenumber" -> "integer",
+      "measure" -> "string", "cents" -> "integer")
+    val aggSchema = fieldsJson("measure" -> "string", "n_cells" -> "integer",
+      "sum_cents" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "unpivot_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "up", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $inSchema } },
+         |    { "name": "up", "comp_type": "unpivot",
+         |      "id_columns": ["l_orderkey", "l_linenumber"],
+         |      "value_columns": ["quantity", "extendedprice", "discount"],
+         |      "var_column": "measure", "value_column": "cents",
+         |      "in_port_schemas": { "in": $inSchema },
+         |      "routes": { "out": [ { "to": "a", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $meltSchema } },
+         |    { "name": "a", "comp_type": "sql",
+         |      "query": "SELECT measure, count(*) AS n_cells, sum(cents) AS sum_cents FROM a_in GROUP BY measure",
+         |      "in_port_schemas": { "in": $meltSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("measure"))
+  }
+
+  /** Declarative profile: the config face of scale/Profile (q_profile is
+    * the Scala face) — the same 5-column orders projection profiled
+    * through the `profile` comp_type; identical oracle, since staging is
+    * a pure projection. */
+  private def qJobProfile(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_orders_prof"
+    val outDir = s"$tmpRoot/job_out_profile"
+    table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(stage)
+    val inSchema = fieldsJson("o_orderkey" -> "integer", "o_custkey" -> "integer",
+      "o_totalprice" -> "float", "o_orderstatus" -> "string",
+      "o_orderpriority" -> "string")
+    val profSchema = fieldsJson("col_name" -> "string", "n_rows" -> "integer",
+      "n_nulls" -> "integer", "n_distinct" -> "integer",
+      "min_num" -> "float", "max_num" -> "float",
+      "min_str" -> "string", "max_str" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "profile_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "p", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $inSchema } },
+         |    { "name": "p", "comp_type": "profile",
+         |      "columns": ["o_orderkey", "o_custkey", "o_totalprice",
+         |                  "o_orderstatus", "o_orderpriority"],
+         |      "in_port_schemas": { "in": $inSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $profSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $profSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("col_name"))
+  }
+
   /** Declarative range_join: the config face of ops/RangeJoin — clicks
     * against same-user 1-hour purchase windows, join_type=left (the
     * variant whose shared-lineage key handling q_range_join_left fixed),
@@ -3355,6 +3460,8 @@ object SparkEntry {
     "q_range_join_keyless" -> (qRangeJoinKeyless _),
     "q_job_range_join" -> (qJobRangeJoin _),
     "q_job_asof_join" -> (qJobAsofJoin _),
+    "q_job_unpivot" -> (qJobUnpivot _),
+    "q_job_profile" -> (qJobProfile _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_broadcast" -> (qAsofBroadcast _),
     "q_asof_forward" -> (qAsofForward _),
@@ -3480,18 +3587,8 @@ object SparkEntry {
         |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
-    "q_profile" -> Seq(
-      ("o_custkey", true), ("o_orderkey", true), ("o_orderpriority", false),
-      ("o_orderstatus", false), ("o_totalprice", true)).map { case (c, num) =>
-      val (mn, mx, ms, xs) =
-        if (num) (s"min($c)::DOUBLE", s"max($c)::DOUBLE", "NULL::VARCHAR", "NULL::VARCHAR")
-        else ("NULL::DOUBLE", "NULL::DOUBLE", s"min($c)::VARCHAR", s"max($c)::VARCHAR")
-      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
-         |  (count(*) - count($c))::BIGINT AS n_nulls,
-         |  count(DISTINCT $c)::BIGINT AS n_distinct,
-         |  $mn AS min_num, $mx AS max_num,
-         |  $ms AS min_str, $xs AS max_str FROM orders""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "q_profile" -> profileOracleSql,
+    "q_job_profile" -> profileOracleSql, // staging is a pure projection
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  sum(round(o_totalprice * 100)::BIGINT)
@@ -3783,6 +3880,16 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase' AND user_id <= 5) p
         |  ON c.ts >= p.w_start AND c.ts <= p.w_end
         |ORDER BY c.event_id, p.purchase_id""".stripMargin,
+    "q_job_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'quantity' AS measure, round(l_quantity * 100)::BIGINT AS cents
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'extendedprice', round(l_extendedprice * 100)::BIGINT FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount', round(l_discount * 100)::BIGINT FROM lineitem)
+        |SELECT measure, count(*)::BIGINT AS n_cells, sum(cents)::BIGINT AS sum_cents
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     "q_job_range_join" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts)::BIGINT AS t,
         |       p.w_start, p.w_end, p.purchase_id
