@@ -32,43 +32,49 @@ import org.apache.spark.sql.types._
  */
 object EventTime {
 
-  /** Resolve `colName` the way Spark's default analyzer does —
-    * case-INsensitively — so normalization and downstream column
-    * resolution agree: a column cased 'TS' must normalize, not silently
-    * skip and still resolve later. Ambiguity (two case-variant fields)
-    * is loud; Spark itself would throw on reference. */
+  /** Resolve `colName` like Spark's default analyzer: an EXACT-case
+    * match wins outright (also correct under spark.sql.caseSensitive);
+    * otherwise a unique case-variant matches — a column cased 'TS' must
+    * normalize, not silently skip and still resolve later. Two
+    * case-variants with no exact match are loud; Spark itself would
+    * throw on reference under its default resolver. */
   private def resolve(schema: StructType, colName: String): Option[StructField] =
-    schema.fields.filter(_.name.equalsIgnoreCase(colName)) match {
-      case Array()  => None
-      case Array(f) => Some(f)
-      case many => throw new IllegalArgumentException(
-        s"EventTime: column '$colName' is ambiguous under Spark's " +
-          s"case-insensitive resolution: ${many.map(_.name).mkString(", ")}")
+    schema.fields.find(_.name == colName).orElse {
+      schema.fields.filter(_.name.equalsIgnoreCase(colName)) match {
+        case Array()  => None
+        case Array(f) => Some(f)
+        case many => throw new IllegalArgumentException(
+          s"EventTime: column '$colName' is ambiguous under Spark's " +
+            s"case-insensitive resolution: ${many.map(_.name).mkString(", ")}")
+      }
+    }
+
+  /** Normalizing projection for an already-resolved field; None when the
+    * column is already canonical (no projection needed). */
+  private def exprFor(f: StructField): Option[Column] =
+    f.dataType match {
+      case TimestampType    => None
+      case LongType         => Some(timestamp_micros(expr(s"`${f.name.replace("`", "``")}` div 1000")))
+      case TimestampNTZType => Some(col(f.name).cast(TimestampType))
+      case DateType         => Some(col(f.name).cast(TimestampType))
+      case StringType       => Some(col(f.name).cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"EventTime: column '${f.name}' has unsupported type $other " +
+            "(expected INT64 epoch-nanos, timestamp, timestamp_ntz, date, or string)")
     }
 
   /** Normalizing projection for one column of `schema` (resolved
     * case-insensitively); None when the column is absent or already
     * canonical (no projection needed). */
   def normalizeExpr(schema: StructType, colName: String): Option[Column] =
-    resolve(schema, colName).flatMap { f =>
-      f.dataType match {
-        case TimestampType    => None
-        case LongType         => Some(timestamp_micros(expr(s"`${f.name.replace("`", "``")}` div 1000")))
-        case TimestampNTZType => Some(col(f.name).cast(TimestampType))
-        case DateType         => Some(col(f.name).cast(TimestampType))
-        case StringType       => Some(col(f.name).cast(TimestampType))
-        case other =>
-          throw new IllegalArgumentException(
-            s"EventTime: column '${f.name}' has unsupported type $other " +
-              "(expected INT64 epoch-nanos, timestamp, timestamp_ntz, date, or string)")
-      }
-    }
+    resolve(schema, colName).flatMap(exprFor)
 
   /** `df` with `colName` (if present) normalized to `TimestampType`.
     * Replaces the column under its ACTUAL schema casing. */
   def normalize(df: DataFrame, colName: String): DataFrame =
     resolve(df.schema, colName).map { f =>
-      normalizeExpr(df.schema, f.name) match {
+      exprFor(f) match {
         case Some(e) => df.withColumn(f.name, e)
         case None    => df
       }
@@ -100,7 +106,7 @@ object EventTime {
           case other => throw new IllegalArgumentException(
             s"$what: unknown time_unit '$other' (seconds|millis|micros|nanos)")
         }
-      case _ => normalizeExpr(schema, f.name).getOrElse(col(f.name))
+      case _ => exprFor(f).getOrElse(col(f.name))
     }
   }
 }

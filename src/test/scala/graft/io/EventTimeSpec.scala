@@ -95,10 +95,13 @@ class EventTimeSpec extends SparkTestBase {
     // forComponent resolves the same way
     assert(df.select(unix_micros(EventTime.forComponent(df.schema, "ts",
       Some("nanos"), "test"))).collect().head.getLong(0) == micros)
-    // case-variant duplicates are loud, as Spark itself would be on reference
+    // an exact-case match wins outright (also correct under
+    // spark.sql.caseSensitive); ambiguity is loud only when no exact
+    // match disambiguates the case-variants
     val dup = StructType(Seq(StructField("ts", LongType), StructField("TS", LongType)))
+    assert(EventTime.normalizeExpr(dup, "ts").isDefined)
     val e = intercept[IllegalArgumentException] {
-      EventTime.normalizeExpr(dup, "ts")
+      EventTime.normalizeExpr(dup, "Ts")
     }
     assert(e.getMessage.contains("ambiguous"))
   }

@@ -7,6 +7,7 @@ Reads each <verifyOut>/<name> parquet dir, runs the oracle SQL from
 sorts columns by name + rows, and compares values (exact for
 ints/strings, tiny-epsilon report for floats so mismatches are visible).
 """
+import decimal
 import json, math, sys
 import duckdb
 import pandas as pd
@@ -36,14 +37,14 @@ def cmp(name, spark_df, duck_df):
             return (f"DTYPEDIFF col={col} spark={a[col].dtype} duck={b[col].dtype}"
                     f" (int-vs-float materialization; driver hash would differ)")
         # DECIMAL/HUGEINT can also land as object-dtype Decimal values
-        # against a numeric Spark column — same hash hazard.
-        import decimal
-        for kk, side in ((ak, a[col]), (bk, b[col])):
-            if kk == "O" and any(isinstance(v, decimal.Decimal) for v in side.head(5)):
-                other = bk if side is a[col] else ak
-                if other in num:
-                    return (f"DTYPEDIFF col={col} spark={a[col].dtype} duck={b[col].dtype}"
-                            f" (Decimal-vs-numeric materialization)")
+        # against a numeric Spark column — same hash hazard. Scan the
+        # whole column: nulls sort first, so a head() sample could miss
+        # every Decimal and let the str() compare mask the divergence.
+        for kk, side, other in ((ak, a[col], bk), (bk, b[col], ak)):
+            if kk == "O" and other in num and \
+                    any(isinstance(v, decimal.Decimal) for v in side):
+                return (f"DTYPEDIFF col={col} spark={a[col].dtype} duck={b[col].dtype}"
+                        f" (Decimal-vs-numeric materialization)")
         av, bv = a[col], b[col]
         for i, (x, y) in enumerate(zip(av, bv)):
             xn = x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NaT or (x != x)
