@@ -37,8 +37,8 @@ object Cli {
       |            [--order asc|desc] [--limit N] [--offset N]
       |  schedules create --job JOB_ID --trigger interval|date|cron --arg VALUE
       |            | list | pause ID | resume ID | run-now ID | cancel ID
-      |  contexts create-credentials PATH | create-context-mapping PATH
-      |           | list | get ID | delete ID
+      |  contexts create-context PATH | create-credentials PATH
+      |           | create-context-mapping PATH | list | get ID | delete ID
       |  schemas list | get COMP_TYPE
       |  serve [--port N]""".stripMargin
 
@@ -136,6 +136,8 @@ object Cli {
         if (scheduler.cancel(id)) { out(s"Cancelled $id"); 0 }
         else { out(s"Schedule $id not found"); 1 }
 
+      case "contexts" :: "create-context" :: path :: Nil =>
+        out(ContextsApi.createContext(Files.readString(Paths.get(path)))); 0
       case "contexts" :: "create-credentials" :: path :: Nil =>
         out(ContextsApi.createCredentials(Files.readString(Paths.get(path)))); 0
       case "contexts" :: "create-context-mapping" :: path :: Nil =>

@@ -238,7 +238,10 @@ object ComponentSchemas {
     s"${quote(pr.name)}:{" +
       s""""type":${quote(pr.tpe)},"description":${quote(pr.desc)}}"""
 
-  /** One component's JSON-Schema-shaped description. */
+  /** One component's JSON-Schema-shaped description (the FORM view:
+    * per-type config params only — reference /{comp_type}/form,
+    * schemas.py:410-440, serves the schema with GUI-hidden wiring fields
+    * removed; here the registry already is that projection). */
   def schemaJson(compType: String): Option[String] = byType.get(compType).map {
     case (desc, params) =>
       val props = params.map(paramJson).mkString("{", ",", "}")
@@ -252,4 +255,107 @@ object ComponentSchemas {
     registry.map { case (t, _) => schemaJson(t).get }.mkString("[", ",", "]")
 
   def compTypes: Seq[String] = registry.map(_._1)
+
+  // ------------------------------------------------- full / hidden views
+
+  /** The wiring-level fields every component carries (JobConfig.
+    * parseComponent) — the engine's analogue of the reference's
+    * GUI-hidden base fields (routes/schemas are `used_in_table=False` on
+    * the reference's Component model, served only by the /hidden and
+    * /full views, schemas.py:442-479). */
+  private val baseFields: Seq[Param] = Seq(
+    req("name", "string", "unique component name within the job"),
+    req("comp_type", "string", "component type (see /schemas/component_types)"),
+    p("routes", "object", "{out_port: [{to, in_port}] | \"component\" | [\"component\"]} — downstream wiring"),
+    p("in_port_schemas", "object", "{in_port: {fields: [FieldDef]}} — required for every used in port"),
+    p("out_port_schemas", "object", "{out_port: {fields: [FieldDef]}} — required for every routed out port"),
+    p("extra_input_ports", "array", "additional declared in-port names (sql/schema_mapping fan-in)"),
+    p("extra_output_ports", "array", "additional declared out-port names (split fan-out)"))
+
+  /** Static port-contract description per comp_type — the data JobGraph's
+    * wiring validation enforces (JobGraph.outPorts/inPorts), attached to
+    * the /full view like the reference's class-var attachment
+    * (schemas.py `_attach_class_vars`: port specs + ALLOW_NO_INPUTS). */
+  private[api] def portInfo(compType: String): (Seq[(String, Boolean, Boolean)], Seq[(String, Boolean, Boolean)], Option[String]) =
+    compType match {
+      case t if t.startsWith("read_") =>
+        (Nil, Seq(("out", true, true)), None)
+      case "filter" =>
+        (Seq(("in", true, false)), Seq(("pass", true, true), ("fail", false, true)), None)
+      case "split" =>
+        (Seq(("in", true, false)), Nil,
+          Some("out ports are the declared extra_output_ports (fan-out tee)"))
+      case "hash_split" =>
+        (Seq(("in", true, false)), Nil,
+          Some("one out port per configured split name; unrouted splits are legal"))
+      case "merge" =>
+        (Seq(("in", true, true)), Seq(("merge", true, false)), None)
+      case "schema_mapping" =>
+        (Nil, Nil, Some("in ports from in_port_schemas/extra_input_ports (default 'in'); " +
+          "out ports from rules_by_dest keys / join_plan output_ports (default 'out')"))
+      case "sql" =>
+        (Nil, Seq(("out", true, true)),
+          Some("in ports from in_port_schemas/extra_input_ports (default 'in')"))
+      case "similarity" =>
+        (Nil, Seq(("out", true, true)),
+          Some("in ports by method: knn=corpus,queries | ivf=corpus,centroids,query | ivf_index=centroids,query"))
+      case "write_ivf_index" =>
+        (Seq(("corpus", true, false), ("centroids", true, false)),
+          Seq(("out", false, true)), None)
+      case "asof_join" | "set_op" | "range_join" =>
+        (Seq(("left", true, false), ("right", true, false)), Seq(("out", true, true)), None)
+      case t if t.startsWith("write_") =>
+        (Seq(("in", true, false)), Seq(("out", false, true)),
+          Some("out is an optional passthrough of the written rows"))
+      case _ =>
+        (Seq(("in", true, false)), Seq(("out", true, true)), None)
+    }
+
+  private def portsJson(compType: String): String = {
+    val (ins, outs, note) = portInfo(compType)
+    def arr(ps: Seq[(String, Boolean, Boolean)]) = ps.map { case (n, r, m) =>
+      s"""{"name":${quote(n)},"required":$r,"multi":$m}"""
+    }.mkString("[", ",", "]")
+    s""""ports":{"in":${arr(ins)},"out":${arr(outs)},""" +
+      s""""allow_no_inputs":${compType.startsWith("read_")}""" +
+      note.map(n => s""","note":${quote(n)}""").getOrElse("") + "}"
+  }
+
+  /** /{comp_type}/full — form params + wiring base fields + the port
+    * contract (nothing stripped; reference schemas.py:442-471). */
+  def fullSchemaJson(compType: String): Option[String] = byType.get(compType).map {
+    case (desc, params) =>
+      val all = baseFields ++ params
+      val props = all.map(paramJson).mkString("{", ",", "}")
+      val required = all.filter(_.required).map(x => quote(x.name)).mkString("[", ",", "]")
+      s"""{"comp_type":${quote(compType)},"description":${quote(desc)},""" +
+        s""""properties":$props,"required":$required,${portsJson(compType)}}"""
+  }
+
+  /** /{comp_type}/hidden — ONLY the GUI-hidden wiring fields
+    * (reference schemas.py:474-479). */
+  def hiddenSchemaJson(compType: String): Option[String] = byType.get(compType).map {
+    case (desc, _) =>
+      val props = baseFields.map(paramJson).mkString("{", ",", "}")
+      val required = baseFields.filter(_.required).map(x => quote(x.name)).mkString("[", ",", "]")
+      s"""{"comp_type":${quote(compType)},"description":${quote(desc)},""" +
+        s""""properties":$props,"required":$required,${portsJson(compType)}}"""
+  }
+
+  /** GET /schemas/job — the job-config document schema ($defs preserved,
+    * not inlined: reference schemas.py:362-388). Mirrors exactly what
+    * JobConfig.parse accepts. */
+  def jobSchemaJson: String = {
+    val compProps = baseFields.map(paramJson).mkString("{", ",", "}")
+    val compRequired = baseFields.filter(_.required).map(x => quote(x.name)).mkString("[", ",", "]")
+    s"""{"title":"JobConfig","type":"object","properties":{""" +
+      s""""name":{"type":"string","description":"job name"},""" +
+      s""""num_of_retries":{"type":"integer","description":"attempts beyond the first, default 0"},""" +
+      s""""strategy_type":{"type":"string","description":"row | bulk | bigdata — execution hint; results are identical"},""" +
+      s""""components":{"type":"array","items":{"$$ref":"#/$$defs/Component"}}},""" +
+      s""""required":["name","components"],""" +
+      s""""$$defs":{"Component":{"type":"object","properties":$compProps,""" +
+      s""""required":$compRequired,""" +
+      s""""description":"per-type config params are sibling keys of comp_type; see /schemas/{comp_type}/form"}}}"""
+  }
 }

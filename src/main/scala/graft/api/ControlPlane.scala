@@ -23,7 +23,12 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
  *  - the HTTP layer is the JDK's built-in server (zero dependencies):
  *    POST/GET/PUT/DELETE /jobs, POST /execution/{jobId},
  *    GET /execution/{execId}, GET /executions?job_id=&status=&limit=&offset=,
- *    GET /schemas[/{comp_type}].
+ *    POST /contexts/{context|credentials|credentials-mapping-context},
+ *    GET/DELETE /contexts[/{id}], GET /schemas[/{comp_type}],
+ *    GET /schemas/job, GET /schemas/component_types,
+ *    GET /schemas/{comp_type}/{form|full|hidden}, GET /setup?key=
+ *    (route-for-route with the reference routers jobs.py, execution.py,
+ *    contexts.py, schedules.py, schemas.py, setup.py).
  *
  * PERSISTENCE: pass `storeDir` and the registry becomes file-backed —
  * jobs as `jobs/<id>.json` (the raw validated config), executions
@@ -446,7 +451,10 @@ object ControlPlane {
       def body() = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       (ex.getRequestMethod, path) match {
         case ("POST", "credentials") => (201, ContextsApi.createCredentials(body()))
-        case ("POST", "mapping")     => (201, ContextsApi.createMapping(body()))
+        case ("POST", "context")     => (201, ContextsApi.createContext(body()))
+        // reference route name (contexts.py:157) + the short alias
+        case ("POST", "credentials-mapping-context") | ("POST", "mapping") =>
+          (201, ContextsApi.createMapping(body()))
         case ("GET", "")             => (200, ContextsApi.listJson)
         case ("GET", id) => ContextsApi.getJson(id).map((200, _))
           .getOrElse((404, s"""{"error":"provider $id not found"}"""))
@@ -515,14 +523,38 @@ object ControlPlane {
     }
     server.createContext("/schemas", (ex: HttpExchange) => handle(ex) {
       val path = ex.getRequestURI.getPath.stripPrefix("/schemas").stripPrefix("/")
+      def comp(tpe: String)(f: String => Option[String]): (Int, String) =
+        f(tpe).map((200, _))
+          .getOrElse((404, s"""{"error":"unknown comp_type $tpe"}"""))
       (ex.getRequestMethod, path) match {
         case ("GET", "")   => (200, ComponentSchemas.listJson)
-        case ("GET", tpe)  => ComponentSchemas.schemaJson(tpe).map((200, _))
-          .getOrElse((404, s"""{"error":"unknown comp_type $tpe"}"""))
+        // reference discovery routes (schemas.py:362-479)
+        case ("GET", "job") => (200, ComponentSchemas.jobSchemaJson)
+        case ("GET", "component_types") =>
+          (200, ComponentSchemas.compTypes.map(quote).mkString("[", ",", "]"))
+        case ("GET", p) if p.endsWith("/form") =>
+          comp(p.stripSuffix("/form"))(ComponentSchemas.schemaJson)
+        case ("GET", p) if p.endsWith("/full") =>
+          comp(p.stripSuffix("/full"))(ComponentSchemas.fullSchemaJson)
+        case ("GET", p) if p.endsWith("/hidden") =>
+          comp(p.stripSuffix("/hidden"))(ComponentSchemas.hiddenSchemaJson)
+        case ("GET", tpe)  => comp(tpe)(ComponentSchemas.schemaJson)
         case (m, _) => (405, s"""{"error":"method $m not allowed"}""")
+      }
+    })
+    // GUI setup key validation (reference: api/routers/setup.py:15-31 — a
+    // preset-key boolean check; the key is overridable for embedders).
+    server.createContext("/setup", (ex: HttpExchange) => handle(ex) {
+      (ex.getRequestMethod, qparams(ex).get("key")) match {
+        case ("GET", k) => (200, (k.contains(setupKey)).toString)
+        case (m, _)     => (405, s"""{"error":"method $m not allowed"}""")
       }
     })
     server.start()
     server
   }
+
+  /** Preset GUI setup key (setup.py:17 VALID_KEY; env-overridable). */
+  private[api] def setupKey: String =
+    sys.env.getOrElse("GRAFT_SETUP_KEY", "VALID_KEY")
 }

@@ -59,6 +59,24 @@ object Contexts {
 
   val store = new SpecCredentialsStore
 
+  /** A plain (non-credentials) context provider: named string parameters,
+    * each secure or not (reference: context/context.py:13-67 `Context` with
+    * `ContextParameter{key, value, is_secure}`; registered via
+    * POST /contexts/context, api/routers/contexts.py:106-154). Secure
+    * parameter VALUES live only in the process-local secret store below —
+    * the persisted log keeps non-secure values plus secure KEYS, exactly
+    * the reference's keyring split (ctx_handler.upsert of non_secure_params
+    * + secure_param_keys). */
+  final case class ContextSpec(id: String, name: String, environment: Environment,
+                               nonSecure: Map[String, String],
+                               secureKeys: Seq[String])
+
+  private val plainContexts =
+    new java.util.concurrent.ConcurrentHashMap[String, ContextSpec]()
+  /** id → key → secure value; never persisted (keyring stand-in). */
+  private val secretStore =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
   private val contexts =
     new java.util.concurrent.ConcurrentHashMap[String, MappingContext]()
   @volatile private var logPath: Option[Path] = None
@@ -78,6 +96,54 @@ object Contexts {
   def registerCredentials(spec: CredSpec): Unit = {
     store.register(spec)
     append(credLine(spec))
+  }
+
+  /** Register a plain context: secure values go to the in-process secret
+    * store ("bootstrap_to_store", contexts.py:125-127), metadata + secure
+    * keys are persisted. */
+  def registerPlainContext(spec: ContextSpec,
+                           secureValues: Map[String, String]): Unit = {
+    val undeclared = secureValues.keySet -- spec.secureKeys.toSet
+    require(undeclared.isEmpty,
+      s"context '${spec.name}': secure values for undeclared keys: ${undeclared.mkString(", ")}")
+    plainContexts.put(spec.id, spec)
+    if (secureValues.nonEmpty) secretStore.put(spec.id, secureValues)
+    append(plainCtxLine(spec))
+  }
+
+  def getPlainContext(id: String): Option[ContextSpec] =
+    Option(plainContexts.get(id))
+
+  /** Parameter lookup with the reference's resolution: non-secure from the
+    * persisted spec, secure from the secret store (context.py:59-65
+    * `get_parameter` KeyError parity — unknown keys are loud; a secure key
+    * whose value did not survive a restart is also loud, not null). */
+  def getParameter(ctxId: String, key: String): String = {
+    val spec = getPlainContext(ctxId).getOrElse(throw new NoSuchElementException(
+      s"context $ctxId not found"))
+    spec.nonSecure.get(key).orElse(
+      Option(secretStore.get(ctxId)).flatMap(_.get(key))).getOrElse {
+      if (spec.secureKeys.contains(key))
+        throw new IllegalStateException(
+          s"context '${spec.name}': secure parameter '$key' is not available " +
+            "in this process (secret values are not persisted; re-register)")
+      else throw new NoSuchElementException(
+        s"Parameter with key '$key' not found in context '${spec.name}'")
+    }
+  }
+
+  def dropPlainContext(id: String): Boolean = {
+    val removed = plainContexts.remove(id) != null
+    if (removed) {
+      secretStore.remove(id) // adapter.delete_from_store parity
+      append(s"""{"kind":"tombstone","scope":"plain_context","id":${quote(id)}}""")
+    }
+    removed
+  }
+
+  def listPlainContexts(): Seq[ContextSpec] = {
+    import scala.jdk.CollectionConverters._
+    plainContexts.values.asScala.toSeq.sortBy(_.id)
   }
 
   def get(name: String): Option[MappingContext] = Option(contexts.get(name))
@@ -139,6 +205,8 @@ object Contexts {
     logPath = None
     contexts.clear()
     store.clear()
+    plainContexts.clear()
+    secretStore.clear()
   }
 
   private def append(line: String): Unit =
@@ -149,6 +217,15 @@ object Contexts {
     s"""{"kind":"credentials","id":${quote(s.id)},"user":${quote(s.user)},""" +
       s""""host":${quote(s.host)},"port":${s.port},"database":${quote(s.database)}""" +
       s.passwordEnv.map(e => s""","password_env":${quote(e)}""").getOrElse("") + "}"
+
+  private def plainCtxLine(c: ContextSpec): String = {
+    val ns = c.nonSecure.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString("{", ",", "}")
+    val sk = c.secureKeys.sorted.map(quote).mkString("[", ",", "]")
+    s"""{"kind":"plain_context","id":${quote(c.id)},"name":${quote(c.name)},""" +
+      s""""environment":${quote(c.environment.name)},"non_secure":$ns,""" +
+      s""""secure_keys":$sk}"""
+  }
 
   private def ctxLine(c: MappingContext): String = {
     val ids = c.credentialsIds.toSeq.sortBy(_._1)
@@ -177,9 +254,24 @@ object Contexts {
             contexts.put((j \ "name").extract[String], MappingContext(
               (j \ "name").extract[String], ids,
               Environment.fromName((j \ "default_env").extract[String])))
+          case "plain_context" =>
+            val ns = (j \ "non_secure") match {
+              case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+              case _           => Map.empty[String, String]
+            }
+            val sk = (j \ "secure_keys") match {
+              case JArray(xs) => xs.collect { case JString(s) => s }
+              case _          => Nil
+            }
+            val id = (j \ "id").extract[String]
+            // secure VALUES are not in the log by design — the spec reloads
+            // with its secure keys marked present but unavailable
+            plainContexts.put(id, ContextSpec(id, (j \ "name").extract[String],
+              Environment.fromName((j \ "environment").extract[String]), ns, sk))
           case "tombstone" => (j \ "scope").extract[String] match {
-            case "context"     => contexts.remove((j \ "id").extract[String])
-            case "credentials" => store.remove((j \ "id").extract[String])
+            case "context"       => contexts.remove((j \ "id").extract[String])
+            case "credentials"   => store.remove((j \ "id").extract[String])
+            case "plain_context" => plainContexts.remove((j \ "id").extract[String])
           }
           case other => throw new IllegalArgumentException(
             s"contexts.jsonl: unknown kind '$other'")

@@ -97,6 +97,19 @@ class CliSpec extends SparkTestBase {
       assert(run("contexts", "get", "nope") === 1)
       assert(run("contexts", "delete", "cli-ctx") === 0)
       assert(run("contexts", "delete", "cli-ctx") === 1)
+      // plain context provider (docs/cli.md:77-79 create-context): secure
+      // value registered but never echoed
+      val ctxPath = tmp("plainctx.json")
+      Files.writeString(Paths.get(ctxPath),
+        """{"id":"cli-plain","name":"cli-plain-ctx","environment":"PROD",
+          |"parameters":[{"key":"token","value":"hushhush","is_secure":true},
+          |{"key":"url","value":"https://api","is_secure":false}]}""".stripMargin)
+      assert(run("contexts", "create-context", ctxPath) === 0)
+      assert(output.contains("\"parameters_registered\":1") &&
+        !output.contains("hushhush"))
+      assert(run("contexts", "get", "cli-plain") === 0 &&
+        output.contains("https://api") && !output.contains("hushhush"))
+      assert(run("contexts", "delete", "cli-plain") === 0)
       graft.runtime.Contexts.reset()
 
       assert(run("schemas", "list") === 0 && output.contains("read_mongodb"))

@@ -53,6 +53,46 @@ class ComponentSchemasSpec extends AnyFunSuite {
         "streaming_range_join"))
   }
 
+  test("full/hidden views: wiring base fields + port contract attached") {
+    // /full = form params + wiring fields + port metadata
+    val full = ComponentSchemas.fullSchemaJson("filter").get
+    assert(full.contains("\"rule\"") && full.contains("\"routes\"") &&
+      full.contains("\"in_port_schemas\""))
+    assert(full.contains("\"ports\"") && full.contains("\"pass\"") &&
+      full.contains("\"fail\"") && full.contains("\"allow_no_inputs\":false"))
+    // /hidden = ONLY the wiring fields (no per-type params)
+    val hidden = ComponentSchemas.hiddenSchemaJson("filter").get
+    assert(!hidden.contains("\"rule\"") && hidden.contains("\"routes\""))
+    // sources advertise ALLOW_NO_INPUTS with no in ports
+    val src = ComponentSchemas.fullSchemaJson("read_csv").get
+    assert(src.contains("\"allow_no_inputs\":true") && src.contains("\"in\":[]"))
+    // binary-input operators expose left/right
+    val asof = ComponentSchemas.fullSchemaJson("asof_join").get
+    assert(asof.contains("\"left\"") && asof.contains("\"right\""))
+    // unknown type → None on every view
+    assert(ComponentSchemas.fullSchemaJson("nope").isEmpty &&
+      ComponentSchemas.hiddenSchemaJson("nope").isEmpty)
+    // every registered type renders a well-formed full view (ports incl.)
+    ComponentSchemas.compTypes.foreach { t =>
+      val v = ComponentSchemas.fullSchemaJson(t).get
+      assert(v.contains("\"ports\""), s"no ports block for $t")
+      org.json4s.jackson.JsonMethods.parse(v) // throws on malformed JSON
+    }
+  }
+
+  test("job schema documents exactly the JobConfig.parse contract") {
+    val js = ComponentSchemas.jobSchemaJson
+    val parsed = org.json4s.jackson.JsonMethods.parse(js)
+    // $defs preserved (not inlined) — reference schemas.py:362-388 parity
+    assert(js.contains("$defs") && js.contains("#/$defs/Component"))
+    // the top-level keys JobConfig.parse reads, and only those
+    val props = (parsed \ "properties") match {
+      case org.json4s.JObject(fs) => fs.map(_._1).toSet
+      case _                      => Set.empty[String]
+    }
+    assert(props === Set("name", "num_of_retries", "strategy_type", "components"))
+  }
+
   test("the source scan actually found the dispatch (anchor sanity)") {
     // if JobGraph is reformatted and the indent anchor breaks, this fails
     // loudly instead of the two set checks passing vacuously

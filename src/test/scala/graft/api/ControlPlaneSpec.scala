@@ -297,6 +297,66 @@ class ControlPlaneSpec extends SparkTestBase {
       assert(one.statusCode() === 200 && one.body().contains("\"rule\""))
       assert(send(HttpRequest.newBuilder(URI.create(s"$base/schemas/nope")).GET().build())
         .statusCode() === 404)
+      // reference discovery routes (schemas.py:362-479): job schema with
+      // $defs, bare type list, per-type form/full/hidden views
+      val jobSchema = send(HttpRequest.newBuilder(URI.create(s"$base/schemas/job")).GET().build())
+      assert(jobSchema.statusCode() === 200 && jobSchema.body().contains("$defs"))
+      val types = send(HttpRequest.newBuilder(
+        URI.create(s"$base/schemas/component_types")).GET().build())
+      assert(types.statusCode() === 200 && types.body().contains("\"filter\""))
+      assert(send(HttpRequest.newBuilder(
+        URI.create(s"$base/schemas/filter/form")).GET().build()).body().contains("\"rule\""))
+      val fullV = send(HttpRequest.newBuilder(
+        URI.create(s"$base/schemas/filter/full")).GET().build())
+      assert(fullV.body().contains("\"ports\"") && fullV.body().contains("\"routes\""))
+      val hiddenV = send(HttpRequest.newBuilder(
+        URI.create(s"$base/schemas/filter/hidden")).GET().build())
+      assert(hiddenV.body().contains("\"routes\"") && !hiddenV.body().contains("\"rule\""))
+      assert(send(HttpRequest.newBuilder(
+        URI.create(s"$base/schemas/nope/full")).GET().build()).statusCode() === 404)
+
+      // GUI setup key check (setup.py:15-31)
+      assert(send(HttpRequest.newBuilder(
+        URI.create(s"$base/setup?key=VALID_KEY")).GET().build()).body() === "true")
+      assert(send(HttpRequest.newBuilder(
+        URI.create(s"$base/setup?key=wrong")).GET().build()).body() === "false")
+      assert(send(HttpRequest.newBuilder(
+        URI.create(s"$base/setup")).GET().build()).body() === "false")
+
+      // plain context provider (contexts.py:106-154): secure values are
+      // stored but never echoed; list/get show kind/name/environment
+      graft.runtime.Contexts.reset()
+      val mkCtx = send(HttpRequest.newBuilder(URI.create(s"$base/contexts/context"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"id":"rest-plain","name":"api-ctx","environment":"TEST",
+            |"parameters":[{"key":"endpoint","value":"https://x","is_secure":false},
+            |{"key":"api_key","value":"sssh-key","is_secure":true}]}""".stripMargin)).build())
+      assert(mkCtx.statusCode() === 201 &&
+        mkCtx.body().contains("\"parameters_registered\":1") &&
+        !mkCtx.body().contains("sssh-key"))
+      // dict-form parameters are accepted too (context.py:36-57)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/context"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name":"dict-ctx","environment":"DEV",
+            |"parameters":{"k":{"value":"v"}}}""".stripMargin)).build())
+        .statusCode() === 201)
+      val ctxList = send(HttpRequest.newBuilder(URI.create(s"$base/contexts")).GET().build())
+      assert(ctxList.body().contains("rest-plain") &&
+        ctxList.body().contains("\"environment\":\"TEST\""))
+      val getCtx = send(HttpRequest.newBuilder(
+        URI.create(s"$base/contexts/rest-plain")).GET().build())
+      assert(getCtx.statusCode() === 200 && getCtx.body().contains("https://x") &&
+        getCtx.body().contains("api_key") && !getCtx.body().contains("sssh-key"))
+      // reference route name for the mapping context is accepted
+      assert(send(HttpRequest.newBuilder(
+        URI.create(s"$base/contexts/credentials-mapping-context"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name":"m2","credentials_ids":{}}""")).build()).statusCode() === 201)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/rest-plain"))
+        .DELETE().build()).statusCode() === 204)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/rest-plain"))
+        .GET().build()).statusCode() === 404)
+      graft.runtime.Contexts.reset()
 
       assert(send(HttpRequest.newBuilder(URI.create(s"$base/jobs/$jobId"))
         .DELETE().build()).statusCode() === 204)

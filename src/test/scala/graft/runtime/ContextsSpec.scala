@@ -75,6 +75,49 @@ class ContextsSpec extends AnyFunSuite {
     Contexts.reset()
   }
 
+  test("plain context: secure values live only in-process; keys + non-secure persist") {
+    val dir = freshDir()
+    Contexts.reset()
+    Contexts.bind(dir)
+    Contexts.registerPlainContext(
+      Contexts.ContextSpec("pc1", "api-ctx", Credentials.Test,
+        nonSecure = Map("endpoint" -> "https://x.example", "region" -> "eu"),
+        secureKeys = Seq("api_key")),
+      secureValues = Map("api_key" -> "top-secret"))
+
+    // resolution: non-secure from the spec, secure from the secret store
+    assert(Contexts.getParameter("pc1", "endpoint") === "https://x.example")
+    assert(Contexts.getParameter("pc1", "api_key") === "top-secret")
+    // unknown key is loud (reference get_parameter KeyError parity)
+    intercept[NoSuchElementException] { Contexts.getParameter("pc1", "nope") }
+    // secure values for undeclared keys are rejected at registration
+    intercept[IllegalArgumentException] {
+      Contexts.registerPlainContext(
+        Contexts.ContextSpec("pc2", "bad", Credentials.Dev, Map.empty, Nil),
+        secureValues = Map("sneaky" -> "v"))
+    }
+
+    // nothing secret on disk; keys and non-secure values are there
+    val log = Files.readString(dir.resolve("contexts.jsonl"))
+    assert(!log.contains("top-secret"))
+    assert(log.contains("api_key") && log.contains("https://x.example"))
+
+    // restart: spec reloads, secure VALUE did not survive and is loud
+    Contexts.reset()
+    Contexts.bind(dir)
+    val spec = Contexts.getPlainContext("pc1").get
+    assert(spec.name === "api-ctx" && spec.secureKeys === Seq("api_key"))
+    assert(Contexts.getParameter("pc1", "region") === "eu")
+    intercept[IllegalStateException] { Contexts.getParameter("pc1", "api_key") }
+
+    // tombstone persists and purges
+    assert(Contexts.dropPlainContext("pc1"))
+    Contexts.reset()
+    Contexts.bind(dir)
+    assert(Contexts.getPlainContext("pc1").isEmpty)
+    Contexts.reset()
+  }
+
   test("delete tombstones persist") {
     val dir = freshDir()
     Contexts.reset()
