@@ -73,8 +73,18 @@ object TypeConversionOp {
       case StringType =>
         val s = normalizeNullish(c)
         val d = s.try_cast("double")
-        // int parse, else float-if-integral (try_cast: see ANSI note above)
-        coalesce(s.try_cast("long"), when(d === floor(d), d.try_cast("long")))
+        // int parse, else float-if-integral (try_cast: see ANSI note
+        // above). The exact long parse is gated behind an integer-string
+        // regex: string→bigint try_cast reports failure by THROWING
+        // internally (TryEval catches it), measured ~5µs/row — 10× the
+        // entire parse — so every float-formatted value ("41.0") would
+        // pay an exception. Gated, only genuinely integer strings reach
+        // it (and succeed); everything else takes the non-throwing
+        // double path, which also preserves >2^53 exactness for integer
+        // strings (they match the gate and parse exactly).
+        coalesce(
+          when(s.rlike("^\\s*[+-]?[0-9]+\\s*$"), s.try_cast("long")),
+          when(d === floor(d), d.try_cast("long")))
       case _ => c.try_cast("long")
     }
     case TFloat => from match {
@@ -189,19 +199,81 @@ object TypeConversionOp {
       fd.copy(children = rewriteFields(fd.children, rest, r))
   }
 
-  /** Apply rules to top-level or nested (dotted) paths. Array elements via `*`. */
+  /** Apply rules to top-level or nested (dotted) paths. Array elements via `*`.
+    *
+    * Top-level STRING sources go through a STAGED projection: the
+    * normalized string (and, for INTEGER, the parsed double) land in temp
+    * columns of their own Project before the conversion consumes them.
+    * A single-expression formulation repeats those subtrees — the
+    * normalize (trim/lower/isin) 4× and the double parse 3× per value —
+    * and Catalyst does not share them (conditional branches are excluded
+    * from codegen subexpression elimination). CollapseProject keeps the
+    * staging Projects intact precisely because the temps are non-cheap and
+    * multiply-referenced, so each is computed ONCE per row; measured ~3×
+    * on a 600k-row all-string CSV conversion (CsvPhaseProbe shape). */
   def apply(df: DataFrame, rules: Seq[CastRule]): DataFrame =
     rules.foldLeft(df) { (d, r) =>
       val segs = r.columnPath.split('.')
       if (segs.length == 1 && !r.columnPath.contains("*")) {
         val from = d.schema(r.columnPath).dataType
-        d.withColumn(r.columnPath, convert(col(r.columnPath), from, r.target, r.onError))
+        if (from == StringType && (r.target == TInteger || r.target == TFloat ||
+            r.target == TBoolean))
+          convertStagedString(d, r)
+        else
+          d.withColumn(r.columnPath, convert(col(r.columnPath), from, r.target, r.onError))
       } else {
         // nested path: rebuild the struct with the converted leaf
         d.withColumn(segs.head, rebuildNested(d.schema(segs.head).dataType,
           col(segs.head), segs.tail.toList, r))
       }
     }
+
+  /** Staged string→numeric/boolean conversion of a top-level column: same
+    * semantics as `convert`, with the shared subtrees evaluated once. */
+  private def convertStagedString(d: DataFrame, r: CastRule): DataFrame = {
+    val cn = r.columnPath
+    val orig = col(cn)
+    val sTmp = s"__tc_norm_$cn"
+    require(!d.columns.contains(sTmp), s"type_conversion: column $sTmp already exists")
+    val staged = d.withColumn(sTmp, normalizeNullish(orig))
+    val s = col(sTmp)
+    def finish(stage: DataFrame, attempted: Column, drops: Seq[String]): DataFrame = {
+      val out = r.onError match {
+        case NullPolicy | SkipPolicy => attempted // skip ≈ null off-string (scaladoc)
+        case RaisePolicy =>
+          coalesce(attempted,
+            when(s.isNotNull,
+              raise_error(concat(lit("type_conversion raise: cannot cast value '"),
+                orig, lit(s"' to ${r.target}"))).cast(sparkTarget(r.target))))
+      }
+      stage.withColumn(cn, out).drop((sTmp +: drops): _*)
+    }
+    r.target match {
+      case TInteger =>
+        val dTmp = s"__tc_dbl_$cn"
+        require(!d.columns.contains(dTmp), s"type_conversion: column $dTmp already exists")
+        val stage2 = staged.withColumn(dTmp, s.try_cast("double"))
+        val dc = col(dTmp)
+        finish(stage2,
+          // same regex-gated exact parse as tryConvert (see its scaladoc)
+          coalesce(
+            when(s.rlike("^\\s*[+-]?[0-9]+\\s*$"), s.try_cast("long")),
+            when(dc === floor(dc), dc.try_cast("long"))),
+          Seq(dTmp))
+      case TFloat =>
+        finish(staged, s.try_cast("double"), Nil)
+      case TBoolean =>
+        val tTmp = s"__tc_low_$cn"
+        require(!d.columns.contains(tTmp), s"type_conversion: column $tTmp already exists")
+        val stage2 = staged.withColumn(tTmp, lower(trim(s)))
+        val tc = col(tTmp)
+        finish(stage2,
+          when(tc.isin("true", "t", "1", "yes", "y"), lit(true))
+            .when(tc.isin("false", "f", "0", "no", "n"), lit(false)),
+          Seq(tTmp))
+      case other => throw new IllegalStateException(s"staged conversion: $other")
+    }
+  }
 
   private def rebuildNested(dt: DataType, c: Column, path: List[String],
                             r: CastRule): Column = (dt, path) match {

@@ -29,6 +29,26 @@ class TypeConversionSpec extends SparkTestBase {
     assert(convStr("3.0", TInteger) === 3L)
     assert(convStr("3.5", TInteger) === null)
     assert(convStr("abc", TInteger) === null)
+    // the regex-gated exact path (tryConvert scaladoc): whitespace-padded
+    // and signed integer strings still take the exact long parse, and a
+    // >2^53 integer string survives without double-rounding (the double
+    // path would silently yield ...992)
+    assert(convStr(" 42 ", TInteger) === 42L)
+    assert(convStr("-7", TInteger) === -7L)
+    assert(convStr("+8", TInteger) === 8L)
+    assert(convStr("9007199254740993", TInteger) === 9007199254740993L)
+    // scientific notation only exists on the float-if-integral path
+    assert(convStr("1e3", TInteger) === 1000L)
+    // STAGED top-level path (apply) agrees with convert() on the same cases
+    val staged = TypeConversionOp(
+      Seq("42", "3.0", "3.5", "abc", " 42 ", "9007199254740993", null)
+        .toDF("x"),
+      Seq(CastRule("x", TInteger, NullPolicy)))
+    assert(staged.schema("x").dataType === LongType)
+    assert(staged.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq ===
+      Seq(42L, 3L, null, null, 42L, 9007199254740993L, null))
+    // temp staging columns do not leak into the output
+    assert(staged.columns.toSeq === Seq("x"))
   }
 
   test("string → float accepts numerics") {
