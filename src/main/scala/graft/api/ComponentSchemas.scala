@@ -238,16 +238,23 @@ object ComponentSchemas {
     s"${quote(pr.name)}:{" +
       s""""type":${quote(pr.tpe)},"description":${quote(pr.desc)}}"""
 
+  /** Shared renderer for the form/full/hidden views: one place owns the
+    * properties/required envelope shape. */
+  private def renderSchema(compType: String, desc: String, params: Seq[Param],
+                           withPorts: Boolean): String = {
+    val props = params.map(paramJson).mkString("{", ",", "}")
+    val required = params.filter(_.required).map(x => quote(x.name)).mkString("[", ",", "]")
+    s"""{"comp_type":${quote(compType)},"description":${quote(desc)},""" +
+      s""""properties":$props,"required":$required""" +
+      (if (withPorts) s",${portsJson(compType)}}" else "}")
+  }
+
   /** One component's JSON-Schema-shaped description (the FORM view:
     * per-type config params only — reference /{comp_type}/form,
     * schemas.py:410-440, serves the schema with GUI-hidden wiring fields
     * removed; here the registry already is that projection). */
   def schemaJson(compType: String): Option[String] = byType.get(compType).map {
-    case (desc, params) =>
-      val props = params.map(paramJson).mkString("{", ",", "}")
-      val required = params.filter(_.required).map(x => quote(x.name)).mkString("[", ",", "]")
-      s"""{"comp_type":${quote(compType)},"description":${quote(desc)},""" +
-        s""""properties":$props,"required":$required}"""
+    case (desc, params) => renderSchema(compType, desc, params, withPorts = false)
   }
 
   /** All comp_types with their schemas (GET /schemas). */
@@ -325,21 +332,13 @@ object ComponentSchemas {
     * contract (nothing stripped; reference schemas.py:442-471). */
   def fullSchemaJson(compType: String): Option[String] = byType.get(compType).map {
     case (desc, params) =>
-      val all = baseFields ++ params
-      val props = all.map(paramJson).mkString("{", ",", "}")
-      val required = all.filter(_.required).map(x => quote(x.name)).mkString("[", ",", "]")
-      s"""{"comp_type":${quote(compType)},"description":${quote(desc)},""" +
-        s""""properties":$props,"required":$required,${portsJson(compType)}}"""
+      renderSchema(compType, desc, baseFields ++ params, withPorts = true)
   }
 
   /** /{comp_type}/hidden — ONLY the GUI-hidden wiring fields
     * (reference schemas.py:474-479). */
   def hiddenSchemaJson(compType: String): Option[String] = byType.get(compType).map {
-    case (desc, _) =>
-      val props = baseFields.map(paramJson).mkString("{", ",", "}")
-      val required = baseFields.filter(_.required).map(x => quote(x.name)).mkString("[", ",", "]")
-      s"""{"comp_type":${quote(compType)},"description":${quote(desc)},""" +
-        s""""properties":$props,"required":$required,${portsJson(compType)}}"""
+    case (desc, _) => renderSchema(compType, desc, baseFields, withPorts = true)
   }
 
   /** GET /schemas/job — the job-config document schema ($defs preserved,

@@ -69,6 +69,11 @@ object ContextsApi {
     }
     val dup = params.groupBy(_._1).collect { case (k, vs) if vs.sizeIs > 1 => k }
     require(dup.isEmpty, s"context '$name': duplicate parameter keys: ${dup.mkString(", ")}")
+    // ids are one namespace across all three provider stores: an id that
+    // collides would be shadowed on GET /{id} and co-deleted on DELETE
+    require(Contexts.getPlainContext(id).isEmpty && Contexts.get(id).isEmpty &&
+      Contexts.store.specById(id).isEmpty,
+      s"provider id '$id' already registered")
     val (secure, nonSecure) = params.partition(_._3)
     Contexts.registerPlainContext(
       Contexts.ContextSpec(id, name, env,

@@ -56,6 +56,26 @@ object TypeConversionOp {
     when(t.isin("", "na", "nan", "null", "none"), lit(null).cast(StringType)).otherwise(c)
   }
 
+  // Shared between tryConvert (nested paths) and convertStagedString (the
+  // staged top-level path) so the two cannot drift: the exact-integer
+  // gate regex and the boolean token domains.
+  private val IntStrRe = "^\\s*[+-]?[0-9]+\\s*$"
+  private val TrueTokens  = Seq("true", "t", "1", "yes", "y")
+  private val FalseTokens = Seq("false", "f", "0", "no", "n")
+
+  /** String→long with the regex-gated exact parse (see the tryConvert
+    * scaladoc for why the gate exists): `s` the normalized string, `d`
+    * its double parse — callers pass staged temp columns or inline trees. */
+  private def intFromString(s: Column, d: Column): Column =
+    coalesce(
+      when(s.rlike(IntStrRe), s.try_cast("long")),
+      when(d === floor(d), d.try_cast("long")))
+
+  /** String→boolean domain check over the lowercased trimmed token. */
+  private def boolFromToken(t: Column): Column =
+    when(t.isin(TrueTokens: _*), lit(true))
+      .when(t.isin(FalseTokens: _*), lit(false))
+
   /**
    * Attempted conversion: returns the converted value, or NULL where the
    * reference would raise/nullify. Callers combine with the policy.
@@ -72,7 +92,6 @@ object TypeConversionOp {
         when(c === floor(c), c.try_cast("long"))
       case StringType =>
         val s = normalizeNullish(c)
-        val d = s.try_cast("double")
         // int parse, else float-if-integral (try_cast: see ANSI note
         // above). The exact long parse is gated behind an integer-string
         // regex: string→bigint try_cast reports failure by THROWING
@@ -82,9 +101,7 @@ object TypeConversionOp {
         // it (and succeed); everything else takes the non-throwing
         // double path, which also preserves >2^53 exactness for integer
         // strings (they match the gate and parse exactly).
-        coalesce(
-          when(s.rlike("^\\s*[+-]?[0-9]+\\s*$"), s.try_cast("long")),
-          when(d === floor(d), d.try_cast("long")))
+        intFromString(s, s.try_cast("double"))
       case _ => c.try_cast("long")
     }
     case TFloat => from match {
@@ -97,9 +114,7 @@ object TypeConversionOp {
       case _: IntegerType | LongType | ShortType | ByteType | DoubleType | FloatType =>
         when(c === 1, lit(true)).when(c === 0, lit(false))
       case StringType =>
-        val t = lower(trim(normalizeNullish(c)))
-        when(t.isin("true", "t", "1", "yes", "y"), lit(true))
-          .when(t.isin("false", "f", "0", "no", "n"), lit(false))
+        boolFromToken(lower(trim(normalizeNullish(c))))
       case _ => c.try_cast("boolean")
     }
     case TString | TEnum | TPath => from match {
@@ -253,24 +268,14 @@ object TypeConversionOp {
         val dTmp = s"__tc_dbl_$cn"
         require(!d.columns.contains(dTmp), s"type_conversion: column $dTmp already exists")
         val stage2 = staged.withColumn(dTmp, s.try_cast("double"))
-        val dc = col(dTmp)
-        finish(stage2,
-          // same regex-gated exact parse as tryConvert (see its scaladoc)
-          coalesce(
-            when(s.rlike("^\\s*[+-]?[0-9]+\\s*$"), s.try_cast("long")),
-            when(dc === floor(dc), dc.try_cast("long"))),
-          Seq(dTmp))
+        finish(stage2, intFromString(s, col(dTmp)), Seq(dTmp))
       case TFloat =>
         finish(staged, s.try_cast("double"), Nil)
       case TBoolean =>
         val tTmp = s"__tc_low_$cn"
         require(!d.columns.contains(tTmp), s"type_conversion: column $tTmp already exists")
         val stage2 = staged.withColumn(tTmp, lower(trim(s)))
-        val tc = col(tTmp)
-        finish(stage2,
-          when(tc.isin("true", "t", "1", "yes", "y"), lit(true))
-            .when(tc.isin("false", "f", "0", "no", "n"), lit(false)),
-          Seq(tTmp))
+        finish(stage2, boolFromToken(col(tTmp)), Seq(tTmp))
       case other => throw new IllegalStateException(s"staged conversion: $other")
     }
   }

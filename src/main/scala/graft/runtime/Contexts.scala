@@ -100,14 +100,22 @@ object Contexts {
 
   /** Register a plain context: secure values go to the in-process secret
     * store ("bootstrap_to_store", contexts.py:125-127), metadata + secure
-    * keys are persisted. */
+    * keys are persisted. Re-registration REPLACES the secret-store entry
+    * unconditionally (an empty map clears it) so a previous
+    * registration's secrets can never outlive their spec. */
   def registerPlainContext(spec: ContextSpec,
                            secureValues: Map[String, String]): Unit = {
     val undeclared = secureValues.keySet -- spec.secureKeys.toSet
     require(undeclared.isEmpty,
       s"context '${spec.name}': secure values for undeclared keys: ${undeclared.mkString(", ")}")
+    // a key cannot be both persisted-in-plaintext and declared secure:
+    // that would write the secret into contexts.jsonl and echo it on GET
+    val overlap = spec.nonSecure.keySet.intersect(spec.secureKeys.toSet)
+    require(overlap.isEmpty,
+      s"context '${spec.name}': keys both secure and non-secure: ${overlap.mkString(", ")}")
     plainContexts.put(spec.id, spec)
     if (secureValues.nonEmpty) secretStore.put(spec.id, secureValues)
+    else secretStore.remove(spec.id)
     append(plainCtxLine(spec))
   }
 

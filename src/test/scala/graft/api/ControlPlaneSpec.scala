@@ -352,6 +352,16 @@ class ControlPlaneSpec extends SparkTestBase {
         URI.create(s"$base/contexts/credentials-mapping-context"))
         .POST(HttpRequest.BodyPublishers.ofString(
           """{"name":"m2","credentials_ids":{}}""")).build()).statusCode() === 201)
+      // provider ids are one namespace: re-POSTing an existing id (or an
+      // id colliding with a mapping context) is rejected, not overwritten
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/context"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"id":"rest-plain","name":"dupe","environment":"DEV"}""")).build())
+        .statusCode() === 400)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/context"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"id":"m2","name":"shadow","environment":"DEV"}""")).build())
+        .statusCode() === 400)
       assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/rest-plain"))
         .DELETE().build()).statusCode() === 204)
       assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/rest-plain"))

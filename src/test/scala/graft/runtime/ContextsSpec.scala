@@ -96,6 +96,27 @@ class ContextsSpec extends AnyFunSuite {
         Contexts.ContextSpec("pc2", "bad", Credentials.Dev, Map.empty, Nil),
         secureValues = Map("sneaky" -> "v"))
     }
+    // a key declared both secure and non-secure would persist its secret
+    // in plaintext — rejected
+    intercept[IllegalArgumentException] {
+      Contexts.registerPlainContext(
+        Contexts.ContextSpec("pc3", "bad2", Credentials.Dev,
+          Map("api_key" -> "leak"), Seq("api_key")),
+        secureValues = Map("api_key" -> "leak"))
+    }
+    // re-registration without secure values CLEARS the secret store: the
+    // old secret must not be resolvable under the new spec
+    Contexts.registerPlainContext(
+      Contexts.ContextSpec("pc1", "api-ctx", Credentials.Test,
+        nonSecure = Map("endpoint" -> "https://x.example"), secureKeys = Nil),
+      secureValues = Map.empty)
+    intercept[NoSuchElementException] { Contexts.getParameter("pc1", "api_key") }
+    // restore the original registration for the persistence checks below
+    Contexts.registerPlainContext(
+      Contexts.ContextSpec("pc1", "api-ctx", Credentials.Test,
+        nonSecure = Map("endpoint" -> "https://x.example", "region" -> "eu"),
+        secureKeys = Seq("api_key")),
+      secureValues = Map("api_key" -> "top-secret"))
 
     // nothing secret on disk; keys and non-secure values are there
     val log = Files.readString(dir.resolve("contexts.jsonl"))
