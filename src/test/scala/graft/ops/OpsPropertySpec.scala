@@ -114,6 +114,30 @@ class OpsPropertySpec extends SparkTestBase {
     }
   }
 
+  test("staged top-level and nested-path string conversion agree") {
+    // the top-level path runs the STAGED projections (convertStagedString),
+    // the dotted path runs convert() through the struct rebuild — both
+    // claim the same scalar semantics; this pins it over the full random
+    // cell domain for every string-source target
+    val cells = sampleN(cellGen, 400, seed = 14L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cells.zipWithIndex.map { case (s, i) =>
+        Row(i, s, Row(s)) }, 2),
+      StructType(Seq(StructField("i", IntegerType), StructField("s", StringType),
+        StructField("o", StructType(Seq(StructField("v", StringType)))))))
+    for (target <- Seq(GraftType.TInteger, GraftType.TFloat, GraftType.TBoolean)) {
+      val out = TypeConversionOp(df, Seq(
+        TypeConversionOp.CastRule("s", target, TypeConversionOp.NullPolicy),
+        TypeConversionOp.CastRule("o.v", target, TypeConversionOp.NullPolicy)))
+        .orderBy(col("i"))
+        .select(col("s"), col("o.v").as("v")).collect()
+      out.zip(cells).foreach { case (r, cell) =>
+        assert(Option(r.get(0)) == Option(r.get(1)),
+          s"target $target input '$cell': top=${r.get(0)} nested=${r.get(1)}")
+      }
+    }
+  }
+
   // --------------------------------------------------------------- filter
 
   /** Row model: nullable long `a`, nullable string `b`. */
