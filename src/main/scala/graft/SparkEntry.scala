@@ -2193,6 +2193,60 @@ object SparkEntry {
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang_pred"))
 
+  /** Benchmark decontamination (scale/Decontaminate): docs with
+    * doc_id % 41 == 0 play the eval set, the rest the corpus; a corpus
+    * doc is contaminated when it shares >= 2 distinct word 3-grams with
+    * the eval set. Broadcast strategy: the corpus side is a narrow map
+    * over a codegen'd gram-set probe — zero shuffle (DecontaminateSpec
+    * pins the plan). The oracle replays the gram rule in DuckDB SQL. */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateGate(s, dir, "broadcast")
+
+  /** The SAME decontamination through the join strategy (ids-only
+    * posting join — the path for benchmark sets past the broadcast
+    * cap): two physical plans, one semantics, one oracle. */
+  private def qDecontaminateJoin(s: SparkSession, dir: String): DataFrame =
+    decontaminateGate(s, dir, "join")
+
+  /** Shared oracle for q_decontaminate / q_decontaminate_join: the gram
+    * rule in DuckDB SQL — tokenization mirrors Dedup.exactKey (lower,
+    * trim, whitespace-collapse) and the list comprehension mirrors
+    * WordShingles' max(|toks|-n+1, 1) positions. */
+  private val decontaminateOracle: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    str_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      |  FROM documents),
+      |bgrams AS (
+      |  SELECT DISTINCT unnest(list_distinct(
+      |    [array_to_string(tk[i:i+2], ' ')
+      |     for i in range(1, greatest(len(tk)-2, 1)+1)])) AS g
+      |  FROM norm WHERE doc_id % 41 = 0),
+      |cgrams AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(tk[i:i+2], ' ')
+      |     for i in range(1, greatest(len(tk)-2, 1)+1)])) AS g
+      |  FROM norm WHERE doc_id % 41 <> 0),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS n_hits
+      |  FROM cgrams JOIN bgrams USING (g) GROUP BY 1)
+      |SELECT n.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+      |  coalesce(h.n_hits, 0) >= 2 AS contaminated
+      |FROM norm n LEFT JOIN hits h USING (doc_id)
+      |WHERE n.doc_id % 41 <> 0
+      |ORDER BY n.doc_id""".stripMargin
+
+  private def decontaminateGate(s: SparkSession, dir: String,
+                                strategy: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    graft.scale.Decontaminate.flag(
+      docs.filter(col("doc_id") % 41 =!= 0),
+      docs.filter(col("doc_id") % 41 === 0),
+      n = 3, minOverlap = 2, strategy = strategy)
+      .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- similarity
 
   private def qSimKnn(s: SparkSession, dir: String): DataFrame = {
@@ -2555,6 +2609,60 @@ object SparkEntry {
     built.runSinks()
     built.close()
     s.read.parquet(outDir).orderBy(col("lang"))
+  }
+
+  /** Combination job: `decontaminate` emit=clean as a declarative
+    * component — two `sql` components split documents into corpus
+    * (doc_id % 41 != 0) and benchmark (doc_id % 41 == 0) ports, the
+    * decontaminate component drops every corpus doc sharing >= 2
+    * distinct word 3-grams with the benchmark, and the surviving rows
+    * land in parquet. Same gram rule as q_decontaminate, exercised
+    * through config parsing, port wiring, and the emit=clean face. */
+  private def qJobDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_decontaminate"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val slimSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "n_chars" -> "integer")
+    val outSchema = fieldsJson("doc_id" -> "integer", "n_chars" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "decontaminate_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "corp", "in_port": "in" },
+         |                           { "to": "bench", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "corp", "comp_type": "sql",
+         |      "query": "SELECT doc_id, text, n_chars FROM corp_in WHERE doc_id % 41 <> 0",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "dc", "in_port": "corpus" } ] },
+         |      "out_port_schemas": { "out": $slimSchema } },
+         |    { "name": "bench", "comp_type": "sql",
+         |      "query": "SELECT doc_id, text, n_chars FROM bench_in WHERE doc_id % 41 = 0",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "dc", "in_port": "benchmark" } ] },
+         |      "out_port_schemas": { "out": $slimSchema } },
+         |    { "name": "dc", "comp_type": "decontaminate", "emit": "clean",
+         |      "ngram_n": 3, "min_overlap": 2,
+         |      "in_port_schemas": { "corpus": $slimSchema,
+         |                           "benchmark": $slimSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $slimSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, n_chars FROM proj_in",
+         |      "in_port_schemas": { "in": $slimSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
   /** Combination job: `hash_split` — the deterministic train/val/test
@@ -3521,6 +3629,9 @@ object SparkEntry {
     "q_job_ivf_index" -> (qJobIvfIndex _),
     "q_job_ivf_many" -> (qJobIvfMany _),
     "q_job_pii_redact" -> (qJobPiiRedact _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_join" -> (qDecontaminateJoin _),
+    "q_job_decontaminate" -> (qJobDecontaminate _),
     "q_job_hash_split" -> (qJobHashSplit _),
     "q_job_sample" -> (qJobSample _),
     "q_job_sample_strata" -> (qJobSampleStrata _),
@@ -4579,6 +4690,36 @@ object SparkEntry {
         |  max(text) AS max_text
         |FROM red WHERE n_emails > 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // decontamination gram rule replayed in DuckDB: the same normalized
+    // word 3-grams (lowercase, whitespace-collapse, distinct, short
+    // texts collapse to one whole-text shingle), distinct-intersection
+    // hit counts, min_overlap=2 threshold. One oracle serves BOTH
+    // physical strategies (broadcast narrow-map and ids-only join).
+    "q_decontaminate" -> decontaminateOracle,
+    "q_decontaminate_join" -> decontaminateOracle,
+    // the declarative emit=clean face: survivors only (hits < 2)
+    "q_job_decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id, n_chars,
+        |    str_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents),
+        |bgrams AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |    [array_to_string(tk[i:i+2], ' ')
+        |     for i in range(1, greatest(len(tk)-2, 1)+1)])) AS g
+        |  FROM norm WHERE doc_id % 41 = 0),
+        |cgrams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(tk[i:i+2], ' ')
+        |     for i in range(1, greatest(len(tk)-2, 1)+1)])) AS g
+        |  FROM norm WHERE doc_id % 41 <> 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM cgrams JOIN bgrams USING (g) GROUP BY 1)
+        |SELECT n.doc_id, n.n_chars
+        |FROM norm n LEFT JOIN hits h USING (doc_id)
+        |WHERE n.doc_id % 41 <> 0 AND coalesce(h.n_hits, 0) < 2
+        |ORDER BY n.doc_id""".stripMargin,
     // md5-bucket replay: both engines hash the decimal-string id; sum of
     // member ids pins per-row routing, not just split sizes
     "q_job_hash_split" ->

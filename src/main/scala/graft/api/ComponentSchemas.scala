@@ -149,6 +149,13 @@ object ComponentSchemas {
       p("nprobe", "integer", "ivf: probed cells, default max(2, cells/8) from the centroid count"))),
     "pii_redact" -> ("Mask emails/phones/IPv4 in a text column (<EMAIL>/<PHONE>/<IP>) and add n_emails/n_phones/n_ips counts" -> Seq(
       p("text_column", "string", "column to redact in place, default 'text'"))),
+    "decontaminate" -> ("Flag/drop corpus docs sharing word n-grams with a benchmark set (ports corpus/benchmark) — the train/test-overlap guard" -> Seq(
+      p("text_column", "string", "text column on both ports, default 'text'"),
+      p("id_column", "string", "corpus id column (join strategy), default 'doc_id'"),
+      p("ngram_n", "integer", "word n-gram width, default 3"),
+      p("min_overlap", "integer", "shared distinct grams to count as contaminated, default 1"),
+      p("strategy", "string", "broadcast (default; benchmark grams probed via a codegen'd set, corpus stays a narrow map) | join (ids-only posting join for huge benchmarks)"),
+      p("emit", "string", "flagged (default; appends n_hits/contaminated) | clean (keeps only uncontaminated rows)"))),
     "write_ivf_index" -> ("Write the corpus partitioned by nearest centroid cell (ports corpus/centroids) — the probe-prunable IVF layout" -> Seq(
       req("filepath", "string", "index directory (one subdirectory per cell)"),
       p("vector_column", "string", "embedding column, default 'embedding'"),

@@ -76,6 +76,8 @@ object JobGraph {
       ports.map(PortSpec(_, required = true, multi = false))
     case "write_ivf_index" =>
       Seq("corpus", "centroids").map(PortSpec(_, required = true, multi = false))
+    case "decontaminate" =>
+      Seq("corpus", "benchmark").map(PortSpec(_, required = true, multi = false))
     case "asof_join" | "set_op" | "range_join" =>
       Seq("left", "right").map(PortSpec(_, required = true, multi = false))
     case _ => Seq(PortSpec("in", required = true, multi = false))
@@ -707,6 +709,27 @@ object JobGraph {
       case "pii_redact" =>
         (Map("out" -> graft.scale.TextAnalysis.redactPiiWithCounts(one(),
           c.str("text_column").getOrElse("text"))), None)
+
+      // Benchmark decontamination (scale/Decontaminate.scala): flag or
+      // drop corpus docs sharing word n-grams with the `benchmark` port's
+      // eval set. emit=flagged appends n_hits/contaminated for auditing;
+      // emit=clean (the training-pipeline shape) keeps only clean rows.
+      case "decontaminate" =>
+        import graft.scale.Decontaminate
+        val (textCol, idCol) = (c.str("text_column").getOrElse("text"),
+          c.str("id_column").getOrElse("doc_id"))
+        val (n, minOv) = (c.int("ngram_n", 3), c.int("min_overlap", 1))
+        val strat = c.str("strategy").getOrElse("broadcast")
+        val emit = c.str("emit").getOrElse("flagged")
+        val out = emit match {
+          case "flagged" => Decontaminate.flag(port("corpus"),
+            port("benchmark"), textCol, idCol, n, minOv, strat)
+          case "clean" => Decontaminate.clean(port("corpus"),
+            port("benchmark"), textCol, idCol, n, minOv, strat)
+          case other => throw new IllegalArgumentException(
+            s"decontaminate ${c.name}: emit must be flagged|clean, got '$other'")
+        }
+        (Map("out" -> out), None)
 
       // Column-level data profile (scale/Profile.scala): `columns`
       // restricts the profiled set (default all), `approx` swaps exact

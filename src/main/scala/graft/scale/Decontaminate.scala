@@ -1,0 +1,123 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: flag (or drop) corpus documents that share
+ * word n-grams with an evaluation/benchmark set — the standard
+ * train/test-overlap guard of large-scale training-data pipelines
+ * (GPT-3 §C / Llama / Dolma all ship a variant of this n-gram rule).
+ *
+ * Tokenization and shingling reuse the dedup family's normalized word
+ * n-grams (Dedup.wordShingles: lowercase, whitespace-collapse, distinct
+ * token n-grams via the codegen'd WordShingles expression), so one
+ * text-normalization contract serves dedup AND decontamination.
+ *
+ * Two physical strategies, one semantics (DecontaminateSpec pins their
+ * equality; the gate oracle replays the rule in DuckDB SQL):
+ *
+ *  - `broadcast` (default): the DISTINCT benchmark n-grams are collected
+ *    (bounded: benchmark sets are evaluation data, orders of magnitude
+ *    smaller than the corpus; a hard cap fails loudly past
+ *    [[MaxBroadcastGrams]]) and probed via the codegen'd CountInSet
+ *    hash-set expression. The 100 TB corpus side is then a NARROW MAP —
+ *    zero shuffle, no corpus explode, stays inside whole-stage codegen
+ *    next to the parquet scan. This is the 100 TB path: eval suites are
+ *    MBs while the corpus is TBs.
+ *  - `join`: for benchmark sets past the broadcast cap — corpus grams
+ *    explode to (id, gram) pairs (ids only, text never shuffled), inner
+ *    join the distinct benchmark grams on the gram key, count hits per
+ *    id, left-join the counts back. Three shuffles, all ids/grams only.
+ *
+ * n_hits = |distinct corpus-doc n-grams ∩ benchmark n-grams| (both sides
+ * distinct, so multiplicity never inflates the overlap); a document is
+ * contaminated when n_hits >= min_overlap. Null/empty text → 0 hits,
+ * kept (nothing to leak).
+ */
+object Decontaminate {
+
+  /** Hard cap on the collected benchmark gram set (broadcast strategy).
+    * ~2M grams ≈ a few hundred MB of probe set — far beyond any real
+    * eval suite; past it the join strategy is the right plan anyway. */
+  val MaxBroadcastGrams = 2000000
+
+  /** Distinct normalized word n-grams of a text column (the dedup
+    * family's contract: Dedup.wordShingles). */
+  def grams(text: Column, n: Int): Column = Dedup.wordShingles(text, n)
+
+  /**
+   * Corpus with `n_hits` (long) and `contaminated` (boolean) appended.
+   *
+   * @param strategy "broadcast" (default) | "join" — see object doc.
+   */
+  def flag(corpus: DataFrame, bench: DataFrame,
+           textCol: String = "text", idCol: String = "doc_id",
+           n: Int = 3, minOverlap: Int = 1,
+           strategy: String = "broadcast"): DataFrame = {
+    require(n >= 1, s"decontaminate: n must be >= 1, got $n")
+    require(minOverlap >= 1,
+      s"decontaminate: min_overlap must be >= 1, got $minOverlap")
+    strategy match {
+      case "broadcast" => flagBroadcast(corpus, bench, textCol, n, minOverlap)
+      case "join"      => flagJoin(corpus, bench, textCol, idCol, n, minOverlap)
+      case other => throw new IllegalArgumentException(
+        s"decontaminate: unknown strategy '$other' (broadcast | join)")
+    }
+  }
+
+  /** flag() then keep only the clean rows, dropping the audit columns —
+    * the shape a training pipeline feeds downstream. */
+  def clean(corpus: DataFrame, bench: DataFrame,
+            textCol: String = "text", idCol: String = "doc_id",
+            n: Int = 3, minOverlap: Int = 1,
+            strategy: String = "broadcast"): DataFrame =
+    flag(corpus, bench, textCol, idCol, n, minOverlap, strategy)
+      .filter(!col("contaminated")).drop("n_hits", "contaminated")
+
+  private def flagBroadcast(corpus: DataFrame, bench: DataFrame,
+                            textCol: String, n: Int,
+                            minOverlap: Int): DataFrame = {
+    // Bounded driver materialization, justified like KMeans' centroid
+    // collect: the benchmark side is eval data (small by construction)
+    // and the cap fails loudly instead of OOMing the driver. limit+1
+    // detects overflow without counting the full set.
+    val rows = bench
+      .select(explode(grams(col(textCol), n)).as("g")).distinct()
+      .limit(MaxBroadcastGrams + 1).collect()
+    require(rows.length <= MaxBroadcastGrams,
+      s"decontaminate: benchmark n-gram set exceeds $MaxBroadcastGrams " +
+        "distinct grams — use strategy=join for a benchmark this large")
+    val set = rows.map(_.getString(0)).toSeq
+    val hits =
+      if (set.isEmpty) lit(0L)
+      else coalesce(
+        graft.functions.CountInSet.count(grams(col(textCol), n), set)
+          .cast("long"),
+        lit(0L)) // null text → grams null → count null → 0 hits
+    corpus
+      .withColumn("n_hits", hits)
+      .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+
+  private def flagJoin(corpus: DataFrame, bench: DataFrame,
+                       textCol: String, idCol: String, n: Int,
+                       minOverlap: Int): DataFrame = {
+    val bg = bench.select(explode(grams(col(textCol), n)).as("g")).distinct()
+    // ids-only explode: the corpus text column never crosses the wire.
+    // WordShingles is already distinct per doc and bg is distinct, so
+    // count(*) per id IS the distinct-intersection size.
+    val hits = corpus
+      .select(col(idCol).as("__decon_id"), explode(grams(col(textCol), n)).as("g"))
+      .join(bg, "g")
+      .groupBy(col("__decon_id")).agg(count(lit(1)).as("__decon_hits"))
+    // The hit table is at most one row per contaminated doc — typically
+    // a small fraction of the corpus, so AQE broadcasts this join-back.
+    corpus
+      .join(hits, corpus(idCol) === hits("__decon_id"), "left")
+      .drop("__decon_id")
+      .withColumn("n_hits", coalesce(col("__decon_hits"), lit(0L)))
+      .drop("__decon_hits")
+      .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+}
