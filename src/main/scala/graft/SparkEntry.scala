@@ -2193,6 +2193,27 @@ object SparkEntry {
       .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang_pred"))
 
+  /** Gopher-style repetition signals (TextAnalysis.repetitionStats):
+    * duplicate-line fraction, most-frequent word bigram and its
+    * character fraction, duplicated-bigram position fraction — all
+    * narrow maps (the gram counting is the codegen'd TopGramStats
+    * per-row hash pass, no explode/shuffle). The fixture is single-line,
+    * so the query SEEDS deterministic line structure from doc_id —
+    * identically in the oracle — making the line rule actually bite:
+    * doc_id % 3 == 0 docs gain a duplicated line, the rest a unique
+    * one. */
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val seeded = table(s, dir, "documents")
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\nrepeat line\nrepeat line")))
+        .otherwise(concat(col("text"), lit("\nrepeat line\nunique "),
+          col("doc_id").cast("string"))))
+    TextAnalysis.repetitionStats(seeded, "text", n = 2)
+      .select(col("doc_id"), col("dup_line_ratio"), col("top_gram"),
+        col("top_gram_ratio"), col("dup_gram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination (scale/Decontaminate): docs with
     * doc_id % 41 == 0 play the eval set, the rest the corpus; a corpus
     * doc is contaminated when it shares >= 2 distinct word 3-grams with
@@ -2207,6 +2228,60 @@ object SparkEntry {
     * cap): two physical plans, one semantics, one oracle. */
   private def qDecontaminateJoin(s: SparkSession, dir: String): DataFrame =
     decontaminateGate(s, dir, "join")
+
+  /** Shared oracle for text_repetition / q_job_text_repetition:
+    * both gates emit the same five repetition columns from the same
+    * seeded line structure — one SQL replay serves the direct op and
+    * the declarative component face. */
+  private val textRepetitionOracle: String =
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || chr(10) || 'repeat line' || chr(10) || 'repeat line'
+        |      ELSE text || chr(10) || 'repeat line' || chr(10) || 'unique ' || doc_id
+        |    END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, list_filter(
+        |    list_transform(str_split(text, chr(10)), x -> trim(x)),
+        |    x -> len(x) > 0) AS ls
+        |  FROM seeded),
+        |dupline AS (
+        |  SELECT doc_id, CASE WHEN len(ls) <= 0 THEN 0.0
+        |    ELSE round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
+        |  END AS dup_line_ratio
+        |  FROM lines),
+        |toks AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+        |    str_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM seeded),
+        |grams AS (
+        |  SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+        |    for i in range(1, greatest(len(tk)-1, 1)+1)]) AS g
+        |  FROM toks),
+        |counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, g AS top_gram, c AS top_count FROM (
+        |    SELECT doc_id, g, c, row_number()
+        |      OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |    FROM counts)
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, sum(c) AS n_positions,
+        |    coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_positions
+        |  FROM counts GROUP BY 1)
+        |SELECT t.doc_id, d.dup_line_ratio, top.top_gram,
+        |  round(CASE WHEN len(t.nt) = 0 THEN 0.0
+        |    ELSE (top.top_count * len(top.top_gram))::DOUBLE / len(t.nt)
+        |  END, 6) AS top_gram_ratio,
+        |  round(CASE WHEN a.n_positions = 0 THEN 0.0
+        |    ELSE a.dup_positions::DOUBLE / a.n_positions
+        |  END, 6) AS dup_gram_ratio
+        |FROM toks t
+        |JOIN dupline d USING (doc_id)
+        |JOIN top USING (doc_id)
+        |JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
 
   /** Shared oracle for q_decontaminate / q_decontaminate_join: the gram
     * rule in DuckDB SQL — tokenization mirrors Dedup.exactKey (lower,
@@ -2609,6 +2684,64 @@ object SparkEntry {
     built.runSinks()
     built.close()
     s.read.parquet(outDir).orderBy(col("lang"))
+  }
+
+  /** Combination job: the `text_analysis` component's opt-in repetition
+    * face (repetition=true, repetition_n=2) — a `sql` component seeds
+    * the same deterministic line structure as text_repetition, the
+    * component appends the Gopher signals, and a projection keeps the
+    * repetition columns. Same rule, exercised through config parsing
+    * and the component's schema-compatible opt-in. */
+  private def qJobTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_text_repetition"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val seedSchema = fieldsJson("doc_id" -> "integer", "text" -> "string")
+    val taSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "n_tokens" -> "integer", "n_tokens_bpe" -> "integer",
+      "punct_ratio" -> "float", "stopword_ratio" -> "float",
+      "quality" -> "float", "lang_pred" -> "string",
+      "fingerprint" -> "string",
+      "dup_line_ratio" -> "float", "top_gram" -> "string",
+      "top_gram_ratio" -> "float", "dup_gram_ratio" -> "float")
+    val outSchema = fieldsJson("doc_id" -> "integer",
+      "dup_line_ratio" -> "float", "top_gram" -> "string",
+      "top_gram_ratio" -> "float", "dup_gram_ratio" -> "float")
+    val seedSql = "SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+      "THEN concat(text, chr(10), 'repeat line', chr(10), 'repeat line') " +
+      "ELSE concat(text, chr(10), 'repeat line', chr(10), 'unique ', " +
+      "CAST(doc_id AS STRING)) END AS text FROM seed_in"
+    val jobJson =
+      s"""{
+         |  "name": "text_repetition_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "seed", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "seed", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(seedSql)},
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "ta", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $seedSchema } },
+         |    { "name": "ta", "comp_type": "text_analysis",
+         |      "repetition": true, "repetition_n": 2,
+         |      "in_port_schemas": { "in": $seedSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $taSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, dup_line_ratio, top_gram, top_gram_ratio, dup_gram_ratio FROM proj_in",
+         |      "in_port_schemas": { "in": $taSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
   /** Combination job: `decontaminate` emit=clean as a declarative
@@ -3632,6 +3765,8 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_join" -> (qDecontaminateJoin _),
     "q_job_decontaminate" -> (qJobDecontaminate _),
+    "text_repetition" -> (qTextRepetition _),
+    "q_job_text_repetition" -> (qJobTextRepetition _),
     "q_job_hash_split" -> (qJobHashSplit _),
     "q_job_sample" -> (qJobSample _),
     "q_job_sample_strata" -> (qJobSampleStrata _),
@@ -4690,6 +4825,12 @@ object SparkEntry {
         |  max(text) AS max_text
         |FROM red WHERE n_emails > 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // repetition signals replayed in DuckDB: same line seeding, same
+    // normalized bigrams (non-distinct positions), same tie-break
+    // (count desc, gram asc — binary order on ASCII grams), same
+    // round(x, 6) float discipline as the other ratio oracles
+    "text_repetition" -> textRepetitionOracle,
+    "q_job_text_repetition" -> textRepetitionOracle,
     // decontamination gram rule replayed in DuckDB: the same normalized
     // word 3-grams (lowercase, whitespace-collapse, distinct, short
     // texts collapse to one whole-text shingle), distinct-intersection

@@ -135,7 +135,9 @@ object ComponentSchemas {
       p("max_iter", "integer", "propagation round cap (rounds are O(log diameter)), default 25"),
       p("check_every", "integer", "convergence-count cadence, default 1 (ScaleProbe-measured: the count is ~21% of a round, so skipping only pays when rounds >> cadence)"))),
     "text_analysis" -> ("Token counts, quality ratios, language id" -> Seq(
-      p("text_column", "string", "document text column, default 'text'"))),
+      p("text_column", "string", "document text column, default 'text'"),
+      p("repetition", "boolean", "append Gopher repetition signals (dup_line_ratio, top_gram, top_gram_ratio, dup_gram_ratio), default false"),
+      p("repetition_n", "integer", "word n-gram width for the repetition signals, default 2"))),
     "similarity" -> ("Nearest-neighbor search: exact k-NN join or IVF cell probe" -> Seq(
       p("method", "string", "knn (default; ports corpus/queries) | ivf (ports corpus/centroids/query) | ivf_index (ports centroids/query over a write_ivf_index layout)"),
       p("index_path", "string", "ivf_index: directory written by write_ivf_index (REQUIRED when method=ivf_index)"),

@@ -693,8 +693,17 @@ object JobGraph {
           c.int("check_every", 1))), None)
 
       case "text_analysis" =>
-        (Map("out" -> graft.scale.TextAnalysis.analyze(one(),
-          c.str("text_column").getOrElse("text"))), None)
+        val textCol = c.str("text_column").getOrElse("text")
+        val base = graft.scale.TextAnalysis.analyze(one(), textCol)
+        // repetition=true appends the Gopher repetition signals
+        // (dup_line_ratio, top_gram, top_gram_ratio, dup_gram_ratio) —
+        // opt-in so existing jobs' declared output schemas stay valid
+        val out =
+          if (c.bool("repetition", false))
+            graft.scale.TextAnalysis.repetitionStats(base, textCol,
+              c.int("repetition_n", 2))
+          else base
+        (Map("out" -> out), None)
 
       // Unpivot/melt (RelationalOps.unpivot): value columns become
       // (variable, value) rows next to the id columns.

@@ -90,6 +90,63 @@ object TextAnalysis {
   }
 
   /**
+   * Fraction of non-blank lines that are duplicates of another line —
+   * the Gopher "duplicate line fraction" quality rule (boilerplate,
+   * navigation chrome, templated text). Pure Column tree: split on
+   * newline, trim, drop blanks, 1 - distinct/total. Empty/blank text →
+   * 0; null text → null.
+   */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val total = size(lines)
+    when(total <= 0, lit(0.0)).otherwise(
+      (total - size(array_distinct(lines))).cast("double") /
+        total.cast("double"))
+  }
+
+  /**
+   * Gopher-style repetition signals appended to the frame, all computed
+   * as narrow maps (the gram counting is the codegen'd TopGramStats
+   * expression — one per-row hash pass, no explode, no shuffle):
+   *
+   *  - dup_line_ratio: [[dupLineFraction]];
+   *  - top_gram: the most frequent word n-gram of the normalized text
+   *    (ties to the binary-smallest gram — engine-reproducible);
+   *  - top_gram_ratio: top_count * len(top_gram) / len(normalized text)
+   *    — the "fraction of characters in the most frequent n-gram" rule
+   *    (occurrence overlaps are not discounted; 0 when the text is
+   *    empty);
+   *  - dup_gram_ratio: gram positions whose gram repeats / total gram
+   *    positions — the "duplicated n-gram fraction" rule.
+   *
+   * Normalization is the dedup family's contract (Dedup.exactKey:
+   * lowercase, whitespace-collapse) so repetition and dedup agree on
+   * what a token is. Null text propagates null through all four
+   * columns.
+   */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+                      n: Int = 2): DataFrame = {
+    require(n >= 1, s"repetitionStats: n must be >= 1, got $n")
+    val t = col(textCol)
+    val norm = Dedup.exactKey(t)
+    val st = graft.functions.TopGramStats.stats(split(norm, " "), n)
+    val normLen = length(norm)
+    df.withColumn("dup_line_ratio", round(dupLineFraction(t), 6))
+      .withColumn("__rep", st)
+      .withColumn("top_gram", col("__rep.top_gram"))
+      .withColumn("top_gram_ratio", round(
+        when(normLen === 0, lit(0.0)).otherwise(
+          (col("__rep.top_count") * length(col("__rep.top_gram")))
+            .cast("double") / normLen.cast("double")), 6))
+      .withColumn("dup_gram_ratio", round(
+        when(col("__rep.n_positions") === 0, lit(0.0)).otherwise(
+          col("__rep.dup_positions").cast("double") /
+            col("__rep.n_positions").cast("double")), 6))
+      .drop("__rep")
+  }
+
+  /**
    * Language-ID by marker-word voting: counts hits against per-language
    * marker lexicons and picks the argmax (ties → lexicographic language
    * code, "und" when no marker hits). An n-gram-free heuristic that is

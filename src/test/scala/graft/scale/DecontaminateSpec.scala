@@ -77,17 +77,18 @@ class DecontaminateSpec extends SparkTestBase {
       s"broadcast decontamination must not shuffle the corpus:\n$plan")
   }
 
-  test("benchmark gram overflow fails loudly, pointing at strategy=join") {
+  test("malformed parameters fail loudly") {
     val e = intercept[IllegalArgumentException] {
-      val huge = spark.range(10).select(lit("a b c d").as("text"))
-      // simulate the cap via a tiny corpus but a forced small limit is
-      // not exposed; instead validate the validation parameters
-      Decontaminate.flag(corpus, huge, n = 0)
+      Decontaminate.flag(corpus, bench, n = 0)
     }
     assert(e.getMessage.contains("n must be >= 1"))
     val e2 = intercept[IllegalArgumentException] {
       Decontaminate.flag(corpus, bench, strategy = "nope")
     }
     assert(e2.getMessage.contains("broadcast | join"))
+    val e3 = intercept[IllegalArgumentException] {
+      Decontaminate.flag(corpus, bench, minOverlap = 0)
+    }
+    assert(e3.getMessage.contains("min_overlap"))
   }
 }
