@@ -204,6 +204,13 @@ object ComponentSchemas {
       p("watermark", "string", "dedup state horizon, default '1 hour'"),
       p("text_column", "string", "document text column, default 'text'"),
       p("method", "string", "only 'exact' is streamable (near-dup families are batch-only)"))),
+    "streaming_decontaminate" -> ("Stream-static benchmark decontamination: flag/drop stream docs sharing word n-grams with a STATIC eval set (streaming jobs only; stateless broadcast probe)" -> Seq(
+      req("benchmark_path", "string", "parquet directory of the STATIC benchmark side — read as a batch frame, its distinct grams broadcast"),
+      p("text_column", "string", "text column on both sides, default 'text'"),
+      p("ngram_n", "integer", "word n-gram width, default 3"),
+      p("min_overlap", "integer", "shared distinct grams to count as contaminated, default 1"),
+      p("strategy", "string", "only 'broadcast' is streamable (the join strategy aggregates over the stream)"),
+      p("emit", "string", "flagged (default; appends n_hits/contaminated) | clean (keeps only uncontaminated rows)"))),
     "streaming_range_join" -> ("Stream-static range/interval enrichment: STATIC right [start,end] intervals containing each stream row's value (streaming jobs only; stateless)" -> Seq(
       req("right_path", "string", "parquet directory of the STATIC interval side — read as a batch frame, not a stream"),
       req("on", "string", "stream-side value/time column the interval must contain (inclusive bounds)"),

@@ -59,7 +59,7 @@ object StreamingJobs {
     "filter", "type_conversion", "schema_mapping", "split", "merge",
     "unpivot", "hash_split", "sample",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
-    "streaming_asof_join", "streaming_range_join",
+    "streaming_asof_join", "streaming_range_join", "streaming_decontaminate",
     "write_csv", "write_json", "write_parquet")
 
   final case class SinkPlan(component: String, df: DataFrame, format: String,
@@ -260,6 +260,32 @@ object StreamingJobs {
             c.strSeqParam("by"),
             c.str("suffix").getOrElse("_r"),
             c.str("join_type").getOrElse("inner")))
+
+        // Stream-static benchmark decontamination (scale/Decontaminate):
+        // the eval set comes from `benchmark_path` (a batch parquet dim)
+        // and is collected into the broadcast gram probe at plan time, so
+        // the streaming corpus stays a stateless narrow map — no
+        // watermark, no state store. strategy=join is rejected loudly
+        // (its explode + groupBy would aggregate over the unbounded
+        // stream); exact parity with the batch component on the same
+        // data is pinned in StreamingJobsSpec.
+        case "streaming_decontaminate" =>
+          require(c.str("strategy").forall(_ == "broadcast"),
+            s"streaming_decontaminate ${c.name}: only strategy=broadcast " +
+              "is streamable — the join strategy aggregates over the stream")
+          val benchDf = graft.io.ParquetIO.read(spark, c.reqStr("benchmark_path"))
+          val textCol = c.str("text_column").getOrElse("text")
+          val (n, minOv) = (c.int("ngram_n", 3), c.int("min_overlap", 1))
+          val out = c.str("emit").getOrElse("flagged") match {
+            case "flagged" => graft.scale.Decontaminate.flag(
+              one(c), benchDf, textCol, n = n, minOverlap = minOv)
+            case "clean" => graft.scale.Decontaminate.clean(
+              one(c), benchDf, textCol, n = n, minOverlap = minOv)
+            case other => throw new IllegalArgumentException(
+              s"streaming_decontaminate ${c.name}: emit must be " +
+                s"flagged|clean, got '$other'")
+          }
+          Map("out" -> out)
 
         case t if t.startsWith("write_") =>
           val df = one(c)

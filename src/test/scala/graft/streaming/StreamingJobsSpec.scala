@@ -807,4 +807,79 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(ex.getMessage.contains("comp_type 'aggregation' (agg) is not streamable"))
     assert(ex.getMessage.contains("streaming/Streaming.scala"))
   }
+
+  test("streaming_decontaminate: stream-static parity with the batch component, flagged and clean") {
+    import org.apache.spark.sql.functions.col
+    val cin = tmp("sdec_corpus")
+    val bin = tmp("sdec_bench")
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") % 41 =!= 0).write.mode("overwrite").parquet(cin)
+    docs.filter(col("doc_id") % 41 === 0).write.mode("overwrite").parquet(bin)
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val flagSchema =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" },
+        |  { "name": "n_hits", "data_type": "integer" },
+        |  { "name": "contaminated", "data_type": "boolean" } ] }""".stripMargin
+    for (emit <- Seq("flagged", "clean")) {
+      val out = tmp(s"sdec_out_$emit")
+      val oSchema = if (emit == "flagged") flagSchema else inSchema
+      val cfg =
+        s"""{ "name": "sdec", "components": [
+           |  { "name": "r", "comp_type": "read_parquet", "filepath": "$cin",
+           |    "routes": { "out": [ { "to": "dc", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $inSchema } },
+           |  { "name": "dc", "comp_type": "streaming_decontaminate",
+           |    "benchmark_path": "$bin", "ngram_n": 3, "min_overlap": 2,
+           |    "emit": "$emit",
+           |    "in_port_schemas": { "in": $inSchema },
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $oSchema } },
+           |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+           |    "in_port_schemas": { "in": $oSchema } } ] }""".stripMargin
+      StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp(s"sdec_ckpt_$emit"))
+      val batch =
+        if (emit == "flagged")
+          graft.scale.Decontaminate.flag(spark.read.parquet(cin),
+            spark.read.parquet(bin), n = 3, minOverlap = 2)
+        else
+          graft.scale.Decontaminate.clean(spark.read.parquet(cin),
+            spark.read.parquet(bin), n = 3, minOverlap = 2)
+      assert(slurp(spark.read.parquet(out)) === slurp(batch),
+        s"stream/batch divergence for emit=$emit")
+    }
+    // both outcomes exercised: some docs flagged, some clean
+    val flagged = spark.read.parquet(tmp("sdec_out_flagged"))
+    assert(flagged.filter(org.apache.spark.sql.functions.col("contaminated")).count() > 0)
+    assert(spark.read.parquet(tmp("sdec_out_clean")).count() <
+      flagged.count())
+  }
+
+  test("streaming_decontaminate: strategy=join is rejected loudly") {
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val cfg =
+      s"""{ "name": "sdecbad", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "${tmp("sdec_corpus")}",
+         |    "routes": { "out": [ { "to": "dc", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "dc", "comp_type": "streaming_decontaminate",
+         |    "benchmark_path": "${tmp("sdec_bench")}", "strategy": "join",
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "${tmp("sdecbad_out")}",
+         |    "in_port_schemas": { "in": $inSchema } } ] }""".stripMargin
+    val ex = intercept[IllegalArgumentException] {
+      StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp("sdecbad_ckpt"))
+    }
+    assert(ex.getMessage.contains("only strategy=broadcast"))
+  }
 }
