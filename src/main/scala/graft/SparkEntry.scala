@@ -2229,6 +2229,20 @@ object SparkEntry {
   private def qDecontaminateJoin(s: SparkSession, dir: String): DataFrame =
     decontaminateGate(s, dir, "join")
 
+  /** Shared oracle for q_budget_sample / q_job_budget_sample: the same
+    * md5 selection order (both engines hash the identical "mix:<id>"
+    * string) and the same SQL-default-frame running sum; the running
+    * total stays internal to the WHERE, so no output-dtype hazard. */
+  private val budgetSampleOracle: String =
+    """WITH run AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    sum(coalesce(n_chars, 0))
+      |      OVER (PARTITION BY lang
+      |            ORDER BY md5('mix:' || doc_id::VARCHAR), doc_id) AS rc
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars FROM run
+      |WHERE rc <= 20000 ORDER BY doc_id""".stripMargin
+
   /** Shared oracle for text_repetition / q_job_text_repetition:
     * both gates emit the same five repetition columns from the same
     * seeded line structure — one SQL replay serves the direct op and
@@ -2942,6 +2956,58 @@ object SparkEntry {
     built.runSinks()
     built.close()
     s.read.parquet(outDir).orderBy(col("lang"))
+  }
+
+  /** Token-budget sampling (RelationalOps.budgetSample): per language,
+    * documents survive in deterministic md5("mix:"+doc_id) order while
+    * the running n_chars total stays <= 20000 — the data-mixing
+    * "N tokens per source" primitive. One hash exchange on the mixing
+    * key + in-partition sort; the oracle replays the identical md5
+    * arithmetic and SQL-default-frame running sum in DuckDB. */
+  private def qBudgetSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RelationalOps.budgetSample(
+      table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      idCol = "doc_id", costCol = "n_chars", budget = 20000L,
+      by = Seq("lang"), seed = "mix")
+      .orderBy(col("doc_id"))
+
+  /** The SAME budget rule through the declarative `budget_sample`
+    * component — config parsing, by-array wiring, and the long budget
+    * param exercised end-to-end. */
+  private def qJobBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_budget_sample"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val outSchema = fieldsJson("doc_id" -> "integer", "lang" -> "string",
+      "n_chars" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "budget_sample_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "bs", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "bs", "comp_type": "budget_sample",
+         |      "id_column": "doc_id", "cost_column": "n_chars",
+         |      "budget": 20000, "by": ["lang"], "seed": "mix",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, lang, n_chars FROM proj_in",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
   /** Combination job: `shuffle` — the deterministic seeded global
@@ -3770,6 +3836,8 @@ object SparkEntry {
     "q_job_hash_split" -> (qJobHashSplit _),
     "q_job_sample" -> (qJobSample _),
     "q_job_sample_strata" -> (qJobSampleStrata _),
+    "q_budget_sample" -> (qBudgetSample _),
+    "q_job_budget_sample" -> (qJobBudgetSample _),
     "q_job_shuffle" -> (qJobShuffle _),
     "q_job_session_agg" -> (qJobSessionAgg _),
     "multimodal_features" -> (qMultimodal _))
@@ -4831,6 +4899,8 @@ object SparkEntry {
     // round(x, 6) float discipline as the other ratio oracles
     "text_repetition" -> textRepetitionOracle,
     "q_job_text_repetition" -> textRepetitionOracle,
+    "q_budget_sample" -> budgetSampleOracle,
+    "q_job_budget_sample" -> budgetSampleOracle,
     // decontamination gram rule replayed in DuckDB: the same normalized
     // word 3-grams (lowercase, whitespace-collapse, distinct, short
     // texts collapse to one whole-text shingle), distinct-intersection

@@ -116,6 +116,13 @@ object ComponentSchemas {
       p("seed", "string", "hash salt, default '' — different seeds draw independent samples, and any seed is independent of hash_split's routing"),
       p("strata_column", "string", "column whose values select per-stratum rates from strata_fractions"),
       p("strata_fractions", "object", "{value: rate} overrides of the default fraction per stratum (downsample dominant strata, keep rare ones); unlisted and NULL strata use 'fraction'"))),
+    "budget_sample" -> ("Token-budget sample: per `by` mixing group, keep rows in deterministic md5(seed:id) order while the cumulative cost_column total stays <= budget ('keep ~N tokens per source'; one hash exchange + in-partition sort)" -> Seq(
+      req("budget", "integer", "inclusive running-cost ceiling per group"),
+      p("id_column", "string", "column hashed for the selection order, default 'id'"),
+      p("cost_column", "string", "per-row cost (token/char count; nulls cost 0), default 'n_tokens'"),
+      p("by", "array", "mixing-group columns (source, language, shard); empty needs allow_global"),
+      p("seed", "string", "hash salt, default '' — independent of sample/shuffle/hash_split draws"),
+      p("allow_global", "boolean", "permit the empty-`by` single-partition sort, default false"))),
     "shuffle" -> ("Deterministic seeded global shuffle: adds key_column = md5(seed:id) and returns a TOTAL order over it (one range exchange; same row order on any run/engine/partitioning — reproducible training order). Null ids take the fixed md5(seed:) key" -> Seq(
       p("id_column", "string", "column hashed for the permutation, default 'id'"),
       p("seed", "string", "hash salt, default '' — different seeds draw independent permutations, independent of hash_split/sample hashing"),

@@ -55,6 +55,12 @@ object JobConfig {
       case JLong(l) => Some(l.toInt)
       case _        => None
     }
+    /** Full-range integer param (token budgets overflow Int at scale). */
+    def longOpt(key: String): Option[Long] = (params \ key) match {
+      case JInt(i)  => Some(i.toLong)
+      case JLong(l) => Some(l)
+      case _        => None
+    }
     def strSeqParam(key: String): Seq[String] = (params \ key) match {
       case JArray(items) => items.collect { case JString(s) => s }
       case _             => Nil

@@ -555,6 +555,22 @@ object JobGraph {
         (Map("out" -> RelationalOps.hashSample(one(), idCol, fraction, seed,
           strataCol, strata)), None)
 
+      // Token-budget sampling (RelationalOps.budgetSample): within each
+      // `by` mixing group, rows survive in deterministic md5(seed:id)
+      // order until the cumulative cost_column total reaches `budget` —
+      // the "keep ~N tokens per source" data-mixing primitive.
+      case "budget_sample" =>
+        val budget = c.longOpt("budget").getOrElse(
+          throw new IllegalArgumentException(
+            s"budget_sample ${c.name}: missing integer 'budget'"))
+        (Map("out" -> RelationalOps.budgetSample(one(),
+          c.str("id_column").getOrElse("id"),
+          c.str("cost_column").getOrElse("n_tokens"),
+          budget,
+          c.strSeqParam("by"),
+          c.str("seed").getOrElse(""),
+          c.bool("allow_global", false))), None)
+
       // Deterministic seeded global shuffle (RelationalOps.hashShuffle):
       // adds shuffle_key = md5(seed:id) and returns a total order over it
       // — the reproducible-training-order primitive. One range exchange.

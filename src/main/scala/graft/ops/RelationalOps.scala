@@ -189,6 +189,53 @@ object RelationalOps {
   }
 
   /**
+   * Token-budget sampling (beyond-reference; the data-mixing primitive
+   * next to hashSample's rate-based draw): within each `by` group, rows
+   * are taken in the deterministic md5(seed ++ ":" ++ id) order until
+   * the cumulative `costCol` total reaches `budget` — "keep ~N tokens
+   * per source/language" for training-mix construction, reproducibly on
+   * any engine and any input partitioning.
+   *
+   * Selection rule: a row survives iff its INCLUSIVE running cost is
+   * <= budget, under the SQL-default window frame (RANGE, peers
+   * included): rows tying on (key, id) — duplicate ids — share one
+   * running total and survive or fall together, which keeps the rule
+   * deterministic where a ROWS frame would leave the tie order to the
+   * engine. Whole-row granularity: the first row that would overflow
+   * drops, with everything after it. Null costs count as 0 (they never
+   * consume budget); null ids take the fixed md5(seed ++ ":") key,
+   * hashShuffle's documented collision.
+   *
+   * At scale: ONE hash exchange on the group keys + in-partition sort —
+   * the same shape as any windowed op (plan pinned in
+   * ReshapePropertySpec). Empty `by` funnels the corpus through a
+   * single-partition sort and must be opted into via allowGlobal,
+   * mirroring WindowOp's contract.
+   */
+  def budgetSample(df: DataFrame, idCol: String, costCol: String,
+                   budget: Long, by: Seq[String] = Nil,
+                   seed: String = "",
+                   allowGlobal: Boolean = false): DataFrame = {
+    require(budget >= 0, s"budget_sample: budget must be >= 0, got $budget")
+    require(by.nonEmpty || allowGlobal,
+      "budget_sample: empty `by` sorts the whole frame in ONE partition; " +
+        "set allow_global=true only for small frames, or group by a " +
+        "mixing key (source, language, shard)")
+    val runCol = "__budget_run"
+    require(!df.columns.contains(runCol),
+      s"budget_sample: input already has a '$runCol' column")
+    val key = md5(concat(lit(seed), lit(":"),
+      coalesce(col(idCol).cast("string"), lit(""))).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn(runCol,
+        sum(coalesce(col(costCol).cast("long"), lit(0L))).over(w))
+      .filter(col(runCol) <= budget)
+      .drop(runCol)
+  }
+
+  /**
    * Mongo-read-shaped query surface over any DataFrame: filter, multi-key
    * sort with per-key direction, skip, limit, projection.
    *

@@ -231,4 +231,63 @@ class ReshapePropertySpec extends SparkTestBase {
         strataFractions = Seq(("a", 0.5), ("a", 0.6)))
     }
   }
+
+  test("budgetSample: deterministic per-group md5-order prefix under the budget") {
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "a" else "b", 10L))
+      .toDF("id", "grp", "cost")
+    val out = RelationalOps.budgetSample(df, "id", "cost", 200L,
+      by = Seq("grp"), seed = "x")
+    // 10 cost each, 200 budget → exactly 20 survivors per group
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp === Map("a" -> 20L, "b" -> 20L))
+    // reruns keep the same rows; another seed draws a different prefix
+    val ids = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(RelationalOps.budgetSample(df, "id", "cost", 200L,
+      Seq("grp"), "x")) === ids(out))
+    assert(ids(RelationalOps.budgetSample(df, "id", "cost", 200L,
+      Seq("grp"), "y")) !== ids(out))
+    // the selection is the PREFIX of the md5 order: every kept group
+    // total is <= budget and adding any dropped row would overflow
+    val kept = out.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.sum("cost").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.values.forall(_ <= 200L))
+    // budget 0 keeps nothing; budget >= total keeps everything
+    assert(RelationalOps.budgetSample(df, "id", "cost", 0L, Seq("grp")).count() === 0)
+    assert(RelationalOps.budgetSample(df, "id", "cost", 10000L, Seq("grp")).count() === 300)
+  }
+
+  test("budgetSample: null costs are free, null ids keyed like shuffle, guards") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Some(1L), "a", Some(5L)), (Some(2L), "a", None),
+      (None, "a", Some(5L))).toDF("id", "grp", "cost")
+    // budget 10: null cost consumes nothing, so all three fit (5+0+5)
+    assert(RelationalOps.budgetSample(df, "id", "cost", 10L, Seq("grp")).count() === 3)
+    // budget 5: only the md5-order prefix summing to <= 5 survives
+    assert(RelationalOps.budgetSample(df, "id", "cost", 5L, Seq("grp")).count() < 3)
+    intercept[IllegalArgumentException] {
+      RelationalOps.budgetSample(df, "id", "cost", -1L, Seq("grp"))
+    }
+    // empty by without allow_global is the single-partition trap — loud
+    val ex = intercept[IllegalArgumentException] {
+      RelationalOps.budgetSample(df, "id", "cost", 10L, Nil)
+    }
+    assert(ex.getMessage.contains("allow_global"))
+    assert(RelationalOps.budgetSample(df, "id", "cost", 100L, Nil,
+      allowGlobal = true).count() === 3)
+  }
+
+  test("budgetSample plan: ONE hash exchange on the mixing key, nothing more") {
+    val df = (0L until 100L).map(i => (i, s"g${i % 4}", 1L))
+      .toDF("id", "grp", "cost")
+    val plan = RelationalOps.budgetSample(df, "id", "cost", 10L, Seq("grp"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(grp"),
+      s"window must partition on the mixing key:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"exactly one exchange expected:\n$plan")
+  }
 }
