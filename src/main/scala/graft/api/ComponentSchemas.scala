@@ -332,6 +332,9 @@ object ComponentSchemas {
       case "write_ivf_index" =>
         (Seq(("corpus", true, false), ("centroids", true, false)),
           Seq(("out", false, true)), None)
+      case "decontaminate" =>
+        (Seq(("corpus", true, false), ("benchmark", true, false)),
+          Seq(("out", true, true)), None)
       case "asof_join" | "set_op" | "range_join" =>
         (Seq(("left", true, false), ("right", true, false)), Seq(("out", true, true)), None)
       case t if t.startsWith("write_") =>

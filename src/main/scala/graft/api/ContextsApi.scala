@@ -14,11 +14,22 @@ import org.json4s._
 object ContextsApi {
   private implicit val fmts: Formats = DefaultFormats
 
+  /** Provider ids are ONE namespace across the three stores (plain
+    * contexts, mapping contexts, credentials): a colliding id would be
+    * shadowed on GET /{id} (which probes the stores in a fixed order)
+    * and co-deleted on DELETE. Every create route enforces this, not
+    * just /context. */
+  private def requireFreshId(id: String): Unit =
+    require(Contexts.getPlainContext(id).isEmpty && Contexts.get(id).isEmpty &&
+      Contexts.store.specById(id).isEmpty,
+      s"provider id '$id' already registered")
+
   /** POST /contexts/credentials body → registered spec. */
   def createCredentials(body: String): String = {
     val j = jackson.JsonMethods.parse(body)
     val id = (j \ "id").extractOpt[String].getOrElse(
       java.util.UUID.randomUUID().toString)
+    requireFreshId(id)
     val spec = Contexts.CredSpec(
       id,
       (j \ "user").extractOpt[String].getOrElse(""),
@@ -69,11 +80,7 @@ object ContextsApi {
     }
     val dup = params.groupBy(_._1).collect { case (k, vs) if vs.sizeIs > 1 => k }
     require(dup.isEmpty, s"context '$name': duplicate parameter keys: ${dup.mkString(", ")}")
-    // ids are one namespace across all three provider stores: an id that
-    // collides would be shadowed on GET /{id} and co-deleted on DELETE
-    require(Contexts.getPlainContext(id).isEmpty && Contexts.get(id).isEmpty &&
-      Contexts.store.specById(id).isEmpty,
-      s"provider id '$id' already registered")
+    requireFreshId(id)
     val (secure, nonSecure) = params.partition(_._3)
     Contexts.registerPlainContext(
       Contexts.ContextSpec(id, name, env,
@@ -94,6 +101,7 @@ object ContextsApi {
     }
     val defaultEnv = Credentials.Environment.fromName(
       (j \ "default_env").extractOpt[String].getOrElse("DEV"))
+    requireFreshId(name)
     Contexts.register(Credentials.MappingContext(name, ids, defaultEnv))
     s"""{"id":${quote(name)},"kind":"context","environment":${quote(defaultEnv.name)},""" +
       s""""credentials_registered":${ids.size}}"""

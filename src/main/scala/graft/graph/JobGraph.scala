@@ -41,7 +41,7 @@ object JobGraph {
 
   /** Static port contract per component type. `multi`=true on an out port
     * allows fan-out to many edges; on an in port allows fan-in of many. */
-  private def outPorts(c: ComponentSpec): Seq[PortSpec] = c.compType match {
+  private[graft] def outPorts(c: ComponentSpec): Seq[PortSpec] = c.compType match {
     case "filter" => Seq(PortSpec("pass", required = true, multi = true),
       PortSpec("fail", required = false, multi = true))
     case "split" => c.extraOutputPorts.map(PortSpec(_, required = true, multi = true))
@@ -60,7 +60,7 @@ object JobGraph {
     case _ => Seq(PortSpec("out", required = true, multi = true))
   }
 
-  private def inPorts(c: ComponentSpec): Seq[PortSpec] = c.compType match {
+  private[graft] def inPorts(c: ComponentSpec): Seq[PortSpec] = c.compType match {
     case t if t.startsWith("read_") => Nil // sources: ALLOW_NO_INPUTS
     case "merge" => Seq(PortSpec("in", required = true, multi = true))
     case "schema_mapping" | "sql" =>

@@ -58,6 +58,14 @@ object Decontaminate {
     require(n >= 1, s"decontaminate: n must be >= 1, got $n")
     require(minOverlap >= 1,
       s"decontaminate: min_overlap must be >= 1, got $minOverlap")
+    // the audit columns are OUTPUTS: silently overwriting an earlier
+    // pass's n_hits/contaminated (re-flagging against a second benchmark)
+    // would destroy its audit trail; the join strategy's temp names must
+    // also be free or the join-back reference turns ambiguous
+    for (reserved <- Seq("n_hits", "contaminated", "__decon_id", "__decon_hits"))
+      require(!corpus.columns.contains(reserved),
+        s"decontaminate: corpus already has a '$reserved' column — " +
+          "rename or drop it first (flag() appends n_hits/contaminated)")
     strategy match {
       case "broadcast" => flagBroadcast(corpus, bench, textCol, n, minOverlap)
       case "join"      => flagJoin(corpus, bench, textCol, idCol, n, minOverlap)

@@ -100,6 +100,43 @@ class ComponentSchemasSpec extends AnyFunSuite {
     assert(Seq("filter", "aggregation", "dedup", "similarity", "asof_join",
       "profile").forall(literalArms.contains))
   }
+
+  test("static port contracts in the discovery views match JobGraph's real port spec") {
+    // portInfo is a second copy of JobGraph.inPorts/outPorts; for every
+    // comp_type whose /full view claims a COMPLETE static contract (no
+    // dynamic-ports "note"), the advertised names/required/multi must be
+    // exactly what graph validation will enforce. (decontaminate drifted
+    // here once: the view said 'in' while the graph required
+    // corpus/benchmark.)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    val minimal = (t: String) => graft.config.JobConfig.ComponentSpec(
+      "probe", t, JNothing, Map.empty, Map.empty, Map.empty, Nil, Nil)
+    def names(v: JValue): Seq[(String, Boolean, Boolean)] = v match {
+      case JArray(items) => items.map { p =>
+        ((p \ "name").asInstanceOf[JString].s,
+          (p \ "required").asInstanceOf[JBool].value,
+          (p \ "multi").asInstanceOf[JBool].value)
+      }
+      case _ => Nil
+    }
+    var checked = 0
+    ComponentSchemas.compTypes.filterNot(_.startsWith("streaming_")).foreach { t =>
+      val full = parse(ComponentSchemas.fullSchemaJson(t).get)
+      val ports = full \ "ports"
+      if ((ports \ "note") == JNothing) {
+        val spec = minimal(t)
+        val wantIn = graft.graph.JobGraph.inPorts(spec)
+          .map(p => (p.name, p.required, p.multi))
+        val wantOut = graft.graph.JobGraph.outPorts(spec)
+          .map(p => (p.name, p.required, p.multi))
+        assert(names(ports \ "in") === wantIn, s"in-port drift for $t")
+        assert(names(ports \ "out") === wantOut, s"out-port drift for $t")
+        checked += 1
+      }
+    }
+    assert(checked >= 25, s"static-contract sweep looks broken: only $checked types checked")
+  }
 }
 
 /** Streaming-only comp_types = StreamingJobs.supportedTypes minus the

@@ -362,6 +362,18 @@ class ControlPlaneSpec extends SparkTestBase {
         .POST(HttpRequest.BodyPublishers.ofString(
           """{"id":"m2","name":"shadow","environment":"DEV"}""")).build())
         .statusCode() === 400)
+      // ... in BOTH remaining directions: credentials and mapping creates
+      // must also refuse an id already held by a plain context (otherwise
+      // the plain context is shadowed on GET and co-deleted on DELETE)
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/credentials"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"id":"rest-plain","user":"u","host":"h","port":1,"database":"d"}"""))
+        .build()).statusCode() === 400)
+      assert(send(HttpRequest.newBuilder(
+        URI.create(s"$base/contexts/credentials-mapping-context"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"name":"rest-plain","credentials_ids":{}}""")).build())
+        .statusCode() === 400)
       assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/rest-plain"))
         .DELETE().build()).statusCode() === 204)
       assert(send(HttpRequest.newBuilder(URI.create(s"$base/contexts/rest-plain"))

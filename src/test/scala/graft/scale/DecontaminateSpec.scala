@@ -91,4 +91,16 @@ class DecontaminateSpec extends SparkTestBase {
     }
     assert(e3.getMessage.contains("min_overlap"))
   }
+
+  test("reserved output/temp columns on the corpus are rejected, not overwritten") {
+    // re-flagging a frame that still carries a previous pass's audit
+    // columns must not silently destroy them
+    val flagged = Decontaminate.flag(corpus, bench)
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.flag(flagged, bench)
+    }
+    assert(e.getMessage.contains("n_hits"))
+    // clean() drops the audit columns, so re-cleaning chains fine
+    Decontaminate.clean(Decontaminate.clean(corpus, bench), bench).count()
+  }
 }
