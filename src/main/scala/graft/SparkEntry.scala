@@ -505,6 +505,23 @@ object SparkEntry {
       .filter(col("n_th") <= 5)
       .orderBy(col("user_id"), col("n_th"))
 
+  /** The percentile/bucketing rank faces (percent_rank / cume_dist /
+    * ntile): per-language document quality curation — rank by n_chars
+    * desc (unique doc_id tiebreak, so no peer ties), keep the top half
+    * by percent_rank, tag each row's quartile bucket. Both engines
+    * compute the same (rank-1)/(n-1) double from the same integer rank,
+    * so the floats replay bit-exactly. */
+  private def qWindowPctile(s: SparkSession, dir: String): DataFrame =
+    WindowOp(table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq("lang"), Seq(("n_chars", -1), ("doc_id", 1)),
+      Seq(WindowOp.WinFn("percent_rank", None, 0, "pct"),
+        WindowOp.WinFn("cume_dist", None, 0, "cd"),
+        WindowOp.WinFn("ntile", None, 4, "bucket")))
+      .withColumn("bucket", col("bucket").cast("long"))
+      .filter(col("pct") <= 0.5)
+      .orderBy(col("doc_id"))
+
   /** Tumbling-window event aggregation (batch parity of the streaming path). */
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
@@ -3755,6 +3772,7 @@ object SparkEntry {
     "q_window_topn" -> (qWindowTopN _),
     "q_window_lag" -> (qWindowLag _),
     "q_window_lead" -> (qWindowLead _),
+    "q_window_pctile" -> (qWindowPctile _),
     "q_job_sort" -> (qJobSort _),
     "q_job_window_topn" -> (qJobWindowTopn _),
     "q_job_window_lag" -> (qJobWindowLag _),
@@ -4090,6 +4108,15 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
         |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin,
+    "q_window_pctile" ->
+      """SELECT doc_id, lang, n_chars, pct, cd, bucket FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER w AS pct,
+        |    cume_dist() OVER w AS cd,
+        |    ntile(4) OVER w AS bucket
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id))
+        |WHERE pct <= 0.5 ORDER BY doc_id""".stripMargin,
     "q_job_sort" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE value > 100

@@ -40,7 +40,13 @@ object WindowOp {
     * family takes none), writing `dest`. `offset` feeds lag/lead. */
   final case class WinFn(fn: String, src: Option[String], offset: Int, dest: String)
 
-  val rankFns = Set("row_number", "rank", "dense_rank")
+  /** percent_rank/cume_dist/ntile join the rank family for quality-
+    * percentile curation ("keep the top 20% by score per source",
+    * "split into n quality buckets"): standard SQL semantics, identical
+    * in DuckDB, so oracles replay bit-exactly. ntile reads its bucket
+    * count from `offset` (the one integer slot the surface carries). */
+  val rankFns = Set("row_number", "rank", "dense_rank", "percent_rank",
+    "cume_dist", "ntile")
   val offsetFns = Set("lag", "lead")
   val aggFns = Set("sum", "min", "max", "mean", "avg", "count", "first", "last")
 
@@ -76,6 +82,13 @@ object WindowOp {
         case "row_number" => needOrder(); row_number()
         case "rank"       => needOrder(); rank()
         case "dense_rank" => needOrder(); dense_rank()
+        case "percent_rank" => needOrder(); percent_rank()
+        case "cume_dist"  => needOrder(); cume_dist()
+        case "ntile" =>
+          needOrder()
+          require(w.offset >= 1,
+            s"window: ntile needs offset >= 1 (the bucket count), got ${w.offset}")
+          ntile(w.offset)
         case "lag"        => needOrder(); lag(src, w.offset)
         case "lead"       => needOrder(); lead(src, w.offset)
         case "sum"        => sum(src)

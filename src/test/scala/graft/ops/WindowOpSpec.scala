@@ -104,4 +104,34 @@ class WindowOpSpec extends SparkTestBase {
     }
     assert(e6.getMessage.contains("unknown function"))
   }
+
+  test("percent_rank / cume_dist / ntile: SQL semantics, ntile bucket guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 10), ("a", 20), ("a", 30), ("a", 40), ("b", 5))
+      .toDF("g", "v")
+    val out = WindowOp(df, Seq("g"), Seq(("v", 1)), Seq(
+      WindowOp.WinFn("percent_rank", None, 0, "pct"),
+      WindowOp.WinFn("cume_dist", None, 0, "cd"),
+      WindowOp.WinFn("ntile", None, 2, "bucket")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4))).sortBy(t => (t._1, t._2))
+    // group a: pct = (rank-1)/3, cd = rank/4, ntile(2) halves
+    assert(out(0) === (("a", 10, 0.0, 0.25, 1)))
+    assert(out(1) === (("a", 20, 1.0 / 3, 0.5, 1)))
+    assert(out(2) === (("a", 30, 2.0 / 3, 0.75, 2)))
+    assert(out(3) === (("a", 40, 1.0, 1.0, 2)))
+    // single-row group: percent_rank is 0 (SQL rule), cume_dist 1
+    assert(out(4) === (("b", 5, 0.0, 1.0, 1)))
+    val e = intercept[IllegalArgumentException] {
+      WindowOp(df, Seq("g"), Seq(("v", 1)), Seq(
+        WindowOp.WinFn("ntile", None, 0, "b")))
+    }
+    assert(e.getMessage.contains("bucket count"))
+    val e2 = intercept[IllegalArgumentException] {
+      WindowOp(df, Seq("g"), Nil, Seq(
+        WindowOp.WinFn("percent_rank", None, 0, "p")))
+    }
+    assert(e2.getMessage.contains("order_by"))
+  }
 }
