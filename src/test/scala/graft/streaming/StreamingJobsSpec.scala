@@ -882,4 +882,47 @@ class StreamingJobsSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("only strategy=broadcast"))
   }
+
+  test("text_analysis repetition=true streams: parity with the batch fold") {
+    import spark.implicits._
+    val in = tmp("tarep_in")
+    Seq((1L, "a b a b a b"), (2L, "x y z w"), (3L, "q q q q"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" },
+        |  { "name": "n_tokens", "data_type": "integer" },
+        |  { "name": "n_tokens_bpe", "data_type": "integer" },
+        |  { "name": "punct_ratio", "data_type": "float" },
+        |  { "name": "stopword_ratio", "data_type": "float" },
+        |  { "name": "quality", "data_type": "float" },
+        |  { "name": "lang_pred", "data_type": "string" },
+        |  { "name": "fingerprint", "data_type": "string" },
+        |  { "name": "dup_line_ratio", "data_type": "float" },
+        |  { "name": "top_gram", "data_type": "string" },
+        |  { "name": "top_gram_ratio", "data_type": "float" },
+        |  { "name": "dup_gram_ratio", "data_type": "float" } ] }""".stripMargin
+    val out = tmp("tarep_out")
+    val cfg =
+      s"""{ "name": "tarep", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "ta", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "ta", "comp_type": "text_analysis",
+         |    "repetition": true, "repetition_n": 2,
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp("tarep_ckpt"))
+    val batch = graft.scale.TextAnalysis.repetitionStats(
+      graft.scale.TextAnalysis.analyze(spark.read.parquet(in)), "text", 2)
+    assert(slurp(spark.read.parquet(out)) === slurp(batch))
+  }
 }
