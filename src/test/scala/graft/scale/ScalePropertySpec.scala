@@ -1,0 +1,153 @@
+package graft.scale
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Property tests for the training-data operators against independent
+ * Scala models of their documented semantics (the same strategy
+ * OpsPropertySpec applies to the reference operators): a few hundred
+ * random inputs per property under a FIXED seed, one Spark job per
+ * property, element-wise compare with a model written from the scaladoc
+ * contract — not from the implementation.
+ */
+class ScalePropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sampleN[A](g: Gen[A], n: Int, seed: Long): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+      val (v, next) = (g.pureApply(params, s), s.next)
+      (next, Some(v))
+    }.drop(1).take(n).flatMap(_._2).toSeq
+  }
+
+  /** The documented normalization + shingling model: Dedup.exactKey
+    * (trim, lowercase, whitespace-collapse), split on single space,
+    * distinct word n-grams with the short-list whole-text collapse. */
+  private def modelGrams(text: String, n: Int): Set[String] = {
+    if (text == null) return Set.empty
+    val norm = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val toks = norm.split(" ", -1).toSeq
+    val positions = math.max(toks.size - (n - 1), 1)
+    (0 until positions).map(i => toks.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  // small vocabulary so corpus/benchmark overlaps actually occur
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "ETA", "theta ")
+  private val doc: Gen[String] = Gen.frequency(
+    (1, Gen.const(null: String)),
+    (1, Gen.const("")),
+    (10, Gen.chooseNum(1, 10).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))))
+
+  test("decontaminate: broadcast and join both match the set-intersection model") {
+    for ((n, minOv, seed) <- Seq((1, 1, 11L), (2, 1, 12L), (3, 2, 13L))) {
+      val corpusDocs = sampleN(doc, 120, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val benchDocs = sampleN(doc, 25, seed + 100).zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }
+      val corpus = corpusDocs.toDF("doc_id", "text")
+      val bench = benchDocs.toDF("doc_id", "text")
+      val benchGrams: Set[String] =
+        benchDocs.flatMap(d => modelGrams(d._2, n)).toSet
+      val expect = corpusDocs.map { case (id, t) =>
+        val hits =
+          if (t == null) 0L
+          else (modelGrams(t, n) intersect benchGrams).size.toLong
+        (id, hits, hits >= minOv)
+      }.sortBy(_._1)
+      for (strategy <- Seq("broadcast", "join")) {
+        val got = Decontaminate.flag(corpus, bench, n = n,
+            minOverlap = minOv, strategy = strategy)
+          .select("doc_id", "n_hits", "contaminated")
+          .collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            !r.isNullAt(2) && r.getBoolean(2)))
+          .sortBy(_._1)
+        assert(got.toSeq === expect,
+          s"strategy=$strategy n=$n minOverlap=$minOv diverged from model")
+      }
+    }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("budgetSample matches the md5-order prefix model") {
+    val rowGen = for {
+      grp <- Gen.oneOf("a", "b", "c")
+      cost <- Gen.frequency((1, Gen.const(Option.empty[Long])),
+        (6, Gen.chooseNum(0L, 25L).map(Option(_))))
+    } yield (grp, cost)
+    for ((budget, seed) <- Seq((0L, 21L), (30L, 22L), (100L, 23L), (5000L, 24L))) {
+      val rows = sampleN(rowGen, 150, seed).zipWithIndex
+        .map { case ((g, c), i) => (i.toLong, g, c) }
+      val df = rows.toDF("id", "grp", "cost")
+      // model: per group, order by (md5("s:" ++ id), id), keep the
+      // prefix whose inclusive running cost stays <= budget
+      val expect = rows.groupBy(_._2).flatMap { case (_, members) =>
+        val ordered = members.sortBy(m => (md5hex(s"s:${m._1}"), m._1))
+        var run = 0L
+        ordered.flatMap { m =>
+          run += m._3.getOrElse(0L)
+          if (run <= budget) Some(m._1) else None
+        }
+        // NOTE: the op's rule is a running-total filter, not a stop-at-
+        // first-overflow scan — a later zero-cost row after an overflow
+        // would differ. The model mirrors the documented filter rule.
+      }.toSeq.sorted
+      val modelFilter = rows.groupBy(_._2).flatMap { case (_, members) =>
+        val ordered = members.sortBy(m => (md5hex(s"s:${m._1}"), m._1))
+        val runs = ordered.scanLeft(0L)((acc, m) => acc + m._3.getOrElse(0L)).tail
+        ordered.zip(runs).collect { case (m, r) if r <= budget => m._1 }
+      }.toSeq.sorted
+      assert(expect === modelFilter) // the two formulations coincide here
+      val got = graft.ops.RelationalOps.budgetSample(df, "id", "cost",
+          budget, by = Seq("grp"), seed = "s")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got === modelFilter, s"budget=$budget diverged from model")
+    }
+  }
+
+  test("TopGramStats matches the counting model on random token arrays") {
+    val tok = Gen.frequency((1, Gen.const(null: String)),
+      (8, Gen.oneOf("a", "b", "c", "ab", "")))
+    val arr = Gen.chooseNum(0, 8).flatMap(k => Gen.listOfN(k, tok))
+    for ((n, seed) <- Seq((1, 31L), (2, 32L), (3, 33L))) {
+      val arrays = sampleN(arr, 200, seed)
+      val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "tk")
+      val got = df.select(col("id"),
+          graft.functions.TopGramStats.stats(col("tk"), n).as("st"))
+        .select(col("id"), col("st.top_count"), col("st.top_gram"),
+          col("st.n_positions"), col("st.dup_positions"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4))))
+        .toMap
+      arrays.zipWithIndex.foreach { case (a, i) =>
+        // model: positions = max(len-n+1, 1); window joined with one
+        // space skipping nulls; counts non-distinct; top = (count desc,
+        // gram asc); dup = positions whose gram repeats
+        val size = a.size
+        val expect = if (size == 0) (0, "", 0, 0) else {
+          val positions = math.max(size - (n - 1), 1)
+          val grams = (0 until positions).map { j =>
+            a.slice(j, math.min(j + n, size)).filter(_ != null).mkString(" ")
+          }
+          val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+          val (topGram, topCount) = counts.toSeq
+            .sortBy { case (g, c) => (-c, g) }.head
+          val dup = counts.valuesIterator.filter(_ > 1).sum
+          (topCount, topGram, positions, dup)
+        }
+        assert(got(i.toLong) === expect, s"n=$n tokens=$a")
+      }
+    }
+  }
+}
