@@ -2342,6 +2342,18 @@ object SparkEntry {
       |WHERE n.doc_id % 41 <> 0
       |ORDER BY n.doc_id""".stripMargin
 
+  /** The audit face: one (corpus_id, bench_id, n_shared) row per
+    * contaminated pair — WHICH eval items leaked where. Ids-only
+    * posting join; the oracle replays the gram join keeping both ids. */
+  private def qDecontaminatePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    graft.scale.Decontaminate.pairs(
+      docs.filter(col("doc_id") % 41 =!= 0),
+      docs.filter(col("doc_id") % 41 === 0),
+      n = 3, minOverlap = 2)
+      .orderBy(col("corpus_id"), col("bench_id"))
+  }
+
   private def decontaminateGate(s: SparkSession, dir: String,
                                 strategy: String): DataFrame = {
     val docs = table(s, dir, "documents")
@@ -3849,6 +3861,7 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_join" -> (qDecontaminateJoin _),
     "q_job_decontaminate" -> (qJobDecontaminate _),
+    "q_decontaminate_pairs" -> (qDecontaminatePairs _),
     "text_repetition" -> (qTextRepetition _),
     "q_job_text_repetition" -> (qJobTextRepetition _),
     "q_job_hash_split" -> (qJobHashSplit _),
@@ -4935,6 +4948,26 @@ object SparkEntry {
     // physical strategies (broadcast narrow-map and ids-only join).
     "q_decontaminate" -> decontaminateOracle,
     "q_decontaminate_join" -> decontaminateOracle,
+    // the audit face: pair-level gram intersections, both ids kept
+    "q_decontaminate_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    str_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+        |  FROM documents),
+        |bgrams AS (
+        |  SELECT doc_id AS bench_id, unnest(list_distinct(
+        |    [array_to_string(tk[i:i+2], ' ')
+        |     for i in range(1, greatest(len(tk)-2, 1)+1)])) AS g
+        |  FROM norm WHERE doc_id % 41 = 0),
+        |cgrams AS (
+        |  SELECT doc_id AS corpus_id, unnest(list_distinct(
+        |    [array_to_string(tk[i:i+2], ' ')
+        |     for i in range(1, greatest(len(tk)-2, 1)+1)])) AS g
+        |  FROM norm WHERE doc_id % 41 <> 0)
+        |SELECT corpus_id, bench_id, count(*)::BIGINT AS n_shared
+        |FROM cgrams JOIN bgrams USING (g)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY corpus_id, bench_id""".stripMargin,
     // the declarative emit=clean face: survivors only (hits < 2)
     "q_job_decontaminate" ->
       """WITH norm AS (

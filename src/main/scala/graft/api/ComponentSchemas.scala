@@ -164,7 +164,8 @@ object ComponentSchemas {
       p("ngram_n", "integer", "word n-gram width, default 3"),
       p("min_overlap", "integer", "shared distinct grams to count as contaminated, default 1"),
       p("strategy", "string", "broadcast (default; benchmark grams probed via a codegen'd set, corpus stays a narrow map) | join (ids-only posting join for huge benchmarks)"),
-      p("emit", "string", "flagged (default; appends n_hits/contaminated) | clean (keeps only uncontaminated rows)"))),
+      p("emit", "string", "flagged (default; appends n_hits/contaminated) | clean (keeps only uncontaminated rows) | pairs (audit: one (corpus_id, bench_id, n_shared) row per contaminated pair; always the join shape)"),
+      p("bench_id_column", "string", "pairs: benchmark id column, default = id_column"))),
     "write_ivf_index" -> ("Write the corpus partitioned by nearest centroid cell (ports corpus/centroids) — the probe-prunable IVF layout" -> Seq(
       req("filepath", "string", "index directory (one subdirectory per cell)"),
       p("vector_column", "string", "embedding column, default 'embedding'"),

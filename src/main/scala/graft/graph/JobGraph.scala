@@ -751,8 +751,18 @@ object JobGraph {
             port("benchmark"), textCol, idCol, n, minOv, strat)
           case "clean" => Decontaminate.clean(port("corpus"),
             port("benchmark"), textCol, idCol, n, minOv, strat)
+          // the audit face always runs the posting-join shape; a pinned
+          // broadcast strategy cannot produce per-benchmark pairs
+          case "pairs" =>
+            require(c.str("strategy").forall(_ == "join"),
+              s"decontaminate ${c.name}: emit=pairs requires the join " +
+                "shape (benchmark identity survives only there); drop " +
+                "strategy or set strategy=join")
+            Decontaminate.pairs(port("corpus"), port("benchmark"),
+              textCol, idCol, c.str("bench_id_column").getOrElse(idCol),
+              n, minOv)
           case other => throw new IllegalArgumentException(
-            s"decontaminate ${c.name}: emit must be flagged|clean, got '$other'")
+            s"decontaminate ${c.name}: emit must be flagged|clean|pairs, got '$other'")
         }
         (Map("out" -> out), None)
 

@@ -74,6 +74,32 @@ object Decontaminate {
     }
   }
 
+  /**
+   * The audit face: WHICH benchmark items leaked into which corpus docs —
+   * one row per contaminated (corpus, benchmark) pair with the distinct
+   * shared-gram count. Only the posting-join shape can produce pairs
+   * (the broadcast probe collapses benchmark identity into one set), so
+   * this is always the ids-only explode + gram join + pair count: text
+   * never crosses the wire, and the pair table is bounded by real
+   * overlap, not corpus size.
+   */
+  def pairs(corpus: DataFrame, bench: DataFrame,
+            textCol: String = "text", idCol: String = "doc_id",
+            benchIdCol: String = "doc_id",
+            n: Int = 3, minOverlap: Int = 1): DataFrame = {
+    require(n >= 1, s"decontaminate: n must be >= 1, got $n")
+    require(minOverlap >= 1,
+      s"decontaminate: min_overlap must be >= 1, got $minOverlap")
+    val cg = corpus.select(col(idCol).as("corpus_id"),
+      explode(grams(col(textCol), n)).as("g"))
+    val bg = bench.select(col(benchIdCol).as("bench_id"),
+      explode(grams(col(textCol), n)).as("g"))
+    cg.join(bg, "g")
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** flag() then keep only the clean rows, dropping the audit columns —
     * the shape a training pipeline feeds downstream. */
   def clean(corpus: DataFrame, bench: DataFrame,

@@ -92,6 +92,20 @@ class DecontaminateSpec extends SparkTestBase {
     assert(e3.getMessage.contains("min_overlap"))
   }
 
+  test("pairs: per-(corpus, benchmark) distinct-intersection counts") {
+    val out = Decontaminate.pairs(corpus, bench, n = 3, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // docs 1, 2, 6 each share both 3-grams with bench doc 100; nothing
+    // overlaps the short bench doc 101 (whole-text shingle "one two")
+    assert(out.toSeq === Seq((1L, 100L, 2L), (2L, 100L, 2L), (6L, 100L, 2L)))
+    // the flag() hit count is the SUM over a doc's pair rows when the
+    // benchmark docs share no grams among themselves (true here)
+    val flags = Decontaminate.flag(corpus, bench, n = 3)
+      .filter(col("contaminated")).select("doc_id", "n_hits")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(flags.toSeq === Seq((1L, 2L), (2L, 2L), (6L, 2L)))
+  }
+
   test("reserved output/temp columns on the corpus are rejected, not overwritten") {
     // re-flagging a frame that still carries a previous pass's audit
     // columns must not silently destroy them
