@@ -386,4 +386,63 @@ class ControlPlaneSpec extends SparkTestBase {
         .statusCode() === 404)
     } finally server.stop(0)
   }
+
+  test("new training-data components execute through the registry end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val reg = new ControlPlane.JobRegistry(spark)
+    val in = tmp("td_docs")
+    Seq((1L, "alpha beta gamma delta", "en", 22L),
+        (2L, "alpha beta gamma", "en", 16L),
+        (3L, "zeta eta theta iota", "de", 19L),
+        (4L, "alpha beta gamma delta epsilon", "de", 29L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(in)
+    val docSchema =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" },
+        |  { "name": "lang", "data_type": "string" },
+        |  { "name": "n_chars", "data_type": "integer" } ] }""".stripMargin
+    val out = tmp("td_out")
+    // read → split corpus/benchmark → decontaminate(clean) →
+    // budget_sample per lang → write: the full curation chain as ONE
+    // REST-registered job
+    val cfg =
+      s"""{ "name": "curation", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "corp", "in_port": "in" },
+         |                         { "to": "bench", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "corp", "comp_type": "sql",
+         |    "query": "SELECT * FROM corp_in WHERE doc_id <> 1",
+         |    "in_port_schemas": { "in": $docSchema },
+         |    "routes": { "out": [ { "to": "dc", "in_port": "corpus" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "bench", "comp_type": "sql",
+         |    "query": "SELECT * FROM bench_in WHERE doc_id = 1",
+         |    "in_port_schemas": { "in": $docSchema },
+         |    "routes": { "out": [ { "to": "dc", "in_port": "benchmark" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "dc", "comp_type": "decontaminate", "emit": "clean",
+         |    "ngram_n": 3, "min_overlap": 1,
+         |    "in_port_schemas": { "corpus": $docSchema,
+         |                         "benchmark": $docSchema },
+         |    "routes": { "out": [ { "to": "bs", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "bs", "comp_type": "budget_sample", "id_column": "doc_id",
+         |    "cost_column": "n_chars", "budget": 1000, "by": ["lang"],
+         |    "in_port_schemas": { "in": $docSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $docSchema } } ] }""".stripMargin
+    val job = reg.createJob(cfg)
+    assert(reg.execute(job.id).status === "SUCCESS")
+    // docs 2 and 4 share >= 1 trigram with bench doc 1 → dropped;
+    // doc 3 is clean and fits the budget
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(3L))
+  }
 }
