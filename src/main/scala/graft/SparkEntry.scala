@@ -4948,7 +4948,9 @@ object SparkEntry {
     // physical strategies (broadcast narrow-map and ids-only join).
     "q_decontaminate" -> decontaminateOracle,
     "q_decontaminate_join" -> decontaminateOracle,
-    // the audit face: pair-level gram intersections, both ids kept
+    // the audit face: pair-level gram intersections for every doc the
+    // flag face marks contaminated (min_overlap gates the DOC-level
+    // distinct-union total, same as q_decontaminate — not the pair)
     "q_decontaminate_pairs" ->
       """WITH norm AS (
         |  SELECT doc_id,
@@ -4963,11 +4965,16 @@ object SparkEntry {
         |  SELECT doc_id AS corpus_id, unnest(list_distinct(
         |    [array_to_string(tk[i:i+2], ' ')
         |     for i in range(1, greatest(len(tk)-2, 1)+1)])) AS g
-        |  FROM norm WHERE doc_id % 41 <> 0)
-        |SELECT corpus_id, bench_id, count(*)::BIGINT AS n_shared
-        |FROM cgrams JOIN bgrams USING (g)
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY corpus_id, bench_id""".stripMargin,
+        |  FROM norm WHERE doc_id % 41 <> 0),
+        |dochits AS (
+        |  SELECT corpus_id, count(*) AS total
+        |  FROM cgrams JOIN (SELECT DISTINCT g FROM bgrams) USING (g)
+        |  GROUP BY 1)
+        |SELECT c.corpus_id, b.bench_id, count(*)::BIGINT AS n_shared
+        |FROM cgrams c JOIN bgrams b USING (g)
+        |JOIN dochits d ON d.corpus_id = c.corpus_id AND d.total >= 2
+        |GROUP BY 1, 2
+        |ORDER BY c.corpus_id, b.bench_id""".stripMargin,
     // the declarative emit=clean face: survivors only (hits < 2)
     "q_job_decontaminate" ->
       """WITH norm AS (

@@ -373,8 +373,16 @@ object JobConfig {
     }
     val fns = (spec.params \ "functions") match {
       case JArray(items) => items.map { f =>
+        val fn = reqStrAt(f, "fn", s"window ${spec.name} function")
+        // the default-1 offset is a sane lag/lead fallback but a silent
+        // trap for ntile (ntile(1) puts every row in one bucket) — the
+        // bucket count must be stated
+        if (fn == "ntile" && (f \ "offset") == JNothing)
+          throw new IllegalArgumentException(
+            s"window ${spec.name}: ntile needs an explicit 'offset' " +
+              "(the bucket count) — omitting it would silently compute ntile(1)")
         graft.ops.WindowOp.WinFn(
-          fn = reqStrAt(f, "fn", s"window ${spec.name} function"),
+          fn = fn,
           src = (f \ "src") match { case JString(s) => Some(s); case _ => None },
           offset = (f \ "offset") match {
             case JInt(i) => i.toInt

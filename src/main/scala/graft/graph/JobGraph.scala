@@ -738,7 +738,8 @@ object JobGraph {
       // Benchmark decontamination (scale/Decontaminate.scala): flag or
       // drop corpus docs sharing word n-grams with the `benchmark` port's
       // eval set. emit=flagged appends n_hits/contaminated for auditing;
-      // emit=clean (the training-pipeline shape) keeps only clean rows.
+      // emit=clean (the training-pipeline shape) keeps only clean rows;
+      // emit=pairs names the leaking benchmark items per contaminated doc.
       case "decontaminate" =>
         import graft.scale.Decontaminate
         val (textCol, idCol) = (c.str("text_column").getOrElse("text"),

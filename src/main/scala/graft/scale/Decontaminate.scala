@@ -76,12 +76,16 @@ object Decontaminate {
 
   /**
    * The audit face: WHICH benchmark items leaked into which corpus docs —
-   * one row per contaminated (corpus, benchmark) pair with the distinct
-   * shared-gram count. Only the posting-join shape can produce pairs
-   * (the broadcast probe collapses benchmark identity into one set), so
-   * this is always the ids-only explode + gram join + pair count: text
-   * never crosses the wire, and the pair table is bounded by real
-   * overlap, not corpus size.
+   * one row per (corpus, benchmark) pair of a CONTAMINATED doc, with the
+   * pair's distinct shared-gram count. `minOverlap` applies at the DOC
+   * level exactly like flag()/clean() (total distinct overlap against
+   * the whole benchmark union), so the audit names at least one
+   * benchmark item for every document the clean face drops — a per-pair
+   * threshold would silently hide cross-benchmark contamination (1 gram
+   * from item A + 1 from item B at min_overlap=2). Only the posting-join
+   * shape can produce pairs (the broadcast probe collapses benchmark
+   * identity): ids-only explode + gram join, text never crosses the
+   * wire, and the pair table is bounded by real overlap.
    */
   def pairs(corpus: DataFrame, bench: DataFrame,
             textCol: String = "text", idCol: String = "doc_id",
@@ -94,10 +98,15 @@ object Decontaminate {
       explode(grams(col(textCol), n)).as("g"))
     val bg = bench.select(col(benchIdCol).as("bench_id"),
       explode(grams(col(textCol), n)).as("g"))
-    cg.join(bg, "g")
+    val pairCounts = cg.join(bg, "g")
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minOverlap)
+    // doc-level gate: same distinct-union intersection flag() counts
+    val contaminated = cg.join(bg.select(col("g")).distinct(), "g")
+      .groupBy(col("corpus_id")).agg(count(lit(1)).as("__total"))
+      .filter(col("__total") >= minOverlap)
+      .select(col("corpus_id"))
+    pairCounts.join(contaminated, "corpus_id")
   }
 
   /** flag() then keep only the clean rows, dropping the audit columns —

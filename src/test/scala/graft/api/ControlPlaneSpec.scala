@@ -389,7 +389,6 @@ class ControlPlaneSpec extends SparkTestBase {
 
   test("new training-data components execute through the registry end-to-end") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
     val reg = new ControlPlane.JobRegistry(spark)
     val in = tmp("td_docs")
     Seq((1L, "alpha beta gamma delta", "en", 22L),

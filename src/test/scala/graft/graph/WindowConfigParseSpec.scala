@@ -65,4 +65,18 @@ class WindowConfigParseSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](JobConfig.parseSortSpec(s))
     assert(e.getMessage.contains("[field, 1|-1]"))
   }
+
+  test("ntile without an explicit offset is rejected (ntile(1) trap)") {
+    val e = intercept[IllegalArgumentException] {
+      JobConfig.parseWindowFns(spec(
+        """{"partition_by": ["g"], "order_by": [["v", 1]],
+          |"functions": [{"fn": "ntile", "dest": "bucket"}]}""".stripMargin))
+    }
+    assert(e.getMessage.contains("bucket count"))
+    // with the count stated, it parses into the offset slot
+    val (_, _, ws) = JobConfig.parseWindowFns(spec(
+      """{"partition_by": ["g"], "order_by": [["v", 1]],
+        |"functions": [{"fn": "ntile", "offset": 4, "dest": "bucket"}]}""".stripMargin))
+    assert(ws.head.fn == "ntile" && ws.head.offset == 4)
+  }
 }

@@ -106,6 +106,24 @@ class DecontaminateSpec extends SparkTestBase {
     assert(flags.toSeq === Seq((1L, 2L), (2L, 2L), (6L, 2L)))
   }
 
+  test("pairs: min_overlap gates the DOC total, so cross-benchmark leaks stay visible") {
+    import spark.implicits._
+    // one gram shared with bench item A, a different one with item B:
+    // flag(minOverlap=2) marks the doc contaminated (union total = 2),
+    // so the audit must name BOTH items even though each pair shares 1
+    val c = Seq((1L, "red fish blue bird swims away")).toDF("doc_id", "text")
+    val b = Seq((100L, "red fish blue here"), (101L, "bird swims away now"))
+      .toDF("doc_id", "text")
+    assert(Decontaminate.flag(c, b, n = 3, minOverlap = 2)
+      .select("contaminated").collect().head.getBoolean(0))
+    val pairs = Decontaminate.pairs(c, b, n = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(pairs.toSeq === Seq((1L, 100L, 1L), (1L, 101L, 1L)))
+    // an uncontaminated doc (total < min_overlap) contributes no pairs
+    val c2 = Seq((2L, "red fish blue only xx")).toDF("doc_id", "text")
+    assert(Decontaminate.pairs(c2, b, n = 3, minOverlap = 2).count() === 0)
+  }
+
   test("reserved output/temp columns on the corpus are rejected, not overwritten") {
     // re-flagging a frame that still carries a previous pass's audit
     // columns must not silently destroy them
