@@ -3039,6 +3039,83 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** Combination job pair: `write_bucketed` + `read_table` — the
+    * co-located-join layout. Job 1 stages customer and orders as
+    * external tables bucketed (and sorted) on the customer key; job 2
+    * reads them back through the catalog and joins + aggregates. The
+    * aligned bucket spec makes the join itself exchange-free
+    * (ScaleIdiomsSpec pins the declarative plan); the gate pins the
+    * results against a plain DuckDB join of the same parquet. */
+  private def qJobBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val bDir = s"$tmpRoot/bucketed"
+    val outDir = s"$tmpRoot/job_out_bucketed_join"
+    val custSchema = fieldsJson("c_custkey" -> "integer", "c_name" -> "string",
+      "c_nationkey" -> "integer", "c_acctbal" -> "float",
+      "c_mktsegment" -> "string")
+    val ordSchema = fieldsJson("o_orderkey" -> "integer",
+      "o_custkey" -> "integer", "o_orderstatus" -> "string",
+      "o_totalprice" -> "float", "o_orderdate" -> "string",
+      "o_orderpriority" -> "string")
+    val aggSchema = fieldsJson("c_mktsegment" -> "string",
+      "n_orders" -> "integer", "sum_cents" -> "integer")
+    val stageJson =
+      s"""{
+         |  "name": "bucketed_stage_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/customer.parquet",
+         |      "routes": { "out": [ { "to": "wc", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "ro", "comp_type": "read_parquet",
+         |      "filepath": "$dir/orders.parquet",
+         |      "routes": { "out": [ { "to": "wo", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $ordSchema } },
+         |    { "name": "wc", "comp_type": "write_bucketed",
+         |      "table": "bj_customer", "filepath": "$bDir/customer",
+         |      "buckets": 8, "bucket_by": ["c_custkey"],
+         |      "sort_by": ["c_custkey"],
+         |      "in_port_schemas": { "in": $custSchema } },
+         |    { "name": "wo", "comp_type": "write_bucketed",
+         |      "table": "bj_orders", "filepath": "$bDir/orders",
+         |      "buckets": 8, "bucket_by": ["o_custkey"],
+         |      "sort_by": ["o_custkey"],
+         |      "in_port_schemas": { "in": $ordSchema } }
+         |  ]
+         |}""".stripMargin
+    val stage = graft.graph.JobGraph.build(s,
+      graft.config.JobConfig.parse(stageJson))
+    stage.runSinks()
+    stage.close()
+    val joinSql = "SELECT c.c_mktsegment, count(*) AS n_orders, " +
+      "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+      "FROM j_c c JOIN j_o o ON c.c_custkey = o.o_custkey " +
+      "GROUP BY c.c_mktsegment"
+    val joinJson =
+      s"""{
+         |  "name": "bucketed_join_job",
+         |  "components": [
+         |    { "name": "tc", "comp_type": "read_table", "table": "bj_customer",
+         |      "routes": { "out": [ { "to": "j", "in_port": "c" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "to", "comp_type": "read_table", "table": "bj_orders",
+         |      "routes": { "out": [ { "to": "j", "in_port": "o" } ] },
+         |      "out_port_schemas": { "out": $ordSchema } },
+         |    { "name": "j", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(joinSql)},
+         |      "in_port_schemas": { "c": $custSchema, "o": $ordSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val join = graft.graph.JobGraph.build(s,
+      graft.config.JobConfig.parse(joinJson))
+    join.runSinks()
+    join.close()
+    s.read.parquet(outDir).orderBy(col("c_mktsegment"))
+  }
+
   /** Combination job: `shuffle` — the deterministic seeded global
     * shuffle (reproducible training order): every document gets
     * shuffle_key = md5(seed:doc_id) and the sink is written in total
@@ -3869,6 +3946,7 @@ object SparkEntry {
     "q_job_sample_strata" -> (qJobSampleStrata _),
     "q_budget_sample" -> (qBudgetSample _),
     "q_job_budget_sample" -> (qJobBudgetSample _),
+    "q_job_bucketed_join" -> (qJobBucketedJoin _),
     "q_job_shuffle" -> (qJobShuffle _),
     "q_job_session_agg" -> (qJobSessionAgg _),
     "multimodal_features" -> (qMultimodal _))
@@ -4941,6 +5019,13 @@ object SparkEntry {
     "q_job_text_repetition" -> textRepetitionOracle,
     "q_budget_sample" -> budgetSampleOracle,
     "q_job_budget_sample" -> budgetSampleOracle,
+    // plain join+agg over the same parquet: the bucketed layout changes
+    // the PLAN (exchange-free join), never the answer
+    "q_job_bucketed_join" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // decontamination gram rule replayed in DuckDB: the same normalized
     // word 3-grams (lowercase, whitespace-collapse, distinct, short
     // texts collapse to one whole-text shingle), distinct-intersection

@@ -166,6 +166,15 @@ object ComponentSchemas {
       p("strategy", "string", "broadcast (default; benchmark grams probed via a codegen'd set, corpus stays a narrow map) | join (ids-only posting join for huge benchmarks)"),
       p("emit", "string", "flagged (default; appends n_hits/contaminated) | clean (keeps only uncontaminated rows) | pairs (audit: one (corpus_id, bench_id, n_shared) row per contaminated pair; always the join shape)"),
       p("bench_id_column", "string", "pairs: benchmark id column, default = id_column"))),
+    "write_bucketed" -> ("Bucketed external-table sink: tables bucketed+sorted the same way on their join key join with ZERO exchanges (sort-merge over aligned buckets). Data at filepath, metadata in the session catalog for read_table" -> Seq(
+      req("table", "string", "catalog table name (bare identifier) downstream read_table consumes"),
+      req("filepath", "string", "external data directory — nothing is written to a warehouse or metastore"),
+      req("buckets", "integer", "bucket count; align it across tables meant to join exchange-free"),
+      req("bucket_by", "array", "bucket key columns (the join key)"),
+      p("sort_by", "array", "in-bucket sort columns — lets the join skip its sort too")),
+    ),
+    "read_table" -> ("Catalog-table source (the read side of write_bucketed): the scan carries the bucket spec, so joins/aggs on the bucket key skip their exchange" -> Seq(
+      req("table", "string", "catalog table name registered by write_bucketed in this session"))),
     "write_ivf_index" -> ("Write the corpus partitioned by nearest centroid cell (ports corpus/centroids) — the probe-prunable IVF layout" -> Seq(
       req("filepath", "string", "index directory (one subdirectory per cell)"),
       p("vector_column", "string", "embedding column, default 'embedding'"),

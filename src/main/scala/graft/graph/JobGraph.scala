@@ -486,6 +486,43 @@ object JobGraph {
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
         }))
 
+      // Bucketed external table sink — the co-located-join layout lever:
+      // two tables bucketed (and sorted) the same way on their join key
+      // join with ZERO exchanges (sort-merge over aligned buckets;
+      // ScaleIdiomsSpec pins the plan). Data lands at `filepath` (an
+      // EXTERNAL table — nothing is written to the warehouse or a
+      // metastore; the in-memory catalog carries only metadata), and the
+      // table name is what downstream `read_table` sources consume.
+      case "write_bucketed" =>
+        val df = one()
+        val table = c.reqStr("table")
+        val path = c.reqStr("filepath")
+        val buckets = c.intOpt("buckets").getOrElse(
+          throw new IllegalArgumentException(
+            s"write_bucketed ${c.name}: missing integer 'buckets'"))
+        require(buckets >= 1,
+          s"write_bucketed ${c.name}: buckets must be >= 1, got $buckets")
+        val by = c.strSeqParam("bucket_by")
+        require(by.nonEmpty,
+          s"write_bucketed ${c.name}: 'bucket_by' needs at least one column")
+        val sortBy = c.strSeqParam("sort_by")
+        require(table.matches("[A-Za-z0-9_]+"),
+          s"write_bucketed ${c.name}: table must be a bare identifier " +
+            s"([A-Za-z0-9_]+), got '$table'")
+        (Map("out" -> df), Some(() => {
+          spark.sql(s"DROP TABLE IF EXISTS `$table`")
+          val w = df.write.mode("overwrite").option("path", path)
+            .bucketBy(buckets, by.head, by.tail: _*)
+          (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
+            .saveAsTable(table)
+        }))
+
+      // Catalog-table source, the read side of write_bucketed: the scan
+      // carries the table's bucket spec, so joins/aggregations on the
+      // bucket key skip their exchange.
+      case "read_table" =>
+        (Map("out" -> spark.table(c.reqStr("table"))), None)
+
       case "filter" =>
         val rule = parseRule(c.params \ "rule")
         (FilterOp(one(), rule), None)

@@ -228,4 +228,73 @@ class ScaleIdiomsSpec extends SparkTestBase {
       assert(joined.count() === 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("declarative write_bucketed + read_table: the join itself is exchange-free") {
+    import org.apache.spark.sql.functions.col
+    val bDir = "target/test-tmp/bucketed-decl"
+    val lSchema =
+      """{ "fields": [
+        |  { "name": "k", "data_type": "integer" },
+        |  { "name": "lv", "data_type": "integer" } ] }""".stripMargin
+    val rSchema =
+      """{ "fields": [
+        |  { "name": "k", "data_type": "integer" },
+        |  { "name": "rv", "data_type": "integer" } ] }""".stripMargin
+    val lIn = s"$bDir/l_in"
+    val rIn = s"$bDir/r_in"
+    spark.range(500).select(col("id").as("k"), (col("id") * 2).as("lv"))
+      .write.mode("overwrite").parquet(lIn)
+    spark.range(500).select(col("id").as("k"), (col("id") * 3).as("rv"))
+      .write.mode("overwrite").parquet(rIn)
+    val stage =
+      s"""{ "name": "bstage", "components": [
+         |  { "name": "rl", "comp_type": "read_parquet", "filepath": "$lIn",
+         |    "routes": { "out": [ { "to": "wl", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $lSchema } },
+         |  { "name": "rr", "comp_type": "read_parquet", "filepath": "$rIn",
+         |    "routes": { "out": [ { "to": "wr", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $rSchema } },
+         |  { "name": "wl", "comp_type": "write_bucketed", "table": "bdecl_l",
+         |    "filepath": "$bDir/l", "buckets": 4, "bucket_by": ["k"],
+         |    "sort_by": ["k"], "in_port_schemas": { "in": $lSchema } },
+         |  { "name": "wr", "comp_type": "write_bucketed", "table": "bdecl_r",
+         |    "filepath": "$bDir/r", "buckets": 4, "bucket_by": ["k"],
+         |    "sort_by": ["k"], "in_port_schemas": { "in": $rSchema } } ] }""".stripMargin
+    val built = graft.graph.JobGraph.build(spark,
+      graft.config.JobConfig.parse(stage))
+    built.runSinks(); built.close()
+    val jSchema =
+      """{ "fields": [
+        |  { "name": "k", "data_type": "integer" },
+        |  { "name": "lv", "data_type": "integer" },
+        |  { "name": "rv", "data_type": "integer" } ] }""".stripMargin
+    val joinJob =
+      s"""{ "name": "bjoin", "components": [
+         |  { "name": "tl", "comp_type": "read_table", "table": "bdecl_l",
+         |    "routes": { "out": [ { "to": "j", "in_port": "l" } ] },
+         |    "out_port_schemas": { "out": $lSchema } },
+         |  { "name": "tr", "comp_type": "read_table", "table": "bdecl_r",
+         |    "routes": { "out": [ { "to": "j", "in_port": "r" } ] },
+         |    "out_port_schemas": { "out": $rSchema } },
+         |  { "name": "j", "comp_type": "sql",
+         |    "query": "SELECT l.k, l.lv, r.rv FROM j_l l JOIN j_r r ON l.k = r.k",
+         |    "in_port_schemas": { "l": $lSchema, "r": $rSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $jSchema } },
+         |  { "name": "w", "comp_type": "write_parquet",
+         |    "filepath": "$bDir/out", "in_port_schemas": { "in": $jSchema } } ] }""".stripMargin
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = graft.graph.JobGraph.build(spark,
+        graft.config.JobConfig.parse(joinJob))
+      val frame = joined.frames(("j", "out"))
+      val plan = frame.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"aligned bucketed declarative join must not shuffle:\n$plan")
+      assert(frame.count() === 500)
+      joined.close()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
