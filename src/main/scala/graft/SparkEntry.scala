@@ -3039,6 +3039,75 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** Combination job: the aggregation component's `salted: true` opt-in
+    * — the declarative face of Skew.saltedAggregate (two-phase skew-safe
+    * group-by, exact results for the decomposable subset). Same oracle
+    * family as q_agg_salted: a plain DuckDB GROUP BY, because salting
+    * changes the plan, never the answer. */
+  private def qJobAggSalted(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_agg_salted"
+    val liSchema = fieldsJson("l_orderkey" -> "integer",
+      "l_partkey" -> "integer", "l_suppkey" -> "integer",
+      "l_linenumber" -> "integer", "l_quantity" -> "float",
+      "l_extendedprice" -> "float", "l_discount" -> "float",
+      "l_tax" -> "float", "l_returnflag" -> "string",
+      "l_linestatus" -> "string", "l_shipdate" -> "string")
+    val centsSchema = fieldsJson("l_returnflag" -> "string",
+      "qty_c" -> "integer", "l_extendedprice" -> "float")
+    val aggSchema = fieldsJson("l_returnflag" -> "string",
+      "n_rows" -> "integer", "qty_cents" -> "integer",
+      "min_price" -> "float", "max_price" -> "float")
+    val outSchema = fieldsJson("l_returnflag" -> "string",
+      "n_rows" -> "integer", "sum_qty" -> "float",
+      "min_price" -> "float", "max_price" -> "float")
+    val centsSql = "SELECT l_returnflag, " +
+      "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c, l_extendedprice " +
+      "FROM c_in"
+    // CAST to double first: Spark SQL's bare `/ 100.0` is DECIMAL
+    // division (the literal parses as Decimal(3,1)), which materializes
+    // as object-dtype Decimal in the driver's hasher — the exact skew
+    // the dtype-strict checker exists to catch
+    val projSql = "SELECT l_returnflag, n_rows, " +
+      "CAST(qty_cents AS DOUBLE) / 100.0 AS sum_qty, " +
+      "min_price, max_price FROM p_in"
+    val jobJson =
+      s"""{
+         |  "name": "agg_salted_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/lineitem.parquet",
+         |      "routes": { "out": [ { "to": "c", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $liSchema } },
+         |    { "name": "c", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(centsSql)},
+         |      "in_port_schemas": { "in": $liSchema },
+         |      "routes": { "out": [ { "to": "ag", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $centsSchema } },
+         |    { "name": "ag", "comp_type": "aggregation", "salted": true,
+         |      "salt_factor": 8, "group_by": ["l_returnflag"],
+         |      "aggregations": [
+         |        { "src": "*", "op": "count", "dest": "n_rows" },
+         |        { "src": "qty_c", "op": "sum", "dest": "qty_cents" },
+         |        { "src": "l_extendedprice", "op": "min", "dest": "min_price" },
+         |        { "src": "l_extendedprice", "op": "max", "dest": "max_price" } ],
+         |      "in_port_schemas": { "in": $centsSchema },
+         |      "routes": { "out": [ { "to": "p", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "p", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(projSql)},
+         |      "in_port_schemas": { "in": $aggSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("l_returnflag"))
+  }
+
   /** Combination job pair: `write_bucketed` + `read_table` — the
     * co-located-join layout. Job 1 stages customer and orders as
     * external tables bucketed (and sorted) on the customer key; job 2
@@ -3947,6 +4016,7 @@ object SparkEntry {
     "q_budget_sample" -> (qBudgetSample _),
     "q_job_budget_sample" -> (qJobBudgetSample _),
     "q_job_bucketed_join" -> (qJobBucketedJoin _),
+    "q_job_agg_salted" -> (qJobAggSalted _),
     "q_job_shuffle" -> (qJobShuffle _),
     "q_job_session_agg" -> (qJobSessionAgg _),
     "multimodal_features" -> (qMultimodal _))
@@ -3995,6 +4065,13 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_rows
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_salted" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the declarative salted face shares the plain-GROUP-BY oracle shape
+    "q_job_agg_salted" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
         |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
         |  min(l_extendedprice) AS min_price,

@@ -76,7 +76,9 @@ object ComponentSchemas {
       p("time_unit", "string", "epoch scale when time_column is INT64: seconds | millis | micros | nanos (REQUIRED for integer time columns — same contract as streaming_aggregation)"),
       p("window", "string", "tumbling/sliding window size, e.g. '1 hour' (with time_column)"),
       p("slide", "string", "slide interval; requires window"),
-      p("session_gap", "string", "session window gap; exclusive with window/slide"))),
+      p("session_gap", "string", "session window gap; exclusive with window/slide"),
+      p("salted", "boolean", "two-phase skew-safe aggregate for hot keys (exact results; count/sum/min/max only; exclusive with rollup/cube/pivot/windows), default false"),
+      p("salt_factor", "integer", "subkeys per key when salted, default 16"))),
     "type_conversion" -> ("Cast columns with raise/null/skip policies" -> Seq(
       req("rules", "array", "[{column_path, target, on_error}, ...]; nested paths with '*' supported"))),
     "schema_mapping" -> ("Project/rename columns (map mode) or join inputs (join mode)" -> Seq(

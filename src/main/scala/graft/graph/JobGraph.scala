@@ -553,8 +553,20 @@ object JobGraph {
               base.schema, tc, c.str("time_unit"), s"aggregation ${c.name}"))
             (Map("out" -> AggregateOp.windowed(et, tc, winCol, groupBy, aggs)), None)
           case (None, None) =>
-            (Map("out" -> AggregateOp(one(), groupBy, aggs,
-              c.str("grouping").getOrElse("groups"))), None)
+            // salted=true opts into the two-phase skew-safe aggregate
+            // (scale/Skew.saltedAggregate — exactly equal results for
+            // the decomposable count/sum/min/max subset); loud for
+            // non-decomposable ops and for grouping sets
+            if (c.bool("salted", false)) {
+              require(c.str("grouping").forall(_ == "groups"),
+                s"aggregation ${c.name}: salted and rollup/cube are exclusive")
+              require(groupBy.nonEmpty,
+                s"aggregation ${c.name}: salting a global aggregate is meaningless")
+              (Map("out" -> graft.scale.Skew.saltedAggregate(one(), groupBy,
+                aggs, c.int("salt_factor", 16))), None)
+            } else
+              (Map("out" -> AggregateOp(one(), groupBy, aggs,
+                c.str("grouping").getOrElse("groups"))), None)
         }
 
       case "type_conversion" =>
