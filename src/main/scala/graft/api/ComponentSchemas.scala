@@ -38,7 +38,8 @@ object ComponentSchemas {
       p("append", "boolean", "append rows to an existing file instead of overwriting"))),
     "read_parquet" -> ("Read a parquet file or directory" -> Seq(filepath)),
     "write_parquet" -> ("Write parquet" -> Seq(filepath,
-      p("partition_by", "array", "Hive-style partition columns (directory layout)"))),
+      p("partition_by", "array", "Hive-style partition columns (directory layout)"),
+      p("coalesce", "integer", "shrink to N output partitions before writing (small-files control for dimension-sized outputs)"))),
     "read_xml" -> ("Read XML rows (@attr/#text conventions)" -> Seq(
       filepath, p("record_tag", "string", "element name of one record, default 'record'"))),
     "write_xml" -> ("Write XML rows" -> Seq(

@@ -481,8 +481,15 @@ object JobGraph {
         // only its directories: PartitionFilters, not data IO). Beyond
         // the reference's surface, which has no partitioned sinks.
         val parts = c.strSeqParam("partition_by")
+        // coalesce: small-files control for dimension-sized outputs (a
+        // 32-partition write of a 5-row frame is 32 tiny files a 100 TB
+        // pipeline then pays to re-list and re-open downstream)
+        val coalesceTo = c.intOpt("coalesce")
+        coalesceTo.foreach(n => require(n >= 1,
+          s"write_parquet ${c.name}: coalesce must be >= 1, got $n"))
         (Map("out" -> df), Some(() => {
-          val w = df.write.mode("overwrite")
+          val src = coalesceTo.map(df.coalesce).getOrElse(df)
+          val w = src.write.mode("overwrite")
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
         }))
 

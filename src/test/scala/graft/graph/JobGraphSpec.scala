@@ -189,4 +189,35 @@ class JobGraphSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("null:b"))
   }
+
+  test("write_parquet coalesce: one output file for a dimension-sized frame") {
+    import spark.implicits._
+    val in = tmp("coal_in")
+    (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(8).write.mode("overwrite").parquet(in)
+    val schema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "v", "data_type": "string" } ] }""".stripMargin
+    val out = tmp("coal_out")
+    val json =
+      s"""{ "name": "coal", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "coalesce": 1, "in_port_schemas": { "in": $schema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    built.runSinks(); built.close()
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length === 1, s"expected one part file, got ${files.length}")
+    assert(spark.read.parquet(out).count() === 100)
+    // malformed count is loud
+    val bad = json.replace("\"coalesce\": 1", "\"coalesce\": 0")
+    val e = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(bad))
+    }
+    assert(e.getMessage.contains("coalesce"))
+  }
 }
