@@ -230,7 +230,7 @@ object JobGraph {
           }
         } else inByPort
 
-      val (outs, sink) = runComponent(spark, c, cachedIn)
+      val (outs, sink) = runComponent(spark, c, cachedIn, spec.components)
       sink.foreach(a => sinks += ((c.name, a)))
 
       for ((port, df) <- outs) {
@@ -313,7 +313,8 @@ object JobGraph {
 
   /** Dispatch one component. Returns (out frames, optional sink action). */
   private def runComponent(spark: SparkSession, c: ComponentSpec,
-                           in: Map[String, Seq[DataFrame]])
+                           in: Map[String, Seq[DataFrame]],
+                           allSpecs: Seq[ComponentSpec])
       : (Map[String, DataFrame], Option[() => Unit]) = {
 
     def one(port: String = "in"): DataFrame =
@@ -526,9 +527,31 @@ object JobGraph {
 
       // Catalog-table source, the read side of write_bucketed: the scan
       // carries the table's bucket spec, so joins/aggregations on the
-      // bucket key skip their exchange.
+      // bucket key skip their exchange. Resolution is EAGER (build time)
+      // while write_bucketed writes at sink time, so reading a table the
+      // SAME job stages is rejected up front — it would bind to the
+      // previous run's files (or die mid-run when the overwrite drops
+      // them); stage and consume in separate jobs.
       case "read_table" =>
-        (Map("out" -> spark.table(c.reqStr("table"))), None)
+        val table = c.reqStr("table")
+        require(table.matches("[A-Za-z0-9_]+"),
+          s"read_table ${c.name}: table must be a bare identifier " +
+            s"([A-Za-z0-9_]+), got '$table'")
+        val stagedHere = allSpecs.exists(o => o.compType == "write_bucketed" &&
+          o.str("table").contains(table))
+        require(!stagedHere,
+          s"read_table ${c.name}: table '$table' is written by a " +
+            "write_bucketed component in this SAME job — read_table binds " +
+            "at build time, before any sink runs; stage the table in a " +
+            "prior job")
+        val df =
+          try spark.table(table)
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"read_table ${c.name}: table '$table' is not in the session " +
+                s"catalog (stage it with write_bucketed first): ${e.getMessage}")
+          }
+        (Map("out" -> df), None)
 
       case "filter" =>
         val rule = parseRule(c.params \ "rule")
@@ -536,6 +559,13 @@ object JobGraph {
 
       case "aggregation" =>
         val (groupBy, aggs) = parseAggregations(c)
+        // salted is only meaningful on the plain group-by face; the
+        // pivot/window branches never read it, so accepting it there
+        // would silently drop the skew protection the user asked for
+        require(!c.bool("salted", false) ||
+          (c.str("pivot_column").isEmpty && c.str("time_column").isEmpty),
+          s"aggregation ${c.name}: salted is exclusive with pivot and " +
+            "time windows")
         (c.str("pivot_column"), c.str("time_column")) match {
           case (Some(_), Some(_)) => throw new IllegalArgumentException(
             s"aggregation ${c.name}: pivot and time windows are exclusive")

@@ -32,6 +32,9 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[AggSpec],
                       saltFactor: Int = 16): DataFrame = {
     require(keys.nonEmpty, "salting a global aggregate is meaningless")
+    // pmod(x, 0) is null under non-ANSI Spark: the salt column would
+    // silently degenerate to an unsalted aggregate plus a wasted shuffle
+    require(saltFactor >= 1, s"salt_factor must be >= 1, got $saltFactor")
     val unsupported = aggs.filterNot(a => merge.contains(a.op.toLowerCase))
     require(unsupported.isEmpty,
       s"non-decomposable ops ${unsupported.map(_.op).distinct.mkString(",")}: " +

@@ -220,4 +220,71 @@ class JobGraphSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("coalesce"))
   }
+
+  test("bucketed/salted guard rails are loud") {
+    // read_table of a table the SAME job stages binds to stale files —
+    // rejected at build with a stage-in-a-prior-job message
+    val kSchema =
+      """{ "fields": [
+        |  { "name": "k", "data_type": "integer" } ] }""".stripMargin
+    val sameJob =
+      s"""{ "name": "srt", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "${tmp("srt_in")}",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $kSchema } },
+         |  { "name": "w", "comp_type": "write_bucketed", "table": "srt_t",
+         |    "filepath": "${tmp("srt_t")}", "buckets": 2, "bucket_by": ["k"],
+         |    "in_port_schemas": { "in": $kSchema } },
+         |  { "name": "t", "comp_type": "read_table", "table": "srt_t",
+         |    "routes": { "out": [ { "to": "o", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $kSchema } },
+         |  { "name": "o", "comp_type": "write_parquet", "filepath": "${tmp("srt_o")}",
+         |    "in_port_schemas": { "in": $kSchema } } ] }""".stripMargin
+    import spark.implicits._
+    Seq(1L, 2L).toDF("k").write.mode("overwrite").parquet(tmp("srt_in"))
+    val e = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(sameJob))
+    }
+    assert(e.getMessage.contains("SAME job"))
+    // an unknown catalog table gets a component-contextualized error
+    val unknown =
+      s"""{ "name": "urt", "components": [
+         |  { "name": "t", "comp_type": "read_table", "table": "no_such_table_xyz",
+         |    "routes": { "out": [ { "to": "o", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $kSchema } },
+         |  { "name": "o", "comp_type": "write_parquet", "filepath": "${tmp("urt_o")}",
+         |    "in_port_schemas": { "in": $kSchema } } ] }""".stripMargin
+    val e2 = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(unknown))
+    }
+    assert(e2.getMessage.contains("not in the session catalog"))
+    // salted is exclusive with time windows (silent ignore was the bug)
+    val salty =
+      s"""{ "name": "sw", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "${tmp("srt_in")}",
+         |    "routes": { "out": [ { "to": "a", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $kSchema } },
+         |  { "name": "a", "comp_type": "aggregation", "salted": true,
+         |    "time_column": "k", "time_unit": "seconds", "window": "1 hour",
+         |    "group_by": [],
+         |    "aggregations": [ { "src": "*", "op": "count", "dest": "n" } ],
+         |    "in_port_schemas": { "in": $kSchema },
+         |    "routes": { "out": [ { "to": "o", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": { "fields": [
+         |      { "name": "n", "data_type": "integer" } ] } } },
+         |  { "name": "o", "comp_type": "write_parquet", "filepath": "${tmp("sw_o")}",
+         |    "in_port_schemas": { "in": { "fields": [
+         |      { "name": "n", "data_type": "integer" } ] } } } ] }""".stripMargin
+    val e3 = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(salty))
+    }
+    assert(e3.getMessage.contains("salted is exclusive"))
+    // salt_factor 0 would null out the salt under non-ANSI pmod
+    val e4 = intercept[IllegalArgumentException] {
+      graft.scale.Skew.saltedAggregate(Seq((1L, "a")).toDF("v", "g"),
+        Seq("g"), Seq(graft.ops.AggregateOp.AggSpec("v", "sum", "s")),
+        saltFactor = 0)
+    }
+    assert(e4.getMessage.contains("salt_factor"))
+  }
 }

@@ -294,6 +294,8 @@ class ScaleIdiomsSpec extends SparkTestBase {
       assert(!plan.contains("Exchange"),
         s"aligned bucketed declarative join must not shuffle:\n$plan")
       assert(frame.count() === 500)
+      joined.runSinks() // exercise the routed sink too (500 rows land)
+      assert(spark.read.parquet(s"$bDir/out").count() === 500)
       joined.close()
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
