@@ -522,6 +522,57 @@ object SparkEntry {
       .filter(col("pct") <= 0.5)
       .orderBy(col("doc_id"))
 
+  /** The SAME percentile/bucketing curation through the declarative
+    * window component — config parsing of the percent_rank/cume_dist
+    * faces and ntile's explicit-offset bucket count, then the filter
+    * composition a curation job actually ships. */
+  private def qJobWindowPctile(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_window_pctile"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val slimSchema = fieldsJson("doc_id" -> "integer", "lang" -> "string",
+      "n_chars" -> "integer")
+    val winSchema = fieldsJson("doc_id" -> "integer", "lang" -> "string",
+      "n_chars" -> "integer", "pct" -> "float", "cd" -> "float",
+      "bucket" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "window_pctile_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "p", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "p", "comp_type": "sql",
+         |      "query": "SELECT doc_id, lang, n_chars FROM p_in",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "win", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $slimSchema } },
+         |    { "name": "win", "comp_type": "window",
+         |      "partition_by": ["lang"],
+         |      "order_by": [["n_chars", -1], ["doc_id", 1]],
+         |      "functions": [
+         |        { "fn": "percent_rank", "dest": "pct" },
+         |        { "fn": "cume_dist", "dest": "cd" },
+         |        { "fn": "ntile", "offset": 4, "dest": "bucket" } ],
+         |      "in_port_schemas": { "in": $slimSchema },
+         |      "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $winSchema } },
+         |    { "name": "f", "comp_type": "sql",
+         |      "query": "SELECT doc_id, lang, n_chars, pct, cd, CAST(bucket AS BIGINT) AS bucket FROM f_in WHERE pct <= 0.5",
+         |      "in_port_schemas": { "in": $winSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $winSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $winSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   /** Tumbling-window event aggregation (batch parity of the streaming path). */
   private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
@@ -2246,6 +2297,18 @@ object SparkEntry {
   private def qDecontaminateJoin(s: SparkSession, dir: String): DataFrame =
     decontaminateGate(s, dir, "join")
 
+  /** Shared oracle for q_window_pctile / q_job_window_pctile: both
+    * gates emit the same top-half-by-percent_rank curation columns. */
+  private val windowPctileOracle: String =
+    """SELECT doc_id, lang, n_chars, pct, cd, bucket FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    percent_rank() OVER w AS pct,
+      |    cume_dist() OVER w AS cd,
+      |    ntile(4) OVER w AS bucket
+      |  FROM documents
+      |  WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id))
+      |WHERE pct <= 0.5 ORDER BY doc_id""".stripMargin
+
   /** Shared oracle for q_budget_sample / q_job_budget_sample: the same
     * md5 selection order (both engines hash the identical "mix:<id>"
     * string) and the same SQL-default-frame running sum; the running
@@ -3931,6 +3994,7 @@ object SparkEntry {
     "q_window_lag" -> (qWindowLag _),
     "q_window_lead" -> (qWindowLead _),
     "q_window_pctile" -> (qWindowPctile _),
+    "q_job_window_pctile" -> (qJobWindowPctile _),
     "q_job_sort" -> (qJobSort _),
     "q_job_window_topn" -> (qJobWindowTopn _),
     "q_job_window_lag" -> (qJobWindowLag _),
@@ -4276,15 +4340,8 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
         |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin,
-    "q_window_pctile" ->
-      """SELECT doc_id, lang, n_chars, pct, cd, bucket FROM (
-        |  SELECT doc_id, lang, n_chars,
-        |    percent_rank() OVER w AS pct,
-        |    cume_dist() OVER w AS cd,
-        |    ntile(4) OVER w AS bucket
-        |  FROM documents
-        |  WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id))
-        |WHERE pct <= 0.5 ORDER BY doc_id""".stripMargin,
+    "q_window_pctile" -> windowPctileOracle,
+    "q_job_window_pctile" -> windowPctileOracle,
     "q_job_sort" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE value > 100
