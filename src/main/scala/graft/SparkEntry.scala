@@ -3102,6 +3102,76 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** Per-source quality cap (RelationalOps.groupCap, explicit order):
+    * keep the 8 longest docs per source, doc_id tiebreak — the
+    * "at most N docs per domain" dominance guard. The rule is plain
+    * row_number() SQL, so the oracle replays it directly. */
+  private def qGroupCap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RelationalOps.groupCap(
+      table(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars")),
+      idCol = "doc_id", cap = 8, by = Seq("source"),
+      orderBy = Seq(("n_chars", -1)))
+      .orderBy(col("doc_id"))
+
+  /** The seeded-uniform face of groupCap (empty order_by): 10 docs per
+    * lang ranked by md5("quota:" ++ doc_id) — both engines hash the
+    * identical string, so the kept subset replays bit-exactly. */
+  private def qGroupCapUniform(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RelationalOps.groupCap(
+      table(s, dir, "documents").select(col("doc_id"), col("lang")),
+      idCol = "doc_id", cap = 10, by = Seq("lang"), seed = "quota")
+      .orderBy(col("doc_id"))
+
+  /** Shared oracle for q_group_cap / q_job_group_cap: the same top-8
+    * per-source row_number rule (all output columns are pass-through
+    * parquet dtypes — no cast hazard). */
+  private val groupCapOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars FROM r
+      |WHERE rn <= 8 ORDER BY doc_id""".stripMargin
+
+  /** The SAME quality-cap rule through the declarative `group_cap`
+    * component — cap/by/order_by config parsing exercised end-to-end. */
+  private def qJobGroupCap(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_group_cap"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val outSchema = fieldsJson("doc_id" -> "integer", "source" -> "string",
+      "n_chars" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "group_cap_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "cap", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "cap", "comp_type": "group_cap",
+         |      "id_column": "doc_id", "cap": 8, "by": ["source"],
+         |      "order_by": [ ["n_chars", -1] ],
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, source, n_chars FROM proj_in",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   /** Combination job: the aggregation component's `salted: true` opt-in
     * — the declarative face of Skew.saltedAggregate (two-phase skew-safe
     * group-by, exact results for the decomposable subset). Same oracle
@@ -4079,6 +4149,9 @@ object SparkEntry {
     "q_job_sample_strata" -> (qJobSampleStrata _),
     "q_budget_sample" -> (qBudgetSample _),
     "q_job_budget_sample" -> (qJobBudgetSample _),
+    "q_group_cap" -> (qGroupCap _),
+    "q_group_cap_uniform" -> (qGroupCapUniform _),
+    "q_job_group_cap" -> (qJobGroupCap _),
     "q_job_bucketed_join" -> (qJobBucketedJoin _),
     "q_job_agg_salted" -> (qJobAggSalted _),
     "q_job_shuffle" -> (qJobShuffle _),
@@ -5153,6 +5226,15 @@ object SparkEntry {
     "q_job_text_repetition" -> textRepetitionOracle,
     "q_budget_sample" -> budgetSampleOracle,
     "q_job_budget_sample" -> budgetSampleOracle,
+    "q_group_cap" -> groupCapOracle,
+    "q_job_group_cap" -> groupCapOracle,
+    "q_group_cap_uniform" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('quota:' || doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     // plain join+agg over the same parquet: the bucketed layout changes
     // the PLAN (exchange-free join), never the answer
     "q_job_bucketed_join" ->

@@ -126,6 +126,13 @@ object ComponentSchemas {
       p("by", "array", "mixing-group columns (source, language, shard); empty needs allow_global"),
       p("seed", "string", "hash salt, default '' — independent of sample/shuffle/hash_split draws"),
       p("allow_global", "boolean", "permit the empty-`by` single-partition sort, default false"))),
+    "group_cap" -> ("Per-group row cap: keep at most `cap` rows per `by` group ('at most N docs per domain' — the source-dominance guard). order_by keeps the TOP rows under that order (quality cap, id tiebreak); empty order_by draws a seeded uniform md5(seed:id) subset. One hash exchange + in-partition sort (WindowOp's shape)" -> Seq(
+      req("cap", "integer", "max rows kept per group (>= 1)"),
+      p("id_column", "string", "deterministic tiebreak / hash key, default 'id'"),
+      p("by", "array", "quota-group columns (source, domain, language); empty needs allow_global"),
+      p("order_by", "array", "[[field, 1|-1], ...] — keep the top rows under this order; omitted = seeded uniform draw"),
+      p("seed", "string", "hash salt for the uniform draw, default '' — independent of sample/shuffle/hash_split hashing"),
+      p("allow_global", "boolean", "permit the empty-`by` single-partition rank, default false"))),
     "shuffle" -> ("Deterministic seeded global shuffle: adds key_column = md5(seed:id) and returns a TOTAL order over it (one range exchange; same row order on any run/engine/partitioning — reproducible training order). Null ids take the fixed md5(seed:) key" -> Seq(
       p("id_column", "string", "column hashed for the permutation, default 'id'"),
       p("seed", "string", "hash salt, default '' — different seeds draw independent permutations, independent of hash_split/sample hashing"),

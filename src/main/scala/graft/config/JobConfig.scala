@@ -346,6 +346,25 @@ object JobConfig {
     (keys, skip, limit)
   }
 
+  /** group_cap config — the per-group quota surface
+    * (RelationalOps.groupCap): `cap` is required (a defaulted cap would
+    * silently discard data); `order_by` uses the same [[field, 1|-1]]
+    * shape as sort/window and selects the TOP rows under that order,
+    * empty order_by = seeded uniform draw. */
+  def parseGroupCap(spec: ComponentSpec): (String, Int, Seq[String], Seq[(String, Int)], String, Boolean) = {
+    val cap = spec.intOpt("cap").getOrElse(
+      throw new IllegalArgumentException(
+        s"group_cap ${spec.name}: missing integer 'cap'"))
+    val orderBy = (spec.params \ "order_by") match {
+      case JArray(items) => items.map(orderEntry(_, s"group_cap ${spec.name}", "order_by"))
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(
+        s"group_cap ${spec.name}: 'order_by' must be an array of [field, 1|-1], got $other")
+    }
+    (spec.str("id_column").getOrElse("id"), cap, spec.strSeqParam("by"),
+      orderBy, spec.str("seed").getOrElse(""), spec.bool("allow_global", false))
+  }
+
   /** One `[field, 1|-1]` order entry; loud on any other shape or
     * direction value (a swallowed typo here silently turns a running
     * aggregate into a whole-partition aggregate). */

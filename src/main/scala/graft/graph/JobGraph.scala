@@ -657,6 +657,15 @@ object JobGraph {
           c.str("seed").getOrElse(""),
           c.bool("allow_global", false))), None)
 
+      // Per-group row cap (RelationalOps.groupCap): at most `cap` rows
+      // per `by` group — the domain/source-quota curation primitive.
+      // order_by keeps the top rows under an explicit order (quality
+      // cap); empty order_by draws a seeded uniform subset.
+      case "group_cap" =>
+        val (idCol, cap, by, orderBy, seed, allowGlobal) = parseGroupCap(c)
+        (Map("out" -> RelationalOps.groupCap(one(), idCol, cap, by,
+          orderBy, seed, allowGlobal)), None)
+
       // Deterministic seeded global shuffle (RelationalOps.hashShuffle):
       // adds shuffle_key = md5(seed:id) and returns a total order over it
       // — the reproducible-training-order primitive. One range exchange.

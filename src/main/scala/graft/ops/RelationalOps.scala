@@ -266,6 +266,65 @@ object RelationalOps {
     d
   }
 
+  /**
+   * Per-group row cap (beyond-reference; the domain/source-quota
+   * curation primitive next to budgetSample's cost-based cut): within
+   * each `by` group, keep at most `cap` rows — "at most N documents per
+   * domain" (the CCNet/RefinedWeb-style dominance guard that stops one
+   * crawl host from flooding the training mix).
+   *
+   * Selection order inside a group:
+   *  - `orderBy` given ((field, ±1) keys, sort-component format): keep
+   *    the top rows under that order — "the N highest-quality docs per
+   *    source" — with `idCol` ascending as the deterministic tiebreak.
+   *    No hashing: the rule replays as a plain SQL row_number() on any
+   *    engine, which is how the DuckDB oracle checks it bit-exactly.
+   *  - `orderBy` empty: a seeded UNIFORM draw — rank by
+   *    md5(seed ++ ":" ++ id), then id. Same key string as hashShuffle,
+   *    so the kept subset is engine-replayable, independent of input
+   *    partitioning, and independent of hashSplit/hashSample decisions
+   *    (different hashed strings). Null ids take the fixed
+   *    md5(seed ++ ":") key (hashShuffle's documented collision) and
+   *    tie-sort first among themselves — kept or cut deterministically,
+   *    never dropped from both sides of the cap.
+   *
+   * At scale: ONE hash exchange on the group keys + in-partition sort +
+   * row_number — WindowOp's exact shape (no global sort, no driver
+   * state). A per-group RANK is inherently skew-bound: one group's rows
+   * sort in one task and AQE cannot split a window partition, so a
+   * pathological single-domain corpus pays that group's sort in one
+   * task. Mitigation when a group approaches a partition's memory is to
+   * pre-thin with hashSample (rate ≈ cap / |group|) or cap on a finer
+   * key first — both narrow, both deterministic. Empty `by` funnels the
+   * corpus through ONE partition and must be opted into via allowGlobal,
+   * mirroring WindowOp's and budgetSample's contract.
+   */
+  def groupCap(df: DataFrame, idCol: String, cap: Int, by: Seq[String],
+               orderBy: Seq[(String, Int)] = Nil, seed: String = "",
+               allowGlobal: Boolean = false): DataFrame = {
+    require(cap >= 1, s"group_cap: cap must be >= 1, got $cap")
+    require(by.nonEmpty || allowGlobal,
+      "group_cap: empty `by` ranks the whole frame in ONE partition; " +
+        "set allow_global=true only for small frames, or cap per group " +
+        "(source, domain, language)")
+    val rnCol = "__cap_rn"
+    require(!df.columns.contains(rnCol),
+      s"group_cap: input already has a '$rnCol' column")
+    val keys: Seq[Column] =
+      if (orderBy.nonEmpty)
+        orderBy.map { case (f, dir) => if (dir >= 0) col(f).asc else col(f).desc } :+
+          col(idCol).asc
+      else Seq(
+        md5(concat(lit(seed), lit(":"),
+          coalesce(col(idCol).cast("string"), lit(""))).cast("binary")).asc,
+        col(idCol).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(by.map(col): _*).orderBy(keys: _*)
+    df.withColumn(rnCol, row_number().over(w))
+      .filter(col(rnCol) <= cap)
+      .drop(rnCol)
+  }
+
   /** Unpivot/melt (beyond-reference; the reshape inverse of
     * AggregateOp.pivoted): `valueCols` become (variable, value) row pairs
     * next to the `ids`. Dataset.unpivot is an Expand — each input row

@@ -115,6 +115,51 @@ class ScalePropertySpec extends SparkTestBase {
     }
   }
 
+  test("groupCap matches the top-k model on both ordering faces") {
+    val rowGen = for {
+      grp <- Gen.oneOf("a", "b", "c")
+      q <- Gen.chooseNum(0L, 20L) // narrow range so order ties occur
+    } yield (grp, q)
+    for ((cap, seed) <- Seq((1, 41L), (3, 42L), (7, 43L), (500, 44L))) {
+      val rows = sampleN(rowGen, 150, seed).zipWithIndex
+        .map { case ((g, q), i) => (i.toLong, g, q) }
+      val df = rows.toDF("id", "grp", "q")
+      // explicit-order face: top-cap by (q desc, id asc) per group
+      val expectTop = rows.groupBy(_._2).flatMap { case (_, members) =>
+        members.sortBy(m => (-m._3, m._1)).take(cap).map(_._1)
+      }.toSeq.sorted
+      val gotTop = graft.ops.RelationalOps.groupCap(df, "id", cap,
+          by = Seq("grp"), orderBy = Seq(("q", -1)))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(gotTop === expectTop, s"cap=$cap ordered face diverged from model")
+      // uniform face: rank by (md5("u:" ++ id), id) per group
+      val expectUni = rows.groupBy(_._2).flatMap { case (_, members) =>
+        members.sortBy(m => (md5hex(s"u:${m._1}"), m._1)).take(cap).map(_._1)
+      }.toSeq.sorted
+      val gotUni = graft.ops.RelationalOps.groupCap(df, "id", cap,
+          by = Seq("grp"), seed = "u")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(gotUni === expectUni, s"cap=$cap uniform face diverged from model")
+    }
+  }
+
+  test("groupCap rejects cap < 1, bare global cap, and a __cap_rn collision") {
+    val df = Seq((1L, "a")).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      graft.ops.RelationalOps.groupCap(df, "id", 0, by = Seq("grp"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.RelationalOps.groupCap(df, "id", 1, by = Nil)
+    }
+    // allow_global opts in (small frames)
+    assert(graft.ops.RelationalOps.groupCap(df, "id", 1, by = Nil,
+      allowGlobal = true).count() === 1L)
+    intercept[IllegalArgumentException] {
+      graft.ops.RelationalOps.groupCap(
+        df.withColumn("__cap_rn", lit(1)), "id", 1, by = Seq("grp"))
+    }
+  }
+
   test("TopGramStats matches the counting model on random token arrays") {
     val tok = Gen.frequency((1, Gen.const(null: String)),
       (8, Gen.oneOf("a", "b", "c", "ab", "")))
