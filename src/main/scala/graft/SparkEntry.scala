@@ -672,6 +672,24 @@ object SparkEntry {
       .orderBy(col("n_nationkey").cast("long"))
   }
 
+  /** ORC roundtrip (OrcIO): write an events projection as
+    * event_type-partitioned ORC, read it back through Spark's native
+    * vectorized reader, and aggregate under a partition-pruning filter
+    * (OrcIOSpec pins PartitionFilters + PushedFilters on the plan). */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$tmpRoot/orc_roundtrip"
+    graft.io.OrcIO.write(
+      table(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("value")),
+      out, partitionBy = Seq("event_type"))
+    graft.io.OrcIO.read(s, out)
+      .filter(col("event_type") =!= "view")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        (centsSum(col("value"), 2) / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Excel (xlsx) roundtrip: header row, sheet by name, all-string cells. */
   private def qExcelRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = s"$tmpRoot/excel_roundtrip.xlsx"
@@ -950,6 +968,71 @@ object SparkEntry {
     built.runSinks()
     built.close()
     s.read.parquet(outDir).orderBy(col("n_regionkey"))
+  }
+
+  /** Combination job pair exercising BOTH declarative ORC faces:
+    * job 1 stages customer as ORC through the write_orc sink
+    * (coalesce small-files control); job 2 reads it back with read_orc,
+    * filters, aggregates, and lands parquet. */
+  private def qJobOrcAgg(s: SparkSession, dir: String): DataFrame = {
+    val orcDir = s"$tmpRoot/job_orc_stage"
+    val outDir = s"$tmpRoot/job_out_orcagg"
+    val fullSchema = fieldsJson("c_custkey" -> "integer",
+      "c_name" -> "string", "c_nationkey" -> "integer",
+      "c_acctbal" -> "float", "c_mktsegment" -> "string")
+    val custSchema = fieldsJson("c_custkey" -> "integer",
+      "c_mktsegment" -> "string", "c_nationkey" -> "integer")
+    val aggSchema = fieldsJson("c_nationkey" -> "integer",
+      "n_custs" -> "integer", "min_cust" -> "integer")
+    val stageJson =
+      s"""{
+         |  "name": "orc_stage",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/customer.parquet",
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $fullSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT c_custkey, c_mktsegment, c_nationkey FROM proj_in",
+         |      "in_port_schemas": { "in": $fullSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "w", "comp_type": "write_orc", "filepath": "$orcDir",
+         |      "coalesce": 2,
+         |      "in_port_schemas": { "in": $custSchema } }
+         |  ]
+         |}""".stripMargin
+    val staged = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(stageJson))
+    staged.runSinks()
+    staged.close()
+    val aggJson =
+      s"""{
+         |  "name": "orc_filter_agg",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_orc", "filepath": "$orcDir",
+         |      "routes": { "out": [ { "to": "flt", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $custSchema } },
+         |    { "name": "flt", "comp_type": "filter",
+         |      "rule": { "column": "c_mktsegment", "operator": "==", "value": "BUILDING" },
+         |      "in_port_schemas": { "in": $custSchema },
+         |      "routes": { "pass": [ { "to": "agg", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $custSchema } },
+         |    { "name": "agg", "comp_type": "aggregation",
+         |      "group_by": ["c_nationkey"],
+         |      "aggregations": [
+         |        { "src": "c_custkey", "op": "count", "dest": "n_custs" },
+         |        { "src": "c_custkey", "op": "min", "dest": "min_cust" } ],
+         |      "in_port_schemas": { "in": $custSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(aggJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("c_nationkey"))
   }
 
   /** Combination job: Excel source → type_conversion → filter →
@@ -4091,6 +4174,8 @@ object SparkEntry {
     "q_job_join_agg" -> (qJobJoinAgg _),
     "q_job_xml_agg" -> (qJobXmlAgg _),
     "q_job_excel_agg" -> (qJobExcelFilterAgg _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_job_orc_agg" -> (qJobOrcAgg _),
     "q_job_mongo_dedup" -> (qJobMongoDedup _),
     "q_job_split_merge" -> (qJobSplitMergeAgg _),
     "q_job_json_typeconv" -> (qJobJsonTypeconv _),
@@ -4661,6 +4746,18 @@ object SparkEntry {
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_job_excel_agg" ->
       """SELECT c_nationkey::BIGINT AS c_nationkey,
+        |  count(c_custkey)::BIGINT AS n_custs,
+        |  min(c_custkey)::BIGINT AS min_cust
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n_rows,
+        |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
+        |FROM events WHERE event_type <> 'view'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ORC pass-through keeps parquet's INT32 c_nationkey — no cast
+    "q_job_orc_agg" ->
+      """SELECT c_nationkey,
         |  count(c_custkey)::BIGINT AS n_custs,
         |  min(c_custkey)::BIGINT AS min_cust
         |FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -40,6 +40,10 @@ object ComponentSchemas {
     "write_parquet" -> ("Write parquet" -> Seq(filepath,
       p("partition_by", "array", "Hive-style partition columns (directory layout)"),
       p("coalesce", "integer", "shrink to N output partitions before writing (small-files control for dimension-sized outputs)"))),
+    "read_orc" -> ("Read an ORC file or directory (vectorized, pruned, pushdown like parquet)" -> Seq(filepath)),
+    "write_orc" -> ("Write ORC" -> Seq(filepath,
+      p("partition_by", "array", "Hive-style partition columns (directory layout)"),
+      p("coalesce", "integer", "shrink to N output partitions before writing (small-files control)"))),
     "read_xml" -> ("Read XML rows (@attr/#text conventions)" -> Seq(
       filepath, p("record_tag", "string", "element name of one record, default 'record'"))),
     "write_xml" -> ("Write XML rows" -> Seq(

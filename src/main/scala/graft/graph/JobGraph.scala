@@ -353,6 +353,21 @@ object JobGraph {
         // ~70 ms footer-inference constant (tools/JobPhaseProbe)
         (Map("out" -> graft.io.ParquetIO.read(spark, c.reqStr("filepath"))), None)
 
+      case "read_orc" =>
+        (Map("out" -> graft.io.OrcIO.read(spark, c.reqStr("filepath"))), None)
+
+      // ORC sink with the parquet sink's layout levers (partition_by,
+      // coalesce) — see OrcIO's scaladoc for the format's scale notes
+      case "write_orc" =>
+        val df = one()
+        val path = c.reqStr("filepath")
+        val parts = c.strSeqParam("partition_by")
+        val coalesceTo = c.intOpt("coalesce")
+        coalesceTo.foreach(n => require(n >= 1,
+          s"write_orc ${c.name}: coalesce must be >= 1, got $n"))
+        (Map("out" -> df), Some(() =>
+          graft.io.OrcIO.write(df, path, parts, coalesceTo)))
+
       case "read_xml" =>
         (Map("out" -> graft.io.XmlIO.read(spark, c.reqStr("filepath"),
           c.str("record_tag").getOrElse("record"))), None)
