@@ -505,6 +505,24 @@ object SparkEntry {
       .filter(col("n_th") <= 5)
       .orderBy(col("user_id"), col("n_th"))
 
+  /** Trailing ROWS-frame aggregates (WinFn.frameRows): 3-row moving
+    * sum + count per user under the unique event_id order — the
+    * moving-average shape. The average itself is derived OUTSIDE the
+    * window as one exact long/long double division, so both engines
+    * produce the identical IEEE double (avg() inside the frame could
+    * accumulate differently per engine). */
+  private def qWindowRolling(s: SparkSession, dir: String): DataFrame =
+    WindowOp(table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+      Seq("user_id"), Seq(("event_id", 1)),
+      Seq(WindowOp.WinFn("sum", Some("cents"), 1, "roll_cents", Some(3)),
+        WindowOp.WinFn("count", Some("cents"), 1, "roll_n", Some(3)),
+        WindowOp.WinFn("row_number", None, 1, "n_th")))
+      .filter(col("n_th") <= 6)
+      .withColumn("roll_avg", col("roll_cents").cast("double") / col("roll_n"))
+      .orderBy(col("user_id"), col("n_th"))
+
   /** The percentile/bucketing rank faces (percent_rank / cume_dist /
     * ntile): per-language document quality curation — rank by n_chars
     * desc (unique doc_id tiebreak, so no peer ties), keep the top half
@@ -2392,6 +2410,25 @@ object SparkEntry {
       |  WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id))
       |WHERE pct <= 0.5 ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle for q_window_rolling / q_job_window_rolling: the
+    * same explicit trailing ROWS frame (no peer ambiguity — event_id is
+    * unique), integer window outputs cast ::BIGINT per the float
+    * discipline, and the moving average derived as one exact int/int
+    * double division outside the window. */
+  private val windowRollingOracle: String =
+    """SELECT event_id, user_id, cents, roll_cents, roll_n,
+      |  roll_cents::DOUBLE / roll_n AS roll_avg, n_th FROM (
+      |  SELECT event_id, user_id, round(value * 100)::BIGINT AS cents,
+      |    (sum(round(value * 100)::BIGINT) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT AS roll_cents,
+      |    (count(*) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT AS roll_n,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n_th
+      |  FROM events)
+      |WHERE n_th <= 6 ORDER BY user_id, n_th""".stripMargin
+
   /** Shared oracle for q_budget_sample / q_job_budget_sample: the same
     * md5 selection order (both engines hash the identical "mix:<id>"
     * string) and the same SQL-default-frame running sum; the running
@@ -3582,6 +3619,64 @@ object SparkEntry {
       .orderBy(col("user_id"), col("n_th"))
   }
 
+  /** The SAME trailing-frame rule through the declarative window
+    * component — frame_rows config parsing exercised end-to-end; the
+    * derived moving average comes from a downstream sql component, so
+    * the whole chain is config. */
+  private def qJobWindowRolling(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_events_roll"
+    val outDir = s"$tmpRoot/job_out_window_roll"
+    table(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").parquet(stage)
+    val inSchema = fieldsJson("event_id" -> "integer",
+      "user_id" -> "integer", "cents" -> "integer")
+    val winSchema = fieldsJson("event_id" -> "integer",
+      "user_id" -> "integer", "cents" -> "integer",
+      "roll_cents" -> "integer", "roll_n" -> "integer",
+      "n_th" -> "integer")
+    val outSchema = fieldsJson("event_id" -> "integer",
+      "user_id" -> "integer", "cents" -> "integer",
+      "roll_cents" -> "integer", "roll_n" -> "integer",
+      "n_th" -> "integer", "roll_avg" -> "float")
+    val jobJson =
+      s"""{
+         |  "name": "window_rolling_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "wi", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $inSchema } },
+         |    { "name": "wi", "comp_type": "window",
+         |      "partition_by": ["user_id"],
+         |      "order_by": [ ["event_id", 1] ],
+         |      "functions": [
+         |        { "fn": "sum", "src": "cents", "frame_rows": 3, "dest": "roll_cents" },
+         |        { "fn": "count", "src": "cents", "frame_rows": 3, "dest": "roll_n" },
+         |        { "fn": "row_number", "dest": "n_th" } ],
+         |      "in_port_schemas": { "in": $inSchema },
+         |      "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $winSchema } },
+         |    { "name": "f", "comp_type": "filter",
+         |      "rule": { "column": "n_th", "operator": "<=", "value": 6 },
+         |      "in_port_schemas": { "in": $winSchema },
+         |      "routes": { "pass": [ { "to": "avg", "in_port": "in" } ] },
+         |      "out_port_schemas": { "pass": $winSchema } },
+         |    { "name": "avg", "comp_type": "sql",
+         |      "query": "SELECT event_id, user_id, cents, roll_cents, roll_n, n_th, CAST(roll_cents AS DOUBLE) / roll_n AS roll_avg FROM avg_in",
+         |      "in_port_schemas": { "in": $winSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("user_id"), col("n_th"))
+  }
+
   /** Declarative set_op with the two staged branches written in
     * DIFFERENT on-disk column orders — the gate drives the by-name
     * alignment (Dataset.intersect is positional; SetOpSpec pins the
@@ -4145,6 +4240,8 @@ object SparkEntry {
     "q_sort_limit" -> (qSortLimit _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_lag" -> (qWindowLag _),
+    "q_window_rolling" -> (qWindowRolling _),
+    "q_job_window_rolling" -> (qJobWindowRolling _),
     "q_window_lead" -> (qWindowLead _),
     "q_window_pctile" -> (qWindowPctile _),
     "q_job_window_pctile" -> (qJobWindowPctile _),
@@ -4521,6 +4618,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n_th
         |  FROM events)
         |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin,
+    "q_window_rolling" -> windowRollingOracle,
+    "q_job_window_rolling" -> windowRollingOracle,
     "q_job_join_bcast" ->
       """SELECT n_name, count(c_custkey) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

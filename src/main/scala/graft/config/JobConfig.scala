@@ -410,7 +410,14 @@ object JobConfig {
             case other => throw new IllegalArgumentException(
               s"window ${spec.name}: 'offset' must be an integer, got $other")
           },
-          dest = reqStrAt(f, "dest", s"window ${spec.name} function"))
+          dest = reqStrAt(f, "dest", s"window ${spec.name} function"),
+          frameRows = (f \ "frame_rows") match {
+            case JInt(i) => Some(i.toInt)
+            case JLong(l) => Some(l.toInt)
+            case JNothing => None
+            case other => throw new IllegalArgumentException(
+              s"window ${spec.name}: 'frame_rows' must be an integer, got $other")
+          })
       }
       case _ => throw new IllegalArgumentException(
         s"window ${spec.name}: missing 'functions' ([{fn, src?, offset?, dest}])")

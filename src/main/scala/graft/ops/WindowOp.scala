@@ -37,8 +37,16 @@ import org.apache.spark.sql.functions._
 object WindowOp {
 
   /** One window function: `fn` over `src` (aggregates/lag/lead; rank
-    * family takes none), writing `dest`. `offset` feeds lag/lead. */
-  final case class WinFn(fn: String, src: Option[String], offset: Int, dest: String)
+    * family takes none), writing `dest`. `offset` feeds lag/lead.
+    * `frameRows` (aggregates only, needs order_by) switches the frame
+    * to a TRAILING ROWS window of the last N rows including the current
+    * one — ROWS BETWEEN N-1 PRECEDING AND CURRENT ROW — the moving-
+    * average/rolling-sum shape. ROWS (not RANGE): order-key ties do NOT
+    * share a frame, so pass a unique tie-breaker for determinism, same
+    * rule as rank. Spark streams the frame with O(N) state per task —
+    * no partition buffering, same one-exchange plan. */
+  final case class WinFn(fn: String, src: Option[String], offset: Int, dest: String,
+                         frameRows: Option[Int] = None)
 
   /** percent_rank/cume_dist/ntile join the rank family for quality-
     * percentile curation ("keep the top 20% by score per source",
@@ -102,7 +110,18 @@ object WindowOp {
           s"window: unknown function '$other' (have: " +
             s"${(rankFns ++ offsetFns ++ aggFns).toSeq.sorted.mkString(", ")})")
       }
-      expr.over(ordered).as(w.dest)
+      val spec = w.frameRows match {
+        case None => ordered
+        case Some(n) =>
+          require(aggFns.contains(w.fn),
+            s"window: frame_rows only applies to aggregates, not '${w.fn}' " +
+              "(rank/lag/lead have positional semantics, not frames)")
+          needOrder()
+          require(n >= 1,
+            s"window: frame_rows must be >= 1 (the trailing row count), got $n")
+          ordered.rowsBetween(-(n - 1).toLong, Window.currentRow)
+      }
+      expr.over(spec).as(w.dest)
     }
     df.select(df.columns.map(col) ++ cols: _*)
   }

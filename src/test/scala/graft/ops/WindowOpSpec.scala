@@ -60,6 +60,37 @@ class WindowOpSpec extends SparkTestBase {
       (2L, 7), (2L, 7)))
   }
 
+  test("frame_rows: trailing ROWS window matches the sliding model; guards are loud") {
+    // 3-row moving sum under (v, id) order: ROWS frame, ties do NOT merge
+    val out = WindowOp(df, Seq("g"), Seq(("v", 1), ("id", 1)), Seq(
+      WindowOp.WinFn("sum", Some("v"), 1, "roll", frameRows = Some(3)),
+      WindowOp.WinFn("count", Some("v"), 1, "n", frameRows = Some(3))))
+      .orderBy("id").collect().map(r => (r.getInt(2), r.getLong(3), r.getLong(4)))
+    // g=a ordered: 10,20,20,30 → rolls 10,30,50,70; g=b: 5,7 → 5,12
+    assert(out.toSeq === Seq((1, 10L, 1L), (2, 30L, 2L), (3, 50L, 3L),
+      (4, 70L, 3L), (5, 5L, 1L), (6, 12L, 2L)))
+    // frame_rows=1 is the degenerate single-row frame: sum == src
+    val one = WindowOp(df, Seq("g"), Seq(("v", 1), ("id", 1)), Seq(
+      WindowOp.WinFn("sum", Some("v"), 1, "self", frameRows = Some(1))))
+      .orderBy("id").collect().map(r => (r.getInt(1), r.getLong(3)))
+    assert(one.forall { case (v, s) => s == v.toLong })
+    val e1 = intercept[IllegalArgumentException] {
+      WindowOp(df, Seq("g"), Seq(("v", 1)), Seq(
+        WindowOp.WinFn("row_number", None, 1, "rn", frameRows = Some(3))))
+    }
+    assert(e1.getMessage.contains("frame_rows only applies to aggregates"))
+    val e2 = intercept[IllegalArgumentException] {
+      WindowOp(df, Seq("g"), Nil, Seq(
+        WindowOp.WinFn("sum", Some("v"), 1, "roll", frameRows = Some(3))))
+    }
+    assert(e2.getMessage.contains("order_by"))
+    val e3 = intercept[IllegalArgumentException] {
+      WindowOp(df, Seq("g"), Seq(("v", 1)), Seq(
+        WindowOp.WinFn("sum", Some("v"), 1, "roll", frameRows = Some(0))))
+    }
+    assert(e3.getMessage.contains("frame_rows must be >= 1"))
+  }
+
   test("plan: one hash exchange on the partition keys feeds the Window exec") {
     val plan = WindowOp(df.repartition(4), Seq("g"), Seq(("v", 1)), Seq(
       WindowOp.WinFn("row_number", None, 1, "rn")))
