@@ -3677,6 +3677,41 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("user_id"), col("n_th"))
   }
 
+  /** The write_parquet sort_by face (data-skipping layout): orders
+    * lands range-partitioned + sorted on o_totalprice, then the
+    * readback filters on that key and aggregates — values must survive
+    * the relayout exactly (ScaleIdiomsSpec pins the disjoint per-file
+    * ranges and the pushdown; this pins the config path + the data). */
+  private def qJobSortedLayout(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_sorted_layout"
+    val ordersSchema = fieldsJson("o_orderkey" -> "integer",
+      "o_custkey" -> "integer", "o_orderstatus" -> "string",
+      "o_totalprice" -> "float", "o_orderdate" -> "string",
+      "o_orderpriority" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "sorted_layout_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/orders.parquet",
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $ordersSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "sort_by": ["o_totalprice"], "files": 4,
+         |      "in_port_schemas": { "in": $ordersSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .filter(col("o_totalprice") > 150000)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (centsSum(col("o_totalprice"), 2) / 100.0).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Declarative set_op with the two staged branches written in
     * DIFFERENT on-disk column orders — the gate drives the by-name
     * alignment (Dataset.intersect is positional; SetOpSpec pins the
@@ -4335,6 +4370,7 @@ object SparkEntry {
     "q_group_cap_uniform" -> (qGroupCapUniform _),
     "q_job_group_cap" -> (qJobGroupCap _),
     "q_job_bucketed_join" -> (qJobBucketedJoin _),
+    "q_job_sorted_layout" -> (qJobSortedLayout _),
     "q_job_agg_salted" -> (qJobAggSalted _),
     "q_job_shuffle" -> (qJobShuffle _),
     "q_job_session_agg" -> (qJobSessionAgg _),
@@ -5431,6 +5467,13 @@ object SparkEntry {
         |      ORDER BY md5('quota:' || doc_id::VARCHAR), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    // plain filter+agg over the source: the sorted layout changes the
+    // FILES (disjoint ranges for skipping), never the answer
+    "q_job_sorted_layout" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS sum_price
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // plain join+agg over the same parquet: the bucketed layout changes
     // the PLAN (exchange-free join), never the answer
     "q_job_bucketed_join" ->

@@ -503,8 +503,32 @@ object JobGraph {
         val coalesceTo = c.intOpt("coalesce")
         coalesceTo.foreach(n => require(n >= 1,
           s"write_parquet ${c.name}: coalesce must be >= 1, got $n"))
+        // sort_by: data-skipping layout — range-partition on the sort
+        // keys then sort within partitions, so each output file carries
+        // a DISJOINT key range and parquet's row-group min/max stats let
+        // a reader filtering on those keys skip whole files/row-groups
+        // (SortedLayoutSpec pins the disjointness + the pushdown). The
+        // non-directory complement to partition_by: high-cardinality /
+        // continuous keys that can't be directories. `files` sets the
+        // range partition count (default: session shuffle partitions).
+        val sortBy = c.strSeqParam("sort_by")
+        val files = c.intOpt("files")
+        require(sortBy.nonEmpty || files.isEmpty,
+          s"write_parquet ${c.name}: 'files' only applies with 'sort_by'")
+        require(sortBy.isEmpty || coalesceTo.isEmpty,
+          s"write_parquet ${c.name}: sort_by is exclusive with coalesce " +
+            "(a post-sort coalesce would merge the disjoint ranges back)")
+        files.foreach(n => require(n >= 1,
+          s"write_parquet ${c.name}: files must be >= 1, got $n"))
         (Map("out" -> df), Some(() => {
-          val src = coalesceTo.map(df.coalesce).getOrElse(df)
+          val src =
+            if (sortBy.nonEmpty) {
+              val keys = sortBy.map(col)
+              val ranged = files
+                .map(n => df.repartitionByRange(n, keys: _*))
+                .getOrElse(df.repartitionByRange(keys: _*))
+              ranged.sortWithinPartitions(keys: _*)
+            } else coalesceTo.map(df.coalesce).getOrElse(df)
           val w = src.write.mode("overwrite")
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
         }))

@@ -199,6 +199,66 @@ class ScaleIdiomsSpec extends SparkTestBase {
       s"expected 1 of 3 partition directories read, metrics: ${scan.metrics}")
   }
 
+  test("sort_by sinks write disjoint key ranges and keep pushdown (data skipping)") {
+    // The 100 TB value of the sorted layout: each output file owns a
+    // disjoint range of the sort key, so parquet min/max stats let a
+    // key-filtered reader skip whole files. The disjointness IS the
+    // skipping guarantee — pin it file by file.
+    val out = java.nio.file.Files.createTempDirectory("graft_sorted")
+      .resolve("events_sorted").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_sorted_in")
+      .resolve("events_in").toString
+    // adversarial input layout: hash-scattered, nothing pre-sorted
+    spark.range(4000).select(col("id").as("v"),
+      (col("id") % 7).as("noise")).repartition(8, col("noise"))
+      .write.mode("overwrite").parquet(in)
+    val schema =
+      """{ "fields": [
+        |  { "name": "v", "data_type": "integer" },
+        |  { "name": "noise", "data_type": "integer" } ] }""".stripMargin
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "sort_by": ["v"], "files": 4,
+         |    "in_port_schemas": { "in": $schema } } ] }""".stripMargin
+    val built = graft.graph.JobGraph.build(spark,
+      graft.config.JobConfig.parse(json))
+    built.runSinks(); built.close()
+
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(perFile.length === 4, s"expected 4 range files, got ${perFile.length}")
+    assert(perFile.map(_._3).sum === 4000L)
+    perFile.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1,
+        s"file ranges overlap: [${a._1},${a._2}] vs [${b._1},${b._2}]")
+      case _ => ()
+    }
+    // a key filter still reaches the scan as a pushed predicate
+    val filtered = spark.read.parquet(out).filter(col("v") >= 3900)
+    val formatted = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters") && formatted.contains("v"),
+      s"v >= 3900 must reach PushedFilters:\n$formatted")
+    assert(filtered.count() === 100)
+    // config guards: files without sort_by, sort_by with coalesce
+    intercept[IllegalArgumentException] {
+      graft.graph.JobGraph.build(spark, graft.config.JobConfig.parse(
+        json.replace(""""sort_by": ["v"], "files": 4""",
+          """"files": 4"""))).runSinks()
+    }
+    intercept[IllegalArgumentException] {
+      graft.graph.JobGraph.build(spark, graft.config.JobConfig.parse(
+        json.replace(""""files": 4""", """"coalesce": 2"""))).runSinks()
+    }
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     // a fresh JVM's in-memory catalog doesn't know tables left on disk by
     // a previous run: drop via catalog AND remove the stale locations
