@@ -31,7 +31,7 @@ object Cli {
 
   private val usage: String =
     """usage: graft <group> <command> [args]
-      |  jobs create PATH | get ID | update ID PATH | delete ID | list
+      |  jobs create PATH | get ID | update ID PATH | delete ID | list | explain ID
       |  execution start JOB_ID [--environment ENV] | get EXEC_ID | attempts EXEC_ID
       |            | list [--job-id X] [--status S]
       |            [--order asc|desc] [--limit N] [--offset N]
@@ -84,6 +84,16 @@ object Cli {
         else { out(s"Job $id not found"); 1 }
       case "jobs" :: "list" :: Nil =>
         out(registry.listJobs().map(jobJson).mkString("[", ",", "]")); 0
+      // dry-run pre-flight: per-sink formatted physical plans, nothing
+      // executed (human-readable here; the REST face returns JSON)
+      case "jobs" :: "explain" :: id :: Nil =>
+        registry.getJob(id) match {
+          case Some(_) =>
+            registry.explain(id).foreach { case (sink, plan) =>
+              out(s"== sink: $sink ==\n$plan")
+            }; 0
+          case None => out(s"Job $id not found"); 1
+        }
 
       case "execution" :: "start" :: jobId :: rest =>
         out(ControlPlane.execJson(

@@ -262,6 +262,17 @@ object ControlPlane {
       rec
     }
 
+    /** Dry-run plan inspection (JobGraph.explainJob): per-sink formatted
+      * physical plans with nothing executed — the pre-flight for a job
+      * that would otherwise only reveal a missing pushdown or a surprise
+      * shuffle after hours of cluster time. Bad configs throw the same
+      * errors execute() would, before any data moves. */
+    def explain(jobId: String): Seq[(String, String)] = {
+      val job = getJob(jobId).getOrElse(
+        throw new NoSuchElementException(s"job $jobId not found"))
+      graft.graph.JobGraph.explainJob(session, JobConfig.parse(job.configJson))
+    }
+
     /** In-memory hit, else (when the window has evicted records) a lazy
       * scan of the on-disk log — a cheap substring pre-filter keeps the
       * full JSON parse to candidate lines only. */
@@ -398,6 +409,14 @@ object ControlPlane {
           (201, jobJson(registry.createJob(body)))
         case ("GET", "") =>
           (200, registry.listJobs().map(jobJson).mkString("[", ",", "]"))
+        case ("GET", p) if p.endsWith("/explain") =>
+          val id = p.stripSuffix("/explain")
+          registry.getJob(id).map { _ =>
+            val plans = registry.explain(id).map { case (sink, plan) =>
+              s"${quote(sink)}:${quote(plan)}"
+            }.mkString("{", ",", "}")
+            (200, s"""{"job_id":${quote(id)},"sinks":$plans}""")
+          }.getOrElse((404, s"""{"error":"job $id not found"}"""))
         case ("GET", id) =>
           registry.getJob(id).map(j => (200, j.configJson))
             .getOrElse((404, s"""{"error":"job $id not found"}"""))

@@ -269,6 +269,27 @@ object JobGraph {
     BuiltJob(frames.toMap, sinks.toSeq, cached.toSeq)
   }
 
+  /** Dry-run plan inspection: build the whole DAG — config parsing,
+    * schema validation, and Catalyst analysis/optimization all run,
+    * exactly as a real execution would plan them — and return each
+    * sink's FORMATTED physical plan WITHOUT running any sink action.
+    * The pre-flight a 100 TB job needs before paying for the run: is
+    * the filter in PushedFilters next to the scan, did the dimension
+    * side broadcast, where are the Exchanges? The plan shown is the
+    * sink's INPUT frame (format-level write mechanics — bucket layout,
+    * single-file concat — happen inside the sink action and add no
+    * exchanges of their own). Invalid configs, missing inputs, and
+    * schema drift all throw here, loudly, before any data moves. */
+  def explainJob(spark: SparkSession, spec: JobSpec): Seq[(String, String)] = {
+    val built = build(spark, spec)
+    try
+      built.sinks.map { case (name, _) =>
+        name -> built.frames(name -> "out").queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode)
+      }
+    finally built.close()
+  }
+
   /** JDBC endpoint resolution: an explicit `url` param wins (tests/local
     * wiring), otherwise `context` names a registered
     * CredentialsMappingContext and the url + auth options assemble

@@ -217,6 +217,49 @@ class ControlPlaneSpec extends SparkTestBase {
     } finally { server.stop(0); sched.shutdown() }
   }
 
+  test("explain: per-sink formatted plans, pushdown visible, nothing executed") {
+    import spark.implicits._
+    val reg = new ControlPlane.JobRegistry(spark)
+    val in = tmp("explain_in")
+    Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "s", "v")
+      .write.mode("overwrite").parquet(in)
+    val schema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "s", "data_type": "string" },
+        |  { "name": "v", "data_type": "integer" } ] }""".stripMargin
+    val outPath = tmp("explain_out_never_written")
+    val job = reg.createJob(
+      s"""{ "name": "explainjob", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "f", "comp_type": "filter",
+         |    "rule": { "column": "v", "operator": ">", "value": 15 },
+         |    "in_port_schemas": { "in": $schema },
+         |    "routes": { "pass": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "pass": $schema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$outPath",
+         |    "in_port_schemas": { "in": $schema } } ] }""".stripMargin)
+    val plans = reg.explain(job.id)
+    assert(plans.map(_._1) === Seq("w"))
+    val plan = plans.head._2
+    // the whole point: the pre-flight shows the filter reached the scan
+    assert(plan.contains("PushedFilters") && plan.contains("v"), plan)
+    assert(plan.contains("Physical Plan"), plan)
+    assert(!Files.exists(Paths.get(outPath)), "explain must not run the sink")
+    intercept[NoSuchElementException] { reg.explain("ghost") }
+    // CLI face: same plans, human-readable framing
+    val sb = new StringBuilder
+    val rc = Cli.run(Seq("jobs", "explain", job.id), reg,
+      sys.error("scheduler must not be touched"), s => { sb.append(s); () })
+    assert(rc === 0)
+    assert(sb.toString.contains("== sink: w ==") &&
+      sb.toString.contains("PushedFilters"))
+    assert(Cli.run(Seq("jobs", "explain", "ghost"), reg,
+      sys.error("scheduler must not be touched"), _ => ()) === 1)
+  }
+
   test("REST surface: POST/GET/DELETE /jobs, POST /execution, GET /executions") {
     import spark.implicits._
     val reg = new ControlPlane.JobRegistry(spark)
@@ -261,6 +304,16 @@ class ControlPlaneSpec extends SparkTestBase {
       val put = send(HttpRequest.newBuilder(URI.create(s"$base/jobs/$jobId"))
         .PUT(HttpRequest.BodyPublishers.ofString(jobJson(in, tmp("rest_out2")))).build())
       assert(put.statusCode() === 200 && put.body().contains(jobId))
+
+      // dry-run explain: JSON with one formatted plan per sink
+      val explain = send(HttpRequest.newBuilder(
+        URI.create(s"$base/jobs/$jobId/explain")).GET().build())
+      assert(explain.statusCode() === 200)
+      assert(explain.body().contains(""""job_id"""") &&
+        explain.body().contains("Physical Plan"), explain.body().take(300))
+      assert(send(HttpRequest.newBuilder(
+        URI.create(s"$base/jobs/ghost/explain")).GET().build())
+        .statusCode() === 404)
 
       // contexts surface: credentials → mapping → list/get → delete
       graft.runtime.Contexts.reset()
