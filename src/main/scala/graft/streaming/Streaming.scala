@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -126,6 +126,55 @@ object Streaming {
             Iterator.single(batch.minBy(_.doc_id))
           }
       }
+  }
+
+  /**
+   * Streaming per-group row quota over an arbitrary Row schema — the
+   * ingest-side twin of RelationalOps.groupCap, and the
+   * flatMapGroupsWithState custom-state primitive reachable from JSON
+   * (`streaming_group_cap`): keep the FIRST `cap` rows per `by` group
+   * over the stream's LIFETIME.
+   *
+   * Contract differences vs the batch operator, by streaming nature:
+   * the batch groupCap selects under an engine-replayable order
+   * (explicit keys or md5); a stream has no replayable order, so the
+   * kept subset is arrival-order dependent — what IS exact is the
+   * quota itself (never more than `cap` rows per group emitted, across
+   * ALL microbatches) and that every emitted row came from the input.
+   * StreamingJobsSpec pins both across a multi-batch drain.
+   *
+   * State: ONE Long counter per distinct group, no timeout — bounded
+   * by group cardinality (cap on a bounded key: source, language,
+   * shard — not a per-document id), the same envelope as any per-group
+   * streaming aggregate. Null group values key as a reserved token, so
+   * a null source is ONE group with its own quota, mirroring the batch
+   * operator's null-key window partition.
+   */
+  def streamingGroupCap(df: DataFrame, by: Seq[String], cap: Int): DataFrame = {
+    require(cap >= 1, s"streaming_group_cap: cap must be >= 1, got $cap")
+    require(by.nonEmpty, "streaming_group_cap: needs non-empty `by` group columns")
+    val missing = by.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"streaming_group_cap: missing group column(s): ${missing.mkString(", ")}")
+    val rowEnc: Encoder[Row] = Encoders.row(df.schema)
+    // collision-free composite key: length-prefixed elements (a plain
+    // separator join would conflate ("a b","c") with ("a","b c"));
+    // null keys get a reserved marker no real length-prefix produces
+    df.groupByKey { r: Row =>
+        by.map { c =>
+          val v = r.getAs[Any](c)
+          if (v == null) "n:" else { val s = v.toString; s"${s.length}:$s" }
+        }.mkString("|")
+      }(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[Row], state: GroupState[Long]) =>
+          val already = state.getOption.getOrElse(0L)
+          val room = math.max(cap - already, 0L).toInt
+          val kept = batch.take(room).toVector
+          if (kept.nonEmpty) state.update(already + kept.size)
+          kept.iterator
+      }(Encoders.scalaLong, rowEnc)
+      .toDF()
   }
 
   /** Start `windowedCounts` into an in-memory table (tests/dev). */

@@ -60,6 +60,7 @@ object StreamingJobs {
     "unpivot", "hash_split", "sample",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "streaming_asof_join", "streaming_range_join", "streaming_decontaminate",
+    "streaming_group_cap",
     "write_csv", "write_json", "write_parquet")
 
   final case class SinkPlan(component: String, df: DataFrame, format: String,
@@ -236,6 +237,21 @@ object StreamingJobs {
             .withWatermark("__t", wm)
             .dropDuplicatesWithinWatermark("__key")
             .drop("__key", "__t"))
+
+        // Custom-state per-group quota (Streaming.streamingGroupCap —
+        // the flatMapGroupsWithState primitive reachable from JSON):
+        // keeps the FIRST cap rows per `by` group over the stream's
+        // LIFETIME; one Long of state per distinct group, no watermark
+        // (a quota is not time-scoped). Unlike batch group_cap the kept
+        // subset is arrival-order dependent (streams carry no
+        // engine-replayable order) — the CAP itself is exact across
+        // microbatches, which is the quota's contract.
+        case "streaming_group_cap" =>
+          val cap = c.intOpt("cap").getOrElse(
+            throw new IllegalArgumentException(
+              s"streaming_group_cap ${c.name}: missing integer 'cap'"))
+          Map("out" -> graft.streaming.Streaming.streamingGroupCap(
+            one(c), c.strSeqParam("by"), cap))
 
         // Stream-static as-of enrichment (ops/AsofJoin.enrichStatic): the
         // STATIC right side comes from `right_path` (a parquet dimension

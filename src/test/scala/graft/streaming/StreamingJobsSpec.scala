@@ -228,6 +228,60 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(slurp(spark.read.parquet(out)) === Seq("1|x", "2|y"))
   }
 
+  test("streaming_group_cap: quota exact across microbatches and checkpointed runs") {
+    import spark.implicits._
+    val in = tmp("gcap_in")
+    Files.createDirectories(Paths.get(in))
+    Seq((1L, "g1"), (2L, "g1"), (3L, "g1"), (4L, "g1"), (5L, "g2"))
+      .toDF("id", "g").coalesce(1).write.mode("append").parquet(in)
+    val schema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "g", "data_type": "string" } ] }""".stripMargin
+    val out = tmp("gcap_out")
+    val ckpt = tmp("gcap_ckpt")
+    val cfg =
+      s"""{ "name": "gcap", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "c", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "c", "comp_type": "streaming_group_cap",
+         |    "cap": 3, "by": ["g"],
+         |    "in_port_schemas": { "in": $schema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $schema } } ] }""".stripMargin
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), ckpt)
+    val r1 = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(r1.count(_._2 == "g1") === 3, s"g1 over cap in ${r1.toSeq}")
+    assert(r1.count(_._2 == "g2") === 1)
+    assert(r1.map(_._1).toSet.subsetOf((1L to 5L).toSet))
+    assert(r1.map(_._1).distinct.length === r1.length, "no duplicates")
+    // second drain against the SAME checkpoint: the g1 counter is full
+    // (emits nothing more), g2 holds 1 of 3 (emits exactly 2 of the 3
+    // new arrivals) — the state store carries the quota across runs
+    Seq((6L, "g1"), (7L, "g1"), (8L, "g2"), (9L, "g2"), (10L, "g2"))
+      .toDF("id", "g").coalesce(1).write.mode("append").parquet(in)
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), ckpt)
+    val r2 = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(r2.count(_._2 == "g1") === 3, s"g1 leaked past its cap: ${r2.toSeq}")
+    assert(r2.count(_._2 == "g2") === 3, s"g2 quota not filled: ${r2.toSeq}")
+    assert(r2.map(_._1).toSet.subsetOf((1L to 10L).toSet))
+    assert(r2.map(_._1).distinct.length === r2.length, "no duplicates")
+    // config guards: missing cap, empty by
+    intercept[IllegalArgumentException] {
+      StreamingJobs.runOnce(spark, JobConfig.parse(
+        cfg.replace(""""cap": 3, """, "")), tmp("gcap_ckpt2"))
+    }
+    intercept[IllegalArgumentException] {
+      StreamingJobs.runOnce(spark, JobConfig.parse(
+        cfg.replace(""""by": ["g"]""", """"by": []""")), tmp("gcap_ckpt3"))
+    }
+  }
+
   test("streaming_aggregation: drained windowed counts match the batch computation") {
     import org.apache.spark.sql.functions._
     val inDir = tmp("sagg_in")
