@@ -36,7 +36,8 @@ object ComponentSchemas {
       filepath,
       p("format", "string", "'ndjson' (default) or 'array' (pretty-printed JSON array)"),
       p("append", "boolean", "append rows to an existing file instead of overwriting"))),
-    "read_parquet" -> ("Read a parquet file or directory" -> Seq(filepath)),
+    "read_parquet" -> ("Read a parquet file or directory" -> Seq(filepath,
+      p("merge_schema", "boolean", "schema-evolution read: merge every file's footer into the union schema (columns added by newer files surface as nulls in older rows); default false — single-footer inference"))),
     "write_parquet" -> ("Write parquet" -> Seq(filepath,
       p("partition_by", "array", "Hive-style partition columns (directory layout)"),
       p("coalesce", "integer", "shrink to N output partitions before writing (small-files control for dimension-sized outputs)"),

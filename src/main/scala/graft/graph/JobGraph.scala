@@ -371,8 +371,16 @@ object JobGraph {
       case "read_parquet" =>
         // ParquetIO caches inferred schemas (listing-fingerprint
         // invalidated) — repeated builds over the same inputs skip the
-        // ~70 ms footer-inference constant (tools/JobPhaseProbe)
-        (Map("out" -> graft.io.ParquetIO.read(spark, c.reqStr("filepath"))), None)
+        // ~70 ms footer-inference constant (tools/JobPhaseProbe).
+        // merge_schema=true opts into schema-evolution reads (a dataset
+        // whose newer files added columns): Spark merges ALL footers
+        // into the union schema — a per-file pass worth paying only
+        // when files genuinely disagree, so it is explicit, and it
+        // bypasses the single-footer cache.
+        (Map("out" ->
+          (if (c.bool("merge_schema", false))
+            spark.read.option("mergeSchema", "true").parquet(c.reqStr("filepath"))
+          else graft.io.ParquetIO.read(spark, c.reqStr("filepath")))), None)
 
       case "read_orc" =>
         (Map("out" -> graft.io.OrcIO.read(spark, c.reqStr("filepath"))), None)

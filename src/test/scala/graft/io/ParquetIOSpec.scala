@@ -61,6 +61,37 @@ class ParquetIOSpec extends SparkTestBase {
     assert(cachedMiss.filter(col("status") === "F").count() === 2)
   }
 
+  test("merge_schema=true reads an evolving directory with the union schema") {
+    val dir = tmp("evolve")
+    // older file: (id, s); newer file added a column: (id, s, extra)
+    Seq((1L, "a")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq((2L, "b", 99L)).toDF("id", "s", "extra")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "s", "data_type": "string" },
+        |  { "name": "extra", "data_type": "integer", "nullable": true } ] }""".stripMargin
+    def cfg(out: String, merge: String) =
+      s"""{ "name": "ev", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$dir",
+         |    $merge
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $schema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $schema } } ] }""".stripMargin
+    val out = tmp("evolve_out")
+    val built = graft.graph.JobGraph.build(spark,
+      graft.config.JobConfig.parse(cfg(out, """"merge_schema": true,""")))
+    built.runSinks(); built.close()
+    val got = spark.read.parquet(out).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // the old file's rows surface the new column as null
+    assert(got.toSeq === Seq((1L, "a", -1L), (2L, "b", 99L)))
+  }
+
   test("a nonexistent path still raises spark.read's own error") {
     ParquetIO.clearCache()
     intercept[Exception] {
