@@ -3677,6 +3677,78 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("user_id"), col("n_th"))
   }
 
+  /** Typed JSON-path extraction (RelationalOps.jsonExtract) over the
+    * events `props` blob: k lands as a long, a missing path as an
+    * all-null string (count pins the null contract), the raw blob is
+    * dropped. Both engines parse the same JSON and cast the same
+    * digits, so the group-by replays bit-exactly. */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RelationalOps.jsonExtract(
+      table(s, dir, "events").select(col("event_id"), col("props")),
+      "props",
+      Seq(("k", "k", "integer"), ("missing", "m_str", "string")),
+      keepSource = false)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_ids"),
+        count(col("m_str")).as("n_missing"))
+      .orderBy(col("k"))
+
+  /** Shared oracle for q_json_extract / q_job_json_extract: DuckDB's
+    * json_extract_string + ::BIGINT replays get_json_object + cast. */
+  private val jsonExtractOracle: String =
+    """SELECT k, count(*)::BIGINT AS n_events,
+      |  sum(event_id)::BIGINT AS sum_ids,
+      |  count(m_str)::BIGINT AS n_missing
+      |FROM (
+      |  SELECT event_id,
+      |    json_extract_string(props, '$.k')::BIGINT AS k,
+      |    json_extract_string(props, '$.missing') AS m_str
+      |  FROM events)
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  /** The SAME extraction through the declarative json_extract component
+    * — fields/type config parsing and keep_source=false end-to-end. */
+  private def qJobJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_json_extract"
+    val outDir = s"$tmpRoot/job_out_json_extract"
+    table(s, dir, "events").select(col("event_id"), col("props"))
+      .write.mode("overwrite").parquet(stage)
+    val inSchema = fieldsJson("event_id" -> "integer", "props" -> "string")
+    val exSchema = fieldsJson("event_id" -> "integer",
+      "k" -> "integer", "m_str" -> "string")
+    val aggSchema = fieldsJson("k" -> "integer", "n_events" -> "integer",
+      "sum_ids" -> "integer", "n_missing" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "json_extract_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "jx", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $inSchema } },
+         |    { "name": "jx", "comp_type": "json_extract",
+         |      "column": "props", "keep_source": false,
+         |      "fields": [
+         |        { "path": "k", "dest": "k", "type": "integer" },
+         |        { "path": "$$.missing", "dest": "m_str" } ],
+         |      "in_port_schemas": { "in": $inSchema },
+         |      "routes": { "out": [ { "to": "agg", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $exSchema } },
+         |    { "name": "agg", "comp_type": "sql",
+         |      "query": "SELECT k, CAST(count(*) AS BIGINT) AS n_events, sum(event_id) AS sum_ids, count(m_str) AS n_missing FROM agg_in GROUP BY k",
+         |      "in_port_schemas": { "in": $exSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $aggSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $aggSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("k"))
+  }
+
   /** The write_parquet sort_by face (data-skipping layout): orders
     * lands range-partitioned + sorted on o_totalprice, then the
     * readback filters on that key and aggregates — values must survive
@@ -4371,6 +4443,8 @@ object SparkEntry {
     "q_job_group_cap" -> (qJobGroupCap _),
     "q_job_bucketed_join" -> (qJobBucketedJoin _),
     "q_job_sorted_layout" -> (qJobSortedLayout _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_job_json_extract" -> (qJobJsonExtract _),
     "q_job_agg_salted" -> (qJobAggSalted _),
     "q_job_shuffle" -> (qJobShuffle _),
     "q_job_session_agg" -> (qJobSessionAgg _),
@@ -5467,6 +5541,8 @@ object SparkEntry {
         |      ORDER BY md5('quota:' || doc_id::VARCHAR), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q_json_extract" -> jsonExtractOracle,
+    "q_job_json_extract" -> jsonExtractOracle,
     // plain filter+agg over the source: the sorted layout changes the
     // FILES (disjoint ranges for skipping), never the answer
     "q_job_sorted_layout" ->

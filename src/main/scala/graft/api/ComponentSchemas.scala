@@ -133,6 +133,10 @@ object ComponentSchemas {
       p("by", "array", "mixing-group columns (source, language, shard); empty needs allow_global"),
       p("seed", "string", "hash salt, default '' — independent of sample/shuffle/hash_split draws"),
       p("allow_global", "boolean", "permit the empty-`by` single-partition sort, default false"))),
+    "json_extract" -> ("Typed JSON-path extraction from a JSON string column (event props, crawl metadata): each field rule lands one path as a typed column — codegen'd narrow map (get_json_object + cast), missing/uncastable values become NULL" -> Seq(
+      req("fields", "array", "[{path, dest, type?}, ...] — path is JSONPath ('$.k'; bare names normalize), type one of string|integer|float|boolean (default string)"),
+      p("column", "string", "JSON string column, default 'props'"),
+      p("keep_source", "boolean", "keep the raw JSON column, default true — drop it to keep the widest column out of downstream exchanges"))),
     "group_cap" -> ("Per-group row cap: keep at most `cap` rows per `by` group ('at most N docs per domain' — the source-dominance guard). order_by keeps the TOP rows under that order (quality cap, id tiebreak); empty order_by draws a seeded uniform md5(seed:id) subset. One hash exchange + in-partition sort (WindowOp's shape)" -> Seq(
       req("cap", "integer", "max rows kept per group (>= 1)"),
       p("id_column", "string", "deterministic tiebreak / hash key, default 'id'"),

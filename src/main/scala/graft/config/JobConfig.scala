@@ -365,6 +365,30 @@ object JobConfig {
       orderBy, spec.str("seed").getOrElse(""), spec.bool("allow_global", false))
   }
 
+  /** json_extract config (RelationalOps.jsonExtract): `column` is the
+    * JSON string column, `fields` = [{path, dest, type}] with the
+    * engine's type vocabulary; `keep_source` defaults true. Loud on a
+    * missing path/dest — a silently skipped rule is a silently absent
+    * column downstream. */
+  def parseJsonExtract(spec: ComponentSpec): (String, Seq[(String, String, String)], Boolean) = {
+    val rules = (spec.params \ "fields") match {
+      case JArray(items) => items.map { f =>
+        (reqStrAt(f, "path", s"json_extract ${spec.name} field"),
+          reqStrAt(f, "dest", s"json_extract ${spec.name} field"),
+          (f \ "type") match {
+            case JString(t) => t
+            case JNothing   => "string"
+            case other => throw new IllegalArgumentException(
+              s"json_extract ${spec.name}: 'type' must be a string, got $other")
+          })
+      }
+      case _ => throw new IllegalArgumentException(
+        s"json_extract ${spec.name}: missing 'fields' ([{path, dest, type?}])")
+    }
+    (spec.str("column").getOrElse("props"), rules,
+      spec.bool("keep_source", true))
+  }
+
   /** One `[field, 1|-1]` order entry; loud on any other shape or
     * direction value (a swallowed typo here silently turns a running
     * aggregate into a whole-partition aggregate). */

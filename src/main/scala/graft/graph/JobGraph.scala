@@ -725,6 +725,15 @@ object JobGraph {
           c.str("seed").getOrElse(""),
           c.bool("allow_global", false))), None)
 
+      // Typed JSON-path extraction (RelationalOps.jsonExtract): pull
+      // fields out of a JSON string column (event props, crawl
+      // metadata) as typed columns — codegen'd narrow map, lenient
+      // nulls for missing/uncastable values.
+      case "json_extract" =>
+        val (column, rules, keepSource) = parseJsonExtract(c)
+        (Map("out" -> RelationalOps.jsonExtract(one(), column, rules,
+          keepSource)), None)
+
       // Per-group row cap (RelationalOps.groupCap): at most `cap` rows
       // per `by` group — the domain/source-quota curation primitive.
       // order_by keeps the top rows under an explicit order (quality

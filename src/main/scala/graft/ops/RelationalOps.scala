@@ -325,6 +325,57 @@ object RelationalOps {
       .drop(rnCol)
   }
 
+  /**
+   * Typed field extraction from a JSON string column (beyond-reference;
+   * the semi-structured face a training-data pipeline needs for event
+   * `props` / crawl metadata blobs): each rule pulls one JSON path out
+   * of `jsonCol` and lands it as a typed column.
+   *
+   * get_json_object + cast — both codegen'd, so the whole extraction is
+   * a NARROW MAP inside whole-stage codegen next to the scan: no
+   * shuffle, no UDF, no schema inference pass over the data (unlike
+   * from_json-with-inference). Missing paths, JSON nulls, and
+   * uncastable values all land as NULL (Spark's cast null-semantics) —
+   * the lenient contract JSON blobs need. Paths are JSONPath
+   * (`$.field`); a bare field name is normalized to `$.field`.
+   *
+   * `keepSource=false` drops the raw JSON column after extraction —
+   * at 100 TB the blob is usually the widest column in the table, and
+   * dropping it here lets column pruning keep it out of every
+   * downstream exchange.
+   */
+  def jsonExtract(df: DataFrame, jsonCol: String,
+                  rules: Seq[(String, String, String)],
+                  keepSource: Boolean = true): DataFrame = {
+    require(rules.nonEmpty, "json_extract: needs at least one field rule")
+    require(df.columns.contains(jsonCol),
+      s"json_extract: no column '$jsonCol' in ${df.columns.mkString(", ")}")
+    val dests = rules.map(_._2)
+    require(dests.distinct.size == dests.size,
+      s"json_extract: duplicate dest names in ${dests.mkString(", ")}")
+    dests.foreach(d => require(!df.columns.contains(d),
+      s"json_extract: input already has a '$d' column; pick another dest"))
+    val typed = rules.map { case (path0, dest, t) =>
+      val path = if (path0.startsWith("$")) path0 else s"$$.$path0"
+      val raw = get_json_object(col(jsonCol), path)
+      // try_cast, not cast: under ANSI mode a cast THROWS on malformed
+      // input, and "some blob carries a string where most carry ints"
+      // is normal JSON — lenient NULL is this operator's contract
+      val cast = t match {
+        case "string"  => raw
+        case "integer" => raw.try_cast("long")
+        case "float"   => raw.try_cast("double")
+        case "boolean" => raw.try_cast("boolean")
+        case other => throw new IllegalArgumentException(
+          s"json_extract: unknown type '$other' for '$dest' " +
+            "(string | integer | float | boolean)")
+      }
+      cast.as(dest)
+    }
+    val base = df.select(df.columns.map(col).toSeq ++ typed: _*)
+    if (keepSource) base else base.drop(jsonCol)
+  }
+
   /** Unpivot/melt (beyond-reference; the reshape inverse of
     * AggregateOp.pivoted): `valueCols` become (variable, value) row pairs
     * next to the `ids`. Dataset.unpivot is an Expand — each input row
