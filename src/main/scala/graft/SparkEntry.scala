@@ -3677,6 +3677,60 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("user_id"), col("n_th"))
   }
 
+  /** Fixed-width histogram (Profile.histogram) of events.value over
+    * [0, 500) in 20 buckets: plain IEEE floor/clamp arithmetic both
+    * engines reproduce bit-exactly; bucket edges derive from the same
+    * bucket * width product. */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.scale.Profile.histogram(table(s, dir, "events"), "value",
+      buckets = 20, lo = 0.0, hi = 500.0)
+
+  /** Shared oracle for q_histogram / q_job_histogram. Every float is
+    * ::DOUBLE-anchored: DuckDB parses bare 25.0 as DECIMAL, whose
+    * arithmetic materializes as object-dtype Decimal in the driver's
+    * hasher (the exact skew the dtype-strict checker catches). */
+  private val histogramOracle: String =
+    """SELECT bucket,
+      |  bucket * (25.0::DOUBLE) AS bucket_lo,
+      |  (bucket + 1) * (25.0::DOUBLE) AS bucket_hi,
+      |  count(*)::BIGINT AS n
+      |FROM (
+      |  SELECT least(greatest(floor(value / (25.0::DOUBLE)), 0), 19)::BIGINT AS bucket
+      |  FROM events WHERE value IS NOT NULL)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** The SAME histogram through the profile component's
+    * histogram_column face — buckets/lo/hi config parsing end-to-end. */
+  private def qJobHistogram(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_histogram"
+    val outDir = s"$tmpRoot/job_out_histogram"
+    table(s, dir, "events").select(col("event_id"), col("value"))
+      .write.mode("overwrite").parquet(stage)
+    val inSchema = fieldsJson("event_id" -> "integer", "value" -> "float")
+    val histSchema = fieldsJson("bucket" -> "integer",
+      "bucket_lo" -> "float", "bucket_hi" -> "float", "n" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "histogram_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "h", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $inSchema } },
+         |    { "name": "h", "comp_type": "profile",
+         |      "histogram_column": "value", "buckets": 20, "lo": 0, "hi": 500,
+         |      "in_port_schemas": { "in": $inSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $histSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $histSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("bucket"))
+  }
+
   /** Typed JSON-path extraction (RelationalOps.jsonExtract) over the
     * events `props` blob: k lands as a long, a missing path as an
     * all-null string (count pins the null contract), the raw blob is
@@ -4445,6 +4499,8 @@ object SparkEntry {
     "q_job_sorted_layout" -> (qJobSortedLayout _),
     "q_json_extract" -> (qJsonExtract _),
     "q_job_json_extract" -> (qJobJsonExtract _),
+    "q_histogram" -> (qHistogram _),
+    "q_job_histogram" -> (qJobHistogram _),
     "q_job_agg_salted" -> (qJobAggSalted _),
     "q_job_shuffle" -> (qJobShuffle _),
     "q_job_session_agg" -> (qJobSessionAgg _),
@@ -5543,6 +5599,8 @@ object SparkEntry {
         |SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "q_json_extract" -> jsonExtractOracle,
     "q_job_json_extract" -> jsonExtractOracle,
+    "q_histogram" -> histogramOracle,
+    "q_job_histogram" -> histogramOracle,
     // plain filter+agg over the source: the sorted layout changes the
     // FILES (disjoint ranges for skipping), never the answer
     "q_job_sorted_layout" ->

@@ -226,9 +226,13 @@ object ComponentSchemas {
       p("id_columns", "array", "columns kept as row identity"),
       p("var_column", "string", "name of the variable column, default 'variable'"),
       p("value_column", "string", "name of the value column, default 'value'"))),
-    "profile" -> ("Column-level data profile: count/nulls/distinct/min/max in one scan" -> Seq(
+    "profile" -> ("Column-level data profile: count/nulls/distinct/min/max in one scan. histogram_column switches to the distribution face: fixed-width bucket counts (one narrow map + one shuffle over <= buckets keys)" -> Seq(
       p("columns", "array", "columns to profile, default all"),
-      p("approx", "boolean", "HyperLogLog distincts instead of exact (the at-scale path)"))),
+      p("approx", "boolean", "HyperLogLog distincts instead of exact (the at-scale path)"),
+      p("histogram_column", "string", "numeric column to histogram instead of profiling (requires buckets/lo/hi)"),
+      p("buckets", "integer", "histogram bucket count (out-of-range values clamp into the edge buckets; v == hi lands in the top bucket)"),
+      p("lo", "number", "histogram domain lower bound (inclusive)"),
+      p("hi", "number", "histogram domain upper bound"))),
     // streaming-only comp_types (StreamingJobs dispatch, not JobGraph):
     "streaming_aggregation" -> ("Watermark-bounded windowed aggregation (streaming jobs only)" -> Seq(
       req("time_column", "string", "event-time column (string/timestamp/date parsed; INT64 epochs additionally need time_unit)"),

@@ -61,6 +61,14 @@ object JobConfig {
       case JLong(l) => Some(l)
       case _        => None
     }
+    /** Numeric param accepting integer or float JSON (histogram bounds). */
+    def doubleOpt(key: String): Option[Double] = (params \ key) match {
+      case JDouble(d)  => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case JInt(i)     => Some(i.toDouble)
+      case JLong(l)    => Some(l.toDouble)
+      case _           => None
+    }
     def strSeqParam(key: String): Seq[String] = (params \ key) match {
       case JArray(items) => items.collect { case JString(s) => s }
       case _             => Nil

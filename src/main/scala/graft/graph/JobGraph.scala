@@ -943,8 +943,24 @@ object JobGraph {
       // restricts the profiled set (default all), `approx` swaps exact
       // distinct counts for HyperLogLog at scale.
       case "profile" =>
-        (Map("out" -> graft.scale.Profile.profile(one(),
-          c.strSeqParam("columns"), approx = c.bool("approx", false))), None)
+        // histogram_column switches to the distribution face
+        // (Profile.histogram): fixed-width bucket counts with explicit
+        // bounds — buckets/lo/hi all required, a defaulted domain would
+        // silently mis-bucket
+        c.str("histogram_column") match {
+          case Some(hc) =>
+            def num(k: String): Double = c.doubleOpt(k).getOrElse(
+              throw new IllegalArgumentException(
+                s"profile ${c.name}: histogram needs number '$k'"))
+            val buckets = c.intOpt("buckets").getOrElse(
+              throw new IllegalArgumentException(
+                s"profile ${c.name}: histogram needs integer 'buckets'"))
+            (Map("out" -> graft.scale.Profile.histogram(one(), hc, buckets,
+              num("lo"), num("hi"))), None)
+          case None =>
+            (Map("out" -> graft.scale.Profile.profile(one(),
+              c.strSeqParam("columns"), approx = c.bool("approx", false))), None)
+        }
 
       // Approximate/exact nearest-neighbor search as a declarative
       // component, like `dedup` is for the dedup family. method=knn:

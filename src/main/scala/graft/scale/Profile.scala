@@ -78,4 +78,46 @@ object Profile {
     }
     wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }
+
+  /**
+   * Fixed-width histogram over a numeric column — the distribution face
+   * of profiling (is quality score bimodal? did the length distribution
+   * shift after a filter?). Output: one row per NON-EMPTY bucket —
+   * (bucket, bucket_lo, bucket_hi, n), bucket ascending.
+   *
+   * Bucketing rule (engine-replayable, plain IEEE double arithmetic so
+   * the DuckDB oracle reproduces it bit-exactly):
+   * width = (hi - lo) / buckets; idx = floor((v - lo) / width) clamped
+   * into [0, buckets-1]. Clamping means out-of-range values land in the
+   * EDGE buckets rather than vanishing — a profile wants to see
+   * outliers — and v == hi falls in the top bucket (inclusive top edge,
+   * the standard histogram convention). Nulls are excluded (they are
+   * n_nulls in profile(), not a distribution point).
+   *
+   * Bounds are explicit: the caller usually knows the domain, and an
+   * auto-range would cost a second full scan (min/max first) — pass
+   * profile()'s min_num/max_num when auto behavior is wanted. At scale:
+   * one narrow bucket map + ONE shuffle over at most `buckets` keys.
+   */
+  def histogram(df: DataFrame, column: String, buckets: Int,
+                lo: Double, hi: Double): DataFrame = {
+    require(buckets >= 1, s"histogram: buckets must be >= 1, got $buckets")
+    require(hi > lo, s"histogram: needs hi > lo, got [$lo, $hi)")
+    val c = df.columns.find(_.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(s"histogram: unknown column $column"))
+    require(isNumeric(df.schema(c).dataType),
+      s"histogram: column $c is ${df.schema(c).dataType.sql}, need numeric")
+    val width = (hi - lo) / buckets
+    val idx = least(greatest(
+      floor((col(c).cast("double") - lo) / width), lit(0.0)),
+      lit((buckets - 1).toDouble)).cast("long")
+    df.filter(col(c).isNotNull)
+      .groupBy(idx.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * width).as("bucket_lo"),
+        (lit(lo) + (col("bucket") + 1) * width).as("bucket_hi"),
+        col("n"))
+      .orderBy(col("bucket"))
+  }
 }

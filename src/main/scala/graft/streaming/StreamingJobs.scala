@@ -57,7 +57,7 @@ object StreamingJobs {
   val supportedTypes: Set[String] = Set(
     "read_csv", "read_json", "read_parquet",
     "filter", "type_conversion", "schema_mapping", "split", "merge",
-    "unpivot", "hash_split", "sample",
+    "unpivot", "hash_split", "sample", "json_extract",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "streaming_asof_join", "streaming_range_join", "streaming_decontaminate",
     "streaming_group_cap",
@@ -153,6 +153,12 @@ object StreamingJobs {
         case "hash_split" =>
           RelationalOps.hashSplit(one(c), c.str("id_column").getOrElse("id"),
             parseSplits(c))
+        // json_extract is a codegen'd narrow map (get_json_object +
+        // try_cast): streams as-is, same dispatch as the batch fold
+        case "json_extract" =>
+          val (column, rules, keepSource) = parseJsonExtract(c)
+          Map("out" -> RelationalOps.jsonExtract(one(c), column, rules,
+            keepSource))
         // sample is a single stateless md5-threshold filter: streams as-is
         case "sample" =>
           val (idCol, fraction, seed, strataCol, strata) = parseSample(c)

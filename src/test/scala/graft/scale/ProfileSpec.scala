@@ -30,6 +30,33 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("histogram: fixed-width buckets match the model; clamp/null/guard rules") {
+    // values straddling bucket edges, out-of-range both sides, nulls,
+    // and v == hi (top-edge inclusive)
+    val vals: Seq[Option[Double]] = Seq(Some(-5.0), Some(0.0), Some(9.99),
+      Some(10.0), Some(15.0), Some(29.9), Some(30.0), Some(42.0), None)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Profile.histogram(df, "v", buckets = 3, lo = 0.0, hi = 30.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // model: width 10; -5 clamps to bucket 0; 30.0/42.0 clamp to bucket 2
+    assert(got.toSeq === Seq(
+      (0L, 0.0, 10.0, 3L),   // -5.0, 0.0, 9.99
+      (1L, 10.0, 20.0, 2L),  // 10.0, 15.0
+      (2L, 20.0, 30.0, 3L))) // 29.9, 30.0, 42.0 — null excluded
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, "v", buckets = 0, lo = 0.0, hi = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, "v", buckets = 3, lo = 1.0, hi = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, "nope", buckets = 3, lo = 0.0, hi = 1.0)
+    }
+    intercept[IllegalArgumentException] { // non-numeric column
+      Profile.histogram(df.withColumn("s", lit("x")), "s", 3, 0.0, 1.0)
+    }
+  }
+
   test("approx profile drops the Expand and stays within 10% on distincts") {
     val df = spark.range(5000).select(col("id"), (col("id") % 97).as("bucket"))
     // two DISTINCT columns force the Expand (one distinct column alone is

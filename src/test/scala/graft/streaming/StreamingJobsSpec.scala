@@ -784,6 +784,41 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(sMelt).count() > 0)
   }
 
+  test("json_extract streams: typed-extraction parity with the batch fold") {
+    import spark.implicits._
+    val in = tmp("jx_in")
+    Seq((1L, """{"k": 7}"""), (2L, """{"k": "bad"}"""), (3L, """{}"""))
+      .toDF("id", "js").coalesce(1).write.mode("overwrite").parquet(in)
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "js", "data_type": "string" } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "k", "data_type": "integer", "nullable": true } ] }""".stripMargin
+    def cfg(out: String) =
+      s"""{ "name": "jx", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "x", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "x", "comp_type": "json_extract",
+         |    "column": "js", "keep_source": false,
+         |    "fields": [ { "path": "k", "dest": "k", "type": "integer" } ],
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    val bOut = tmp("jx_batch")
+    val built = JobGraph.build(spark, JobConfig.parse(cfg(bOut)))
+    built.runSinks(); built.close()
+    val sOut = tmp("jx_stream")
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg(sOut)), tmp("jx_ckpt"))
+    assert(slurp(spark.read.parquet(sOut)) === slurp(spark.read.parquet(bOut)))
+    assert(slurp(spark.read.parquet(sOut)) === Seq("1|7", "2|null", "3|null"))
+  }
+
   test("sample streams: stratified parity with the batch fold") {
     import spark.implicits._
     val in = tmp("smp_in")
