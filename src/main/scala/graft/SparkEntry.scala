@@ -2398,6 +2398,12 @@ object SparkEntry {
   private def qDecontaminateJoin(s: SparkSession, dir: String): DataFrame =
     decontaminateGate(s, dir, "join")
 
+  /** And through the bloom strategy (sketch prefilter, exact join only
+    * for candidate docs — the middle path): THREE physical plans, one
+    * semantics, one oracle. */
+  private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame =
+    decontaminateGate(s, dir, "bloom")
+
   /** Shared oracle for q_window_pctile / q_job_window_pctile: both
     * gates emit the same top-half-by-percent_rank curation columns. */
   private val windowPctileOracle: String =
@@ -4483,6 +4489,7 @@ object SparkEntry {
     "q_job_pii_redact" -> (qJobPiiRedact _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_join" -> (qDecontaminateJoin _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_job_decontaminate" -> (qJobDecontaminate _),
     "q_decontaminate_pairs" -> (qDecontaminatePairs _),
     "text_repetition" -> (qTextRepetition _),
@@ -5622,6 +5629,7 @@ object SparkEntry {
     // physical strategies (broadcast narrow-map and ids-only join).
     "q_decontaminate" -> decontaminateOracle,
     "q_decontaminate_join" -> decontaminateOracle,
+    "q_decontaminate_bloom" -> decontaminateOracle,
     // the audit face: pair-level gram intersections for every doc the
     // flag face marks contaminated (min_overlap gates the DOC-level
     // distinct-union total, same as q_decontaminate — not the pair)

@@ -187,7 +187,7 @@ object ComponentSchemas {
       p("id_column", "string", "corpus id column (join strategy), default 'doc_id'"),
       p("ngram_n", "integer", "word n-gram width, default 3"),
       p("min_overlap", "integer", "shared distinct grams to count as contaminated, default 1"),
-      p("strategy", "string", "broadcast (default; benchmark grams probed via a codegen'd set, corpus stays a narrow map) | join (ids-only posting join for huge benchmarks)"),
+      p("strategy", "string", "broadcast (default; benchmark grams probed via a codegen'd set, corpus stays a narrow map) | join (ids-only posting join for huge benchmarks) | bloom (sketch prefilter: only candidate docs pay the exact join — the middle path; results exact under all three)"),
       p("emit", "string", "flagged (default; appends n_hits/contaminated) | clean (keeps only uncontaminated rows) | pairs (audit: one (corpus_id, bench_id, n_shared) row per contaminated pair; always the join shape)"),
       p("bench_id_column", "string", "pairs: benchmark id column, default = id_column"))),
     "write_bucketed" -> ("Bucketed external-table sink: tables bucketed+sorted the same way on their join key join with ZERO exchanges (sort-merge over aligned buckets). Data at filepath, metadata in the session catalog for read_table" -> Seq(

@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
  *    explode to (id, gram) pairs (ids only, text never shuffled), inner
  *    join the distinct benchmark grams on the gram key, count hits per
  *    id, left-join the counts back. Three shuffles, all ids/grams only.
+ *  - `bloom`: the middle path when the benchmark exceeds the exact
+ *    broadcast cap but the corpus explode is the cost to kill — a Bloom
+ *    filter of the benchmark grams (~12 bits/element at the default 1%
+ *    FPR vs the exact set's full strings) prefilters via the codegen'd
+ *    CountInBloom narrow map. ZERO bloom hits proves zero true hits
+ *    (no false negatives), so only CANDIDATE docs (>= 1 bloom hit:
+ *    true hits + the FPR sliver) pay the exact posting join — the
+ *    explode shrinks from the whole corpus to roughly its contaminated
+ *    fraction. Results are EXACT and identical to the other two
+ *    strategies (DecontaminateSpec + ScalePropertySpec pin all three).
  *
  * n_hits = |distinct corpus-doc n-grams ∩ benchmark n-grams| (both sides
  * distinct, so multiplicity never inflates the overlap); a document is
@@ -62,15 +72,17 @@ object Decontaminate {
     // pass's n_hits/contaminated (re-flagging against a second benchmark)
     // would destroy its audit trail; the join strategy's temp names must
     // also be free or the join-back reference turns ambiguous
-    for (reserved <- Seq("n_hits", "contaminated", "__decon_id", "__decon_hits"))
+    for (reserved <- Seq("n_hits", "contaminated", "__decon_id", "__decon_hits",
+        "__decon_cand"))
       require(!corpus.columns.contains(reserved),
         s"decontaminate: corpus already has a '$reserved' column — " +
           "rename or drop it first (flag() appends n_hits/contaminated)")
     strategy match {
       case "broadcast" => flagBroadcast(corpus, bench, textCol, n, minOverlap)
       case "join"      => flagJoin(corpus, bench, textCol, idCol, n, minOverlap)
+      case "bloom"     => flagBloom(corpus, bench, textCol, idCol, n, minOverlap)
       case other => throw new IllegalArgumentException(
-        s"decontaminate: unknown strategy '$other' (broadcast | join)")
+        s"decontaminate: unknown strategy '$other' (broadcast | join | bloom)")
     }
   }
 
@@ -140,6 +152,44 @@ object Decontaminate {
         lit(0L)) // null text → grams null → count null → 0 hits
     corpus
       .withColumn("n_hits", hits)
+      .withColumn("contaminated", col("n_hits") >= minOverlap)
+  }
+
+  /** Default false-positive rate for the bloom prefilter: FPR only
+    * inflates the CANDIDATE set (each false positive pays one doc's
+    * exact join), never the results — 1% is the standard cheapness/
+    * candidate-bloat tradeoff. */
+  val BloomFpp = 0.01
+
+  private def flagBloom(corpus: DataFrame, bench: DataFrame,
+                        textCol: String, idCol: String, n: Int,
+                        minOverlap: Int): DataFrame = {
+    val bg = bench.select(explode(grams(col(textCol), n)).as("g")).distinct()
+    // two actions on the small side (count sizes the filter, then the
+    // build aggregates it) — benchmark grams are the cheap side by the
+    // strategy's premise
+    val m = bg.count()
+    if (m == 0)
+      return corpus.withColumn("n_hits", lit(0L))
+        .withColumn("contaminated", lit(false))
+    val bloom = bg.stat.bloomFilter("g", m, BloomFpp)
+    // candidate = any gram MIGHT be in the benchmark. Zero bloom hits
+    // proves zero true hits (no false negatives) → exactly clean with
+    // n_hits 0, no join. Null text → null grams → null count → 0.
+    val cand = corpus.withColumn("__decon_cand",
+      coalesce(
+        graft.functions.CountInBloom.count(grams(col(textCol), n), bloom),
+        lit(0)) >= 1)
+    // exact distinct-intersection count, but ONLY candidate docs explode
+    val hits = cand.filter(col("__decon_cand"))
+      .select(col(idCol).as("__decon_id"), explode(grams(col(textCol), n)).as("g"))
+      .join(bg, "g")
+      .groupBy(col("__decon_id")).agg(count(lit(1)).as("__decon_hits"))
+    cand
+      .join(hits, cand(idCol) === hits("__decon_id"), "left")
+      .drop("__decon_id", "__decon_cand")
+      .withColumn("n_hits", coalesce(col("__decon_hits"), lit(0L)))
+      .drop("__decon_hits")
       .withColumn("contaminated", col("n_hits") >= minOverlap)
   }
 

@@ -60,14 +60,16 @@ class DecontaminateSpec extends SparkTestBase {
       .select("doc_id", "n_hits", "contaminated")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
       .sortBy(_._1)
-    val b = Decontaminate.flag(corp, bench, n = 3, minOverlap = 2,
-        strategy = "join")
-      .select("doc_id", "n_hits", "contaminated")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-      .sortBy(_._1)
     assert(a.nonEmpty && a.exists(_._3) && a.exists(!_._3),
       "fixture must exercise both outcomes")
-    assert(a.toSeq === b.toSeq)
+    for (strategy <- Seq("join", "bloom")) {
+      val b = Decontaminate.flag(corp, bench, n = 3, minOverlap = 2,
+          strategy = strategy)
+        .select("doc_id", "n_hits", "contaminated")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1)
+      assert(a.toSeq === b.toSeq, s"strategy=$strategy diverged from broadcast")
+    }
   }
 
   test("broadcast strategy keeps the corpus a narrow map: zero Exchange") {
@@ -85,7 +87,7 @@ class DecontaminateSpec extends SparkTestBase {
     val e2 = intercept[IllegalArgumentException] {
       Decontaminate.flag(corpus, bench, strategy = "nope")
     }
-    assert(e2.getMessage.contains("broadcast | join"))
+    assert(e2.getMessage.contains("broadcast | join | bloom"))
     val e3 = intercept[IllegalArgumentException] {
       Decontaminate.flag(corpus, bench, minOverlap = 0)
     }

@@ -60,7 +60,7 @@ class ScalePropertySpec extends SparkTestBase {
           else (modelGrams(t, n) intersect benchGrams).size.toLong
         (id, hits, hits >= minOv)
       }.sortBy(_._1)
-      for (strategy <- Seq("broadcast", "join")) {
+      for (strategy <- Seq("broadcast", "join", "bloom")) {
         val got = Decontaminate.flag(corpus, bench, n = n,
             minOverlap = minOv, strategy = strategy)
           .select("doc_id", "n_hits", "contaminated")
