@@ -50,7 +50,8 @@ class ComponentSchemasSpec extends AnyFunSuite {
     // the streaming side needs no source scan: supportedTypes is a value
     assert(StreamingJobsTypes.streamingOnly ===
       Set("streaming_aggregation", "streaming_dedup", "streaming_asof_join",
-        "streaming_range_join", "streaming_decontaminate"))
+        "streaming_range_join", "streaming_decontaminate",
+        "streaming_group_cap"))
   }
 
   test("full/hidden views: wiring base fields + port contract attached") {
