@@ -47,10 +47,19 @@ import org.apache.spark.sql.functions._
  */
 object Decontaminate {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Hard cap on the collected benchmark gram set (broadcast strategy).
     * ~2M grams ≈ a few hundred MB of probe set — far beyond any real
     * eval suite; past it the join strategy is the right plan anyway. */
   val MaxBroadcastGrams = 2000000
+
+  /** Default corpus-side document-frequency cap for the pairs() posting
+    * join — the same stop-phrase guard as Dedup.ngramJaccardPairs'
+    * maxDf. Inert on anything but a gram shared by >100k corpus docs,
+    * where it bounds the worst join bucket at maxDf × (benchmark df)
+    * rows instead of (corpus df) × (benchmark df). */
+  val DefaultPairsMaxDf = 100000
 
   /** Distinct normalized word n-grams of a text column (the dedup
     * family's contract: Dedup.wordShingles). */
@@ -98,27 +107,61 @@ object Decontaminate {
    * shape can produce pairs (the broadcast probe collapses benchmark
    * identity): ids-only explode + gram join, text never crosses the
    * wire, and the pair table is bounded by real overlap.
+   *
+   * Stop-gram guard: the pair join is the one place in the family where
+   * a hyper-common n-gram (a boilerplate phrase in C corpus docs and B
+   * benchmark items) materializes C×B intermediate rows. `maxDf` caps
+   * the corpus-side document frequency exactly like
+   * Dedup.ngramJaccardPairs — capped grams are excluded from the
+   * per-pair `n_shared` counts, bounding the worst gram at maxDf×B.
+   * The DOC-level contamination gate stays UNCAPPED (its join against
+   * the distinct benchmark grams is linear in the corpus postings), so
+   * WHO is contaminated always agrees exactly with flag()/clean(); a
+   * doc contaminated only via capped stop grams still surfaces in the
+   * audit, with null bench_id/n_shared. Capped grams are counted
+   * eagerly and reported loudly via a warning log.
    */
   def pairs(corpus: DataFrame, bench: DataFrame,
             textCol: String = "text", idCol: String = "doc_id",
             benchIdCol: String = "doc_id",
-            n: Int = 3, minOverlap: Int = 1): DataFrame = {
+            n: Int = 3, minOverlap: Int = 1,
+            maxDf: Int = DefaultPairsMaxDf): DataFrame = {
     require(n >= 1, s"decontaminate: n must be >= 1, got $n")
     require(minOverlap >= 1,
       s"decontaminate: min_overlap must be >= 1, got $minOverlap")
-    val cg = corpus.select(col(idCol).as("corpus_id"),
-      explode(grams(col(textCol), n)).as("g"))
+    require(maxDf >= 1, s"decontaminate: max_df must be >= 1, got $maxDf")
+    val cg = OpCaches.persist( // consumed 3×: df census, pair join, doc gate
+      corpus.select(col(idCol).as("corpus_id"),
+        explode(grams(col(textCol), n)).as("g")))
     val bg = bench.select(col(benchIdCol).as("bench_id"),
       explode(grams(col(textCol), n)).as("g"))
-    val pairCounts = cg.join(bg, "g")
+    // eager df census: the audit is a diagnostic face, so paying one
+    // aggregation up front to DETECT the stop-gram pathology (instead of
+    // silently joining through it) is the right trade — and when no gram
+    // is capped (the normal case, and every test fixture) the pair join
+    // below runs on cg directly, the exact pre-cap plan.
+    val gdf = OpCaches.persist(
+      cg.groupBy(col("g")).agg(count(lit(1)).as("__df")))
+    val capped = gdf.filter(col("__df") > maxDf).count()
+    if (capped > 0)
+      log.warn(s"decontaminate.pairs: $capped corpus n-gram(s) exceed " +
+        s"max_df=$maxDf and are excluded from per-pair n_shared counts " +
+        "(doc-level contamination stays exact; affected docs surface " +
+        "with null bench_id). Raise max_df to audit them pairwise.")
+    val cgCapped =
+      if (capped == 0) cg
+      else cg.join(gdf.filter(col("__df") <= maxDf).select(col("g")), "g")
+    val pairCounts = cgCapped.join(bg, "g")
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
-    // doc-level gate: same distinct-union intersection flag() counts
+    // doc-level gate: same distinct-union intersection flag() counts —
+    // uncapped, so the audit's doc set is exactly clean()'s drop set
     val contaminated = cg.join(bg.select(col("g")).distinct(), "g")
       .groupBy(col("corpus_id")).agg(count(lit(1)).as("__total"))
       .filter(col("__total") >= minOverlap)
       .select(col("corpus_id"))
-    pairCounts.join(contaminated, "corpus_id")
+    // LEFT from the gate side: capped-only contaminated docs keep a row
+    contaminated.join(pairCounts, Seq("corpus_id"), "left")
   }
 
   /** flag() then keep only the clean rows, dropping the audit columns —
@@ -164,10 +207,12 @@ object Decontaminate {
   private def flagBloom(corpus: DataFrame, bench: DataFrame,
                         textCol: String, idCol: String, n: Int,
                         minOverlap: Int): DataFrame = {
-    val bg = bench.select(explode(grams(col(textCol), n)).as("g")).distinct()
-    // two actions on the small side (count sizes the filter, then the
-    // build aggregates it) — benchmark grams are the cheap side by the
-    // strategy's premise
+    // three consumers of the benchmark gram set (count sizes the filter,
+    // the bloom build aggregates it, the exact hits join probes it) —
+    // persist so the distinct explode is computed once, per the
+    // operator-internal cache discipline of the dedup family
+    val bg = OpCaches.persist(
+      bench.select(explode(grams(col(textCol), n)).as("g")).distinct())
     val m = bg.count()
     if (m == 0)
       return corpus.withColumn("n_hits", lit(0L))

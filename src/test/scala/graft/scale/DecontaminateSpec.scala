@@ -126,6 +126,59 @@ class DecontaminateSpec extends SparkTestBase {
     assert(Decontaminate.pairs(c2, b, n = 3, minOverlap = 2).count() === 0)
   }
 
+  test("pairs: corpus-side df-cap bounds stop-gram blowup; doc gate stays exact") {
+    // "aa bb cc" is a stop 3-gram: in EVERY corpus doc and in the bench
+    // item — the C×B join-blowup shape. Doc 1 also genuinely leaks.
+    val c = Seq(
+      (1L, "aa bb cc red fish blue"),
+      (2L, "aa bb cc bird swims away"),
+      (3L, "aa bb cc totally unrelated words")
+    ).toDF("doc_id", "text")
+    val b = Seq((100L, "aa bb cc red fish blue")).toDF("doc_id", "text")
+    // default cap is inert: full audit, stop gram included
+    val full = Decontaminate.pairs(c, b, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(full.toSeq === Seq((1L, 100L, 4L), (2L, 100L, 1L), (3L, 100L, 1L)))
+    // maxDf=2 caps "aa bb cc" (corpus df 3): it leaves every n_shared,
+    // but the DOC gate is uncapped so docs 2 and 3 (contaminated ONLY
+    // via the capped gram) still surface — with null bench_id/n_shared
+    // instead of silently vanishing from the audit
+    val capped = Decontaminate.pairs(c, b, n = 3, maxDf = 2)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1)
+    assert(capped.toSeq === Seq(
+      (1L, Some(100L), Some(3L)),   // stop gram excluded from the count
+      (2L, None, None),             // capped-only docs keep their row
+      (3L, None, None)))
+    // the capped doc set IS flag()'s contaminated set (gate exactness)
+    val flagged = Decontaminate.flag(c, b, n = 3)
+      .filter(col("contaminated")).select("doc_id")
+      .as[Long].collect().sorted
+    assert(capped.map(_._1).toSeq === flagged.toSeq)
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.pairs(c, b, maxDf = 0)
+    }
+    assert(e.getMessage.contains("max_df"))
+  }
+
+  test("bloom strategy computes the benchmark gram set once (cached)") {
+    val out = Decontaminate.flag(corpus, bench, strategy = "bloom")
+    // the benchmark distinct-gram explode is persisted (count + bloom
+    // build + exact hits join share one computation): the returned plan
+    // reads it from the cache, so the only Generate left is the
+    // candidate-side corpus explode. Walk the tree (InMemoryTableScan
+    // is a LEAF there — the cached plan lives inside the relation, so
+    // its own Generate is rightly not counted).
+    val names = out.queryExecution.sparkPlan.collect { case p => p.nodeName }
+    assert(names.exists(_.startsWith("InMemoryTableScan")),
+      s"benchmark gram set must be served from the operator cache: $names")
+    val generates = names.count(_ == "Generate")
+    assert(generates === 1,
+      s"expected exactly one (candidate-side) explode, got $generates: $names")
+  }
+
   test("reserved output/temp columns on the corpus are rejected, not overwritten") {
     // re-flagging a frame that still carries a previous pass's audit
     // columns must not silently destroy them
