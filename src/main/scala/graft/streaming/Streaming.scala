@@ -143,12 +143,19 @@ object Streaming {
    * ALL microbatches) and that every emitted row came from the input.
    * StreamingJobsSpec pins both across a multi-batch drain.
    *
-   * State: ONE Long counter per distinct group, no timeout — bounded
-   * by group cardinality (cap on a bounded key: source, language,
-   * shard — not a per-document id), the same envelope as any per-group
-   * streaming aggregate. Null group values key as a reserved token, so
-   * a null source is ONE group with its own quota, mirroring the batch
-   * operator's null-key window partition.
+   * State: ONE Long counter per distinct group, GroupStateTimeout.
+   * NoTimeout — and that is the contract, not an omission: a LIFETIME
+   * quota cannot expire state, because an evicted counter would re-admit
+   * rows past the cap the moment the group reappears. State therefore
+   * grows with the number of distinct groups ever seen and never
+   * shrinks; it is bounded only by keying on bounded-cardinality
+   * columns (source, language, shard — never a per-document id), the
+   * same envelope as any per-group streaming aggregate. A time-scoped
+   * quota ("N per source per day") is a different operator: window the
+   * key by event time and accept watermark-TTL eviction. Null group
+   * values key as a reserved token, so a null source is ONE group with
+   * its own quota, mirroring the batch operator's null-key window
+   * partition.
    */
   def streamingGroupCap(df: DataFrame, by: Seq[String], cap: Int): DataFrame = {
     require(cap >= 1, s"streaming_group_cap: cap must be >= 1, got $cap")

@@ -54,6 +54,18 @@ class ComponentSchemasSpec extends AnyFunSuite {
         "streaming_group_cap"))
   }
 
+  test("streaming_group_cap discovery doc declares the never-expiring state contract") {
+    // the state-growth contract IS the semantics (a lifetime quota
+    // cannot evict counters without re-admitting rows past the cap), so
+    // the discovery surface must say so loudly — pin the phrasing
+    val full = ComponentSchemas.fullSchemaJson("streaming_group_cap").get
+    assert(full.contains("NEVER EXPIRES"),
+      "streaming_group_cap's schema description must advertise that " +
+        "state grows with group cardinality and never expires")
+    assert(full.contains("bounded-cardinality"),
+      "…and steer users to bounded-cardinality group keys")
+  }
+
   test("full/hidden views: wiring base fields + port contract attached") {
     // /full = form params + wiring fields + port metadata
     val full = ComponentSchemas.fullSchemaJson("filter").get

@@ -71,4 +71,35 @@ class ProfileSpec extends SparkTestBase {
     val approx = approxDf.filter(col("col_name") === "bucket").head().getLong(3)
     assert(math.abs(approx - 97L) <= 10, s"approx distinct $approx vs 97")
   }
+
+  test("approx profile tracks the exact gate values on the sf0.01 fixture") {
+    // the 100 TB face, held against the SAME fixture the q_profile gate
+    // runs on: every non-distinct statistic must be IDENTICAL to the
+    // exact profile (approx only swaps the distinct aggregate), and
+    // each approx n_distinct must sit within 10% of the exact value
+    // (HLL++ at the default 5% rsd is deterministic for fixed data, so
+    // this bound is reproducible, not flaky) — with the Expand-free
+    // plan that is the point of the face.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val approxDf = Profile.profile(docs, approx = true)
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profile must stay Expand-free on the real fixture")
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))
+        .toMap
+    val exact = byCol(Profile.profile(docs))
+    val approx = byCol(approxDf)
+    assert(exact.keySet === approx.keySet)
+    assert(exact.nonEmpty)
+    exact.foreach { case (c, (rows, nulls, nd, mn, mx, mns, mxs)) =>
+      val (arows, anulls, and, amn, amx, amns, amxs) = approx(c)
+      assert((arows, anulls, amn, amx, amns, amxs) ===
+        ((rows, nulls, mn, mx, mns, mxs)),
+        s"$c: approx must only touch the distinct aggregate")
+      assert(math.abs(and - nd) <= math.max(1L, (0.10 * nd).toLong),
+        s"$c: approx n_distinct $and strays past 10% of exact $nd")
+    }
+  }
 }
