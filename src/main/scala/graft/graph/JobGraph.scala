@@ -933,7 +933,7 @@ object JobGraph {
                 "strategy or set strategy=join")
             Decontaminate.pairs(port("corpus"), port("benchmark"),
               textCol, idCol, c.str("bench_id_column").getOrElse(idCol),
-              n, minOv)
+              n, minOv, c.int("max_df", Decontaminate.DefaultPairsMaxDf))
           case other => throw new IllegalArgumentException(
             s"decontaminate ${c.name}: emit must be flagged|clean|pairs, got '$other'")
         }
