@@ -97,14 +97,20 @@ object Bench {
     sorted.foreach { case (name, _) => timed(name) = Vector.empty }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        errors(name) = (e.getClass.getSimpleName + ": " +
-          String.valueOf(e.getMessage)).take(200)
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors(name) = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage)).take(200)
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // each run measured self-contained
-      timed(name) = timed(name) :+ dt
+      // An errored rep usually dies fast: appending its (near-zero)
+      // duration would DEFLATE the median, so a query that starts failing
+      // mid-run reads as a speedup with only n_errors hinting otherwise.
+      // Only successful reps are timings.
+      if (ok) timed(name) = timed(name) :+ dt
     }
     (1 to reps).foreach { _ =>
       sorted.foreach { case (name, fn) => timeOne(name, fn) }
@@ -124,7 +130,11 @@ object Bench {
       slow.foreach { case (name, fn) => timeOne(name, fn) }
     }
 
+    // a query whose EVERY rep errored has no timings: it lives in the
+    // errors map / n_errors only — a median of zero successful reps is
+    // not a number worth printing
     val results = sorted.map { case (name, _) => name -> timed(name).sorted }
+      .filter { case (_, ts) => ts.nonEmpty }
     def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts pre-sorted
     // spread = IQR once a query has >= 5 reps; [min,max] below that
     def spreadOf(ts: Seq[Double]): (Double, Double) =
@@ -154,9 +164,9 @@ object Bench {
     val totalRounded =
       results.map { case (_, ts) => BigDecimal(r4(median(ts))) }.sum
     val json =
-      s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","queries":$qs,"reps":$reps,"reps_slow":$repsSlow,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+      s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","queries":$qs,"reps":$reps,"reps_slow":$repsSlow,"errors":$errJson,"n_queries":${sorted.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"reps_slow":$repsSlow,"errors":$errJson,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"reps_slow":$repsSlow,"errors":$errJson,"n_queries":${sorted.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
     // A filtered dev run must not clobber the full-suite artifact the
     // driver and the round notes read (a 1-query rerun once overwrote the
     // 88-query BENCH_LOCAL.json): name-restricted runs write elsewhere.
@@ -171,7 +181,7 @@ object Bench {
     // parseable JSON object; per-query detail always lives in
     // BENCH_LOCAL.json.
     val headline =
-      s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+      s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","reps":$reps,"n_queries":${sorted.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
     println(headline)
     println(json)
     println(headline)

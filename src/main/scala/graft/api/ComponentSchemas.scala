@@ -190,7 +190,7 @@ object ComponentSchemas {
       p("strategy", "string", "broadcast (default; benchmark grams probed via a codegen'd set, corpus stays a narrow map) | join (ids-only posting join for huge benchmarks) | bloom (sketch prefilter: only candidate docs pay the exact join — the middle path; results exact under all three)"),
       p("emit", "string", "flagged (default; appends n_hits/contaminated) | clean (keeps only uncontaminated rows) | pairs (audit: one (corpus_id, bench_id, n_shared) row per contaminated pair; always the join shape)"),
       p("bench_id_column", "string", "pairs: benchmark id column, default = id_column"),
-      p("max_df", "integer", "pairs: corpus-side document-frequency cap on the posting join (stop-gram guard), default 100000 — capped grams leave the per-pair n_shared counts (reported via warning; docs contaminated only through capped grams keep a row with null bench_id); the doc-level contamination set itself is never capped"))),
+      p("max_df", "integer", "pairs: corpus-side document-frequency cap on the posting join (stop-gram guard), default 100000 — capped grams leave the per-pair n_shared counts (docs contaminated only through capped grams keep a row with null bench_id, the loud signal the cap fired); the doc-level contamination set itself is never capped"))),
     "write_bucketed" -> ("Bucketed external-table sink: tables bucketed+sorted the same way on their join key join with ZERO exchanges (sort-merge over aligned buckets). Data at filepath, metadata in the session catalog for read_table" -> Seq(
       req("table", "string", "catalog table name (bare identifier) downstream read_table consumes"),
       req("filepath", "string", "external data directory — nothing is written to a warehouse or metastore"),

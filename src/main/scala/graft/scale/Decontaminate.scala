@@ -47,8 +47,6 @@ import org.apache.spark.sql.functions._
  */
 object Decontaminate {
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   /** Hard cap on the collected benchmark gram set (broadcast strategy).
     * ~2M grams ≈ a few hundred MB of probe set — far beyond any real
     * eval suite; past it the join strategy is the right plan anyway. */
@@ -118,8 +116,17 @@ object Decontaminate {
    * the distinct benchmark grams is linear in the corpus postings), so
    * WHO is contaminated always agrees exactly with flag()/clean(); a
    * doc contaminated only via capped stop grams still surfaces in the
-   * audit, with null bench_id/n_shared. Capped grams are counted
-   * eagerly and reported loudly via a warning log.
+   * audit, with null bench_id/n_shared — that null row IS the loud
+   * signal that the cap fired; [[cappedGrams]] names the grams.
+   *
+   * Laziness contract: this returns a plan, runs no Spark jobs, and
+   * persists nothing corpus-sized. The cap lives inside the plan (a
+   * left-anti join against the df-census grams whose df exceeds the
+   * cap — a vocabulary-sized, usually EMPTY table, the only persisted
+   * intermediate). The corpus posting explode is deliberately NOT
+   * persisted: it is a narrow map over the scan consumed twice (pair
+   * join + doc gate), and at the TB corpus scale this operator targets,
+   * re-scanning twice beats materializing the full posting list.
    */
   def pairs(corpus: DataFrame, bench: DataFrame,
             textCol: String = "text", idCol: String = "doc_id",
@@ -130,28 +137,24 @@ object Decontaminate {
     require(minOverlap >= 1,
       s"decontaminate: min_overlap must be >= 1, got $minOverlap")
     require(maxDf >= 1, s"decontaminate: max_df must be >= 1, got $maxDf")
-    val cg = OpCaches.persist( // consumed 3×: df census, pair join, doc gate
-      corpus.select(col(idCol).as("corpus_id"),
-        explode(grams(col(textCol), n)).as("g")))
+    // lazy postings: a narrow map over the corpus scan, consumed twice
+    // (pair join + doc gate) and NOT persisted — see the scaladoc's
+    // laziness contract
+    val cg = corpus.select(col(idCol).as("corpus_id"),
+      explode(grams(col(textCol), n)).as("g"))
     val bg = bench.select(col(benchIdCol).as("bench_id"),
       explode(grams(col(textCol), n)).as("g"))
-    // eager df census: the audit is a diagnostic face, so paying one
-    // aggregation up front to DETECT the stop-gram pathology (instead of
-    // silently joining through it) is the right trade — and when no gram
-    // is capped (the normal case, and every test fixture) the pair join
-    // below runs on cg directly, the exact pre-cap plan.
-    val gdf = OpCaches.persist(
-      cg.groupBy(col("g")).agg(count(lit(1)).as("__df")))
-    val capped = gdf.filter(col("__df") > maxDf).count()
-    if (capped > 0)
-      log.warn(s"decontaminate.pairs: $capped corpus n-gram(s) exceed " +
-        s"max_df=$maxDf and are excluded from per-pair n_shared counts " +
-        "(doc-level contamination stays exact; affected docs surface " +
-        "with null bench_id). Raise max_df to audit them pairwise.")
-    val cgCapped =
-      if (capped == 0) cg
-      else cg.join(gdf.filter(col("__df") <= maxDf).select(col("g")), "g")
-    val pairCounts = cgCapped.join(bg, "g")
+    // the stop-gram cap stays inside the plan: the df census (map-side
+    // combine collapses postings to the vocabulary before the shuffle,
+    // so the census itself cannot blow up on a hot gram) yields the
+    // OVER-cap grams — usually empty, at worst the stop-phrase tail —
+    // and an anti-join (AQE broadcasts the tiny build side) excludes
+    // them from the pair join. Persisting only this capped set keeps
+    // the operator job-free at graph build and corpus-size-free in cache.
+    val cappedG = OpCaches.persist(
+      cg.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select(col("g")))
+    val pairCounts = cg.join(cappedG, Seq("g"), "left_anti").join(bg, "g")
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
     // doc-level gate: same distinct-union intersection flag() counts —
@@ -162,6 +165,21 @@ object Decontaminate {
       .select(col("corpus_id"))
     // LEFT from the gate side: capped-only contaminated docs keep a row
     contaminated.join(pairCounts, Seq("corpus_id"), "left")
+  }
+
+  /** Diagnostic for the pairs() stop-gram cap: the corpus n-grams whose
+    * document frequency exceeds `maxDf` — i.e. exactly the grams a
+    * pairs() audit at the same (n, maxDf) excludes from its per-pair
+    * n_shared counts — with their df. Lazy; one census aggregation when
+    * consumed. Run it when the audit surfaces null-bench_id rows to
+    * name the boilerplate phrases behind them. */
+  def cappedGrams(corpus: DataFrame, textCol: String = "text",
+                  n: Int = 3, maxDf: Int = DefaultPairsMaxDf): DataFrame = {
+    require(n >= 1, s"decontaminate: n must be >= 1, got $n")
+    require(maxDf >= 1, s"decontaminate: max_df must be >= 1, got $maxDf")
+    corpus.select(explode(grams(col(textCol), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
   }
 
   /** flag() then keep only the clean rows, dropping the audit columns —

@@ -163,6 +163,40 @@ class DecontaminateSpec extends SparkTestBase {
     assert(e.getMessage.contains("max_df"))
   }
 
+  test("pairs() is lazy: plan construction runs zero Spark jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.add(js.jobId)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = Decontaminate.pairs(corpus, bench, n = 3)
+      assert(plan.columns.toSeq === Seq("corpus_id", "bench_id", "n_shared"))
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.isEmpty,
+        s"pairs() graph build launched Spark jobs (ids: $jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("cappedGrams names the stop grams the pairs audit excludes") {
+    val c = Seq(
+      (1L, "aa bb cc red fish blue"),
+      (2L, "aa bb cc bird swims away"),
+      (3L, "aa bb cc totally unrelated words")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.cappedGrams(c, n = 3, maxDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("aa bb cc", 3L)))
+    // the default cap is inert on a fixture this small
+    assert(Decontaminate.cappedGrams(c, n = 3).count() === 0)
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.cappedGrams(c, maxDf = 0)
+    }
+    assert(e.getMessage.contains("max_df"))
+  }
+
   test("bloom strategy computes the benchmark gram set once (cached)") {
     val out = Decontaminate.flag(corpus, bench, strategy = "bloom")
     // the benchmark distinct-gram explode is persisted (count + bloom
