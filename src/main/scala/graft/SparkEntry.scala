@@ -2449,6 +2449,26 @@ object SparkEntry {
       |SELECT doc_id, lang, n_chars FROM run
       |WHERE rc <= 20000 ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle for q_mix_sample / q_job_mix_sample: the engine's
+    * floored weight shares are replayed as literal per-source budgets
+    * (weights {de:.2, en:.5, es:.1, fr:.2} over total 40000 — the
+    * source-sorted double fold sums to exactly 1.0, so the shares are
+    * 8000/20000/4000/8000), the md5 selection order is the identical
+    * "m17:<id>" string on both engines, and the unlisted-source drop
+    * (zh carries no weight) replays as the WHERE ... IN prefilter. */
+  private val mixSampleOracle: String =
+    """WITH run AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    sum(coalesce(n_chars, 0))
+      |      OVER (PARTITION BY lang
+      |            ORDER BY md5('m17:' || doc_id::VARCHAR), doc_id) AS rc
+      |  FROM documents
+      |  WHERE lang IN ('de', 'en', 'es', 'fr'))
+      |SELECT doc_id, lang, n_chars FROM run
+      |WHERE rc <= CASE lang WHEN 'de' THEN 8000 WHEN 'en' THEN 20000
+      |  WHEN 'es' THEN 4000 WHEN 'fr' THEN 8000 END
+      |ORDER BY doc_id""".stripMargin
+
   /** Shared oracle for text_repetition / q_job_text_repetition:
     * both gates emit the same five repetition columns from the same
     * seeded line structure — one SQL replay serves the direct op and
@@ -3210,6 +3230,63 @@ object SparkEntry {
          |    { "name": "bs", "comp_type": "budget_sample",
          |      "id_column": "doc_id", "cost_column": "n_chars",
          |      "budget": 20000, "by": ["lang"], "seed": "mix",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, lang, n_chars FROM proj_in",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
+  /** Mixture sampling (RelationalOps.mixSample): compose a 40000-char
+    * budget as 50% en / 20% de / 20% fr / 10% es — zh is unlisted and
+    * drops before the exchange. Each language keeps its deterministic
+    * md5("m17:"+doc_id)-order prefix under the floored share; the
+    * oracle replays the shares as literals and the same md5 running
+    * sum in DuckDB. */
+  private def qMixSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RelationalOps.mixSample(
+      table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      idCol = "doc_id", costCol = "n_chars", totalBudget = 40000L,
+      sourceCol = "lang",
+      weights = Seq("de" -> 0.2, "en" -> 0.5, "es" -> 0.1, "fr" -> 0.2),
+      seed = "m17")
+      .orderBy(col("doc_id"))
+
+  /** The SAME mix through the declarative `mix_sample` component —
+    * weights-object parsing (source-sorted, so the shares match the
+    * direct face bit-exactly), total_budget long param, and the
+    * source_column wiring exercised end-to-end. */
+  private def qJobMixSample(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_mix_sample"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val outSchema = fieldsJson("doc_id" -> "integer", "lang" -> "string",
+      "n_chars" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "mix_sample_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "mx", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "mx", "comp_type": "mix_sample",
+         |      "id_column": "doc_id", "cost_column": "n_chars",
+         |      "total_budget": 40000, "source_column": "lang",
+         |      "weights": { "en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1 },
+         |      "seed": "m17",
          |      "in_port_schemas": { "in": $docSchema },
          |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
          |      "out_port_schemas": { "out": $docSchema } },
@@ -4499,6 +4576,8 @@ object SparkEntry {
     "q_job_sample_strata" -> (qJobSampleStrata _),
     "q_budget_sample" -> (qBudgetSample _),
     "q_job_budget_sample" -> (qJobBudgetSample _),
+    "q_mix_sample" -> (qMixSample _),
+    "q_job_mix_sample" -> (qJobMixSample _),
     "q_group_cap" -> (qGroupCap _),
     "q_group_cap_uniform" -> (qGroupCapUniform _),
     "q_job_group_cap" -> (qJobGroupCap _),
@@ -5595,6 +5674,8 @@ object SparkEntry {
     "q_job_text_repetition" -> textRepetitionOracle,
     "q_budget_sample" -> budgetSampleOracle,
     "q_job_budget_sample" -> budgetSampleOracle,
+    "q_mix_sample" -> mixSampleOracle,
+    "q_job_mix_sample" -> mixSampleOracle,
     "q_group_cap" -> groupCapOracle,
     "q_job_group_cap" -> groupCapOracle,
     "q_group_cap_uniform" ->

@@ -133,6 +133,13 @@ object ComponentSchemas {
       p("by", "array", "mixing-group columns (source, language, shard); empty needs allow_global"),
       p("seed", "string", "hash salt, default '' — independent of sample/shuffle/hash_split draws"),
       p("allow_global", "boolean", "permit the empty-`by` single-partition sort, default false"))),
+    "mix_sample" -> ("Mixture sampling: split total_budget across the weighted sources (per-source budget = floor(weight/Σweights × total_budget)) and keep each source's deterministic md5(seed:id)-order prefix while its cumulative cost_column total stays <= that share — the data-MIXING step ('50% web, 30% code, 20% books'). Sources not named in weights (and NULL sources) are dropped BEFORE the exchange; one narrow isin prefilter + one hash exchange on the source key (budget_sample's plan shape)" -> Seq(
+      req("total_budget", "integer", "inclusive total running-cost ceiling split across the weighted sources (floored shares never overshoot)"),
+      req("source_column", "string", "column naming each row's source; values not in weights drop"),
+      req("weights", "object", "{source: weight} relative composition (finite, > 0; any scale — normalized internally)"),
+      p("id_column", "string", "column hashed for the selection order, default 'id'"),
+      p("cost_column", "string", "per-row cost (token/char count; nulls cost 0), default 'n_tokens'"),
+      p("seed", "string", "hash salt, default '' — same key strings as budget_sample, independent of sample/shuffle/hash_split draws"))),
     "json_extract" -> ("Typed JSON-path extraction from a JSON string column (event props, crawl metadata): each field rule lands one path as a typed column — codegen'd narrow map (get_json_object + cast), missing/uncastable values become NULL" -> Seq(
       req("fields", "array", "[{path, dest, type?}, ...] — path is JSONPath ('$.k'; bare names normalize), type one of string|integer|float|boolean (default string)"),
       p("column", "string", "JSON string column, default 'props'"),

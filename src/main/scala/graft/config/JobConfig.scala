@@ -373,6 +373,33 @@ object JobConfig {
       orderBy, spec.str("seed").getOrElse(""), spec.bool("allow_global", false))
   }
 
+  /** mix_sample config (RelationalOps.mixSample): `total_budget` and
+    * `source_column` are required; `weights` is a {source: weight}
+    * object — sorted by source so the built CASE chain (and therefore
+    * the plan) is config-order stable, mirroring parseSample's strata
+    * discipline. Weight validity (finite, > 0) is the operator's job. */
+  def parseMixSample(spec: ComponentSpec): (String, String, Long, String, Seq[(String, Double)], String) = {
+    val totalBudget = spec.longOpt("total_budget").getOrElse(
+      throw new IllegalArgumentException(
+        s"mix_sample ${spec.name}: missing integer 'total_budget'"))
+    val sourceCol = spec.str("source_column").getOrElse(
+      throw new IllegalArgumentException(
+        s"mix_sample ${spec.name}: missing 'source_column'"))
+    def num(src: String, v: Any): Double = v match {
+      case d: Double => d
+      case l: Long   => l.toDouble
+      case other => throw new IllegalArgumentException(
+        s"mix_sample ${spec.name}: weights['$src'] must be a number, got $other")
+    }
+    val weights = spec.scalarMapParam("weights").toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> num(k, v) }
+    require(weights.nonEmpty, s"mix_sample ${spec.name}: missing non-empty " +
+      "'weights' ({source: weight, ...})")
+    (spec.str("id_column").getOrElse("id"),
+      spec.str("cost_column").getOrElse("n_tokens"),
+      totalBudget, sourceCol, weights, spec.str("seed").getOrElse(""))
+  }
+
   /** json_extract config (RelationalOps.jsonExtract): `column` is the
     * JSON string column, `fields` = [{path, dest, type}] with the
     * engine's type vocabulary; `keep_source` defaults true. Loud on a

@@ -725,6 +725,17 @@ object JobGraph {
           c.str("seed").getOrElse(""),
           c.bool("allow_global", false))), None)
 
+      // Mixture sampling (RelationalOps.mixSample): split total_budget
+      // across the weighted sources and keep each source's deterministic
+      // md5(seed:id)-order prefix under its share — the data-MIXING step
+      // ("50% web, 30% code, 20% books") after curation. Unlisted/null
+      // sources drop before the exchange.
+      case "mix_sample" =>
+        val (idCol, costCol, totalBudget, sourceCol, weights, seed) =
+          parseMixSample(c)
+        (Map("out" -> RelationalOps.mixSample(one(), idCol, costCol,
+          totalBudget, sourceCol, weights, seed)), None)
+
       // Typed JSON-path extraction (RelationalOps.jsonExtract): pull
       // fields out of a JSON string column (event props, crawl
       // metadata) as typed columns — codegen'd narrow map, lenient

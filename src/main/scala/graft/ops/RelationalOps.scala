@@ -236,6 +236,70 @@ object RelationalOps {
   }
 
   /**
+   * Mixture sampling (beyond-reference; the data-MIXING step a training
+   * pipeline runs after curation: "compose a T-token training set as
+   * 50% web, 30% code, 20% books"): splits `totalBudget` across the
+   * sources named in `weights` — per-source budget = floor(weight /
+   * Σweights × totalBudget) — and keeps, within each source, rows in
+   * deterministic md5(seed:id) order while the cumulative `costCol`
+   * total stays <= that source's budget. This is budgetSample's exact
+   * selection rule (same key strings, same SQL-default RANGE frame, so
+   * duplicate-id ties survive or fall together) with a per-source
+   * budget derived from the declared composition.
+   *
+   * Rows whose `sourceCol` is not named in `weights` — or is null —
+   * are DROPPED, before anything shuffles: a mix declares the whole
+   * composition, so an unlisted source has weight zero by definition.
+   *
+   * At scale: one narrow isin prefilter (unlisted sources never reach
+   * the exchange — mixing 3 sources out of 300 shuffles only those 3),
+   * then ONE hash exchange on the source key + in-partition sort —
+   * budgetSample's plan shape, no global sort, no driver state. The
+   * budget lookup is a codegen'd CASE chain over the (small, by the
+   * nature of a mix) weight list. Selection replays bit-exactly on any
+   * engine with md5 (the DuckDB oracle does).
+   *
+   * Budgets floor: Σ per-source budgets <= totalBudget (never over).
+   * Weight arithmetic is double-precision — exact for any real token
+   * budget (< 2^53).
+   */
+  def mixSample(df: DataFrame, idCol: String, costCol: String,
+                totalBudget: Long, sourceCol: String,
+                weights: Seq[(String, Double)],
+                seed: String = ""): DataFrame = {
+    require(totalBudget >= 0,
+      s"mix_sample: total_budget must be >= 0, got $totalBudget")
+    require(weights.nonEmpty, "mix_sample: weights must name at least one source")
+    weights.foreach { case (s, wt) =>
+      require(wt > 0 && !wt.isNaN && !wt.isInfinity,
+        s"mix_sample: weight for source '$s' must be a finite number > 0, got $wt") }
+    require(weights.map(_._1).distinct.size == weights.size,
+      "mix_sample: duplicate source in weights")
+    val runCol = "__mix_run"
+    require(!df.columns.contains(runCol),
+      s"mix_sample: input already has a '$runCol' column")
+    val wsum = weights.map(_._2).sum
+    val budgets = weights.map { case (s, wt) =>
+      s -> math.floor(wt / wsum * totalBudget).toLong }
+    // CASE chain, not a map literal: null-safe (null source matches no
+    // branch) and codegen'd; order is caller-declared, semantics are
+    // order-independent (sources are distinct)
+    val budgetCol = budgets.tail.foldLeft(
+      when(col(sourceCol) === budgets.head._1, lit(budgets.head._2))) {
+      case (acc, (s, b)) => acc.when(col(sourceCol) === s, lit(b))
+    }
+    val key = md5(concat(lit(seed), lit(":"),
+      coalesce(col(idCol).cast("string"), lit(""))).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(key.asc, col(idCol).asc)
+    df.filter(col(sourceCol).isin(budgets.map(_._1): _*))
+      .withColumn(runCol,
+        sum(coalesce(col(costCol).cast("long"), lit(0L))).over(w))
+      .filter(col(runCol) <= budgetCol)
+      .drop(runCol)
+  }
+
+  /**
    * Mongo-read-shaped query surface over any DataFrame: filter, multi-key
    * sort with per-key direction, skip, limit, projection.
    *

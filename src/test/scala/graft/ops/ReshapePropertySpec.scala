@@ -290,4 +290,75 @@ class ReshapePropertySpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size === 1,
       s"exactly one exchange expected:\n$plan")
   }
+
+  test("mixSample: floored weight shares, budgetSample-identical selection") {
+    // sources a/b/c at cost 10/row; weights 2:1:1 over budget 400
+    // → per-source budgets 200/100/100 → 20/10/10 survivors
+    val df = (0L until 300L).map(i =>
+      (i, Seq("a", "b", "c")(i.toInt % 3), 10L)).toDF("id", "src", "cost")
+    val out = RelationalOps.mixSample(df, "id", "cost", 400L, "src",
+      Seq("a" -> 2.0, "b" -> 1.0, "c" -> 1.0), seed = "x")
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc === Map("a" -> 20L, "b" -> 10L, "c" -> 10L))
+    // weight scale is irrelevant (normalized internally)
+    val ids = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(RelationalOps.mixSample(df, "id", "cost", 400L, "src",
+      Seq("a" -> 50.0, "b" -> 25.0, "c" -> 25.0), "x")) === ids(out))
+    // per-source selection IS budgetSample's rule at that source's share
+    assert(ids(out.filter($"src" === "a")) ===
+      ids(RelationalOps.budgetSample(df.filter($"src" === "a"),
+        "id", "cost", 200L, Seq("src"), "x")))
+    // reruns agree; another seed draws a different prefix
+    assert(ids(RelationalOps.mixSample(df, "id", "cost", 400L, "src",
+      Seq("a" -> 2.0, "b" -> 1.0, "c" -> 1.0), "x")) === ids(out))
+    assert(ids(RelationalOps.mixSample(df, "id", "cost", 400L, "src",
+      Seq("a" -> 2.0, "b" -> 1.0, "c" -> 1.0), "y")) !== ids(out))
+  }
+
+  test("mixSample: unlisted and null sources drop; guards are loud") {
+    val df = Seq((Some(1L), Some("a"), Some(10L)), (Some(2L), Some("zz"), Some(10L)),
+      (Some(3L), None, Some(10L)), (Some(4L), Some("a"), None))
+      .toDF("id", "src", "cost")
+    // 'zz' is unlisted, null source matches nothing: only 'a' rows can
+    // survive; the null-cost row is free and fits alongside id=1
+    val out = RelationalOps.mixSample(df, "id", "cost", 100L, "src",
+      Seq("a" -> 1.0))
+    assert(out.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+    intercept[IllegalArgumentException] {
+      RelationalOps.mixSample(df, "id", "cost", -1L, "src", Seq("a" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      RelationalOps.mixSample(df, "id", "cost", 10L, "src", Nil)
+    }
+    intercept[IllegalArgumentException] { // zero/negative/NaN weights
+      RelationalOps.mixSample(df, "id", "cost", 10L, "src", Seq("a" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      RelationalOps.mixSample(df, "id", "cost", 10L, "src",
+        Seq("a" -> 1.0, "a" -> 2.0))
+    }
+    intercept[IllegalArgumentException] { // reserved temp column
+      RelationalOps.mixSample(df.withColumn("__mix_run", lit(1)),
+        "id", "cost", 10L, "src", Seq("a" -> 1.0))
+    }
+  }
+
+  test("mixSample plan: source prefilter pushed to the scan + ONE hash exchange") {
+    // a real parquet scan (a LocalRelation would constant-fold the
+    // prefilter away and hide what we're pinning): unlisted sources must
+    // be dropped AT THE SCAN — PushedFilters carries the In — so at a
+    // 300-source corpus mixing 2 sources, the other 298 never shuffle
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = RelationalOps.mixSample(docs, "doc_id", "n_chars", 1000L,
+      "source", Seq("src0" -> 1.0, "src1" -> 1.0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"),
+      s"window must partition on the source key:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"exactly one exchange expected (unlisted sources filter BEFORE it):\n$plan")
+    assert(plan.contains("PushedFilters: [In(source"),
+      s"the source prefilter must reach the parquet scan:\n$plan")
+  }
 }
