@@ -115,6 +115,35 @@ class ScalePropertySpec extends SparkTestBase {
     }
   }
 
+  test("mixSample matches the per-source floored-share prefix model") {
+    val rowGen = for {
+      src <- Gen.oneOf("web", "code", "books", "junk") // junk: unlisted
+      cost <- Gen.frequency((1, Gen.const(Option.empty[Long])),
+        (6, Gen.chooseNum(0L, 25L).map(Option(_))))
+    } yield (src, cost)
+    val weights = Seq("books" -> 1.0, "code" -> 2.0, "web" -> 5.0)
+    val wsum = weights.map(_._2).sum
+    for ((total, seed) <- Seq((0L, 31L), (60L, 32L), (400L, 33L), (9000L, 34L))) {
+      val rows = sampleN(rowGen, 150, seed).zipWithIndex
+        .map { case ((g, c), i) => (i.toLong, g, c) }
+      val df = rows.toDF("id", "src", "cost")
+      // model: per WEIGHTED source, budget = floor(w/Σw × total), then
+      // budgetSample's prefix rule; unlisted sources contribute nothing
+      val budgets = weights.map { case (s, w) =>
+        s -> math.floor(w / wsum * total).toLong }.toMap
+      val model = rows.filter(r => budgets.contains(r._2))
+        .groupBy(_._2).flatMap { case (src, members) =>
+          val ordered = members.sortBy(m => (md5hex(s"s:${m._1}"), m._1))
+          val runs = ordered.scanLeft(0L)((acc, m) => acc + m._3.getOrElse(0L)).tail
+          ordered.zip(runs).collect { case (m, r) if r <= budgets(src) => m._1 }
+        }.toSeq.sorted
+      val got = graft.ops.RelationalOps.mixSample(df, "id", "cost",
+          total, "src", weights, seed = "s")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(got === model, s"total=$total diverged from model")
+    }
+  }
+
   test("groupCap matches the top-k model on both ordering faces") {
     val rowGen = for {
       grp <- Gen.oneOf("a", "b", "c")
