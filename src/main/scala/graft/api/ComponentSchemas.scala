@@ -140,6 +140,37 @@ object ComponentSchemas {
       p("id_column", "string", "column hashed for the selection order, default 'id'"),
       p("cost_column", "string", "per-row cost (token/char count; nulls cost 0), default 'n_tokens'"),
       p("seed", "string", "hash salt, default '' — same key strings as budget_sample, independent of sample/shuffle/hash_split draws"))),
+    "pack_units" -> ("Contiguous-fill unit packing: within each `by` group, lay rows out in deterministic md5(seed:id) order and assign unit_column = floor((running-cost)/capacity) — the training shard / context window where the row starts; every unit carries ~capacity cost (a row may straddle a boundary). One hash exchange + in-partition sort (budget_sample's plan shape); the global shard key is (`by` values, unit_column)" -> Seq(
+      req("capacity", "integer", "target cost per unit (>= 1); a unit may overflow by < 1 row"),
+      p("id_column", "string", "column hashed for the layout order, default 'id'"),
+      p("cost_column", "string", "per-row cost (token/char count; nulls pack free), default 'n_tokens'"),
+      p("by", "array", "packing-group columns (source, language, shard); empty needs allow_global"),
+      p("seed", "string", "hash salt, default '' — same key strings as budget_sample, independent of sample/shuffle/hash_split draws"),
+      p("unit_column", "string", "name of the added unit-id column, default 'unit_id' (must not collide with an input column)"),
+      p("allow_global", "boolean", "permit the empty-`by` single-partition sort, default false"))),
+    "chunk" -> ("Context-window chunking: fan each document out into fixed-size character chunks of `size` with `overlap` characters shared between consecutive chunks (chunk starts 0, size-overlap, … < len; the last chunk may be shorter, none is empty). NULL/empty text emits no chunks. One narrow filter + posexplode in the scan's task — no shuffle" -> Seq(
+      req("size", "integer", "chunk length in characters (>= 1)"),
+      p("overlap", "integer", "characters shared between consecutive chunks, in [0, size), default 0"),
+      p("text_column", "string", "document text column, default 'text'"),
+      p("index_column", "string", "name of the added 0-based chunk index column, default 'chunk_index'"),
+      p("chunk_column", "string", "name of the added chunk text column, default 'chunk_text'"),
+      p("keep_text", "boolean", "keep the source text column, default false — after chunking the full document is dead weight in every downstream exchange"))),
+    "text_normalize" -> ("Text canonicalization (normalize-before-dedup): lowercase → accent-fold (1:1 translate) → punctuation strip (drop chars that are not unicode letter/digit/whitespace) → whitespace squeeze (runs → one space) → trim, each step opt-in/out, FIXED order so equal flags give equal bytes. Codegen'd narrow map, no shuffle; NULL stays NULL" -> Seq(
+      p("text_column", "string", "column to normalize, default 'text'"),
+      p("dest", "string", "land the result in this new column; default overwrites text_column in place"),
+      p("lowercase", "boolean", "apply lower(), default true"),
+      p("accent_fold", "boolean", "fold accented latin letters to ascii (char-for-char translate; multi-char folds like ß→ss are out of scope), default false"),
+      p("strip_punct", "boolean", "drop every char that is not a unicode letter, digit, or whitespace, default false"),
+      p("squeeze_ws", "boolean", "collapse whitespace runs to one space, default true"))),
+    "url_features" -> ("URL decomposition: append <prefix>scheme/host/domain/path parsed from a URL string column — the per-domain quota / blocklist / URL-dedup primitive (chain with group_cap on <prefix>domain for the CCNet-style dominance guard). domain = last two dot-labels of the host (PSL-free heuristic); userinfo/port are stripped from host; non-matching parts are NULL. Codegen'd regexp chains, no shuffle" -> Seq(
+      p("url_column", "string", "URL string column, default 'url'"),
+      p("prefix", "string", "output column prefix, default 'url_' (the four output names must not collide with input columns)"))),
+    "outlier_filter" -> ("Distribution-based outlier filter: keep rows whose numeric `column` sits inside the statistical fences — method=zscore (|v-mean| <= k·stddev, one map-side-combinable aggregate: the 100 TB default) or method=iqr (Tukey fences [q1-k·IQR, q3+k·IQR]; exact percentile buffers group values — set approx=true for the t-digest sketch at scale). Fences per `by` group or global; stats broadcast-join back so the big side never shuffles. NULL values and NULL group keys drop" -> Seq(
+      req("column", "string", "numeric signal column the fences are computed on"),
+      p("method", "string", "'zscore' (default) or 'iqr'"),
+      p("k", "number", "fence width multiplier (>= 0), default 3.0 (use 1.5 for classic Tukey)"),
+      p("by", "array", "compute fences per these group columns (per-source length norms differ); empty = global fences"),
+      p("approx", "boolean", "iqr only: use approx_percentile (bounded sketch state) instead of exact percentile, default false"))),
     "json_extract" -> ("Typed JSON-path extraction from a JSON string column (event props, crawl metadata): each field rule lands one path as a typed column — codegen'd narrow map (get_json_object + cast), missing/uncastable values become NULL" -> Seq(
       req("fields", "array", "[{path, dest, type?}, ...] — path is JSONPath ('$.k'; bare names normalize), type one of string|integer|float|boolean (default string)"),
       p("column", "string", "JSON string column, default 'props'"),

@@ -736,6 +736,24 @@ object JobGraph {
         (Map("out" -> RelationalOps.mixSample(one(), idCol, costCol,
           totalBudget, sourceCol, weights, seed)), None)
 
+      // Contiguous-fill unit packing (RelationalOps.packUnits): assign
+      // each row the training shard / context window where it starts
+      // under a deterministic md5(seed:id)-order contiguous fill of
+      // ~capacity cost per unit — the step after mixing that shapes the
+      // corpus into model-sized pieces.
+      case "pack_units" =>
+        val capacity = c.longOpt("capacity").getOrElse(
+          throw new IllegalArgumentException(
+            s"pack_units ${c.name}: missing integer 'capacity'"))
+        (Map("out" -> RelationalOps.packUnits(one(),
+          c.str("id_column").getOrElse("id"),
+          c.str("cost_column").getOrElse("n_tokens"),
+          capacity,
+          c.strSeqParam("by"),
+          c.str("seed").getOrElse(""),
+          c.str("unit_column").getOrElse("unit_id"),
+          c.bool("allow_global", false))), None)
+
       // Typed JSON-path extraction (RelationalOps.jsonExtract): pull
       // fields out of a JSON string column (event props, crawl
       // metadata) as typed columns — codegen'd narrow map, lenient
@@ -903,6 +921,55 @@ object JobGraph {
               c.int("repetition_n", 2))
           else base
         (Map("out" -> out), None)
+
+      // Context-window chunking (TextAnalysis.chunk): fan each document
+      // out into fixed-size character chunks with overlap — one narrow
+      // filter + posexplode in the scan's task, no shuffle. NULL/empty
+      // text emits no chunks; keep_text=false drops the source column.
+      case "chunk" =>
+        val size = c.intOpt("size").getOrElse(
+          throw new IllegalArgumentException(
+            s"chunk ${c.name}: missing integer 'size'"))
+        (Map("out" -> graft.scale.TextAnalysis.chunk(one(),
+          c.str("text_column").getOrElse("text"),
+          size,
+          c.int("overlap", 0),
+          c.str("index_column").getOrElse("chunk_index"),
+          c.str("chunk_column").getOrElse("chunk_text"),
+          c.bool("keep_text", false))), None)
+
+      // Text canonicalization (TextAnalysis.normalizeText): the
+      // normalize-before-dedup step — lowercase → accent-fold →
+      // punctuation strip → whitespace squeeze → trim, each opt-in/out,
+      // fixed order. Codegen'd narrow map.
+      case "text_normalize" =>
+        (Map("out" -> graft.scale.TextAnalysis.normalizeText(one(),
+          c.str("text_column").getOrElse("text"),
+          c.str("dest").getOrElse(""),
+          c.bool("lowercase", true),
+          c.bool("accent_fold", false),
+          c.bool("strip_punct", false),
+          c.bool("squeeze_ws", true))), None)
+
+      // URL decomposition (TextAnalysis.urlFeatures): scheme/host/
+      // domain/path columns parsed from a URL string — the per-domain
+      // quota / blocklist primitive. Codegen'd regexp chains, no shuffle.
+      case "url_features" =>
+        (Map("out" -> graft.scale.TextAnalysis.urlFeatures(one(),
+          c.str("url_column").getOrElse("url"),
+          c.str("prefix").getOrElse("url_"))), None)
+
+      // Distribution-based outlier filter (Profile.outlierFilter):
+      // z-score or Tukey-fence (IQR) quality gate on a numeric signal,
+      // optionally per `by` group. Stats aggregate + broadcast join +
+      // narrow filter — the big side never shuffles.
+      case "outlier_filter" =>
+        (Map("out" -> graft.scale.Profile.outlierFilter(one(),
+          c.reqStr("column"),
+          c.str("method").getOrElse("zscore"),
+          c.doubleOpt("k").getOrElse(3.0),
+          c.strSeqParam("by"),
+          c.bool("approx", false))), None)
 
       // Unpivot/melt (RelationalOps.unpivot): value columns become
       // (variable, value) rows next to the id columns.

@@ -300,6 +300,56 @@ object RelationalOps {
   }
 
   /**
+   * Contiguous-fill unit packing (beyond-reference; the step after
+   * mixing that turns a curated corpus into training shards / context
+   * windows of ~`capacity` cost each): within each `by` group, rows are
+   * laid out in deterministic md5(seed:id) order and assigned
+   * `unitCol` = floor((running − cost) / capacity) — the unit where the
+   * row STARTS under a contiguous fill. Unit k holds the rows whose
+   * cumulative predecessor cost sits in [k·capacity, (k+1)·capacity):
+   * every unit carries ~capacity cost, a row may straddle a boundary
+   * (its unit can overflow by < 1 row), and no unit is empty. Units are
+   * keyed per group — the global shard id is (`by` values, `unitCol`).
+   *
+   * Contiguous fill, not first-fit-decreasing, ON PURPOSE: FFD needs
+   * sequential bin state (inherently driver-side), while this rule is a
+   * window sum — ONE hash exchange on the group keys + in-partition
+   * sort (budgetSample's exact plan shape, same md5 key strings, same
+   * SQL-default RANGE frame so duplicate-id ties pack together), and it
+   * replays bit-exactly on any engine with md5 (the DuckDB oracle
+   * does). Null costs pack free (0); costs are assumed >= 0 (a negative
+   * cost makes "capacity" meaningless). The division is IEEE-double
+   * floor — exact while group totals stay < 2^53, i.e. any real token
+   * budget. Empty `by` funnels the corpus through ONE partition and
+   * needs allowGlobal, mirroring budgetSample's contract.
+   */
+  def packUnits(df: DataFrame, idCol: String, costCol: String,
+                capacity: Long, by: Seq[String] = Nil, seed: String = "",
+                unitCol: String = "unit_id",
+                allowGlobal: Boolean = false): DataFrame = {
+    require(capacity >= 1, s"pack_units: capacity must be >= 1, got $capacity")
+    require(by.nonEmpty || allowGlobal,
+      "pack_units: empty `by` sorts the whole frame in ONE partition; " +
+        "set allow_global=true only for small frames, or pack per group " +
+        "(source, language, shard)")
+    require(!df.columns.contains(unitCol),
+      s"pack_units: input already has a '$unitCol' column; pick another name")
+    val runCol = "__pack_run"
+    require(!df.columns.contains(runCol),
+      s"pack_units: input already has a '$runCol' column")
+    val cost = coalesce(col(costCol).cast("long"), lit(0L))
+    val key = md5(concat(lit(seed), lit(":"),
+      coalesce(col(idCol).cast("string"), lit(""))).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn(runCol, sum(cost).over(w))
+      .withColumn(unitCol,
+        floor((col(runCol) - cost).cast("double") / lit(capacity.toDouble)))
+      .drop(runCol)
+  }
+
+  /**
    * Mongo-read-shaped query surface over any DataFrame: filter, multi-key
    * sort with per-key direction, skip, limit, projection.
    *

@@ -120,4 +120,73 @@ object Profile {
         col("n"))
       .orderBy(col("bucket"))
   }
+
+  /**
+   * Distribution-based outlier filter — the statistical quality gate a
+   * curation pipeline runs on measurable signals ("drop documents whose
+   * length / perplexity proxy / score sits in the tails"). Two methods:
+   *
+   *  - `zscore`: keep rows with |v − mean| <= k·stddev_samp. One
+   *    map-side-combinable aggregate — the 100 TB default.
+   *  - `iqr`: keep rows with v in [q1 − k·(q3−q1), q3 + k·(q3−q1)]
+   *    (Tukey's fences). Exact `percentile` buffers each group's values
+   *    in the aggregate state, so the exact face is for frames that have
+   *    already been reduced; `approx = true` swaps in approx_percentile
+   *    (t-digest sketch, bounded state) — the 100 TB path when the
+   *    fences only need to be sketch-accurate.
+   *
+   * `by` computes the fences per group (per-source length norms differ;
+   * a global fence would gut the long-form sources). The stats frame is
+   * one row per group — broadcast-joined back (hint pinned in
+   * ProfileSpec), so the data side never shuffles: stats aggregate +
+   * broadcast hash join + narrow filter, no exchange on the big side.
+   *
+   * NULL values drop (they carry no evidence either way; profile()'s
+   * n_nulls is the place to see them), and so do rows whose `by` key is
+   * NULL (plain SQL join semantics — the oracle's USING join agrees). A single-row group has no spread
+   * (stddev_samp is NULL) — its row is kept, not dropped: coalesce(sd,0)
+   * keeps v == mean, which for n=1 is the row itself. Everything is
+   * plain deterministic arithmetic the DuckDB oracle replays; the
+   * boundary comparison is on doubles, so values engineered to sit
+   * within ~1e-12 of a fence may differ across engines — a measurement
+   * filter's inherent contract, not a correctness hazard on real data.
+   */
+  def outlierFilter(df: DataFrame, column: String, method: String = "zscore",
+                    k: Double = 3.0, by: Seq[String] = Nil,
+                    approx: Boolean = false): DataFrame = {
+    require(k >= 0 && !k.isNaN && !k.isInfinity,
+      s"outlier_filter: k must be a finite number >= 0, got $k")
+    val c = df.columns.find(_.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(s"outlier_filter: unknown column $column"))
+    require(isNumeric(df.schema(c).dataType),
+      s"outlier_filter: column $c is ${df.schema(c).dataType.sql}, need numeric")
+    val v = col(c).cast("double")
+    val statCols = Seq("__of_a", "__of_b")
+    statCols.foreach(s => require(!df.columns.contains(s),
+      s"outlier_filter: input already has a '$s' column"))
+    val (aggs, keep) = method match {
+      case "zscore" =>
+        (Seq(avg(v).as("__of_a"), stddev_samp(v).as("__of_b")),
+          abs(v - col("__of_a")) <= lit(k) * coalesce(col("__of_b"), lit(0.0)))
+      case "iqr" =>
+        val q = if (approx)
+          Seq(percentile_approx(v, lit(0.25), lit(10000)).as("__of_a"),
+            percentile_approx(v, lit(0.75), lit(10000)).as("__of_b"))
+        else
+          Seq(percentile(v, lit(0.25)).as("__of_a"),
+            percentile(v, lit(0.75)).as("__of_b"))
+        val iqr = col("__of_b") - col("__of_a")
+        (q, v >= col("__of_a") - lit(k) * iqr &&
+          v <= col("__of_b") + lit(k) * iqr)
+      case other => throw new IllegalArgumentException(
+        s"outlier_filter: method must be zscore|iqr, got '$other'")
+    }
+    val stats =
+      if (by.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined =
+      if (by.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), by, "inner")
+    joined.filter(col(c).isNotNull && keep).drop(statCols: _*)
+  }
 }

@@ -248,6 +248,125 @@ object TextAnalysis {
       .withColumn(textCol, redactPii(t))
   }
 
+  /**
+   * Context-window chunking (beyond-reference; the pretraining-prep step
+   * that turns curated documents into model-sized pieces): each row
+   * fans out into fixed-size character chunks of `size` with `overlap`
+   * characters shared between consecutive chunks (stride = size −
+   * overlap). Chunk starts are 0, stride, 2·stride, … < len, so the
+   * last chunk may be shorter than `size` and no chunk is empty. Rows
+   * whose text is NULL or empty emit no chunks — an empty document has
+   * nothing to train on.
+   *
+   * At scale: one narrow filter + one Generate (posexplode) in the SAME
+   * task as the scan — no shuffle, no driver state; the fan-out factor
+   * is ceil(len/stride) per row, bounded by the document length that is
+   * already in a single cell. The substring/sequence arithmetic is all
+   * codegen'd Column tree, and the chunk grid replays bit-exactly on
+   * any engine with 1-based substring (the DuckDB oracle does).
+   * `keepText=false` drops the source text column — after chunking the
+   * full document is usually dead weight, and dropping it here keeps
+   * the widest column out of every downstream exchange (json_extract's
+   * keep_source discipline).
+   */
+  def chunk(df: DataFrame, textCol: String, size: Int, overlap: Int = 0,
+            indexCol: String = "chunk_index", chunkCol: String = "chunk_text",
+            keepText: Boolean = false): DataFrame = {
+    require(size >= 1, s"chunk: size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"chunk: overlap must be in [0, size), got $overlap for size $size")
+    require(df.columns.contains(textCol),
+      s"chunk: no column '$textCol' in ${df.columns.mkString(", ")}")
+    Seq(indexCol, chunkCol).foreach(c => require(!df.columns.contains(c),
+      s"chunk: input already has a '$c' column; pick another name"))
+    val stride = size - overlap
+    val t = col(textCol)
+    val starts = sequence(lit(0), length(t) - 1, lit(stride))
+    val chunks = transform(starts, s => t.substr(s + lit(1), lit(size)))
+    val exploded = df.filter(length(t) > 0) // null-safe: null fails it
+      .select(col("*"), posexplode(chunks).as(Seq(indexCol, chunkCol)))
+      .withColumn(indexCol, col(indexCol).cast("long"))
+    if (keepText) exploded else exploded.drop(textCol)
+  }
+
+  /** 1:1 accent-fold map for [[normalizeText]] (translate is char-for-char,
+    * so multi-char folds like ß→ss are out of scope by construction). */
+  val AccentSrc = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ"
+  val AccentDst = "aaaaaaeeeeiiiiooooouuuucnyyAAAAAAEEEEIIIIOOOOOUUUUCNY"
+
+  /**
+   * Text canonicalization (beyond-reference; the normalize-before-dedup
+   * step every curation pipeline runs so that near-identical casings /
+   * spacings / diacritics collapse to one key): applies, in this fixed
+   * order, lowercase → accent-fold (1:1 translate over [[AccentSrc]]) →
+   * punctuation strip (drop every char that is not a unicode letter,
+   * digit, or whitespace) → whitespace squeeze (runs of whitespace → one
+   * space) → trim. Each step is opt-in/out; the order is fixed so two
+   * pipelines declaring the same flags produce the same bytes.
+   *
+   * Pure codegen'd Column tree (lower/translate/regexp_replace/trim) —
+   * a narrow map with no shuffle at any scale. Pattern discipline is
+   * the Java-regex/RE2 common subset (\p{L}/\p{N}/\s work in both), so
+   * a DuckDB oracle replays the exact transformation. NULL text stays
+   * NULL. `dest` lands the result as a new column (default: overwrite
+   * `textCol` in place — the usual pipeline shape).
+   */
+  def normalizeText(df: DataFrame, textCol: String, dest: String = "",
+                    lowercase: Boolean = true, accentFold: Boolean = false,
+                    stripPunct: Boolean = false,
+                    squeezeWs: Boolean = true): DataFrame = {
+    require(df.columns.contains(textCol),
+      s"text_normalize: no column '$textCol' in ${df.columns.mkString(", ")}")
+    val out = if (dest.isEmpty) textCol else dest
+    if (out != textCol) require(!df.columns.contains(out),
+      s"text_normalize: input already has a '$out' column; pick another dest")
+    var c = col(textCol)
+    if (lowercase) c = lower(c)
+    if (accentFold) c = translate(c, AccentSrc, AccentDst)
+    if (stripPunct) c = regexp_replace(c, "[^\\p{L}\\p{N}\\s]", "")
+    if (squeezeWs) c = regexp_replace(c, "\\s+", " ")
+    df.withColumn(out, trim(c))
+  }
+
+  /**
+   * URL decomposition (beyond-reference; the web-crawl curation
+   * primitive behind per-domain quotas, domain blocklists, and URL
+   * dedup): appends `<prefix>scheme/host/domain/path` parsed out of a
+   * URL string column. `domain` is the last two dot-labels of the host
+   * — a public-suffix-list-free registered-domain heuristic (co.uk-style
+   * two-level suffixes land as the suffix pair; documented, determinism
+   * over completeness). Userinfo and port are stripped from `host`.
+   * Non-matching parts are NULL (nullif('') normalizes Spark's
+   * empty-string no-match convention), as is anything after a NULL url.
+   *
+   * Pure regexp_extract chains in the Java-regex/RE2 COMMON SUBSET (no
+   * lookaround; non-capturing groups only) — codegen'd narrow maps, no
+   * shuffle, and a DuckDB/RE2 oracle evaluates the same language.
+   * Chain with group_cap on `<prefix>domain` for the CCNet-style
+   * per-domain dominance guard.
+   */
+  def urlFeatures(df: DataFrame, urlCol: String,
+                  prefix: String = "url_"): DataFrame = {
+    require(df.columns.contains(urlCol),
+      s"url_features: no column '$urlCol' in ${df.columns.mkString(", ")}")
+    val outs = Seq("scheme", "host", "domain", "path").map(prefix + _)
+    outs.foreach(c => require(!df.columns.contains(c),
+      s"url_features: input already has a '$c' column; pick another prefix"))
+    val u = col(urlCol)
+    def part(re: String) = nullif(regexp_extract(u, re, 1), lit(""))
+    val scheme = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val host = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+    // the path group is anchored on '/' — a backtrack-prone ([^?#]+)
+    // would steal the authority's tail on path-less URLs
+    val path = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+    val hostCol = part(host)
+    df.withColumn(prefix + "scheme", part(scheme))
+      .withColumn(prefix + "host", hostCol)
+      .withColumn(prefix + "domain",
+        nullif(regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1), lit("")))
+      .withColumn(prefix + "path", part(path))
+  }
+
   /** All analyses as one projection, for pipeline use. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

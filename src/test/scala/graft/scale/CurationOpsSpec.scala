@@ -1,0 +1,250 @@
+package graft.scale
+
+import graft.SparkTestBase
+import graft.ops.RelationalOps
+import org.apache.spark.sql.functions._
+
+/** Unit edges + plan shapes for the round-17 curation operators: chunk,
+  * text_normalize, url_features, outlier_filter, pack_units. The broad
+  * value behavior is gate-checked against DuckDB (q_chunk, q_text_normalize,
+  * q_url_features, q_outlier_filter, q_pack_units and their q_job twins);
+  * here live the corners the seeded gates can't reach and the scale
+  * contracts (.explain shapes) the gates don't see. */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- chunk ----
+
+  private def chunksOf(text: String, size: Int, overlap: Int): Seq[(Long, String)] =
+    TextAnalysis.chunk(Seq((1L, text)).toDF("id", "text"), "text", size, overlap)
+      .select("chunk_index", "chunk_text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+  test("chunk: exact grid, overlap, short tail, no empty chunk") {
+    assert(chunksOf("abcdefghij", 4, 0) ===
+      Seq((0L, "abcd"), (1L, "efgh"), (2L, "ij")))
+    assert(chunksOf("abcdefghij", 4, 2) ===
+      Seq((0L, "abcd"), (1L, "cdef"), (2L, "efgh"), (3L, "ghij"), (4L, "ij")))
+    // len == size: exactly one chunk, never a trailing empty
+    assert(chunksOf("abcd", 4, 0) === Seq((0L, "abcd")))
+    // len < size: one short chunk
+    assert(chunksOf("ab", 4, 1) === Seq((0L, "ab")))
+  }
+
+  test("chunk: null and empty text emit no rows; keep_text keeps the source") {
+    val df = Seq((1L, "abcdef"), (2L, ""), (3L, null)).toDF("id", "text")
+    val out = TextAnalysis.chunk(df, "text", 3)
+    assert(out.select("id").as[Long].collect().toSet === Set(1L))
+    assert(!out.columns.contains("text"), "default drops the source text")
+    val kept = TextAnalysis.chunk(df, "text", 3, keepText = true)
+    assert(kept.columns.contains("text"))
+  }
+
+  test("chunk: guards — size/overlap bounds, column collisions") {
+    val df = Seq((1L, "ab")).toDF("id", "text")
+    intercept[IllegalArgumentException](TextAnalysis.chunk(df, "text", 0))
+    intercept[IllegalArgumentException](TextAnalysis.chunk(df, "text", 4, 4))
+    intercept[IllegalArgumentException](TextAnalysis.chunk(df, "text", 4, -1))
+    intercept[IllegalArgumentException](TextAnalysis.chunk(df, "nope", 4))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunk(df.withColumn("chunk_text", lit("x")), "text", 4))
+  }
+
+  test("chunk: no exchange — filter + generate stay in the scan's task") {
+    val df = Seq((1L, "abcdefghij")).toDF("id", "text")
+    val plan = TextAnalysis.chunk(df, "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunk must not shuffle:\n$plan")
+    assert(plan.contains("Generate"), "chunk fans out via posexplode")
+  }
+
+  // ---- text_normalize ----
+
+  test("normalizeText: fixed-order steps compose; accent map is 1:1") {
+    assert(TextAnalysis.AccentSrc.length === TextAnalysis.AccentDst.length,
+      "translate source and destination must pair char-for-char")
+    val df = Seq((1L, "  Héllo,   Wörld!  42 ")).toDF("id", "text")
+    def norm(lower: Boolean, fold: Boolean, punct: Boolean, ws: Boolean) =
+      TextAnalysis.normalizeText(df, "text", lowercase = lower,
+        accentFold = fold, stripPunct = punct, squeezeWs = ws)
+        .select("text").as[String].head()
+    assert(norm(true, true, true, true) === "hello world 42")
+    assert(norm(true, false, true, true) === "héllo wörld 42",
+      "ö/é are letters (\\p{L}) — strip_punct keeps them")
+    assert(norm(false, true, false, true) === "Hello, World! 42")
+    assert(norm(false, false, false, false) === "Héllo,   Wörld!  42",
+      "all steps off = trim only")
+  }
+
+  test("normalizeText: dest lands a new column; null stays null") {
+    val df = Seq((1L, "A  B"), (2L, null)).toDF("id", "text")
+    val out = TextAnalysis.normalizeText(df, "text", dest = "norm")
+    assert(out.columns.toSeq === Seq("id", "text", "norm"))
+    assert(out.orderBy("id").select("norm").as[String].collect().toSeq ===
+      Seq("a b", null))
+    intercept[IllegalArgumentException](
+      TextAnalysis.normalizeText(df, "text", dest = "id"))
+  }
+
+  test("normalizeText agrees with Dedup.exactKey on its shared steps") {
+    // lowercase + squeeze + trim is exactly the dedup key normalization —
+    // a text_normalize(defaults) upstream of dedup_exact must be a no-op
+    // on the key (the normalize-before-dedup contract)
+    val texts = Seq("  MiXeD   Case\tText ", "a\n\nb", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val normed = TextAnalysis.normalizeText(df, "text")
+      .withColumn("k", Dedup.exactKey(col("text")))
+    val direct = df.withColumn("k", Dedup.exactKey(col("text")))
+    assert(normed.orderBy("id").select("k").as[String].collect().toSeq ===
+      direct.orderBy("id").select("k").as[String].collect().toSeq)
+  }
+
+  // ---- url_features ----
+
+  private def url(u: String): (String, String, String, String) = {
+    val r = TextAnalysis.urlFeatures(Seq(Tuple1(u)).toDF("url"), "url").head()
+    (r.getAs[String]("url_scheme"), r.getAs[String]("url_host"),
+      r.getAs[String]("url_domain"), r.getAs[String]("url_path"))
+  }
+
+  test("urlFeatures: scheme/host/domain/path decomposition") {
+    assert(url("https://www.example.co.uk/a/b?q=1#f") ===
+      (("https", "www.example.co.uk", "co.uk", "/a/b")))
+    assert(url("http://sub.domain.org") ===
+      (("http", "sub.domain.org", "domain.org", null)))
+    assert(url("ftp://user:pw@files.example.com:2121/pub") ===
+      (("ftp", "files.example.com", "example.com", "/pub")),
+      "userinfo and port strip from host")
+  }
+
+  test("urlFeatures: non-URLs and bare hosts are all-null; null propagates") {
+    assert(url("not a url") === ((null, null, null, null)))
+    assert(url("example.com/path") === ((null, null, null, null)),
+      "scheme-less strings do not parse (no silent default)")
+    val r = TextAnalysis.urlFeatures(Seq(Tuple1(null: String)).toDF("url"), "url").head()
+    assert(r.getAs[String]("url_scheme") === null &&
+      r.getAs[String]("url_path") === null)
+    // single-label host has no two-label domain
+    assert(url("http://localhost:8080/x")._3 === null)
+  }
+
+  test("urlFeatures: no exchange — pure narrow map") {
+    val plan = TextAnalysis.urlFeatures(
+      Seq(Tuple1("https://a.b/c")).toDF("url"), "url")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"url_features must not shuffle:\n$plan")
+  }
+
+  // ---- outlier_filter ----
+
+  test("outlierFilter zscore: keeps the body, drops the tails, nulls drop") {
+    val vals = (1 to 20).map(_.toDouble) :+ 1000.0
+    val df = (vals.map(Option(_)) :+ Option.empty[Double]).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val kept = Profile.outlierFilter(df, "v", "zscore", k = 2.0)
+      .select("v").as[Double].collect().toSet
+    assert(!kept.contains(1000.0), "the planted outlier must drop")
+    assert((1 to 20).map(_.toDouble).toSet.subsetOf(kept), "the body stays")
+  }
+
+  test("outlierFilter iqr: Tukey fences; exact and approx agree here") {
+    val vals = Seq.fill(50)(10.0) ++ Seq.fill(50)(20.0) :+ 9999.0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for (approx <- Seq(false, true)) {
+      val kept = Profile.outlierFilter(df, "v", "iqr", k = 1.5, approx = approx)
+        .select("v").as[Double].collect().toSet
+      assert(kept === Set(10.0, 20.0), s"approx=$approx")
+    }
+  }
+
+  test("outlierFilter by-group: per-group fences, null group keys drop") {
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+      ("b", 1000.0), ("b", 2000.0), ("b", 3000.0)) :+ ((null: String), 2.0))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val kept = Profile.outlierFilter(df, "v", "iqr", k = 1.5, by = Seq("g"))
+      .select("g", "v").as[(String, Double)].collect().toSet
+    assert(!kept.contains(("a", 100.0)), "a's fence is a-local")
+    assert(kept.contains(("b", 2000.0)), "b's large values are b-normal")
+    assert(!kept.exists(_._1 == null), "null group keys drop (join semantics)")
+  }
+
+  test("outlierFilter: single-row group keeps its row (no spread, no drop)") {
+    val df = Seq((1L, "a", 5.0), (2L, "a", 6.0), (3L, "lonely", 42.0))
+      .toDF("id", "g", "v")
+    val kept = Profile.outlierFilter(df, "v", "zscore", k = 1.0, by = Seq("g"))
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(3L), "stddev NULL coalesces to 0 and v == mean survives")
+  }
+
+  test("outlierFilter: stats join back via broadcast — big side never shuffles") {
+    val df = (1 to 100).map(i => (i.toLong, s"g${i % 3}", i.toDouble))
+      .toDF("id", "g", "v")
+    val plan = Profile.outlierFilter(df, "v", "zscore", by = Seq("g"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"fences must broadcast back:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must not exchange for the join:\n$plan")
+  }
+
+  test("outlierFilter: guards — bad method, bad k, non-numeric column") {
+    val df = Seq((1L, "x", 1.0)).toDF("id", "s", "v")
+    intercept[IllegalArgumentException](Profile.outlierFilter(df, "v", "mad"))
+    intercept[IllegalArgumentException](Profile.outlierFilter(df, "v", k = -1))
+    intercept[IllegalArgumentException](Profile.outlierFilter(df, "s"))
+    intercept[IllegalArgumentException](Profile.outlierFilter(df, "nope"))
+  }
+
+  // ---- pack_units ----
+
+  test("packUnits: contiguous fill — ~capacity per unit, straddle allowed") {
+    // deterministic md5 order is opaque; verify the INVARIANTS instead:
+    // unit ids are a contiguous 0..max range, each unit's cost is
+    // >= capacity minus its last row (straddle) and the fill is the
+    // running-sum rule recomputed independently
+    val rows = (1 to 40).map(i => (i.toLong, "s", (i % 7 + 1).toLong))
+    val df = rows.toDF("id", "src", "cost")
+    val out = RelationalOps.packUnits(df, "id", "cost", capacity = 10,
+      by = Seq("src"), seed = "p").select("id", "unit_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out.size === 40, "packing assigns every row")
+    val units = out.values.toSet
+    assert(units === (0L until units.size).toSet, "unit ids are contiguous from 0")
+    // replay the rule: sort by (md5('p:'||id), id), running sum, floor div
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ordered = rows.sortBy { case (id, _, _) => (md5hex(s"p:$id"), id) }
+    var run = 0L
+    ordered.foreach { case (id, _, cost) =>
+      run += cost
+      assert(out(id) === (run - cost) / 10,
+        s"row $id diverged from the contiguous-fill model")
+    }
+  }
+
+  test("packUnits: null costs pack free; guards") {
+    val df = Seq((1L, "s", Some(5L)), (2L, "s", None), (3L, "s", Some(5L)))
+      .toDF("id", "src", "cost")
+    val out = RelationalOps.packUnits(df, "id", "cost", 100, Seq("src"))
+    assert(out.count() === 3)
+    assert(out.select("unit_id").as[Long].collect().toSet === Set(0L),
+      "10 total cost in one 100-capacity unit")
+    intercept[IllegalArgumentException](
+      RelationalOps.packUnits(df, "id", "cost", 0, Seq("src")))
+    intercept[IllegalArgumentException](
+      RelationalOps.packUnits(df, "id", "cost", 10, Nil)) // needs allowGlobal
+    intercept[IllegalArgumentException](
+      RelationalOps.packUnits(df.withColumn("unit_id", lit(1L)),
+        "id", "cost", 10, Seq("src")))
+  }
+
+  test("packUnits: one exchange on the group keys — windowed-op shape") {
+    val df = (1 to 50).map(i => (i.toLong, s"s${i % 2}", 3L))
+      .toDF("id", "src", "cost")
+    val plan = RelationalOps.packUnits(df, "id", "cost", 10, Seq("src"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"pack_units is one hash exchange + in-partition sort:\n$plan")
+  }
+}
