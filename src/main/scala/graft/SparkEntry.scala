@@ -4444,6 +4444,358 @@ object SparkEntry {
           lit(0L), (a, x) => a + x).as("feature_checksum"))
       .orderBy(col("media_id"))
 
+  /** Context-window chunking (TextAnalysis.chunk): documents fan out
+    * into 200-char chunks with 50-char overlap (stride 150). The chunk
+    * grid is plain 1-based-substring arithmetic both engines replay
+    * bit-exactly; keep_text default drops the source text. */
+  private def qChunk(s: SparkSession, dir: String): DataFrame =
+    graft.scale.TextAnalysis.chunk(
+      table(s, dir, "documents").select(col("doc_id"), col("text")),
+      "text", size = 200, overlap = 50)
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** Shared oracle for q_chunk / q_job_chunk: the same 0,150,300,…
+    * start grid via a lateral unnest(range), 1-based substring. */
+  private val chunkOracle: String =
+    """WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) > 0)
+      |SELECT doc_id, ((u.s - 1) // 150)::BIGINT AS chunk_index,
+      |  substring(text, u.s, 200) AS chunk_text
+      |FROM t, unnest(range(1, len(text) + 1, 150)) AS u(s)
+      |ORDER BY doc_id, chunk_index""".stripMargin
+
+  /** The SAME chunking through the declarative `chunk` component —
+    * size/overlap config parsing and the keep_text=false default
+    * end-to-end (text is gone from the component's out wire). */
+  private def qJobChunk(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_chunk"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val chunkSchema = fieldsJson("doc_id" -> "integer", "lang" -> "string",
+      "source" -> "string", "n_chars" -> "integer",
+      "chunk_index" -> "integer", "chunk_text" -> "string")
+    val outSchema = fieldsJson("doc_id" -> "integer",
+      "chunk_index" -> "integer", "chunk_text" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "chunk_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "ck", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "ck", "comp_type": "chunk",
+         |      "text_column": "text", "size": 200, "overlap": 50,
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $chunkSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, chunk_index, chunk_text FROM proj_in",
+         |      "in_port_schemas": { "in": $chunkSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"), col("chunk_index"))
+  }
+
+  /** Seeded accent/punct mutation shared by the text_normalize gates:
+    * every 4th document gets a prefix with uppercase accents, an
+    * em-dash, and punctuation, so all four normalize steps have work.
+    * The corpus text itself is ASCII (checked at gate design time) —
+    * the unicode surface under test is this fixed literal, identical
+    * on both engines. */
+  private def normalizeSeed(text: Column, docId: Column): Column =
+    when(docId % 4 === 0, concat(lit("ÀBÇ déf—Ghi!? "), text)).otherwise(text)
+
+  /** Full-pipeline text normalization (TextAnalysis.normalizeText with
+    * every step on): lowercase → accent-fold → punct-strip → whitespace
+    * squeeze → trim. */
+  private def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"),
+      normalizeSeed(col("text"), col("doc_id")).as("text"))
+    graft.scale.TextAnalysis.normalizeText(docs, "text",
+      accentFold = true, stripPunct = true)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle for q_text_normalize / q_job_text_normalize: the
+    * identical step chain in DuckDB — lower, translate over the same
+    * accent map literal, RE2 \p{L}/\p{N}/\s strip, squeeze, trim. */
+  private val textNormalizeOracle: String = {
+    val src = graft.scale.TextAnalysis.AccentSrc
+    val dst = graft.scale.TextAnalysis.AccentDst
+    s"""SELECT doc_id, trim(regexp_replace(regexp_replace(
+       |    translate(lower(CASE WHEN doc_id % 4 = 0
+       |      THEN 'ÀBÇ déf—Ghi!? ' || text ELSE text END), '$src', '$dst'),
+       |    '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS text
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** The SAME normalization through the declarative text_normalize
+    * component — the seeded input is staged to parquet first, then the
+    * accent_fold/strip_punct flags parse end-to-end. */
+  private def qJobTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_text_normalize"
+    val outDir = s"$tmpRoot/job_out_text_normalize"
+    table(s, dir, "documents").select(col("doc_id"),
+      normalizeSeed(col("text"), col("doc_id")).as("text"))
+      .write.mode("overwrite").parquet(stage)
+    val ioSchema = fieldsJson("doc_id" -> "integer", "text" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "text_normalize_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "tn", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $ioSchema } },
+         |    { "name": "tn", "comp_type": "text_normalize",
+         |      "accent_fold": true, "strip_punct": true,
+         |      "in_port_schemas": { "in": $ioSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $ioSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $ioSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
+  /** Seeded URL synthesis shared by the url_features gates: plain
+    * https URLs, every 7th doc a userinfo+port+query variant, every
+    * 11th a non-URL (all-null features). Identical string concat on
+    * both engines. */
+  private def urlSeed(docId: Column, source: Column): Column =
+    when(docId % 11 === 0, lit("not a url"))
+      .when(docId % 7 === 0, concat(lit("http://user@"), source,
+        lit(".example.org:8080/a/b?q="), docId.cast("string")))
+      .otherwise(concat(lit("https://"), source, lit(".example.org/docs/"),
+        docId.cast("string")))
+
+  /** URL decomposition (TextAnalysis.urlFeatures): scheme/host/domain/
+    * path over the seeded URL mix — userinfo/port strip, the two-label
+    * domain heuristic, and the all-null non-URL contract. */
+  private def qUrlFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"),
+      urlSeed(col("doc_id"), col("source")).as("url"))
+    graft.scale.TextAnalysis.urlFeatures(docs, "url")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle for q_url_features / q_job_url_features: the same
+    * RE2/Java-common-subset regexes; nullif('') normalizes the
+    * no-match conventions on both engines. */
+  private val urlFeaturesOracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'not a url'
+      |         WHEN doc_id % 7 = 0 THEN 'http://user@' || source ||
+      |           '.example.org:8080/a/b?q=' || doc_id::VARCHAR
+      |         ELSE 'https://' || source || '.example.org/docs/' ||
+      |           doc_id::VARCHAR END AS url
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, url,
+      |    nullif(regexp_extract(url,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '') AS url_scheme,
+      |    nullif(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1),
+      |      '') AS url_host
+      |  FROM u)
+      |SELECT doc_id, url, url_scheme, url_host,
+      |  nullif(regexp_extract(url_host, '([^.]+\.[^.]+)$', 1), '') AS url_domain,
+      |  nullif(regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '') AS url_path
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  /** The SAME decomposition through the declarative url_features
+    * component — url_column config and the default url_ prefix. */
+  private def qJobUrlFeatures(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_url_features"
+    val outDir = s"$tmpRoot/job_out_url_features"
+    table(s, dir, "documents").select(col("doc_id"),
+      urlSeed(col("doc_id"), col("source")).as("url"))
+      .write.mode("overwrite").parquet(stage)
+    val inSchema = fieldsJson("doc_id" -> "integer", "url" -> "string")
+    val outSchema = fieldsJson("doc_id" -> "integer", "url" -> "string",
+      "url_scheme" -> "string", "url_host" -> "string",
+      "url_domain" -> "string", "url_path" -> "string")
+    val jobJson =
+      s"""{
+         |  "name": "url_features_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "uf", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $inSchema } },
+         |    { "name": "uf", "comp_type": "url_features",
+         |      "url_column": "url",
+         |      "in_port_schemas": { "in": $inSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
+  /** Global z-score outlier gate (Profile.outlierFilter): keep events
+    * whose value sits within 3 stddev of the mean. Gate-design check:
+    * the minimum |‖v−mean‖ − 3σ| boundary distance is 0.15 at sf0.01
+    * and 0.017 at sf0.1 — 10 orders of magnitude above cross-engine
+    * float-summation noise, so the kept set is stable. */
+  private def qOutlierFilter(s: SparkSession, dir: String): DataFrame =
+    graft.scale.Profile.outlierFilter(
+      table(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("value")),
+      "value", "zscore", k = 3.0)
+      .orderBy(col("event_id"))
+
+  private val outlierZscoreOracle: String =
+    """WITH s AS (SELECT avg(value) m, stddev_samp(value) sd FROM events)
+      |SELECT event_id, event_type, value FROM events, s
+      |WHERE value IS NOT NULL AND abs(value - m) <= 3.0 * coalesce(sd, 0)
+      |ORDER BY event_id""".stripMargin
+
+  /** Per-source Tukey fences (method=iqr, k=1.5): exact percentile vs
+    * DuckDB quantile_cont — same linear-interpolation definition, and
+    * the fences sit >= 2.0 away from any n_chars value at sf0.01. */
+  private def qOutlierFilterIqr(s: SparkSession, dir: String): DataFrame =
+    graft.scale.Profile.outlierFilter(
+      table(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "n_chars", "iqr", k = 1.5, by = Seq("source"))
+      .orderBy(col("doc_id"))
+
+  private val outlierIqrOracle: String =
+    """WITH s AS (
+      |  SELECT source, quantile_cont(n_chars, 0.25) q1,
+      |    quantile_cont(n_chars, 0.75) q3
+      |  FROM documents GROUP BY source)
+      |SELECT doc_id, source, n_chars
+      |FROM documents JOIN s USING (source)
+      |WHERE n_chars IS NOT NULL
+      |  AND n_chars >= q1 - 1.5 * (q3 - q1)
+      |  AND n_chars <= q3 + 1.5 * (q3 - q1)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-event-type z-score fences through the declarative
+    * outlier_filter component (k=2.5; boundary distance 0.067 at
+    * sf0.01, 0.0068 at sf0.1 — still astronomically safe). */
+  private def qJobOutlierFilter(s: SparkSession, dir: String): DataFrame = {
+    val stage = s"$tmpRoot/job_in_outlier_filter"
+    val outDir = s"$tmpRoot/job_out_outlier_filter"
+    table(s, dir, "events").select(col("event_id"), col("event_type"),
+      col("value"))
+      .write.mode("overwrite").parquet(stage)
+    val ioSchema = fieldsJson("event_id" -> "integer",
+      "event_type" -> "string", "value" -> "float")
+    val jobJson =
+      s"""{
+         |  "name": "outlier_filter_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet", "filepath": "$stage",
+         |      "routes": { "out": [ { "to": "of", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $ioSchema } },
+         |    { "name": "of", "comp_type": "outlier_filter",
+         |      "column": "value", "method": "zscore", "k": 2.5,
+         |      "by": ["event_type"],
+         |      "in_port_schemas": { "in": $ioSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $ioSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $ioSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("event_id"))
+  }
+
+  private val outlierByTypeOracle: String =
+    """WITH s AS (
+      |  SELECT event_type, avg(value) m, stddev_samp(value) sd
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, event_type, value
+      |FROM events JOIN s USING (event_type)
+      |WHERE value IS NOT NULL AND abs(value - m) <= 2.5 * coalesce(sd, 0)
+      |ORDER BY event_id""".stripMargin
+
+  /** Contiguous-fill packing (RelationalOps.packUnits): documents into
+    * ~5000-char units per language, md5("pk:"+doc_id) layout order —
+    * the identical md5 string and RANGE-frame running sum replay in
+    * DuckDB, and the floor division is exact far below 2^53. */
+  private def qPackUnits(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RelationalOps.packUnits(
+      table(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      idCol = "doc_id", costCol = "n_chars", capacity = 5000L,
+      by = Seq("lang"), seed = "pk")
+      .orderBy(col("doc_id"))
+
+  /** Shared oracle for q_pack_units / q_job_pack_units. */
+  private val packUnitsOracle: String =
+    """SELECT doc_id, lang, n_chars,
+      |  floor((rc - coalesce(n_chars, 0)) / (5000.0::DOUBLE))::BIGINT AS unit_id
+      |FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    sum(coalesce(n_chars, 0))
+      |      OVER (PARTITION BY lang
+      |            ORDER BY md5('pk:' || doc_id::VARCHAR), doc_id) AS rc
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The SAME packing through the declarative pack_units component —
+    * capacity/by/seed config parsing end-to-end. */
+  private def qJobPackUnits(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_pack_units"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val packSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer",
+      "unit_id" -> "integer")
+    val outSchema = fieldsJson("doc_id" -> "integer", "lang" -> "string",
+      "n_chars" -> "integer", "unit_id" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "pack_units_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "pk", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "pk", "comp_type": "pack_units",
+         |      "id_column": "doc_id", "cost_column": "n_chars",
+         |      "capacity": 5000, "by": ["lang"], "seed": "pk",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $packSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, lang, n_chars, unit_id FROM proj_in",
+         |      "in_port_schemas": { "in": $packSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -4590,6 +4942,17 @@ object SparkEntry {
     "q_job_agg_salted" -> (qJobAggSalted _),
     "q_job_shuffle" -> (qJobShuffle _),
     "q_job_session_agg" -> (qJobSessionAgg _),
+    "q_chunk" -> (qChunk _),
+    "q_job_chunk" -> (qJobChunk _),
+    "q_text_normalize" -> (qTextNormalize _),
+    "q_job_text_normalize" -> (qJobTextNormalize _),
+    "q_url_features" -> (qUrlFeatures _),
+    "q_job_url_features" -> (qJobUrlFeatures _),
+    "q_outlier_filter" -> (qOutlierFilter _),
+    "q_outlier_filter_iqr" -> (qOutlierFilterIqr _),
+    "q_job_outlier_filter" -> (qJobOutlierFilter _),
+    "q_pack_units" -> (qPackUnits _),
+    "q_job_pack_units" -> (qJobPackUnits _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -5676,6 +6039,17 @@ object SparkEntry {
     "q_job_budget_sample" -> budgetSampleOracle,
     "q_mix_sample" -> mixSampleOracle,
     "q_job_mix_sample" -> mixSampleOracle,
+    "q_chunk" -> chunkOracle,
+    "q_job_chunk" -> chunkOracle,
+    "q_text_normalize" -> textNormalizeOracle,
+    "q_job_text_normalize" -> textNormalizeOracle,
+    "q_url_features" -> urlFeaturesOracle,
+    "q_job_url_features" -> urlFeaturesOracle,
+    "q_outlier_filter" -> outlierZscoreOracle,
+    "q_outlier_filter_iqr" -> outlierIqrOracle,
+    "q_job_outlier_filter" -> outlierByTypeOracle,
+    "q_pack_units" -> packUnitsOracle,
+    "q_job_pack_units" -> packUnitsOracle,
     "q_group_cap" -> groupCapOracle,
     "q_job_group_cap" -> groupCapOracle,
     "q_group_cap_uniform" ->

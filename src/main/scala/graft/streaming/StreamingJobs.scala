@@ -58,6 +58,7 @@ object StreamingJobs {
     "read_csv", "read_json", "read_parquet",
     "filter", "type_conversion", "schema_mapping", "split", "merge",
     "unpivot", "hash_split", "sample", "json_extract",
+    "chunk", "text_normalize", "url_features",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "streaming_asof_join", "streaming_range_join", "streaming_decontaminate",
     "streaming_group_cap",
@@ -159,6 +160,32 @@ object StreamingJobs {
           val (column, rules, keepSource) = parseJsonExtract(c)
           Map("out" -> RelationalOps.jsonExtract(one(c), column, rules,
             keepSource))
+        // chunk is a filter + posexplode narrow map: streams as-is
+        // (same dispatch as the batch fold)
+        case "chunk" =>
+          val size = c.intOpt("size").getOrElse(
+            throw new IllegalArgumentException(
+              s"chunk ${c.name}: missing integer 'size'"))
+          Map("out" -> graft.scale.TextAnalysis.chunk(one(c),
+            c.str("text_column").getOrElse("text"), size,
+            c.int("overlap", 0),
+            c.str("index_column").getOrElse("chunk_index"),
+            c.str("chunk_column").getOrElse("chunk_text"),
+            c.bool("keep_text", false)))
+        // text_normalize / url_features are codegen'd narrow maps:
+        // stream as-is, same dispatch as the batch fold
+        case "text_normalize" =>
+          Map("out" -> graft.scale.TextAnalysis.normalizeText(one(c),
+            c.str("text_column").getOrElse("text"),
+            c.str("dest").getOrElse(""),
+            c.bool("lowercase", true),
+            c.bool("accent_fold", false),
+            c.bool("strip_punct", false),
+            c.bool("squeeze_ws", true)))
+        case "url_features" =>
+          Map("out" -> graft.scale.TextAnalysis.urlFeatures(one(c),
+            c.str("url_column").getOrElse("url"),
+            c.str("prefix").getOrElse("url_")))
         // sample is a single stateless md5-threshold filter: streams as-is
         case "sample" =>
           val (idCol, fraction, seed, strataCol, strata) = parseSample(c)

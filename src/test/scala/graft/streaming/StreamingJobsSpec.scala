@@ -819,6 +819,72 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(slurp(spark.read.parquet(sOut)) === Seq("1|7", "2|null", "3|null"))
   }
 
+  test("text_normalize → url_features → chunk stream: parity with the batch fold") {
+    import spark.implicits._
+    val in = tmp("cur_in")
+    Seq(
+      (1L, "  ÀBÇ   déf!  ghijklm ", "https://a.example.org/docs/1"),
+      (2L, "short", "not a url"),
+      (3L, (null: String), "http://u@b.example.org:80/x"))
+      .toDF("id", "text", "url").coalesce(1).write.mode("overwrite").parquet(in)
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string", "nullable": true },
+        |  { "name": "url", "data_type": "string" } ] }""".stripMargin
+    val urlSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string", "nullable": true },
+        |  { "name": "url", "data_type": "string" },
+        |  { "name": "url_scheme", "data_type": "string", "nullable": true },
+        |  { "name": "url_host", "data_type": "string", "nullable": true },
+        |  { "name": "url_domain", "data_type": "string", "nullable": true },
+        |  { "name": "url_path", "data_type": "string", "nullable": true } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "url", "data_type": "string" },
+        |  { "name": "url_scheme", "data_type": "string", "nullable": true },
+        |  { "name": "url_host", "data_type": "string", "nullable": true },
+        |  { "name": "url_domain", "data_type": "string", "nullable": true },
+        |  { "name": "url_path", "data_type": "string", "nullable": true },
+        |  { "name": "chunk_index", "data_type": "integer" },
+        |  { "name": "chunk_text", "data_type": "string" } ] }""".stripMargin
+    def cfg(out: String) =
+      s"""{ "name": "cur", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "tn", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "tn", "comp_type": "text_normalize",
+         |    "accent_fold": true, "strip_punct": true,
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "uf", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "uf", "comp_type": "url_features",
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "ck", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $urlSchema } },
+         |  { "name": "ck", "comp_type": "chunk", "size": 8, "overlap": 2,
+         |    "in_port_schemas": { "in": $urlSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    val bOut = tmp("cur_b")
+    val built = JobGraph.build(spark, JobConfig.parse(cfg(bOut)))
+    built.runSinks(); built.close()
+    val sOut = tmp("cur_s")
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg(sOut)), tmp("cur_ckpt"))
+    assert(slurp(spark.read.parquet(sOut)) === slurp(spark.read.parquet(bOut)))
+    // normalized doc 1 is "abc def ghijklm" → chunks at 0,6,12 of size 8;
+    // null-text doc 3 emits no chunks
+    val d1 = spark.read.parquet(sOut).filter($"id" === 1L)
+      .orderBy("chunk_index").select("chunk_text").as[String].collect().toSeq
+    assert(d1 === Seq("abc def ", "f ghijkl", "klm"))
+    assert(spark.read.parquet(sOut).filter($"id" === 3L).count() === 0)
+  }
+
   test("sample streams: stratified parity with the batch fold") {
     import spark.implicits._
     val in = tmp("smp_in")
