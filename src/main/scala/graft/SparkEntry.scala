@@ -4796,6 +4796,124 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** L2 normalization (Similarity.l2NormalizeVectors): the embeddings
+    * table is pre-normalized, so the gate first scales each vector by
+    * (vec_id % 5 + 1) to make the math non-trivial, then pins the norm
+    * plus two unit-vector probes (left-to-right element sum and first
+    * element). Both engines do the identical cast-to-double fold
+    * (ArrayDot's accumulation = list_reduce with a 0.0 seed). */
+  private def qVecNormalize(s: SparkSession, dir: String): DataFrame = {
+    val scaled = table(s, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => x.cast("double") * ((col("vec_id") % 5) + 1)).as("v2"))
+    graft.scale.Similarity.l2NormalizeVectors(scaled, "v2")
+      .select(col("vec_id"),
+        round(col("vec_norm"), 6).as("vec_norm"),
+        round(aggregate(col("vec_unit"), lit(0.0), (a, x) => a + x), 6)
+          .as("unit_sum"),
+        round(element_at(col("vec_unit"), 1), 6).as("unit_first"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val vecNormalizeOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE * (vec_id % 5 + 1)) AS v2
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v2, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(v2, x -> x * x)), (a,b) -> a + b)) AS nrm
+      |  FROM v)
+      |SELECT vec_id, round(nrm, 6) AS vec_norm,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(v2, x -> x / nrm)), (a,b) -> a + b), 6) AS unit_sum,
+      |  round(v2[1] / nrm, 6) AS unit_first
+      |FROM n ORDER BY vec_id""".stripMargin
+
+  /** Symmetric int8 quantization (Similarity.quantizeVectorsInt8):
+    * per-row scale = max|v|/127, bytes pinned through their exact sum
+    * and min/max (integer arithmetic — no float compare at all on the
+    * quantized values; HALF_UP rounding matches DuckDB's round). */
+  private def qVecQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.scale.Similarity.quantizeVectorsInt8(
+      table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding")
+      .select(col("vec_id"),
+        round(col("vec_scale"), 6).as("vec_scale"),
+        aggregate(col("vec_q8"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("vec_q8")).cast("long").as("q_min"),
+        array_max(col("vec_q8")).cast("long").as("q_max"))
+      .orderBy(col("vec_id"))
+
+  /** Shared oracle for q_vec_quantize / q_job_embedding_transform. */
+  private val vecQuantizeOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(embedding, x -> abs(x::DOUBLE))),
+      |      (a,b) -> greatest(a,b)) / 127.0 AS scale
+      |  FROM embeddings),
+      |z AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(embedding, x -> round(x::DOUBLE / scale)::BIGINT) AS qv
+      |  FROM q)
+      |SELECT vec_id, round(scale, 6) AS vec_scale,
+      |  list_reduce(list_prepend(0::BIGINT, qv), (a,b) -> a + b) AS q_sum,
+      |  list_aggregate(qv, 'min')::BIGINT AS q_min,
+      |  list_aggregate(qv, 'max')::BIGINT AS q_max
+      |FROM z ORDER BY vec_id""".stripMargin
+
+  /** The SAME quantization through the declarative embedding_transform
+    * component (op=quantize), probes computed by the sql component's
+    * HOF aggregate — the int8 wire carries a real array<byte> column
+    * between components. */
+  private def qJobEmbeddingTransform(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_embedding_transform"
+    val embSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } },
+        |  { "name": "label", "data_type": "string" } ] }""".stripMargin
+    val qSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } },
+        |  { "name": "label", "data_type": "string" },
+        |  { "name": "vec_scale", "data_type": "float" },
+        |  { "name": "vec_q8", "data_type": "array", "nullable": true,
+        |    "item": { "name": "item", "data_type": "integer" } } ] }""".stripMargin
+    val outSchema = fieldsJson("vec_id" -> "integer", "vec_scale" -> "float",
+      "q_sum" -> "integer", "q_min" -> "integer", "q_max" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "embedding_transform_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/embeddings.parquet",
+         |      "routes": { "out": [ { "to": "et", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $embSchema } },
+         |    { "name": "et", "comp_type": "embedding_transform",
+         |      "op": "quantize", "vector_column": "embedding",
+         |      "in_port_schemas": { "in": $embSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $qSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT vec_id, round(vec_scale, 6) AS vec_scale, aggregate(vec_q8, CAST(0 AS BIGINT), (a, x) -> a + x) AS q_sum, CAST(array_min(vec_q8) AS BIGINT) AS q_min, CAST(array_max(vec_q8) AS BIGINT) AS q_max FROM proj_in",
+         |      "in_port_schemas": { "in": $qSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("vec_id"))
+  }
+
   // ----------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -4953,6 +5071,9 @@ object SparkEntry {
     "q_job_outlier_filter" -> (qJobOutlierFilter _),
     "q_pack_units" -> (qPackUnits _),
     "q_job_pack_units" -> (qJobPackUnits _),
+    "q_vec_normalize" -> (qVecNormalize _),
+    "q_vec_quantize" -> (qVecQuantize _),
+    "q_job_embedding_transform" -> (qJobEmbeddingTransform _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -6050,6 +6171,9 @@ object SparkEntry {
     "q_job_outlier_filter" -> outlierByTypeOracle,
     "q_pack_units" -> packUnitsOracle,
     "q_job_pack_units" -> packUnitsOracle,
+    "q_vec_normalize" -> vecNormalizeOracle,
+    "q_vec_quantize" -> vecQuantizeOracle,
+    "q_job_embedding_transform" -> vecQuantizeOracle,
     "q_group_cap" -> groupCapOracle,
     "q_job_group_cap" -> groupCapOracle,
     "q_group_cap_uniform" ->

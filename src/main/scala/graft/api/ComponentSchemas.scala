@@ -140,6 +140,12 @@ object ComponentSchemas {
       p("id_column", "string", "column hashed for the selection order, default 'id'"),
       p("cost_column", "string", "per-row cost (token/char count; nulls cost 0), default 'n_tokens'"),
       p("seed", "string", "hash salt, default '' — same key strings as budget_sample, independent of sample/shuffle/hash_split draws"))),
+    "embedding_transform" -> ("Embedding-column transforms, both narrow maps: op=normalize appends dest = v/‖v‖ (double array; NULL for a zero vector) + norm_column = ‖v‖ — unit vectors turn cosine into a dot product; op=quantize appends dest = round(v_i/scale) as an int8 array + scale_column = max|v_i|/127 — the 4× storage/bandwidth lever for a float32 embedding column (dequantize as q_i·scale)" -> Seq(
+      p("op", "string", "'normalize' (default) or 'quantize'"),
+      p("vector_column", "string", "embedding array column, default 'embedding'"),
+      p("dest", "string", "name of the added transformed-vector column, default 'vec_unit' / 'vec_q8' (must not collide)"),
+      p("norm_column", "string", "normalize only: name of the added L2-norm column, default 'vec_norm'"),
+      p("scale_column", "string", "quantize only: name of the added per-row scale column, default 'vec_scale'"))),
     "pack_units" -> ("Contiguous-fill unit packing: within each `by` group, lay rows out in deterministic md5(seed:id) order and assign unit_column = floor((running-cost)/capacity) — the training shard / context window where the row starts; every unit carries ~capacity cost (a row may straddle a boundary). One hash exchange + in-partition sort (budget_sample's plan shape); the global shard key is (`by` values, unit_column)" -> Seq(
       req("capacity", "integer", "target cost per unit (>= 1); a unit may overflow by < 1 row"),
       p("id_column", "string", "column hashed for the layout order, default 'id'"),

@@ -1040,6 +1040,26 @@ object JobGraph {
               c.strSeqParam("columns"), approx = c.bool("approx", false))), None)
         }
 
+      // Embedding-column transforms (Similarity.l2NormalizeVectors /
+      // quantizeVectorsInt8): op=normalize appends the unit vector +
+      // norm; op=quantize appends the int8 vector + per-row scale (the
+      // 4× storage lever). Both narrow maps.
+      case "embedding_transform" =>
+        import graft.scale.Similarity
+        val vecCol = c.str("vector_column").getOrElse("embedding")
+        val out = c.str("op").getOrElse("normalize") match {
+          case "normalize" => Similarity.l2NormalizeVectors(one(), vecCol,
+            c.str("dest").getOrElse("vec_unit"),
+            c.str("norm_column").getOrElse("vec_norm"))
+          case "quantize" => Similarity.quantizeVectorsInt8(one(), vecCol,
+            c.str("dest").getOrElse("vec_q8"),
+            c.str("scale_column").getOrElse("vec_scale"))
+          case other => throw new IllegalArgumentException(
+            s"embedding_transform ${c.name}: op must be normalize|quantize, " +
+              s"got '$other'")
+        }
+        (Map("out" -> out), None)
+
       // Approximate/exact nearest-neighbor search as a declarative
       // component, like `dedup` is for the dedup family. method=knn:
       // exact top-k per query row (corpus streamed once, queries

@@ -326,6 +326,60 @@ object Similarity {
   }
 
   /**
+   * L2 normalization of an embedding column (beyond-reference; the
+   * embedding-hygiene step before any cosine machinery — unit vectors
+   * turn cosine into a plain dot product and make int8 quantization
+   * scales comparable across rows): appends `dest` = v/‖v‖ (array of
+   * double) and `normCol` = ‖v‖. The norm is the codegen'd ArrayDot
+   * self-product (cast-to-double per element, left-to-right
+   * accumulation — the fold a DuckDB list_reduce oracle replays
+   * bit-exactly). A zero vector cannot be normalized: its `dest` is
+   * NULL (norm 0 survives for diagnosis), as is everything after a
+   * NULL vector. Pure narrow map — no shuffle at any scale.
+   */
+  def l2NormalizeVectors(df: DataFrame, vecCol: String,
+                         dest: String = "vec_unit",
+                         normCol: String = "vec_norm"): DataFrame = {
+    require(df.columns.contains(vecCol),
+      s"vec_normalize: no column '$vecCol' in ${df.columns.mkString(", ")}")
+    Seq(dest, normCol).foreach(c => require(!df.columns.contains(c),
+      s"vec_normalize: input already has a '$c' column; pick another name"))
+    df.withColumn(normCol, norm(col(vecCol)))
+      .withColumn(dest, when(col(normCol) > 0,
+        transform(col(vecCol), x => x.cast("double") / col(normCol))))
+  }
+
+  /**
+   * Symmetric per-vector int8 quantization (beyond-reference; the 4×
+   * storage/bandwidth lever for a 100 TB embedding column — float32 →
+   * int8 with one float scale per row): appends `dest` =
+   * round(v_i/scale) as array of byte and `scaleCol` = max|v_i|/127, so
+   * dequantization is q_i·scale and the largest component maps to
+   * ±127. An all-zero vector quantizes to zeros with scale 0 (nothing
+   * to scale); NULL propagates. Rounding is HALF_UP (away from zero on
+   * ties) on double arithmetic — the same rule DuckDB's round applies,
+   * so the oracle replays the bytes exactly. Narrow map, no shuffle;
+   * the max-abs fold is an interpreted HOF (one pass over each vector
+   * — fine next to the 4× I/O it saves downstream).
+   */
+  def quantizeVectorsInt8(df: DataFrame, vecCol: String,
+                          dest: String = "vec_q8",
+                          scaleCol: String = "vec_scale"): DataFrame = {
+    require(df.columns.contains(vecCol),
+      s"vec_quantize: no column '$vecCol' in ${df.columns.mkString(", ")}")
+    Seq(dest, scaleCol).foreach(c => require(!df.columns.contains(c),
+      s"vec_quantize: input already has a '$c' column; pick another name"))
+    val maxAbs = aggregate(col(vecCol), lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    df.withColumn(scaleCol, maxAbs / lit(127.0))
+      .withColumn(dest, when(col(scaleCol) > 0,
+        transform(col(vecCol),
+          x => round(x.cast("double") / col(scaleCol)).cast("byte")))
+        .otherwise(when(col(scaleCol) === 0,
+          transform(col(vecCol), _ => lit(0).cast("byte")))))
+  }
+
+  /**
    * IVF cell assignment with centroids as a DataFrame (cell, cvec):
    * broadcast cross-join + argmax by (similarity, cell) — fully
    * distributed, no driver-side state. The argmax groups on the unique

@@ -239,6 +239,56 @@ class CurationOpsSpec extends SparkTestBase {
         "id", "cost", 10, Seq("src")))
   }
 
+  // ---- embedding_transform ----
+
+  test("l2NormalizeVectors: unit norm; zero vector → null unit, norm kept") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, (null: Seq[Float]))).toDF("id", "embedding")
+    val out = Similarity.l2NormalizeVectors(df, "embedding")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Double]("vec_norm") === 5.0)
+    assert(out(0).getAs[Seq[Double]]("vec_unit") === Seq(0.6, 0.8))
+    assert(out(1).getAs[Double]("vec_norm") === 0.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("vec_unit")),
+      "a zero vector cannot be normalized")
+    assert(out(2).isNullAt(out(2).fieldIndex("vec_unit")) &&
+      out(2).isNullAt(out(2).fieldIndex("vec_norm")))
+    intercept[IllegalArgumentException](
+      Similarity.l2NormalizeVectors(df, "embedding", dest = "id"))
+  }
+
+  test("quantizeVectorsInt8: max|v| → ±127, zero vector → zeros, null propagates") {
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, (null: Seq[Float]))).toDF("id", "embedding")
+    val out = Similarity.quantizeVectorsInt8(df, "embedding")
+      .orderBy("id").collect()
+    def q8(r: org.apache.spark.sql.Row): Seq[Byte] =
+      r.getSeq[Byte](r.fieldIndex("vec_q8")).toSeq
+    assert(out(0).getAs[Double]("vec_scale") === 2.0 / 127.0)
+    assert(q8(out(0)) === Seq[Byte](64, -127, 32),
+      "round(1/(2/127)) = 64 (HALF_UP), etc.")
+    assert(out(1).getAs[Double]("vec_scale") === 0.0)
+    assert(q8(out(1)) === Seq[Byte](0, 0))
+    assert(out(2).isNullAt(out(2).fieldIndex("vec_q8")))
+    // round-trip error is bounded by scale/2 per element
+    val deq = q8(out(0)).map(_ * out(0).getAs[Double]("vec_scale"))
+    Seq(1.0, -2.0, 0.5).zip(deq).foreach { case (orig, d) =>
+      assert(math.abs(orig - d) <= 2.0 / 127.0 / 2 + 1e-12) }
+  }
+
+  test("embedding transforms: no exchange — pure narrow maps") {
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "embedding")
+    for (out <- Seq(Similarity.l2NormalizeVectors(df, "embedding"),
+      Similarity.quantizeVectorsInt8(df, "embedding"))) {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+    }
+  }
+
   test("packUnits: one exchange on the group keys — windowed-op shape") {
     val df = (1 to 50).map(i => (i.toLong, s"s${i % 2}", 3L))
       .toDF("id", "src", "cost")
