@@ -4914,6 +4914,88 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("vec_id"))
   }
 
+  /** Quality-aware exact-dedup winner (Dedup.exact keepBy): the corpus
+    * has no natural exact duplicates (checked at gate design time), so
+    * the gate seeds them — every document gets a case/whitespace
+    * variant at doc_id+10000 with quality+50 (same normalized key,
+    * different bytes and score). keep_by [[quality,-1]] must pick every
+    * variant over its original; the oracle replays the UNION ALL and
+    * the row_number rule directly. */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val both = dedupKeepBestInput(s, dir)
+    Dedup.exact(both, "text", "doc_id", keepBy = Seq(("quality", -1)))
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def dedupKeepBestInput(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    base.select(col("doc_id"), col("text"), col("n_chars").as("quality"))
+      .unionAll(base.select((col("doc_id") + 10000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" ")).as("text"),
+        (col("n_chars") + 50).as("quality")))
+  }
+
+  /** Shared oracle for q_dedup_keep_best / q_job_dedup_keep_best. */
+  private val dedupKeepBestOracle: String =
+    """WITH seeded AS (
+      |  SELECT doc_id, text, n_chars AS quality FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, '  ' || upper(text) || ' ', n_chars + 50
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, quality, row_number() OVER (
+      |    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      |    ORDER BY quality DESC, doc_id) AS rn
+      |  FROM seeded)
+      |SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** The SAME policy through the declarative dedup component's keep_by
+    * — the seeded duplicates are built by a sql component inside the
+    * job, so the whole pipeline (seed → dedup keep_by → project) is
+    * config-driven. */
+  private def qJobDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_dedup_keep_best"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val bothSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "quality" -> "integer")
+    val outSchema = fieldsJson("doc_id" -> "integer", "quality" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "dedup_keep_best_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "seed", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "seed", "comp_type": "sql",
+         |      "query": "SELECT doc_id, text, n_chars AS quality FROM seed_in UNION ALL SELECT doc_id + 10000, concat('  ', upper(text), ' '), n_chars + 50 FROM seed_in",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $bothSchema } },
+         |    { "name": "dd", "comp_type": "dedup", "method": "exact",
+         |      "text_column": "text", "id_column": "doc_id",
+         |      "keep_by": [ ["quality", -1] ],
+         |      "in_port_schemas": { "in": $bothSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $bothSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, quality FROM proj_in",
+         |      "in_port_schemas": { "in": $bothSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -5074,6 +5156,8 @@ object SparkEntry {
     "q_vec_normalize" -> (qVecNormalize _),
     "q_vec_quantize" -> (qVecQuantize _),
     "q_job_embedding_transform" -> (qJobEmbeddingTransform _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
+    "q_job_dedup_keep_best" -> (qJobDedupKeepBest _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -6174,6 +6258,8 @@ object SparkEntry {
     "q_vec_normalize" -> vecNormalizeOracle,
     "q_vec_quantize" -> vecQuantizeOracle,
     "q_job_embedding_transform" -> vecQuantizeOracle,
+    "q_dedup_keep_best" -> dedupKeepBestOracle,
+    "q_job_dedup_keep_best" -> dedupKeepBestOracle,
     "q_group_cap" -> groupCapOracle,
     "q_job_group_cap" -> groupCapOracle,
     "q_group_cap_uniform" ->

@@ -104,6 +104,7 @@ object ComponentSchemas {
       p("method", "string", "exact (default) | minhash | simhash | ngram | embedding"),
       p("text_column", "string", "document text column, default 'text'"),
       p("id_column", "string", "unique id column, default 'id'"),
+      p("keep_by", "array", "exact only: [[field, 1|-1], ...] quality-aware winner — keep the top row per normalized key under this order (id ascending tiebreak); omitted = lowest id wins"),
       p("shingle_n", "integer", "minhash verification shingle width, default 5"),
       p("num_hashes", "integer", "minhash signature width, default 32"),
       p("bands", "integer", "LSH bands: minhash default 16; embedding omitted = solved for the effective rows_per_band (recall-budget rule)"),

@@ -373,6 +373,16 @@ object JobConfig {
       orderBy, spec.str("seed").getOrElse(""), spec.bool("allow_global", false))
   }
 
+  /** Generic [[field, 1|-1]] order-pair list under `key` (the sort/
+    * window/group_cap shape); absent → Nil. */
+  def parseOrderPairs(spec: ComponentSpec, key: String, ctx: String): Seq[(String, Int)] =
+    (spec.params \ key) match {
+      case JArray(items) => items.map(orderEntry(_, ctx, key))
+      case JNothing => Nil
+      case other => throw new IllegalArgumentException(
+        s"$ctx: '$key' must be an array of [field, 1|-1], got $other")
+    }
+
   /** mix_sample config (RelationalOps.mixSample): `total_budget` and
     * `source_column` are required; `weights` is a {source: weight}
     * object — sorted by source so the built CASE chain (and therefore

@@ -845,12 +845,21 @@ object JobGraph {
           s"dedup ${c.name}: emit=$emit needs a near-dup method " +
             s"(minhash|simhash|ngram|embedding), not '$method'")
         val wantPairs = emit != "survivors"
+        // keep_by: quality-aware winner for EXACT groups ("keep the
+        // longest/highest-score duplicate"); near-dup methods pick
+        // winners pairwise/transitively where a per-group order does
+        // not apply — loud rejection, not silent ignore
+        val keepBy = graft.config.JobConfig.parseOrderPairs(c, "keep_by",
+          s"dedup ${c.name}")
+        require(keepBy.isEmpty || method == "exact",
+          s"dedup ${c.name}: keep_by applies only to method=exact " +
+            "(near-dup winners are pairwise drop-id_b / cluster-minimum)")
         val base = one()
         // the frame cluster-survivors are anti-joined from: the persisted
         // variant when the embedding path persists for its sizing count
         var clusterSrc = base
         val out = method match {
-          case "exact" => Dedup.exact(base, textCol, idCol)
+          case "exact" => Dedup.exact(base, textCol, idCol, keepBy)
           case "minhash" =>
             val (sn, k, b) = (c.int("shingle_n", 5), c.int("num_hashes", 32),
               c.int("bands", 16))

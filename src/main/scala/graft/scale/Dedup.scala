@@ -90,11 +90,20 @@ object Dedup {
     else text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
 
   /**
-   * Exact dedup: keep the lowest-id row per normalized key.
-   * One shuffle on the key hash; survivors = count(groups).
+   * Exact dedup: keep one row per normalized key. The winner is the
+   * lowest-id row by default; `keepBy` ((field, ±1) sort components,
+   * id ascending as the final tiebreak) switches to a quality-aware
+   * winner — "keep the highest-score / longest duplicate", the policy
+   * real curation pipelines want when duplicates differ in metadata or
+   * formatting (the normalized KEY ignores case/whitespace, so group
+   * members are not byte-identical). One shuffle on the key hash
+   * either way; survivors = count(groups).
    */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(exactKey(col(textCol))).orderBy(col(idCol).asc)
+  def exact(df: DataFrame, textCol: String, idCol: String,
+            keepBy: Seq[(String, Int)] = Nil): DataFrame = {
+    val order = keepBy.map { case (f, dir) =>
+      if (dir >= 0) col(f).asc else col(f).desc } :+ col(idCol).asc
+    val w = Window.partitionBy(exactKey(col(textCol))).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

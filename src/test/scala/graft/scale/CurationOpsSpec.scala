@@ -239,6 +239,47 @@ class CurationOpsSpec extends SparkTestBase {
         "id", "cost", 10, Seq("src")))
   }
 
+  // ---- dedup keep_by ----
+
+  test("Dedup.exact keep_by: quality winner, id tiebreak, default unchanged") {
+    val df = Seq(
+      (1L, "Same   Doc", 10L), (2L, "same doc", 99L), (3L, " SAME DOC ", 99L),
+      (4L, "other", 5L)).toDF("id", "text", "quality")
+    val best = Dedup.exact(df, "text", "id", keepBy = Seq(("quality", -1)))
+      .select("id").as[Long].collect().toSet
+    assert(best === Set(2L, 4L),
+      "highest quality wins; the 99-tie breaks to the lower id")
+    val deflt = Dedup.exact(df, "text", "id")
+      .select("id").as[Long].collect().toSet
+    assert(deflt === Set(1L, 4L), "no keep_by = lowest id, as before")
+  }
+
+  test("dedup comp_type: keep_by rejected loudly for near-dup methods") {
+    val in = java.nio.file.Paths.get("target", "test-tmp", "kb_in")
+      .toAbsolutePath.toString
+    Seq((1L, "a")).toDF("id", "text").write.mode("overwrite").parquet(in)
+    val docSchema =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val cfg =
+      s"""{ "name": "kb", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "dd", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "dd", "comp_type": "dedup", "method": "minhash",
+         |    "id_column": "id", "keep_by": [ ["id", -1] ],
+         |    "in_port_schemas": { "in": $docSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "/nope2",
+         |    "in_port_schemas": { "in": $docSchema } } ] }""".stripMargin
+    val e = intercept[Exception] {
+      graft.graph.JobGraph.build(spark, graft.config.JobConfig.parse(cfg))
+    }
+    assert(e.getMessage.contains("keep_by applies only to method=exact"))
+  }
+
   // ---- embedding_transform ----
 
   test("l2NormalizeVectors: unit norm; zero vector → null unit, norm kept") {
