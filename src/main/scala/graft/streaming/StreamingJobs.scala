@@ -58,7 +58,7 @@ object StreamingJobs {
     "read_csv", "read_json", "read_parquet",
     "filter", "type_conversion", "schema_mapping", "split", "merge",
     "unpivot", "hash_split", "sample", "json_extract",
-    "chunk", "text_normalize", "url_features",
+    "chunk", "text_normalize", "url_features", "embedding_transform",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "streaming_asof_join", "streaming_range_join", "streaming_decontaminate",
     "streaming_group_cap",
@@ -186,6 +186,20 @@ object StreamingJobs {
           Map("out" -> graft.scale.TextAnalysis.urlFeatures(one(c),
             c.str("url_column").getOrElse("url"),
             c.str("prefix").getOrElse("url_")))
+        // embedding transforms are per-row vector math: stream as-is
+        case "embedding_transform" =>
+          val vecCol = c.str("vector_column").getOrElse("embedding")
+          Map("out" -> (c.str("op").getOrElse("normalize") match {
+            case "normalize" => graft.scale.Similarity.l2NormalizeVectors(
+              one(c), vecCol, c.str("dest").getOrElse("vec_unit"),
+              c.str("norm_column").getOrElse("vec_norm"))
+            case "quantize" => graft.scale.Similarity.quantizeVectorsInt8(
+              one(c), vecCol, c.str("dest").getOrElse("vec_q8"),
+              c.str("scale_column").getOrElse("vec_scale"))
+            case other => throw new IllegalArgumentException(
+              s"embedding_transform ${c.name}: op must be " +
+                s"normalize|quantize, got '$other'")
+          }))
         // sample is a single stateless md5-threshold filter: streams as-is
         case "sample" =>
           val (idCol, fraction, seed, strataCol, strata) = parseSample(c)

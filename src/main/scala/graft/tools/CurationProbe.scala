@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.SparkEntry.table
+import graft.scale._
+import graft.ops.RelationalOps
+
+/** Dev-only: scaling-shape evidence for the curation operators (chunk,
+  * text_normalize, url_features, outlier_filter, pack_units, group_cap).
+  * Replicates the sf documents table Nx under fresh ids (text salted per
+  * replica so normalize/chunk see distinct bytes) and compares wall time
+  * at 1x vs Nx. The narrow maps should scale ~linearly in rows; the
+  * windowed ops (pack_units, group_cap) add one exchange whose cost is
+  * the in-partition sort. Run:
+  *   sbt "runMain graft.tools.CurationProbe /root/testdata/sf0.1 1 10 100"
+  * (the first factor is a discarded JIT warm-up pass).
+  *
+  * Measured (local[32], sf0.1 docs = 5k rows replicated; warm 10x vs
+  * 100x, i.e. 50k vs 500k docs, 2026-08-14):
+  *   chunk(200,50)        0.29 s → 0.53 s   (1.8x time for 10x rows)
+  *   text_normalize(all)  0.42 s → 1.27 s   (3.0x)
+  *   url_features         0.20 s → 0.52 s   (2.6x)
+  *   outlier_filter       0.58 s → 1.14 s   (2.0x)
+  *   pack_units           0.41 s → 1.22 s   (3.0x)
+  *   group_cap            0.40 s → 0.71 s   (1.8x)
+  * All ≤ 3x for 10x input — fixed per-job overhead still dominates at
+  * this scale; nothing is super-linear, consistent with the
+  * narrow-map / single-exchange plan shapes the specs pin.
+  */
+object CurationProbe {
+
+  def replicateDocs(docs1: org.apache.spark.sql.DataFrame,
+                    factor: Int): org.apache.spark.sql.DataFrame =
+    (0 until factor).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" r$i")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // factors as trailing args; repeat one (e.g. "1 1 10 100") to absorb
+    // JIT/codegen warm-up into a discarded first pass
+    val factors =
+      if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 1, 10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-34s n=$n%-10d $dt%.2f s")
+      dt
+    }
+
+    for (fac <- factors) {
+      println(s"--- factor ${fac}x ---")
+      val docs = replicateDocs(table(spark, dir, "documents"), fac)
+        .repartition(32).persist()
+      docs.count()
+      val urled = docs.withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.org/d/"),
+          col("doc_id").cast("string")))
+      t(s"chunk(200,50) ${fac}x") {
+        TextAnalysis.chunk(docs, "text", 200, 50)
+          .agg(sum(length(col("chunk_text")))).head().getLong(0)
+      }
+      t(s"text_normalize(all) ${fac}x") {
+        TextAnalysis.normalizeText(docs, "text", accentFold = true,
+          stripPunct = true)
+          .agg(sum(length(col("text")))).head().getLong(0)
+      }
+      t(s"url_features ${fac}x") {
+        TextAnalysis.urlFeatures(urled, "url")
+          .agg(count(col("url_domain"))).head().getLong(0)
+      }
+      t(s"outlier_filter zscore(n_chars) ${fac}x") {
+        Profile.outlierFilter(docs, "n_chars", "zscore", 3.0, Seq("source"))
+          .agg(sum(col("n_chars"))).head().getLong(0)
+      }
+      t(s"pack_units(5000, by lang) ${fac}x") {
+        RelationalOps.packUnits(docs, "doc_id", "n_chars", 5000L, Seq("lang"))
+          .agg(max(col("unit_id"))).head().getLong(0)
+      }
+      t(s"group_cap(100, by source) ${fac}x") {
+        RelationalOps.groupCap(docs, "doc_id", 100, Seq("source"))
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      docs.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -885,6 +885,45 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(sOut).filter($"id" === 3L).count() === 0)
   }
 
+  test("embedding_transform streams: quantize parity with the batch fold") {
+    import spark.implicits._
+    val in = tmp("et_in")
+    Seq((1L, Seq(1.0f, -2.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite").parquet(in)
+    val inSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val outSchema =
+      """{ "fields": [
+        |  { "name": "vec_id", "data_type": "integer" },
+        |  { "name": "embedding", "data_type": "array",
+        |    "item": { "name": "item", "data_type": "float" } },
+        |  { "name": "vec_scale", "data_type": "float" },
+        |  { "name": "vec_q8", "data_type": "array", "nullable": true,
+        |    "item": { "name": "item", "data_type": "integer" } } ] }""".stripMargin
+    def cfg(out: String) =
+      s"""{ "name": "et", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "q", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $inSchema } },
+         |  { "name": "q", "comp_type": "embedding_transform", "op": "quantize",
+         |    "in_port_schemas": { "in": $inSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $outSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $outSchema } } ] }""".stripMargin
+    val bOut = tmp("et_b")
+    val built = JobGraph.build(spark, JobConfig.parse(cfg(bOut)))
+    built.runSinks(); built.close()
+    val sOut = tmp("et_s")
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg(sOut)), tmp("et_ckpt"))
+    assert(slurp(spark.read.parquet(sOut)) === slurp(spark.read.parquet(bOut)))
+    val r1 = spark.read.parquet(sOut).filter($"vec_id" === 1L).head()
+    assert(r1.getSeq[Byte](r1.fieldIndex("vec_q8")).toSeq === Seq[Byte](64, -127))
+  }
+
   test("sample streams: stratified parity with the batch fold") {
     import spark.implicits._
     val in = tmp("smp_in")
