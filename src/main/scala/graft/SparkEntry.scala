@@ -4996,6 +4996,85 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** Per-row weighted sampling (RelationalOps.hashSampleWeighted):
+    * rate = n_chars/300 (clamps above 1 for long docs — the clamp
+    * contract is ON the gate path), NULL rate every 13th doc (the
+    * null-drop contract likewise). The bucket is the identical
+    * md5("w17:"+id) arithmetic as the fixed-rate sample gates; the
+    * threshold round replays exactly (same double in, same HALF_UP). */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val staged = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(col("doc_id") % 13 === 0, lit(null).cast("double"))
+          .otherwise(col("n_chars") / lit(300.0)).as("rate"))
+    graft.ops.RelationalOps.hashSampleWeighted(staged, "doc_id", "rate",
+      seed = "w17")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle for q_sample_weighted / q_job_sample_weighted. */
+  private val sampleWeightedOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CASE WHEN doc_id % 13 = 0 THEN NULL
+      |         ELSE n_chars / 300.0 END AS rate,
+      |    ('0x' || substr(md5('w17:' || doc_id::VARCHAR), 1, 8))::BIGINT
+      |      % 10000 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars FROM r
+      |WHERE rate IS NOT NULL
+      |  AND bucket < round(greatest(least(rate, 1.0), 0.0) * 10000)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The SAME weighted draw through the sample component's rate_column
+    * face — the rate is staged by a sql component, so the whole
+    * quality-weighted pipeline is config-driven. */
+  private def qJobSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_sample_weighted"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val rateSchema =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "lang", "data_type": "string" },
+        |  { "name": "n_chars", "data_type": "integer" },
+        |  { "name": "rate", "data_type": "float", "nullable": true } ] }""".stripMargin
+    val outSchema = fieldsJson("doc_id" -> "integer", "lang" -> "string",
+      "n_chars" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "sample_weighted_job",
+         |  "components": [
+         |    { "name": "r", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "rate", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "rate", "comp_type": "sql",
+         |      "query": "SELECT doc_id, lang, n_chars, CASE WHEN doc_id % 13 = 0 THEN CAST(NULL AS DOUBLE) ELSE n_chars / 300.0 END AS rate FROM rate_in",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "sm", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $rateSchema } },
+         |    { "name": "sm", "comp_type": "sample", "id_column": "doc_id",
+         |      "rate_column": "rate", "seed": "w17",
+         |      "in_port_schemas": { "in": $rateSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $rateSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, lang, n_chars FROM proj_in",
+         |      "in_port_schemas": { "in": $rateSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -5158,6 +5237,8 @@ object SparkEntry {
     "q_job_embedding_transform" -> (qJobEmbeddingTransform _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_job_dedup_keep_best" -> (qJobDedupKeepBest _),
+    "q_sample_weighted" -> (qSampleWeighted _),
+    "q_job_sample_weighted" -> (qJobSampleWeighted _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -6260,6 +6341,8 @@ object SparkEntry {
     "q_job_embedding_transform" -> vecQuantizeOracle,
     "q_dedup_keep_best" -> dedupKeepBestOracle,
     "q_job_dedup_keep_best" -> dedupKeepBestOracle,
+    "q_sample_weighted" -> sampleWeightedOracle,
+    "q_job_sample_weighted" -> sampleWeightedOracle,
     "q_group_cap" -> groupCapOracle,
     "q_job_group_cap" -> groupCapOracle,
     "q_group_cap_uniform" ->

@@ -121,8 +121,9 @@ object ComponentSchemas {
     "hash_split" -> ("Deterministic train/val/test split: md5-bucket of the id routes each row to exactly one named out port (stable across engines/runs; no shuffle)" -> Seq(
       req("splits", "array", "[{name, fraction}, ...] — out ports are the names; fractions must sum to 1 (honored to 0.01% on the 10,000-bucket grid)"),
       p("id_column", "string", "column hashed for routing, default 'id'"))),
-    "sample" -> ("Deterministic seeded Bernoulli sample: keep a row iff md5(seed:id) bucket < rate*10000 (stable across engines/runs/partitionings; one narrow filter, no shuffle). Null ids are kept only at rate 1.0" -> Seq(
-      req("fraction", "number", "default keep rate in [0, 1], honored to 0.01% on the 10,000-bucket grid"),
+    "sample" -> ("Deterministic seeded Bernoulli sample: keep a row iff md5(seed:id) bucket < rate*10000 (stable across engines/runs/partitionings; one narrow filter, no shuffle). Null ids are kept only at rate 1.0. rate_column switches to the per-row WEIGHTED face: keep probability = the row's own rate clamped into [0,1] (quality-weighted curation; NULL rates drop; raising a rate only ever ADDS rows — the bucket is rate-independent)" -> Seq(
+      p("fraction", "number", "default keep rate in [0, 1], honored to 0.01% on the 10,000-bucket grid (required unless rate_column is set)"),
+      p("rate_column", "string", "per-row keep-rate column — exclusive with fraction/strata_column"),
       p("id_column", "string", "column hashed for the keep/drop decision, default 'id'"),
       p("seed", "string", "hash salt, default '' — different seeds draw independent samples, and any seed is independent of hash_split's routing"),
       p("strata_column", "string", "column whose values select per-stratum rates from strata_fractions"),
@@ -192,6 +193,13 @@ object ComponentSchemas {
     "streaming_group_cap" -> ("Streaming per-group quota (flatMapGroupsWithState): keep the FIRST `cap` rows per `by` group over the stream's lifetime — one Long of state per distinct group, no watermark. The cap is exact across microbatches; the kept subset follows arrival order (streams have no replayable order — use batch group_cap for order-exact curation). STATE GROWS WITH GROUP CARDINALITY AND NEVER EXPIRES: a lifetime quota cannot time out (an expired counter would re-admit rows past the cap), so state is one counter per distinct group ever seen, forever — key on bounded-cardinality columns (source, language, shard), never a per-document id" -> Seq(
       req("cap", "integer", "max rows emitted per group over the stream's lifetime (>= 1)"),
       p("by", "array", "quota-group columns (bounded-cardinality keys: source, language, shard — state holds one counter per distinct group forever)"))),
+    "streaming_outlier_filter" -> ("Stream-static outlier gate: keep stream rows whose numeric `column` sits inside fences computed ONCE from the reference_path parquet baseline (an unwindowed aggregate over the stream itself could never finalize) — method=zscore or iqr, global or per `by` group, broadcast onto the stream as a stateless narrow filter (no watermark, no state store). NULL values and NULL group keys drop, matching the batch outlier_filter" -> Seq(
+      req("column", "string", "numeric signal column the fences apply to (must exist on both the stream and the reference)"),
+      req("reference_path", "string", "parquet path of the static baseline the fences are computed from"),
+      p("method", "string", "'zscore' (default) or 'iqr'"),
+      p("k", "number", "fence width multiplier (>= 0), default 3.0"),
+      p("by", "array", "compute/apply fences per these group columns; empty = global fences"),
+      p("approx", "boolean", "iqr only: approx_percentile on the reference, default false"))),
     "shuffle" -> ("Deterministic seeded global shuffle: adds key_column = md5(seed:id) and returns a TOTAL order over it (one range exchange; same row order on any run/engine/partitioning — reproducible training order). Null ids take the fixed md5(seed:) key" -> Seq(
       p("id_column", "string", "column hashed for the permutation, default 'id'"),
       p("seed", "string", "hash salt, default '' — different seeds draw independent permutations, independent of hash_split/sample hashing"),

@@ -703,11 +703,24 @@ object JobGraph {
 
       // Deterministic seeded Bernoulli sample (RelationalOps.hashSample):
       // the training-mix primitive — one narrow filter, per-stratum rates,
-      // engine-replayable md5 arithmetic.
+      // engine-replayable md5 arithmetic. rate_column switches to the
+      // per-row WEIGHTED face (hashSampleWeighted): keep probability =
+      // the row's own clamped rate — quality-weighted curation.
       case "sample" =>
-        val (idCol, fraction, seed, strataCol, strata) = parseSample(c)
-        (Map("out" -> RelationalOps.hashSample(one(), idCol, fraction, seed,
-          strataCol, strata)), None)
+        c.str("rate_column") match {
+          case Some(rc) =>
+            require(c.str("fraction").isEmpty && c.doubleOpt("fraction").isEmpty &&
+              c.str("strata_column").isEmpty,
+              s"sample ${c.name}: rate_column is exclusive with " +
+                "fraction/strata_column — the row carries its own rate")
+            (Map("out" -> RelationalOps.hashSampleWeighted(one(),
+              c.str("id_column").getOrElse("id"), rc,
+              c.str("seed").getOrElse(""))), None)
+          case None =>
+            val (idCol, fraction, seed, strataCol, strata) = parseSample(c)
+            (Map("out" -> RelationalOps.hashSample(one(), idCol, fraction, seed,
+              strataCol, strata)), None)
+        }
 
       // Token-budget sampling (RelationalOps.budgetSample): within each
       // `by` mixing group, rows survive in deterministic md5(seed:id)

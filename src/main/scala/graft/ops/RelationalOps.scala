@@ -152,6 +152,41 @@ object RelationalOps {
   }
 
   /**
+   * Per-row weighted Bernoulli sample (beyond-reference; the
+   * quality-weighted curation draw next to hashSample's fixed rates:
+   * "keep documents with probability proportional to their quality
+   * score" — the soft alternative to a hard outlier/quality cutoff):
+   * keep a row iff its hashSample bucket (identical md5(seed:id)
+   * arithmetic, same 10,000-bucket grid) falls below
+   * round(clamp(rateCol, 0, 1) · 10000). Same id + same seed always
+   * keeps/drops together at a given rate, rates are honored to 0.01%,
+   * and raising a row's rate can only ever ADD it to the sample (the
+   * bucket is rate-independent) — the monotonicity that makes
+   * iterative curation reproducible.
+   *
+   * NULL rates drop the row (no evidence, no draw — the outlier_filter
+   * convention); out-of-range rates clamp into [0, 1] (a score model
+   * emitting 1.03 means "keep", not "crash"; clamping is the documented
+   * contract and replays identically in the oracle). NULL ids land in
+   * bucket 9999, mirroring hashSample: kept only when their clamped
+   * rate rounds to the full grid.
+   *
+   * At scale: one narrow filter — no shuffle, no driver state,
+   * partition- and order-independent, stream-safe.
+   */
+  def hashSampleWeighted(df: DataFrame, idCol: String, rateCol: String,
+                         seed: String = ""): DataFrame = {
+    require(df.columns.contains(rateCol),
+      s"sample: no rate_column '$rateCol' in ${df.columns.mkString(", ")}")
+    val bucket = coalesce(pmod(
+      conv(substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long"), lit(10000L)), lit(9999L))
+    val threshold = round(
+      greatest(least(col(rateCol).cast("double"), lit(1.0)), lit(0.0)) * 10000)
+    df.filter(col(rateCol).isNotNull && bucket < threshold)
+  }
+
+  /**
    * Deterministic seeded global shuffle (beyond-reference; the
    * reproducible-training-order primitive next to hashSplit/hashSample):
    * every row gets `keyCol` = md5(seed ++ ":" ++ id) and the frame comes

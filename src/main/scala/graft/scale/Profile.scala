@@ -153,28 +153,54 @@ object Profile {
    */
   def outlierFilter(df: DataFrame, column: String, method: String = "zscore",
                     k: Double = 3.0, by: Seq[String] = Nil,
-                    approx: Boolean = false): DataFrame = {
+                    approx: Boolean = false): DataFrame =
+    outlierFilterAgainst(df, df, column, method, k, by, approx)
+
+  /**
+   * The two-frame face of [[outlierFilter]]: fences computed on
+   * `reference`, applied to `df` — "clamp live data against a trained
+   * baseline". This is also the STREAMING shape: a streaming `df`
+   * cannot compute its own global stats (an unwindowed aggregate over
+   * an unbounded stream never finalizes), but a STATIC reference's
+   * fences are one batch aggregate whose result broadcast-joins onto
+   * the stream as a stateless narrow filter — the stream-static
+   * pattern streaming_decontaminate uses for its benchmark side.
+   * `reference` must carry `column` (and the `by` columns); both
+   * frames are resolved case-insensitively and independently.
+   */
+  def outlierFilterAgainst(df: DataFrame, reference: DataFrame,
+                           column: String, method: String = "zscore",
+                           k: Double = 3.0, by: Seq[String] = Nil,
+                           approx: Boolean = false): DataFrame = {
     require(k >= 0 && !k.isNaN && !k.isInfinity,
       s"outlier_filter: k must be a finite number >= 0, got $k")
-    val c = df.columns.find(_.equalsIgnoreCase(column)).getOrElse(
-      throw new IllegalArgumentException(s"outlier_filter: unknown column $column"))
+    def resolve(frame: DataFrame, what: String): String =
+      frame.columns.find(_.equalsIgnoreCase(column)).getOrElse(
+        throw new IllegalArgumentException(
+          s"outlier_filter: unknown column $column on the $what frame"))
+    val c = resolve(df, "data")
+    val cRef = resolve(reference, "reference")
     require(isNumeric(df.schema(c).dataType),
       s"outlier_filter: column $c is ${df.schema(c).dataType.sql}, need numeric")
+    require(isNumeric(reference.schema(cRef).dataType),
+      s"outlier_filter: reference column $cRef is " +
+        s"${reference.schema(cRef).dataType.sql}, need numeric")
     val v = col(c).cast("double")
+    val vRef = col(cRef).cast("double")
     val statCols = Seq("__of_a", "__of_b")
     statCols.foreach(s => require(!df.columns.contains(s),
       s"outlier_filter: input already has a '$s' column"))
     val (aggs, keep) = method match {
       case "zscore" =>
-        (Seq(avg(v).as("__of_a"), stddev_samp(v).as("__of_b")),
+        (Seq(avg(vRef).as("__of_a"), stddev_samp(vRef).as("__of_b")),
           abs(v - col("__of_a")) <= lit(k) * coalesce(col("__of_b"), lit(0.0)))
       case "iqr" =>
         val q = if (approx)
-          Seq(percentile_approx(v, lit(0.25), lit(10000)).as("__of_a"),
-            percentile_approx(v, lit(0.75), lit(10000)).as("__of_b"))
+          Seq(percentile_approx(vRef, lit(0.25), lit(10000)).as("__of_a"),
+            percentile_approx(vRef, lit(0.75), lit(10000)).as("__of_b"))
         else
-          Seq(percentile(v, lit(0.25)).as("__of_a"),
-            percentile(v, lit(0.75)).as("__of_b"))
+          Seq(percentile(vRef, lit(0.25)).as("__of_a"),
+            percentile(vRef, lit(0.75)).as("__of_b"))
         val iqr = col("__of_b") - col("__of_a")
         (q, v >= col("__of_a") - lit(k) * iqr &&
           v <= col("__of_b") + lit(k) * iqr)
@@ -182,8 +208,8 @@ object Profile {
         s"outlier_filter: method must be zscore|iqr, got '$other'")
     }
     val stats =
-      if (by.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-      else df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      if (by.isEmpty) reference.agg(aggs.head, aggs.tail: _*)
+      else reference.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val joined =
       if (by.isEmpty) df.crossJoin(broadcast(stats))
       else df.join(broadcast(stats), by, "inner")

@@ -61,7 +61,7 @@ object StreamingJobs {
     "chunk", "text_normalize", "url_features", "embedding_transform",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "streaming_asof_join", "streaming_range_join", "streaming_decontaminate",
-    "streaming_group_cap",
+    "streaming_group_cap", "streaming_outlier_filter",
     "write_csv", "write_json", "write_parquet")
 
   final case class SinkPlan(component: String, df: DataFrame, format: String,
@@ -200,11 +200,24 @@ object StreamingJobs {
               s"embedding_transform ${c.name}: op must be " +
                 s"normalize|quantize, got '$other'")
           }))
-        // sample is a single stateless md5-threshold filter: streams as-is
+        // sample is a single stateless md5-threshold filter: streams
+        // as-is — both the fixed/stratified face and the rate_column
+        // weighted face (same dispatch rule as the batch fold)
         case "sample" =>
-          val (idCol, fraction, seed, strataCol, strata) = parseSample(c)
-          Map("out" -> RelationalOps.hashSample(one(c), idCol, fraction, seed,
-            strataCol, strata))
+          c.str("rate_column") match {
+            case Some(rc) =>
+              require(c.str("fraction").isEmpty && c.doubleOpt("fraction").isEmpty &&
+                c.str("strata_column").isEmpty,
+                s"sample ${c.name}: rate_column is exclusive with " +
+                  "fraction/strata_column — the row carries its own rate")
+              Map("out" -> RelationalOps.hashSampleWeighted(one(c),
+                c.str("id_column").getOrElse("id"), rc,
+                c.str("seed").getOrElse("")))
+            case None =>
+              val (idCol, fraction, seed, strataCol, strata) = parseSample(c)
+              Map("out" -> RelationalOps.hashSample(one(c), idCol, fraction,
+                seed, strataCol, strata))
+          }
         case "merge" =>
           val xs = in(c)
           require(xs.nonEmpty, s"merge ${c.name}: no inputs")
@@ -357,6 +370,21 @@ object StreamingJobs {
                 s"flagged|clean, got '$other'")
           }
           Map("out" -> out)
+
+        // Stream-static outlier gate (Profile.outlierFilterAgainst):
+        // fences come from `reference_path` (a batch parquet baseline —
+        // an unwindowed aggregate over the stream itself could never
+        // finalize), computed once at plan time and broadcast onto the
+        // stream as a stateless narrow filter. No watermark, no state.
+        case "streaming_outlier_filter" =>
+          val refDf = graft.io.ParquetIO.read(spark, c.reqStr("reference_path"))
+          Map("out" -> graft.scale.Profile.outlierFilterAgainst(
+            one(c), refDf,
+            c.reqStr("column"),
+            c.str("method").getOrElse("zscore"),
+            c.doubleOpt("k").getOrElse(3.0),
+            c.strSeqParam("by"),
+            c.bool("approx", false)))
 
         case t if t.startsWith("write_") =>
           val df = one(c)

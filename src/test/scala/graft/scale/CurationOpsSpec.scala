@@ -239,6 +239,53 @@ class CurationOpsSpec extends SparkTestBase {
         "id", "cost", 10, Seq("src")))
   }
 
+  // ---- weighted sample ----
+
+  test("hashSampleWeighted: clamp, null-drop, and rate monotonicity") {
+    val df = (1 to 400).map(i => (i.toLong,
+      if (i % 13 == 0) Option.empty[Double] else Option(i / 200.0)))
+      .toDF("id", "rate")
+    val kept = RelationalOps.hashSampleWeighted(df, "id", "rate", "m")
+      .select("id").as[Long].collect().toSet
+    assert(!kept.exists(_ % 13 == 0), "null rates drop")
+    assert((201 to 400).filter(_ % 13 != 0).forall(i => kept(i.toLong)),
+      "rates >= 1 (incl. clamped 2.0) keep everything")
+    // monotonicity: halving every rate can only shrink the sample
+    val half = RelationalOps.hashSampleWeighted(
+      df.withColumn("rate", col("rate") / 2), "id", "rate", "m")
+      .select("id").as[Long].collect().toSet
+    assert(half.subsetOf(kept), "lower rates must never ADD rows")
+    // negative rates clamp to 0
+    assert(RelationalOps.hashSampleWeighted(
+      df.withColumn("rate", lit(-0.5)), "id", "rate", "m").count() === 0)
+  }
+
+  test("sample comp_type: rate_column exclusive with fraction") {
+    val in = java.nio.file.Paths.get("target", "test-tmp", "sw_in")
+      .toAbsolutePath.toString
+    Seq((1L, 0.5)).toDF("id", "rate").write.mode("overwrite").parquet(in)
+    val sch =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "rate", "data_type": "float" } ] }""".stripMargin
+    val cfg =
+      s"""{ "name": "sw", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "sm", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "sm", "comp_type": "sample", "id_column": "id",
+         |    "rate_column": "rate", "fraction": 0.5,
+         |    "in_port_schemas": { "in": $sch },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "/nope",
+         |    "in_port_schemas": { "in": $sch } } ] }""".stripMargin
+    val e = intercept[Exception] {
+      graft.graph.JobGraph.build(spark, graft.config.JobConfig.parse(cfg))
+    }
+    assert(e.getMessage.contains("rate_column is exclusive"))
+  }
+
   // ---- dedup keep_by ----
 
   test("Dedup.exact keep_by: quality winner, id tiebreak, default unchanged") {

@@ -885,6 +885,47 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(sOut).filter($"id" === 3L).count() === 0)
   }
 
+  test("streaming_outlier_filter: static fences gate the stream") {
+    import spark.implicits._
+    val in = tmp("sof_in")
+    val ref = tmp("sof_ref")
+    // stream: one planted outlier per group; reference: the clean baseline
+    Seq((1L, "a", 10.0), (2L, "a", 11.0), (3L, "a", 500.0),
+      (4L, "b", 100.0), (5L, "b", 101.0))
+      .toDF("id", "g", "v").coalesce(1).write.mode("overwrite").parquet(in)
+    Seq(("a", 9.0), ("a", 10.0), ("a", 11.0), ("a", 12.0),
+      ("b", 99.0), ("b", 100.0), ("b", 101.0), ("b", 102.0))
+      .toDF("g", "v").coalesce(1).write.mode("overwrite").parquet(ref)
+    val sch =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "g", "data_type": "string" },
+        |  { "name": "v", "data_type": "float" } ] }""".stripMargin
+    val out = tmp("sof_out")
+    val cfg =
+      s"""{ "name": "sof", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "of", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "of", "comp_type": "streaming_outlier_filter",
+         |    "column": "v", "method": "iqr", "k": 1.5, "by": ["g"],
+         |    "reference_path": "$ref",
+         |    "in_port_schemas": { "in": $sch },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $sch } } ] }""".stripMargin
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp("sof_ckpt"))
+    val kept = spark.read.parquet(out).select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 4L, 5L),
+      "the planted outlier (id 3) must drop against the a-group baseline")
+    // parity: the batch two-frame face on the same frames agrees
+    val batch = graft.scale.Profile.outlierFilterAgainst(
+      spark.read.parquet(in), spark.read.parquet(ref), "v", "iqr", 1.5, Seq("g"))
+      .select("id").as[Long].collect().toSet
+    assert(batch === kept)
+  }
+
   test("embedding_transform streams: quantize parity with the batch fold") {
     import spark.implicits._
     val in = tmp("et_in")
