@@ -5075,6 +5075,93 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** Byte-entropy quality signal (TextAnalysis.charEntropy — the
+    * codegen'd CharEntropy kernel): every 9th doc becomes a repeated
+    * "ab" pad (entropy exactly 1.0), every 17th an empty string (0.0),
+    * the rest keep their prose (~4 bits/byte). The corpus is ASCII
+    * (checked at gate design time), so DuckDB's per-character frequency
+    * replay equals the byte histogram; both engines round to 6 (the
+    * fold order differs across engines only in float round-off). */
+  private def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
+    val seeded = table(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 9 === 0, lit("ab" * 50))
+        .when(col("doc_id") % 17 === 0, lit(""))
+        .otherwise(col("text")).as("text"))
+    seeded.select(col("doc_id"),
+      round(graft.scale.TextAnalysis.charEntropy(col("text")), 6)
+        .as("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle for q_text_entropy / q_job_text_entropy. */
+  private val textEntropyOracle: String =
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 0 THEN repeat('ab', 50)
+      |         WHEN doc_id % 17 = 0 THEN ''
+      |         ELSE text END AS text
+      |  FROM documents),
+      |chars AS (
+      |  SELECT doc_id, unnest(str_split(text, '')) AS ch
+      |  FROM seeded WHERE len(text) > 0),
+      |freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+      |tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id),
+      |e AS (
+      |  SELECT f.doc_id, -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS ent
+      |  FROM freq f JOIN tot USING (doc_id) GROUP BY f.doc_id)
+      |SELECT s.doc_id, round(coalesce(e.ent, 0.0), 6) AS char_entropy
+      |FROM seeded s LEFT JOIN e ON s.doc_id = e.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** The SAME signal through the text_analysis component's entropy=true
+    * opt-in (schema-compat discipline: the column appears only when
+    * asked for). */
+  private def qJobTextEntropy(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_text_entropy"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val seedSchema = fieldsJson("doc_id" -> "integer", "text" -> "string")
+    val taSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "n_tokens" -> "integer", "n_tokens_bpe" -> "integer",
+      "punct_ratio" -> "float", "stopword_ratio" -> "float",
+      "quality" -> "float", "lang_pred" -> "string",
+      "fingerprint" -> "string", "char_entropy" -> "float")
+    val outSchema = fieldsJson("doc_id" -> "integer", "char_entropy" -> "float")
+    val seedSql = "SELECT doc_id, CASE WHEN doc_id % 9 = 0 " +
+      "THEN repeat('ab', 50) WHEN doc_id % 17 = 0 THEN '' " +
+      "ELSE text END AS text FROM seed_in"
+    val jobJson =
+      s"""{
+         |  "name": "text_entropy_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "seed", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "seed", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(seedSql)},
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "ta", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $seedSchema } },
+         |    { "name": "ta", "comp_type": "text_analysis", "entropy": true,
+         |      "in_port_schemas": { "in": $seedSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $taSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, round(char_entropy, 6) AS char_entropy FROM proj_in",
+         |      "in_port_schemas": { "in": $taSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -5239,6 +5326,8 @@ object SparkEntry {
     "q_job_dedup_keep_best" -> (qJobDedupKeepBest _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_job_sample_weighted" -> (qJobSampleWeighted _),
+    "q_text_entropy" -> (qTextEntropy _),
+    "q_job_text_entropy" -> (qJobTextEntropy _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -6343,6 +6432,8 @@ object SparkEntry {
     "q_job_dedup_keep_best" -> dedupKeepBestOracle,
     "q_sample_weighted" -> sampleWeightedOracle,
     "q_job_sample_weighted" -> sampleWeightedOracle,
+    "q_text_entropy" -> textEntropyOracle,
+    "q_job_text_entropy" -> textEntropyOracle,
     "q_group_cap" -> groupCapOracle,
     "q_job_group_cap" -> groupCapOracle,
     "q_group_cap_uniform" ->

@@ -221,7 +221,8 @@ object ComponentSchemas {
     "text_analysis" -> ("Token counts, quality ratios, language id" -> Seq(
       p("text_column", "string", "document text column, default 'text'"),
       p("repetition", "boolean", "append Gopher repetition signals (dup_line_ratio, top_gram, top_gram_ratio, dup_gram_ratio), default false"),
-      p("repetition_n", "integer", "word n-gram width for the repetition signals, default 2"))),
+      p("repetition_n", "integer", "word n-gram width for the repetition signals, default 2"),
+      p("entropy", "boolean", "append char_entropy — Shannon entropy of the text's UTF-8 bytes in bits/byte (compression-proxy quality signal: prose ~4.0-4.5; base64/padding/binary score far off), default false"))),
     "similarity" -> ("Nearest-neighbor search: exact k-NN join or IVF cell probe" -> Seq(
       p("method", "string", "knn (default; ports corpus/queries) | ivf (ports corpus/centroids/query) | ivf_index (ports centroids/query over a write_ivf_index layout)"),
       p("index_path", "string", "ivf_index: directory written by write_ivf_index (REQUIRED when method=ivf_index)"),

@@ -935,13 +935,20 @@ object JobGraph {
         val textCol = c.str("text_column").getOrElse("text")
         val base = graft.scale.TextAnalysis.analyze(one(), textCol)
         // repetition=true appends the Gopher repetition signals
-        // (dup_line_ratio, top_gram, top_gram_ratio, dup_gram_ratio) —
-        // opt-in so existing jobs' declared output schemas stay valid
-        val out =
+        // (dup_line_ratio, top_gram, top_gram_ratio, dup_gram_ratio);
+        // entropy=true appends char_entropy (bits/byte compression
+        // proxy) — both opt-in so existing jobs' declared output
+        // schemas stay valid
+        val withRep =
           if (c.bool("repetition", false))
             graft.scale.TextAnalysis.repetitionStats(base, textCol,
               c.int("repetition_n", 2))
           else base
+        val out =
+          if (c.bool("entropy", false))
+            withRep.withColumn("char_entropy",
+              graft.scale.TextAnalysis.charEntropy(col(textCol)))
+          else withRep
         (Map("out" -> out), None)
 
       // Context-window chunking (TextAnalysis.chunk): fan each document

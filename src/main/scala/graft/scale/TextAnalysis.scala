@@ -367,6 +367,14 @@ object TextAnalysis {
       .withColumn(prefix + "path", part(path))
   }
 
+  /** Shannon entropy of the text's UTF-8 bytes in bits per byte — the
+    * compression-proxy quality signal (codegen'd CharEntropy kernel:
+    * one per-row histogram pass, no explode, no shuffle). Natural prose
+    * sits ~4.0-4.5 bits/byte; base64/hex blobs, repeated padding, and
+    * binary spill score far off that band. */
+  def charEntropy(text: Column): Column =
+    graft.functions.CharEntropy.entropy(text)
+
   /** All analyses as one projection, for pipeline use. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

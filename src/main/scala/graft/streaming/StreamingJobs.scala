@@ -223,16 +223,21 @@ object StreamingJobs {
           require(xs.nonEmpty, s"merge ${c.name}: no inputs")
           Map("merge" -> xs.reduce(_.unionByName(_)))
         case "text_analysis" =>
-          // same surface as the batch dispatch incl. the repetition
-          // opt-in — the repetition signals are a per-row codegen'd
-          // narrow map, so they stream as-is
+          // same surface as the batch dispatch incl. the repetition and
+          // entropy opt-ins — all per-row codegen'd narrow maps, so
+          // they stream as-is
           val textCol = c.str("text_column").getOrElse("text")
           val base = graft.scale.TextAnalysis.analyze(one(c), textCol)
-          Map("out" ->
-            (if (c.bool("repetition", false))
+          val withRep =
+            if (c.bool("repetition", false))
               graft.scale.TextAnalysis.repetitionStats(base, textCol,
                 c.int("repetition_n", 2))
-            else base))
+            else base
+          Map("out" ->
+            (if (c.bool("entropy", false))
+              withRep.withColumn("char_entropy",
+                graft.scale.TextAnalysis.charEntropy(col(textCol)))
+            else withRep))
 
         // stateless narrow map like text_analysis: streams as-is
         case "pii_redact" =>
