@@ -5162,6 +5162,75 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** Incremental exact dedup (Dedup.exactAgainst): the reference is a
+    * case/whitespace VARIANT of every 3rd document (same normalized
+    * key, different bytes — proving the key rule, not byte equality),
+    * so exactly the docs with doc_id % 3 != 0 survive. */
+  private def qDedupAgainst(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+      .select(concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+    Dedup.exactAgainst(docs, ref, "text")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle for q_dedup_against / q_job_dedup_against. */
+  private val dedupAgainstOracle: String =
+    """SELECT d.doc_id, d.n_chars FROM documents d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents r WHERE r.doc_id % 3 = 0
+      |    AND regexp_replace(lower(trim('  ' || upper(r.text) || ' ')),
+      |          '\s+', ' ', 'g')
+      |      = regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'))
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** The SAME incremental dedup through the declarative dedup_against
+    * component — the reference variant is built by a sql component and
+    * wired to the `reference` port. */
+  private def qJobDedupAgainst(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_dedup_against"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val refSchema = fieldsJson("text" -> "string")
+    val outSchema = fieldsJson("doc_id" -> "integer", "n_chars" -> "integer")
+    val refSql = "SELECT concat('  ', upper(text), ' ') AS text " +
+      "FROM ref_in WHERE doc_id % 3 = 0"
+    val jobJson =
+      s"""{
+         |  "name": "dedup_against_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "ref", "in_port": "in" },
+         |                           { "to": "da", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "ref", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(refSql)},
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "da", "in_port": "reference" } ] },
+         |      "out_port_schemas": { "out": $refSchema } },
+         |    { "name": "da", "comp_type": "dedup_against",
+         |      "text_column": "text",
+         |      "in_port_schemas": { "in": $docSchema, "reference": $refSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": "SELECT doc_id, n_chars FROM proj_in",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -5328,6 +5397,8 @@ object SparkEntry {
     "q_job_sample_weighted" -> (qJobSampleWeighted _),
     "q_text_entropy" -> (qTextEntropy _),
     "q_job_text_entropy" -> (qJobTextEntropy _),
+    "q_dedup_against" -> (qDedupAgainst _),
+    "q_job_dedup_against" -> (qJobDedupAgainst _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -6434,6 +6505,8 @@ object SparkEntry {
     "q_job_sample_weighted" -> sampleWeightedOracle,
     "q_text_entropy" -> textEntropyOracle,
     "q_job_text_entropy" -> textEntropyOracle,
+    "q_dedup_against" -> dedupAgainstOracle,
+    "q_job_dedup_against" -> dedupAgainstOracle,
     "q_group_cap" -> groupCapOracle,
     "q_job_group_cap" -> groupCapOracle,
     "q_group_cap_uniform" ->

@@ -193,6 +193,13 @@ object ComponentSchemas {
     "streaming_group_cap" -> ("Streaming per-group quota (flatMapGroupsWithState): keep the FIRST `cap` rows per `by` group over the stream's lifetime — one Long of state per distinct group, no watermark. The cap is exact across microbatches; the kept subset follows arrival order (streams have no replayable order — use batch group_cap for order-exact curation). STATE GROWS WITH GROUP CARDINALITY AND NEVER EXPIRES: a lifetime quota cannot time out (an expired counter would re-admit rows past the cap), so state is one counter per distinct group ever seen, forever — key on bounded-cardinality columns (source, language, shard), never a per-document id" -> Seq(
       req("cap", "integer", "max rows emitted per group over the stream's lifetime (>= 1)"),
       p("by", "array", "quota-group columns (bounded-cardinality keys: source, language, shard — state holds one counter per distinct group forever)"))),
+    "dedup_against" -> ("Incremental exact dedup: keep only `in`-port rows whose normalized text key (lowercase, whitespace-collapse — the dedup family's exactKey) does NOT appear on the `reference` port — the ingest-time 'drop documents we already have' primitive that avoids re-deduplicating the whole corpus per batch. One anti-join (reference broadcasts when small); NULL-text rows are always kept (a NULL key never equals)" -> Seq(
+      p("text_column", "string", "document text column on the in port, default 'text'"),
+      p("reference_text_column", "string", "text column on the reference port, default = text_column"))),
+    "streaming_dedup_against" -> ("Stream-static incremental exact dedup: drop stream rows whose normalized text key already exists in the reference_path parquet corpus — a stateless stream-static LEFT ANTI join (no watermark, no state store; the reference is closed, unlike in-stream streaming_dedup which needs a watermark TTL). NULL-text rows pass through" -> Seq(
+      req("reference_path", "string", "parquet path of the existing corpus the stream is deduplicated against"),
+      p("text_column", "string", "document text column on the stream, default 'text'"),
+      p("reference_text_column", "string", "text column on the reference, default = text_column"))),
     "streaming_outlier_filter" -> ("Stream-static outlier gate: keep stream rows whose numeric `column` sits inside fences computed ONCE from the reference_path parquet baseline (an unwindowed aggregate over the stream itself could never finalize) — method=zscore or iqr, global or per `by` group, broadcast onto the stream as a stateless narrow filter (no watermark, no state store). NULL values and NULL group keys drop, matching the batch outlier_filter" -> Seq(
       req("column", "string", "numeric signal column the fences apply to (must exist on both the stream and the reference)"),
       req("reference_path", "string", "parquet path of the static baseline the fences are computed from"),
@@ -427,6 +434,9 @@ object ComponentSchemas {
           Seq(("out", false, true)), None)
       case "decontaminate" =>
         (Seq(("corpus", true, false), ("benchmark", true, false)),
+          Seq(("out", true, true)), None)
+      case "dedup_against" =>
+        (Seq(("in", true, false), ("reference", true, false)),
           Seq(("out", true, true)), None)
       case "asof_join" | "set_op" | "range_join" =>
         (Seq(("left", true, false), ("right", true, false)), Seq(("out", true, true)), None)

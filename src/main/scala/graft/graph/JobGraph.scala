@@ -78,6 +78,8 @@ object JobGraph {
       Seq("corpus", "centroids").map(PortSpec(_, required = true, multi = false))
     case "decontaminate" =>
       Seq("corpus", "benchmark").map(PortSpec(_, required = true, multi = false))
+    case "dedup_against" =>
+      Seq("in", "reference").map(PortSpec(_, required = true, multi = false))
     case "asof_join" | "set_op" | "range_join" =>
       Seq("left", "right").map(PortSpec(_, required = true, multi = false))
     case _ => Seq(PortSpec("in", required = true, multi = false))
@@ -1013,6 +1015,16 @@ object JobGraph {
       case "pii_redact" =>
         (Map("out" -> graft.scale.TextAnalysis.redactPiiWithCounts(one(),
           c.str("text_column").getOrElse("text"))), None)
+
+      // Incremental exact dedup (Dedup.exactAgainst): keep only `in`
+      // rows whose normalized key is absent from the `reference` port —
+      // the ingest-time "drop documents we already have" primitive.
+      // One anti-join, no window, no state.
+      case "dedup_against" =>
+        (Map("out" -> graft.scale.Dedup.exactAgainst(port("in"),
+          port("reference"),
+          c.str("text_column").getOrElse("text"),
+          c.str("reference_text_column").getOrElse(""))), None)
 
       // Benchmark decontamination (scale/Decontaminate.scala): flag or
       // drop corpus docs sharing word n-grams with the `benchmark` port's

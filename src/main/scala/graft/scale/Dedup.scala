@@ -107,6 +107,33 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /**
+   * Incremental exact dedup: keep only the rows of `df` whose
+   * normalized key does NOT appear in `reference` — the ingest-time
+   * primitive ("drop documents we already have") that avoids
+   * re-deduplicating the whole corpus per batch. One anti-join on the
+   * key: both sides hash-shuffle on md5-sized keys (or the reference
+   * broadcasts when small — Catalyst/AQE's call), no window, no state.
+   * NULL text normalizes to a NULL key, which never equals — null-text
+   * rows are always kept (they carry no key evidence; an exact() pass
+   * downstream still groups them). Also the STREAMING shape: with a
+   * static reference this is a stream-static left-anti join, stateless
+   * (streaming_dedup_against) — unlike in-stream dedup it needs no
+   * watermark because the reference is closed.
+   */
+  def exactAgainst(df: DataFrame, reference: DataFrame, textCol: String,
+                   refTextCol: String = ""): DataFrame = {
+    val refCol = if (refTextCol.isEmpty) textCol else refTextCol
+    require(reference.columns.contains(refCol),
+      s"dedup_against: no column '$refCol' on the reference frame " +
+        s"(columns: ${reference.columns.mkString(", ")})")
+    val refKeys = reference
+      .select(exactKey(col(refCol)).as("__ref_key"))
+      .filter(col("__ref_key").isNotNull)
+      .distinct()
+    df.join(refKeys, exactKey(col(textCol)) === col("__ref_key"), "left_anti")
+  }
+
   /** Character shingles (n-grams) of the normalized text, distinct —
     * the codegen'd CharShingles expression (one compiled pass vs an
     * interpreted substr per character position; WordShinglesSpec pins

@@ -62,6 +62,7 @@ object StreamingJobs {
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "streaming_asof_join", "streaming_range_join", "streaming_decontaminate",
     "streaming_group_cap", "streaming_outlier_filter",
+    "streaming_dedup_against",
     "write_csv", "write_json", "write_parquet")
 
   final case class SinkPlan(component: String, df: DataFrame, format: String,
@@ -375,6 +376,18 @@ object StreamingJobs {
                 s"flagged|clean, got '$other'")
           }
           Map("out" -> out)
+
+        // Stream-static incremental exact dedup (Dedup.exactAgainst):
+        // the existing corpus comes from reference_path (batch parquet),
+        // and the stream anti-joins it statelessly — no watermark
+        // needed, the reference is closed (in-stream dedup stays with
+        // streaming_dedup's watermark TTL).
+        case "streaming_dedup_against" =>
+          val refDf = graft.io.ParquetIO.read(spark, c.reqStr("reference_path"))
+          Map("out" -> graft.scale.Dedup.exactAgainst(
+            one(c), refDf,
+            c.str("text_column").getOrElse("text"),
+            c.str("reference_text_column").getOrElse("")))
 
         // Stream-static outlier gate (Profile.outlierFilterAgainst):
         // fences come from `reference_path` (a batch parquet baseline —

@@ -51,7 +51,8 @@ class ComponentSchemasSpec extends AnyFunSuite {
     assert(StreamingJobsTypes.streamingOnly ===
       Set("streaming_aggregation", "streaming_dedup", "streaming_asof_join",
         "streaming_range_join", "streaming_decontaminate",
-        "streaming_group_cap", "streaming_outlier_filter"))
+        "streaming_group_cap", "streaming_outlier_filter",
+        "streaming_dedup_against"))
   }
 
   test("streaming_group_cap discovery doc declares the never-expiring state contract") {

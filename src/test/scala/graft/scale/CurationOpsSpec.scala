@@ -327,6 +327,25 @@ class CurationOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("keep_by applies only to method=exact"))
   }
 
+  // ---- dedup_against ----
+
+  test("exactAgainst: key-normalized anti-join; null text always survives") {
+    val df = Seq((1L, "Known   Doc"), (2L, "fresh doc"), (3L, null))
+      .toDF("id", "text")
+    val ref = Seq(Tuple1("  known doc "), Tuple1(null: String)).toDF("text")
+    val kept = Dedup.exactAgainst(df, ref, "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L),
+      "case/whitespace variant drops; null text is keyless and survives")
+    intercept[IllegalArgumentException](
+      Dedup.exactAgainst(df, ref.withColumnRenamed("text", "t"), "text"))
+    // explicit reference_text_column resolves the renamed frame
+    val kept2 = Dedup.exactAgainst(df,
+      ref.withColumnRenamed("text", "t"), "text", "t")
+      .select("id").as[Long].collect().toSet
+    assert(kept2 === kept)
+  }
+
   // ---- embedding_transform ----
 
   test("l2NormalizeVectors: unit norm; zero vector → null unit, norm kept") {

@@ -885,6 +885,36 @@ class StreamingJobsSpec extends SparkTestBase {
     assert(spark.read.parquet(sOut).filter($"id" === 3L).count() === 0)
   }
 
+  test("streaming_dedup_against: static corpus drops known keys, statelessly") {
+    import spark.implicits._
+    val in = tmp("sda_in")
+    val ref = tmp("sda_ref")
+    Seq((1L, "Known   Doc"), (2L, "fresh doc"), (3L, "another fresh"))
+      .toDF("id", "text").coalesce(1).write.mode("overwrite").parquet(in)
+    Seq(Tuple1("  known doc ")).toDF("text")
+      .coalesce(1).write.mode("overwrite").parquet(ref)
+    val sch =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val out = tmp("sda_out")
+    val cfg =
+      s"""{ "name": "sda", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "da", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "da", "comp_type": "streaming_dedup_against",
+         |    "reference_path": "$ref",
+         |    "in_port_schemas": { "in": $sch },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $sch } } ] }""".stripMargin
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp("sda_ckpt"))
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSet ===
+      Set(2L, 3L), "the case/whitespace-variant known doc must drop")
+  }
+
   test("streaming_outlier_filter: static fences gate the stream") {
     import spark.implicits._
     val in = tmp("sof_in")
