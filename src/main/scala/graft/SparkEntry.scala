@@ -5231,6 +5231,57 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** Top-40 corpus bigrams (TextAnalysis.topGrams n=2): every gram
+    * position counted from the lowercase \s+ tokenization — the
+    * boilerplate-detection stat. Deterministic (count desc, gram asc)
+    * boundary on both engines. */
+  private def qTextTopkGrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topGrams(table(s, dir, "documents"), "text", k = 40, n = 2)
+
+  /** Shared oracle for q_text_topk_grams / q_job_top_tokens. */
+  private val textTopkGramsOracle: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT unnest([array_to_string(tk[i:i+1], ' ')
+      |    for i in range(1, len(tk))]) AS gram
+      |  FROM toks WHERE len(tk) >= 2)
+      |SELECT gram, count(*)::BIGINT AS n_occurrences
+      |FROM grams GROUP BY gram
+      |ORDER BY n_occurrences DESC, gram LIMIT 40""".stripMargin
+
+  /** The SAME stat through the declarative top_tokens component
+    * (k/n config parsing end-to-end). */
+  private def qJobTopTokens(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_top_tokens"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val outSchema = fieldsJson("gram" -> "string", "n_occurrences" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "top_tokens_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "tt", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "tt", "comp_type": "top_tokens", "k": 40, "n": 2,
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .orderBy(col("n_occurrences").desc, col("gram"))
+  }
+
   // ----------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -5399,6 +5450,8 @@ object SparkEntry {
     "q_job_text_entropy" -> (qJobTextEntropy _),
     "q_dedup_against" -> (qDedupAgainst _),
     "q_job_dedup_against" -> (qJobDedupAgainst _),
+    "q_text_topk_grams" -> (qTextTopkGrams _),
+    "q_job_top_tokens" -> (qJobTopTokens _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -6507,6 +6560,8 @@ object SparkEntry {
     "q_job_text_entropy" -> textEntropyOracle,
     "q_dedup_against" -> dedupAgainstOracle,
     "q_job_dedup_against" -> dedupAgainstOracle,
+    "q_text_topk_grams" -> textTopkGramsOracle,
+    "q_job_top_tokens" -> textTopkGramsOracle,
     "q_group_cap" -> groupCapOracle,
     "q_job_group_cap" -> groupCapOracle,
     "q_group_cap_uniform" ->

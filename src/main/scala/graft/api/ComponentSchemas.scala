@@ -193,6 +193,10 @@ object ComponentSchemas {
     "streaming_group_cap" -> ("Streaming per-group quota (flatMapGroupsWithState): keep the FIRST `cap` rows per `by` group over the stream's lifetime — one Long of state per distinct group, no watermark. The cap is exact across microbatches; the kept subset follows arrival order (streams have no replayable order — use batch group_cap for order-exact curation). STATE GROWS WITH GROUP CARDINALITY AND NEVER EXPIRES: a lifetime quota cannot time out (an expired counter would re-admit rows past the cap), so state is one counter per distinct group ever seen, forever — key on bounded-cardinality columns (source, language, shard), never a per-document id" -> Seq(
       req("cap", "integer", "max rows emitted per group over the stream's lifetime (>= 1)"),
       p("by", "array", "quota-group columns (bounded-cardinality keys: source, language, shard — state holds one counter per distinct group forever)"))),
+    "top_tokens" -> ("Corpus top-k vocabulary / n-gram stats: the k most frequent lowercase whitespace tokens (n=1, column `token`) or word n-grams counted per POSITION (n>1, column `gram` — a dominating bigram/trigram is navigation chrome or licence boilerplate), with occurrence counts and a deterministic (count desc, gram asc) boundary. Explode → partial count → one shuffle → TakeOrderedAndProject; batch-only (a global top-k over an unbounded stream never finalizes)" -> Seq(
+      req("k", "integer", "number of top entries (> 0)"),
+      p("n", "integer", "gram width, default 1 (tokens)"),
+      p("text_column", "string", "document text column, default 'text'"))),
     "dedup_against" -> ("Incremental exact dedup: keep only `in`-port rows whose normalized text key (lowercase, whitespace-collapse — the dedup family's exactKey) does NOT appear on the `reference` port — the ingest-time 'drop documents we already have' primitive that avoids re-deduplicating the whole corpus per batch. One anti-join (reference broadcasts when small); NULL-text rows are always kept (a NULL key never equals)" -> Seq(
       p("text_column", "string", "document text column on the in port, default 'text'"),
       p("reference_text_column", "string", "text column on the reference port, default = text_column"))),

@@ -1016,6 +1016,17 @@ object JobGraph {
         (Map("out" -> graft.scale.TextAnalysis.redactPiiWithCounts(one(),
           c.str("text_column").getOrElse("text"))), None)
 
+      // Corpus top-k vocabulary / n-gram stats (TextAnalysis.topGrams):
+      // explode → partial count → one shuffle on the gram → top-k with
+      // a deterministic boundary. Batch-only (a global top-k over an
+      // unbounded stream never finalizes).
+      case "top_tokens" =>
+        val k = c.intOpt("k").getOrElse(
+          throw new IllegalArgumentException(
+            s"top_tokens ${c.name}: missing integer 'k'"))
+        (Map("out" -> graft.scale.TextAnalysis.topGrams(one(),
+          c.str("text_column").getOrElse("text"), k, c.int("n", 1))), None)
+
       // Incremental exact dedup (Dedup.exactAgainst): keep only `in`
       // rows whose normalized key is absent from the `reference` port —
       // the ingest-time "drop documents we already have" primitive.

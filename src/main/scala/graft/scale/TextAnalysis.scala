@@ -34,6 +34,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Exact top-k most frequent word n-grams over a corpus — the
+    * template/boilerplate-detection stat next to [[topTokens]]'s
+    * vocabulary (a bigram/trigram dominating the corpus is navigation
+    * chrome or licence boilerplate). n = 1 delegates to topTokens
+    * (column `token`); n > 1 counts every gram POSITION (occurrences,
+    * not document frequency) from the same lowercase \s+ tokenization,
+    * emitting column `gram`. Documents with fewer than n tokens (and
+    * NULL text) contribute nothing. Same distributed shape as
+    * topTokens: explode → partial count → ONE shuffle on the gram →
+    * TakeOrderedAndProject, deterministic (count desc, gram asc)
+    * boundary. */
+  def topGrams(df: DataFrame, textCol: String, k: Int, n: Int = 1): DataFrame = {
+    require(k > 0, s"topGrams: k must be positive, got $k")
+    require(n >= 1, s"topGrams: n must be >= 1, got $n")
+    if (n == 1) topTokens(df, textCol, k)
+    else {
+      val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+      val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      df.select(explode(grams).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("gram"))
+        .limit(k)
+    }
+  }
+
   /**
    * BPE-ish subword proxy: counts word pieces + digits + punctuation runs the
    * way byte-pair tokenizers tend to split. A deterministic upper-ish bound
