@@ -42,7 +42,8 @@ object ComponentSchemas {
       p("partition_by", "array", "Hive-style partition columns (directory layout)"),
       p("coalesce", "integer", "shrink to N output partitions before writing (small-files control for dimension-sized outputs)"),
       p("sort_by", "array", "data-skipping layout: range-partition + sort on these keys so each file carries a disjoint range and min/max stats skip files (high-cardinality keys that can't be directories); exclusive with coalesce"),
-      p("files", "integer", "range-partition count for sort_by, default = session shuffle partitions"))),
+      p("files", "integer", "range-partition count for sort_by, default = session shuffle partitions"),
+      p("max_records_per_file", "integer", "split each task's output at this row cap — bounded training shards; composes with partition_by/sort_by (splitting a sorted run keeps ranges disjoint)"))),
     "read_orc" -> ("Read an ORC file or directory (vectorized, pruned, pushdown like parquet)" -> Seq(filepath)),
     "write_orc" -> ("Write ORC" -> Seq(filepath,
       p("partition_by", "array", "Hive-style partition columns (directory layout)"),

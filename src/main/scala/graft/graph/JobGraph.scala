@@ -551,6 +551,14 @@ object JobGraph {
             "(a post-sort coalesce would merge the disjoint ranges back)")
         files.foreach(n => require(n >= 1,
           s"write_parquet ${c.name}: files must be >= 1, got $n"))
+        // max_records_per_file: the output-SHARD size lever (training
+        // loaders want bounded shards; a 10 B-row partition written as
+        // one file defeats any downstream parallelism). Spark splits
+        // each task's output at the cap — composes with partition_by
+        // and sort_by (splitting a sorted run keeps ranges disjoint).
+        val maxRecords = c.longOpt("max_records_per_file")
+        maxRecords.foreach(n => require(n >= 1,
+          s"write_parquet ${c.name}: max_records_per_file must be >= 1, got $n"))
         (Map("out" -> df), Some(() => {
           val src =
             if (sortBy.nonEmpty) {
@@ -560,7 +568,9 @@ object JobGraph {
                 .getOrElse(df.repartitionByRange(keys: _*))
               ranged.sortWithinPartitions(keys: _*)
             } else coalesceTo.map(df.coalesce).getOrElse(df)
-          val w = src.write.mode("overwrite")
+          val w0 = src.write.mode("overwrite")
+          val w = maxRecords.map(n => w0.option("maxRecordsPerFile", n))
+            .getOrElse(w0)
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
         }))
 

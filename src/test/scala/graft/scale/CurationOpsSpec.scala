@@ -346,6 +346,44 @@ class CurationOpsSpec extends SparkTestBase {
     assert(kept2 === kept)
   }
 
+  test("exactAgainst: small reference broadcasts — no big-side exchange for the join") {
+    val df = (1 to 200).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val ref = Seq(Tuple1("doc 7")).toDF("text")
+    val plan = Dedup.exactAgainst(df, ref, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"small reference must broadcast the anti-join:\n$plan")
+  }
+
+  test("write_parquet max_records_per_file: bounded shards, content intact") {
+    val in = java.nio.file.Paths.get("target", "test-tmp", "mrpf_in")
+      .toAbsolutePath.toString
+    val out = java.nio.file.Paths.get("target", "test-tmp", "mrpf_out")
+      .toAbsolutePath.toString
+    (1 to 100).map(i => (i.toLong, s"row $i")).toDF("id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val sch =
+      """{ "fields": [
+        |  { "name": "id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val cfg =
+      s"""{ "name": "mrpf", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "coalesce": 1, "max_records_per_file": 30,
+         |    "in_port_schemas": { "in": $sch } } ] }""".stripMargin
+    val built = graft.graph.JobGraph.build(spark,
+      graft.config.JobConfig.parse(cfg))
+    built.runSinks(); built.close()
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 4, "100 rows / cap 30 = 4 shards from one task")
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSet ===
+      (1 to 100).map(_.toLong).toSet, "content survives the split")
+  }
+
   // ---- embedding_transform ----
 
   test("l2NormalizeVectors: unit norm; zero vector → null unit, norm kept") {
