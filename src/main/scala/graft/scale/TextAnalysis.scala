@@ -44,7 +44,14 @@ object TextAnalysis {
     * NULL text) contribute nothing. Same distributed shape as
     * topTokens: explode → partial count → ONE shuffle on the gram →
     * TakeOrderedAndProject, deterministic (count desc, gram asc)
-    * boundary. */
+    * boundary.
+    *
+    * Cost is genuinely LINEAR in gram positions (~n_tokens per doc —
+    * CurationProbe measures ~10M grams/s at local[32]); at 100 TB run
+    * it on a deterministic hashSample of the corpus: frequency RANKS
+    * converge fast under uniform sampling, and the md5 sample is
+    * reproducible, so the sampled top-k is a stable, documented
+    * estimate rather than a silent cap. */
   def topGrams(df: DataFrame, textCol: String, k: Int, n: Int = 1): DataFrame = {
     require(k > 0, s"topGrams: k must be positive, got $k")
     require(n >= 1, s"topGrams: n must be >= 1, got $n")

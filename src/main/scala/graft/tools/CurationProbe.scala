@@ -18,15 +18,23 @@ import graft.ops.RelationalOps
   *
   * Measured (local[32], sf0.1 docs = 5k rows replicated; warm 10x vs
   * 100x, i.e. 50k vs 500k docs, 2026-08-14):
-  *   chunk(200,50)        0.29 s → 0.53 s   (1.8x time for 10x rows)
-  *   text_normalize(all)  0.42 s → 1.27 s   (3.0x)
-  *   url_features         0.20 s → 0.52 s   (2.6x)
-  *   outlier_filter       0.58 s → 1.14 s   (2.0x)
-  *   pack_units           0.41 s → 1.22 s   (3.0x)
-  *   group_cap            0.40 s → 0.71 s   (1.8x)
-  * All ≤ 3x for 10x input — fixed per-job overhead still dominates at
-  * this scale; nothing is super-linear, consistent with the
-  * narrow-map / single-exchange plan shapes the specs pin.
+  *   chunk(200,50)        0.37 s → 0.50 s   (1.4x time for 10x rows)
+  *   text_normalize(all)  0.62 s → 0.92 s   (1.5x)
+  *   url_features         0.26 s → 0.53 s   (2.0x)
+  *   outlier_filter       0.86 s → 1.02 s   (1.2x)
+  *   pack_units           0.70 s → 1.04 s   (1.5x)
+  *   group_cap            0.66 s → 0.76 s   (1.2x)
+  *   char_entropy         0.21 s → 0.27 s   (1.3x — ~7M docs/s kernel)
+  *   dedup_against        0.89 s → 0.97 s   (1.1x — broadcast anti-join)
+  *   sample_weighted      0.32 s → 0.57 s   (1.8x)
+  *   top_grams(n=2,k=40)  2.59 s → 13.64 s  (5.3x — genuinely linear in
+  *     gram POSITIONS: 135M bigrams explode + shuffle; ~10M grams/s.
+  *     The 100 TB path is documented on topGrams: run vocabulary stats
+  *     on a deterministic hashSample — frequency ranks converge fast.)
+  * Everything except the inherently-linear gram count is ≤ 2x for 10x
+  * input — fixed per-job overhead still dominates at this scale;
+  * nothing is super-linear, consistent with the narrow-map /
+  * single-exchange plan shapes the specs pin.
   */
 object CurationProbe {
 
@@ -87,6 +95,27 @@ object CurationProbe {
       }
       t(s"group_cap(100, by source) ${fac}x") {
         RelationalOps.groupCap(docs, "doc_id", 100, Seq("source"))
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      t(s"char_entropy ${fac}x") {
+        docs.select(TextAnalysis.charEntropy(col("text")).as("h"))
+          .agg(sum(col("h")).cast("long")).head().getLong(0)
+      }
+      t(s"dedup_against(1x ref) ${fac}x") {
+        // reference = one replica's worth of keys: every replica's rows
+        // carry a distinct salt, so survivors = (fac-1)/fac of the corpus
+        Dedup.exactAgainst(docs,
+          docs.limit(5000).select(col("text")), "text")
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      t(s"top_grams(n=2, k=40) ${fac}x") {
+        TextAnalysis.topGrams(docs, "text", 40, 2)
+          .agg(sum(col("n_occurrences"))).head().getLong(0)
+      }
+      t(s"sample_weighted ${fac}x") {
+        RelationalOps.hashSampleWeighted(
+          docs.withColumn("rate", col("n_chars") / lit(1000.0)),
+          "doc_id", "rate")
           .agg(count(lit(1))).head().getLong(0)
       }
       docs.unpersist()
