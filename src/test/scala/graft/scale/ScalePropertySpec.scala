@@ -79,6 +79,50 @@ class ScalePropertySpec extends SparkTestBase {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("chunk matches the stride-grid model on random texts/sizes/overlaps") {
+    val textGen = Gen.frequency(
+      (1, Gen.const(null: String)),
+      (1, Gen.const("")),
+      (10, Gen.chooseNum(1, 60).flatMap(k =>
+        Gen.listOfN(k, Gen.alphaNumChar).map(_.mkString))))
+    for ((size, overlap, seed) <- Seq((4, 0, 41L), (7, 3, 42L), (10, 9, 43L),
+      (3, 1, 44L))) {
+      val texts = sampleN(textGen, 120, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val stride = size - overlap
+      // model straight from the scaladoc: starts 0, stride, … < len;
+      // each chunk is the size-bounded substring; null/empty → nothing
+      val expect = texts.flatMap { case (id, t) =>
+        if (t == null || t.isEmpty) Nil
+        else (0 until t.length by stride).zipWithIndex.map { case (s, ix) =>
+          (id, ix.toLong, t.substring(s, math.min(s + size, t.length))) }
+      }.sorted
+      val got = TextAnalysis.chunk(texts.toDF("id", "text"), "text",
+        size, overlap)
+        .select("id", "chunk_index", "chunk_text")
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      assert(got === expect, s"size=$size overlap=$overlap diverged")
+    }
+  }
+
+  test("hashSampleWeighted matches the bucket-threshold model") {
+    val rowGen = Gen.frequency(
+      (1, Gen.const(Option.empty[Double])),
+      (8, Gen.chooseNum(-0.3, 1.4).map(Option(_))))
+    val rates = sampleN(rowGen, 300, 51L).zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }
+    val expect = rates.collect { case (id, Some(r)) =>
+      val bucket = java.lang.Long.parseLong(
+        md5hex(s"ws:$id").take(8), 16) % 10000
+      val threshold = math.round(math.max(math.min(r, 1.0), 0.0) * 10000)
+      (id, bucket < threshold)
+    }.collect { case (id, true) => id }.toSet
+    val got = graft.ops.RelationalOps.hashSampleWeighted(
+      rates.toDF("id", "rate"), "id", "rate", "ws")
+      .select("id").as[Long].collect().toSet
+    assert(got === expect)
+  }
+
   test("budgetSample matches the md5-order prefix model") {
     val rowGen = for {
       grp <- Gen.oneOf("a", "b", "c")
