@@ -7,9 +7,11 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
 
 /**
- * Distinct word n-gram shingles of a token array in one compiled pass —
+ * Word n-gram shingles of a token array in one compiled pass —
  * replacing Dedup.wordShingles's n-1 interpreted zip_with passes (each
- * concat_ws per position per pass).
+ * concat_ws per position per pass). Two modes: `distinct` (default —
+ * the dedup/jaccard posting-list need) and positional (`shinglesAll`,
+ * duplicates kept in order — the counting need of topGrams).
  *
  * Exact-semantics contract with the HOF form (pinned in
  * WordShinglesSpec over the real documents fixture):
@@ -21,7 +23,8 @@ import org.apache.spark.sql.types._
  *  - distinct keeps FIRST-occurrence order (array_distinct semantics);
  *  - null token array → null.
  */
-final case class WordShingles(child: Expression, n: Int)
+final case class WordShingles(child: Expression, n: Int,
+                              distinct: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
@@ -39,12 +42,14 @@ final case class WordShingles(child: Expression, n: Int)
     }
 
   override def nullSafeEval(v: Any): Any =
-    WordShingles.compute(v.asInstanceOf[ArrayData], n)
+    if (distinct) WordShingles.compute(v.asInstanceOf[ArrayData], n)
+    else WordShingles.computeAll(v.asInstanceOf[ArrayData], n)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val cls = WordShingles.getClass.getName.stripSuffix("$")
-      s"${ev.value} = $cls.compute($v, $n);"
+      val fn = if (distinct) "compute" else "computeAll"
+      s"${ev.value} = $cls.$fn($v, $n);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
@@ -57,9 +62,15 @@ object WordShingles {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Column face over a token array. */
+  /** Column face over a token array (distinct shingles — dedup's need). */
   def shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
+
+  /** Every shingle POSITION with duplicates, in order — the counting
+    * face (topGrams): same window/concat_ws rules, no distinct pass. */
+  def shinglesAll(tokens: Column, n: Int): Column =
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(tokens), n, distinct = false))
 
   private val SPACE = UTF8String.fromString(" ")
 
@@ -90,6 +101,28 @@ object WordShingles {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Compiled positional shingling — every position, duplicates kept,
+    * same window/concat_ws/short-list rules as [[compute]]. */
+  def computeAll(xs: ArrayData, n: Int): ArrayData = {
+    val size = xs.numElements()
+    if (size == 0) return new GenericArrayData(new Array[Any](0))
+    val positions = math.max(size - (n - 1), 1)
+    val out = new Array[Any](positions)
+    var i = 0
+    while (i < positions) {
+      val end = math.min(i + n, size)
+      var parts: List[UTF8String] = Nil
+      var j = end - 1
+      while (j >= i) {
+        if (!xs.isNullAt(j)) parts = xs.getUTF8String(j) :: parts
+        j -= 1
+      }
+      out(i) = UTF8String.concatWs(SPACE, parts: _*)
+      i += 1
+    }
     new GenericArrayData(out)
   }
 }

