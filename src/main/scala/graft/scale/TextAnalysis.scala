@@ -301,9 +301,11 @@ object TextAnalysis {
    * At scale: one narrow filter + one Generate (posexplode) in the SAME
    * task as the scan — no shuffle, no driver state; the fan-out factor
    * is ceil(len/stride) per row, bounded by the document length that is
-   * already in a single cell. The substring/sequence arithmetic is all
-   * codegen'd Column tree, and the chunk grid replays bit-exactly on
-   * any engine with 1-based substring (the DuckDB oracle does).
+   * already in a single cell. The chunk grid is the codegen'd
+   * CharChunks kernel (one compiled pass per row — the
+   * transform(sequence)+substr HOF form it replaced paid an interpreted
+   * evaluator dispatch per chunk), and it replays bit-exactly on any
+   * engine with 1-based character substring (the DuckDB oracle does).
    * `keepText=false` drops the source text column — after chunking the
    * full document is usually dead weight, and dropping it here keeps
    * the widest column out of every downstream exchange (json_extract's
@@ -319,10 +321,8 @@ object TextAnalysis {
       s"chunk: no column '$textCol' in ${df.columns.mkString(", ")}")
     Seq(indexCol, chunkCol).foreach(c => require(!df.columns.contains(c),
       s"chunk: input already has a '$c' column; pick another name"))
-    val stride = size - overlap
     val t = col(textCol)
-    val starts = sequence(lit(0), length(t) - 1, lit(stride))
-    val chunks = transform(starts, s => t.substr(s + lit(1), lit(size)))
+    val chunks = graft.functions.CharChunks.chunks(t, size, overlap)
     val exploded = df.filter(length(t) > 0) // null-safe: null fails it
       .select(col("*"), posexplode(chunks).as(Seq(indexCol, chunkCol)))
       .withColumn(indexCol, col(indexCol).cast("long"))
