@@ -47,7 +47,8 @@ object TextAnalysis {
     * boundary.
     *
     * Cost is genuinely LINEAR in gram positions (~n_tokens per doc —
-    * CurationProbe measures ~10M grams/s at local[32]); at 100 TB run
+    * CurationProbe measures ~75M grams/s at local[32] with the
+    * positional-WordShingles codegen kernel); at 100 TB run
     * it on a deterministic hashSample of the corpus: frequency RANKS
     * converge fast under uniform sampling, and the md5 sample is
     * reproducible, so the sampled top-k is a stable, documented

@@ -17,24 +17,25 @@ import graft.ops.RelationalOps
   * (the first factor is a discarded JIT warm-up pass).
   *
   * Measured (local[32], sf0.1 docs = 5k rows replicated; warm 10x vs
-  * 100x, i.e. 50k vs 500k docs, 2026-08-14):
-  *   chunk(200,50)        0.37 s → 0.50 s   (1.4x time for 10x rows)
-  *   text_normalize(all)  0.62 s → 0.92 s   (1.5x)
-  *   url_features         0.26 s → 0.53 s   (2.0x)
-  *   outlier_filter       0.86 s → 1.02 s   (1.2x)
-  *   pack_units           0.70 s → 1.04 s   (1.5x)
-  *   group_cap            0.66 s → 0.76 s   (1.2x)
-  *   char_entropy         0.21 s → 0.27 s   (1.3x — ~7M docs/s kernel)
-  *   dedup_against        0.89 s → 0.97 s   (1.1x — broadcast anti-join)
-  *   sample_weighted      0.32 s → 0.57 s   (1.8x)
-  *   top_grams(n=2,k=40)  2.59 s → 13.64 s  (5.3x — genuinely linear in
-  *     gram POSITIONS: 135M bigrams explode + shuffle; ~10M grams/s.
-  *     The 100 TB path is documented on topGrams: run vocabulary stats
-  *     on a deterministic hashSample — frequency ranks converge fast.)
-  * Everything except the inherently-linear gram count is ≤ 2x for 10x
-  * input — fixed per-job overhead still dominates at this scale;
-  * nothing is super-linear, consistent with the narrow-map /
-  * single-exchange plan shapes the specs pin.
+  * 100x, i.e. 50k vs 500k docs, 2026-08-14, with the CharChunks and
+  * positional-WordShingles codegen kernels):
+  *   chunk(200,50)        0.25 s → 0.46 s   (1.8x time for 10x rows)
+  *   text_normalize(all)  0.49 s → 1.08 s   (2.2x)
+  *   url_features         0.23 s → 0.95 s   (4.1x — regex-bound, linear)
+  *   outlier_filter       0.66 s → 1.00 s   (1.5x)
+  *   pack_units           0.55 s → 1.07 s   (1.9x)
+  *   group_cap            0.49 s → 0.64 s   (1.3x)
+  *   char_entropy         0.16 s → 0.26 s   (1.6x — ~8M docs/s kernel)
+  *   dedup_against        0.76 s → 1.01 s   (1.3x — broadcast anti-join)
+  *   sample_weighted      0.22 s → 0.52 s   (2.4x)
+  *   top_grams(n=2,k=40)  0.77 s → 1.80 s   (2.3x; 135M bigrams at
+  *     100x — ~75M grams/s since the positional-WordShingles kernel,
+  *     7.6x over the interpreted HOF chain it replaced. Still linear
+  *     in gram positions by nature; topGrams documents the 100 TB
+  *     practice of sampling for vocabulary stats.)
+  * Everything ≤ 4x for 10x input — fixed per-job overhead still
+  * dominates at this scale; nothing is super-linear, consistent with
+  * the narrow-map / single-exchange plan shapes the specs pin.
   */
 object CurationProbe {
 
