@@ -5186,6 +5186,20 @@ object SparkEntry {
       |      = regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'))
       |ORDER BY d.doc_id""".stripMargin
 
+  /** The bloom strategy of the same drop (Dedup.exactAgainstBloom):
+    * bloom negatives skip the exchange, candidates pay the exact join —
+    * identical survivors by construction, checked against the identical
+    * oracle. */
+  private def qDedupAgainstBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+      .select(concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+    Dedup.exactAgainstBloom(docs, ref, "text")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The SAME incremental dedup through the declarative dedup_against
     * component — the reference variant is built by a sql component and
     * wired to the `reference` port. */
@@ -5449,6 +5463,7 @@ object SparkEntry {
     "q_text_entropy" -> (qTextEntropy _),
     "q_job_text_entropy" -> (qJobTextEntropy _),
     "q_dedup_against" -> (qDedupAgainst _),
+    "q_dedup_against_bloom" -> (qDedupAgainstBloom _),
     "q_job_dedup_against" -> (qJobDedupAgainst _),
     "q_text_topk_grams" -> (qTextTopkGrams _),
     "q_job_top_tokens" -> (qJobTopTokens _),
@@ -6559,6 +6574,7 @@ object SparkEntry {
     "q_text_entropy" -> textEntropyOracle,
     "q_job_text_entropy" -> textEntropyOracle,
     "q_dedup_against" -> dedupAgainstOracle,
+    "q_dedup_against_bloom" -> dedupAgainstOracle,
     "q_job_dedup_against" -> dedupAgainstOracle,
     "q_text_topk_grams" -> textTopkGramsOracle,
     "q_job_top_tokens" -> textTopkGramsOracle,

@@ -198,11 +198,13 @@ object ComponentSchemas {
       req("k", "integer", "number of top entries (> 0)"),
       p("n", "integer", "gram width, default 1 (tokens)"),
       p("text_column", "string", "document text column, default 'text'"))),
-    "dedup_against" -> ("Incremental exact dedup: keep only `in`-port rows whose normalized text key (lowercase, whitespace-collapse — the dedup family's exactKey) does NOT appear on the `reference` port — the ingest-time 'drop documents we already have' primitive that avoids re-deduplicating the whole corpus per batch. One anti-join (reference broadcasts when small); NULL-text rows are always kept (a NULL key never equals)" -> Seq(
+    "dedup_against" -> ("Incremental exact dedup: keep only `in`-port rows whose normalized text key (lowercase, whitespace-collapse — the dedup family's exactKey) does NOT appear on the `reference` port — the ingest-time 'drop documents we already have' primitive that avoids re-deduplicating the whole corpus per batch. strategy=join (default, fully lazy): one anti-join, reference broadcasts when small. strategy=bloom (corpus-sized reference): probe a compact reference-key bloom as a codegen'd narrow map and send ONLY might-contain candidates to the exact join — bloom negatives are provably absent and skip the exchange; exactness preserved (a false positive just pays one row's join). NULL-text rows are always kept (a NULL key never equals)" -> Seq(
+      p("strategy", "string", "'join' (default) or 'bloom' — identical results, spec-pinned"),
       p("text_column", "string", "document text column on the in port, default 'text'"),
       p("reference_text_column", "string", "text column on the reference port, default = text_column"))),
-    "streaming_dedup_against" -> ("Stream-static incremental exact dedup: drop stream rows whose normalized text key already exists in the reference_path parquet corpus — a stateless stream-static LEFT ANTI join (no watermark, no state store; the reference is closed, unlike in-stream streaming_dedup which needs a watermark TTL). NULL-text rows pass through" -> Seq(
+    "streaming_dedup_against" -> ("Stream-static incremental exact dedup: drop stream rows whose normalized text key already exists in the reference_path parquet corpus — a stateless stream-static LEFT ANTI join (no watermark, no state store; the reference is closed, unlike in-stream streaming_dedup which needs a watermark TTL). strategy=bloom builds a compact key bloom from the static reference at plan time and anti-joins only the stream's might-contain candidates. NULL-text rows pass through" -> Seq(
       req("reference_path", "string", "parquet path of the existing corpus the stream is deduplicated against"),
+      p("strategy", "string", "'join' (default) or 'bloom' — identical results"),
       p("text_column", "string", "document text column on the stream, default 'text'"),
       p("reference_text_column", "string", "text column on the reference, default = text_column"))),
     "streaming_outlier_filter" -> ("Stream-static outlier gate: keep stream rows whose numeric `column` sits inside fences computed ONCE from the reference_path parquet baseline (an unwindowed aggregate over the stream itself could never finalize) — method=zscore or iqr, global or per `by` group, broadcast onto the stream as a stateless narrow filter (no watermark, no state store). NULL values and NULL group keys drop, matching the batch outlier_filter" -> Seq(

@@ -1041,9 +1041,17 @@ object JobGraph {
       // rows whose normalized key is absent from the `reference` port —
       // the ingest-time "drop documents we already have" primitive.
       // One anti-join, no window, no state.
+      // strategy=bloom probes a compact reference-key bloom as a narrow
+      // map and sends only candidates to the exact join — the
+      // corpus-sized-reference path (Dedup.exactAgainstBloom).
       case "dedup_against" =>
-        (Map("out" -> graft.scale.Dedup.exactAgainst(port("in"),
-          port("reference"),
+        val fn = c.str("strategy").getOrElse("join") match {
+          case "join" => graft.scale.Dedup.exactAgainst _
+          case "bloom" => graft.scale.Dedup.exactAgainstBloom _
+          case other => throw new IllegalArgumentException(
+            s"dedup_against ${c.name}: strategy must be join|bloom, got '$other'")
+        }
+        (Map("out" -> fn(port("in"), port("reference"),
           c.str("text_column").getOrElse("text"),
           c.str("reference_text_column").getOrElse(""))), None)
 

@@ -123,15 +123,62 @@ object Dedup {
    */
   def exactAgainst(df: DataFrame, reference: DataFrame, textCol: String,
                    refTextCol: String = ""): DataFrame = {
+    val refKeys = againstRefKeys(df, reference, textCol, refTextCol)
+    df.join(refKeys, exactKey(col(textCol)) === col("__ref_key"), "left_anti")
+  }
+
+  private def againstRefKeys(df: DataFrame, reference: DataFrame,
+                             textCol: String, refTextCol: String): DataFrame = {
     val refCol = if (refTextCol.isEmpty) textCol else refTextCol
     require(reference.columns.contains(refCol),
       s"dedup_against: no column '$refCol' on the reference frame " +
         s"(columns: ${reference.columns.mkString(", ")})")
-    val refKeys = reference
+    require(!df.columns.contains("__ref_key"),
+      "dedup_against: input already has a '__ref_key' column")
+    reference
       .select(exactKey(col(refCol)).as("__ref_key"))
       .filter(col("__ref_key").isNotNull)
       .distinct()
-    df.join(refKeys, exactKey(col(textCol)) === col("__ref_key"), "left_anti")
+  }
+
+  /** Bloom FPR for [[exactAgainstBloom]]: a false positive only sends
+    * one extra row to the exact join (never drops it), 1% is the
+    * standard candidate-bloat tradeoff — flagBloom's reasoning. */
+  val AgainstBloomFpp = 0.01
+
+  /**
+   * The bloom scale path of [[exactAgainst]] for a LARGE reference
+   * corpus: build a compact bloom filter over the reference keys once,
+   * probe it as a codegen'd narrow map on the new batch, and send ONLY
+   * the might-contain candidates to the exact anti-join — bloom
+   * negatives are PROVABLY absent (no false negatives), so they pass
+   * without touching the exchange, and a false positive merely pays one
+   * row's join (exactness preserved by construction; strategy
+   * equivalence pinned in CurationOpsSpec). Null keys probe as new.
+   *
+   * Tradeoffs, stated honestly: the new batch is scanned twice (the
+   * maybe/not-maybe branches — narrow, pruned scans) in exchange for
+   * shuffling only candidates instead of everything, the right trade
+   * when the reference is corpus-sized and duplicates are rare; and the
+   * bloom build is an EAGER pair of actions over the reference keys at
+   * plan-construction time (count sizes the filter, the build
+   * aggregates it — OpCaches shares the one computation, flagBloom's
+   * discipline). The default [[exactAgainst]] stays fully lazy.
+   */
+  def exactAgainstBloom(df: DataFrame, reference: DataFrame, textCol: String,
+                        refTextCol: String = ""): DataFrame = {
+    val refKeys = OpCaches.persist(
+      againstRefKeys(df, reference, textCol, refTextCol))
+    val m = refKeys.count()
+    if (m == 0) return df
+    val bloom = refKeys.stat.bloomFilter("__ref_key", m, AgainstBloomFpp)
+    val key = exactKey(col(textCol))
+    val maybe = key.isNotNull &&
+      coalesce(graft.functions.CountInBloom.count(array(key), bloom),
+        lit(0)) >= 1
+    val cand = df.filter(maybe)
+      .join(refKeys, exactKey(col(textCol)) === col("__ref_key"), "left_anti")
+    df.filter(!maybe).unionByName(cand)
   }
 
   /** Character shingles (n-grams) of the normalized text, distinct —

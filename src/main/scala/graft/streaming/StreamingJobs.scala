@@ -384,8 +384,17 @@ object StreamingJobs {
         // streaming_dedup's watermark TTL).
         case "streaming_dedup_against" =>
           val refDf = graft.io.ParquetIO.read(spark, c.reqStr("reference_path"))
-          Map("out" -> graft.scale.Dedup.exactAgainst(
-            one(c), refDf,
+          // strategy=bloom: the bloom build runs eagerly over the STATIC
+          // reference at plan time (fine — it is a batch frame); the
+          // stream side stays a narrow probe + candidate-only anti-join
+          val fn = c.str("strategy").getOrElse("join") match {
+            case "join" => graft.scale.Dedup.exactAgainst _
+            case "bloom" => graft.scale.Dedup.exactAgainstBloom _
+            case other => throw new IllegalArgumentException(
+              s"streaming_dedup_against ${c.name}: strategy must be " +
+                s"join|bloom, got '$other'")
+          }
+          Map("out" -> fn(one(c), refDf,
             c.str("text_column").getOrElse("text"),
             c.str("reference_text_column").getOrElse("")))
 

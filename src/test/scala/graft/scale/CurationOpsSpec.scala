@@ -346,6 +346,25 @@ class CurationOpsSpec extends SparkTestBase {
     assert(kept2 === kept)
   }
 
+  test("exactAgainstBloom: identical survivors to the lazy join strategy") {
+    val df = (1 to 300).map(i =>
+      (i.toLong, if (i % 4 == 0) s"Shared   Doc ${i % 10}" else s"doc $i"))
+      .toDF("id", "text")
+    val ref = (0 to 9).map(i => Tuple1(s"shared doc $i")).toDF("text")
+    val viaJoin = Dedup.exactAgainst(df, ref, "text")
+      .select("id").as[Long].collect().toSet
+    val viaBloom = Dedup.exactAgainstBloom(df, ref, "text")
+      .select("id").as[Long].collect().toSet
+    assert(viaBloom === viaJoin, "strategies must agree row-for-row")
+    assert(viaJoin === (1 to 300).filter(_ % 4 != 0).map(_.toLong).toSet)
+    // empty reference short-circuits to the input
+    assert(Dedup.exactAgainstBloom(df, ref.limit(0), "text").count() === 300)
+    // null text survives the bloom path too
+    val withNull = df.unionByName(Seq((999L, null: String)).toDF("id", "text"))
+    assert(Dedup.exactAgainstBloom(withNull, ref, "text")
+      .filter(col("id") === 999L).count() === 1)
+  }
+
   test("exactAgainst: small reference broadcasts — no big-side exchange for the join") {
     val df = (1 to 200).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
     val ref = Seq(Tuple1("doc 7")).toDF("text")

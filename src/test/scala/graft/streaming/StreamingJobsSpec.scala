@@ -897,22 +897,25 @@ class StreamingJobsSpec extends SparkTestBase {
       """{ "fields": [
         |  { "name": "id", "data_type": "integer" },
         |  { "name": "text", "data_type": "string" } ] }""".stripMargin
-    val out = tmp("sda_out")
-    val cfg =
-      s"""{ "name": "sda", "components": [
-         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
-         |    "routes": { "out": [ { "to": "da", "in_port": "in" } ] },
-         |    "out_port_schemas": { "out": $sch } },
-         |  { "name": "da", "comp_type": "streaming_dedup_against",
-         |    "reference_path": "$ref",
-         |    "in_port_schemas": { "in": $sch },
-         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
-         |    "out_port_schemas": { "out": $sch } },
-         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
-         |    "in_port_schemas": { "in": $sch } } ] }""".stripMargin
-    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp("sda_ckpt"))
-    assert(spark.read.parquet(out).select("id").as[Long].collect().toSet ===
-      Set(2L, 3L), "the case/whitespace-variant known doc must drop")
+    for (strategy <- Seq("join", "bloom")) {
+      val out = tmp(s"sda_out_$strategy")
+      val cfg =
+        s"""{ "name": "sda_$strategy", "components": [
+           |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+           |    "routes": { "out": [ { "to": "da", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $sch } },
+           |  { "name": "da", "comp_type": "streaming_dedup_against",
+           |    "reference_path": "$ref", "strategy": "$strategy",
+           |    "in_port_schemas": { "in": $sch },
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $sch } },
+           |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+           |    "in_port_schemas": { "in": $sch } } ] }""".stripMargin
+      StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp(s"sda_ckpt_$strategy"))
+      assert(spark.read.parquet(out).select("id").as[Long].collect().toSet ===
+        Set(2L, 3L),
+        s"strategy=$strategy: the case/whitespace-variant known doc must drop")
+    }
   }
 
   test("streaming_outlier_filter: static fences gate the stream") {
