@@ -359,16 +359,31 @@ object Similarity {
    * to scale); NULL propagates. Rounding is HALF_UP (away from zero on
    * ties) on double arithmetic — the same rule DuckDB's round applies,
    * so the oracle replays the bytes exactly. Narrow map, no shuffle;
-   * the max-abs fold is an interpreted HOF (one pass over each vector
-   * — fine next to the 4× I/O it saves downstream).
+   * the whole quantization is ONE compiled pass (the codegen'd
+   * QuantizeInt8 kernel — the aggregate+transform HOF form it replaced
+   * paid an interpreted dispatch per element per pass, the wrong bill
+   * for the operator sold as the 100 TB storage lever; equivalence
+   * pinned in CurationOpsSpec).
    */
   def quantizeVectorsInt8(df: DataFrame, vecCol: String,
                           dest: String = "vec_q8",
                           scaleCol: String = "vec_scale"): DataFrame = {
     require(df.columns.contains(vecCol),
       s"vec_quantize: no column '$vecCol' in ${df.columns.mkString(", ")}")
-    Seq(dest, scaleCol).foreach(c => require(!df.columns.contains(c),
+    val tmp = "__vq8"
+    Seq(dest, scaleCol, tmp).foreach(c => require(!df.columns.contains(c),
       s"vec_quantize: input already has a '$c' column; pick another name"))
+    df.withColumn(tmp, graft.functions.QuantizeInt8.quantize(col(vecCol)))
+      .withColumn(scaleCol, col(tmp).getField("scale"))
+      .withColumn(dest, col(tmp).getField("q"))
+      .drop(tmp)
+  }
+
+  /** The interpreted HOF form quantizeVectorsInt8 replaced — kept as
+    * the semantic reference for the kernel-equivalence spec. */
+  private[graft] def quantizeVectorsInt8Hof(df: DataFrame, vecCol: String,
+                                            dest: String = "vec_q8",
+                                            scaleCol: String = "vec_scale"): DataFrame = {
     val maxAbs = aggregate(col(vecCol), lit(0.0),
       (a, x) => greatest(a, abs(x.cast("double"))))
     df.withColumn(scaleCol, maxAbs / lit(127.0))

@@ -444,6 +444,29 @@ class CurationOpsSpec extends SparkTestBase {
       assert(math.abs(orig - d) <= 2.0 / 127.0 / 2 + 1e-12) }
   }
 
+  test("quantize kernel equals the HOF reference on the embeddings fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val viaKernel = Similarity.quantizeVectorsInt8(emb, "embedding")
+    val viaHof = Similarity.quantizeVectorsInt8Hof(emb, "embedding")
+    val bad = viaKernel.alias("a").join(viaHof.alias("b"), Seq("vec_id"))
+      .filter(not(col("a.vec_scale") <=> col("b.vec_scale")) ||
+        not(col("a.vec_q8") <=> col("b.vec_q8"))).count()
+    assert(bad === 0L, s"$bad vectors diverge between kernel and HOF form")
+    // mixed null/negative/zero edges (beyond the fixture's clean floats)
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq(Option(-2.0f), None, Option(1.0f))),
+      (2L, Seq(Option(0.0f), Option(0.0f))),
+      (3L, (null: Seq[Option[Float]]))).toDF("vec_id", "embedding")
+    val ek = Similarity.quantizeVectorsInt8(edge, "embedding")
+    val eh = Similarity.quantizeVectorsInt8Hof(edge, "embedding")
+    val ebad = ek.alias("a").join(eh.alias("b"), Seq("vec_id"))
+      .filter(not(col("a.vec_scale") <=> col("b.vec_scale")) ||
+        not(col("a.vec_q8") <=> col("b.vec_q8"))).count()
+    assert(ebad === 0L, "null-element / zero / null-vector edges diverge")
+  }
+
   test("embedding transforms: no exchange — pure narrow maps") {
     val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "embedding")
     for (out <- Seq(Similarity.l2NormalizeVectors(df, "embedding"),
