@@ -137,7 +137,12 @@ object TextAnalysis {
    * newline, trim, drop blanks, 1 - distinct/total. Empty/blank text →
    * 0; null text → null.
    */
-  def dupLineFraction(text: Column): Column = {
+  def dupLineFraction(text: Column): Column =
+    graft.functions.DupLineRatio.ratio(text)
+
+  /** The interpreted HOF form dupLineFraction replaced — kept as the
+    * semantic reference for the kernel-equivalence spec. */
+  private[graft] def dupLineFractionHof(text: Column): Column = {
     val lines = filter(transform(split(text, "\n"), l => trim(l)),
       l => length(l) > 0)
     val total = size(lines)

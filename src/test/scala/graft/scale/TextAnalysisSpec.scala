@@ -15,6 +15,24 @@ class TextAnalysisSpec extends SparkTestBase {
       row.getAs[Long]("n_phones"), row.getAs[Long]("n_ips"))
   }
 
+  test("dupLineFraction kernel equals the HOF reference (fixture + edges)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(concat_ws("\n", col("text"), col("text"), lit("x")).as("t"))
+    val bad = docs.select(
+      TextAnalysis.dupLineFraction(col("t")).as("a"),
+      TextAnalysis.dupLineFractionHof(col("t")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(bad === 0L, s"$bad rows diverge on the seeded-duplicate fixture")
+    val edges = Seq("", "   ", "\n\n\n", "a\na\na", " a \na\n b ",
+      "only one line", "a\n\na\n  \na", null)
+      .zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val ebad = edges.select(
+      TextAnalysis.dupLineFraction(col("t")).as("a"),
+      TextAnalysis.dupLineFractionHof(col("t")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(ebad === 0L, "blank/null/whitespace edges diverge")
+  }
+
   test("pii: email variants and multiplicity") {
     assert(redact("mail a.b+tag@sub.example.co.uk now") ===
       (("mail <EMAIL> now", 1L, 0L, 0L)))
