@@ -5245,6 +5245,91 @@ object SparkEntry {
     s.read.parquet(outDir).orderBy(col("doc_id"))
   }
 
+  /** Corpus-level duplicate-line removal (Dedup.lineDedup): every doc
+    * gets a newsletter line appended and every 4th a licence footer —
+    * byte-exact cross-document repeats, the boilerplate shape — so
+    * both seeded lines (plus any naturally repeated fixture lines) are
+    * hot at max_docs=1 and get stripped, while each doc's own prose
+    * survives. concat_ws skips the null CASE arm on both engines. */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val seeded = table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("Subscribe to our newsletter"),
+          when(col("doc_id") % 4 === 0,
+            lit("(c) example.com all rights reserved"))).as("text"),
+        col("lang"))
+    Dedup.lineDedup(seeded, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle for q_line_dedup / q_job_line_dedup: same seeding,
+    * per-document distinct census of non-blank lines, > 1 docs = hot,
+    * positional reassembly via a lateral unnest(range) index. */
+  private val lineDedupOracle: String =
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    concat_ws(chr(10), text, 'Subscribe to our newsletter',
+      |      CASE WHEN doc_id % 4 = 0
+      |           THEN '(c) example.com all rights reserved' END) AS text,
+      |    lang
+      |  FROM documents),
+      |sp AS (SELECT doc_id, lang, str_split(text, chr(10)) AS ls
+      |       FROM seeded WHERE text IS NOT NULL),
+      |lines AS (
+      |  SELECT doc_id, lang, u.i AS pos, ls[u.i] AS line
+      |  FROM sp, unnest(range(1, len(ls) + 1)) AS u(i)),
+      |hot AS (
+      |  SELECT line FROM (
+      |    SELECT DISTINCT doc_id, line FROM lines WHERE trim(line) <> '')
+      |  GROUP BY line HAVING count(*) > 1)
+      |SELECT l.doc_id,
+      |  string_agg(l.line, chr(10) ORDER BY l.pos) AS text,
+      |  l.lang
+      |FROM lines l
+      |WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.line = l.line)
+      |GROUP BY l.doc_id, l.lang
+      |ORDER BY l.doc_id""".stripMargin
+
+  /** The SAME boilerplate strip through the declarative line_dedup
+    * component — seeding done by a sql component, default max_docs. */
+  private def qJobLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_line_dedup"
+    val readSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string")
+    val seedSql = "SELECT doc_id, concat_ws(chr(10), text, " +
+      "'Subscribe to our newsletter', CASE WHEN doc_id % 4 = 0 " +
+      "THEN '(c) example.com all rights reserved' END) AS text, lang " +
+      "FROM seed_in"
+    val jobJson =
+      s"""{
+         |  "name": "line_dedup_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "seed", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $readSchema } },
+         |    { "name": "seed", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(seedSql)},
+         |      "in_port_schemas": { "in": $readSchema },
+         |      "routes": { "out": [ { "to": "ld", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "ld", "comp_type": "line_dedup",
+         |      "text_column": "text", "id_column": "doc_id",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $docSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   /** Top-40 corpus bigrams (TextAnalysis.topGrams n=2): every gram
     * position counted from the lowercase \s+ tokenization — the
     * boilerplate-detection stat. Deterministic (count desc, gram asc)
@@ -5463,6 +5548,8 @@ object SparkEntry {
     "q_text_entropy" -> (qTextEntropy _),
     "q_job_text_entropy" -> (qJobTextEntropy _),
     "q_dedup_against" -> (qDedupAgainst _),
+    "q_line_dedup" -> (qLineDedup _),
+    "q_job_line_dedup" -> (qJobLineDedup _),
     "q_dedup_against_bloom" -> (qDedupAgainstBloom _),
     "q_job_dedup_against" -> (qJobDedupAgainst _),
     "q_text_topk_grams" -> (qTextTopkGrams _),
@@ -6574,6 +6661,8 @@ object SparkEntry {
     "q_text_entropy" -> textEntropyOracle,
     "q_job_text_entropy" -> textEntropyOracle,
     "q_dedup_against" -> dedupAgainstOracle,
+    "q_line_dedup" -> lineDedupOracle,
+    "q_job_line_dedup" -> lineDedupOracle,
     "q_dedup_against_bloom" -> dedupAgainstOracle,
     "q_job_dedup_against" -> dedupAgainstOracle,
     "q_text_topk_grams" -> textTopkGramsOracle,

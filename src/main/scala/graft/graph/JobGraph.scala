@@ -1044,6 +1044,18 @@ object JobGraph {
       // strategy=bloom probes a compact reference-key bloom as a narrow
       // map and sends only candidates to the exact join — the
       // corpus-sized-reference path (Dedup.exactAgainstBloom).
+      // Corpus-level duplicate-line removal (Dedup.lineDedup): census
+      // non-blank lines across documents, lines present in more than
+      // max_docs DISTINCT documents are boilerplate and get stripped
+      // from every document (blank lines pass through; documents with
+      // nothing left drop). The post-cut hot set broadcasts by default
+      // — only the regroup-by-id pays an exchange.
+      case "line_dedup" =>
+        (Map("out" -> graft.scale.Dedup.lineDedup(one(),
+          c.str("text_column").getOrElse("text"),
+          c.str("id_column").getOrElse("doc_id"),
+          c.int("max_docs", 1), c.bool("broadcast", true))), None)
+
       case "dedup_against" =>
         val fn = c.str("strategy").getOrElse("join") match {
           case "join" => graft.scale.Dedup.exactAgainst _

@@ -181,6 +181,68 @@ object Dedup {
     df.filter(!maybe).unionByName(cand)
   }
 
+  /**
+   * Corpus-level duplicate-LINE removal — the RefinedWeb/CCNet
+   * boilerplate-stripping step that neither whole-document dedup nor
+   * within-document repetition signals cover: navigation chrome,
+   * cookie banners, and licence footers repeat across *different*
+   * documents, line for line, without any two documents being
+   * near-duplicates. Census the corpus's non-blank lines, call a line
+   * "hot" when it appears in more than `maxDocs` DISTINCT documents,
+   * and rewrite every document with its hot lines removed.
+   *
+   * Contract (deterministic, oracle-replayable):
+   *  - lines are `split(text, "\n")` verbatim — no trimming or case
+   *    folding of the line itself (boilerplate repeats byte-exactly;
+   *    a normalized census would merge genuinely distinct prose);
+   *  - BLANK lines (empty after space-trim) are excluded from the
+   *    census and always kept — paragraph structure survives;
+   *  - a line repeated within one document counts that document once
+   *    (the census is per-document, so self-repetition — dup_line_ratio
+   *    territory — never promotes a line to "hot");
+   *  - documents with no surviving lines drop (nothing left to train
+   *    on), which also drops NULL-text rows (no line evidence).
+   *
+   * Scale shape: the hot set is the census AFTER the `> maxDocs` cut —
+   * only true boilerplate survives it, so it is orders of magnitude
+   * smaller than the line census itself and broadcasts
+   * (`broadcastHot=true`, the default, pins a BroadcastHashJoin
+   * LeftAnti — no exchange on the corpus's exploded lines). The
+   * remaining wide work is one hash exchange of the kept lines to
+   * regroup by document id, plus the join back to the untouched
+   * carry-through columns on the same id (two child exchanges of one
+   * sort-merge join — the text column itself crosses the wire once,
+   * exploded). Set `broadcastHot=false` when maxDocs is low enough and
+   * the corpus dirty enough that the hot set outgrows the driver.
+   */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                maxDocs: Int = 1, broadcastHot: Boolean = true): DataFrame = {
+    require(maxDocs >= 1, s"line_dedup: max_docs must be >= 1, got $maxDocs")
+    Seq("__pos", "__line", "__docs", "__line_text").foreach { c =>
+      require(!df.columns.contains(c), s"line_dedup: input already has a '$c' column")
+    }
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val hotCensus = lines
+      .filter(trim(col("__line")) =!= "")
+      .select(col(idCol), col("__line")).distinct()
+      .groupBy(col("__line"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > maxDocs)
+      .select(col("__line"))
+    val hot = if (broadcastHot) broadcast(hotCensus) else hotCensus
+    val kept = lines.join(hot, Seq("__line"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        x => x.getField("__line")), "\n").as("__line_text"))
+    df.drop(textCol)
+      .join(rebuilt, Seq(idCol))
+      .withColumnRenamed("__line_text", textCol)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Character shingles (n-grams) of the normalized text, distinct —
     * the codegen'd CharShingles expression (one compiled pass vs an
     * interpreted substr per character position; WordShinglesSpec pins

@@ -374,6 +374,51 @@ class CurationOpsSpec extends SparkTestBase {
       s"small reference must broadcast the anti-join:\n$plan")
   }
 
+  // ---- line_dedup ----
+
+  test("lineDedup: cross-doc hot lines strip; blanks and within-doc repeats survive") {
+    val df = Seq(
+      (1L, "alpha\nCommon Footer\nbeta", "a"),
+      (2L, "gamma\nCommon Footer\n\ndelta", "b"),
+      (3L, "Common Footer\nCommon Footer", "c"), // nothing left -> drops
+      (4L, "solo\nsolo\nother", "d"),            // self-repeat: 1 distinct doc
+      (5L, null, "e")                            // no line evidence -> drops
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.lineDedup(df, "text", "doc_id")
+    assert(out.columns.toSeq === df.columns.toSeq, "carry-through column order")
+    val got = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "alpha\nbeta",
+      2L -> "gamma\n\ndelta",
+      4L -> "solo\nsolo\nother"))
+    // lang carried through untouched
+    assert(out.filter(col("doc_id") === 2L).select("lang").as[String].head() === "b")
+  }
+
+  test("lineDedup: max_docs raises the hot threshold; bad inputs are loud") {
+    val df = Seq(
+      (1L, "x\nCommon Footer"), (2L, "y\nCommon Footer"),
+      (3L, "z\nCommon Footer")).toDF("doc_id", "text")
+    // in 3 distinct docs: hot at max_docs<=2, cold at 3
+    assert(Dedup.lineDedup(df, "text", "doc_id", maxDocs = 2)
+      .filter(col("text").contains("Common Footer")).count() === 0)
+    assert(Dedup.lineDedup(df, "text", "doc_id", maxDocs = 3)
+      .filter(col("text").contains("Common Footer")).count() === 3)
+    intercept[IllegalArgumentException](
+      Dedup.lineDedup(df, "text", "doc_id", maxDocs = 0))
+    intercept[IllegalArgumentException](
+      Dedup.lineDedup(df.withColumn("__pos", lit(1)), "text", "doc_id"))
+  }
+
+  test("lineDedup: hot set broadcasts — no exchange on the exploded anti-join side") {
+    val df = (1 to 200).map(i => (i.toLong, s"prose $i\nShared Footer"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.lineDedup(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"post-cut hot set must broadcast the anti-join:\n$plan")
+  }
+
   test("write_parquet max_records_per_file: bounded shards, content intact") {
     val in = java.nio.file.Paths.get("target", "test-tmp", "mrpf_in")
       .toAbsolutePath.toString
