@@ -5262,6 +5262,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The strategy=set narrow rewrite of the same strip
+    * (Dedup.lineDedupSet): hot set collected once, remove_in_set →
+    * array_join as one codegen'd projection — identical survivors,
+    * checked against the identical oracle. */
+  private def qLineDedupSet(s: SparkSession, dir: String): DataFrame = {
+    val seeded = table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("Subscribe to our newsletter"),
+          when(col("doc_id") % 4 === 0,
+            lit("(c) example.com all rights reserved"))).as("text"),
+        col("lang"))
+    Dedup.lineDedupSet(seeded, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared oracle for q_line_dedup / q_job_line_dedup: same seeding,
     * per-document distinct census of non-blank lines, > 1 docs = hot,
     * positional reassembly via a lateral unnest(range) index. */
@@ -5549,6 +5564,7 @@ object SparkEntry {
     "q_job_text_entropy" -> (qJobTextEntropy _),
     "q_dedup_against" -> (qDedupAgainst _),
     "q_line_dedup" -> (qLineDedup _),
+    "q_line_dedup_set" -> (qLineDedupSet _),
     "q_job_line_dedup" -> (qJobLineDedup _),
     "q_dedup_against_bloom" -> (qDedupAgainstBloom _),
     "q_job_dedup_against" -> (qJobDedupAgainst _),
@@ -6662,6 +6678,7 @@ object SparkEntry {
     "q_job_text_entropy" -> textEntropyOracle,
     "q_dedup_against" -> dedupAgainstOracle,
     "q_line_dedup" -> lineDedupOracle,
+    "q_line_dedup_set" -> lineDedupOracle,
     "q_job_line_dedup" -> lineDedupOracle,
     "q_dedup_against_bloom" -> dedupAgainstOracle,
     "q_job_dedup_against" -> dedupAgainstOracle,

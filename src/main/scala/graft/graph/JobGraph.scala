@@ -1050,11 +1050,22 @@ object JobGraph {
       // from every document (blank lines pass through; documents with
       // nothing left drop). The post-cut hot set broadcasts by default
       // — only the regroup-by-id pays an exchange.
+      // strategy=set collects the post-cut hot set (bounded, loud
+      // overflow) and rewrites via one codegen'd narrow projection —
+      // no regroup exchange, no join-back (Dedup.lineDedupSet).
       case "line_dedup" =>
-        (Map("out" -> graft.scale.Dedup.lineDedup(one(),
-          c.str("text_column").getOrElse("text"),
-          c.str("id_column").getOrElse("doc_id"),
-          c.int("max_docs", 1), c.bool("broadcast", true))), None)
+        val (textCol, idCol) = (c.str("text_column").getOrElse("text"),
+          c.str("id_column").getOrElse("doc_id"))
+        val maxDocs = c.int("max_docs", 1)
+        val out = c.str("strategy").getOrElse("join") match {
+          case "join" => graft.scale.Dedup.lineDedup(one(), textCol, idCol,
+            maxDocs, c.bool("broadcast", true))
+          case "set" => graft.scale.Dedup.lineDedupSet(one(), textCol, idCol,
+            maxDocs, c.int("max_hot_lines", graft.scale.Dedup.MaxHotLines))
+          case other => throw new IllegalArgumentException(
+            s"line_dedup ${c.name}: strategy must be join|set, got '$other'")
+        }
+        (Map("out" -> out), None)
 
       case "dedup_against" =>
         val fn = c.str("strategy").getOrElse("join") match {

@@ -217,19 +217,8 @@ object Dedup {
    */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
                 maxDocs: Int = 1, broadcastHot: Boolean = true): DataFrame = {
-    require(maxDocs >= 1, s"line_dedup: max_docs must be >= 1, got $maxDocs")
-    Seq("__pos", "__line", "__docs", "__line_text").foreach { c =>
-      require(!df.columns.contains(c), s"line_dedup: input already has a '$c' column")
-    }
-    val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-    val hotCensus = lines
-      .filter(trim(col("__line")) =!= "")
-      .select(col(idCol), col("__line")).distinct()
-      .groupBy(col("__line"))
-      .agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") > maxDocs)
-      .select(col("__line"))
+    val lines = explodedLines(df, textCol, idCol)
+    val hotCensus = hotLines(lines, idCol, maxDocs)
     val hot = if (broadcastHot) broadcast(hotCensus) else hotCensus
     val kept = lines.join(hot, Seq("__line"), "left_anti")
     val rebuilt = kept
@@ -241,6 +230,67 @@ object Dedup {
       .join(rebuilt, Seq(idCol))
       .withColumnRenamed("__line_text", textCol)
       .select(df.columns.map(col): _*)
+  }
+
+  /** (id, pos, line) exploded view of the documents, with the temp-name
+    * collision guard both line_dedup strategies share. */
+  private def explodedLines(df: DataFrame, textCol: String,
+                            idCol: String): DataFrame = {
+    Seq("__pos", "__line", "__docs", "__line_text", "__kept").foreach { c =>
+      require(!df.columns.contains(c), s"line_dedup: input already has a '$c' column")
+    }
+    df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+  }
+
+  /** The post-cut hot census: non-blank lines in more than maxDocs
+    * DISTINCT documents — one column `__line`. */
+  private def hotLines(lines: DataFrame, idCol: String,
+                       maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"line_dedup: max_docs must be >= 1, got $maxDocs")
+    lines
+      .filter(trim(col("__line")) =!= "")
+      .select(col(idCol), col("__line")).distinct()
+      .groupBy(col("__line"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > maxDocs)
+      .select(col("__line"))
+  }
+
+  /** Cap for [[lineDedupSet]]'s hot-line collect: past this the
+    * boilerplate set no longer belongs on the driver — use the join
+    * strategy (or raise max_docs; a census this hot usually means the
+    * threshold is below the corpus's natural repetition floor). */
+  val MaxHotLines = 1000000
+
+  /**
+   * The strategy=set scale path of [[lineDedup]]: identical hot census
+   * and identical survivors (equivalence pinned in CurationOpsSpec),
+   * but the REWRITE side collapses to one compiled narrow projection —
+   * collect the post-cut hot set once (bounded by [[MaxHotLines]],
+   * loud overflow like decontaminate's broadcast gram set), then
+   * `remove_in_set(split(text)) → array_join` per row. No second
+   * explode, no regroup exchange, no join-back: after the census, the
+   * 100 TB corpus is touched by exactly one codegen'd map — the right
+   * shape when boilerplate is concentrated (it always is; that is what
+   * makes it boilerplate). Eager like the bloom paths: the census runs
+   * at plan-construction time. The default [[lineDedup]] stays lazy.
+   */
+  def lineDedupSet(df: DataFrame, textCol: String, idCol: String,
+                   maxDocs: Int = 1,
+                   maxHotLines: Int = MaxHotLines): DataFrame = {
+    val census = hotLines(explodedLines(df, textCol, idCol), idCol, maxDocs)
+    val rows = census.limit(maxHotLines + 1).collect()
+    require(rows.length <= maxHotLines,
+      s"line_dedup: hot-line set exceeds $maxHotLines lines — use " +
+        "strategy=join (or raise max_docs) for a corpus this repetitive")
+    val hot = rows.map(_.getString(0)).toSeq
+    if (hot.isEmpty) return df.filter(col(textCol).isNotNull)
+    val kept = graft.functions.RemoveInSet.remove(split(col(textCol), "\n"), hot)
+    df.withColumn("__kept", kept)
+      .filter(col("__kept").isNotNull && size(col("__kept")) > 0)
+      .withColumn(textCol, array_join(col("__kept"), "\n"))
+      .drop("__kept")
   }
 
   /** Character shingles (n-grams) of the normalized text, distinct —

@@ -410,6 +410,63 @@ class CurationOpsSpec extends SparkTestBase {
       Dedup.lineDedup(df.withColumn("__pos", lit(1)), "text", "doc_id"))
   }
 
+  test("lineDedupSet: identical survivors to the join strategy; loud overflow") {
+    val df = Seq(
+      (1L, "alpha\nCommon Footer\nbeta", "a"),
+      (2L, "gamma\nCommon Footer\n\ndelta", "b"),
+      (3L, "Common Footer\nCommon Footer", "c"),
+      (4L, "solo\nsolo\nother", "d"),
+      (5L, null, "e")
+    ).toDF("doc_id", "text", "lang")
+    val viaJoin = Dedup.lineDedup(df, "text", "doc_id")
+      .select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSet
+    val viaSet = Dedup.lineDedupSet(df, "text", "doc_id")
+      .select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSet
+    assert(viaSet === viaJoin, "strategies must agree row-for-row")
+    // empty hot set: text untouched, null-text rows still drop
+    val cold = Seq((1L, "only\nhere"), (2L, null)).toDF("doc_id", "text")
+    val out = Dedup.lineDedupSet(cold, "text", "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "only\nhere"))
+    // overflow fails loudly toward strategy=join
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lineDedupSet(df, "text", "doc_id", maxHotLines = 0)
+    }
+    assert(e.getMessage.contains("strategy=join"))
+  }
+
+  test("RemoveInSet: order/duplicates preserved, null contract, codegen participation") {
+    import graft.functions.RemoveInSet
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "c", "b")),
+      (2L, Seq[String]()),
+      (3L, null)
+    ).toDF("id", "arr")
+    val out = df.select(col("id"),
+      RemoveInSet.remove(col("arr"), Seq("b", "zz")).as("kept"))
+    val got = out.as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("a", "a", "c"), "in-place, repeats survive")
+    assert(got(2L) === Seq())
+    assert(got(3L) === null, "null array stays null")
+    // null ELEMENTS are kept (removal needs an exact match)
+    val withNullElem = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b') AS arr")
+    val kept = withNullElem
+      .select(RemoveInSet.remove(col("arr"), Seq("b")).as("k"))
+      .as[Seq[String]].head()
+    assert(kept === Seq("a", null))
+    // stays inside whole-stage codegen (no CodegenFallback dispatch);
+    // spark.range sidesteps LocalTableScan's eager constant-fold
+    val rq = spark.range(3).select(
+      RemoveInSet.remove(
+        split(concat(lit("a b c x"), col("id").cast("string")), " "),
+        Seq("b")).as("k"))
+    assert(rq.queryExecution.executedPlan.toString.contains("*(1)"),
+      s"expected codegen:\n${rq.queryExecution.executedPlan}")
+    assert(rq.as[Seq[String]].collect().forall(a =>
+      a.length === 3 && !a.contains("b")))
+  }
+
   test("lineDedup: hot set broadcasts — no exchange on the exploded anti-join side") {
     val df = (1 to 200).map(i => (i.toLong, s"prose $i\nShared Footer"))
       .toDF("doc_id", "text")
