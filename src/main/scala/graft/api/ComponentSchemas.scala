@@ -214,6 +214,13 @@ object ComponentSchemas {
       p("strategy", "string", "'join' (default) or 'bloom' — identical results"),
       p("text_column", "string", "document text column on the stream, default 'text'"),
       p("reference_text_column", "string", "text column on the reference, default = text_column"))),
+    "streaming_line_dedup" -> ("Stream-static boilerplate-line strip: remove from every stream document the lines that appear byte-exactly in more than max_docs DISTINCT documents of the reference_path parquet corpus — the hot census comes from the closed reference at plan time (a census over an unbounded stream never finalizes), bounded-collected under max_hot_lines like batch line_dedup strategy=set, then applied as ONE codegen'd narrow remove_in_set projection: no explode, no shuffle, no watermark, no state. Blank lines pass through; documents with nothing left — including NULL text — drop" -> Seq(
+      req("reference_path", "string", "parquet path of the closed corpus whose hot lines define the boilerplate set"),
+      p("text_column", "string", "document text column on the stream, default 'text'"),
+      p("reference_text_column", "string", "text column on the reference, default = text_column"),
+      p("id_column", "string", "document id column on the reference (distinct-doc census key), default 'doc_id'"),
+      p("max_docs", "integer", "a line in more than this many distinct reference documents is hot, default 1"),
+      p("max_hot_lines", "integer", "plan-time driver-collect cap, default 1000000 — overflow fails loudly"))),
     "streaming_outlier_filter" -> ("Stream-static outlier gate: keep stream rows whose numeric `column` sits inside fences computed ONCE from the reference_path parquet baseline (an unwindowed aggregate over the stream itself could never finalize) — method=zscore or iqr, global or per `by` group, broadcast onto the stream as a stateless narrow filter (no watermark, no state store). NULL values and NULL group keys drop, matching the batch outlier_filter" -> Seq(
       req("column", "string", "numeric signal column the fences apply to (must exist on both the stream and the reference)"),
       req("reference_path", "string", "parquet path of the static baseline the fences are computed from"),

@@ -278,14 +278,35 @@ object Dedup {
    */
   def lineDedupSet(df: DataFrame, textCol: String, idCol: String,
                    maxDocs: Int = 1,
-                   maxHotLines: Int = MaxHotLines): DataFrame = {
-    val census = hotLines(explodedLines(df, textCol, idCol), idCol, maxDocs)
+                   maxHotLines: Int = MaxHotLines): DataFrame =
+    stripHotLines(df, textCol,
+      hotLineSet(df, textCol, idCol, maxDocs, maxHotLines))
+
+  /** The bounded-collected hot-line set of a (static) corpus —
+    * [[lineDedupSet]]'s census half, also the plan-time half of the
+    * stream-static streaming_line_dedup face (a census over an
+    * unbounded stream never finalizes, so the hot set must come from a
+    * closed reference corpus there). */
+  def hotLineSet(corpus: DataFrame, textCol: String, idCol: String,
+                 maxDocs: Int = 1,
+                 maxHotLines: Int = MaxHotLines): Seq[String] = {
+    val census = hotLines(explodedLines(corpus, textCol, idCol), idCol, maxDocs)
     val rows = census.limit(maxHotLines + 1).collect()
     require(rows.length <= maxHotLines,
       s"line_dedup: hot-line set exceeds $maxHotLines lines — use " +
         "strategy=join (or raise max_docs) for a corpus this repetitive")
-    val hot = rows.map(_.getString(0)).toSeq
+    rows.map(_.getString(0)).toSeq
+  }
+
+  /** [[lineDedupSet]]'s rewrite half: strip the given hot lines as one
+    * codegen'd narrow projection (streamable — no explode, no shuffle,
+    * no state). Documents with nothing left — including NULL text —
+    * drop, matching the join strategy. */
+  def stripHotLines(df: DataFrame, textCol: String,
+                    hot: Seq[String]): DataFrame = {
     if (hot.isEmpty) return df.filter(col(textCol).isNotNull)
+    require(!df.columns.contains("__kept"),
+      "line_dedup: input already has a '__kept' column")
     val kept = graft.functions.RemoveInSet.remove(split(col(textCol), "\n"), hot)
     df.withColumn("__kept", kept)
       .filter(col("__kept").isNotNull && size(col("__kept")) > 0)

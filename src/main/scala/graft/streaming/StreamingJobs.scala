@@ -62,7 +62,7 @@ object StreamingJobs {
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "streaming_asof_join", "streaming_range_join", "streaming_decontaminate",
     "streaming_group_cap", "streaming_outlier_filter",
-    "streaming_dedup_against",
+    "streaming_dedup_against", "streaming_line_dedup",
     "write_csv", "write_json", "write_parquet")
 
   final case class SinkPlan(component: String, df: DataFrame, format: String,
@@ -397,6 +397,22 @@ object StreamingJobs {
           Map("out" -> fn(one(c), refDf,
             c.str("text_column").getOrElse("text"),
             c.str("reference_text_column").getOrElse("")))
+
+        // Stream-static boilerplate-line strip (Dedup.stripHotLines):
+        // the hot-line census comes from the reference_path parquet
+        // corpus at plan time (a census over an unbounded stream never
+        // finalizes), bounded-collected like the batch strategy=set,
+        // then applied to the stream as ONE codegen'd narrow
+        // projection — no explode, no shuffle, no watermark, no state.
+        case "streaming_line_dedup" =>
+          val refDf = graft.io.ParquetIO.read(spark, c.reqStr("reference_path"))
+          val textCol = c.str("text_column").getOrElse("text")
+          val hot = graft.scale.Dedup.hotLineSet(refDf,
+            c.str("reference_text_column").getOrElse(textCol),
+            c.str("id_column").getOrElse("doc_id"),
+            c.int("max_docs", 1),
+            c.int("max_hot_lines", graft.scale.Dedup.MaxHotLines))
+          Map("out" -> graft.scale.Dedup.stripHotLines(one(c), textCol, hot))
 
         // Stream-static outlier gate (Profile.outlierFilterAgainst):
         // fences come from `reference_path` (a batch parquet baseline —

@@ -52,7 +52,7 @@ class ComponentSchemasSpec extends AnyFunSuite {
       Set("streaming_aggregation", "streaming_dedup", "streaming_asof_join",
         "streaming_range_join", "streaming_decontaminate",
         "streaming_group_cap", "streaming_outlier_filter",
-        "streaming_dedup_against"))
+        "streaming_dedup_against", "streaming_line_dedup"))
   }
 
   test("streaming_group_cap discovery doc declares the never-expiring state contract") {

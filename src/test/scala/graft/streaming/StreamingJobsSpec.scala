@@ -918,6 +918,50 @@ class StreamingJobsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming_line_dedup: reference hot lines strip from the stream, statelessly") {
+    import spark.implicits._
+    val in = tmp("sld_in")
+    val ref = tmp("sld_ref")
+    // stream docs carry the reference corpus's boilerplate footer plus
+    // their own prose; doc 3 is ONLY boilerplate, doc 4 has null text
+    Seq((1L, "alpha\nCommon Footer\nbeta"),
+      (2L, "gamma\nCommon Footer"),
+      (3L, "Common Footer"),
+      (4L, null))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(in)
+    Seq((10L, "x\nCommon Footer"), (11L, "y\nCommon Footer"), (12L, "z"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(ref)
+    val sch =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val out = tmp("sld_out")
+    val cfg =
+      s"""{ "name": "sld", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "ld", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "ld", "comp_type": "streaming_line_dedup",
+         |    "reference_path": "$ref",
+         |    "in_port_schemas": { "in": $sch },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $sch } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $sch } } ] }""".stripMargin
+    StreamingJobs.runOnce(spark, JobConfig.parse(cfg), tmp("sld_ckpt"))
+    val got = spark.read.parquet(out)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "alpha\nbeta", 2L -> "gamma"),
+      "hot footer strips; boilerplate-only and null-text docs drop")
+    // parity: the batch rewrite half over the same hot set agrees
+    val hot = graft.scale.Dedup.hotLineSet(
+      spark.read.parquet(ref), "text", "doc_id")
+    val batch = graft.scale.Dedup.stripHotLines(
+      spark.read.parquet(in), "text", hot)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(batch === got)
+  }
+
   test("streaming_outlier_filter: static fences gate the stream") {
     import spark.implicits._
     val in = tmp("sof_in")
