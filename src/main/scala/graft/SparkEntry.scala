@@ -5277,6 +5277,51 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** unit=paragraph on the same operator (C4-style spans): the seeded
+    * footer paragraph carries an INTERNAL line break — invisible to
+    * unit=line (its two halves are distinct lines but also hot;
+    * the unit's point is that the BLOCK is the boilerplate) — and both
+    * seeded blocks strip as blank-line-separated units. */
+  private def qLineDedupPara(s: SparkSession, dir: String): DataFrame = {
+    val seeded = table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws("\n\n", col("text"), lit("Follow us on social media"),
+          when(col("doc_id") % 5 === 0,
+            lit("All rights reserved.\nDo not redistribute."))).as("text"),
+        col("lang"))
+    Dedup.lineDedup(seeded, "text", "doc_id", unit = "paragraph")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for q_line_dedup_para: the paragraph-unit census/reassembly
+    * replayed over the two-char literal delimiter. */
+  private val lineDedupParaOracle: String =
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    concat_ws(chr(10) || chr(10), text, 'Follow us on social media',
+      |      CASE WHEN doc_id % 5 = 0
+      |           THEN 'All rights reserved.' || chr(10) ||
+      |                'Do not redistribute.' END) AS text,
+      |    lang
+      |  FROM documents),
+      |sp AS (SELECT doc_id, lang,
+      |         str_split(text, chr(10) || chr(10)) AS ls
+      |       FROM seeded WHERE text IS NOT NULL),
+      |paras AS (
+      |  SELECT doc_id, lang, u.i AS pos, ls[u.i] AS p
+      |  FROM sp, unnest(range(1, len(ls) + 1)) AS u(i)),
+      |hot AS (
+      |  SELECT p FROM (
+      |    SELECT DISTINCT doc_id, p FROM paras WHERE trim(p) <> '')
+      |  GROUP BY p HAVING count(*) > 1)
+      |SELECT l.doc_id,
+      |  string_agg(l.p, chr(10) || chr(10) ORDER BY l.pos) AS text,
+      |  l.lang
+      |FROM paras l
+      |WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.p = l.p)
+      |GROUP BY l.doc_id, l.lang
+      |ORDER BY l.doc_id""".stripMargin
+
   /** Shared oracle for q_line_dedup / q_job_line_dedup: same seeding,
     * per-document distinct census of non-blank lines, > 1 docs = hot,
     * positional reassembly via a lateral unnest(range) index. */
@@ -5565,6 +5610,7 @@ object SparkEntry {
     "q_dedup_against" -> (qDedupAgainst _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_dedup_set" -> (qLineDedupSet _),
+    "q_line_dedup_para" -> (qLineDedupPara _),
     "q_job_line_dedup" -> (qJobLineDedup _),
     "q_dedup_against_bloom" -> (qDedupAgainstBloom _),
     "q_job_dedup_against" -> (qJobDedupAgainst _),
@@ -6679,6 +6725,7 @@ object SparkEntry {
     "q_dedup_against" -> dedupAgainstOracle,
     "q_line_dedup" -> lineDedupOracle,
     "q_line_dedup_set" -> lineDedupOracle,
+    "q_line_dedup_para" -> lineDedupParaOracle,
     "q_job_line_dedup" -> lineDedupOracle,
     "q_dedup_against_bloom" -> dedupAgainstOracle,
     "q_job_dedup_against" -> dedupAgainstOracle,

@@ -202,6 +202,7 @@ object ComponentSchemas {
       p("text_column", "string", "document text column, default 'text'"),
       p("id_column", "string", "document id column (regroup key), default 'doc_id'"),
       p("max_docs", "integer", "a line in more than this many distinct documents is removed, default 1"),
+      p("unit", "string", "'line' (default) or 'paragraph' (blank-line-separated blocks, the C4-style span — catches boilerplate whose internal line breaks vary only at the block level)"),
       p("strategy", "string", "'join' (default, fully lazy) or 'set' (eager bounded hot-set collect, narrow rewrite) — identical results, spec-pinned"),
       p("max_hot_lines", "integer", "strategy=set driver-collect cap, default 1000000 — overflow fails loudly toward strategy=join"),
       p("broadcast", "boolean", "strategy=join: broadcast the hot-line set, default true — disable when max_docs is low and the corpus dirty enough that the hot set outgrows the driver"))),
@@ -220,6 +221,7 @@ object ComponentSchemas {
       p("reference_text_column", "string", "text column on the reference, default = text_column"),
       p("id_column", "string", "document id column on the reference (distinct-doc census key), default 'doc_id'"),
       p("max_docs", "integer", "a line in more than this many distinct reference documents is hot, default 1"),
+      p("unit", "string", "'line' (default) or 'paragraph' — same census/rewrite over blank-line-separated blocks"),
       p("max_hot_lines", "integer", "plan-time driver-collect cap, default 1000000 — overflow fails loudly"))),
     "streaming_outlier_filter" -> ("Stream-static outlier gate: keep stream rows whose numeric `column` sits inside fences computed ONCE from the reference_path parquet baseline (an unwindowed aggregate over the stream itself could never finalize) — method=zscore or iqr, global or per `by` group, broadcast onto the stream as a stateless narrow filter (no watermark, no state store). NULL values and NULL group keys drop, matching the batch outlier_filter" -> Seq(
       req("column", "string", "numeric signal column the fences apply to (must exist on both the stream and the reference)"),

@@ -1057,11 +1057,13 @@ object JobGraph {
         val (textCol, idCol) = (c.str("text_column").getOrElse("text"),
           c.str("id_column").getOrElse("doc_id"))
         val maxDocs = c.int("max_docs", 1)
+        val unit = c.str("unit").getOrElse("line")
         val out = c.str("strategy").getOrElse("join") match {
           case "join" => graft.scale.Dedup.lineDedup(one(), textCol, idCol,
-            maxDocs, c.bool("broadcast", true))
+            maxDocs, c.bool("broadcast", true), unit)
           case "set" => graft.scale.Dedup.lineDedupSet(one(), textCol, idCol,
-            maxDocs, c.int("max_hot_lines", graft.scale.Dedup.MaxHotLines))
+            maxDocs, c.int("max_hot_lines", graft.scale.Dedup.MaxHotLines),
+            unit)
           case other => throw new IllegalArgumentException(
             s"line_dedup ${c.name}: strategy must be join|set, got '$other'")
         }

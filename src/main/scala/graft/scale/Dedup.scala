@@ -216,8 +216,10 @@ object Dedup {
    * the corpus dirty enough that the hot set outgrows the driver.
    */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
-                maxDocs: Int = 1, broadcastHot: Boolean = true): DataFrame = {
-    val lines = explodedLines(df, textCol, idCol)
+                maxDocs: Int = 1, broadcastHot: Boolean = true,
+                unit: String = "line"): DataFrame = {
+    val delim = unitDelim(unit)
+    val lines = explodedLines(df, textCol, idCol, delim)
     val hotCensus = hotLines(lines, idCol, maxDocs)
     val hot = if (broadcastHot) broadcast(hotCensus) else hotCensus
     val kept = lines.join(hot, Seq("__line"), "left_anti")
@@ -225,22 +227,36 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__line")))),
-        x => x.getField("__line")), "\n").as("__line_text"))
+        x => x.getField("__line")), delim).as("__line_text"))
     df.drop(textCol)
       .join(rebuilt, Seq(idCol))
       .withColumnRenamed("__line_text", textCol)
       .select(df.columns.map(col): _*)
   }
 
-  /** (id, pos, line) exploded view of the documents, with the temp-name
+  /** Dedup unit → its split/rejoin delimiter: unit=line is the
+    * RefinedWeb/CCNet shape; unit=paragraph (blank-line-separated
+    * blocks, the C4-style span) catches boilerplate whose internal
+    * line breaks vary only at the block level. Splitting is on the
+    * LITERAL delimiter (Pattern.quote — split's regex surface never
+    * leaks into the contract). */
+  private def unitDelim(unit: String): String = unit match {
+    case "line" => "\n"
+    case "paragraph" => "\n\n"
+    case other => throw new IllegalArgumentException(
+      s"line_dedup: unit must be line|paragraph, got '$other'")
+  }
+
+  /** (id, pos, unit) exploded view of the documents, with the temp-name
     * collision guard both line_dedup strategies share. */
   private def explodedLines(df: DataFrame, textCol: String,
-                            idCol: String): DataFrame = {
+                            idCol: String, delim: String = "\n"): DataFrame = {
     Seq("__pos", "__line", "__docs", "__line_text", "__kept").foreach { c =>
       require(!df.columns.contains(c), s"line_dedup: input already has a '$c' column")
     }
     df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__pos", "__line")))
   }
 
   /** The post-cut hot census: non-blank lines in more than maxDocs
@@ -278,9 +294,10 @@ object Dedup {
    */
   def lineDedupSet(df: DataFrame, textCol: String, idCol: String,
                    maxDocs: Int = 1,
-                   maxHotLines: Int = MaxHotLines): DataFrame =
+                   maxHotLines: Int = MaxHotLines,
+                   unit: String = "line"): DataFrame =
     stripHotLines(df, textCol,
-      hotLineSet(df, textCol, idCol, maxDocs, maxHotLines))
+      hotLineSet(df, textCol, idCol, maxDocs, maxHotLines, unit), unit)
 
   /** The bounded-collected hot-line set of a (static) corpus —
     * [[lineDedupSet]]'s census half, also the plan-time half of the
@@ -289,8 +306,10 @@ object Dedup {
     * closed reference corpus there). */
   def hotLineSet(corpus: DataFrame, textCol: String, idCol: String,
                  maxDocs: Int = 1,
-                 maxHotLines: Int = MaxHotLines): Seq[String] = {
-    val census = hotLines(explodedLines(corpus, textCol, idCol), idCol, maxDocs)
+                 maxHotLines: Int = MaxHotLines,
+                 unit: String = "line"): Seq[String] = {
+    val census = hotLines(
+      explodedLines(corpus, textCol, idCol, unitDelim(unit)), idCol, maxDocs)
     val rows = census.limit(maxHotLines + 1).collect()
     require(rows.length <= maxHotLines,
       s"line_dedup: hot-line set exceeds $maxHotLines lines — use " +
@@ -303,14 +322,16 @@ object Dedup {
     * no state). Documents with nothing left — including NULL text —
     * drop, matching the join strategy. */
   def stripHotLines(df: DataFrame, textCol: String,
-                    hot: Seq[String]): DataFrame = {
+                    hot: Seq[String], unit: String = "line"): DataFrame = {
+    val delim = unitDelim(unit)
     if (hot.isEmpty) return df.filter(col(textCol).isNotNull)
     require(!df.columns.contains("__kept"),
       "line_dedup: input already has a '__kept' column")
-    val kept = graft.functions.RemoveInSet.remove(split(col(textCol), "\n"), hot)
+    val kept = graft.functions.RemoveInSet.remove(
+      split(col(textCol), java.util.regex.Pattern.quote(delim)), hot)
     df.withColumn("__kept", kept)
       .filter(col("__kept").isNotNull && size(col("__kept")) > 0)
-      .withColumn(textCol, array_join(col("__kept"), "\n"))
+      .withColumn(textCol, array_join(col("__kept"), delim))
       .drop("__kept")
   }
 

@@ -407,12 +407,14 @@ object StreamingJobs {
         case "streaming_line_dedup" =>
           val refDf = graft.io.ParquetIO.read(spark, c.reqStr("reference_path"))
           val textCol = c.str("text_column").getOrElse("text")
+          val unit = c.str("unit").getOrElse("line")
           val hot = graft.scale.Dedup.hotLineSet(refDf,
             c.str("reference_text_column").getOrElse(textCol),
             c.str("id_column").getOrElse("doc_id"),
             c.int("max_docs", 1),
-            c.int("max_hot_lines", graft.scale.Dedup.MaxHotLines))
-          Map("out" -> graft.scale.Dedup.stripHotLines(one(c), textCol, hot))
+            c.int("max_hot_lines", graft.scale.Dedup.MaxHotLines), unit)
+          Map("out" -> graft.scale.Dedup.stripHotLines(one(c), textCol, hot,
+            unit))
 
         // Stream-static outlier gate (Profile.outlierFilterAgainst):
         // fences come from `reference_path` (a batch parquet baseline —

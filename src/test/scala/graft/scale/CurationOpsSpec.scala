@@ -410,6 +410,26 @@ class CurationOpsSpec extends SparkTestBase {
       Dedup.lineDedup(df.withColumn("__pos", lit(1)), "text", "doc_id"))
   }
 
+  test("lineDedup unit=paragraph: blocks census as units; strategies agree; bad unit loud") {
+    // the shared footer block has an INTERNAL line break — it is one
+    // PARAGRAPH unit; doc 3's lone paragraph differs (subset lines) and
+    // must survive, which unit=line would not preserve
+    val df = Seq(
+      (1L, "prose one\n\nAll rights reserved.\nDo not redistribute.", "a"),
+      (2L, "prose two\n\nAll rights reserved.\nDo not redistribute.", "b"),
+      (3L, "All rights reserved.", "c")
+    ).toDF("doc_id", "text", "lang")
+    val out = Dedup.lineDedup(df, "text", "doc_id", unit = "paragraph")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "prose one", 2L -> "prose two",
+      3L -> "All rights reserved."))
+    val viaSet = Dedup.lineDedupSet(df, "text", "doc_id", unit = "paragraph")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(viaSet === out, "strategies must agree under unit=paragraph")
+    intercept[IllegalArgumentException](
+      Dedup.lineDedup(df, "text", "doc_id", unit = "sentence"))
+  }
+
   test("lineDedupSet: identical survivors to the join strategy; loud overflow") {
     val df = Seq(
       (1L, "alpha\nCommon Footer\nbeta", "a"),
