@@ -214,6 +214,11 @@ object Dedup {
    * sort-merge join — the text column itself crosses the wire once,
    * exploded). Set `broadcastHot=false` when maxDocs is low enough and
    * the corpus dirty enough that the hot set outgrows the driver.
+   *
+   * Measured (tools/CurationProbe, local[32], 4-line docs with a
+   * fixed 51-line hot set): 5k docs 1.51 s → 50k 2.13 s → 500k 5.83 s
+   * — 3.9x time for 100x rows; [[lineDedupSet]] measures 0.78/1.47/
+   * 4.91 s on the same corpus, ahead at every factor.
    */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
                 maxDocs: Int = 1, broadcastHot: Boolean = true,

@@ -28,6 +28,12 @@ import graft.ops.RelationalOps
   *   char_entropy         0.16 s → 0.26 s   (1.6x — ~8M docs/s kernel)
   *   dedup_against        0.76 s → 1.01 s   (1.3x — broadcast anti-join)
   *   sample_weighted      0.22 s → 0.52 s   (2.4x)
+  *   line_dedup join      1.51 s → 2.13 s   (1.4x; 5.83 s at 100x —
+  *     3.9x for 100x rows. 4-line docs, 51-line hot set at every
+  *     factor: the census scales, the hot set does not.)
+  *   line_dedup set       0.78 s → 1.47 s   (1.9x; 4.91 s at 100x —
+  *     the eager census + narrow rewrite beats the join strategy's
+  *     regroup+join-back at every factor.)
   *   top_grams(n=2,k=40)  0.77 s → 1.80 s   (2.3x; 135M bigrams at
   *     100x — ~75M grams/s since the positional-WordShingles kernel,
   *     7.6x over the interpreted HOF chain it replaced. Still linear
@@ -118,6 +124,23 @@ object CurationProbe {
           docs.withColumn("rate", col("n_chars") / lit(1000.0)),
           "doc_id", "rate")
           .agg(count(lit(1))).head().getLong(0)
+      }
+      // the fixture text is single-line; synthesize the line structure
+      // line_dedup exists for: per-doc salted prose (2 unique lines)
+      // plus a global footer and one of 50 nav variants (51 hot lines
+      // at every factor — the census scales, the hot set does not)
+      val lined = docs.withColumn("text",
+        concat_ws("\n", col("text"),
+          lit("Subscribe to our newsletter"),
+          concat(lit("Nav item "), (col("doc_id") % 50).cast("string")),
+          concat(col("text"), lit(" tail"))))
+      t(s"line_dedup join ${fac}x") {
+        Dedup.lineDedup(lined, "text", "doc_id")
+          .agg(sum(length(col("text")))).head().getLong(0)
+      }
+      t(s"line_dedup set ${fac}x") {
+        Dedup.lineDedupSet(lined, "text", "doc_id")
+          .agg(sum(length(col("text")))).head().getLong(0)
       }
       docs.unpersist()
     }
