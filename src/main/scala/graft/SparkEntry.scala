@@ -5277,6 +5277,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The audit face (Dedup.hotLineReport, emit=hot): the hot lines the
+    * same seeding produces, with distinct-doc counts — the newsletter
+    * line in every doc, the licence footer in every 4th, plus any
+    * naturally duplicated fixture texts. */
+  private def qLineDedupHot(s: SparkSession, dir: String): DataFrame = {
+    val seeded = table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("Subscribe to our newsletter"),
+          when(col("doc_id") % 4 === 0,
+            lit("(c) example.com all rights reserved"))).as("text"))
+    Dedup.hotLineReport(seeded, "text", "doc_id")
+      .orderBy(col("n_docs").desc, col("line"))
+  }
+
+  /** Oracle for q_line_dedup_hot: the census half of lineDedupOracle. */
+  private val lineDedupHotOracle: String =
+    """WITH seeded AS (
+      |  SELECT doc_id,
+      |    concat_ws(chr(10), text, 'Subscribe to our newsletter',
+      |      CASE WHEN doc_id % 4 = 0
+      |           THEN '(c) example.com all rights reserved' END) AS text
+      |  FROM documents),
+      |sp AS (SELECT doc_id, str_split(text, chr(10)) AS ls
+      |       FROM seeded WHERE text IS NOT NULL),
+      |lines AS (
+      |  SELECT doc_id, ls[u.i] AS line
+      |  FROM sp, unnest(range(1, len(ls) + 1)) AS u(i))
+      |SELECT line, count(*) AS n_docs FROM (
+      |  SELECT DISTINCT doc_id, line FROM lines WHERE trim(line) <> '')
+      |GROUP BY line HAVING count(*) > 1
+      |ORDER BY n_docs DESC, line""".stripMargin
+
   /** unit=paragraph on the same operator (C4-style spans): the seeded
     * footer paragraph carries an INTERNAL line break — invisible to
     * unit=line (its two halves are distinct lines but also hot;
@@ -5611,6 +5643,7 @@ object SparkEntry {
     "q_line_dedup" -> (qLineDedup _),
     "q_line_dedup_set" -> (qLineDedupSet _),
     "q_line_dedup_para" -> (qLineDedupPara _),
+    "q_line_dedup_hot" -> (qLineDedupHot _),
     "q_job_line_dedup" -> (qJobLineDedup _),
     "q_dedup_against_bloom" -> (qDedupAgainstBloom _),
     "q_job_dedup_against" -> (qJobDedupAgainst _),
@@ -6726,6 +6759,7 @@ object SparkEntry {
     "q_line_dedup" -> lineDedupOracle,
     "q_line_dedup_set" -> lineDedupOracle,
     "q_line_dedup_para" -> lineDedupParaOracle,
+    "q_line_dedup_hot" -> lineDedupHotOracle,
     "q_job_line_dedup" -> lineDedupOracle,
     "q_dedup_against_bloom" -> dedupAgainstOracle,
     "q_job_dedup_against" -> dedupAgainstOracle,

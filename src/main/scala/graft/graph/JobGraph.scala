@@ -1058,14 +1058,22 @@ object JobGraph {
           c.str("id_column").getOrElse("doc_id"))
         val maxDocs = c.int("max_docs", 1)
         val unit = c.str("unit").getOrElse("line")
-        val out = c.str("strategy").getOrElse("join") match {
-          case "join" => graft.scale.Dedup.lineDedup(one(), textCol, idCol,
-            maxDocs, c.bool("broadcast", true), unit)
-          case "set" => graft.scale.Dedup.lineDedupSet(one(), textCol, idCol,
-            maxDocs, c.int("max_hot_lines", graft.scale.Dedup.MaxHotLines),
-            unit)
+        val out = c.str("emit").getOrElse("docs") match {
+          // emit=hot: the audit table (line, n_docs) of what WOULD be
+          // stripped — census only, no rewrite, strategy ignored
+          case "hot" => graft.scale.Dedup.hotLineReport(one(), textCol,
+            idCol, maxDocs, unit)
+          case "docs" => c.str("strategy").getOrElse("join") match {
+            case "join" => graft.scale.Dedup.lineDedup(one(), textCol, idCol,
+              maxDocs, c.bool("broadcast", true), unit)
+            case "set" => graft.scale.Dedup.lineDedupSet(one(), textCol, idCol,
+              maxDocs, c.int("max_hot_lines", graft.scale.Dedup.MaxHotLines),
+              unit)
+            case other => throw new IllegalArgumentException(
+              s"line_dedup ${c.name}: strategy must be join|set, got '$other'")
+          }
           case other => throw new IllegalArgumentException(
-            s"line_dedup ${c.name}: strategy must be join|set, got '$other'")
+            s"line_dedup ${c.name}: emit must be docs|hot, got '$other'")
         }
         (Map("out" -> out), None)
 

@@ -267,7 +267,11 @@ object Dedup {
   /** The post-cut hot census: non-blank lines in more than maxDocs
     * DISTINCT documents — one column `__line`. */
   private def hotLines(lines: DataFrame, idCol: String,
-                       maxDocs: Int): DataFrame = {
+                       maxDocs: Int): DataFrame =
+    hotLineCensus(lines, idCol, maxDocs).select(col("__line"))
+
+  private def hotLineCensus(lines: DataFrame, idCol: String,
+                            maxDocs: Int): DataFrame = {
     require(maxDocs >= 1, s"line_dedup: max_docs must be >= 1, got $maxDocs")
     lines
       .filter(trim(col("__line")) =!= "")
@@ -275,8 +279,18 @@ object Dedup {
       .groupBy(col("__line"))
       .agg(count(lit(1)).as("__docs"))
       .filter(col("__docs") > maxDocs)
-      .select(col("__line"))
   }
+
+  /** The audit face of [[lineDedup]]: the hot lines themselves with
+    * their distinct-document counts — what WOULD be stripped, for
+    * eyeballing a threshold before running the rewrite (decontaminate's
+    * flagged/pairs discipline). Same census, no rewrite: one explode +
+    * one aggregate, output bounded by the post-cut hot set. */
+  def hotLineReport(df: DataFrame, textCol: String, idCol: String,
+                    maxDocs: Int = 1, unit: String = "line"): DataFrame =
+    hotLineCensus(explodedLines(df, textCol, idCol, unitDelim(unit)),
+      idCol, maxDocs)
+      .select(col("__line").as("line"), col("__docs").as("n_docs"))
 
   /** Cap for [[lineDedupSet]]'s hot-line collect: past this the
     * boilerplate set no longer belongs on the driver — use the join

@@ -487,6 +487,20 @@ class CurationOpsSpec extends SparkTestBase {
       a.length === 3 && !a.contains("b")))
   }
 
+  test("hotLineReport: the audit face counts distinct docs per hot line") {
+    val df = Seq(
+      (1L, "alpha\nCommon Footer"),
+      (2L, "beta\nCommon Footer\nCommon Footer"), // self-repeat: one doc
+      (3L, "Common Footer\nNav bar"),
+      (4L, "Nav bar\nprose")
+    ).toDF("doc_id", "text")
+    val got = Dedup.hotLineReport(df, "text", "doc_id")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("Common Footer" -> 3L, "Nav bar" -> 2L))
+    // max_docs raises the bar; nothing above it -> empty report
+    assert(Dedup.hotLineReport(df, "text", "doc_id", maxDocs = 3).count() === 0)
+  }
+
   test("lineDedup: hot set broadcasts — no exchange on the exploded anti-join side") {
     val df = (1 to 200).map(i => (i.toLong, s"prose $i\nShared Footer"))
       .toDF("doc_id", "text")
