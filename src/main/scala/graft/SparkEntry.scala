@@ -2330,6 +2330,125 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The Gopher QUALITY rules (TextAnalysis.gopherRules): every 3rd
+    * doc gets bullet lines, every 5th an ellipsis-ended line, every
+    * 7th a symbol burst, so each rule flips on a known stratum; the
+    * fixture's own 10-99-token spread exercises the word-count bound
+    * and its de/es/fr/zh docs the English-stopword rule. Boolean-only
+    * output — the ratios never leave the engine (dtype discipline). */
+  private def qGopher(s: SparkSession, dir: String): DataFrame = {
+    val seeded = table(s, dir, "documents")
+      .select(col("doc_id"), concat_ws("\n", col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("- bullet one\n- bullet two\n- bullet three")),
+        when(col("doc_id") % 5 === 0, lit("to be continued...")),
+        when(col("doc_id") % 7 === 0, lit("### ## # ####"))).as("text"))
+    TextAnalysis.gopherRules(seeded)
+      .select(col("doc_id") +:
+        (TextAnalysis.gopherRuleColumns :+ "gopher_pass").map(col): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for q_gopher: the eight-rule boolean replay, every ratio
+    * kept as an integer-count comparison with ::DOUBLE on both sides
+    * (a bare 0.1 literal is DECIMAL in DuckDB — never compare it). */
+  private val gopherOracle: String =
+    """WITH seeded AS (
+      |  SELECT doc_id, concat_ws(chr(10), text,
+      |    CASE WHEN doc_id % 3 = 0 THEN '- bullet one' || chr(10) ||
+      |      '- bullet two' || chr(10) || '- bullet three' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'to be continued...' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN '### ## # ####' END) AS text
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN len(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n,
+      |    len(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
+      |    len(text) - len(replace(text, '#', '')) AS n_hash,
+      |    len(regexp_extract_all(text, '(\.\.\.|…)')) AS n_ell,
+      |    len(str_split(text, chr(10))) AS n_lines,
+      |    len(regexp_extract_all(text, '(?m)^[ \t]*[-*•‣▪]')) AS n_bullet,
+      |    len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS n_ell_end,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> regexp_matches(x, '\p{L}'))) AS n_alpha,
+      |    (SELECT sum(list_contains(string_split_regex(lower(trim(text)), '\s+'), w)::INT)
+      |     FROM unnest(['the','be','to','of','and','that','have','with']) AS u(w)
+      |    ) AS stop_hits
+      |  FROM seeded)
+      |SELECT doc_id,
+      |  (n >= 50 AND n <= 100000) AS g_word_count,
+      |  (n > 0 AND n_nonspace::DOUBLE / n::DOUBLE >= 3.0::DOUBLE
+      |         AND n_nonspace::DOUBLE / n::DOUBLE <= 10.0::DOUBLE)
+      |    AS g_mean_word_len,
+      |  (n > 0 AND (n_hash + n_ell)::DOUBLE <= 0.1::DOUBLE * n)
+      |    AS g_symbol_ratio,
+      |  (n_bullet::DOUBLE <= 0.9::DOUBLE * n_lines) AS g_bullet_lines,
+      |  (n_ell_end::DOUBLE <= 0.3::DOUBLE * n_lines) AS g_ellipsis_lines,
+      |  (n > 0 AND n_alpha::DOUBLE >= 0.8::DOUBLE * n) AS g_alpha_words,
+      |  (stop_hits >= 2) AS g_stopwords,
+      |  ((n >= 50 AND n <= 100000)
+      |   AND (n > 0 AND n_nonspace::DOUBLE / n::DOUBLE >= 3.0::DOUBLE
+      |              AND n_nonspace::DOUBLE / n::DOUBLE <= 10.0::DOUBLE)
+      |   AND (n > 0 AND (n_hash + n_ell)::DOUBLE <= 0.1::DOUBLE * n)
+      |   AND (n_bullet::DOUBLE <= 0.9::DOUBLE * n_lines)
+      |   AND (n_ell_end::DOUBLE <= 0.3::DOUBLE * n_lines)
+      |   AND (n > 0 AND n_alpha::DOUBLE >= 0.8::DOUBLE * n)
+      |   AND (stop_hits >= 2)) AS gopher_pass
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  /** The SAME rules through the declarative gopher_filter component
+    * (emit=flagged), seeding done by a sql component — shares
+    * q_gopher's oracle. */
+  private def qJobGopher(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_gopher"
+    val readSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string")
+    val ruleCols = TextAnalysis.gopherRuleColumns :+ "gopher_pass"
+    val flaggedSchema = fieldsJson(("doc_id" -> "integer") +:
+      ("text" -> "string") +: ruleCols.map(_ -> "boolean"): _*)
+    val outSchema = fieldsJson(("doc_id" -> "integer") +:
+      ruleCols.map(_ -> "boolean"): _*)
+    val seedSql = "SELECT doc_id, concat_ws(chr(10), text, " +
+      "CASE WHEN doc_id % 3 = 0 THEN concat('- bullet one', chr(10), " +
+      "'- bullet two', chr(10), '- bullet three') END, " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'to be continued...' END, " +
+      "CASE WHEN doc_id % 7 = 0 THEN '### ## # ####' END) AS text " +
+      "FROM seed_in"
+    val projSql = s"SELECT doc_id, ${ruleCols.mkString(", ")} FROM proj_in"
+    val jobJson =
+      s"""{
+         |  "name": "gopher_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "seed", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $readSchema } },
+         |    { "name": "seed", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(seedSql)},
+         |      "in_port_schemas": { "in": $readSchema },
+         |      "routes": { "out": [ { "to": "gf", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "gf", "comp_type": "gopher_filter", "emit": "flagged",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "proj", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $flaggedSchema } },
+         |    { "name": "proj", "comp_type": "sql",
+         |      "query": ${graft.util.JsonStr.quote(projSql)},
+         |      "in_port_schemas": { "in": $flaggedSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
   /** Exact top-50 vocabulary over documents (TextAnalysis.topTokens):
     * distributed top-k via TakeOrderedAndProject, deterministic
     * (count desc, token asc) tiebreak so the k-th boundary is stable
@@ -5583,6 +5702,8 @@ object SparkEntry {
     "q_job_dedup_cluster" -> (qJobDedupCluster _),
     "q_job_dedup_transitive" -> (qJobDedupTransitive _),
     "text_stats" -> (qTextStats _),
+    "q_gopher" -> (qGopher _),
+    "q_job_gopher" -> (qJobGopher _),
     "text_topk" -> (qTextTopk _),
     "text_pii" -> (qTextPii _),
     "text_langid" -> (qTextLangId _),
@@ -6904,6 +7025,8 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n_occurrences DESC, token
         |LIMIT 50""".stripMargin,
+    "q_gopher" -> gopherOracle,
+    "q_job_gopher" -> gopherOracle,
     "text_stats" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -198,6 +198,18 @@ object ComponentSchemas {
       req("k", "integer", "number of top entries (> 0)"),
       p("n", "integer", "gram width, default 1 (tokens)"),
       p("text_column", "string", "document text column, default 'text'"))),
+    "gopher_filter" -> ("Gopher QUALITY rules (Rae et al. 2021 A1.1) as one stateless narrow projection — the complement of text_repetition's Gopher REPETITION signals: word-count bounds, mean-word-length bounds, symbol-to-word ratio (# and ellipses), bullet-start and ellipsis-end line fractions, alphabetic-word fraction, and >= min_stop_hits distinct English stopwords (the, be, to, of, and, that, have, with). Every rule is a boolean over integer counts and IEEE-exact divisions (oracle-replayable; ratios never leave the engine). emit=docs keeps passing rows; emit=flagged appends the per-rule booleans + gopher_pass for threshold tuning. NULL text fails every rule. Stateless, so it also runs incrementally over streams" -> Seq(
+      p("text_column", "string", "document text column, default 'text'"),
+      p("emit", "string", "'docs' (default — passing rows only) or 'flagged' (append g_* rule booleans + gopher_pass)"),
+      p("min_words", "integer", "word-count lower bound, default 50"),
+      p("max_words", "integer", "word-count upper bound, default 100000"),
+      p("min_mean_word_len", "number", "mean token length lower bound, default 3.0"),
+      p("max_mean_word_len", "number", "mean token length upper bound, default 10.0"),
+      p("max_symbol_ratio", "number", "(# + ellipsis occurrences) / words cap, default 0.1"),
+      p("max_bullet_ratio", "number", "bullet-start line fraction cap, default 0.9"),
+      p("max_ellipsis_ratio", "number", "ellipsis-end line fraction cap, default 0.3"),
+      p("min_alpha_ratio", "number", "fraction of words containing a letter floor, default 0.8"),
+      p("min_stop_hits", "integer", "distinct Gopher stopwords required, default 2"))),
     "line_dedup" -> ("Corpus-level duplicate-line removal (RefinedWeb/CCNet boilerplate stripping): census the corpus's non-blank lines, call a line hot when it appears byte-exactly in more than max_docs DISTINCT documents (navigation chrome, cookie banners, licence footers), and rewrite every document with its hot lines removed. Blank lines pass through (paragraph structure survives); within-document repetition never promotes a line (per-document census); documents with no surviving lines — including NULL text — drop. The post-cut hot set is tiny and broadcasts (LeftAnti, no exchange on the exploded lines); one hash exchange regroups kept lines per document. strategy=set (identical survivors, spec-pinned) collects the hot set once — bounded by max_hot_lines, loud overflow — and rewrites via one codegen'd narrow remove_in_set projection: no regroup exchange, no join-back, the corpus-scale path after the census" -> Seq(
       p("text_column", "string", "document text column, default 'text'"),
       p("id_column", "string", "document id column (regroup key), default 'doc_id'"),

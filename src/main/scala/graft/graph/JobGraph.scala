@@ -1044,6 +1044,33 @@ object JobGraph {
       // strategy=bloom probes a compact reference-key bloom as a narrow
       // map and sends only candidates to the exact join — the
       // corpus-sized-reference path (Dedup.exactAgainstBloom).
+      // Gopher quality rules (TextAnalysis.gopherRules): one narrow
+      // boolean projection per document — emit=docs keeps passing rows
+      // (the training-pipeline shape), emit=flagged appends the
+      // per-rule booleans + gopher_pass for auditing. Stateless, so
+      // also streamable (same comp_type in StreamingJobs).
+      case "gopher_filter" =>
+        val textCol = c.str("text_column").getOrElse("text")
+        def d(k: String, dflt: Double) = c.doubleOpt(k).getOrElse(dflt)
+        val (minW, maxW) = (c.int("min_words", 50), c.int("max_words", 100000))
+        val (minMl, maxMl) = (d("min_mean_word_len", 3.0),
+          d("max_mean_word_len", 10.0))
+        val (maxSym, maxBul, maxEll, minAlpha) = (d("max_symbol_ratio", 0.1),
+          d("max_bullet_ratio", 0.9), d("max_ellipsis_ratio", 0.3),
+          d("min_alpha_ratio", 0.8))
+        val minStops = c.int("min_stop_hits", 2)
+        val out = c.str("emit").getOrElse("docs") match {
+          case "docs" => graft.scale.TextAnalysis.gopherFilter(one(), textCol,
+            minW, maxW, minMl, maxMl, maxSym, maxBul, maxEll, minAlpha,
+            minStops)
+          case "flagged" => graft.scale.TextAnalysis.gopherRules(one(),
+            textCol, minW, maxW, minMl, maxMl, maxSym, maxBul, maxEll,
+            minAlpha, minStops)
+          case other => throw new IllegalArgumentException(
+            s"gopher_filter ${c.name}: emit must be docs|flagged, got '$other'")
+        }
+        (Map("out" -> out), None)
+
       // Corpus-level duplicate-line removal (Dedup.lineDedup): census
       // non-blank lines across documents, lines present in more than
       // max_docs DISTINCT documents are boilerplate and get stripped

@@ -130,6 +130,102 @@ object TextAnalysis {
     round((lenScore + stopScore + punctPenalty) / lit(3.0), 6)
   }
 
+  /** The eight Gopher stopwords of the "contains at least 2 of" rule
+    * (Rae et al. 2021, table A1) — NOT [[EnglishStopwords]], which is
+    * the stopword-RATIO lexicon. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * The Gopher QUALITY rules (Rae et al. 2021, appendix A1.1) as one
+   * narrow, codegen-friendly projection — the complement of
+   * [[repetitionStats]] (the Gopher REPETITION rules). Appends one
+   * boolean per rule plus the conjunction `gopher_pass`:
+   *
+   *  - g_word_count:  [minWords, maxWords] whitespace tokens;
+   *  - g_mean_word_len: mean token length in [minMeanLen, maxMeanLen];
+   *  - g_symbol_ratio: (# of `#` + `...`/`…` occurrences) / tokens
+   *    <= maxSymbolRatio;
+   *  - g_bullet_lines: fraction of lines starting with a bullet
+   *    (-, *, •, ‣, ▪) <= maxBulletRatio;
+   *  - g_ellipsis_lines: fraction of lines ending in `...`/`…`
+   *    <= maxEllipsisRatio;
+   *  - g_alpha_words: fraction of tokens containing at least one
+   *    \p{L} letter >= minAlphaRatio;
+   *  - g_stopwords: at least minStopHits DISTINCT [[GopherStopwords]]
+   *    present.
+   *
+   * Determinism discipline: every rule is a BOOLEAN over integer
+   * counts and IEEE-exact integer divisions, so the oracle replays it
+   * bit-for-bit; the underlying ratios are never emitted. Line rules
+   * count via (?m) regexes in the Java/RE2 common subset (no
+   * lookaround); the alpha-word rule is the one per-token lambda
+   * (ArrayFilter — interpreted, a kernel candidate if it ever shows in
+   * a profile). NULL text fails every rule (coalesce to false), the
+   * curation-safe default.
+   */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3,
+                  minAlphaRatio: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val n = tokenCount(t) // 0 for blank, null for null text
+    val toks = split(trim(t), "\\s+")
+    val low = split(lower(trim(t)), "\\s+")
+    val meanLen = meanWordLen(t)
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEll = regexp_count(t, lit("(\\.\\.\\.|\\u2026)"))
+    val nLines = size(split(t, "\n"))
+    val nBullet = regexp_count(t, lit("(?m)^[ \\t]*[-*\\u2022\\u2023\\u25AA]"))
+    val nEllEnd = regexp_count(t, lit("(?m)(\\.\\.\\.|\\u2026)[ \\t]*$"))
+    val nAlpha = size(filter(toks, x => x.rlike("\\p{L}")))
+    val stopHits = GopherStopwords.map(w =>
+      array_contains(low, w).cast("int")).reduce(_ + _)
+    def rule(c: Column): Column = coalesce(c, lit(false))
+    val rules = Seq(
+      "g_word_count" -> rule(n >= minWords && n <= maxWords),
+      "g_mean_word_len" -> rule(n > 0 &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen),
+      "g_symbol_ratio" -> rule(n > 0 &&
+        (nHash + nEll).cast("double") <= lit(maxSymbolRatio) * n),
+      "g_bullet_lines" -> rule(
+        nBullet.cast("double") <= lit(maxBulletRatio) * nLines),
+      "g_ellipsis_lines" -> rule(
+        nEllEnd.cast("double") <= lit(maxEllipsisRatio) * nLines),
+      "g_alpha_words" -> rule(n > 0 &&
+        nAlpha.cast("double") >= lit(minAlphaRatio) * n),
+      "g_stopwords" -> rule(stopHits >= minStopHits))
+    val flagged = rules.foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(name, c) }
+    flagged.withColumn("gopher_pass",
+      rules.map(r => col(r._1)).reduce(_ && _))
+  }
+
+  /** [[gopherRules]] then keep only the passing rows, dropping the rule
+    * columns — the shape a training pipeline feeds downstream. */
+  def gopherFilter(df: DataFrame, textCol: String = "text",
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   maxBulletRatio: Double = 0.9,
+                   maxEllipsisRatio: Double = 0.3,
+                   minAlphaRatio: Double = 0.8,
+                   minStopHits: Int = 2): DataFrame =
+    gopherRules(df, textCol, minWords, maxWords, minMeanLen, maxMeanLen,
+      maxSymbolRatio, maxBulletRatio, maxEllipsisRatio, minAlphaRatio,
+      minStopHits)
+      .filter(col("gopher_pass"))
+      .drop("gopher_pass" +: gopherRuleColumns: _*)
+
+  /** The rule-column names [[gopherRules]] appends (pass flag apart). */
+  val gopherRuleColumns: Seq[String] = Seq("g_word_count",
+    "g_mean_word_len", "g_symbol_ratio", "g_bullet_lines",
+    "g_ellipsis_lines", "g_alpha_words", "g_stopwords")
+
   /**
    * Fraction of non-blank lines that are duplicates of another line —
    * the Gopher "duplicate line fraction" quality rule (boilerplate,

@@ -59,6 +59,7 @@ object StreamingJobs {
     "filter", "type_conversion", "schema_mapping", "split", "merge",
     "unpivot", "hash_split", "sample", "json_extract",
     "chunk", "text_normalize", "url_features", "embedding_transform",
+    "gopher_filter",
     "text_analysis", "pii_redact", "streaming_aggregation", "streaming_dedup",
     "streaming_asof_join", "streaming_range_join", "streaming_decontaminate",
     "streaming_group_cap", "streaming_outlier_filter",
@@ -187,6 +188,22 @@ object StreamingJobs {
           Map("out" -> graft.scale.TextAnalysis.urlFeatures(one(c),
             c.str("url_column").getOrElse("url"),
             c.str("prefix").getOrElse("url_")))
+        // gopher_filter is a stateless boolean projection: streams
+        // as-is, same thresholds as the batch fold
+        case "gopher_filter" =>
+          def d(k: String, dflt: Double) = c.doubleOpt(k).getOrElse(dflt)
+          val f = c.str("emit").getOrElse("docs") match {
+            case "docs" => graft.scale.TextAnalysis.gopherFilter _
+            case "flagged" => graft.scale.TextAnalysis.gopherRules _
+            case other => throw new IllegalArgumentException(
+              s"gopher_filter ${c.name}: emit must be docs|flagged, got '$other'")
+          }
+          Map("out" -> f(one(c), c.str("text_column").getOrElse("text"),
+            c.int("min_words", 50), c.int("max_words", 100000),
+            d("min_mean_word_len", 3.0), d("max_mean_word_len", 10.0),
+            d("max_symbol_ratio", 0.1), d("max_bullet_ratio", 0.9),
+            d("max_ellipsis_ratio", 0.3), d("min_alpha_ratio", 0.8),
+            c.int("min_stop_hits", 2)))
         // embedding transforms are per-row vector math: stream as-is
         case "embedding_transform" =>
           val vecCol = c.str("vector_column").getOrElse("embedding")

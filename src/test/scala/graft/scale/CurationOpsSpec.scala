@@ -374,6 +374,38 @@ class CurationOpsSpec extends SparkTestBase {
       s"small reference must broadcast the anti-join:\n$plan")
   }
 
+  // ---- gopher_filter ----
+
+  test("gopherRules: each rule trips on its own pathology; null text fails all") {
+    val many = (1 to 60).map(i => s"word$i items").mkString(" ") // 120 tokens
+    val df = Seq(
+      (1L, many + " the be to of and"),              // passes everything
+      (2L, "the be to of"),                          // too short
+      (3L, many + " the be " + "# # # # # # # # # # # # # # #"), // symbols
+      (4L, (1 to 60).map(_ => "- item the be").mkString("\n")),  // bullets
+      (5L, many + " the be\n...\n...\n..."),         // ellipsis-end lines
+      (6L, (1 to 60).map(i => s"12 34 $i").mkString(" ") + " the be"), // digits
+      (7L, many),                                    // no Gopher stopwords
+      (8L, null)                                     // null text
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df)
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = byId(id).getAs[Boolean](c)
+    assert(b(1, "gopher_pass"))
+    assert(!b(2, "g_word_count") && !b(2, "gopher_pass"))
+    assert(!b(3, "g_symbol_ratio") && b(3, "g_word_count"))
+    assert(!b(4, "g_bullet_lines"))
+    assert(!b(5, "g_ellipsis_lines"))
+    assert(!b(6, "g_alpha_words"))
+    assert(!b(7, "g_stopwords"))
+    assert(TextAnalysis.gopherRuleColumns.forall(c => !b(8, c)) &&
+      !b(8, "gopher_pass"), "null text fails every rule, non-null false")
+    // the filter face == flagged face filtered, rule columns dropped
+    val kept = TextAnalysis.gopherFilter(df)
+    assert(kept.columns.toSeq === df.columns.toSeq)
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   // ---- line_dedup ----
 
   test("lineDedup: cross-doc hot lines strip; blanks and within-doc repeats survive") {
