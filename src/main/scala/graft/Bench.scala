@@ -163,10 +163,19 @@ object Bench {
     // BENCH_LOCAL.json
     val totalRounded =
       results.map { case (_, ts) => BigDecimal(r4(median(ts))) }.sum
+    // "total" sums only queries with >= 1 successful rep (n_timed of
+    // them); when any query errored, the headline total is PARTIAL — a
+    // query that starts failing every rep would otherwise shrink the
+    // total and read as a speedup against a previous clean run. The
+    // explicit flag makes round-over-round comparison refuse silently
+    // comparing a partial total against a full one.
+    val partial =
+      if (errors.nonEmpty) s""","partial":true,"n_timed":${results.size}"""
+      else ""
     val json =
-      s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","queries":$qs,"reps":$reps,"reps_slow":$repsSlow,"errors":$errJson,"n_queries":${sorted.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+      s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","queries":$qs,"reps":$reps,"reps_slow":$repsSlow,"errors":$errJson,"n_queries":${sorted.size},"n_errors":${errors.size}$partial,"sf":${quote(sfDir)}}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"reps_slow":$repsSlow,"errors":$errJson,"n_queries":${sorted.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"reps_slow":$repsSlow,"errors":$errJson,"n_queries":${sorted.size},"n_errors":${errors.size}$partial,"sf":${quote(sfDir)}}"""
     // A filtered dev run must not clobber the full-suite artifact the
     // driver and the round notes read (a 1-query rerun once overwrote the
     // 88-query BENCH_LOCAL.json): name-restricted runs write elsewhere.
@@ -181,7 +190,7 @@ object Bench {
     // parseable JSON object; per-query detail always lives in
     // BENCH_LOCAL.json.
     val headline =
-      s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","reps":$reps,"n_queries":${sorted.size},"n_errors":${errors.size},"sf":${quote(sfDir)}}"""
+      s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","reps":$reps,"n_queries":${sorted.size},"n_errors":${errors.size}$partial,"sf":${quote(sfDir)}}"""
     println(headline)
     println(json)
     println(headline)

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
  *
  * Exact-semantics contract with the HOF form it replaced (pinned in
  * CurationOpsSpec + QuantizeInt8Spec equivalence):
- *  - NULL elements are ignored for the scale and stay NULL in `q`;
+ *  - NULL elements are ignored for the scale and stay NULL in `q`
+ *    when scale > 0; a scale-0 vector (see next bullet) quantizes
+ *    every position, null included, to 0;
  *  - an all-zero (or all-null) vector has scale 0 and quantizes every
  *    position to 0 — nothing to scale;
  *  - rounding is Math.round on the double quotient = HALF_UP for the

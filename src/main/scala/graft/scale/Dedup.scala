@@ -98,11 +98,18 @@ object Dedup {
    * formatting (the normalized KEY ignores case/whitespace, so group
    * members are not byte-identical). One shuffle on the key hash
    * either way; survivors = count(groups).
+   *
+   * NULL placement is normalized to NULLS LAST in BOTH directions —
+   * explicitly, because the engines disagree on the default (Spark:
+   * asc=nulls-first/desc=nulls-last; DuckDB: nulls-last either way)
+   * and keep_by is a determinism contract: a row whose keep_by field
+   * is NULL loses to every row with evidence, under asc and desc
+   * alike, on any replaying engine.
    */
   def exact(df: DataFrame, textCol: String, idCol: String,
             keepBy: Seq[(String, Int)] = Nil): DataFrame = {
     val order = keepBy.map { case (f, dir) =>
-      if (dir >= 0) col(f).asc else col(f).desc } :+ col(idCol).asc
+      if (dir >= 0) col(f).asc_nulls_last else col(f).desc_nulls_last } :+ col(idCol).asc
     val w = Window.partitionBy(exactKey(col(textCol))).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
@@ -219,6 +226,15 @@ object Dedup {
    * fixed 51-line hot set): 5k docs 1.51 s → 50k 2.13 s → 500k 5.83 s
    * — 3.9x time for 100x rows; [[lineDedupSet]] measures 0.78/1.47/
    * 4.91 s on the same corpus, ahead at every factor.
+   *
+   * PRECONDITION: `idCol` must be unique per document. The rewrite
+   * regroups exploded lines BY id and joins the rebuilt text back ON
+   * id — duplicate ids would merge two documents' kept lines into one
+   * rebuilt text and attach it to every duplicate row, silently. The
+   * engine does not pay a census to detect this (an exact/fingerprint
+   * dedup or group_cap upstream is the fix if ids can collide);
+   * [[lineDedupSet]] rewrites per row and tolerates duplicate ids,
+   * which is another reason it is the scale path.
    */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
                 maxDocs: Int = 1, broadcastHot: Boolean = true,

@@ -159,10 +159,17 @@ object TextAnalysis {
    * counts and IEEE-exact integer divisions, so the oracle replays it
    * bit-for-bit; the underlying ratios are never emitted. Line rules
    * count via (?m) regexes in the Java/RE2 common subset (no
-   * lookaround); the alpha-word rule is the one per-token lambda
-   * (ArrayFilter — interpreted, a kernel candidate if it ever shows in
-   * a profile). NULL text fails every rule (coalesce to false), the
+   * lookaround). NULL text fails every rule (coalesce to false), the
    * curation-safe default.
+   *
+   * The whole projection is compiled — no CodegenFallback node
+   * (plan-pinned in TextAnalysisSpec). The alpha-word count is
+   * `regexp_count(text, \S*\p{L}\S*)`: matches cannot span whitespace
+   * and the greedy \S* arms consume the full token, so each letter-
+   * bearing whitespace run counts exactly once — the same count as
+   * the interpreted per-token ArrayFilter lambda it replaced
+   * (size(filter(toks, _ rlike \p{L})), equivalence spec-pinned),
+   * without the per-token evaluator dispatch on a corpus-wide pass.
    */
   def gopherRules(df: DataFrame, textCol: String = "text",
                   minWords: Int = 50, maxWords: Int = 100000,
@@ -174,7 +181,6 @@ object TextAnalysis {
                   minStopHits: Int = 2): DataFrame = {
     val t = col(textCol)
     val n = tokenCount(t) // 0 for blank, null for null text
-    val toks = split(trim(t), "\\s+")
     val low = split(lower(trim(t)), "\\s+")
     val meanLen = meanWordLen(t)
     val nHash = length(t) - length(regexp_replace(t, "#", ""))
@@ -182,7 +188,7 @@ object TextAnalysis {
     val nLines = size(split(t, "\n"))
     val nBullet = regexp_count(t, lit("(?m)^[ \\t]*[-*\\u2022\\u2023\\u25AA]"))
     val nEllEnd = regexp_count(t, lit("(?m)(\\.\\.\\.|\\u2026)[ \\t]*$"))
-    val nAlpha = size(filter(toks, x => x.rlike("\\p{L}")))
+    val nAlpha = regexp_count(t, lit("\\S*\\p{L}\\S*"))
     val stopHits = GopherStopwords.map(w =>
       array_contains(low, w).cast("int")).reduce(_ + _)
     def rule(c: Column): Column = coalesce(c, lit(false))

@@ -301,6 +301,26 @@ class CurationOpsSpec extends SparkTestBase {
     assert(deflt === Set(1L, 4L), "no keep_by = lowest id, as before")
   }
 
+  test("Dedup.exact keep_by: NULL sort keys lose in BOTH directions (nulls-last contract)") {
+    // Spark's engine default would put the null FIRST under asc (and win);
+    // the normalized contract is nulls-last either way, matching the
+    // oracle engine's default so nullable keep_by stays replayable.
+    val df = Seq(
+      (1L, "same doc", Some(10L)), (2L, "Same   Doc", None),
+      (3L, " SAME DOC ", Some(99L))).toDF("id", "text", "quality")
+    val asc = Dedup.exact(df, "text", "id", keepBy = Seq(("quality", 1)))
+      .select("id").as[Long].collect().toSet
+    assert(asc === Set(1L), "asc: lowest non-null quality wins, null last")
+    val desc = Dedup.exact(df, "text", "id", keepBy = Seq(("quality", -1)))
+      .select("id").as[Long].collect().toSet
+    assert(desc === Set(3L), "desc: highest quality wins, null last")
+    // all-null group: the id tiebreak decides, deterministically
+    val allNull = Seq((7L, "x", None: Option[Long]), (5L, "X", None))
+      .toDF("id", "text", "quality")
+    assert(Dedup.exact(allNull, "text", "id", keepBy = Seq(("quality", -1)))
+      .select("id").as[Long].collect().toSet === Set(5L))
+  }
+
   test("dedup comp_type: keep_by rejected loudly for near-dup methods") {
     val in = java.nio.file.Paths.get("target", "test-tmp", "kb_in")
       .toAbsolutePath.toString
@@ -404,6 +424,44 @@ class CurationOpsSpec extends SparkTestBase {
     val kept = TextAnalysis.gopherFilter(df)
     assert(kept.columns.toSeq === df.columns.toSeq)
     assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("gopherRules: alpha-word regexp_count == per-token HOF; projection fully codegen'd") {
+    // the regexp_count(\S*\p{L}\S*) formulation must count exactly the
+    // whitespace tokens containing >= 1 letter, like the interpreted
+    // ArrayFilter lambda it replaced — including unicode letters, CJK,
+    // digit-only / punct-only tokens, and tabs/newlines as separators
+    val texts = Seq(
+      "abc 123 !! a1 --", "  ñé\t日本語\n42 ", "1 2 3", "... --- !!!",
+      "mixed42text , x", "", "   ", "word")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaKernel = df.select(col("id"),
+      regexp_count(col("text"), lit("\\S*\\p{L}\\S*")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val viaHof = df.select(col("id"),
+      size(filter(split(trim(col("text")), "\\s+"),
+        x => x.rlike("\\p{L}"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // blank-only text: split(trim) yields [""], the lambda rejects it,
+    // and regexp_count finds no match — both count 0
+    assert(viaKernel === viaHof, "alpha-word counts must agree token-for-token")
+    assert(viaKernel(0L) === 2 && viaKernel(1L) === 2 && viaKernel(2L) === 0)
+    // the whole gopher projection stays inside whole-stage codegen:
+    // no CodegenFallback expression anywhere in the executed plan
+    // (spark.range sidesteps LocalTableScan's eager constant-fold)
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val rq = TextAnalysis.gopherRules(spark.range(3).select(
+      concat(lit("the be to of and words here "), col("id").cast("string"))
+        .as("text")))
+    val plan = rq.queryExecution.executedPlan
+    val fallbacks = plan.flatMap(p => p.expressions.flatMap(_.collect {
+      case e: CodegenFallback => e.prettyName }))
+    assert(fallbacks.isEmpty,
+      s"gopher projection must be fully compiled, found: $fallbacks\n$plan")
+    assert(plan.toString.contains("*(1)"),
+      s"expected whole-stage codegen:\n$plan")
+    assert(rq.filter(col("gopher_pass")).count() === 0, "short texts fail")
   }
 
   // ---- line_dedup ----
@@ -540,6 +598,41 @@ class CurationOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"post-cut hot set must broadcast the anti-join:\n$plan")
+  }
+
+  test("lineDedup broadcast=false: identical survivors, non-broadcast anti-join plan") {
+    // broadcast=false drops the hint and lets Catalyst size the hot
+    // census — the escape hatch for a hot set that outgrows the driver.
+    // Pin the path with auto-broadcast off (the planner would otherwise
+    // still elect to broadcast a small census and leave the shuffled
+    // LeftAnti untested — the stale-pin shape that made r15 red).
+    val df = Seq(
+      (1L, "alpha\nCommon Footer\nbeta", "a"),
+      (2L, "gamma\nCommon Footer\n\ndelta", "b"),
+      (3L, "Common Footer\nCommon Footer", "c"),
+      (4L, "solo\nsolo\nother", "d"),
+      (5L, null, "e")
+    ).toDF("doc_id", "text", "lang")
+    val expected = Dedup.lineDedup(df, "text", "doc_id")
+      .select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSet
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val shuffled = Dedup.lineDedup(df, "text", "doc_id", broadcastHot = false)
+      assert(shuffled.select("doc_id", "text", "lang")
+        .as[(Long, String, String)].collect().toSet === expected,
+        "broadcast=false must keep the same survivors")
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti") && !plan.contains("BroadcastHashJoin"),
+        s"broadcast=false must plan a shuffled anti-join:\n$plan")
+      // the default path still broadcasts even with auto-broadcast off
+      // (the explicit hint, not the size estimate, is what pins it)
+      val hinted = Dedup.lineDedup(df, "text", "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin") && hinted.contains("LeftAnti"),
+        s"default path must keep the broadcast hint:\n$hinted")
+    } finally spark.conf.set(key, prev)
   }
 
   test("write_parquet max_records_per_file: bounded shards, content intact") {
