@@ -5592,6 +5592,42 @@ object SparkEntry {
       .orderBy(col("n_occurrences").desc, col("gram"))
   }
 
+  /** The corpus-scale path of top_tokens: grams counted over a
+    * deterministic md5(seed:doc_id) HALF of the documents
+    * (sample_fraction 0.5) — the declarative face of the topGrams
+    * scaladoc's 100 TB guidance. The oracle replays the same md5
+    * bucket cut before the same gram count, pinning that the sample
+    * (not some engine-random approximation) feeds the stat. */
+  private def qJobTopTokensSampled(s: SparkSession, dir: String): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_top_tokens_sampled"
+    val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
+    val outSchema = fieldsJson("gram" -> "string", "n_occurrences" -> "integer")
+    val jobJson =
+      s"""{
+         |  "name": "top_tokens_sampled_job",
+         |  "components": [
+         |    { "name": "rc", "comp_type": "read_parquet",
+         |      "filepath": "$dir/documents.parquet",
+         |      "routes": { "out": [ { "to": "tt", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $docSchema } },
+         |    { "name": "tt", "comp_type": "top_tokens", "k": 40, "n": 2,
+         |      "sample_fraction": 0.5, "sample_seed": "r18t",
+         |      "sample_id_column": "doc_id",
+         |      "in_port_schemas": { "in": $docSchema },
+         |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |      "out_port_schemas": { "out": $outSchema } },
+         |    { "name": "w", "comp_type": "write_parquet", "filepath": "$outDir",
+         |      "in_port_schemas": { "in": $outSchema } }
+         |  ]
+         |}""".stripMargin
+    val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
+    built.runSinks()
+    built.close()
+    s.read.parquet(outDir)
+      .orderBy(col("n_occurrences").desc, col("gram"))
+  }
+
   // ----------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
@@ -5770,6 +5806,7 @@ object SparkEntry {
     "q_job_dedup_against" -> (qJobDedupAgainst _),
     "q_text_topk_grams" -> (qTextTopkGrams _),
     "q_job_top_tokens" -> (qJobTopTokens _),
+    "q_job_top_tokens_sampled" -> (qJobTopTokensSampled _),
     "multimodal_features" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = Map(
@@ -6886,6 +6923,25 @@ object SparkEntry {
     "q_job_dedup_against" -> dedupAgainstOracle,
     "q_text_topk_grams" -> textTopkGramsOracle,
     "q_job_top_tokens" -> textTopkGramsOracle,
+    // the same gram count over the md5(r18t:doc_id) half of the corpus —
+    // the bucket cut replays hashSample's arithmetic bit-exactly, so a
+    // mismatch means the sample (not the count) drifted
+    "q_job_top_tokens_sampled" ->
+      """WITH sampled AS (
+        |  SELECT text FROM documents
+        |  WHERE ('0x' || substr(md5('r18t:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |    % 10000 < 5000),
+        |toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS tk
+        |  FROM sampled),
+        |grams AS (
+        |  SELECT unnest([array_to_string(tk[i:i+1], ' ')
+        |    for i in range(1, len(tk))]) AS gram
+        |  FROM toks WHERE len(tk) >= 2)
+        |SELECT gram, count(*)::BIGINT AS n_occurrences
+        |FROM grams GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram LIMIT 40""".stripMargin,
     "q_group_cap" -> groupCapOracle,
     "q_job_group_cap" -> groupCapOracle,
     "q_group_cap_uniform" ->

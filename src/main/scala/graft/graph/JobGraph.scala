@@ -1030,11 +1030,27 @@ object JobGraph {
       // explode → partial count → one shuffle on the gram → top-k with
       // a deterministic boundary. Batch-only (a global top-k over an
       // unbounded stream never finalizes).
+      // sample_fraction < 1 is the corpus-scale path (the topGrams
+      // scaladoc's guidance, reachable declaratively): a deterministic
+      // md5(seed:id) hashSample of the DOCUMENTS feeds the explode —
+      // frequency ranks converge fast under uniform sampling, the
+      // sample replays bit-exactly on any engine (no silent cap), and
+      // the gram volume shrinks by the fraction before the wide work.
       case "top_tokens" =>
         val k = c.intOpt("k").getOrElse(
           throw new IllegalArgumentException(
             s"top_tokens ${c.name}: missing integer 'k'"))
-        (Map("out" -> graft.scale.TextAnalysis.topGrams(one(),
+        val fraction = c.doubleOpt("sample_fraction").getOrElse(1.0)
+        require(fraction > 0.0 && fraction <= 1.0,
+          s"top_tokens ${c.name}: sample_fraction must be in (0, 1], got $fraction")
+        val in = one()
+        val sampled =
+          if (fraction < 1.0)
+            graft.ops.RelationalOps.hashSample(in,
+              c.str("sample_id_column").getOrElse("doc_id"), fraction,
+              c.str("sample_seed").getOrElse(""))
+          else in
+        (Map("out" -> graft.scale.TextAnalysis.topGrams(sampled,
           c.str("text_column").getOrElse("text"), k, c.int("n", 1))), None)
 
       // Incremental exact dedup (Dedup.exactAgainst): keep only `in`

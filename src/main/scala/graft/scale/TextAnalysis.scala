@@ -52,7 +52,10 @@ object TextAnalysis {
     * it on a deterministic hashSample of the corpus: frequency RANKS
     * converge fast under uniform sampling, and the md5 sample is
     * reproducible, so the sampled top-k is a stable, documented
-    * estimate rather than a silent cap. */
+    * estimate rather than a silent cap. Declaratively: the
+    * `top_tokens` component's `sample_fraction` knob composes
+    * RelationalOps.hashSample in front of this (gate-pinned at
+    * fraction 0.5 by q_job_top_tokens_sampled). */
   def topGrams(df: DataFrame, textCol: String, k: Int, n: Int = 1): DataFrame = {
     require(k > 0, s"topGrams: k must be positive, got $k")
     require(n >= 1, s"topGrams: n must be >= 1, got $n")

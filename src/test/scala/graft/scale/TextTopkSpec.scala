@@ -36,4 +36,51 @@ class TextTopkSpec extends SparkTestBase {
       TextAnalysis.topTokens(Seq("x").toDF("text"), "text", 0)
     }
   }
+
+  test("top_tokens sample_fraction: narrows the census deterministically; bad fraction loud") {
+    val in = java.nio.file.Paths.get("target", "test-tmp", "ttsf_in")
+      .toAbsolutePath.toString
+    (1 to 400).map(i => (i.toLong, s"common tok$i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val docSchema =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    def job(extra: String): org.apache.spark.sql.DataFrame = {
+      val out = java.nio.file.Paths.get("target", "test-tmp", "ttsf_out")
+        .toAbsolutePath.toString
+      val cfg =
+        s"""{ "name": "ttsf", "components": [
+           |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+           |    "routes": { "out": [ { "to": "t", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $docSchema } },
+           |  { "name": "t", "comp_type": "top_tokens", "k": 1$extra,
+           |    "in_port_schemas": { "in": $docSchema },
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": { "fields": [
+           |      { "name": "token", "data_type": "string" },
+           |      { "name": "n_occurrences", "data_type": "integer" } ] } } },
+           |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+           |    "in_port_schemas": { "in": { "fields": [
+           |      { "name": "token", "data_type": "string" },
+           |      { "name": "n_occurrences", "data_type": "integer" } ] } } } ] }""".stripMargin
+      val built = graft.graph.JobGraph.build(spark,
+        graft.config.JobConfig.parse(cfg))
+      built.runSinks(); built.close()
+      spark.read.parquet(out)
+    }
+    val full = job("").as[(String, Long)].collect().toMap
+    assert(full("common") === 400L)
+    // the md5(seed:doc_id) half: same count as hashSample on the same ids
+    val expected = graft.ops.RelationalOps.hashSample(
+      spark.read.parquet(in), "doc_id", 0.5, "s18").count()
+    val sampled = job(""", "sample_fraction": 0.5, "sample_seed": "s18",
+      "sample_id_column": "doc_id"""").as[(String, Long)].collect().toMap
+    assert(sampled("common") === expected,
+      "sampled census must count exactly the hashSample survivors")
+    assert(expected > 100 && expected < 300, "a real cut, not a no-op")
+    val e = intercept[IllegalArgumentException](job(""", "sample_fraction": 1.5"""))
+    assert(e.getMessage.contains("sample_fraction"))
+    intercept[IllegalArgumentException](job(""", "sample_fraction": 0.0"""))
+  }
 }
