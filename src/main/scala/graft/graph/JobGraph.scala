@@ -928,7 +928,8 @@ object JobGraph {
         val result =
           if (emit == "cluster")
             Dedup.clusterDedup(clusterSrc, idCol, out,
-              maxIter = c.int("max_iter", 25))
+              maxIter = c.int("max_iter", 25),
+              checkpointDir = c.str("checkpoint_dir").getOrElse(""))
           else out
         (Map("out" -> result), None)
 
@@ -941,7 +942,8 @@ object JobGraph {
           c.str("src_column").getOrElse("id_a"),
           c.str("dst_column").getOrElse("id_b"),
           c.int("max_iter", 25),
-          c.int("check_every", 1))), None)
+          c.int("check_every", 1),
+          c.str("checkpoint_dir").getOrElse(""))), None)
 
       case "text_analysis" =>
         val textCol = c.str("text_column").getOrElse("text")

@@ -72,10 +72,21 @@ object Dedup {
     * hashing, fingerprints) are narrow maps: a single small source file
     * (one scan partition) would serialize them onto one core. Shuffling a
     * small input is cheap; at production scale inputs already exceed the
-    * parallelism and this is a no-op. */
+    * parallelism and this is a no-op.
+    *
+    * The probe forces one physical-planning pass of the input at graph
+    * build (no job runs). Measured (tools/WidenProbe, local[8], sf0.01,
+    * plans from a bare scan to a 30-step transform chain):
+    * `queryExecution.toRdd.getNumPartitions` ~25 ms/invocation, flat in
+    * plan depth — half of `df.rdd`'s ~45 ms (which adds a row-
+    * deserializer conversion on top). Once per dedup entry point,
+    * against operators that run seconds-to-minutes: negligible, and
+    * toRdd is the cheaper spelling, so that is the one used. */
   private[scale] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** Normalized text key for exact dedup: lowercase, collapse whitespace. */
@@ -727,13 +738,18 @@ object Dedup {
    * payload columns, so shuffle volume is O(E + V) longs per round.
    *
    * Iteration hygiene at 100 TB: every round ends in an eager
-   * `localCheckpoint`, truncating the logical plan — without it lineage
+   * checkpoint, truncating the logical plan — without it lineage
    * grows per round until planning dominates, and a task retry would
-   * replay the whole loop. localCheckpoint stores blocks on executors
-   * (cheap, NOT resilient to executor loss); a run that must survive
-   * preemption should configure a checkpoint dir and swap in reliable
-   * `checkpoint`. Convergence needs an action per round (data-dependent
-   * loop); the changed-label count doubles as the convergence proof.
+   * replay the whole loop. The default is `localCheckpoint` (executor
+   * blocks — cheap, NOT resilient to executor loss); pass
+   * `checkpointDir` to swap in reliable `checkpoint` for runs that
+   * must survive preemption (spot/preemptible executors): each round's
+   * labels persist to the shared filesystem, a lost executor recovers
+   * from files instead of replaying the loop, and superseded rounds'
+   * checkpoint files are deleted as the loop advances (only the live
+   * round's files ever accumulate). Convergence needs an action per
+   * round (data-dependent loop); the changed-label count doubles as
+   * the convergence proof.
    *
    * Near-dup clusters are near-cliques (diameter 2-3), so the loop
    * typically converges in 2-3 rounds; `maxIter` guards adversarial
@@ -767,8 +783,9 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b",
                           maxIter: Int = 25,
-                          checkEvery: Int = 1): DataFrame =
-    ccProbed(pairs, srcCol, dstCol, maxIter, checkEvery, null)
+                          checkEvery: Int = 1,
+                          checkpointDir: String = ""): DataFrame =
+    ccProbed(pairs, srcCol, dstCol, maxIter, checkEvery, null, checkpointDir)
 
   /** connectedComponents with a per-round instrumentation hook —
     * (round, stepSeconds, checkSeconds, changed; changed = -1 on rounds
@@ -777,17 +794,26 @@ object Dedup {
     * share of a round without timing from outside the loop. */
   private[graft] def ccProbed(pairs: DataFrame, srcCol: String, dstCol: String,
                               maxIter: Int, checkEvery: Int,
-                              probe: (Int, Double, Double, Long) => Unit): DataFrame = {
+                              probe: (Int, Double, Double, Long) => Unit,
+                              checkpointDir: String = ""): DataFrame = {
     require(checkEvery >= 1, s"connectedComponents: checkEvery must be >= 1, got $checkEvery")
+    // checkpointDir swaps the per-round plan truncation from executor-
+    // block localCheckpoint to RELIABLE checkpoint on that directory
+    // (survives executor loss — the preemption-safe path); rounds still
+    // release their predecessor's storage, files included
+    val reliable = checkpointDir != null && checkpointDir.nonEmpty
+    if (reliable)
+      pairs.sparkSession.sparkContext.setCheckpointDir(checkpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val dir = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val edges = OpCaches.persist( // consumed once per round
       dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src").isNotNull && col("dst").isNotNull &&
           col("src") =!= col("dst"))
         .distinct())
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     var changed = 1L
     var it = 0
     // each round's labels live in executor storage via localCheckpoint;
@@ -806,11 +832,10 @@ object Dedup {
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       // the jump: comp is itself a vertex id (labels only ever take
       // vertex-id values), so the inner self-join always finds its row
-      val jumped = stepped
+      val jumped = ckpt(stepped
         .join(stepped.select(col("id").as("comp"), col("comp").as("cc")),
           Seq("comp"))
-        .select(col("id"), col("cc").as("comp"))
-        .localCheckpoint(true)
+        .select(col("id"), col("cc").as("comp")))
       val t1 = System.nanoTime()
       // checkEvery > 1 skips the convergence action on most rounds at
       // the cost of up to checkEvery-1 extra label rounds after actual
@@ -824,7 +849,7 @@ object Dedup {
       val t2 = System.nanoTime()
       if (probe != null)
         probe(it, (t1 - t0) / 1e9, (t2 - t1) / 1e9, if (check) changed else -1L)
-      releaseLocalCheckpoint(labels) // superseded round, count() done
+      releaseCheckpoint(labels) // superseded round, count() done
       labels = jumped
       it += 1
     }
@@ -835,13 +860,24 @@ object Dedup {
     labels.select(col("id"), col("comp").as("component"))
   }
 
-  /** Drop the executor blocks behind a localCheckpoint'd frame.
-    * Dataset.unpersist is a no-op on them (the checkpoint RDD is not in
-    * the CacheManager); the RDD is reachable via the plan's LogicalRDD
-    * leaf. Safe on non-checkpointed frames (no-op). */
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+  /** Release the storage behind a checkpointed frame once superseded.
+    * Local checkpoint: drop the executor blocks (Dataset.unpersist is a
+    * no-op on them — the checkpoint RDD is not in the CacheManager; the
+    * RDD is reachable via the plan's LogicalRDD leaf). Reliable
+    * checkpoint: delete the round's files (otherwise a k-round loop
+    * leaves k × O(V) rows on the shared filesystem until ContextCleaner
+    * GC, which on a long-lived driver may be never). Safe on
+    * non-checkpointed frames (no-op). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile match {
+          case Some(path) =>
+            val p = new org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          case None => l.rdd.unpersist(false)
+        }
       case _ => ()
     }
 
@@ -855,8 +891,10 @@ object Dedup {
    */
   def clusterDedup(df: DataFrame, idCol: String, pairs: DataFrame,
                    srcCol: String = "id_a", dstCol: String = "id_b",
-                   maxIter: Int = 25): DataFrame = {
-    val losers = connectedComponents(pairs, srcCol, dstCol, maxIter)
+                   maxIter: Int = 25,
+                   checkpointDir: String = ""): DataFrame = {
+    val losers = connectedComponents(pairs, srcCol, dstCol, maxIter,
+      checkpointDir = checkpointDir)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

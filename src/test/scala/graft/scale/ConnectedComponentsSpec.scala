@@ -82,6 +82,36 @@ class ConnectedComponentsSpec extends SparkTestBase {
     graft.scale.OpCaches.drain()
   }
 
+  test("checkpoint_dir: reliable per-round checkpoint — identical labels, superseded files deleted") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get("target", "test-tmp", "cc_ckpt")
+      .toAbsolutePath
+    def rddDirs: List[java.nio.file.Path] = {
+      if (!java.nio.file.Files.exists(dir)) return Nil
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.matches("rdd-\\d+")).toList
+      finally walk.close()
+    }
+    rddDirs.foreach(p => java.nio.file.Files.walk(p).iterator().asScala
+      .toList.reverse.foreach(java.nio.file.Files.deleteIfExists(_)))
+    // multi-round chain + a disjoint pair: the reliable path must walk
+    // the same rounds and land on the same labels as the default
+    val edges = (1L until 48L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
+    val expected = run(edges)
+    val reliable = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+      checkpointDir = dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable === expected, "reliable path must label identically")
+    // superseded rounds' files were deleted as the loop advanced: at most
+    // the FINAL labels' rdd-* checkpoint directory survives on disk
+    val survivors = rddDirs
+    assert(survivors.size <= 1,
+      s"superseded reliable checkpoints must be deleted, found: $survivors")
+    graft.scale.OpCaches.drain()
+  }
+
   test("disjoint components; reversed, duplicate and self edges") {
     val out = run(Seq((5L, 2L), (2L, 5L), (7L, 7L), (9L, 8L), (3L, 2L)))
     // {2,3,5} → 2, {8,9} → 8; 7 only self-loops, so it is not a vertex
