@@ -5503,8 +5503,20 @@ object SparkEntry {
 
   /** The SAME boilerplate strip through the declarative line_dedup
     * component — seeding done by a sql component, default max_docs. */
-  private def qJobLineDedup(s: SparkSession, dir: String): DataFrame = {
-    val outDir = s"$tmpRoot/job_out_line_dedup"
+  private def qJobLineDedup(s: SparkSession, dir: String): DataFrame =
+    jobLineDedup(s, dir, broadcast = true)
+
+  /** The broadcast=false wiring of the same component: the hot census
+    * joins without the broadcast hint (the escape hatch for a hot set
+    * that outgrows the driver) — same survivors, same oracle; the
+    * non-broadcast PLAN shape is pinned in CurationOpsSpec. */
+  private def qJobLineDedupShuffled(s: SparkSession, dir: String): DataFrame =
+    jobLineDedup(s, dir, broadcast = false)
+
+  private def jobLineDedup(s: SparkSession, dir: String,
+                           broadcast: Boolean): DataFrame = {
+    val outDir = s"$tmpRoot/job_out_line_dedup" +
+      (if (broadcast) "" else "_shuffled")
     val readSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
       "lang" -> "string", "source" -> "string", "n_chars" -> "integer")
     val docSchema = fieldsJson("doc_id" -> "integer", "text" -> "string",
@@ -5528,6 +5540,7 @@ object SparkEntry {
          |      "out_port_schemas": { "out": $docSchema } },
          |    { "name": "ld", "comp_type": "line_dedup",
          |      "text_column": "text", "id_column": "doc_id",
+         |      "broadcast": $broadcast,
          |      "in_port_schemas": { "in": $docSchema },
          |      "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
          |      "out_port_schemas": { "out": $docSchema } },
@@ -5802,6 +5815,7 @@ object SparkEntry {
     "q_line_dedup_para" -> (qLineDedupPara _),
     "q_line_dedup_hot" -> (qLineDedupHot _),
     "q_job_line_dedup" -> (qJobLineDedup _),
+    "q_job_line_dedup_shuffled" -> (qJobLineDedupShuffled _),
     "q_dedup_against_bloom" -> (qDedupAgainstBloom _),
     "q_job_dedup_against" -> (qJobDedupAgainst _),
     "q_text_topk_grams" -> (qTextTopkGrams _),
@@ -6919,6 +6933,7 @@ object SparkEntry {
     "q_line_dedup_para" -> lineDedupParaOracle,
     "q_line_dedup_hot" -> lineDedupHotOracle,
     "q_job_line_dedup" -> lineDedupOracle,
+    "q_job_line_dedup_shuffled" -> lineDedupOracle,
     "q_dedup_against_bloom" -> dedupAgainstOracle,
     "q_job_dedup_against" -> dedupAgainstOracle,
     "q_text_topk_grams" -> textTopkGramsOracle,
