@@ -330,24 +330,39 @@ object Similarity {
    * embedding-hygiene step before any cosine machinery — unit vectors
    * turn cosine into a plain dot product and make int8 quantization
    * scales comparable across rows): appends `dest` = v/‖v‖ (array of
-   * double) and `normCol` = ‖v‖. The norm is the codegen'd ArrayDot
-   * self-product (cast-to-double per element, left-to-right
-   * accumulation — the fold a DuckDB list_reduce oracle replays
-   * bit-exactly). A zero vector cannot be normalized: its `dest` is
-   * NULL (norm 0 survives for diagnosis), as is everything after a
-   * NULL vector. Pure narrow map — no shuffle at any scale.
+   * double) and `normCol` = ‖v‖. ONE compiled pass (the codegen'd
+   * L2Normalize kernel — norm accumulates x² in double left-to-right
+   * then sqrt, the fold a DuckDB list_reduce oracle replays
+   * bit-exactly; the sqrt(ArrayDot) + interpreted ArrayTransform
+   * divide it replaced paid an evaluator dispatch per element on the
+   * divide half, the wrong bill for a pass billed to touch a whole
+   * 100 TB embedding column — equivalence pinned in CurationOpsSpec).
+   * A zero vector cannot be normalized: its `dest` is NULL (norm 0
+   * survives for diagnosis), as is everything after a NULL vector.
+   * Pure narrow map — no shuffle at any scale.
    */
   def l2NormalizeVectors(df: DataFrame, vecCol: String,
                          dest: String = "vec_unit",
                          normCol: String = "vec_norm"): DataFrame = {
     require(df.columns.contains(vecCol),
       s"vec_normalize: no column '$vecCol' in ${df.columns.mkString(", ")}")
-    Seq(dest, normCol).foreach(c => require(!df.columns.contains(c),
+    val tmp = "__l2n"
+    Seq(dest, normCol, tmp).foreach(c => require(!df.columns.contains(c),
       s"vec_normalize: input already has a '$c' column; pick another name"))
+    df.withColumn(tmp, graft.functions.L2Normalize.normalize(col(vecCol)))
+      .withColumn(normCol, col(tmp).getField("norm"))
+      .withColumn(dest, col(tmp).getField("unit"))
+      .drop(tmp)
+  }
+
+  /** The composed form l2NormalizeVectors replaced — kept as the
+    * semantic reference for the kernel-equivalence spec. */
+  private[graft] def l2NormalizeVectorsHof(df: DataFrame, vecCol: String,
+                                           dest: String = "vec_unit",
+                                           normCol: String = "vec_norm"): DataFrame =
     df.withColumn(normCol, norm(col(vecCol)))
       .withColumn(dest, when(col(normCol) > 0,
         transform(col(vecCol), x => x.cast("double") / col(normCol))))
-  }
 
   /**
    * Symmetric per-vector int8 quantization (beyond-reference; the 4×

@@ -728,6 +728,37 @@ class CurationOpsSpec extends SparkTestBase {
     assert(ebad === 0L, "null-element / zero / null-vector edges diverge")
   }
 
+  test("normalize kernel equals the composed reference on the embeddings fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val viaKernel = Similarity.l2NormalizeVectors(emb, "embedding")
+    val viaHof = Similarity.l2NormalizeVectorsHof(emb, "embedding")
+    val bad = viaKernel.alias("a").join(viaHof.alias("b"), Seq("vec_id"))
+      .filter(not(col("a.vec_norm") <=> col("b.vec_norm")) ||
+        not(col("a.vec_unit") <=> col("b.vec_unit"))).count()
+    assert(bad === 0L, s"$bad vectors diverge between kernel and composed form")
+    // null-element poisoning, zero vector, null vector — all must match
+    val edge = Seq(
+      (1L, Seq(Option(-2.0f), None, Option(1.0f))),
+      (2L, Seq(Option(0.0f), Option(0.0f))),
+      (3L, (null: Seq[Option[Float]])),
+      (4L, Seq(Option(3.0f), Option(4.0f)))).toDF("vec_id", "embedding")
+    val ek = Similarity.l2NormalizeVectors(edge, "embedding")
+    val eh = Similarity.l2NormalizeVectorsHof(edge, "embedding")
+    val ebad = ek.alias("a").join(eh.alias("b"), Seq("vec_id"))
+      .filter(not(col("a.vec_norm") <=> col("b.vec_norm")) ||
+        not(col("a.vec_unit") <=> col("b.vec_unit"))).count()
+    assert(ebad === 0L, "null-element / zero / null-vector edges diverge")
+    // the kernel participates in whole-stage codegen
+    val rq = Similarity.l2NormalizeVectors(
+      spark.range(4).select(col("id"),
+        array(col("id").cast("double"), lit(1.0)).as("embedding")),
+      "embedding")
+    assert(rq.queryExecution.executedPlan.toString.contains("*(1)"),
+      s"expected codegen:\n${rq.queryExecution.executedPlan}")
+    assert(rq.filter(col("vec_unit").isNotNull).count() === 4)
+  }
+
   test("embedding transforms: no exchange — pure narrow maps") {
     val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "embedding")
     for (out <- Seq(Similarity.l2NormalizeVectors(df, "embedding"),
