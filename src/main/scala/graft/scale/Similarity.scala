@@ -336,7 +336,9 @@ object Similarity {
    * bit-exactly; the sqrt(ArrayDot) + interpreted ArrayTransform
    * divide it replaced paid an evaluator dispatch per element on the
    * divide half, the wrong bill for a pass billed to touch a whole
-   * 100 TB embedding column — equivalence pinned in CurationOpsSpec).
+   * 100 TB embedding column — equivalence pinned in CurationOpsSpec;
+   * measured 2.4x: 0.23 s vs the composed form's 0.56 s on 200k
+   * 64-dim vectors, CurationProbe local[32]).
    * A zero vector cannot be normalized: its `dest` is NULL (norm 0
    * survives for diagnosis), as is everything after a NULL vector.
    * Pure narrow map — no shuffle at any scale.

@@ -39,6 +39,14 @@ import graft.ops.RelationalOps
   *     7.6x over the interpreted HOF chain it replaced. Still linear
   *     in gram positions by nature; topGrams documents the 100 TB
   *     practice of sampling for vocabulary stats.)
+  *   gopher_rules         0.83 s at 10x, 3.43 s at 100x (fully
+  *     compiled projection since the r18 alpha kernel)
+  *   alpha_count (100x, 27.6M tokens): char-loop kernel 0.23 s,
+  *     interpreted ArrayFilter lambda 0.41 s, compiled regexp_count
+  *     0.60 s — the codegen'd regex LOST to the interpreted lambda;
+  *     the kernel's win is dropping the regex engine, not codegen.
+  *   l2_normalize (100x, 200k 64-dim vectors): one-pass kernel
+  *     0.23 s vs composed sqrt(ArrayDot)+transform 0.56 s (2.4x).
   * Everything ≤ 4x for 10x input — fixed per-job overhead still
   * dominates at this scale; nothing is super-linear, consistent with
   * the narrow-map / single-exchange plan shapes the specs pin.
@@ -142,7 +150,53 @@ object CurationProbe {
         Dedup.lineDedupSet(lined, "text", "doc_id")
           .agg(sum(length(col("text")))).head().getLong(0)
       }
+      t(s"gopher_rules ${fac}x") {
+        TextAnalysis.gopherRules(docs)
+          .agg(sum(col("gopher_pass").cast("long"))).head().getLong(0)
+      }
+      // the r18 alpha-word kernelization, isolated, all three
+      // formulations (identical counts, spec-pinned): the char-loop
+      // kernel vs the compiled-but-regex-bound regexp_count single
+      // pass vs the interpreted per-token ArrayFilter lambda. The
+      // regexp surprise is why all three stay measured: codegen'd
+      // regexp_count LOST to the interpreted lambda (regex cost >
+      // dispatch cost); only dropping the regex engine wins.
+      t(s"alpha_count kernel ${fac}x") {
+        docs.select(graft.functions.CountAlphaTokens.count(col("text")).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      }
+      t(s"alpha_count regexp ${fac}x") {
+        docs.select(regexp_count(col("text"), lit("\\S*\\p{L}\\S*")).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      }
+      t(s"alpha_count HOF filter ${fac}x") {
+        docs.select(size(filter(split(trim(col("text")), "\\s+"),
+          x => x.rlike("\\p{L}"))).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      }
       docs.unpersist()
+
+      // embedding normalize: the r18 one-pass kernel vs the composed
+      // sqrt(ArrayDot) + interpreted transform divide it replaced. The
+      // aggregate touches BOTH outputs (norm and a unit element) so
+      // column pruning cannot delete the divide half of the work.
+      val emb = (0 until fac).map { i =>
+        table(spark, dir, "embeddings")
+          .select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+            col("embedding"))
+      }.reduce(_ union _).repartition(32).persist()
+      emb.count()
+      def normAgg(d: org.apache.spark.sql.DataFrame): Long =
+        d.agg((sum(col("vec_norm")) +
+          sum(element_at(col("vec_unit"), 1))).cast("long"))
+          .head().getLong(0)
+      t(s"l2_normalize kernel ${fac}x") {
+        normAgg(Similarity.l2NormalizeVectors(emb, "embedding"))
+      }
+      t(s"l2_normalize composed ${fac}x") {
+        normAgg(Similarity.l2NormalizeVectorsHof(emb, "embedding"))
+      }
+      emb.unpersist()
     }
     spark.stop()
   }

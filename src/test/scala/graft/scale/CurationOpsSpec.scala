@@ -426,17 +426,22 @@ class CurationOpsSpec extends SparkTestBase {
     assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
 
-  test("gopherRules: alpha-word regexp_count == per-token HOF; projection fully codegen'd") {
-    // the regexp_count(\S*\p{L}\S*) formulation must count exactly the
-    // whitespace tokens containing >= 1 letter, like the interpreted
-    // ArrayFilter lambda it replaced — including unicode letters, CJK,
-    // digit-only / punct-only tokens, and tabs/newlines as separators
+  test("gopherRules: alpha-word kernel == per-token HOF == regexp; projection fully codegen'd") {
+    // the CountAlphaTokens char loop must count exactly the whitespace
+    // tokens containing >= 1 letter, like the interpreted ArrayFilter
+    // lambda it replaced — including unicode letters, CJK,
+    // supplementary-plane letters, NBSP as a token char, digit-only /
+    // punct-only tokens, and tabs/newlines/VT as separators
     val texts = Seq(
       "abc 123 !! a1 --", "  ñé\t日本語\n42 ", "1 2 3", "... --- !!!",
-      "mixed42text , x", "", "   ", "word")
+      "mixed42text , x", "", "   ", "word", "ab\fc",
+      "𝐀 12 😀", "x y 7 8")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
     val viaKernel = df.select(col("id"),
+      graft.functions.CountAlphaTokens.count(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val viaRegexp = df.select(col("id"),
       regexp_count(col("text"), lit("\\S*\\p{L}\\S*")).as("n"))
       .as[(Long, Int)].collect().toMap
     val viaHof = df.select(col("id"),
@@ -444,9 +449,13 @@ class CurationOpsSpec extends SparkTestBase {
         x => x.rlike("\\p{L}"))).as("n"))
       .as[(Long, Int)].collect().toMap
     // blank-only text: split(trim) yields [""], the lambda rejects it,
-    // and regexp_count finds no match — both count 0
+    // the loop opens no token, regexp finds no match — all count 0
     assert(viaKernel === viaHof, "alpha-word counts must agree token-for-token")
+    assert(viaKernel === viaRegexp, "and with the regex formulation")
     assert(viaKernel(0L) === 2 && viaKernel(1L) === 2 && viaKernel(2L) === 0)
+    assert(viaKernel(8L) === 3, "VT and FF split tokens")
+    assert(viaKernel(9L) === 1, "MATHEMATICAL BOLD A is a letter; emoji is not")
+    assert(viaKernel(10L) === 1, "NBSP is a token char, not a separator")
     // the whole gopher projection stays inside whole-stage codegen:
     // no CodegenFallback expression anywhere in the executed plan
     // (spark.range sidesteps LocalTableScan's eager constant-fold)
