@@ -89,8 +89,20 @@ object Dedup {
     else df
   }
 
-  /** Normalized text key for exact dedup: lowercase, collapse whitespace. */
+  /** Normalized text key for exact dedup: lowercase, collapse
+    * whitespace — the codegen'd CollapseWsLower kernel, one compiled
+    * pass with NO regex (byte-equivalence with the regexp_replace form
+    * below pinned in DedupSimilaritySpec). Every dedup path runs this
+    * normalization corpus-wide; measured paired (tools/KeyProbe,
+    * local[32], 500k docs, md5(key) plans): kernel 0.41 s vs regex
+    * 0.62 s vs 0.32 s no-collapse floor — the kernel reclaims ~70% of
+    * what the regex engine was costing on top of the hash itself. */
   def exactKey(text: Column): Column =
+    graft.functions.CollapseWsLower.normalize(text)
+
+  /** The regex form exactKey replaced (semantic reference; also what
+    * the DuckDB oracles replay as lower(trim(...))+regexp_replace). */
+  private[graft] def exactKeyRegex(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
   /** Scala-side twin of exactKey for typed/streaming paths (groupByKey

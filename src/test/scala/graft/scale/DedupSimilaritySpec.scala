@@ -20,6 +20,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(survivors.toSeq === Seq(1L, 2L, 4L, 5L)) // 3 collapses into 1
   }
 
+  test("exactKey kernel is byte-identical to the regex form it replaced") {
+    // the corpus fixture plus every trim/collapse quirk the regex form
+    // has: space-only trim (a leading tab collapses to a LEADING
+    // space), interior \t\n\x0B\f\r runs, NBSP as a non-\s TOKEN char,
+    // CJK, Turkish dotted I (case fold via the same UTF8String method
+    // on both sides), empty/blank/null
+    val edges = Seq("", " ", "\t", "  Mixed  CASE \t text\n\nhere ",
+      "\tleading tab", "trailing ff\f", "ab", "x Y",
+      "日本語\tテスト", "İstanbul I ı", "a  b   c", null)
+    val df = docs.select(col("text"))
+      .unionByName(edges.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .select(col("text")))
+    val bad = df.select(
+      Dedup.exactKey(col("text")).as("k"),
+      Dedup.exactKeyRegex(col("text")).as("r"))
+      .filter(not(col("k") <=> col("r"))).count()
+    assert(bad === 0L, "kernel and regex keys must agree byte-for-byte")
+    // whole documents fixture at sf0.01 too — real text, CJK included
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val badReal = real.select(
+      Dedup.exactKey(col("text")).as("k"),
+      Dedup.exactKeyRegex(col("text")).as("r"))
+      .filter(not(col("k") <=> col("r"))).count()
+    assert(badReal === 0L)
+    // and it stays inside whole-stage codegen
+    val rq = spark.range(3).select(
+      Dedup.exactKey(concat(lit(" A\t b "), col("id").cast("string"))).as("k"))
+    assert(rq.queryExecution.executedPlan.toString.contains("*(1)"),
+      s"expected codegen:\n${rq.queryExecution.executedPlan}")
+    assert(rq.as[String].collect().forall(_.startsWith("a b ")))
+  }
+
   test("shingles: short text yields whole-string shingle; jaccard bounds") {
     val d = Seq("abc").toDF("t")
     val sh = d.select(Dedup.shingles(col("t"), 5).as("s")).head().getSeq[String](0)
