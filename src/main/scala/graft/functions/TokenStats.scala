@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/**
+ * Whitespace-token count + non-whitespace character count in ONE
+ * compiled pass, no regex — struct(n_tokens, n_chars) — the kernel
+ * behind TextAnalysis.tokenCount and meanWordLen (text_stats, the
+ * quality score, and the Gopher rules all fan out from these two).
+ * Measured paired (tools/KeyProbe, local[32], 500k docs, two runs):
+ * tokenCount 0.38 s kernel vs 0.46-0.56 s split; meanWordLen 0.34-
+ * 0.39 s kernel vs 0.93-1.14 s regexp_replace+split (~2.8x — the
+ * regex strip was the expensive half). Both stats are field reads off
+ * the one struct, and Catalyst subexpression elimination evaluates it
+ * once per row in a projection using both.
+ *
+ * Exact-semantics contract with the split forms it replaced
+ * (equivalence spec-pinned, oracle counts unchanged):
+ *  - n_tokens replicates `size(split(trim(text), "\s+"))` with the
+ *    blank guard: 0 when the SPACE-trimmed text is empty, else
+ *    (number of maximal \s runs in the trimmed text) + 1 — Spark's
+ *    split keeps leading AND trailing empty fields (limit -1), so a
+ *    leading tab or trailing newline contributes a phantom empty
+ *    token exactly as the split form counted it;
+ *  - n_chars replicates `length(regexp_replace(trim(text), "\s+",
+ *    ""))`: the number of non-\s CODE POINTS (length() counts code
+ *    points, so an astral emoji is one char), which is whitespace-
+ *    placement independent;
+ *  - \s is the Java regex class {space, \t, \n, \x0B, \f, \r};
+ *  - NULL text → NULL struct (the split forms' null propagation).
+ */
+final case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_stats needs string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TokenStats.compute(v.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TokenStats.compute($v.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_stats"
+}
+
+object TokenStats {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar /* \x0B */ ||
+      c == '\f' || c == '\r'
+
+  /** Shared kernel for the interpreted and codegen paths. */
+  def compute(t: String): InternalRow = {
+    var i = 0
+    var end = t.length
+    while (i < end && t.charAt(i) == ' ') i += 1
+    while (end > i && t.charAt(end - 1) == ' ') end -= 1
+    if (i == end) return InternalRow(0L, 0L)
+    var runs = 0L
+    var chars = 0L
+    var inWs = false
+    while (i < end) {
+      val c = t.charAt(i)
+      if (isWs(c)) {
+        if (!inWs) runs += 1
+        inWs = true
+        i += 1
+      } else {
+        inWs = false
+        chars += 1
+        i += Character.charCount(t.codePointAt(i))
+      }
+    }
+    InternalRow(runs + 1L, chars)
+  }
+
+  def stats(text: Column): Column =
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(text)))
+}

@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** Whitespace tokens; empty/blank text → 0. */
+  /** Whitespace tokens; empty/blank text → 0 — the codegen'd
+    * TokenStats kernel, one regex-free pass (count-equivalence with
+    * the split form below pinned in TextAnalysisSpec; shared with
+    * [[meanWordLen]], which reads the other field of the same struct,
+    * so a projection using both pays the pass once). */
   def tokenCount(text: Column): Column =
+    graft.functions.TokenStats.stats(text).getField("n_tokens")
+
+  /** The split form tokenCount replaced (semantic reference — also
+    * the shape the DuckDB oracles replay). */
+  private[graft] def tokenCountSplit(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
@@ -95,9 +104,18 @@ object TextAnalysis {
     when(total === 0, lit(0.0)).otherwise(punct.cast("double") / total.cast("double"))
   }
 
-  /** Mean word length over whitespace tokens (0 when empty). */
+  /** Mean word length over whitespace tokens (0 when empty) — both
+    * counts read off the one TokenStats pass (no regexp_replace). */
   def meanWordLen(text: Column): Column = {
-    val toks = tokenCount(text)
+    val st = graft.functions.TokenStats.stats(text)
+    val toks = st.getField("n_tokens")
+    val chars = st.getField("n_chars")
+    when(toks === 0, lit(0.0)).otherwise(chars.cast("double") / toks.cast("double"))
+  }
+
+  /** The replace+split form meanWordLen replaced (semantic reference). */
+  private[graft] def meanWordLenSplit(text: Column): Column = {
+    val toks = tokenCountSplit(text)
     val chars = length(regexp_replace(trim(text), "\\s+", ""))
     when(toks === 0, lit(0.0)).otherwise(chars.cast("double") / toks.cast("double"))
   }

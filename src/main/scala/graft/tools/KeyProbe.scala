@@ -45,6 +45,26 @@ object KeyProbe {
         docs.select(md5(lower(trim(col("text"))).cast("binary")).as("k"))
           .agg(count(col("k"))).head().getLong(0)
       }
+      t(s"tokenCount kernel ${fac}x") {
+        docs.select(graft.scale.TextAnalysis.tokenCount(col("text")).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      }
+      t(s"tokenCount split ${fac}x") {
+        docs.select(graft.scale.TextAnalysis.tokenCountSplit(col("text")).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      }
+      t(s"meanWordLen kernel ${fac}x") {
+        docs.select(graft.scale.TextAnalysis.meanWordLen(col("text")).as("m"))
+          .agg(sum(col("m")).cast("long")).head().getLong(0)
+      }
+      t(s"meanWordLen replace+split ${fac}x") {
+        docs.select(graft.scale.TextAnalysis.meanWordLenSplit(col("text")).as("m"))
+          .agg(sum(col("m")).cast("long")).head().getLong(0)
+      }
+      t(s"stopwordRatio ${fac}x") {
+        docs.select(graft.scale.TextAnalysis.stopwordRatio(col("text")).as("r"))
+          .agg(sum(col("r")).cast("long")).head().getLong(0)
+      }
       docs.unpersist()
     }
     spark.stop()

@@ -33,6 +33,47 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(ebad === 0L, "blank/null/whitespace edges diverge")
   }
 
+  test("tokenCount/meanWordLen kernel equals the split forms (fixture + edges)") {
+    // the real corpus plus every split() quirk the kernel must keep:
+    // Spark split keeps leading AND trailing empty fields, so a
+    // leading tab / trailing newline contributes a phantom empty
+    // token; lone "\t" is TWO phantom tokens; chars count CODE POINTS
+    // (astral emoji = 1); trim strips 0x20 only
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("text").as("t"))
+    val edges = Seq("", " ", "\t", "\ta", "a\n", " a b ", "a  b\t\nc",
+      "😀 ok", "日本語 テスト", "𝐀b c", null)
+      .zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    for (df <- Seq(real, edges.select(col("t")))) {
+      val bad = df.select(
+        TextAnalysis.tokenCount(col("t")).as("ka"),
+        TextAnalysis.tokenCountSplit(col("t")).as("sa"),
+        TextAnalysis.meanWordLen(col("t")).as("kb"),
+        TextAnalysis.meanWordLenSplit(col("t")).as("sb"))
+        .filter(not(col("ka") <=> col("sa")) || not(col("kb") <=> col("sb")))
+        .count()
+      assert(bad === 0L, "kernel and split token stats must agree")
+    }
+    // the quirks themselves, pinned so a future 'fix' is deliberate
+    val got = edges.select(col("i"), TextAnalysis.tokenCount(col("t")).as("n"))
+      .as[(Int, Option[Long])].collect().toMap
+    assert(got(0) === Some(0L) && got(1) === Some(0L), "blank → 0")
+    assert(got(2) === Some(2L), "lone tab → two phantom empty tokens")
+    assert(got(3) === Some(2L), "leading tab → phantom + real")
+    assert(got(4) === Some(2L), "trailing newline → real + phantom")
+    assert(got(10) === None, "null propagates")
+    // astral char is ONE char for mean length: "𝐀b c" = 3 chars / 2 toks
+    val ml = edges.filter(col("i") === 9)
+      .select(TextAnalysis.meanWordLen(col("t"))).as[Double].head()
+    assert(ml === 1.5)
+    // stays inside whole-stage codegen
+    val rq = spark.range(3).select(TextAnalysis.tokenCount(
+      concat(lit("a b "), col("id").cast("string"))).as("n"))
+    assert(rq.queryExecution.executedPlan.toString.contains("*(1)"),
+      s"expected codegen:\n${rq.queryExecution.executedPlan}")
+    assert(rq.as[Long].collect().forall(_ === 3L))
+  }
+
   test("pii: email variants and multiplicity") {
     assert(redact("mail a.b+tag@sub.example.co.uk now") ===
       (("mail <EMAIL> now", 1L, 0L, 0L)))
