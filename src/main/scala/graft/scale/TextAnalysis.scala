@@ -125,14 +125,26 @@ object TextAnalysis {
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
   /** Fraction of whitespace tokens that are (lowercased) stopwords.
-    * The membership count is the codegen'd CountInSet expression —
-    * identical counts to the size(filter(isin)) HOF form it replaced
-    * (CountInSetSpec pins the equivalence), one compiled pass. */
+    * Both counts are regex-free kernels — the numerator tokenizes IN
+    * the membership loop (CountTokensInSet: no split array, which a
+    * once-per-row consumer cannot amortize) and the denominator reads
+    * off TokenStats. Identical counts to the split+CountInSet form
+    * below (spec-pinned). */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
     val n = tokenCount(text)
-    // empty stopword list: ratio is 0 by definition (CountInSet requires
+    // empty stopword list: ratio is 0 by definition (the kernel requires
     // a non-empty probe set; the old filter(isin) form allowed empty)
+    val stops =
+      if (stopwords.isEmpty) lit(0)
+      else graft.functions.CountTokensInSet.count(text, stopwords)
+    when(n === 0, lit(0.0)).otherwise(stops.cast("double") / n.cast("double"))
+  }
+
+  /** The split-array form stopwordRatio replaced (semantic reference). */
+  private[graft] def stopwordRatioSplit(text: Column,
+                                        stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = tokenCountSplit(text)
     val stops =
       if (stopwords.isEmpty) lit(0)
       else graft.functions.CountInSet.count(toks, stopwords)
@@ -204,7 +216,6 @@ object TextAnalysis {
                   minStopHits: Int = 2): DataFrame = {
     val t = col(textCol)
     val n = tokenCount(t) // 0 for blank, null for null text
-    val low = split(lower(trim(t)), "\\s+")
     val meanLen = meanWordLen(t)
     val nHash = length(t) - length(regexp_replace(t, "#", ""))
     val nEll = regexp_count(t, lit("(\\.\\.\\.|\\u2026)"))
@@ -212,8 +223,11 @@ object TextAnalysis {
     val nBullet = regexp_count(t, lit("(?m)^[ \\t]*[-*\\u2022\\u2023\\u25AA]"))
     val nEllEnd = regexp_count(t, lit("(?m)(\\.\\.\\.|\\u2026)[ \\t]*$"))
     val nAlpha = graft.functions.CountAlphaTokens.count(t)
-    val stopHits = GopherStopwords.map(w =>
-      array_contains(low, w).cast("int")).reduce(_ + _)
+    // one tokenize scan counting DISTINCT stopword hits — the split +
+    // 8-way array_contains reduce it replaced materialized the token
+    // array to scan it eight times (equivalence spec-pinned)
+    val stopHits = graft.functions.CountTokensInSet.countDistinct(
+      t, GopherStopwords)
     def rule(c: Column): Column = coalesce(c, lit(false))
     val rules = Seq(
       "g_word_count" -> rule(n >= minWords && n <= maxWords),

@@ -61,9 +61,24 @@ object KeyProbe {
         docs.select(graft.scale.TextAnalysis.meanWordLenSplit(col("text")).as("m"))
           .agg(sum(col("m")).cast("long")).head().getLong(0)
       }
-      t(s"stopwordRatio ${fac}x") {
+      t(s"stopwordRatio kernel ${fac}x") {
         docs.select(graft.scale.TextAnalysis.stopwordRatio(col("text")).as("r"))
           .agg(sum(col("r")).cast("long")).head().getLong(0)
+      }
+      t(s"stopwordRatio split ${fac}x") {
+        docs.select(graft.scale.TextAnalysis.stopwordRatioSplit(col("text")).as("r"))
+          .agg(sum(col("r")).cast("long")).head().getLong(0)
+      }
+      t(s"gopher stopHits kernel ${fac}x") {
+        docs.select(graft.functions.CountTokensInSet.countDistinct(
+          col("text"), graft.scale.TextAnalysis.GopherStopwords).as("h"))
+          .agg(sum(col("h"))).head().getLong(0)
+      }
+      t(s"gopher stopHits split ${fac}x") {
+        val low = split(lower(trim(col("text"))), "\\s+")
+        docs.select(graft.scale.TextAnalysis.GopherStopwords.map(w =>
+          array_contains(low, w).cast("int")).reduce(_ + _).as("h"))
+          .agg(sum(col("h"))).head().getLong(0)
       }
       docs.unpersist()
     }

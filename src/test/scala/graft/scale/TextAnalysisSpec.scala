@@ -74,6 +74,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rq.as[Long].collect().forall(_ === 3L))
   }
 
+  test("stopword kernels equal the split forms: occurrences and distinct hits") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("text").as("t"))
+    val edges = Seq("", " ", "\t", "THE the The tHe be", "the", "be be be",
+      "no stop words here at all", "\tthe\n", "the  be\tto", null)
+      .zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val low = split(lower(trim(col("t"))), "\\s+")
+    val oldDistinct = TextAnalysis.GopherStopwords.map(w =>
+      array_contains(low, w).cast("int")).reduce(_ + _)
+    for (df <- Seq(real, edges.select(col("t")))) {
+      val bad = df.select(
+        TextAnalysis.stopwordRatio(col("t")).as("kr"),
+        TextAnalysis.stopwordRatioSplit(col("t")).as("sr"),
+        graft.functions.CountTokensInSet.countDistinct(
+          col("t"), TextAnalysis.GopherStopwords).as("kd"),
+        oldDistinct.as("sd"))
+        .filter(not(col("kr") <=> col("sr")) || not(col("kd") <=> col("sd")))
+        .count()
+      assert(bad === 0L, "kernel and split stopword counts must agree")
+    }
+    // the distinct/occurrence distinction itself, pinned
+    val x = Seq(("THE the The tHe be")).toDF("t").select(
+      graft.functions.CountTokensInSet.count(
+        col("t"), TextAnalysis.GopherStopwords).as("occ"),
+      graft.functions.CountTokensInSet.countDistinct(
+        col("t"), TextAnalysis.GopherStopwords).as("dis")).head()
+    assert(x.getInt(0) === 5, "case-folded occurrences: 4x the + 1x be")
+    assert(x.getInt(1) === 2, "distinct members: the, be")
+  }
+
   test("pii: email variants and multiplicity") {
     assert(redact("mail a.b+tag@sub.example.co.uk now") ===
       (("mail <EMAIL> now", 1L, 0L, 0L)))
