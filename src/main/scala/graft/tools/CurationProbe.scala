@@ -39,8 +39,11 @@ import graft.ops.RelationalOps
   *     7.6x over the interpreted HOF chain it replaced. Still linear
   *     in gram positions by nature; topGrams documents the 100 TB
   *     practice of sampling for vocabulary stats.)
-  *   gopher_rules         0.83 s at 10x, 3.43 s at 100x (fully
-  *     compiled projection since the r18 alpha kernel)
+  *   gopher_rules         0.31 s at 10x, 0.79 s at 100x with the
+  *     r18 kernels (CountAlphaTokens + the shared TokenStats pass +
+  *     CountTokensInSet stopHits; no split arrays left) — the same
+  *     projection measured 3.43 s at 100x pre-kernels, a 4.3x win
+  *     on the corpus-wide quality pass.
   *   alpha_count (100x, 27.6M tokens): char-loop kernel 0.23 s,
   *     interpreted ArrayFilter lambda 0.41 s, compiled regexp_count
   *     0.60 s — the codegen'd regex LOST to the interpreted lambda;
