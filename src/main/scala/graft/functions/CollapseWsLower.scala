@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lower
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -8,16 +9,27 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
 
 /**
- * Dedup.exactKey's normalization as ONE compiled pass, no regex:
- * lowercase → trim SPACES (0x20 only, the trim() contract) → collapse
- * every maximal \s run {space, \t, \n, \x0B, \f, \r} to a single
- * space. Byte-identical to the
- * `regexp_replace(lower(trim(text)), "\s+", " ")` Column form it
- * replaces (equivalence spec-pinned; the quirks survive deliberately:
- * a leading tab collapses to a LEADING space because only 0x20 is
- * trimmed, and the oracle's trim/regexp replay has the same two-step
- * shape). Lowercasing reuses UTF8String.toLowerCase — the exact
- * method Column lower() calls — so the case fold cannot diverge.
+ * Dedup.exactKey's normalization with the whitespace work as ONE
+ * compiled pass, no regex: trim SPACES (0x20 only, the trim()
+ * contract) → collapse every maximal \s run {space, \t, \n, \x0B,
+ * \f, \r} to a single space. [[CollapseWsLower.normalize]] composes
+ * Catalyst's own `lower()` UNDER the collapse, so the case fold is
+ * the engine's by construction — the kernel deliberately does NOT
+ * fold case itself. (The r18 version called UTF8String.toLowerCase
+ * inside the kernel, believing it "the exact method Column lower()
+ * calls"; in Spark 4, Lower dispatches through CollationSupport and
+ * with ICU case mappings on — the default — lowercases GREEK CAPITAL
+ * SIGMA after a non-cased char to σ where the JVM fold gives final ς.
+ * The generated-unicode property pin in ScalePropertySpec caught the
+ * divergence; delegating the fold removes the class of bug instead of
+ * patching one mapping.)
+ *
+ * Byte-identical to `regexp_replace(lower(trim(text)), "\s+", " ")`
+ * (equivalence spec-pinned; lower-then-trim reorders safely because
+ * no case mapping consumes or produces U+0020). The quirks survive
+ * deliberately: a leading tab collapses to a LEADING space because
+ * only 0x20 is trimmed, and the oracle's trim/regexp replay has the
+ * same two-step shape.
  *
  * Every dedup path runs this normalization corpus-wide (exact keys,
  * dedup_against keys, minhash/ngram shingle bases, simhash tokens,
@@ -25,7 +37,7 @@ import org.apache.spark.sql.types._
  * measured paired (tools/KeyProbe, local[32], 500k docs, md5(key)
  * plans) 0.41 s kernel vs 0.62 s regex vs 0.32 s no-collapse floor.
  */
-final case class CollapseWsLower(child: Expression) extends UnaryExpression {
+final case class CollapseWs(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -36,20 +48,20 @@ final case class CollapseWsLower(child: Expression) extends UnaryExpression {
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"collapse_ws_lower needs string, got ${other.sql}")
+          s"collapse_ws needs string, got ${other.sql}")
     }
 
   override def nullSafeEval(v: Any): Any =
-    CollapseWsLower.compute(v.asInstanceOf[UTF8String])
+    CollapseWsLower.collapse(v.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.CollapseWsLower.compute($v);")
+      s"${ev.value} = graft.functions.CollapseWsLower.collapse($v);")
 
-  override protected def withNewChildInternal(newChild: Expression): CollapseWsLower =
+  override protected def withNewChildInternal(newChild: Expression): CollapseWs =
     copy(child = newChild)
 
-  override def prettyName: String = "collapse_ws_lower"
+  override def prettyName: String = "collapse_ws"
 }
 
 object CollapseWsLower {
@@ -59,12 +71,12 @@ object CollapseWsLower {
       c == '\f' || c == '\r'
 
   /** Shared kernel for the interpreted and codegen paths. Replays the
-    * Column composition exactly: trim() strips 0x20 only, THEN each
-    * maximal \s run — leading/trailing runs of other \s chars
-    * included — becomes one 0x20. */
-  def compute(s: UTF8String): UTF8String = {
-    // identical case fold to Column lower() by construction
-    val t = s.toLowerCase.toString
+    * Column composition's whitespace work exactly: trim() strips 0x20
+    * only, THEN each maximal \s run — leading/trailing runs of other
+    * \s chars included — becomes one 0x20. Case folding happens in the
+    * CHILD (Catalyst Lower), never here. */
+  def collapse(s: UTF8String): UTF8String = {
+    val t = s.toString
     var i = 0
     var end = t.length
     while (i < end && t.charAt(i) == ' ') i += 1
@@ -88,6 +100,32 @@ object CollapseWsLower {
     UTF8String.fromString(sb.toString)
   }
 
+  /** lower(text) under the compiled collapse — the engine's own case
+    * fold, the kernel's whitespace pass. */
   def normalize(text: Column): Column =
-    ColumnBridge.column(CollapseWsLower(ColumnBridge.expression(text)))
+    ColumnBridge.column(CollapseWs(ColumnBridge.expression(lower(text))))
+
+  /** The exact Lower dispatch the Column form compiles to
+    * (UTF8_BINARY collation) — for kernels that fold case in Scala
+    * space and must not drift from `lower()`. */
+  def lowerFold(s: UTF8String, useICU: Boolean): UTF8String =
+    org.apache.spark.sql.catalyst.util.CollationSupport.Lower.exec(
+      s,
+      org.apache.spark.sql.catalyst.util.CollationFactory.UTF8_BINARY_COLLATION_ID,
+      useICU)
+
+  /** The ICU case-mapping flag Lower reads (lazily, once per
+    * expression instance — replicate that pattern, don't call this
+    * per row). */
+  def icuEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.getConf(
+      org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
+  /** Scala-side twin of [[normalize]] for typed/streaming closures:
+    * the same CollationSupport.Lower dispatch the Column form compiles
+    * to (UTF8_BINARY collation; the ICU flag read from the active
+    * SQLConf, whose executor-side value ships with each task), then
+    * the same collapse kernel. */
+  def normalizeString(text: String): String =
+    collapse(lowerFold(UTF8String.fromString(text), icuEnabled)).toString
 }

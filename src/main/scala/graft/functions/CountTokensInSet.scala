@@ -26,7 +26,12 @@ import org.apache.spark.sql.types._
  *    leading/trailing non-space whitespace, and the single empty
  *    field of blank text (they only matter if the set contains "",
  *    which real lexicons never do, but the replay is exact);
- *  - lowercasing is UTF8String.toLowerCase, the Column lower();
+ *  - lowercasing is the SAME CollationSupport.Lower dispatch the
+ *    Column lower() compiles to (the r18 version used
+ *    UTF8String.toLowerCase, which diverges from lower() on the
+ *    Greek final-sigma rule under the default ICU conf — harmless
+ *    for ASCII lexicons, wrong for one containing σ/ς; the ICU flag
+ *    is read once per expression instance, Lower's own pattern);
  *  - membership is exact string equality post-lowering;
  *  - NULL text → null (split(null) propagation).
  *
@@ -60,16 +65,20 @@ final case class CountTokensInSet(child: Expression, set: Seq[String],
     s
   }
 
+  @transient private lazy val useICU: Boolean = CollapseWsLower.icuEnabled
+
   override def nullSafeEval(v: Any): Any =
     CountTokensInSet.compute(
-      v.asInstanceOf[UTF8String].toLowerCase.toString, probe, distinct)
+      CollapseWsLower.lowerFold(v.asInstanceOf[UTF8String], useICU).toString,
+      probe, distinct)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val setRef = ctx.addReferenceObj("probeSet", probe,
         classOf[java.util.HashSet[_]].getName)
       s"${ev.value} = graft.functions.CountTokensInSet.compute(" +
-        s"$v.toLowerCase().toString(), $setRef, $distinct);"
+        s"graft.functions.CollapseWsLower.lowerFold($v, $useICU).toString(), " +
+        s"$setRef, $distinct);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): CountTokensInSet =

@@ -28,16 +28,23 @@ import org.apache.spark.sql.types._
  *  - any null ELEMENT → norm null AND unit null (ArrayDot's poisoning
  *    rule: a null product poisons the running sum);
  *  - a zero (or empty) vector keeps norm 0.0 for diagnosis but cannot
- *    be normalized: unit is null — matching `when(norm > 0, ...)`,
- *    which also sends a NaN norm (NaN elements) to a null unit;
+ *    be normalized: unit is null — matching `when(norm > 0, ...)`. A
+ *    NaN norm (NaN element) PASSES that guard (Spark SQL compares with
+ *    nanSafeCompareDoubles — NaN is greater than every double, as in
+ *    the DuckDB oracle) and emits the all-NaN unit;
  *  - NULL vector → NULL struct. Accepts any numeric element type
  *    (cast-to-double per element, ArrayDot's discipline).
  */
 final case class L2Normalize(child: Expression) extends UnaryExpression {
 
+  // unit elements are in fact never null (a null element nulls the
+  // whole struct), but containsNull stays TRUE to match the
+  // ArrayTransform-composed form this kernel replaced — written
+  // Parquet element nullability (optional vs required) is part of the
+  // output schema downstream artifact comparisons pin against.
   override def dataType: DataType = StructType(Seq(
     StructField("norm", DoubleType, nullable = true),
-    StructField("unit", ArrayType(DoubleType, containsNull = false),
+    StructField("unit", ArrayType(DoubleType, containsNull = true),
       nullable = true)))
   override def nullable: Boolean = true
 
@@ -97,9 +104,15 @@ object L2Normalize {
       i += 1
     }
     val norm = math.sqrt(acc)
-    // NaN > 0 is false — NaN norms keep the norm but null the unit,
-    // matching the when(norm > 0, ...) guard this kernel replaced
-    if (!(norm > 0.0)) return InternalRow(norm, null)
+    // Only an exactly-zero norm nulls the unit. A NaN norm (NaN
+    // element) must PASS the guard: the composed when(norm > 0, ...)
+    // this kernel replaced compares with Spark SQL's
+    // nanSafeCompareDoubles, where NaN is GREATER than every double
+    // (DuckDB orders NaN greatest too) — so the old form emitted the
+    // all-NaN unit, and Java's `NaN > 0 == false` would silently
+    // diverge from it. norm is sqrt(Σx²): ≥ 0 or NaN, never negative,
+    // so `== 0.0` is the exact complement of the Spark-semantics guard.
+    if (norm == 0.0) return InternalRow(norm, null)
     val out = new Array[Any](n)
     i = 0
     while (i < n) {

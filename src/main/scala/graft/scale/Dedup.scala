@@ -106,11 +106,28 @@ object Dedup {
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
   /** Scala-side twin of exactKey for typed/streaming paths (groupByKey
-    * closures can't evaluate Columns); keep in lockstep with the
-    * expression form above. */
+    * closures can't evaluate Columns), in lockstep with the expression
+    * form BY CONSTRUCTION: non-null text runs the same CollapseWsLower
+    * kernel the Column form compiles to (the previous hand-rolled twin
+    * silently diverged twice — Java String.trim strips every char
+    * <= U+0020 where SQL trim strips 0x20 only, so "\ta" keyed "a"
+    * here but " a" in batch; and null mapped to "", merging the
+    * null-text group into the blank-text group where batch keeps
+    * NULL-key and ""-key groups separate).
+    *
+    * Grouping must also replicate the SQL NULL group, and state keys
+    * can't be null — so the twin PREFIX-ENCODES: null → U+0000, any
+    * real key → U+0001 + key. Injective by construction: every
+    * non-null key carries the prefix, so no text (not even one
+    * containing NULs, which survive normalization as token chars) can
+    * collide with the null token. Batch/stream parity on a null+blank
+    * fixture is pinned in StreamingSpec; key equivalence with the
+    * Column form on generated exotic unicode in ScalePropertySpec. */
+  val NullKeySentinel = "\u0000"
+  val NonNullKeyPrefix = "\u0001"
   def exactKeyString(text: String): String =
-    if (text == null) ""
-    else text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    if (text == null) NullKeySentinel
+    else NonNullKeyPrefix + graft.functions.CollapseWsLower.normalizeString(text)
 
   /**
    * Exact dedup: keep one row per normalized key. The winner is the
@@ -812,10 +829,25 @@ object Dedup {
     // checkpointDir swaps the per-round plan truncation from executor-
     // block localCheckpoint to RELIABLE checkpoint on that directory
     // (survives executor loss — the preemption-safe path); rounds still
-    // release their predecessor's storage, files included
+    // release their predecessor's storage, files included.
+    // setCheckpointDir is a GLOBAL SparkContext setting (there is no
+    // per-RDD directory), so setting it here is a documented side
+    // effect of declaring checkpoint_dir — but we only touch it when
+    // the context is not ALREADY pointed under this directory:
+    // setCheckpointDir mints a fresh uuid subdir per call, so blind
+    // re-setting would scatter two cluster/cc components sharing one
+    // checkpoint_dir across separate subdirs and clobber each other's
+    // (and the application's) setting mid-build for no benefit.
     val reliable = checkpointDir != null && checkpointDir.nonEmpty
-    if (reliable)
-      pairs.sparkSession.sparkContext.setCheckpointDir(checkpointDir)
+    if (reliable) {
+      val sc = pairs.sparkSession.sparkContext
+      val p = new org.apache.hadoop.fs.Path(checkpointDir)
+      val qualified = p.getFileSystem(sc.hadoopConfiguration)
+        .makeQualified(p).toString
+      val alreadyUnder = sc.getCheckpointDir.exists(cur =>
+        cur == qualified || cur.startsWith(qualified + "/"))
+      if (!alreadyUnder) sc.setCheckpointDir(checkpointDir)
+    }
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val dir = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -746,18 +746,27 @@ class CurationOpsSpec extends SparkTestBase {
       .filter(not(col("a.vec_norm") <=> col("b.vec_norm")) ||
         not(col("a.vec_unit") <=> col("b.vec_unit"))).count()
     assert(bad === 0L, s"$bad vectors diverge between kernel and composed form")
-    // null-element poisoning, zero vector, null vector — all must match
+    // null-element poisoning, zero vector, null vector, NaN element —
+    // all must match. The NaN row is the sharp one: when(norm > 0, ...)
+    // uses Spark's NaN-as-largest comparison, so a NaN norm PASSES the
+    // guard and the unit is all-NaN (not null) in BOTH forms — Spark
+    // also treats NaN = NaN as true, so <=> sees the agreement.
     val edge = Seq(
       (1L, Seq(Option(-2.0f), None, Option(1.0f))),
       (2L, Seq(Option(0.0f), Option(0.0f))),
       (3L, (null: Seq[Option[Float]])),
-      (4L, Seq(Option(3.0f), Option(4.0f)))).toDF("vec_id", "embedding")
+      (4L, Seq(Option(3.0f), Option(4.0f))),
+      (5L, Seq(Option(Float.NaN), Option(1.0f)))).toDF("vec_id", "embedding")
     val ek = Similarity.l2NormalizeVectors(edge, "embedding")
     val eh = Similarity.l2NormalizeVectorsHof(edge, "embedding")
     val ebad = ek.alias("a").join(eh.alias("b"), Seq("vec_id"))
       .filter(not(col("a.vec_norm") <=> col("b.vec_norm")) ||
         not(col("a.vec_unit") <=> col("b.vec_unit"))).count()
-    assert(ebad === 0L, "null-element / zero / null-vector edges diverge")
+    assert(ebad === 0L, "null-element / zero / null-vector / NaN edges diverge")
+    val nanRow = ek.filter(col("vec_id") === 5L).collect()(0)
+    assert(nanRow.getAs[Double]("vec_norm").isNaN)
+    assert(nanRow.getSeq[Double](nanRow.fieldIndex("vec_unit")).forall(_.isNaN),
+      "NaN norm must emit the all-NaN unit (Spark NaN-as-largest), not null")
     // the kernel participates in whole-stage codegen
     val rq = Similarity.l2NormalizeVectors(
       spark.range(4).select(col("id"),

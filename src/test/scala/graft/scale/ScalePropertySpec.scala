@@ -268,4 +268,117 @@ class ScalePropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- r18 kernel ≡ retained-reference-form property pins ----
+  //
+  // The CollapseWsLower / TokenStats / CountTokensInSet /
+  // CountAlphaTokens char-loop kernels replicate split()/regex
+  // semantics by hand — phantom empty fields for leading/trailing
+  // non-space whitespace, blank → a single "" field, trim() stripping
+  // 0x20 only, \s being exactly {space,\t,\n,\x0B,\f,\r}, letters by
+  // Unicode category across planes. TextAnalysisSpec pins those edges
+  // with hand-enumerated fixtures; these properties throw generated
+  // unicode at the SAME kernel-vs-reference comparisons so a case the
+  // enumeration missed cannot survive silently.
+
+  /** Token pieces that stress every contract clause: stopwords in
+    * mixed case, CJK, supplementary-plane letters and non-letters,
+    * NBSP (a token CHAR — not in \s), digits/punct-only tokens,
+    * combining and Latin-1 letters. */
+  private val exoticPiece: Gen[String] = Gen.frequency(
+    (4, Gen.oneOf("the", "The", "tHE", "BE", "to", "of", "and", "that",
+      "have", "with", "a", "an", "is")),
+    (3, Gen.oneOf("alpha", "Beta42", "123", "#", "...", "…", "--",
+      "x1", "!?")),
+    (2, Gen.oneOf("日本語", "中文",
+      "テスト", "한국어")),
+    (2, Gen.oneOf("𝐀", "𝔘𝔫",
+      "😀", "𓀀", "🚀x")),
+    (1, Gen.const(" ")),
+    (1, Gen.oneOf("é", "ñé", "Σ", "ΑΣ", "ΒΣ2", "ß")))
+
+  /** Exotic whitespace, including runs and the \r\n pair; every char
+    * here is in the Java \s class the kernels replicate. */
+  private val exoticWs: Gen[String] = Gen.oneOf(
+    " ", "\t", "\n", "\u000B", "\f", "\r", "\r\n", "  ", " \t ", "\n\n")
+
+  /** Documents with whitespace on BOTH flanks and between pieces —
+    * empty separators glue pieces into one token, leading/trailing
+    * non-space whitespace exercises the phantom-field replay. */
+  private val exoticDoc: Gen[String] = Gen.frequency(
+    (1, Gen.const(null: String)),
+    (1, Gen.const("")),
+    (2, exoticWs),
+    (12, for {
+      k <- Gen.chooseNum(1, 12)
+      pieces <- Gen.listOfN(k, exoticPiece)
+      seps <- Gen.listOfN(k + 1,
+        Gen.frequency((5, exoticWs), (2, Gen.const(""))))
+    } yield seps.head + pieces.zip(seps.tail)
+      .map { case (p, s) => p + s }.mkString))
+
+  test("kernels equal their retained reference forms on generated exotic unicode") {
+    val docs = sampleN(exoticDoc, 400, 181L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("id", "t")
+    val t = col("t")
+    val low = split(lower(trim(t)), "\\s+")
+    val oldDistinct = TextAnalysis.GopherStopwords.map(w =>
+      array_contains(low, w).cast("int")).reduce(_ + _)
+    val pairs = Seq(
+      // CollapseWsLower kernel vs the regexp_replace(lower(trim)) form
+      "collapse" -> ((Dedup.exactKey(t), Dedup.exactKeyRegex(t))),
+      // TokenStats kernel vs the split forms
+      "token_count" -> ((TextAnalysis.tokenCount(t),
+        TextAnalysis.tokenCountSplit(t))),
+      "mean_word_len" -> ((TextAnalysis.meanWordLen(t),
+        TextAnalysis.meanWordLenSplit(t))),
+      // CountTokensInSet (occurrences) via the ratio vs split+CountInSet
+      "stopword_ratio" -> ((TextAnalysis.stopwordRatio(t),
+        TextAnalysis.stopwordRatioSplit(t))),
+      // CountTokensInSet (distinct) vs the 8-way array_contains reduce
+      "stop_distinct" -> ((graft.functions.CountTokensInSet.countDistinct(
+        t, TextAnalysis.GopherStopwords), oldDistinct)),
+      // CountAlphaTokens char loop vs the ArrayFilter rlike lambda
+      "alpha_tokens" -> ((graft.functions.CountAlphaTokens.count(t),
+        size(filter(split(trim(t), "\\s+"), x => x.rlike("\\p{L}"))))),
+      // the case fold itself, pinned with a NON-ASCII lexicon: the
+      // kernel must fold like lower() (ICU final-sigma: ς only after
+      // a cased char), not like the JVM — the divergence this suite
+      // caught in the r18 kernels. "Σ" alone folds to σ (preceded by
+      // nothing), "ΑΣ" to ας: both shapes occur in the generator.
+      "sigma_set" -> ((graft.functions.CountTokensInSet.count(
+        t, Seq("σ", "ας", "ß")),
+        graft.functions.CountInSet.count(
+          split(lower(trim(t)), "\\s+"), Seq("σ", "ας", "ß")))))
+    val projected = df.select(col("id") +: pairs.flatMap { case (n, (k, r)) =>
+      Seq(k.as(s"${n}_k"), r.as(s"${n}_r")) }: _*)
+    val disagree = pairs.map { case (n, _) =>
+      not(col(s"${n}_k") <=> col(s"${n}_r")) }.reduce(_ || _)
+    val bad = projected.filter(disagree).limit(5).collect()
+    assert(bad.isEmpty, {
+      val byId = docs.toMap
+      bad.map(r => s"id=${r.getLong(0)} text=${
+        Option(byId(r.getLong(0))).map(_.map(c => f"\\u$c%04x".toString)
+          .mkString).orNull}: $r").mkString("\n")
+    })
+  }
+
+  test("exactKeyString twin equals the Column exactKey on generated exotic unicode") {
+    // the typed/streaming twin (null → sentinel key) must produce the
+    // SAME key as the Column form for every non-null doc, and its null
+    // sentinel must be unreachable from any real text
+    val docs = sampleN(exoticDoc, 400, 191L).filter(_ != null)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val viaColumn = docs.toDF("id", "t")
+      .select(col("id"), Dedup.exactKey(col("t")).as("k"))
+      .as[(Long, String)].collect().toMap
+    docs.foreach { case (id, text) =>
+      val s = Dedup.exactKeyString(text)
+      assert(s === Dedup.NonNullKeyPrefix + viaColumn(id),
+        s"id=$id text=${text.map(c => f"\\u${c.toInt}%04x").mkString}")
+      assert(s !== Dedup.NullKeySentinel,
+        "no real text may key onto the null token")
+    }
+  }
 }

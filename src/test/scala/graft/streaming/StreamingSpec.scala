@@ -141,4 +141,39 @@ class StreamingSpec extends SparkTestBase {
       assert(ids.toSeq === Seq(2L, 3L))
     } finally q.stop()
   }
+
+  test("streamingFirstSeen keeps null-text and blank-text keys separate, like batch exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Degenerate corpus: two null-text docs, a space-only doc, and a
+    // doc of non-space whitespace. Batch exact() keys null text as SQL
+    // NULL, "   " as "" (spaces trim away), and "\t \n" as " " (trim
+    // strips 0x20 ONLY, so the run collapses to a single space — the
+    // pinned quirk): THREE window groups, three survivors. The
+    // streaming twin must replicate all three distinctions — the old
+    // twin merged null into "" (no sentinel) AND "\t \n" into ""
+    // (Java trim strips every char <= U+0020).
+    val degenerate = Seq(
+      Doc(10L, ts(1), null),
+      Doc(11L, ts(2), "   "),
+      Doc(12L, ts(3), null),
+      Doc(13L, ts(4), "\t \n"))
+    val batchSurvivors = graft.scale.Dedup
+      .exact(degenerate.toDF(), "text", "doc_id")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(batchSurvivors.toSeq === Seq(10L, 11L, 13L))
+    val input = MemoryStream[Doc]
+    val q = streamingFirstSeen(input.toDS())
+      .writeStream.format("memory").queryName("sfirst_degenerate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(degenerate.take(2): _*)
+      q.processAllAvailable()
+      input.addData(degenerate.drop(2): _*)
+      q.processAllAvailable()
+      val ids = spark.table("sfirst_degenerate").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.toSeq === batchSurvivors.toSeq) // null and blank: one survivor EACH
+    } finally q.stop()
+  }
 }
