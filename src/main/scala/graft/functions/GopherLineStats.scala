@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/**
+ * The five line/symbol counts of gopherRules' symbol-ratio and line
+ * rules in ONE compiled pass — struct(n_hash, n_ell, n_lines,
+ * n_bullet, n_ell_end) — replacing five separate scans, two of them
+ * multiline regexes, one a full-text `regexp_replace(t, "#", "")`
+ * copy and one a `split(t, "\n")` array-of-strings allocation.
+ * Measured paired (tools/LineRuleProbe, local[32], 500k docs, 3
+ * reps): five-scan composed form 1.40/0.97/0.94 s vs this kernel
+ * 0.57/0.42/0.32 s — ~2.3× on warm medians; the per-rule split shows
+ * why: each composed scan ALONE (nHash regexp_replace 0.40-0.46 s,
+ * nEll 0.41-0.44 s, nLines split 0.29-0.34 s, each (?m) count
+ * 0.29-0.39 s) costs about as much as the entire kernel pass, i.e.
+ * the corpus is walked five times for work one walk can do.
+ *
+ * Exact-semantics contract with the composed forms (equivalence
+ * pinned in CurationOpsSpec fixtures + ScalePropertySpec generated
+ * unicode):
+ *  - n_hash   = length(t) - length(regexp_replace(t, "#", "")):
+ *    occurrences of '#' (code-point count equals char count — '#' is
+ *    BMP, and the length diff counts matches);
+ *  - n_ell    = regexp_count(t, "(\.\.\.|…)"): non-overlapping
+ *    left-to-right scan — floor(run/3) per maximal '.' run plus each
+ *    U+2026;
+ *  - n_lines  = size(split(t, "\n")): count of '\n' PLUS ONE — \n
+ *    only, NOT the Java multiline terminator set (the composed form's
+ *    own inconsistency, replicated deliberately);
+ *  - n_bullet = regexp_count(t, "(?m)^[ \t]*[-*•‣▪]"):
+ *    line starts are Java MULTILINE ^ — input start and after any of
+ *    {\n, \r, U+0085, U+2028, U+2029}, with \r\n one terminator (no
+ *    ^ between the \r and the \n);
+ *  - n_ell_end = regexp_count(t, "(?m)(\.\.\.|…)[ \t]*$"): a
+ *    line counts iff, after stripping trailing [ \t]*, it ends with
+ *    U+2026 or with >= 3 '.' — at most one match per line because $
+ *    anchors the match to the line end ("... ." does NOT count: the
+ *    lone '.' resets both the dot run and a pending ellipsis);
+ *    $ is Java MULTILINE (same terminator set as ^, plus end of
+ *    input);
+ *  - NULL text → null struct.
+ */
+final case class GopherLineStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hash", IntegerType, nullable = false),
+    StructField("n_ell", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet", IntegerType, nullable = false),
+    StructField("n_ell_end", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gopher_line_stats needs string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    GopherLineStats.compute(v.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.GopherLineStats.compute($v.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherLineStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "gopher_line_stats"
+}
+
+object GopherLineStats {
+
+  private final val Ellipsis = '…'
+
+  private def isLineTerm(c: Char): Boolean =
+    c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+
+  private def isBullet(c: Char): Boolean =
+    c == '-' || c == '*' || c == '•' || c == '‣' || c == '▪'
+
+  /** Shared kernel for the interpreted and codegen paths. One pass,
+    * three per-line state variables:
+    *  - startWs: only [ \t] seen since the current line's start (the
+    *    `^[ \t]*` window for the bullet rule);
+    *  - dotRun: current consecutive-'.' count (n_ell adds run/3 when
+    *    the run breaks; a run of >= 3 also arms the line-end flag);
+    *  - ellArmed: the line's content so far ends with an ellipsis
+    *    followed only by [ \t] — finalized into n_ell_end at each
+    *    line terminator and at end of input. */
+  def compute(t: String): InternalRow = {
+    val n = t.length
+    var nHash = 0; var nEll = 0; var nNewline = 0; var nBullet = 0; var nEllEnd = 0
+    var startWs = true
+    var dotRun = 0
+    var ellArmed = false
+    var i = 0
+    while (i < n) {
+      val c = t.charAt(i)
+      if (c == '.') {
+        dotRun += 1
+        // a dot run arms the line-end rule only while it is currently
+        // >= 3 long: "... ." must NOT count (the lone '.' starts a
+        // fresh sub-3 run, exactly the regex's failed $ anchor)
+        ellArmed = dotRun >= 3
+        startWs = false
+      } else {
+        nEll += dotRun / 3 // non-overlapping scan: run of k dots = k/3
+        dotRun = 0
+        if (c == Ellipsis) {
+          nEll += 1
+          ellArmed = true
+          startWs = false
+        } else if (c == ' ' || c == '\t') {
+          // [ \t] keeps a pending line-end ellipsis armed and stays
+          // in the bullet rule's leading-[ \t]* window
+        } else if (isLineTerm(c)) {
+          if (ellArmed) nEllEnd += 1
+          ellArmed = false
+          startWs = true
+          if (c == '\n') nNewline += 1
+        } else {
+          if (c == '#') nHash += 1
+          if (startWs && isBullet(c)) nBullet += 1
+          startWs = false
+          ellArmed = false
+        }
+      }
+      i += 1
+    }
+    nEll += dotRun / 3
+    if (ellArmed) nEllEnd += 1
+    InternalRow(nHash, nEll, nNewline + 1, nBullet, nEllEnd)
+  }
+
+  def stats(text: Column): Column =
+    ColumnBridge.column(GopherLineStats(ColumnBridge.expression(text)))
+}

@@ -190,9 +190,11 @@ object TextAnalysis {
    *
    * Determinism discipline: every rule is a BOOLEAN over integer
    * counts and IEEE-exact integer divisions, so the oracle replays it
-   * bit-for-bit; the underlying ratios are never emitted. Line rules
-   * count via (?m) regexes in the Java/RE2 common subset (no
-   * lookaround). NULL text fails every rule (coalesce to false), the
+   * bit-for-bit; the underlying ratios are never emitted. The line
+   * rules' SEMANTICS are (?m) regexes in the Java/RE2 common subset
+   * (no lookaround) — the oracle replays them as regexes — but the
+   * engine computes all five counts in one GopherLineStats char pass.
+   * NULL text fails every rule (coalesce to false), the
    * curation-safe default.
    *
    * The whole projection is compiled — no CodegenFallback node
@@ -217,11 +219,18 @@ object TextAnalysis {
     val t = col(textCol)
     val n = tokenCount(t) // 0 for blank, null for null text
     val meanLen = meanWordLen(t)
-    val nHash = length(t) - length(regexp_replace(t, "#", ""))
-    val nEll = regexp_count(t, lit("(\\.\\.\\.|\\u2026)"))
-    val nLines = size(split(t, "\n"))
-    val nBullet = regexp_count(t, lit("(?m)^[ \\t]*[-*\\u2022\\u2023\\u25AA]"))
-    val nEllEnd = regexp_count(t, lit("(?m)(\\.\\.\\.|\\u2026)[ \\t]*$"))
+    // the five symbol/line counts in ONE GopherLineStats pass — the
+    // five separate scans it replaced (regexp_replace '#' strip,
+    // ellipsis regexp_count, split-\n, two (?m) regexp_counts) each
+    // cost alone about what the whole kernel does (LineRuleProbe,
+    // 500k docs: composed 0.94-1.40 s vs kernel 0.32-0.57 s, ~2.3x;
+    // equivalence pinned in CurationOpsSpec + ScalePropertySpec)
+    val ls = graft.functions.GopherLineStats.stats(t)
+    val nHash = ls.getField("n_hash")
+    val nEll = ls.getField("n_ell")
+    val nLines = ls.getField("n_lines")
+    val nBullet = ls.getField("n_bullet")
+    val nEllEnd = ls.getField("n_ell_end")
     val nAlpha = graft.functions.CountAlphaTokens.count(t)
     // one tokenize scan counting DISTINCT stopword hits — the split +
     // 8-way array_contains reduce it replaced materialized the token

@@ -43,7 +43,12 @@ import graft.ops.RelationalOps
   *     r18 kernels (CountAlphaTokens + the shared TokenStats pass +
   *     CountTokensInSet stopHits; no split arrays left) — the same
   *     projection measured 3.43 s at 100x pre-kernels, a 4.3x win
-  *     on the corpus-wide quality pass.
+  *     on the corpus-wide quality pass. r19: the five remaining
+  *     line/symbol scans (hash strip, ellipsis count, split-\n,
+  *     two (?m) counts) collapsed into one GopherLineStats pass —
+  *     0.81 s cold / 0.49 s warm at 100x (LineRuleProbe isolates
+  *     the five scans at 0.94-1.40 s vs the kernel's 0.32-0.57 s);
+  *     no regex left anywhere in the gopher projection.
   *   alpha_count (100x, 27.6M tokens): char-loop kernel 0.23 s,
   *     interpreted ArrayFilter lambda 0.41 s, compiled regexp_count
   *     0.60 s — the codegen'd regex LOST to the interpreted lambda;

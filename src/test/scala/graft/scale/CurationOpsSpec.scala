@@ -426,6 +426,45 @@ class CurationOpsSpec extends SparkTestBase {
     assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("GopherLineStats kernel equals the five composed scans (fixture + edges)") {
+    // the five counts of gopherRules' symbol/line rules, replayed by
+    // one char loop — Java-regex semantics included: (?m) ^/$ match
+    // around {\n, \r, U+0085, U+2028, U+2029} with \r\n ONE
+    // terminator; the ellipsis count is the non-overlapping scan
+    // (run of k dots = k/3); n_lines counts \n only (split's shape)
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("text").as("t"))
+    val edges = Seq(
+      "", ".", "..", "...", "....", "......", ". . .", "... .", "..…",
+      "…", "……", "...…", "…\t", "... \t", "#", "a#b##", "x\ny", "x\r\ny",
+      "x\ry", "xy", "x y", "- item", "  - item", "\t* item",
+      "a- no", "\n- yes", "\r\n- yes", "• b\n‣ c\n▪ d", "*", "-",
+      "done...\nmore…\t\nnot.. \n... .", "...\r\nnext", "…-x",
+      "ends...", "ends… ", "ends.. ", null)
+      .zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val tc = col("t")
+    val composed = Seq(
+      (length(tc) - length(regexp_replace(tc, "#", ""))).cast("int"),
+      regexp_count(tc, lit("(\\.\\.\\.|\\u2026)")).cast("int"),
+      size(split(tc, "\n")),
+      regexp_count(tc, lit("(?m)^[ \\t]*[-*\\u2022\\u2023\\u25AA]")).cast("int"),
+      regexp_count(tc, lit("(?m)(\\.\\.\\.|\\u2026)[ \\t]*$")).cast("int"))
+    val names = Seq("n_hash", "n_ell", "n_lines", "n_bullet", "n_ell_end")
+    for (df <- Seq(real, edges.select(tc))) {
+      val st = graft.functions.GopherLineStats.stats(tc)
+      val checks = names.zip(composed).map { case (f, c) =>
+        not(st.getField(f) <=> c) }
+      val bad = df.select((col("t") +: names.zip(composed).flatMap {
+          case (f, c) => Seq(st.getField(f).as(s"k_$f"), c.as(s"c_$f")) }): _*)
+        .filter(checks.reduce(_ || _)).limit(3).collect()
+      assert(bad.isEmpty, bad.map(_.toString).mkString("\n"))
+    }
+    // null propagates as a null struct
+    val nrow = edges.filter(col("t").isNull)
+      .select(graft.functions.GopherLineStats.stats(tc).as("s")).head()
+    assert(nrow.isNullAt(0))
+  }
+
   test("gopherRules: alpha-word kernel == per-token HOF == regexp; projection fully codegen'd") {
     // the CountAlphaTokens char loop must count exactly the whitespace
     // tokens containing >= 1 letter, like the interpreted ArrayFilter

@@ -350,7 +350,23 @@ class ScalePropertySpec extends SparkTestBase {
       "sigma_set" -> ((graft.functions.CountTokensInSet.count(
         t, Seq("σ", "ας", "ß")),
         graft.functions.CountInSet.count(
-          split(lower(trim(t)), "\\s+"), Seq("σ", "ας", "ß")))))
+          split(lower(trim(t)), "\\s+"), Seq("σ", "ας", "ß")))),
+      // GopherLineStats char loop vs the five composed scans (the
+      // generator's \r\n / \f runs, dots, ellipses, '#' and
+      // '-'/'--'-leading pieces after newline separators exercise the
+      // multiline ^/$ and non-overlap replays)
+      // (when(isNotNull) wraps the reference into a NULL struct for
+      // null text, the kernel's shape — struct(null,..) is non-null)
+      "line_stats" -> ((graft.functions.GopherLineStats.stats(t),
+        when(t.isNotNull, struct(
+          (length(t) - length(regexp_replace(t, "#", "")))
+            .cast("int").as("n_hash"),
+          regexp_count(t, lit("(\\.\\.\\.|\\u2026)")).cast("int").as("n_ell"),
+          size(split(t, "\n")).as("n_lines"),
+          regexp_count(t, lit("(?m)^[ \\t]*[-*\\u2022\\u2023\\u25AA]"))
+            .cast("int").as("n_bullet"),
+          regexp_count(t, lit("(?m)(\\.\\.\\.|\\u2026)[ \\t]*$"))
+            .cast("int").as("n_ell_end"))))))
     val projected = df.select(col("id") +: pairs.flatMap { case (n, (k, r)) =>
       Seq(k.as(s"${n}_k"), r.as(s"${n}_r")) }: _*)
     val disagree = pairs.map { case (n, _) =>
