@@ -31,20 +31,25 @@ import org.apache.spark.sql.types._
  *  - n_ell    = regexp_count(t, "(\.\.\.|…)"): non-overlapping
  *    left-to-right scan — floor(run/3) per maximal '.' run plus each
  *    U+2026;
- *  - n_lines  = size(split(t, "\n")): count of '\n' PLUS ONE — \n
- *    only, NOT the Java multiline terminator set (the composed form's
- *    own inconsistency, replicated deliberately);
- *  - n_bullet = regexp_count(t, "(?m)^[ \t]*[-*•‣▪]"):
- *    line starts are Java MULTILINE ^ — input start and after any of
- *    {\n, \r, U+0085, U+2028, U+2029}, with \r\n one terminator (no
- *    ^ between the \r and the \n);
- *  - n_ell_end = regexp_count(t, "(?m)(\.\.\.|…)[ \t]*$"): a
+ *  - n_lines  = size(split(t, "\n")): count of '\n' PLUS ONE;
+ *  - n_bullet = regexp_count(t, "(?dm)^[ \t]*[-*•‣▪]"):
+ *    line starts are UNIX_LINES MULTILINE ^ — input start and after
+ *    each '\n', and ONLY '\n' ((?d) pins Java to the one multiline
+ *    semantics RE2 has natively, so the DuckDB oracle's plain (?m)
+ *    replay agrees on EVERY input — without it, Java also breaks
+ *    lines at \r, U+0085, U+2028, U+2029, and a corpus with bare-\r
+ *    or \r\n endings would diverge engine-vs-oracle);
+ *  - n_ell_end = regexp_count(t, "(?dm)(\.\.\.|…)[ \t]*$"): a
  *    line counts iff, after stripping trailing [ \t]*, it ends with
  *    U+2026 or with >= 3 '.' — at most one match per line because $
  *    anchors the match to the line end ("... ." does NOT count: the
  *    lone '.' resets both the dot run and a pending ellipsis);
- *    $ is Java MULTILINE (same terminator set as ^, plus end of
- *    input);
+ *    $ is UNIX_LINES MULTILINE (before each '\n', plus end of input),
+ *    so a \r\n-ended line can never count: its content ends with the
+ *    ordinary char '\r', not the ellipsis;
+ *  - '\r' and the unicode line separators are ORDINARY characters
+ *    everywhere here (consistent across all five counts and with
+ *    n_lines' \n-only shape);
  *  - NULL text → null struct.
  */
 final case class GopherLineStats(child: Expression) extends UnaryExpression {
@@ -83,8 +88,9 @@ object GopherLineStats {
 
   private final val Ellipsis = '…'
 
-  private def isLineTerm(c: Char): Boolean =
-    c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+  // UNIX_LINES: '\n' is the only line terminator (Java (?d), RE2's
+  // native (?m) semantics \u2014 the cross-engine common ground)
+  private def isLineTerm(c: Char): Boolean = c == '\n'
 
   private def isBullet(c: Char): Boolean =
     c == '-' || c == '*' || c == '•' || c == '‣' || c == '▪'
@@ -128,7 +134,7 @@ object GopherLineStats {
           if (ellArmed) nEllEnd += 1
           ellArmed = false
           startWs = true
-          if (c == '\n') nNewline += 1
+          nNewline += 1
         } else {
           if (c == '#') nHash += 1
           if (startWs && isBullet(c)) nBullet += 1

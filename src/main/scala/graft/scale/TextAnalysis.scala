@@ -191,11 +191,13 @@ object TextAnalysis {
    * Determinism discipline: every rule is a BOOLEAN over integer
    * counts and IEEE-exact integer divisions, so the oracle replays it
    * bit-for-bit; the underlying ratios are never emitted. The line
-   * rules' SEMANTICS are (?m) regexes in the Java/RE2 common subset
-   * (no lookaround) — the oracle replays them as regexes — but the
-   * engine computes all five counts in one GopherLineStats char pass.
-   * NULL text fails every rule (coalesce to false), the
-   * curation-safe default.
+   * rules' SEMANTICS are (?dm) UNIX_LINES multiline regexes (no
+   * lookaround, ^/$ anchor around '\n' ONLY — Java's (?d) is RE2's
+   * native (?m), so a DuckDB/RE2 plain-(?m) replay agrees on every
+   * input including bare-\r and \r\n line endings, not just on
+   * corpora without them) — the engine computes all five counts in
+   * one GopherLineStats char pass. NULL text fails every rule
+   * (coalesce to false), the curation-safe default.
    *
    * The whole projection is compiled — no CodegenFallback node
    * (plan-pinned in CurationOpsSpec). The alpha-word count is the
@@ -221,7 +223,7 @@ object TextAnalysis {
     val meanLen = meanWordLen(t)
     // the five symbol/line counts in ONE GopherLineStats pass — the
     // five separate scans it replaced (regexp_replace '#' strip,
-    // ellipsis regexp_count, split-\n, two (?m) regexp_counts) each
+    // ellipsis regexp_count, split-\n, two (?dm) regexp_counts) each
     // cost alone about what the whole kernel does (LineRuleProbe,
     // 500k docs: composed 0.94-1.40 s vs kernel 0.32-0.57 s, ~2.3x;
     // equivalence pinned in CurationOpsSpec + ScalePropertySpec)

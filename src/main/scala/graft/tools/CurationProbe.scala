@@ -45,7 +45,7 @@ import graft.ops.RelationalOps
   *     projection measured 3.43 s at 100x pre-kernels, a 4.3x win
   *     on the corpus-wide quality pass. r19: the five remaining
   *     line/symbol scans (hash strip, ellipsis count, split-\n,
-  *     two (?m) counts) collapsed into one GopherLineStats pass —
+  *     two (?dm) counts) collapsed into one GopherLineStats pass —
   *     0.81 s cold / 0.49 s warm at 100x (LineRuleProbe isolates
   *     the five scans at 0.94-1.40 s vs the kernel's 0.32-0.57 s);
   *     no regex left anywhere in the gopher projection.

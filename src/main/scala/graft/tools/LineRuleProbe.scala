@@ -6,7 +6,7 @@ import graft.SparkEntry.table
 
 /** Dev-only: paired measurement of gopherRules' five line/symbol
   * counts — the composed five-scan form (regexp_replace '#' strip,
-  * regexp_count ellipsis, split-\n line count, two (?m) multiline
+  * regexp_count ellipsis, split-\n line count, two (?dm) multiline
   * regexp_counts) vs the single-pass GopherLineStats kernel, plus each
   * composed scan alone so the bill is attributable. Run:
   *   sbt "runMain graft.tools.LineRuleProbe /root/testdata/sf0.1 10 10 10"
@@ -31,8 +31,8 @@ object LineRuleProbe {
     val nHash = length(tcol) - length(regexp_replace(tcol, "#", ""))
     val nEll = regexp_count(tcol, lit("(\\.\\.\\.|\\u2026)"))
     val nLines = size(split(tcol, "\n"))
-    val nBullet = regexp_count(tcol, lit("(?m)^[ \\t]*[-*\\u2022\\u2023\\u25AA]"))
-    val nEllEnd = regexp_count(tcol, lit("(?m)(\\.\\.\\.|\\u2026)[ \\t]*$"))
+    val nBullet = regexp_count(tcol, lit("(?dm)^[ \\t]*[-*\\u2022\\u2023\\u25AA]"))
+    val nEllEnd = regexp_count(tcol, lit("(?dm)(\\.\\.\\.|\\u2026)[ \\t]*$"))
     for (fac <- factors) {
       println(s"--- factor ${fac}x ---")
       val docs = CurationProbe.replicateDocs(table(spark, dir, "documents"), fac)
@@ -58,10 +58,10 @@ object LineRuleProbe {
       t(s"  nLines split alone ${fac}x") {
         docs.select(nLines.as("s")).agg(sum(col("s"))).head().getLong(0)
       }
-      t(s"  nBullet (?m) alone ${fac}x") {
+      t(s"  nBullet (?dm) alone ${fac}x") {
         docs.select(nBullet.as("s")).agg(sum(col("s"))).head().getLong(0)
       }
-      t(s"  nEllEnd (?m) alone ${fac}x") {
+      t(s"  nEllEnd (?dm) alone ${fac}x") {
         docs.select(nEllEnd.as("s")).agg(sum(col("s"))).head().getLong(0)
       }
       t(s"  length-only floor ${fac}x") {

@@ -428,10 +428,13 @@ class CurationOpsSpec extends SparkTestBase {
 
   test("GopherLineStats kernel equals the five composed scans (fixture + edges)") {
     // the five counts of gopherRules' symbol/line rules, replayed by
-    // one char loop — Java-regex semantics included: (?m) ^/$ match
-    // around {\n, \r, U+0085, U+2028, U+2029} with \r\n ONE
-    // terminator; the ellipsis count is the non-overlapping scan
-    // (run of k dots = k/3); n_lines counts \n only (split's shape)
+    // one char loop — UNIX_LINES semantics throughout: (?dm) ^/$
+    // anchor around '\n' ONLY (Java's (?d) = RE2/DuckDB's native
+    // (?m), so the oracle replay agrees on every input; \r, U+0085,
+    // U+2028, U+2029 are ordinary chars — the \r / \r\n edges below
+    // pin that they break nothing); the ellipsis count is the
+    // non-overlapping scan (run of k dots = k/3); n_lines counts \n
+    // only (split's shape)
     val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("text").as("t"))
     val edges = Seq(
@@ -447,8 +450,8 @@ class CurationOpsSpec extends SparkTestBase {
       (length(tc) - length(regexp_replace(tc, "#", ""))).cast("int"),
       regexp_count(tc, lit("(\\.\\.\\.|\\u2026)")).cast("int"),
       size(split(tc, "\n")),
-      regexp_count(tc, lit("(?m)^[ \\t]*[-*\\u2022\\u2023\\u25AA]")).cast("int"),
-      regexp_count(tc, lit("(?m)(\\.\\.\\.|\\u2026)[ \\t]*$")).cast("int"))
+      regexp_count(tc, lit("(?dm)^[ \\t]*[-*\\u2022\\u2023\\u25AA]")).cast("int"),
+      regexp_count(tc, lit("(?dm)(\\.\\.\\.|\\u2026)[ \\t]*$")).cast("int"))
     val names = Seq("n_hash", "n_ell", "n_lines", "n_bullet", "n_ell_end")
     for (df <- Seq(real, edges.select(tc))) {
       val st = graft.functions.GopherLineStats.stats(tc)

@@ -271,7 +271,7 @@ class ScalePropertySpec extends SparkTestBase {
 
   // ---- r18 kernel ≡ retained-reference-form property pins ----
   //
-  // The CollapseWsLower / TokenStats / CountTokensInSet /
+  // The CollapseWs / TokenStats / CountTokensInSet /
   // CountAlphaTokens char-loop kernels replicate split()/regex
   // semantics by hand — phantom empty fields for leading/trailing
   // non-space whitespace, blank → a single "" field, trim() stripping
@@ -326,7 +326,7 @@ class ScalePropertySpec extends SparkTestBase {
     val oldDistinct = TextAnalysis.GopherStopwords.map(w =>
       array_contains(low, w).cast("int")).reduce(_ + _)
     val pairs = Seq(
-      // CollapseWsLower kernel vs the regexp_replace(lower(trim)) form
+      // CollapseWs kernel vs the regexp_replace(lower(trim)) form
       "collapse" -> ((Dedup.exactKey(t), Dedup.exactKeyRegex(t))),
       // TokenStats kernel vs the split forms
       "token_count" -> ((TextAnalysis.tokenCount(t),
@@ -351,10 +351,12 @@ class ScalePropertySpec extends SparkTestBase {
         t, Seq("σ", "ας", "ß")),
         graft.functions.CountInSet.count(
           split(lower(trim(t)), "\\s+"), Seq("σ", "ας", "ß")))),
-      // GopherLineStats char loop vs the five composed scans (the
+      // GopherLineStats char loop vs the five composed scans — (?d)
+      // UNIX_LINES so the Java reference anchors around '\n' only,
+      // the RE2/DuckDB (?m) semantics the oracle replays (the
       // generator's \r\n / \f runs, dots, ellipses, '#' and
       // '-'/'--'-leading pieces after newline separators exercise the
-      // multiline ^/$ and non-overlap replays)
+      // anchor and non-overlap replays; \r becomes an ordinary char)
       // (when(isNotNull) wraps the reference into a NULL struct for
       // null text, the kernel's shape — struct(null,..) is non-null)
       "line_stats" -> ((graft.functions.GopherLineStats.stats(t),
@@ -363,9 +365,9 @@ class ScalePropertySpec extends SparkTestBase {
             .cast("int").as("n_hash"),
           regexp_count(t, lit("(\\.\\.\\.|\\u2026)")).cast("int").as("n_ell"),
           size(split(t, "\n")).as("n_lines"),
-          regexp_count(t, lit("(?m)^[ \\t]*[-*\\u2022\\u2023\\u25AA]"))
+          regexp_count(t, lit("(?dm)^[ \\t]*[-*\\u2022\\u2023\\u25AA]"))
             .cast("int").as("n_bullet"),
-          regexp_count(t, lit("(?m)(\\.\\.\\.|\\u2026)[ \\t]*$"))
+          regexp_count(t, lit("(?dm)(\\.\\.\\.|\\u2026)[ \\t]*$"))
             .cast("int").as("n_ell_end"))))))
     val projected = df.select(col("id") +: pairs.flatMap { case (n, (k, r)) =>
       Seq(k.as(s"${n}_k"), r.as(s"${n}_r")) }: _*)
