@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
  * Dedup.exactKey's normalization with the whitespace work as ONE
  * compiled pass, no regex: trim SPACES (0x20 only, the trim()
  * contract) → collapse every maximal \s run {space, \t, \n, \x0B,
- * \f, \r} to a single space. [[CollapseWsLower.normalize]] composes
+ * \f, \r} to a single space. [[CollapseWs.normalize]] composes
  * Catalyst's own `lower()` UNDER the collapse, so the case fold is
  * the engine's by construction — the kernel deliberately does NOT
  * fold case itself. (The r18 version called UTF8String.toLowerCase
@@ -52,11 +52,11 @@ final case class CollapseWs(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(v: Any): Any =
-    CollapseWsLower.collapse(v.asInstanceOf[UTF8String])
+    CollapseWs.collapse(v.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.CollapseWsLower.collapse($v);")
+      s"${ev.value} = graft.functions.CollapseWs.collapse($v);")
 
   override protected def withNewChildInternal(newChild: Expression): CollapseWs =
     copy(child = newChild)
@@ -64,7 +64,7 @@ final case class CollapseWs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "collapse_ws"
 }
 
-object CollapseWsLower {
+object CollapseWs {
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 11.toChar /* \x0B */ ||
@@ -123,9 +123,15 @@ object CollapseWsLower {
 
   /** Scala-side twin of [[normalize]] for typed/streaming closures:
     * the same CollationSupport.Lower dispatch the Column form compiles
-    * to (UTF8_BINARY collation; the ICU flag read from the active
-    * SQLConf, whose executor-side value ships with each task), then
-    * the same collapse kernel. */
+    * to (UTF8_BINARY collation), then the same collapse kernel. Row
+    * loops must resolve `useICU` ONCE (see [[icuEnabled]]) and pass it
+    * here — Dedup.ExactKeyFn is the packaged form. */
+  def normalizeString(text: String, useICU: Boolean): String =
+    collapse(lowerFold(UTF8String.fromString(text), useICU)).toString
+
+  /** Convenience form reading the ICU flag from the active SQLConf on
+    * EVERY call — fine for tests and one-off calls, wrong inside a row
+    * loop (a ThreadLocal fetch + conf lookup per row). */
   def normalizeString(text: String): String =
-    collapse(lowerFold(UTF8String.fromString(text), icuEnabled)).toString
+    normalizeString(text, icuEnabled)
 }

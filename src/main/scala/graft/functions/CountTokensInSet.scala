@@ -65,11 +65,11 @@ final case class CountTokensInSet(child: Expression, set: Seq[String],
     s
   }
 
-  @transient private lazy val useICU: Boolean = CollapseWsLower.icuEnabled
+  @transient private lazy val useICU: Boolean = CollapseWs.icuEnabled
 
   override def nullSafeEval(v: Any): Any =
     CountTokensInSet.compute(
-      CollapseWsLower.lowerFold(v.asInstanceOf[UTF8String], useICU).toString,
+      CollapseWs.lowerFold(v.asInstanceOf[UTF8String], useICU).toString,
       probe, distinct)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -77,7 +77,7 @@ final case class CountTokensInSet(child: Expression, set: Seq[String],
       val setRef = ctx.addReferenceObj("probeSet", probe,
         classOf[java.util.HashSet[_]].getName)
       s"${ev.value} = graft.functions.CountTokensInSet.compute(" +
-        s"graft.functions.CollapseWsLower.lowerFold($v, $useICU).toString(), " +
+        s"graft.functions.CollapseWs.lowerFold($v, $useICU).toString(), " +
         s"$setRef, $distinct);"
     })
 

@@ -90,7 +90,7 @@ object Dedup {
   }
 
   /** Normalized text key for exact dedup: lowercase, collapse
-    * whitespace — the codegen'd CollapseWsLower kernel, one compiled
+    * whitespace — the codegen'd CollapseWs kernel, one compiled
     * pass with NO regex (byte-equivalence with the regexp_replace form
     * below pinned in DedupSimilaritySpec). Every dedup path runs this
     * normalization corpus-wide; measured paired (tools/KeyProbe,
@@ -98,7 +98,7 @@ object Dedup {
     * 0.62 s vs 0.32 s no-collapse floor — the kernel reclaims ~70% of
     * what the regex engine was costing on top of the hash itself. */
   def exactKey(text: Column): Column =
-    graft.functions.CollapseWsLower.normalize(text)
+    graft.functions.CollapseWs.normalize(text)
 
   /** The regex form exactKey replaced (semantic reference; also what
     * the DuckDB oracles replay as lower(trim(...))+regexp_replace). */
@@ -107,7 +107,7 @@ object Dedup {
 
   /** Scala-side twin of exactKey for typed/streaming paths (groupByKey
     * closures can't evaluate Columns), in lockstep with the expression
-    * form BY CONSTRUCTION: non-null text runs the same CollapseWsLower
+    * form BY CONSTRUCTION: non-null text runs the same CollapseWs
     * kernel the Column form compiles to (the previous hand-rolled twin
     * silently diverged twice — Java String.trim strips every char
     * <= U+0020 where SQL trim strips 0x20 only, so "\ta" keyed "a"
@@ -127,7 +127,20 @@ object Dedup {
   val NonNullKeyPrefix = "\u0001"
   def exactKeyString(text: String): String =
     if (text == null) NullKeySentinel
-    else NonNullKeyPrefix + graft.functions.CollapseWsLower.normalizeString(text)
+    else NonNullKeyPrefix + graft.functions.CollapseWs.normalizeString(text)
+
+  /** [[exactKeyString]] packaged for row loops: the ICU case-mapping
+    * flag is resolved ONCE per deserialized instance (@transient lazy
+    * — Lower's own once-per-expression-instance pattern, evaluated
+    * task-side from the conf that ships with it), where the bare
+    * function would pay a ThreadLocal SQLConf fetch per document on
+    * the streaming hot path. */
+  final class ExactKeyFn extends (String => String) with Serializable {
+    @transient private lazy val useICU = graft.functions.CollapseWs.icuEnabled
+    override def apply(text: String): String =
+      if (text == null) NullKeySentinel
+      else NonNullKeyPrefix + graft.functions.CollapseWs.normalizeString(text, useICU)
+  }
 
   /**
    * Exact dedup: keep one row per normalized key. The winner is the

@@ -104,6 +104,14 @@ object Streaming {
    *    batch operator on any replay, state grows O(distinct keys). Use
    *    when the dedup horizon is the whole corpus and the state store
    *    (RocksDB at scale) is provisioned for it.
+   *    STATE FORMAT NOTE: the state key is Dedup.exactKeyString, whose
+   *    encoding changed when the null/blank-merge bug was fixed (null →
+   *    U+0000 sentinel, real keys U+0001-prefixed; previously the raw
+   *    key with null → ""). A query restarted against a checkpoint
+   *    written by the old encoding misses every persisted key and
+   *    re-emits one already-emitted survivor per old key — on upgrade,
+   *    start a fresh checkpoint (the correctness fix cannot honor state
+   *    recorded under the merged-null-and-blank keying).
    */
   def streamingExactDedup(docs: DataFrame, textCol: String,
                           watermarkDur: String = "1 hour"): DataFrame =
@@ -115,8 +123,11 @@ object Streaming {
 
   def streamingFirstSeen(docs: Dataset[Doc]): Dataset[Doc] = {
     import docs.sparkSession.implicits._
+    // key function instance, not the bare exactKeyString: the ICU flag
+    // resolves once per deserialized task instance instead of per doc
+    val keyFn = new graft.scale.Dedup.ExactKeyFn
     docs
-      .groupByKey(d => graft.scale.Dedup.exactKeyString(d.text))
+      .groupByKey(d => keyFn(d.text))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_: String, batch: Iterator[Doc], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
