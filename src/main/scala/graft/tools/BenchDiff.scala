@@ -116,12 +116,21 @@ object BenchDiff {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2,
-      "usage: BenchDiff <prev bench json> <cur bench json>")
+    val strict = args.contains("--strict")
+    val paths = args.filterNot(_.startsWith("--"))
+    require(paths.length == 2,
+      "usage: BenchDiff <prev bench json> <cur bench json> [--strict]")
     def load(path: String): (Map[String, Double], Boolean) =
       queriesOf(JsonMethods.parse(new java.io.File(path)))
-    val (prev, prevPartial) = load(args(0))
-    val (cur, curPartial) = load(args(1))
-    print(render(diff(prev, cur, prevPartial, curPartial)))
+    val (prev, prevPartial) = load(paths(0))
+    val (cur, curPartial) = load(paths(1))
+    val rep = diff(prev, cur, prevPartial, curPartial)
+    print(render(rep))
+    // --strict makes the rule enforceable by a scripted gate (exit
+    // status, not a log line somebody greps); default stays 0 because
+    // cross-machine-state diffs legitimately flag environment drift a
+    // human has to adjudicate (e.g. an I/O-bound staging query moving
+    // with page-cache state)
+    if (strict && rep.regressions.nonEmpty) sys.exit(2)
   }
 }

@@ -70,6 +70,15 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(out.contains("only in cur (1): q_new"))
   }
 
+  test("main: --strict is the only flag; two paths required") {
+    // flag filtering, not exit behavior (sys.exit in a suite would
+    // kill the runner): bad arity must throw regardless of flags
+    intercept[IllegalArgumentException] { BenchDiff.main(Array("a.json")) }
+    intercept[IllegalArgumentException] {
+      BenchDiff.main(Array("a.json", "b.json", "c.json", "--strict"))
+    }
+  }
+
   test("end-to-end on the real round files when present") {
     val prev = new java.io.File("BENCH_r18.json")
     val cur = new java.io.File("BENCH_LOCAL.json")
