@@ -391,12 +391,17 @@ class ScalePropertySpec extends SparkTestBase {
     val viaColumn = docs.toDF("id", "t")
       .select(col("id"), Dedup.exactKey(col("t")).as("k"))
       .as[(Long, String)].collect().toMap
+    // the packaged row-loop form (ICU flag hoisted per instance) must
+    // be indistinguishable from the per-call function
+    val keyFn = new Dedup.ExactKeyFn
     docs.foreach { case (id, text) =>
       val s = Dedup.exactKeyString(text)
       assert(s === Dedup.NonNullKeyPrefix + viaColumn(id),
         s"id=$id text=${text.map(c => f"\\u${c.toInt}%04x").mkString}")
       assert(s !== Dedup.NullKeySentinel,
         "no real text may key onto the null token")
+      assert(keyFn(text) === s, "ExactKeyFn must equal exactKeyString")
     }
+    assert(keyFn(null) === Dedup.exactKeyString(null))
   }
 }
