@@ -66,10 +66,6 @@ final case class CollapseWs(child: Expression) extends UnaryExpression {
 
 object CollapseWs {
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar /* \x0B */ ||
-      c == '\f' || c == '\r'
-
   /** Shared kernel for the interpreted and codegen paths. Replays the
     * Column composition's whitespace work exactly: trim() strips 0x20
     * only, THEN each maximal \s run — leading/trailing runs of other
@@ -85,7 +81,7 @@ object CollapseWs {
     var prevWs = false
     while (i < end) {
       val c = t.charAt(i)
-      if (isWs(c)) prevWs = true
+      if (Ws.isWs(c)) prevWs = true
       else {
         // a pending run becomes one space — also when LEADING (a
         // leading tab survives the space-only trim and collapses to

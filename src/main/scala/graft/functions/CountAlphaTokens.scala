@@ -58,8 +58,6 @@ final case class CountAlphaTokens(child: Expression) extends UnaryExpression {
 
 object CountAlphaTokens {
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar /* \x0B vertical tab */ || c == '\f' || c == '\r'
 
   /** Shared kernel for the interpreted and codegen paths. One pass:
     * track in-token/has-letter, decode a code point only while the
@@ -73,7 +71,7 @@ object CountAlphaTokens {
     var hasLetter = false
     while (i < n) {
       val c = s.charAt(i)
-      if (isWs(c)) {
+      if (Ws.isWs(c)) {
         if (inTok && hasLetter) count += 1
         inTok = false
         hasLetter = false

@@ -89,10 +89,6 @@ final case class CountTokensInSet(child: Expression, set: Seq[String],
 
 object CountTokensInSet {
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar /* \x0B */ ||
-      c == '\f' || c == '\r'
-
   /** Shared kernel for the interpreted and codegen paths. `t` is the
     * already-lowercased text. */
   def compute(t: String, probe: java.util.HashSet[String],
@@ -106,17 +102,17 @@ object CountTokensInSet {
     def hit(tok: String): Unit =
       if (probe.contains(tok) && (!distinct || seen.add(tok))) count += 1
     if (i == end) { hit(""); return count } // blank → split's single "" field
-    if (isWs(t.charAt(i))) hit("")          // leading phantom field
+    if (Ws.isWs(t.charAt(i))) hit("")          // leading phantom field
     var j = i
     while (j < end) {
-      while (j < end && isWs(t.charAt(j))) j += 1
+      while (j < end && Ws.isWs(t.charAt(j))) j += 1
       if (j < end) {
         val st = j
-        while (j < end && !isWs(t.charAt(j))) j += 1
+        while (j < end && !Ws.isWs(t.charAt(j))) j += 1
         hit(t.substring(st, j))
       }
     }
-    if (isWs(t.charAt(end - 1))) hit("")    // trailing phantom field
+    if (Ws.isWs(t.charAt(end - 1))) hit("")    // trailing phantom field
     count
   }
 

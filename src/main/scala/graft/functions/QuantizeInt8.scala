@@ -27,6 +27,15 @@ import org.apache.spark.sql.types._
  *  - rounding is Math.round on the double quotient = HALF_UP for the
  *    positive-scale quotients this produces, matching the Column
  *    round() and DuckDB's round;
+ *  - a NaN element pins the scale to NaN (greatest() folds with
+ *    Spark's NaN-as-largest semantics, replayed here) and every `q`
+ *    position becomes NULL. This is a DELIBERATE divergence from the
+ *    composed form, which under ANSI mode (Spark 4's default) THROWS
+ *    CAST_OVERFLOW casting the NaN quotient to byte — one corrupt
+ *    embedding must not kill a corpus-wide quantization pass, so the
+ *    kernel yields the try_cast value (NULL) those positions instead.
+ *    Both faces are spec-pinned: the kernel's NaN output explicitly,
+ *    and the composed form's throw as the divergence record;
  *  - NULL vector → NULL struct. Accepts any numeric element type
  *    (cast-to-double per element, ArrayDot's discipline).
  */
@@ -88,16 +97,20 @@ object QuantizeInt8 {
     while (i < n) {
       if (!xs.isNullAt(i)) {
         val a = math.abs(numAt(xs, i, t))
-        if (a > maxAbs) maxAbs = a
+        // greatest() folds under Spark's nanSafeCompare, where NaN is
+        // the LARGEST value — one NaN element pins the fold to NaN
+        // (Java's bare `a > maxAbs` would silently skip it instead)
+        if (java.lang.Double.isNaN(a) || a > maxAbs) maxAbs = a
       }
       i += 1
     }
     val scale = maxAbs / 127.0
+    val scaleIsNaN = java.lang.Double.isNaN(scale)
     val out = new Array[Any](n)
     i = 0
     while (i < n) {
       if (scale == 0.0) out(i) = 0.toByte
-      else if (xs.isNullAt(i)) out(i) = null
+      else if (scaleIsNaN || xs.isNullAt(i)) out(i) = null
       else {
         val q = numAt(xs, i, t) / scale
         // HALF_UP = ties away from zero (Column round / DuckDB round);

@@ -66,10 +66,6 @@ final case class TokenStats(child: Expression) extends UnaryExpression {
 
 object TokenStats {
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar /* \x0B */ ||
-      c == '\f' || c == '\r'
-
   /** Shared kernel for the interpreted and codegen paths. */
   def compute(t: String): InternalRow = {
     var i = 0
@@ -82,7 +78,7 @@ object TokenStats {
     var inWs = false
     while (i < end) {
       val c = t.charAt(i)
-      if (isWs(c)) {
+      if (Ws.isWs(c)) {
         if (!inWs) runs += 1
         inWs = true
         i += 1

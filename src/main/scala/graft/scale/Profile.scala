@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,18 +43,24 @@ object Profile {
     val dups = cols.diff(cols.distinct).distinct
     require(dups.isEmpty, s"profile: duplicate columns ${dups.mkString(", ")}")
 
-    val aggs = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+    // internal aliases are POSITIONAL (__nn_0, not __nn_<name>): a
+    // user column named "a.b" folded into an alias would make the
+    // unpivot's col("__nn_a.b") parse as struct-field access and fail
+    // resolution; the user column itself is referenced backtick-quoted
+    // for the same reason
+    def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
+    val aggs = count(lit(1)).as("__rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
       val base = Seq(
-        count(col(c)).as(s"__nn_$c"),
-        (if (approx) approx_count_distinct(col(c)) else count_distinct(col(c)))
-          .as(s"__nd_$c"))
+        count(qcol(c)).as(s"__nn_$i"),
+        (if (approx) approx_count_distinct(qcol(c)) else count_distinct(qcol(c)))
+          .as(s"__nd_$i"))
       val mm =
         if (isNumeric(df.schema(c).dataType))
-          Seq(min(col(c)).cast("double").as(s"__min_$c"),
-            max(col(c)).cast("double").as(s"__max_$c"))
+          Seq(min(qcol(c)).cast("double").as(s"__min_$i"),
+            max(qcol(c)).cast("double").as(s"__max_$i"))
         else
-          Seq(min(col(c)).cast("string").as(s"__mins_$c"),
-            max(col(c)).cast("string").as(s"__maxs_$c"))
+          Seq(min(qcol(c)).cast("string").as(s"__mins_$i"),
+            max(qcol(c)).cast("string").as(s"__maxs_$i"))
       base ++ mm
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
@@ -64,17 +70,17 @@ object Profile {
     // select+union here would invite column pruning to split the wide
     // aggregate into k independent aggregates, i.e. k scans of `df`,
     // silently breaking the operator's one-scan contract.
-    val perCol = cols.map { c =>
+    val perCol = cols.zipWithIndex.map { case (c, i) =>
       val numeric = isNumeric(df.schema(c).dataType)
       struct(
         lit(c).as("col_name"),
         col("__rows").as("n_rows"),
-        (col("__rows") - col(s"__nn_$c")).as("n_nulls"),
-        col(s"__nd_$c").cast("long").as("n_distinct"),
-        (if (numeric) col(s"__min_$c") else lit(null).cast("double")).as("min_num"),
-        (if (numeric) col(s"__max_$c") else lit(null).cast("double")).as("max_num"),
-        (if (numeric) lit(null).cast("string") else col(s"__mins_$c")).as("min_str"),
-        (if (numeric) lit(null).cast("string") else col(s"__maxs_$c")).as("max_str"))
+        (col("__rows") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__nd_$i").cast("long").as("n_distinct"),
+        (if (numeric) col(s"__min_$i") else lit(null).cast("double")).as("min_num"),
+        (if (numeric) col(s"__max_$i") else lit(null).cast("double")).as("max_num"),
+        (if (numeric) lit(null).cast("string") else col(s"__mins_$i")).as("min_str"),
+        (if (numeric) lit(null).cast("string") else col(s"__maxs_$i")).as("max_str"))
     }
     wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }

@@ -385,12 +385,22 @@ object TextAnalysis {
    * its whitespace-normalized raw text — without the fallback every
    * non-Latin document would share md5("") and a fingerprint-dedup pass
    * would collapse them all into one survivor.
+   *
+   * NULL text → NULL fingerprint, like every other analysis column
+   * (and like the DuckDB oracle, where the CASE's null condition falls
+   * to md5(NULL) = NULL). The branch ORDER below is what delivers it:
+   * null toks fail the `size > 0` test into the fallback, whose
+   * exactKey(null) is null — the previous `size === 0`-first shape sent
+   * null text through concat_ws, which SKIPS a null array argument and
+   * silently fingerprinted every null-text doc as md5(""), colliding
+   * them with each other and with genuinely-empty docs.
    */
   def fingerprint(text: Column): Column = {
     val cleaned = regexp_replace(lower(text), "[^a-z0-9\\s]", " ")
     val toks = filter(split(trim(cleaned), "\\s+"), t => length(t) > 0)
-    when(size(toks) === 0, md5(Dedup.exactKey(text).cast("binary")))
-      .otherwise(md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary")))
+    when(size(toks) > 0,
+      md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary")))
+      .otherwise(md5(Dedup.exactKey(text).cast("binary")))
   }
 
   /**

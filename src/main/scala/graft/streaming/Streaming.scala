@@ -114,12 +114,19 @@ object Streaming {
    *    recorded under the merged-null-and-blank keying).
    */
   def streamingExactDedup(docs: DataFrame, textCol: String,
-                          watermarkDur: String = "1 hour"): DataFrame =
+                          watermarkDur: String = "1 hour"): DataFrame = {
+    // withColumn silently OVERWRITES an existing column of the same
+    // name and the final drop would then delete user data — guard at
+    // this altitude too, not only in the StreamingJobs wrapper, so
+    // direct API callers get the loud failure as well
+    require(!docs.columns.contains("__key"),
+      "streamingExactDedup: column name __key is reserved internally")
     docs
       .withColumn("__key", graft.scale.Dedup.exactKey(col(textCol)))
       .withWatermark("ts", watermarkDur)
       .dropDuplicatesWithinWatermark("__key")
       .drop("__key")
+  }
 
   def streamingFirstSeen(docs: Dataset[Doc]): Dataset[Doc] = {
     import docs.sparkSession.implicits._

@@ -779,6 +779,35 @@ class CurationOpsSpec extends SparkTestBase {
     assert(ebad === 0L, "null-element / zero / null-vector edges diverge")
   }
 
+  test("quantize NaN contract: scale NaN + null bytes; the composed ANSI form throws") {
+    // a NaN element pins greatest()'s fold to NaN (NaN-as-largest),
+    // and the kernel DELIBERATELY diverges from the composed form
+    // there: composed round(NaN).cast(byte) throws CAST_OVERFLOW under
+    // ANSI (Spark 4 default) — one corrupt embedding must not kill a
+    // corpus pass — so the kernel emits the try_cast value: every q
+    // position NULL, scale NaN (the fold's true output)
+    import spark.implicits._
+    val edge = Seq(
+      (4L, Seq(Option(Float.NaN), Option(1.0f), None)),
+      (5L, Seq(Option(Float.NaN)))).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeVectorsInt8(edge, "embedding")
+      .orderBy("vec_id").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("vec_scale").isNaN)
+      assert(r.getAs[Seq[java.lang.Byte]]("vec_q8").forall(_ == null))
+    }
+    assert(rows(0).getAs[Seq[java.lang.Byte]]("vec_q8").size === 3)
+    // the divergence record: the composed reference form cannot even
+    // evaluate this input under ANSI mode
+    val thrown = intercept[Exception] {
+      Similarity.quantizeVectorsInt8Hof(edge, "embedding").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(thrown).exists(_.getMessage.contains("CAST_OVERFLOW")),
+      s"expected CAST_OVERFLOW in: ${chain(thrown).map(_.getMessage).mkString(" | ")}")
+  }
+
   test("normalize kernel equals the composed reference on the embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

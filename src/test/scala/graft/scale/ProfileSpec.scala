@@ -30,6 +30,20 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("profile handles dotted and backticked column names") {
+    // flattened-JSON ingests commonly carry literal dots; a dotted name
+    // folded into an internal alias would make the unpivot's col()
+    // parse it as struct-field access and fail resolution (aliases are
+    // positional and user refs backtick-quoted for exactly this)
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(5.0)))
+      .toDF("user.id", "a`b.c")
+    val out = Profile.profile(df).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5))))
+    assert(out(0) === (("a`b.c", 3L, 1L, 2L, Some(2.0), Some(5.0))))
+    assert(out(1) === (("user.id", 3L, 0L, 3L, Some(1.0), Some(3.0))))
+  }
+
   test("histogram: fixed-width buckets match the model; clamp/null/guard rules") {
     // values straddling bucket edges, out-of-range both sides, nulls,
     // and v == hi (top-edge inclusive)

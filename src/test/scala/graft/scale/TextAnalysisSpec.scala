@@ -147,4 +147,23 @@ class TextAnalysisSpec extends SparkTestBase {
   test("pii: clean text passes through untouched") {
     assert(redact("no pii here just words") === (("no pii here just words", 0L, 0L, 0L)))
   }
+
+  test("fingerprint: null text is NULL; empty and null never collide") {
+    // null → null (like every analysis column and the DuckDB oracle's
+    // md5(NULL)); empty/blank → md5("") via the rawkey fallback; CJK
+    // (no ascii tokens) → rawkey fallback, distinct per text; bag-of-
+    // words equality collides by design
+    val rows = Seq((1L, null), (2L, ""), (3L, "   "), (4L, "你好 世界"),
+      (5L, "世界 你好 世界"), (6L, "b a a"), (7L, "A  b."))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("fp")).toMap
+    assert(rows(1L) == null, "null text must fingerprint to NULL")
+    assert(rows(2L) != null && rows(2L) === rows(3L),
+      "empty and blank share md5 of the empty normalized key")
+    assert(rows(4L) != null && rows(5L) != null && rows(4L) != rows(5L),
+      "CJK fallback distinguishes different raw texts")
+    assert(rows(4L) != rows(2L), "CJK fallback must not collapse onto empty")
+    assert(rows(6L) === rows(7L), "same token bag collides by design")
+  }
 }
