@@ -26,13 +26,21 @@ object CsvIO {
     require(Delimiters.contains(sep),
       s"delimiter must be one of ',' ';' '\\t' (got '$sep')")
 
-  /** Read a header CSV; all columns as string unless `schema` is given. */
+  /** Read a header CSV; all columns as string unless `schema` is given.
+    *
+    * `multiLine` stays false by default (line-splittable parallel parse,
+    * the component contract); the append path below turns it ON for the
+    * re-read of OUR OWN output, whose writer quotes embedded newlines
+    * across physical lines — a line-based parse would split such a
+    * record into corrupt rows. */
   def read(spark: SparkSession, path: String, sep: String = ",",
-           schema: Option[StructType] = None): DataFrame = {
+           schema: Option[StructType] = None,
+           multiLine: Boolean = false): DataFrame = {
     checkSep(sep)
     val r = spark.read
       .option("header", "true")
       .option("sep", sep)
+      .option("multiLine", multiLine.toString)
       // reference readers never infer types; keep every column a string
       .option("inferSchema", "false")
     schema.fold(r)(s => r.schema(s)).csv(path)
@@ -56,7 +64,7 @@ object CsvIO {
       org.apache.spark.sql.functions.col(s"`$c`").cast("string").as(c)): _*)
     val target =
       if (append && IOSwap.exists(path)) {
-        val existing = read(df.sparkSession, path, sep)
+        val existing = read(df.sparkSession, path, sep, multiLine = true)
         require(existing.columns.sorted.sameElements(asStr.columns.sorted),
           s"csv append: column mismatch (${existing.columns.mkString(",")} vs ${asStr.columns.mkString(",")})")
         existing.unionByName(asStr)

@@ -137,14 +137,27 @@ object Flatten {
                 .stripSuffix("N").toLowerCase} — conflicting headers " +
               "(e.g. both 'a' and 'a.b', or 'a' and 'a[0]')")
         }
+        def kindOf(n: Node): String = n.getClass.getSimpleName
+          .stripSuffix("N").stripSuffix("$").toLowerCase match {
+            case "obj" => "an object"; case "arr" => "an array"
+            case _ => "a leaf"
+          }
         def containerConflict(found: Node, want: String): Nothing =
           throw new IllegalArgumentException(
-            s"unflatten: column '$name' is used both as a leaf/other " +
-              s"container and as $want — conflicting headers")
+            s"unflatten: column '$name' is used both as ${kindOf(found)} " +
+              s"and as $want — conflicting headers")
+        // a leaf landing where an earlier column already built ANY node
+        // is a conflict in this insertion order too — without the check
+        // it would silently REPLACE the container and drop the earlier
+        // columns' data, where the reverse header order throws
         idx match {
           case None =>
-            if (rest.isEmpty) obj.kids(name) = LeafN(c)
-            else {
+            if (rest.isEmpty) {
+              obj.kids.get(name).foreach(found =>
+                containerConflict(found, "a plain leaf (e.g. both 'a.b' " +
+                  "and 'a', in either order)"))
+              obj.kids(name) = LeafN(c)
+            } else {
               val child = obj.kids.getOrElseUpdate(name,
                 ObjN(scala.collection.mutable.LinkedHashMap.empty))
               insert(child, rest, c)
@@ -155,8 +168,12 @@ object Flatten {
               case a: ArrN  => a
               case found    => containerConflict(found, "an array")
             }
-            if (rest.isEmpty) arr.kids(i) = LeafN(c)
-            else {
+            if (rest.isEmpty) {
+              arr.kids.get(i).foreach(found =>
+                containerConflict(found, s"a plain array slot (e.g. both " +
+                  s"'$name[$i].b' and '$name[$i]', in either order)"))
+              arr.kids(i) = LeafN(c)
+            } else {
               val child = arr.kids.getOrElseUpdate(i,
                 ObjN(scala.collection.mutable.LinkedHashMap.empty))
               insert(child, rest, c)

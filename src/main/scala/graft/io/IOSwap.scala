@@ -30,14 +30,25 @@ private[io] object IOSwap {
   }
 
   /** Run `write` against the real path, or a staging path when the
-    * target must stay readable during the write; then swap. */
+    * target must stay readable during the write; then swap.
+    *
+    * Swap order matters for crash robustness: the old directory is
+    * RENAMED aside (one atomic rename) before the staging dir is
+    * renamed in, then the old copy is deleted last. A delete-then-move
+    * shape would leave NO output at `path` at all if the JVM dies
+    * between the two steps (OOM, preemption); with rename-rename the
+    * exposure shrinks to a single rename's window, and every interim
+    * state keeps the data recoverable under `.__old` / `.__staging`. */
   def writeSwapped(path: String, viaStaging: Boolean)(write: String => Unit): Unit =
     if (!viaStaging) write(path)
     else {
       val staging = path + ".__staging"
+      val old = path + ".__old"
       deleteRecursively(Paths.get(staging))
+      deleteRecursively(Paths.get(old))
       write(staging)
-      deleteRecursively(Paths.get(path))
+      Files.move(Paths.get(path), Paths.get(old))
       Files.move(Paths.get(staging), Paths.get(path))
+      deleteRecursively(Paths.get(old))
     }
 }

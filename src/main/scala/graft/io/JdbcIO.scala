@@ -62,9 +62,23 @@ object JdbcIO {
     /** Row-wise update: SET non-where columns WHERE where-cols match
       * (mariadb_write.py:67-74). Parameter order: set cols, then where. */
     def updateSql(table: String, cols: Seq[String], where: Seq[String]): String = {
-      val sets = cols.filterNot(where.contains).map(c => s"${quote(c)} = ?")
+      val sets = setCols(cols, where, "update").map(c => s"${quote(c)} = ?")
       val conds = where.map(c => s"${quote(c)} = ?")
       s"UPDATE $table SET ${sets.mkString(", ")} WHERE ${conds.mkString(" AND ")}"
+    }
+    /** The non-key/non-where columns a SET clause carries. Empty is a
+      * loud error HERE: every dialect would otherwise emit syntactically
+      * invalid SQL ('UPDATE ... SET  WHERE', 'DO UPDATE SET ', 'WHEN
+      * MATCHED THEN UPDATE SET ') and fail each batch with a cryptic
+      * driver message. */
+    protected def setCols(cols: Seq[String], keys: Seq[String],
+                          what: String): Seq[String] = {
+      val sets = cols.filterNot(keys.contains)
+      require(sets.nonEmpty,
+        s"$name $what on (${cols.mkString(", ")}): every column is a " +
+          "key/where column, so there is nothing to SET — use mode=insert " +
+          "for pure-key tables")
+      sets
     }
     /** Column order matching updateSql's parameter order. */
     def updateParamOrder(cols: Seq[String], where: Seq[String]): Seq[String] =
@@ -78,7 +92,7 @@ object JdbcIO {
     override def quote(id: String): String = s"`$id`"
     def upsertSql(table: String, cols: Seq[String], keys: Seq[String],
                   sqlTypes: Map[String, String] = Map.empty): String = {
-      val updates = cols.filterNot(keys.contains)
+      val updates = setCols(cols, keys, "upsert")
         .map(c => s"${quote(c)} = VALUES(${quote(c)})")
       insertSql(table, cols) + s" ON DUPLICATE KEY UPDATE ${updates.mkString(", ")}"
     }
@@ -89,7 +103,7 @@ object JdbcIO {
     val name = "postgresql"
     def upsertSql(table: String, cols: Seq[String], keys: Seq[String],
                   sqlTypes: Map[String, String] = Map.empty): String = {
-      val updates = cols.filterNot(keys.contains)
+      val updates = setCols(cols, keys, "upsert")
         .map(c => s"${quote(c)} = EXCLUDED.${quote(c)}")
       insertSql(table, cols) +
         s" ON CONFLICT (${keys.map(quote).mkString(", ")}) DO UPDATE SET ${updates.mkString(", ")}"
@@ -104,7 +118,7 @@ object JdbcIO {
                   sqlTypes: Map[String, String] = Map.empty): String = {
       val src = cols.map(c => s"? AS ${quote(c)}").mkString(", ")
       val on = keys.map(k => s"T.${quote(k)} = S.${quote(k)}").mkString(" AND ")
-      val sets = cols.filterNot(keys.contains)
+      val sets = setCols(cols, keys, "upsert")
         .map(c => s"T.${quote(c)} = S.${quote(c)}").mkString(", ")
       val ins = cols.map(quote).mkString(", ")
       val vals = cols.map(c => s"S.${quote(c)}").mkString(", ")
@@ -128,7 +142,7 @@ object JdbcIO {
       // batched execution. Param order: keys, set-cols, then all cols.
       def cast(c: String) = s"CAST(? AS ${sqlTypes.getOrElse(c, "VARCHAR(32672)")})"
       val on = keys.map(k => s"T.${quote(k)} = ${cast(k)}").mkString(" AND ")
-      val sets = cols.filterNot(keys.contains)
+      val sets = setCols(cols, keys, "upsert")
         .map(c => s"${quote(c)} = ${cast(c)}").mkString(", ")
       val ins = cols.map(quote).mkString(", ")
       val vals = cols.map(cast).mkString(", ")

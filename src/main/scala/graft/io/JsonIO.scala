@@ -75,10 +75,18 @@ object JsonIO {
   }
 
   private def parseWrapped(f: StructField): (Column, Column) = {
-    val ps = StructType(Seq(f, StructField(Corrupt, StringType)))
-    val parsed = from_json(concat(lit("{\"_value\":"), col("line"), lit("}")),
-      ps, Map("columnNameOfCorruptRecord" -> Corrupt))
-    (parsed.dropFields(Corrupt), parsed.getField(Corrupt).isNull)
+    // wrap in an ARRAY, not an object: the object form
+    // {"_value": <line>} accepted any line of the shape
+    // '<json-value>, "extra": ...' (e.g. `123, "junk": 5`) because the
+    // injected members parse as additional object fields that the
+    // schema silently ignores — garbage ingested as _value=123. The
+    // array form [<line>] only parses when the line is a
+    // comma-separated list of JSON values, and size === 1 then
+    // enforces EXACTLY one — json.loads-per-line strictness.
+    val arr = from_json(concat(lit("["), col("line"), lit("]")),
+      ArrayType(f.dataType, containsNull = true))
+    (struct(element_at(arr, 1).as("_value")),
+      arr.isNotNull && size(arr) === 1)
   }
 
   private def rawLines(spark: SparkSession, path: String): DataFrame =

@@ -140,6 +140,13 @@ object MongoIO {
       // slice count is driven by the declared parallelism
       val minChunk = 100L
       val parts = math.max(1L, math.min(target.toLong, (n + minChunk - 1) / minChunk)).toInt
+      // skip/limit pagination bottoms out in the driver's skip(int) —
+      // a silent .toInt past 2^31 would issue negative skips and drop
+      // or duplicate data; fail loudly and point at the ranged path
+      require(skip + n <= Int.MaxValue,
+        s"mongo read: skip+count ${skip + n} exceeds the driver's int " +
+          "skip range — declare a split_key so the read slices by key " +
+          "ranges instead of skip/limit")
       val slices = (0 until parts).map { i =>
         val start = n * i / parts
         val end = n * (i + 1) / parts
@@ -496,8 +503,19 @@ object MongoIO {
     private def append(d: AnyRef, k: String, v: Any): AnyRef =
       docCls.getMethod("append", classOf[String], classOf[Object])
         .invoke(d, k, v.asInstanceOf[Object])
-    private def getField(d: AnyRef, k: String): AnyRef =
-      docCls.getMethod("get", classOf[Object]).invoke(d, k)
+    private def getField(d: AnyRef, k: String): AnyRef = {
+      // filter KEYS keep their dotted form (Mongo's own nested-path
+      // match syntax), but the VALUE must be extracted by walking the
+      // parsed document: Document.get does no dot traversal, so a
+      // dotted key_field would read null and the filter would match
+      // any document missing that path — the in-memory store's field()
+      // splits on '.', and this must stay in lockstep with it
+      val get = docCls.getMethod("get", classOf[Object])
+      k.split('.').foldLeft(d) { (cur, seg) =>
+        if (cur == null || !docCls.isInstance(cur)) null
+        else get.invoke(cur, seg)
+      }
+    }
     private def toJson(d: AnyRef): String =
       docCls.getMethod("toJson").invoke(d).asInstanceOf[String]
     private def docOf(fields: Iterable[(String, Any)]): AnyRef =

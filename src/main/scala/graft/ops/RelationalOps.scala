@@ -164,12 +164,15 @@ object RelationalOps {
    * bucket is rate-independent) — the monotonicity that makes
    * iterative curation reproducible.
    *
-   * NULL rates drop the row (no evidence, no draw — the outlier_filter
-   * convention); out-of-range rates clamp into [0, 1] (a score model
-   * emitting 1.03 means "keep", not "crash"; clamping is the documented
-   * contract and replays identically in the oracle). NULL ids land in
-   * bucket 9999, mirroring hashSample: kept only when their clamped
-   * rate rounds to the full grid.
+   * NULL and NaN rates drop the row (no evidence, no draw — the
+   * outlier_filter convention; without the explicit NaN guard the
+   * least/greatest clamp would resolve NaN to 1.0 under Spark's
+   * NaN-as-largest ordering and keep unconditionally exactly the rows
+   * whose quality signal FAILED); out-of-range rates clamp into [0, 1]
+   * (a score model emitting 1.03 means "keep", not "crash"; clamping is
+   * the documented contract and replays identically in the oracle).
+   * NULL ids land in bucket 9999, mirroring hashSample: kept only when
+   * their clamped rate rounds to the full grid.
    *
    * At scale: one narrow filter — no shuffle, no driver state,
    * partition- and order-independent, stream-safe.
@@ -181,9 +184,9 @@ object RelationalOps {
     val bucket = coalesce(pmod(
       conv(substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
         .cast("binary")), 1, 8), 16, 10).cast("long"), lit(10000L)), lit(9999L))
-    val threshold = round(
-      greatest(least(col(rateCol).cast("double"), lit(1.0)), lit(0.0)) * 10000)
-    df.filter(col(rateCol).isNotNull && bucket < threshold)
+    val rate = col(rateCol).cast("double")
+    val threshold = round(greatest(least(rate, lit(1.0)), lit(0.0)) * 10000)
+    df.filter(rate.isNotNull && !isnan(rate) && bucket < threshold)
   }
 
   /**

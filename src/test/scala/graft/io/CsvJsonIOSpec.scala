@@ -94,6 +94,42 @@ class CsvJsonIOSpec extends SparkTestBase {
     assert(JsonIO.countMalformed(spark, f.toString, schema) === 1L)
   }
 
+  test("CSV append round-trips cells with embedded newlines") {
+    // the writer quotes a newline cell across physical lines; the
+    // append path re-reads its own output with multiLine=true —
+    // a line-based re-read would split the record into corrupt rows
+    import spark.implicits._
+    val out = tmp("csv_append_newline")
+    IOSwap.deleteRecursively(Paths.get(out))
+    val first = Seq((1L, "line1\nline2"), (2L, "plain")).toDF("id", "v")
+    CsvIO.write(first, out)
+    CsvIO.write(Seq((3L, "more\ntext")).toDF("id", "v"), out, append = true)
+    val back = CsvIO.read(spark, out, multiLine = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back === Map("1" -> "line1\nline2", "2" -> "plain",
+      "3" -> "more\ntext"))
+  }
+
+  test("NDJSON wrap rejects a json-value-plus-garbage line") {
+    // `123, "junk": 5` wrapped as {"_value":123, "junk": 5} was a
+    // VALID object whose extra member the schema silently ignored —
+    // garbage ingested as _value=123; the array wrap + size===1 is
+    // json.loads-per-line strictness
+    val dir = tmp("ndjson_wrap_garbage")
+    Files.createDirectories(Paths.get(dir))
+    val f = Paths.get(dir, "data.ndjsonl")
+    Files.writeString(f,
+      """42
+        |123, "junk": 5
+        |7, 8
+        |9
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("_value", StringType)))
+    val df = JsonIO.readNdjsonLenient(spark, f.toString, schema)
+    assert(df.collect().map(_.getString(0)).toSet === Set("42", "9"))
+    assert(JsonIO.countMalformed(spark, f.toString, schema) === 2L)
+  }
+
   test("NDJSON gzip roundtrip is transparent") {
     val out = tmp("json_gz")
     val df = spark.range(5).select(col("id"), concat(lit("v"), col("id")).as("s"))

@@ -66,4 +66,20 @@ class FlattenSpec extends SparkTestBase {
     assert(r.getAs[Row]("o").getAs[String]("s") === "x")
     assert(r.getAs[Seq[Long]]("xs") === Seq(10L, 20L))
   }
+
+  test("unflatten conflicting headers throw in EITHER insertion order") {
+    // ["a", "a.b"] threw but ["a.b", "a"] used to silently REPLACE the
+    // object with the leaf, dropping the a.b data — conflict detection
+    // must be order-independent
+    def build(names: String*) = {
+      val df = spark.range(1).select(names.map(n => lit("v").as(n)): _*)
+      Flatten.unflatten(df)
+    }
+    for (names <- Seq(Seq("a", "a.b"), Seq("a.b", "a"),
+        Seq("a[0]", "a[0].b"), Seq("a[0].b", "a[0]"), Seq("x", "x"))) {
+      val e = intercept[IllegalArgumentException] { build(names: _*) }
+      assert(e.getMessage.contains("conflict"),
+        s"$names: ${e.getMessage}")
+    }
+  }
 }

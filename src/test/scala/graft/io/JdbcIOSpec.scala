@@ -130,6 +130,25 @@ class JdbcIOSpec extends SparkTestBase {
     assert(d.updateParamOrder(Seq("id", "a", "b"), Seq("id")) === Seq("a", "b", "id"))
   }
 
+  test("pure-key upsert/update is a loud error, not invalid SQL") {
+    // every column a key/where column → the SET list is empty, and
+    // every dialect would emit syntactically broken SQL ('DO UPDATE
+    // SET ', 'UPDATE ... SET  WHERE') that fails batches with a
+    // cryptic driver error — reject at build time instead
+    val cols = Seq("a", "b")
+    for (d <- Seq(JdbcIO.MariaDb, JdbcIO.Postgres, JdbcIO.SqlServer,
+        JdbcIO.Derby)) {
+      val e = intercept[IllegalArgumentException] {
+        d.upsertSql("t", cols, cols)
+      }
+      assert(e.getMessage.contains("nothing to SET"), s"${d.name}: ${e.getMessage}")
+    }
+    val eu = intercept[IllegalArgumentException] {
+      JdbcIO.Postgres.updateSql("t", cols, cols)
+    }
+    assert(eu.getMessage.contains("nothing to SET"))
+  }
+
   test("named :params bind as escaped literals (mariadb_read.py:26-67)") {
     assert(JdbcIO.bindParams("SELECT * FROM t WHERE id = :id AND n = :name",
       Map("id" -> 42L, "name" -> "o'brien")) ===

@@ -108,10 +108,12 @@ class ScalePropertySpec extends SparkTestBase {
   test("hashSampleWeighted matches the bucket-threshold model") {
     val rowGen = Gen.frequency(
       (1, Gen.const(Option.empty[Double])),
+      (1, Gen.const(Option(Double.NaN))),
       (8, Gen.chooseNum(-0.3, 1.4).map(Option(_))))
     val rates = sampleN(rowGen, 300, 51L).zipWithIndex
       .map { case (r, i) => (i.toLong, r) }
-    val expect = rates.collect { case (id, Some(r)) =>
+    // NULL and NaN rates are no-evidence rows: never drawn
+    val expect = rates.collect { case (id, Some(r)) if !r.isNaN =>
       val bucket = java.lang.Long.parseLong(
         md5hex(s"ws:$id").take(8), 16) % 10000
       val threshold = math.round(math.max(math.min(r, 1.0), 0.0) * 10000)
