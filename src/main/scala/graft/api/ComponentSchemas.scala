@@ -77,7 +77,7 @@ object ComponentSchemas {
       req("rule", "object", "nested {column, operator, value} / {logical_operator, rules} tree"))),
     "aggregation" -> ("Group-by aggregation (count/sum/min/max/mean/median/std/nunique)" -> Seq(
       p("group_by", "array", "grouping columns; empty = one global row"),
-      req("aggregations", "array", "[{column, op, alias}, ...]"),
+      req("aggregations", "array", "[{src, op, dest}, ...] — src column, aggregate op, output name"),
       p("grouping", "string", "groups (default) | rollup | cube"),
       p("pivot_column", "string", "pivot this column's values into output columns"),
       p("pivot_values", "array", "explicit pivot values (required with pivot_column)"),
@@ -275,11 +275,10 @@ object ComponentSchemas {
       p("method", "string", "knn (default; ports corpus/queries) | ivf (ports corpus/centroids/query) | ivf_index (ports centroids/query over a write_ivf_index layout)"),
       p("index_path", "string", "ivf_index: directory written by write_ivf_index (REQUIRED when method=ivf_index)"),
       p("query_column", "string", "ivf_index: query port's vector column, default 'qvec'"),
-      p("query_id", "string", "ivf_index: if the query port carries this column (default 'query_id'), it is a multi-row BATCH probe — per-query cell ranking, one pruned scan, top-k per query; without it the port must carry exactly one row"),
+      p("query_id", "string", "knn: query id column, default 'id'. ivf_index: if the query port carries this column (default 'query_id'), it is a multi-row BATCH probe — per-query cell ranking, one pruned scan, top-k per query; without it the port must carry exactly one row"),
       p("vector_column", "string", "embedding column, default 'embedding'"),
       p("k", "integer", "neighbors per query, default 10"),
       p("corpus_id", "string", "knn: corpus id column, default 'id'"),
-      p("query_id", "string", "knn: query id column, default 'id'"),
       p("id_column", "string", "ivf: corpus id column, default 'id'"),
       p("nprobe", "integer", "ivf: probed cells, default max(2, cells/8) from the centroid count"))),
     "pii_redact" -> ("Mask emails/phones/IPv4 in a text column (<EMAIL>/<PHONE>/<IP>) and add n_emails/n_phones/n_ips counts" -> Seq(
@@ -345,7 +344,7 @@ object ComponentSchemas {
       p("slide", "string", "slide interval for overlapping windows"),
       p("session_gap", "string", "session window gap (exclusive with window/slide)"),
       p("group_by", "array", "grouping columns next to the window"),
-      req("aggregations", "array", "[{column, op, alias}, ...]"))),
+      req("aggregations", "array", "[{src, op, dest}, ...] — src column, aggregate op, output name"))),
     "streaming_dedup" -> ("Watermark-bounded exact dedup (streaming jobs only)" -> Seq(
       req("time_column", "string", "event-time column (string/timestamp/date parsed; INT64 epochs additionally need time_unit)"),
       p("time_unit", "string", "epoch scale when time_column is INT64: seconds | millis | micros | nanos (REQUIRED for integer time columns)"),

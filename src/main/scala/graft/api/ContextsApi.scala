@@ -96,7 +96,14 @@ object ContextsApi {
     val j = jackson.JsonMethods.parse(body)
     val name = (j \ "name").extract[String]
     val ids = (j \ "credentials_ids") match {
-      case JObject(fs) => fs.collect { case (k, JString(v)) => k.toUpperCase -> v }.toMap
+      case JObject(fs) =>
+        // reject non-string ids loudly: a silently-dropped entry would
+        // report 201 with a short count and only fail at job runtime
+        // ("No credentials configured for env ...") far from the typo
+        val bad = fs.collect { case (k, v) if !v.isInstanceOf[JString] => k }
+        require(bad.isEmpty, s"mapping: credentials_ids values must be " +
+          s"strings — non-string for ${bad.mkString(", ")}")
+        fs.collect { case (k, JString(v)) => k.toUpperCase -> v }.toMap
       case _ => throw new IllegalArgumentException("mapping: missing 'credentials_ids'")
     }
     val defaultEnv = Credentials.Environment.fromName(

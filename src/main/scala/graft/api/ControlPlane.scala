@@ -569,6 +569,16 @@ object ControlPlane {
         case (m, _)     => (405, s"""{"error":"method $m not allowed"}""")
       }
     })
+    // without an executor the JDK HttpServer runs EVERY handler on its
+    // single dispatcher thread — one synchronous POST /execution (a
+    // full Spark job plus retry backoff sleeps) would hang every other
+    // request for minutes. Daemon cached pool: idle threads reap, the
+    // JVM can exit.
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-rest")
+      t.setDaemon(true)
+      t
+    }))
     server.start()
     server
   }

@@ -43,7 +43,8 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     * SAME spec, which would leave two live timer chains double-firing. */
   final case class Schedule(id: String, jobId: String, kind: String, arg: String,
                             @transient future: ScheduledFuture[_],
-                            paused: Boolean = false, gen: Long = 0L) {
+                            paused: Boolean = false, gen: Long = 0L,
+                            fired: Boolean = false) {
     def everyMs: Long = if (kind == "cron") -1L else arg.toLong
   }
 
@@ -138,6 +139,26 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
       pool.scheduleAtFixedRate(() => fire(jobId), everyMs, everyMs,
         TimeUnit.MILLISECONDS))
 
+  /** Arm a one-shot date trigger. The tick marks the entry FIRED under
+    * the lock before submitting the job — a completed one-shot must
+    * stay done: without the flag, pause() then resume() would re-arm it
+    * and the job would fire a second time. Gen-guarded like cron: a
+    * tick whose schedule was paused/replaced/cancelled does nothing. */
+  private def armDate(id: String, jobId: String, delayMs: Long): Schedule = {
+    val myGen = genSeq.incrementAndGet()
+    val runnable: Runnable = () => {
+      val current = stateLock.synchronized {
+        val cur = schedules.get(id)
+        val ok = cur != null && !cur.paused && cur.gen == myGen
+        if (ok) { schedules.put(id, cur.copy(future = null, fired = true)); () }
+        ok
+      }
+      if (current) fire(jobId)
+    }
+    arm(id, jobId, "date", delayMs.toString,
+      pool.schedule(runnable, delayMs, TimeUnit.MILLISECONDS), myGen)
+  }
+
   /** Arm the next cron fire. Each timer tick re-arms FIRST, then submits
     * the job to the workers — the next fire is never gated on this run.
     * The re-arm is guarded by stateLock and a currency check: a tick
@@ -178,10 +199,8 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
   /** Run `jobId` once after `delayMs` (date trigger). */
   def scheduleOnce(jobId: String, delayMs: Long): Schedule = {
     require(registry.getJob(jobId).isDefined, s"job $jobId not found")
-    val runnable: Runnable = () => fire(jobId)
     stateLock.synchronized {
-      val s = arm(nextId(), jobId, "date", delayMs.toString,
-        pool.schedule(runnable, delayMs, TimeUnit.MILLISECONDS))
+      val s = armDate(nextId(), jobId, delayMs)
       persist(s)
       s
     }
@@ -226,8 +245,7 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
       } else kind match {
         case "interval" => armInterval(id, jobId, arg.toLong)
         case "cron"     => armCron(id, jobId, parsedCron.get, arg)
-        case _          => arm(id, jobId, "date", arg,
-          pool.schedule((() => fire(jobId)): Runnable, arg.toLong, TimeUnit.MILLISECONDS))
+        case _          => armDate(id, jobId, arg.toLong)
       }
       persist(s) // inside the lock: log order must match transition order
       s
@@ -258,8 +276,10 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
         s.kind match {
           case "interval" => armInterval(id, s.jobId, s.arg.toLong)
           case "cron"     => armCron(id, s.jobId, Cron.parse(s.arg), s.arg)
-          case _          => arm(id, s.jobId, "date", s.arg,
-            pool.schedule((() => fire(s.jobId)): Runnable, s.arg.toLong, TimeUnit.MILLISECONDS))
+          // an already-FIRED one-shot stays done: resume only clears
+          // the pause flag, it must not buy the job a second fire
+          case _ if s.fired => schedules.put(id, s.copy(paused = false)); ()
+          case _          => armDate(id, s.jobId, s.arg.toLong)
         }
         persistPaused(id, paused = false)
         true

@@ -120,6 +120,13 @@ object JobGraph {
       else c
     })
 
+  /** Required params per comp_type, read from the served /schemas
+    * registry (one source of truth for discovery AND validation). */
+  private lazy val requiredParams: Map[String, Seq[String]] =
+    graft.api.ComponentSchemas.registry.map { case (t, (_, ps)) =>
+      t -> ps.filter(_.required).map(_.name)
+    }.toMap
+
   /** Validate wiring only (throws on contract violations). */
   def validate(spec0: JobSpec): Unit = validateDerived(deriveSchemas(spec0))
 
@@ -165,6 +172,17 @@ object JobGraph {
         require(p.multi || n == 1,
           s"component ${c.name}: in port '${p.name}' must have exactly one upstream edge")
       }
+      // required params, from the discovery contract: the /schemas
+      // registry's `required` list is the published source of truth,
+      // so a config that would only fail at execute time ("missing
+      // 'filepath'", after spending retry attempts and backoff) is
+      // rejected HERE — create/validate time, like the reference's
+      // throwaway RuntimeJob construction. Consistency of this list
+      // with the runComponent readers is pinned by the gate: every
+      // COVERAGE job config passes through this check.
+      for (p <- JobGraph.requiredParams.getOrElse(c.compType, Nil))
+        require((c.params \ p) != org.json4s.JNothing,
+          s"component ${c.name} (${c.compType}): missing required param '$p'")
       // unknown route ports
       for (port <- c.routes.keys)
         require(outPorts(c).exists(_.name == port),
@@ -204,11 +222,15 @@ object JobGraph {
 
   /** Validate + fold the DAG into DataFrames. `validateData` additionally
     * runs the null/enum data checks on every edge (one aggregate scan);
-    * `instrument` attaches an observe() row counter per produced port
+    * `instrumentTag` attaches an observe() row counter per produced port,
+    * namespaced `graft.<tag>.` — the tag is the RUN's identity, so the
+    * shared session's listener bus can host concurrent executions
+    * without their metrics cross-contaminating (each run's listener
+    * filters on its own tag)
     * (lines_forwarded, harvested by JobRunner's listener). */
   def build(spark: SparkSession, spec0: JobSpec,
             validateData: Boolean = false,
-            instrument: Boolean = false): BuiltJob = {
+            instrumentTag: Option[String] = None): BuiltJob = {
     val spec = deriveSchemas(spec0)
     validateDerived(spec)
     val order = topoOrder(spec)
@@ -244,10 +266,11 @@ object JobGraph {
             else SchemaValidator.enforce(df, expected, structuralOnly = true)
           case _ => df
         }
-        val observed =
-          if (instrument)
-            checked.observe(s"graft.${c.name}.$port", count(lit(1)).as("rows"))
-          else checked
+        val observed = instrumentTag match {
+          case Some(tag) =>
+            checked.observe(s"graft.$tag.${c.name}.$port", count(lit(1)).as("rows"))
+          case None => checked
+        }
         // fan-out: persist a frame consumed by >1 edge
         val shared =
           if (edges.size > 1) { val h = observed.persist(); cached += h; h }
@@ -258,11 +281,12 @@ object JobGraph {
           // component_metrics.py:4-30 records received per component; the
           // ':'-separated name disambiguates even if component names
           // contain dots — JobRunner aggregates per "<to>.<inPort>")
-          val wired =
-            if (instrument)
-              shared.observe(s"graft.recv:${e.to}.${e.inPort}:${c.name}.$port.$i",
+          val wired = instrumentTag match {
+            case Some(tag) =>
+              shared.observe(s"graft.$tag.recv:${e.to}.${e.inPort}:${c.name}.$port.$i",
                 count(lit(1)).as("rows"))
-            else shared
+            case None => shared
+          }
           inputs((e.to, e.inPort)) =
             inputs.getOrElse((e.to, e.inPort), Vector.empty) :+ wired
         }
@@ -458,9 +482,13 @@ object JobGraph {
         // reference: arbitrary query or entity_name, mariadb_read.py:17-70;
         // partitioned-read knobs are the Spark-side scale upgrade
         import graft.io.JdbcIO
+        // bounds read FULL-RANGE: bigint PK ranges are the main use
+        // case for partitioned reads, and intOpt's JLong(l).toInt
+        // would silently wrap a 3e9 upper_bound negative
         val partition = c.str("partition_column").map(pc =>
           JdbcIO.PartitionSpec(pc,
-            c.int("lower_bound", 0).toLong, c.int("upper_bound", 1).toLong,
+            c.longOpt("lower_bound").getOrElse(0L),
+            c.longOpt("upper_bound").getOrElse(1L),
             c.int("num_partitions", 4)))
         val dialect = JdbcIO.Dialect.fromName(
           c.str("dialect").getOrElse(t.stripPrefix("read_") match {
@@ -888,7 +916,10 @@ object JobGraph {
           case "minhash" =>
             val (sn, k, b) = (c.int("shingle_n", 5), c.int("num_hashes", 32),
               c.int("bands", 16))
-            val th = c.str("threshold").map(_.toDouble).getOrElse(0.6)
+            // schema publishes threshold as a NUMBER — read numerics
+            // first, keep the string form for stringly-typed configs
+            val th = c.doubleOpt("threshold")
+              .orElse(c.str("threshold").map(_.toDouble)).getOrElse(0.6)
             if (wantPairs)
               Dedup.minhashNearDups(base, textCol, idCol, sn, k, b, th)
             else Dedup.minhashDedup(base, textCol, idCol, sn, k, b, th)
@@ -898,13 +929,14 @@ object JobGraph {
             else Dedup.simhashDedup(base, textCol, idCol, mh)
           case "ngram" =>
             val (n, mdf) = (c.int("ngram_n", 3), c.int("max_df", 10000))
-            val th = c.str("threshold").map(_.toDouble).getOrElse(0.5)
+            val th = c.doubleOpt("threshold")
+              .orElse(c.str("threshold").map(_.toDouble)).getOrElse(0.5)
             if (wantPairs)
               Dedup.ngramJaccardPairs(base, textCol, idCol, n, th, mdf)
             else Dedup.ngramDedup(base, textCol, idCol, n, th, mdf)
           case "embedding" =>
-            val simThreshold =
-              c.str("sim_threshold").map(_.toDouble).getOrElse(0.95)
+            val simThreshold = c.doubleOpt("sim_threshold")
+              .orElse(c.str("sim_threshold").map(_.toDouble)).getOrElse(0.95)
             // persist BEFORE the sizing count when r must be derived —
             // otherwise the count() action and the dedup itself would
             // each materialize the full upstream DAG (released by

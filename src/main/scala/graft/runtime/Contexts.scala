@@ -174,15 +174,20 @@ object Contexts {
     * the reference's `execute_job(job, environment=env)` parameter
     * (routers/execution.py:56-63): set for the duration of one job run and
     * consulted between a component's explicit `environment` param and the
-    * EXECUTION_ENV process variable. Process-global — concurrent runs with
-    * DIFFERENT explicit environments would race, which matches the
-    * reference's per-process execution handler; the scheduler pool is
-    * single-threaded. */
-  private val executionEnv =
-    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+    * EXECUTION_ENV process variable. THREAD-local, not process-global:
+    * executions genuinely run concurrently here (the scheduler's worker
+    * pool has 2+ threads and REST handlers run on their own pool), and a
+    * process-global slot would make a concurrent run resolve the OTHER
+    * run's credentials and leak an override past both runs' ends.
+    * Credential resolution happens driver-side on the run's own thread
+    * (JobRunner.run builds the graph synchronously), so thread scope is
+    * exactly run scope. */
+  private val executionEnv: ThreadLocal[Option[String]] =
+    ThreadLocal.withInitial(() => None)
 
   def withExecutionEnv[A](env: Option[String])(f: => A): A = {
-    val prev = executionEnv.getAndSet(env)
+    val prev = executionEnv.get()
+    executionEnv.set(env)
     try f finally executionEnv.set(prev)
   }
 

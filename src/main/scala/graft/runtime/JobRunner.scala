@@ -50,13 +50,18 @@ object JobRunner {
       linesReceived: Map[String, Long] = Map.empty,
       linesDismissed: Map[String, Long] = Map.empty)
 
-  /** Collects observed metrics named `graft.<component>.<port>`. */
-  private final class MetricsListener extends QueryExecutionListener {
+  /** Collects observed metrics named `graft.<tag>.<component>.<port>`.
+    * The tag filter is the concurrency boundary: listeners register on
+    * the SHARED session's bus and see every run's query executions, so
+    * without it two simultaneous runs (scheduler worker pool + REST)
+    * would harvest each other's counts into both records. */
+  private final class MetricsListener(tag: String) extends QueryExecutionListener {
+    private val prefix = s"graft.$tag."
     val rows = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
       qe.observedMetrics.foreach { case (name, row) =>
-        if (name.startsWith("graft."))
-          rows.merge(name.stripPrefix("graft."), row.getAs[Long]("rows"), math.max(_, _))
+        if (name.startsWith(prefix))
+          rows.merge(name.stripPrefix(prefix), row.getAs[Long]("rows"), math.max(_, _))
       }
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
   }
@@ -65,7 +70,8 @@ object JobRunner {
   def run(spark: SparkSession, spec: JobSpec,
           backoff: Backoff = Constant(1000),
           validateData: Boolean = false): RunResult = {
-    val listener = new MetricsListener
+    val runTag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val listener = new MetricsListener(runTag)
     spark.listenerManager.register(listener)
     val t0 = System.nanoTime()
     var attempt = 0
@@ -80,7 +86,8 @@ object JobRunner {
         // actions — is retried, like the reference's attempt loop
         val aStart = System.currentTimeMillis()
         try {
-          val built = JobGraph.build(spark, spec, validateData, instrument = true)
+          val built = JobGraph.build(spark, spec, validateData,
+            instrumentTag = Some(runTag))
           try built.runSinks() finally built.close()
           succeeded = true
           lastError = None

@@ -55,6 +55,30 @@ class SchedulerSpec extends SparkTestBase {
     } finally sched.shutdown()
   }
 
+  test("pause+resume of an already-fired one-shot must not fire it again") {
+    import spark.implicits._
+    val reg = new ControlPlane.JobRegistry(spark)
+    val in = tmp("in_refire")
+    graft.io.CsvIO.write(Seq("1").toDF("a"), in, singleFile = true)
+    val job = reg.createJob(smallJob(in, tmp("out_refire")))
+    val sched = new Scheduler(reg)
+    try {
+      val once = sched.scheduleOnce(job.id, delayMs = 30)
+      val deadline = System.currentTimeMillis() + 20000
+      while (reg.listExecutions(jobId = Some(job.id)).isEmpty &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val fired = reg.listExecutions(jobId = Some(job.id)).size
+      assert(fired >= 1)
+      // the completed one-shot stays in the map; pause then resume used
+      // to unconditionally re-schedule it — a one-shot firing twice
+      assert(sched.pause(once.id))
+      assert(sched.resume(once.id))
+      Thread.sleep(800)
+      assert(reg.listExecutions(jobId = Some(job.id)).size === fired,
+        "resume of a fired one-shot re-armed it")
+    } finally sched.shutdown()
+  }
+
   test("scheduling an unknown job is rejected") {
     val sched = new Scheduler(new ControlPlane.JobRegistry(spark))
     try intercept[IllegalArgumentException] { sched.scheduleOnce("ghost", 10) }

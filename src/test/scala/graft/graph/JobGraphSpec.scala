@@ -52,8 +52,9 @@ class JobGraphSpec extends SparkTestBase {
     assert(got.toSeq === Seq("Alice", "Cara"))
   }
 
-  private def specOf(componentsJson: String) =
-    JobConfig.parse(s"""{ "name": "t", "components": [ $componentsJson ] }""")
+  private def specOf(componentsJson: String*) =
+    JobConfig.parse(
+      s"""{ "name": "t", "components": [ ${componentsJson.mkString(", ")} ] }""")
 
   test("validation: route to unknown component") {
     val e = intercept[IllegalArgumentException] {
@@ -63,6 +64,21 @@ class JobGraphSpec extends SparkTestBase {
            |  "out_port_schemas": { "out": $abSchema } }""".stripMargin))
     }
     assert(e.getMessage.contains("unknown component"))
+  }
+
+  test("validation: missing required param is rejected at validate time") {
+    // the /schemas registry's required list drives this — a read_csv
+    // without filepath used to 201 at create and only fail at execute
+    // after spending retry attempts
+    val e = intercept[IllegalArgumentException] {
+      JobGraph.validate(specOf(
+        s"""{ "name": "r", "comp_type": "read_csv",
+           |  "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |  "out_port_schemas": { "out": $abSchema } }""".stripMargin,
+        s"""{ "name": "w", "comp_type": "write_csv", "filepath": "x",
+           |  "in_port_schemas": { "in": $abSchema } }""".stripMargin))
+    }
+    assert(e.getMessage.contains("missing required param 'filepath'"))
   }
 
   test("validation: missing schema on a used port") {
