@@ -51,13 +51,18 @@ object EventTime {
 
   /** Normalizing projection for an already-resolved field; None when the
     * column is already canonical (no projection needed). */
+  // backtick-quoted reference: a time column named with a literal dot
+  // (flattened-JSON ingests) would otherwise parse as struct access
+  private def qcol(f: StructField): Column =
+    col(s"`${f.name.replace("`", "``")}`")
+
   private def exprFor(f: StructField): Option[Column] =
     f.dataType match {
       case TimestampType    => None
       case LongType         => Some(timestamp_micros(expr(s"`${f.name.replace("`", "``")}` div 1000")))
-      case TimestampNTZType => Some(col(f.name).cast(TimestampType))
-      case DateType         => Some(col(f.name).cast(TimestampType))
-      case StringType       => Some(col(f.name).cast(TimestampType))
+      case TimestampNTZType => Some(qcol(f).cast(TimestampType))
+      case DateType         => Some(qcol(f).cast(TimestampType))
+      case StringType       => Some(qcol(f).cast(TimestampType))
       case other =>
         throw new IllegalArgumentException(
           s"EventTime: column '${f.name}' has unsupported type $other " +
@@ -99,14 +104,14 @@ object EventTime {
             "'time_unit' (seconds|millis|micros|nanos) so the scale is explicit"))
         val quoted = s"`${f.name.replace("`", "``")}`"
         u match {
-          case "seconds" => timestamp_seconds(col(f.name))
-          case "millis"  => timestamp_millis(col(f.name))
-          case "micros"  => timestamp_micros(col(f.name))
+          case "seconds" => timestamp_seconds(qcol(f))
+          case "millis"  => timestamp_millis(qcol(f))
+          case "micros"  => timestamp_micros(qcol(f))
           case "nanos"   => timestamp_micros(expr(s"$quoted div 1000"))
           case other => throw new IllegalArgumentException(
             s"$what: unknown time_unit '$other' (seconds|millis|micros|nanos)")
         }
-      case _ => exprFor(f).getOrElse(col(f.name))
+      case _ => exprFor(f).getOrElse(qcol(f))
     }
   }
 }
