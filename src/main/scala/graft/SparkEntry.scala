@@ -33,7 +33,12 @@ object SparkEntry {
     * representation (INT64 epoch-nanos, TIMESTAMP µs/ms, NTZ/LTZ — the
     * driver has shipped two of these already; see [[graft.util.EventTime]]). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // idempotent guard, not an unconditional set: this helper runs
+    // hundreds of times per suite, and re-setting a session-GLOBAL conf
+    // from inside a per-table read would be a race under any future
+    // concurrent query execution on one session
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // schema-cached read: the sf tables never change under a session, so
     // per-query footer inference is pure constant overhead
     val df = graft.io.ParquetIO.read(spark, s"$dir/$name.parquet")
@@ -635,7 +640,11 @@ object SparkEntry {
 
   // --------------------------------------------------------------- file io
 
-  private val tmpRoot = "/root/repo/target/tmp"
+  // derived from the working directory, not a hardcoded checkout path:
+  // a clone anywhere else would otherwise stage ~80 q_job_* sinks into a
+  // foreign (or unwritable) /root/repo/target
+  private val tmpRoot =
+    new java.io.File("target/tmp").getAbsolutePath
 
   /** CSV roundtrip with reference semantics: write `;`-separated header
     * CSV, read back with ALL columns as string (csv_helper.py:29). */
@@ -822,16 +831,13 @@ object SparkEntry {
     * rules) feeding an aggregation, all wired from JSON config. */
   private def qJobJoinAgg(s: SparkSession, dir: String): DataFrame = {
     val outDir = s"$tmpRoot/job_out_joinagg"
-    def fields(fs: (String, String)*): String =
-      fs.map { case (n, t) => s"""{ "name": "$n", "data_type": "$t" }""" }
-        .mkString("""{ "fields": [ """, ", ", " ] }")
-    val custSchema = fields("c_custkey" -> "integer", "c_name" -> "string",
+    val custSchema = fieldsJson("c_custkey" -> "integer", "c_name" -> "string",
       "c_nationkey" -> "integer", "c_acctbal" -> "float", "c_mktsegment" -> "string")
-    val ordSchema = fields("o_orderkey" -> "integer", "o_custkey" -> "integer",
+    val ordSchema = fieldsJson("o_orderkey" -> "integer", "o_custkey" -> "integer",
       "o_orderstatus" -> "string", "o_totalprice" -> "float",
       "o_orderdate" -> "string", "o_orderpriority" -> "string")
-    val mappedSchema = fields("segment" -> "string", "price" -> "float")
-    val aggSchema = fields("segment" -> "string", "n_orders" -> "integer",
+    val mappedSchema = fieldsJson("segment" -> "string", "price" -> "float")
+    val aggSchema = fieldsJson("segment" -> "string", "n_orders" -> "integer",
       "min_price" -> "float", "max_price" -> "float")
     val jobJson =
       s"""{
@@ -879,14 +885,11 @@ object SparkEntry {
     * and aggregated by user-supplied Spark SQL over port views. */
   private def qSqlJoin(s: SparkSession, dir: String): DataFrame = {
     val outDir = s"$tmpRoot/job_out_sqljoin"
-    def fields(fs: (String, String)*): String =
-      fs.map { case (n, t) => s"""{ "name": "$n", "data_type": "$t" }""" }
-        .mkString("""{ "fields": [ """, ", ", " ] }")
-    val custSchema = fields("c_custkey" -> "integer", "c_name" -> "string",
+    val custSchema = fieldsJson("c_custkey" -> "integer", "c_name" -> "string",
       "c_nationkey" -> "integer", "c_acctbal" -> "float", "c_mktsegment" -> "string")
-    val natSchema = fields("n_nationkey" -> "integer", "n_name" -> "string",
+    val natSchema = fieldsJson("n_nationkey" -> "integer", "n_name" -> "string",
       "n_regionkey" -> "integer")
-    val outSchema = fields("n_name" -> "string", "n_custs" -> "integer",
+    val outSchema = fieldsJson("n_name" -> "string", "n_custs" -> "integer",
       "total_bal" -> "float")
     // 100.0D: Spark SQL parses a bare 100.0 as DECIMAL (the DataFrame API
     // would make it a double), and bigint/decimal division yields decimal,
@@ -2168,6 +2171,15 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("fingerprint"))
 
+  /** FIXTURE-SENSITIVITY NOTE: the DuckDB oracle computes EXACT all-pairs
+    * Jaccard >= 0.6 while the engine verifies only LSH-banded candidates
+    * (the whole point at scale). They agree on the current fixtures
+    * because every true near-dup pair sits far from the threshold; a
+    * regenerated corpus with a pair at jaccard ~= 0.6 could be missed by
+    * all 16 bands with probability ~(1-0.6^2)^16 ~= 0.08% and fail this
+    * gate with NO code change. If that ever fires, the diagnosis is LSH
+    * recall, not a bug — q_dedup_ngram pins the same semantics with a
+    * deterministic (recall-free) candidate set. */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(table(s, dir, "documents"), "text", "doc_id",
       shingleN = 5, k = 32, bands = 16, threshold = 0.6)
@@ -2349,7 +2361,8 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle for q_gopher: the eight-rule boolean replay, every ratio
+  /** Oracle for q_gopher: the boolean replay of the SEVEN rules plus
+    * gopher_pass (their conjunction), every ratio
     * kept as an integer-count comparison with ::DOUBLE on both sides
     * (a bare 0.1 literal is DECIMAL in DuckDB — never compare it). */
   private val gopherOracle: String =
@@ -2721,12 +2734,7 @@ object SparkEntry {
     * Same computation as sim_knn, reached declaratively. */
   private def qJobSimKnn(s: SparkSession, dir: String): DataFrame = {
     val outDir = s"$tmpRoot/job_out_simknn"
-    val embSchema =
-      """{ "fields": [
-        |  { "name": "vec_id", "data_type": "integer" },
-        |  { "name": "embedding", "data_type": "array",
-        |    "item": { "name": "item", "data_type": "float" } },
-        |  { "name": "label", "data_type": "string" } ] }""".stripMargin
+    val embSchema = ivfEmbSchema
     val knnSchema = fieldsJson("query_id" -> "integer", "corpus_id" -> "integer",
       "cosine" -> "float", "rank" -> "integer")
     val jobJson =
@@ -2778,17 +2786,8 @@ object SparkEntry {
     * per iteration of pure bench cost. */
   private def qJobSimIvf(s: SparkSession, dir: String): DataFrame = {
     val outDir = s"$tmpRoot/job_out_simivf"
-    val embSchema =
-      """{ "fields": [
-        |  { "name": "vec_id", "data_type": "integer" },
-        |  { "name": "embedding", "data_type": "array",
-        |    "item": { "name": "item", "data_type": "float" } },
-        |  { "name": "label", "data_type": "string" } ] }""".stripMargin
-    val centSchema =
-      """{ "fields": [
-        |  { "name": "cell", "data_type": "integer" },
-        |  { "name": "cvec", "data_type": "array",
-        |    "item": { "name": "item", "data_type": "float" } } ] }""".stripMargin
+    val embSchema = ivfEmbSchema
+    val centSchema = ivfCentSchema
     val qSchema =
       """{ "fields": [
         |  { "name": "qvec", "data_type": "array",
@@ -4988,12 +4987,7 @@ object SparkEntry {
     * between components. */
   private def qJobEmbeddingTransform(s: SparkSession, dir: String): DataFrame = {
     val outDir = s"$tmpRoot/job_out_embedding_transform"
-    val embSchema =
-      """{ "fields": [
-        |  { "name": "vec_id", "data_type": "integer" },
-        |  { "name": "embedding", "data_type": "array",
-        |    "item": { "name": "item", "data_type": "float" } },
-        |  { "name": "label", "data_type": "string" } ] }""".stripMargin
+    val embSchema = ivfEmbSchema
     val qSchema =
       """{ "fields": [
         |  { "name": "vec_id", "data_type": "integer" },
@@ -5823,6 +5817,107 @@ object SparkEntry {
     "q_job_top_tokens_sampled" -> (qJobTopTokensSampled _),
     "multimodal_features" -> (qMultimodal _))
 
+  // Shared oracle vals: each Scala/declarative (or plain/variant) query
+  // PAIR pins the same semantics, so its oracle exists ONCE — editing
+  // one face's expected SQL cannot silently leave its twin gating
+  // against stale semantics.
+  private val aggSaltedOracle: String =
+    """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+      |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
+      |  min(l_extendedprice) AS min_price,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val unpivotOracle: String =
+    """WITH m AS (
+      |  SELECT 'quantity' AS measure, round(l_quantity * 100)::BIGINT AS cents
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'extendedprice', round(l_extendedprice * 100)::BIGINT FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount', round(l_discount * 100)::BIGINT FROM lineitem)
+      |SELECT measure, count(*)::BIGINT AS n_cells, sum(cents)::BIGINT AS sum_cents
+      |FROM m GROUP BY measure ORDER BY measure""".stripMargin
+
+  private val joinLeftNullsOracle: String =
+    """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
+      |  count(*)::BIGINT AS n_rows
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  private val setExceptAllOracle: String =
+    """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT ALL
+      |SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
+      |ORDER BY o_custkey, o_orderpriority""".stripMargin
+
+  private val sortLimitOracle: String =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE value > 100
+      |ORDER BY value DESC, event_id LIMIT 20 OFFSET 10""".stripMargin
+
+  private val windowTopnOracle: String =
+    """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin
+
+  private val windowLagOracle: String =
+    """SELECT event_id, user_id, cents, prev_cents, run_cents, n_th FROM (
+      |  SELECT event_id, user_id, round(value * 100)::BIGINT AS cents,
+      |    lag(round(value * 100)::BIGINT)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS prev_cents,
+      |    (sum(round(value * 100)::BIGINT)
+      |      OVER (PARTITION BY user_id ORDER BY event_id))::BIGINT AS run_cents,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n_th
+      |  FROM events)
+      |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin
+
+  private val asofJoinOracle: String =
+    """SELECT c.event_id, c.user_id, c.ts, c.value,
+      |       p.value AS p_value, p.ts AS p_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  private val roundtripCountOracle: String =
+    """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
+      |  n_regionkey::VARCHAR AS n_regionkey
+      |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin
+
+  private val simKnnOracle: String =
+    """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |      FROM embeddings WHERE vec_id < 3),
+      |s AS (
+      |  SELECT query_id, corpus_id,
+      |    round(CASE WHEN sqrt(list_dot_product(cv, cv))
+      |                 * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+      |          ELSE list_dot_product(cv, qv)
+      |            / (sqrt(list_dot_product(cv, cv))
+      |               * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
+      |  FROM c, q),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, corpus_id, cosine FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private val simIvfOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(CASE WHEN sqrt(list_dot_product(v, v))
+      |               * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+      |        ELSE list_dot_product(v, qv)
+      |          / (sqrt(list_dot_product(v, v))
+      |             * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
+      |FROM e, q
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_filter_pass" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
@@ -5866,19 +5961,9 @@ object SparkEntry {
         |    / count(*) AS avg_price,
         |  count(*)::BIGINT AS n_rows
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "q_agg_salted" ->
-      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
-        |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
-        |  min(l_extendedprice) AS min_price,
-        |  max(l_extendedprice) AS max_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_salted" -> aggSaltedOracle,
     // the declarative salted face shares the plain-GROUP-BY oracle shape
-    "q_job_agg_salted" ->
-      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
-        |  sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
-        |  min(l_extendedprice) AS min_price,
-        |  max(l_extendedprice) AS max_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_job_agg_salted" -> aggSaltedOracle,
     "q_agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_rows,
         |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total_price
@@ -5900,16 +5985,7 @@ object SparkEntry {
         |  sum(round(o_totalprice * 100)::BIGINT)
         |    FILTER (WHERE o_orderstatus = 'P') / 100.0 AS total_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q_unpivot" ->
-      """WITH m AS (
-        |  SELECT 'quantity' AS measure, round(l_quantity * 100)::BIGINT AS cents
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'extendedprice', round(l_extendedprice * 100)::BIGINT FROM lineitem
-        |  UNION ALL
-        |  SELECT 'discount', round(l_discount * 100)::BIGINT FROM lineitem)
-        |SELECT measure, count(*)::BIGINT AS n_cells, sum(cents)::BIGINT AS sum_cents
-        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+    "q_unpivot" -> unpivotOracle,
     "q_project_rename" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
         |  c_mktsegment AS segment, c_acctbal AS balance
@@ -5947,11 +6023,7 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "q_join_left_nulls" ->
-      """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
-        |  count(*)::BIGINT AS n_rows
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_join_left_nulls" -> joinLeftNullsOracle,
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -6014,11 +6086,7 @@ object SparkEntry {
         |INTERSECT ALL
         |SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
         |ORDER BY o_custkey, o_orderpriority""".stripMargin,
-    "q_set_except_all" ->
-      """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
-        |EXCEPT ALL
-        |SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
-        |ORDER BY o_custkey, o_orderpriority""".stripMargin,
+    "q_set_except_all" -> setExceptAllOracle,
     "q_set_union" ->
       """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
         |UNION
@@ -6029,11 +6097,7 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey, o_orderpriority""".stripMargin,
-    "q_job_set_except_all" ->
-      """SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
-        |EXCEPT ALL
-        |SELECT o_custkey, o_orderpriority FROM orders WHERE o_totalprice > 50000
-        |ORDER BY o_custkey, o_orderpriority""".stripMargin,
+    "q_job_set_except_all" -> setExceptAllOracle,
     "q_split_branches" ->
       """SELECT a.l_returnflag, round(a.sum_qty, 2) AS sum_qty, b.n_rows FROM
         |  (SELECT l_returnflag, sum(l_quantity) AS sum_qty
@@ -6043,30 +6107,12 @@ object SparkEntry {
         |   FROM lineitem GROUP BY l_returnflag) b
         |ON a.l_returnflag = b.l_returnflag
         |ORDER BY a.l_returnflag""".stripMargin,
-    "q_sort_limit" ->
-      """SELECT event_id, user_id, value FROM events
-        |WHERE value > 100
-        |ORDER BY value DESC, event_id LIMIT 20 OFFSET 10""".stripMargin,
-    "q_window_topn" ->
-      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
-        |  FROM orders)
-        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "q_sort_limit" -> sortLimitOracle,
+    "q_window_topn" -> windowTopnOracle,
     // unique event_id order: the SQL default frame (RANGE, peers
     // included) coincides with ROWS on both engines; integer cents make
     // the running sum dtype-exact
-    "q_window_lag" ->
-      """SELECT event_id, user_id, cents, prev_cents, run_cents, n_th FROM (
-        |  SELECT event_id, user_id, round(value * 100)::BIGINT AS cents,
-        |    lag(round(value * 100)::BIGINT)
-        |      OVER (PARTITION BY user_id ORDER BY event_id) AS prev_cents,
-        |    (sum(round(value * 100)::BIGINT)
-        |      OVER (PARTITION BY user_id ORDER BY event_id))::BIGINT AS run_cents,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n_th
-        |  FROM events)
-        |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin,
+    "q_window_lag" -> windowLagOracle,
     "q_window_lead" ->
       """SELECT event_id, user_id, cents, next_cents, first_cents, n_th FROM (
         |  SELECT event_id, user_id, round(value * 100)::BIGINT AS cents,
@@ -6080,27 +6126,9 @@ object SparkEntry {
         |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin,
     "q_window_pctile" -> windowPctileOracle,
     "q_job_window_pctile" -> windowPctileOracle,
-    "q_job_sort" ->
-      """SELECT event_id, user_id, value FROM events
-        |WHERE value > 100
-        |ORDER BY value DESC, event_id LIMIT 20 OFFSET 10""".stripMargin,
-    "q_job_window_topn" ->
-      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
-        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
-        |  FROM orders)
-        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
-    "q_job_window_lag" ->
-      """SELECT event_id, user_id, cents, prev_cents, run_cents, n_th FROM (
-        |  SELECT event_id, user_id, round(value * 100)::BIGINT AS cents,
-        |    lag(round(value * 100)::BIGINT)
-        |      OVER (PARTITION BY user_id ORDER BY event_id) AS prev_cents,
-        |    (sum(round(value * 100)::BIGINT)
-        |      OVER (PARTITION BY user_id ORDER BY event_id))::BIGINT AS run_cents,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS n_th
-        |  FROM events)
-        |WHERE n_th <= 5 ORDER BY user_id, n_th""".stripMargin,
+    "q_job_sort" -> sortLimitOracle,
+    "q_job_window_topn" -> windowTopnOracle,
+    "q_job_window_lag" -> windowLagOracle,
     "q_window_rolling" -> windowRollingOracle,
     "q_job_window_rolling" -> windowRollingOracle,
     "q_job_join_bcast" ->
@@ -6186,16 +6214,7 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase' AND user_id <= 5) p
         |  ON c.ts >= p.w_start AND c.ts <= p.w_end
         |ORDER BY c.event_id, p.purchase_id""".stripMargin,
-    "q_job_unpivot" ->
-      """WITH m AS (
-        |  SELECT 'quantity' AS measure, round(l_quantity * 100)::BIGINT AS cents
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'extendedprice', round(l_extendedprice * 100)::BIGINT FROM lineitem
-        |  UNION ALL
-        |  SELECT 'discount', round(l_discount * 100)::BIGINT FROM lineitem)
-        |SELECT measure, count(*)::BIGINT AS n_cells, sum(cents)::BIGINT AS sum_cents
-        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+    "q_job_unpivot" -> unpivotOracle,
     "q_job_range_join" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts)::BIGINT AS t,
         |       p.w_start, p.w_end, p.purchase_id
@@ -6219,21 +6238,9 @@ object SparkEntry {
         |ORDER BY c.event_id""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN — independent of the Spark
     // union+window formulation, so the two algorithms check each other
-    "q_asof_join" ->
-      """SELECT c.event_id, c.user_id, c.ts, c.value,
-        |       p.value AS p_value, p.ts AS p_ts
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.event_id""".stripMargin,
+    "q_asof_join" -> asofJoinOracle,
     // identical semantics through the broadcast (interval-join) strategy
-    "q_asof_broadcast" ->
-      """SELECT c.event_id, c.user_id, c.ts, c.value,
-        |       p.value AS p_value, p.ts AS p_ts
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.event_id""".stripMargin,
+    "q_asof_broadcast" -> asofJoinOracle,
     // tolerance = post-filter of the single ASOF match: the nearest row
     // is out of tolerance exactly when every farther row is
     "q_asof_tolerance" ->
@@ -6291,10 +6298,7 @@ object SparkEntry {
         |SELECT fingerprint, count(*)::BIGINT AS n_docs,
         |  min(doc_id) AS first_doc
         |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
-    "q_csv_roundtrip" ->
-      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
-        |  n_regionkey::VARCHAR AS n_regionkey
-        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_csv_roundtrip" -> roundtripCountOracle,
     "q_json_roundtrip" ->
       """SELECT event_type, count(*)::BIGINT AS n_rows,
         |  sum(round(value * 100)::BIGINT) / 100.0 AS sum_value
@@ -6431,20 +6435,11 @@ object SparkEntry {
         |  sum(n_tokens)::BIGINT AS sum_tokens
         |FROM pred WHERE n_tokens > 50
         |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
-    "q_job_append_csv" ->
-      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
-        |  n_regionkey::VARCHAR AS n_regionkey
-        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_job_append_csv" -> roundtripCountOracle,
     "q_job_append_json" ->
       """SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey""".stripMargin,
-    "q_job_append_xml" ->
-      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
-        |  n_regionkey::VARCHAR AS n_regionkey
-        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
-    "q_job_append_excel" ->
-      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
-        |  n_regionkey::VARCHAR AS n_regionkey
-        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_job_append_xml" -> roundtripCountOracle,
+    "q_job_append_excel" -> roundtripCountOracle,
     "q_job_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
         |  max(o_totalprice) AS max_price
@@ -6457,11 +6452,7 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY order_id""".stripMargin,
-    "q_job_join_left" ->
-      """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
-        |  count(*)::BIGINT AS n_rows
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_job_join_left" -> joinLeftNullsOracle,
     "q_job_join_right" ->
       """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
         |  count(*)::BIGINT AS n_rows
@@ -6484,14 +6475,8 @@ object SparkEntry {
       """SELECT c_custkey::VARCHAR AS cust_id, c_name AS name,
         |  c_mktsegment AS segment
         |FROM customer ORDER BY cust_id::BIGINT""".stripMargin,
-    "q_xml_roundtrip" ->
-      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
-        |  n_regionkey::VARCHAR AS n_regionkey
-        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
-    "q_excel_roundtrip" ->
-      """SELECT n_nationkey::VARCHAR AS n_nationkey, n_name,
-        |  n_regionkey::VARCHAR AS n_regionkey
-        |FROM nation ORDER BY n_nationkey::BIGINT""".stripMargin,
+    "q_xml_roundtrip" -> roundtripCountOracle,
+    "q_excel_roundtrip" -> roundtripCountOracle,
     "q_jdbc_roundtrip" ->
       """SELECT r_regionkey,
         |  CASE WHEN r_regionkey = 0 THEN 'MODIFIED' ELSE r_name END AS r_name
@@ -6703,71 +6688,19 @@ object SparkEntry {
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY vec_id""".stripMargin,
-    "sim_knn" ->
-      """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |      FROM embeddings WHERE vec_id < 3),
-        |s AS (
-        |  SELECT query_id, corpus_id,
-        |    round(CASE WHEN sqrt(list_dot_product(cv, cv))
-        |                 * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
-        |          ELSE list_dot_product(cv, qv)
-        |            / (sqrt(list_dot_product(cv, cv))
-        |               * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
-        |  FROM c, q),
-        |r AS (SELECT *, row_number() OVER (
-        |        PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
-        |      FROM s)
-        |SELECT query_id, rank, corpus_id, cosine FROM r
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_knn" -> simKnnOracle,
     // same computation as sim_knn, reached through the declarative
     // `similarity` component — identical oracle by construction
-    "q_job_sim_knn" ->
-      """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |      FROM embeddings WHERE vec_id < 3),
-        |s AS (
-        |  SELECT query_id, corpus_id,
-        |    round(CASE WHEN sqrt(list_dot_product(cv, cv))
-        |                 * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
-        |          ELSE list_dot_product(cv, qv)
-        |            / (sqrt(list_dot_product(cv, cv))
-        |               * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
-        |  FROM c, q),
-        |r AS (SELECT *, row_number() OVER (
-        |        PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
-        |      FROM s)
-        |SELECT query_id, rank, corpus_id, cosine FROM r
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_job_sim_knn" -> simKnnOracle,
     // nprobe = k cells: every corpus row is probed, so the declarative
     // kmeans_train -> ivf pipeline reduces to exact brute-force top-10 —
     // oracle-able even though Lloyd's training isn't SQL-expressible
-    "q_job_sim_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-        |SELECT vec_id,
-        |  round(CASE WHEN sqrt(list_dot_product(v, v))
-        |               * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
-        |        ELSE list_dot_product(v, qv)
-        |          / (sqrt(list_dot_product(v, v))
-        |             * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
-        |FROM e, q
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_job_sim_ivf" -> simIvfOracle,
     // bucketed-index variant of the same identity: nprobe = k means the
     // probed cells' union is the whole corpus, so the build-then-probe
     // chain (kmeans_train -> write_ivf_index -> ivf_index probe) must
     // reproduce exact brute-force top-10 through the partitioned layout
-    "q_job_ivf_index" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-        |SELECT vec_id,
-        |  round(CASE WHEN sqrt(list_dot_product(v, v))
-        |               * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
-        |        ELSE list_dot_product(v, qv)
-        |          / (sqrt(list_dot_product(v, v))
-        |             * sqrt(list_dot_product(qv, qv))) END, 6) AS cosine
-        |FROM e, q
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "q_job_ivf_index" -> simIvfOracle,
     // batch probe at nprobe = all cells: per-query exact brute-force
     // top-5 through the bucketed layout — the q_job_sim_knn computation
     // over the index's round-tripped vectors
