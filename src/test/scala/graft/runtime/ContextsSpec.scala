@@ -75,6 +75,38 @@ class ContextsSpec extends AnyFunSuite {
     Contexts.reset()
   }
 
+  test("execution env override is isolated between concurrent runs") {
+    // the override is THREAD-scoped: a process-global slot made a
+    // concurrent run with a different environment resolve the other
+    // run's credentials (scheduler worker pool + REST genuinely run
+    // executions concurrently) and leaked an override past both ends
+    Contexts.reset()
+    Contexts.store.put("a", Credentials.Creds("devuser", "p"))
+    Contexts.store.put("b", Credentials.Creds("testuser", "p"))
+    Contexts.register(Credentials.MappingContext(
+      "m", Map("DEV" -> "a", "TEST" -> "b"), Credentials.Dev))
+    val inside = new java.util.concurrent.CountDownLatch(2)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val users = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def runner(env: String): Thread = {
+      val t = new Thread(() => Contexts.withExecutionEnv(Some(env)) {
+        inside.countDown()
+        release.await() // both threads hold their env AT THE SAME TIME
+        users.put(env, Contexts.resolve("m").user)
+      })
+      t.start(); t
+    }
+    val ts = Seq(runner("DEV"), runner("TEST"))
+    assert(inside.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    release.countDown()
+    ts.foreach(_.join(10000))
+    assert(users.get("DEV") === "devuser")
+    assert(users.get("TEST") === "testuser")
+    // nothing leaked past either run's end on this thread either
+    assert(Contexts.resolve("m").user === "devuser")
+    Contexts.reset()
+  }
+
   test("plain context: secure values live only in-process; keys + non-secure persist") {
     val dir = freshDir()
     Contexts.reset()

@@ -55,6 +55,34 @@ class JobRunnerSpec extends SparkTestBase {
       res.linesForwarded("f.pass") + res.linesDismissed("f"))
   }
 
+  test("concurrent runs on the shared session do not cross-contaminate metrics") {
+    // both jobs use the SAME component names (r/f/w) — the listener bus
+    // is session-global, so without the per-run observe tag each run's
+    // listener would absorb the other's counts (merge via max + foreign
+    // keys), inflating both records
+    import spark.implicits._
+    val inA = tmp("in_conc_a"); val inB = tmp("in_conc_b")
+    graft.io.CsvIO.write(
+      Seq(("1", "x"), ("2", "drop"), ("3", "y")).toDF("a", "b"), inA, singleFile = true)
+    graft.io.CsvIO.write(
+      (1 to 9).map(i => (i.toString, "keep")).toDF("a", "b"), inB, singleFile = true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(() =>
+        JobRunner.run(spark, JobConfig.parse(jobJson(inA, tmp("out_conc_a")))))
+      val fb = pool.submit(() =>
+        JobRunner.run(spark, JobConfig.parse(jobJson(inB, tmp("out_conc_b")))))
+      val (ra, rb) = (fa.get(), fb.get())
+      assert(ra.succeeded && rb.succeeded)
+      assert(ra.linesForwarded.get("r.out") === Some(3L))
+      assert(ra.linesForwarded.get("f.pass") === Some(2L))
+      assert(rb.linesForwarded.get("r.out") === Some(9L))
+      assert(rb.linesForwarded.get("f.pass") === Some(9L))
+      assert(ra.linesReceived.get("f.in") === Some(3L))
+      assert(rb.linesReceived.get("f.in") === Some(9L))
+    } finally pool.shutdown()
+  }
+
   test("dismissed uses the measured fail-port count when that branch runs") {
     import spark.implicits._
     val in = tmp("in_fail_port")
