@@ -406,4 +406,38 @@ class ScalePropertySpec extends SparkTestBase {
     }
     assert(keyFn(null) === Dedup.exactKeyString(null))
   }
+
+  test("case-folding kernels stay in lockstep with lower() when ICU is OFF") {
+    // every suite run exercises useICU=true (Spark 4's default); this
+    // pins the OTHER branch: with ICU case mappings disabled, lower()
+    // drops to the per-codepoint UTF8String fold (final ΑΣ → ασ, not
+    // ας) and the kernels must follow it there too — the lockstep
+    // contract is "fold like the engine", not "fold like ICU"
+    val key = "spark.sql.icu.caseMappings.enabled"
+    val prev = spark.conf.get(key, "true")
+    try {
+      spark.conf.set(key, "false")
+      val docs = Seq("ΑΣ Σ ΒΑΣ", "STRASSE ΑΣ", "ΟΔΥΣΣΕΑΣ σοφία",
+        " ΑΣ\t", "ς σ Σ", "", null)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val t = col("t")
+      val bad = docs.toDF("id", "t").select(col("id"),
+        not(graft.functions.CountTokensInSet.count(t, Seq("σ", "ας", "ασ"))
+          <=> graft.functions.CountInSet.count(
+            split(lower(trim(t)), "\\s+"), Seq("σ", "ας", "ασ"))).as("a"),
+        not(Dedup.exactKey(t) <=> Dedup.exactKeyRegex(t)).as("b"))
+        .filter(col("a") || col("b")).collect()
+      assert(bad.isEmpty, bad.mkString("\n"))
+      // the typed twin and its packaged form read the same conf
+      val viaColumn = docs.toDF("id", "t")
+        .select(col("id"), Dedup.exactKey(t).as("k"))
+        .as[(Long, String)].collect().toMap
+      val keyFn = new Dedup.ExactKeyFn
+      docs.filter(_._2 != null).foreach { case (id, text) =>
+        assert(Dedup.exactKeyString(text) ===
+          Dedup.NonNullKeyPrefix + viaColumn(id), s"id=$id")
+        assert(keyFn(text) === Dedup.exactKeyString(text), s"id=$id")
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }
