@@ -25,7 +25,8 @@ object ComponentSchemas {
     * contract. */
   val registry: Seq[(String, (String, Seq[Param]))] = Seq(
     "read_csv" -> ("Read a CSV file as all-string columns" -> Seq(
-      filepath, p("separator", "string", "field delimiter, default ','"))),
+      filepath, p("separator", "string", "field delimiter, default ','"),
+      p("multiline", "boolean", "quote-aware whole-record parse (reads back write_csv output whose cells carry embedded newlines); default false = line-splittable parallel parse"))),
     "write_csv" -> ("Write a CSV file" -> Seq(
       filepath, p("separator", "string", "field delimiter, default ','"),
       p("single_file", "boolean", "write one file (true, default) or a parquet-style directory of parts"),

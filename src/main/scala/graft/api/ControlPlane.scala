@@ -572,9 +572,11 @@ object ControlPlane {
     // without an executor the JDK HttpServer runs EVERY handler on its
     // single dispatcher thread — one synchronous POST /execution (a
     // full Spark job plus retry backoff sleeps) would hang every other
-    // request for minutes. Daemon cached pool: idle threads reap, the
-    // JVM can exit.
-    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+    // request for minutes. BOUNDED pool, not cached: an unbounded pool
+    // would let a request burst run unlimited simultaneous Spark jobs
+    // on one driver with no backpressure; 8 threads fix the starvation
+    // while excess requests queue.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val t = new Thread(r, "graft-rest")
       t.setDaemon(true)
       t

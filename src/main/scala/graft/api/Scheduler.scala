@@ -75,17 +75,22 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
       // the flag, cancel tombstones drop the id
       val last = scala.collection.mutable.LinkedHashMap[String, Option[(String, String, String)]]()
       val pausedIds = scala.collection.mutable.Set[String]()
+      val firedIds = scala.collection.mutable.Set[String]()
       Files.readAllLines(p).forEach { line =>
         if (line.nonEmpty) {
           val j = org.json4s.jackson.JsonMethods.parse(line)
           val id = (j \ "id").extract[String]
           if ((j \ "cancelled").extractOpt[Boolean].contains(true)) {
-            last(id) = None; pausedIds -= id
+            last(id) = None; pausedIds -= id; firedIds -= id
+          } else if ((j \ "fired").extractOpt[Boolean].contains(true)) {
+            firedIds += id
           } else (j \ "paused").extractOpt[Boolean] match {
             case Some(true)  => pausedIds += id
             case Some(false) => pausedIds -= id
-            case None => last(id) = Some(((j \ "job_id").extract[String],
-              (j \ "kind").extract[String], (j \ "arg").extract[String]))
+            case None =>
+              last(id) = Some(((j \ "job_id").extract[String],
+                (j \ "kind").extract[String], (j \ "arg").extract[String]))
+              firedIds -= id // an update re-states the trigger afresh
           }
         }
       }
@@ -95,7 +100,8 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
         last.foreach {
           case (id, Some((jobId, kind, arg))) if registry.getJob(jobId).isDefined =>
             if (pausedIds.contains(id))
-              schedules.put(id, Schedule(id, jobId, kind, arg, null, paused = true))
+              schedules.put(id, Schedule(id, jobId, kind, arg, null,
+                paused = true, fired = firedIds.contains(id)))
             else kind match {
               case "interval" => armInterval(id, jobId, arg.toLong)
               case "cron"     => armCron(id, jobId, Cron.parse(arg), arg)
@@ -123,6 +129,8 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
     appendLine(s"""{"id":${quote(id)},"cancelled":true}""")
   private def persistPaused(id: String, paused: Boolean): Unit =
     appendLine(s"""{"id":${quote(id)},"paused":$paused}""")
+  private def persistFired(id: String): Unit =
+    appendLine(s"""{"id":${quote(id)},"fired":true}""")
   private def appendLine(json: String): Unit =
     log.foreach(p => Files.writeString(p, json + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND))
@@ -150,7 +158,13 @@ final class Scheduler(registry: ControlPlane.JobRegistry,
       val current = stateLock.synchronized {
         val cur = schedules.get(id)
         val ok = cur != null && !cur.paused && cur.gen == myGen
-        if (ok) { schedules.put(id, cur.copy(future = null, fired = true)); () }
+        if (ok) {
+          schedules.put(id, cur.copy(future = null, fired = true))
+          // persisted too: a fired-then-paused one-shot must stay done
+          // ACROSS restart — the replay otherwise re-creates the paused
+          // entry with fired=false and resume() would refire it
+          persistFired(id)
+        }
         ok
       }
       if (current) fire(jobId)

@@ -27,14 +27,18 @@ import org.apache.spark.sql.types._
  *  - rounding is Math.round on the double quotient = HALF_UP for the
  *    positive-scale quotients this produces, matching the Column
  *    round() and DuckDB's round;
- *  - a NaN element pins the scale to NaN (greatest() folds with
- *    Spark's NaN-as-largest semantics, replayed here) and every `q`
- *    position becomes NULL. This is a DELIBERATE divergence from the
- *    composed form, which under ANSI mode (Spark 4's default) THROWS
- *    CAST_OVERFLOW casting the NaN quotient to byte — one corrupt
- *    embedding must not kill a corpus-wide quantization pass, so the
- *    kernel yields the try_cast value (NULL) those positions instead.
- *    Both faces are spec-pinned: the kernel's NaN output explicitly,
+ *  - corrupt elements (NaN, ±Infinity) surface as NaN QUOTIENTS: a
+ *    NaN element pins the scale to NaN (greatest() folds with Spark's
+ *    NaN-as-largest semantics, replayed here) making every quotient
+ *    NaN; an Inf element makes the scale Inf and its own quotient
+ *    Inf/Inf = NaN (finite siblings quantize to 0, like the composed
+ *    round(x/Inf)). Every NaN-quotient position becomes NULL. This is
+ *    a DELIBERATE divergence from the composed form, which under ANSI
+ *    mode (Spark 4's default) THROWS CAST_OVERFLOW casting a NaN
+ *    quotient to byte — one corrupt embedding must not kill a
+ *    corpus-wide quantization pass, so the kernel yields the try_cast
+ *    value (NULL) at those positions instead. Both faces are
+ *    spec-pinned for NaN and Infinity: the kernel's output explicitly,
  *    and the composed form's throw as the divergence record;
  *  - NULL vector → NULL struct. Accepts any numeric element type
  *    (cast-to-double per element, ArrayDot's discipline).
@@ -105,18 +109,26 @@ object QuantizeInt8 {
       i += 1
     }
     val scale = maxAbs / 127.0
-    val scaleIsNaN = java.lang.Double.isNaN(scale)
     val out = new Array[Any](n)
     i = 0
     while (i < n) {
       if (scale == 0.0) out(i) = 0.toByte
-      else if (scaleIsNaN || xs.isNullAt(i)) out(i) = null
+      else if (xs.isNullAt(i)) out(i) = null
       else {
         val q = numAt(xs, i, t) / scale
-        // HALF_UP = ties away from zero (Column round / DuckDB round);
-        // Math.round alone rounds -2.5 toward positive infinity
-        val r = if (q < 0) -math.round(-q) else math.round(q)
-        out(i) = r.toByte
+        // a NaN QUOTIENT is the corrupt-element signal in one test:
+        // scale NaN (a NaN element poisoned the fold — every position),
+        // or the element itself is ±Inf (Inf/Inf). The composed ANSI
+        // form THROWS casting it; this kernel emits try_cast's NULL for
+        // exactly those positions. Finite elements under an Inf scale
+        // quantize to 0 like the composed round(x/Inf) would.
+        if (java.lang.Double.isNaN(q)) out(i) = null
+        else {
+          // HALF_UP = ties away from zero (Column round / DuckDB round);
+          // Math.round alone rounds -2.5 toward positive infinity
+          val r = if (q < 0) -math.round(-q) else math.round(q)
+          out(i) = r.toByte
+        }
       }
       i += 1
     }

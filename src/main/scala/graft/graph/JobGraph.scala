@@ -381,8 +381,14 @@ object JobGraph {
 
     c.compType match {
       case "read_csv" =>
+        // multiline=false (default) = reference parity, line-splittable
+        // parallel parse; true = quote-aware whole-record parse, the
+        // knob that reads back write_csv output whose cells carry
+        // embedded newlines (the writer quotes them across physical
+        // lines, which a line-based parse splits into corrupt rows)
         (Map("out" -> CsvIO.read(spark, c.reqStr("filepath"),
-          c.str("separator").getOrElse(","))), None)
+          c.str("separator").getOrElse(","),
+          multiLine = c.bool("multiline", default = false))), None)
 
       case "read_json" =>
         val path = c.reqStr("filepath")

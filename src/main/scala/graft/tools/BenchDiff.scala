@@ -116,8 +116,14 @@ object BenchDiff {
   }
 
   def main(args: Array[String]): Unit = {
-    val strict = args.contains("--strict")
-    val paths = args.filterNot(_.startsWith("--"))
+    val (flags, paths) = args.partition(_.startsWith("--"))
+    // unknown flags are ERRORS, not ignored: a typoed --strict would
+    // otherwise make a scripted gate silently toothless (exit 0 on
+    // real regressions, the exact failure mode --strict exists to fix)
+    val unknown = flags.filterNot(_ == "--strict")
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.mkString(", ")} — only --strict is accepted")
+    val strict = flags.contains("--strict")
     require(paths.length == 2,
       "usage: BenchDiff <prev bench json> <cur bench json> [--strict]")
     def load(path: String): (Map[String, Double], Boolean) =

@@ -79,6 +79,36 @@ class SchedulerSpec extends SparkTestBase {
     } finally sched.shutdown()
   }
 
+  test("fired one-shot stays done ACROSS restart: pause, restart, resume — no refire") {
+    import spark.implicits._
+    val store = Files.createDirectories(
+      Paths.get("target", "test-tmp", "sched", s"fired-${System.nanoTime()}"))
+    val reg = new ControlPlane.JobRegistry(spark, Some(store))
+    val in = tmp("in_fired_restart")
+    graft.io.CsvIO.write(Seq("1").toDF("a"), in, singleFile = true)
+    val job = reg.createJob(smallJob(in, tmp("out_fired_restart")))
+    val s1 = new Scheduler(reg, Some(store))
+    val once = s1.scheduleOnce(job.id, delayMs = 30)
+    val deadline = System.currentTimeMillis() + 20000
+    while (reg.listExecutions(jobId = Some(job.id)).isEmpty &&
+           System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val fired = reg.listExecutions(jobId = Some(job.id)).size
+    assert(fired >= 1)
+    assert(s1.pause(once.id))
+    s1.shutdown()
+    // restart: the fired flag is persisted, so the paused entry comes
+    // back DONE and resume must not arm a second fire
+    val s2 = new Scheduler(reg, Some(store))
+    try {
+      val re = s2.get(once.id).getOrElse(fail(s"schedule ${once.id} lost"))
+      assert(re.paused && re.fired, "fired flag must survive restart")
+      assert(s2.resume(once.id))
+      Thread.sleep(800)
+      assert(reg.listExecutions(jobId = Some(job.id)).size === fired,
+        "resume after restart refired a completed one-shot")
+    } finally s2.shutdown()
+  }
+
   test("scheduling an unknown job is rejected") {
     val sched = new Scheduler(new ControlPlane.JobRegistry(spark))
     try intercept[IllegalArgumentException] { sched.scheduleOnce("ghost", 10) }

@@ -19,6 +19,41 @@ class JobComponentsSpec extends SparkTestBase {
       |  { "name": "a", "data_type": "string" },
       |  { "name": "b", "data_type": "string" } ] }""".stripMargin
 
+  test("read_csv multiline=true reads back write_csv output with embedded newlines") {
+    import spark.implicits._
+    val in = tmp("csv_multiline_in")
+    graft.io.CsvIO.write(
+      Seq(("1", "line1\nline2"), ("2", "plain")).toDF("a", "b"), in)
+    val out = tmp("csv_multiline_out")
+    val json =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |    "multiline": true,
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "$out",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    try built.runSinks() finally built.close()
+    val back = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back === Map("1" -> "line1\nline2", "2" -> "plain"))
+    // and the default (line-based, reference parity) does NOT round-trip
+    // such a record — the knob exists because the default can't
+    val dflt =
+      s"""{ "name": "t", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_parquet",
+         |    "filepath": "${tmp("csv_multiline_dflt")}",
+         |    "in_port_schemas": { "in": $abSchema } } ] }""".stripMargin
+    val b2 = JobGraph.build(spark, JobConfig.parse(dflt))
+    try b2.runSinks() finally b2.close()
+    val rows2 = spark.read.parquet(tmp("csv_multiline_dflt")).collect()
+    assert(!rows2.exists(r => r.getString(1) == "line1\nline2"))
+  }
+
   test("xml source → filter → excel sink, wired from JSON config") {
     val inDir = tmp("xmlin")
     Files.createDirectories(Paths.get(inDir))

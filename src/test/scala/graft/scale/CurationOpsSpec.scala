@@ -779,13 +779,15 @@ class CurationOpsSpec extends SparkTestBase {
     assert(ebad === 0L, "null-element / zero / null-vector edges diverge")
   }
 
-  test("quantize NaN contract: scale NaN + null bytes; the composed ANSI form throws") {
-    // a NaN element pins greatest()'s fold to NaN (NaN-as-largest),
-    // and the kernel DELIBERATELY diverges from the composed form
-    // there: composed round(NaN).cast(byte) throws CAST_OVERFLOW under
-    // ANSI (Spark 4 default) — one corrupt embedding must not kill a
-    // corpus pass — so the kernel emits the try_cast value: every q
-    // position NULL, scale NaN (the fold's true output)
+  test("quantize NaN/Inf contract: null bytes at corrupt positions; composed ANSI throws") {
+    // a NaN element pins greatest()'s fold to NaN (NaN-as-largest) and
+    // every quotient is NaN; an Inf element makes the scale Inf and
+    // ITS OWN quotient NaN (Inf/Inf) while finite siblings quantize to
+    // 0 like the composed round(x/Inf). The kernel DELIBERATELY
+    // diverges from the composed form at NaN quotients: composed
+    // round(NaN).cast(byte) throws CAST_OVERFLOW under ANSI (Spark 4
+    // default) — one corrupt embedding must not kill a corpus pass —
+    // so the kernel emits the try_cast value (NULL) there
     import spark.implicits._
     val edge = Seq(
       (4L, Seq(Option(Float.NaN), Option(1.0f), None)),
@@ -797,15 +799,29 @@ class CurationOpsSpec extends SparkTestBase {
       assert(r.getAs[Seq[java.lang.Byte]]("vec_q8").forall(_ == null))
     }
     assert(rows(0).getAs[Seq[java.lang.Byte]]("vec_q8").size === 3)
+    // Inf: scale Inf, the Inf position NULL, finite positions 0, null null
+    val inf = Seq(
+      (6L, Seq(Option(Float.PositiveInfinity), Option(1.0f), None)),
+      (7L, Seq(Option(Float.NegativeInfinity)))).toDF("vec_id", "embedding")
+    val irows = Similarity.quantizeVectorsInt8(inf, "embedding")
+      .orderBy("vec_id").collect()
+    assert(irows(0).getAs[Double]("vec_scale").isPosInfinity)
+    assert(irows(0).getAs[Seq[java.lang.Byte]]("vec_q8") ===
+      Seq[java.lang.Byte](null, 0.toByte, null))
+    assert(irows(1).getAs[Double]("vec_scale").isPosInfinity)
+    assert(irows(1).getAs[Seq[java.lang.Byte]]("vec_q8") ===
+      Seq[java.lang.Byte](null))
     // the divergence record: the composed reference form cannot even
-    // evaluate this input under ANSI mode
-    val thrown = intercept[Exception] {
-      Similarity.quantizeVectorsInt8Hof(edge, "embedding").collect()
-    }
+    // evaluate these inputs under ANSI mode
     def chain(t: Throwable): Seq[Throwable] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
-    assert(chain(thrown).exists(_.getMessage.contains("CAST_OVERFLOW")),
-      s"expected CAST_OVERFLOW in: ${chain(thrown).map(_.getMessage).mkString(" | ")}")
+    for (df <- Seq(edge, inf)) {
+      val thrown = intercept[Exception] {
+        Similarity.quantizeVectorsInt8Hof(df, "embedding").collect()
+      }
+      assert(chain(thrown).exists(_.getMessage.contains("CAST_OVERFLOW")),
+        s"expected CAST_OVERFLOW in: ${chain(thrown).map(_.getMessage).mkString(" | ")}")
+    }
   }
 
   test("normalize kernel equals the composed reference on the embeddings fixture") {

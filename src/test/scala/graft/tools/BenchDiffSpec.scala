@@ -70,12 +70,20 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(out.contains("only in cur (1): q_new"))
   }
 
-  test("main: --strict is the only flag; two paths required") {
+  test("main: --strict is the only flag; two paths required; typos are loud") {
     // flag filtering, not exit behavior (sys.exit in a suite would
     // kill the runner): bad arity must throw regardless of flags
     intercept[IllegalArgumentException] { BenchDiff.main(Array("a.json")) }
     intercept[IllegalArgumentException] {
       BenchDiff.main(Array("a.json", "b.json", "c.json", "--strict"))
+    }
+    // a typoed strict flag must be an ERROR, not silently ignored — a
+    // scripted gate would otherwise exit 0 on real regressions
+    for (typo <- Seq("--strict=true", "--Strict", "--sttrict")) {
+      val e = intercept[IllegalArgumentException] {
+        BenchDiff.main(Array("a.json", "b.json", typo))
+      }
+      assert(e.getMessage.contains("unknown flag"), s"$typo: ${e.getMessage}")
     }
   }
 
