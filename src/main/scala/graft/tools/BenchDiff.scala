@@ -6,8 +6,8 @@ import org.json4s.jackson.JsonMethods
 /** Cross-round bench comparison: reads two bench JSON files and prints
   * (query, prev, cur, ratio) sorted worst-first, with the round-gate
   * regression rule applied (ratio >= 1.5 AND current median >= 1 s —
-  * sub-second queries swing 2-3x under machine load, see
-  * .claude/skills/verify gotchas, so they never count as regressions).
+  * sub-second queries swing 2-3x under machine load on this box, so
+  * they never count as regressions).
   *
   * Accepts both shapes a round produces:
   *   - BENCH_LOCAL.json / BENCH_FILTERED.json (graft.Bench output): the
