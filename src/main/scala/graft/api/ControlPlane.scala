@@ -377,8 +377,17 @@ object ControlPlane {
     * surface (POST/GET/PUT/DELETE plus pause/resume/run-now,
     * reference: src/etl_core/api/routers/schedules.py:64-137). */
   def serve(registry: JobRegistry, port: Int = 0,
-            scheduler: Option[Scheduler] = None): HttpServer = {
+            scheduler: Option[Scheduler] = None,
+            maxConcurrentExecutions: Int = 6): HttpServer = {
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    // Backpressure for the one expensive route: POST /execution runs a
+    // full Spark job synchronously. The pool below bounds simultaneous
+    // HANDLERS at 8, but its queue is unbounded — without this gate a
+    // request burst would queue Spark jobs without limit or rejection.
+    // Saturation answers 503 immediately instead; the gate is sized
+    // below the pool (6 < 8) so metadata routes keep two threads even
+    // while every execution slot is busy.
+    val execGate = new java.util.concurrent.Semaphore(maxConcurrentExecutions)
 
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes("UTF-8")
@@ -432,7 +441,11 @@ object ControlPlane {
       val path = ex.getRequestURI.getPath.stripPrefix("/execution").stripPrefix("/")
       (ex.getRequestMethod, path) match {
         case ("POST", jobId) if jobId.nonEmpty =>
-          (201, execJson(registry.execute(jobId, qparams(ex).get("environment"))))
+          if (!execGate.tryAcquire())
+            (503, """{"error":"execution capacity saturated, retry later"}""")
+          else
+            try (201, execJson(registry.execute(jobId, qparams(ex).get("environment"))))
+            finally execGate.release()
         case ("GET", p) if p.endsWith("/attempts") =>
           val execId = p.stripSuffix("/attempts")
           registry.getExecution(execId).map(e => (200, attemptsJson(e)))
@@ -583,6 +596,21 @@ object ControlPlane {
     }))
     server.start()
     server
+  }
+
+  /** Stop a serve()d server AND its request pool: HttpServer.stop does
+    * not shut down a custom executor, so without this every serve/stop
+    * cycle leaks eight (daemon) pool threads for the JVM's lifetime.
+    * shutdown(), not shutdownNow(): stop(delaySeconds) has already
+    * drained in-flight exchanges up to the delay, and interrupting a
+    * straggling Spark job mid-write trades a leaked thread for a
+    * half-written sink. */
+  def stop(server: HttpServer, delaySeconds: Int = 0): Unit = {
+    server.stop(delaySeconds)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
   }
 
   /** Preset GUI setup key (setup.py:17 VALID_KEY; env-overridable). */

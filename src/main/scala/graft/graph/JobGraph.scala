@@ -180,9 +180,13 @@ object JobGraph {
       // throwaway RuntimeJob construction. Consistency of this list
       // with the runComponent readers is pinned by the gate: every
       // COVERAGE job config passes through this check.
+      // an explicit JSON null is as absent as a missing key — "filepath":
+      // null must fail HERE too, not at execute time after retry/backoff
       for (p <- JobGraph.requiredParams.getOrElse(c.compType, Nil))
-        require((c.params \ p) != org.json4s.JNothing,
-          s"component ${c.name} (${c.compType}): missing required param '$p'")
+        require((c.params \ p) match {
+          case org.json4s.JNothing | org.json4s.JNull => false
+          case _ => true
+        }, s"component ${c.name} (${c.compType}): missing required param '$p'")
       // unknown route ports
       for (port <- c.routes.keys)
         require(outPorts(c).exists(_.name == port),

@@ -9,7 +9,25 @@ import java.util.Comparator
   * union to `<path>.__staging` and swap directories afterwards. */
 private[io] object IOSwap {
 
-  def exists(path: String): Boolean = Files.exists(Paths.get(path))
+  def exists(path: String): Boolean = {
+    recoverCrashedSwap(path)
+    Files.exists(Paths.get(path))
+  }
+
+  /** Self-heal the one non-atomic window writeSwapped leaves open: a JVM
+    * death between "move path aside to .__old" and "move .__staging in"
+    * strands the ONLY copy of the data under `.__old` with `path` absent.
+    * Without this, the next append run sees exists(path)=false, writes
+    * fresh, and its writeSwapped preamble deletes `.__old` — silently
+    * discarding the previous output. Restoring `.__old` to `path` first
+    * turns that into a normal append over the recovered data. Only the
+    * path-absent case is a crashed swap: if `path` exists, `.__old` is
+    * just an interrupted cleanup of superseded data and stays deletable. */
+  private[io] def recoverCrashedSwap(path: String): Unit = {
+    val p = Paths.get(path)
+    val old = Paths.get(path + ".__old")
+    if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
+  }
 
   private[io] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
@@ -42,6 +60,9 @@ private[io] object IOSwap {
   def writeSwapped(path: String, viaStaging: Boolean)(write: String => Unit): Unit =
     if (!viaStaging) write(path)
     else {
+      recoverCrashedSwap(path) // belt-and-braces: exists() already heals,
+      // but a direct caller must not reach the deleteRecursively(old)
+      // below while `.__old` holds the only copy
       val staging = path + ".__staging"
       val old = path + ".__old"
       deleteRecursively(Paths.get(staging))

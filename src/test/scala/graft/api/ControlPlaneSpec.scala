@@ -214,7 +214,7 @@ class ControlPlaneSpec extends SparkTestBase {
         .DELETE().build()).statusCode() === 204)
       assert(send(HttpRequest.newBuilder(URI.create(s"$base/schedules/$sid")).GET().build())
         .statusCode() === 404)
-    } finally { server.stop(0); sched.shutdown() }
+    } finally { ControlPlane.stop(server); sched.shutdown() }
   }
 
   test("explain: per-sink formatted plans, pushdown visible, nothing executed") {
@@ -437,7 +437,7 @@ class ControlPlaneSpec extends SparkTestBase {
         .DELETE().build()).statusCode() === 204)
       assert(send(HttpRequest.newBuilder(URI.create(s"$base/jobs/$jobId")).GET().build())
         .statusCode() === 404)
-    } finally server.stop(0)
+    } finally ControlPlane.stop(server)
   }
 
   test("new training-data components execute through the registry end-to-end") {
@@ -496,5 +496,34 @@ class ControlPlaneSpec extends SparkTestBase {
     val ids = spark.read.parquet(out).select("doc_id")
       .collect().map(_.getLong(0)).sorted
     assert(ids.toSeq === Seq(3L))
+  }
+
+  test("POST /execution: 503 at saturation; stop() shuts the request pool down") {
+    import spark.implicits._
+    val reg = new ControlPlane.JobRegistry(spark)
+    val in = tmp("sat_in")
+    graft.io.CsvIO.write(Seq(("1", "x")).toDF("a", "b"), in, singleFile = true)
+    val job = reg.createJob(jobJson(in, tmp("sat_out")))
+    // zero execution permits = a permanently saturated gate, so the 503
+    // contract is pinned deterministically instead of racing real jobs
+    val server = ControlPlane.serve(reg, 0, None, maxConcurrentExecutions = 0)
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val client = HttpClient.newHttpClient()
+    def send(r: HttpRequest): HttpResponse[String] =
+      client.send(r, HttpResponse.BodyHandlers.ofString())
+    try {
+      val r = send(HttpRequest.newBuilder(URI.create(s"$base/execution/${job.id}"))
+        .POST(HttpRequest.BodyPublishers.ofString("")).build())
+      assert(r.statusCode() === 503)
+      assert(r.body().contains("saturated"))
+      // no execution record was minted for the rejected request
+      assert(reg.listExecutions(jobId = Some(job.id)).isEmpty)
+      // metadata routes keep answering while the execution gate is full
+      assert(send(HttpRequest.newBuilder(URI.create(s"$base/jobs")).GET().build())
+        .statusCode() === 200)
+    } finally ControlPlane.stop(server)
+    // the fix under test: HttpServer.stop alone leaks the pool threads
+    assert(server.getExecutor
+      .asInstanceOf[java.util.concurrent.ExecutorService].isShutdown)
   }
 }

@@ -81,6 +81,22 @@ class JobGraphSpec extends SparkTestBase {
     assert(e.getMessage.contains("missing required param 'filepath'"))
   }
 
+  test("validation: explicit JSON null for a required param is as absent as a missing key") {
+    // "filepath": null parsed to JNull, which the JNothing-only check
+    // let through — create/validate passed and the job still failed only
+    // at execute time after retry/backoff, the exact late-failure mode
+    // the required-param check exists to prevent
+    val e = intercept[IllegalArgumentException] {
+      JobGraph.validate(specOf(
+        s"""{ "name": "r", "comp_type": "read_csv", "filepath": null,
+           |  "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |  "out_port_schemas": { "out": $abSchema } }""".stripMargin,
+        s"""{ "name": "w", "comp_type": "write_csv", "filepath": "x",
+           |  "in_port_schemas": { "in": $abSchema } }""".stripMargin))
+    }
+    assert(e.getMessage.contains("missing required param 'filepath'"))
+  }
+
   test("validation: missing schema on a used port") {
     val e = intercept[IllegalArgumentException] {
       JobGraph.validate(specOf(

@@ -50,6 +50,24 @@ class CsvJsonIOSpec extends SparkTestBase {
     assert(CsvIO.read(spark, fresh).count() === 1)
   }
 
+  test("a swap crashed between renames self-heals on the next append instead of discarding data") {
+    import spark.implicits._
+    val out = tmp(s"csv_crashed_swap_${System.nanoTime()}")
+    CsvIO.write(Seq(("1", "a")).toDF("id", "v"), out, singleFile = true)
+    // simulate the one non-atomic window in writeSwapped: the JVM died
+    // after "move path aside to .__old" but before "move staging in" —
+    // the ONLY copy of the data now lives under .__old, path is absent
+    Files.move(Paths.get(out), Paths.get(out + ".__old"))
+    assert(!Files.exists(Paths.get(out)))
+    // the next append run used to see exists(path)=false, write fresh,
+    // and deleteRecursively(.__old) — silently discarding row 1
+    CsvIO.write(Seq(("2", "b")).toDF("id", "v"), out, singleFile = true, append = true)
+    val back = CsvIO.read(spark, out).orderBy(col("id")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq === Seq(("1", "a"), ("2", "b")))
+    assert(!Files.exists(Paths.get(out + ".__old"))) // healed, then cleaned
+  }
+
   test("CSV write flattens nested structs at the boundary") {
     val df = spark.range(1).select(struct(lit("x").as("a")).as("o"))
     val out = tmp("csv_nested")
