@@ -107,11 +107,10 @@ object Streaming {
    *    STATE FORMAT NOTE: the state key is Dedup.exactKeyString, whose
    *    encoding changed when the null/blank-merge bug was fixed (null →
    *    U+0000 sentinel, real keys U+0001-prefixed; previously the raw
-   *    key with null → ""). A query restarted against a checkpoint
-   *    written by the old encoding misses every persisted key and
-   *    re-emits one already-emitted survivor per old key — on upgrade,
-   *    start a fresh checkpoint (the correctness fix cannot honor state
-   *    recorded under the merged-null-and-blank keying).
+   *    key with null → ""). A checkpoint written under the old (v1)
+   *    encoding cannot be honored — and that is now ENFORCED, not a doc
+   *    note: see [[FirstSeenStateVersion]]. On upgrade, start a fresh
+   *    checkpoint.
    */
   def streamingExactDedup(docs: DataFrame, textCol: String,
                           watermarkDur: String = "1 hour"): DataFrame = {
@@ -128,6 +127,26 @@ object Streaming {
       .drop("__key")
   }
 
+  /** Key-format version stored as [[streamingFirstSeen]]'s state VALUE.
+    * The version is machine-checked on resume, two layers deep:
+    *
+    *  - v1 → v2 (the exactKeyString null/blank-merge fix): v1 kept
+    *    Boolean state; v2 deliberately changed the state type to Int so
+    *    Spark's state-schema compatibility check (on by default,
+    *    spark.sql.streaming.stateStore.stateSchemaCheck) ABORTS a v1
+    *    checkpoint's resume at its first stateful batch — loud failure
+    *    instead of silently missing every persisted key and re-emitting
+    *    one already-emitted survivor per old key.
+    *  - any future key-encoding change bumps this constant: resumed
+    *    state carrying an older version trips the IllegalStateException
+    *    in the group function (the state TYPE alone can't tell two Int
+    *    versions apart).
+    *
+    * Pinned by StreamingSpec "a v1-format checkpoint fails the resumed
+    * query loudly" against a checkpoint genuinely written by a v1
+    * replica. */
+  val FirstSeenStateVersion: Int = 2
+
   def streamingFirstSeen(docs: Dataset[Doc]): Dataset[Doc] = {
     import docs.sparkSession.implicits._
     // key function instance, not the bare exactKeyString: the ICU flag
@@ -136,10 +155,16 @@ object Streaming {
     docs
       .groupByKey(d => keyFn(d.text))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (_: String, batch: Iterator[Doc], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
+        (_: String, batch: Iterator[Doc], state: GroupState[Int]) =>
+          if (state.exists) {
+            if (state.get != FirstSeenStateVersion) throw new IllegalStateException(
+              s"streamingFirstSeen: resumed state was written under key-format " +
+                s"version ${state.get}; this build writes $FirstSeenStateVersion. " +
+                "Keys recorded under the old encoding cannot be honored — " +
+                "restart with a fresh checkpoint.")
+            Iterator.empty
+          } else {
+            state.update(FirstSeenStateVersion)
             // min doc_id in this batch = the batch operator's survivor rule
             Iterator.single(batch.minBy(_.doc_id))
           }

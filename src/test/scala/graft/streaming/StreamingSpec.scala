@@ -176,4 +176,82 @@ class StreamingSpec extends SparkTestBase {
       assert(ids.toSeq === batchSurvivors.toSeq) // null and blank: one survivor EACH
     } finally q.stop()
   }
+
+  // ------------------------------------------------- state-format versioning
+
+  private def fsTmp(name: String): String = {
+    val d = java.nio.file.Paths.get("target", "test-tmp", "streaming",
+      s"$name-${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
+  /** One AvailableNow pass of `q` writing parquet to out with the given
+    * checkpoint; returns after the query terminates (or throws). */
+  private def runOnce(q: org.apache.spark.sql.Dataset[Doc],
+                      ckpt: String, out: String): Unit = {
+    val sq = q.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try sq.awaitTermination() finally if (sq.isActive) sq.stop()
+  }
+
+  test("streamingFirstSeen state survives a query RESTART: v2 checkpoint resumes and dedups") {
+    import spark.implicits._
+    val in = fsTmp("fs_restart_in"); val ckpt = fsTmp("fs_restart_ckpt")
+    val out = fsTmp("fs_restart_out")
+    def stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .parquet(in).as[Doc]
+    Seq(Doc(1L, ts(1), "The quick brown fox"), Doc(3L, ts(2), "Something else"))
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    runOnce(streamingFirstSeen(stream), ckpt, out)
+    // second PROCESS (not trigger): duplicates of 1 plus one new doc
+    Seq(Doc(4L, ts(3), "the quick brown fox"), Doc(5L, ts(4), "brand new text"))
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    runOnce(streamingFirstSeen(stream), ckpt, out)
+    val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("doc_id")).sorted
+    // 4 deduped by state RESTORED from the checkpoint, not in-memory state
+    assert(ids.toSeq === Seq(1L, 3L, 5L))
+  }
+
+  test("a v1-format checkpoint fails the resumed query loudly instead of silently re-emitting") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val in = fsTmp("fs_v1_in"); val ckpt = fsTmp("fs_v1_ckpt")
+    val out = fsTmp("fs_v1_out")
+    def stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+      .parquet(in).as[Doc]
+    // the v1 implementation, replicated byte-for-byte in state terms:
+    // raw exactKey strings with null -> "" (no sentinel prefix) and a
+    // BOOLEAN state value — what pre-fix checkpoints actually contain
+    def v1FirstSeen(docs: org.apache.spark.sql.Dataset[Doc]) = docs
+      .groupByKey(d => if (d.text == null) ""
+        else graft.functions.CollapseWs.normalizeString(d.text))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[Doc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(batch.minBy(_.doc_id)) }
+      }
+    Seq(Doc(1L, ts(1), "The quick brown fox"), Doc(3L, ts(2), "Something else"))
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    runOnce(v1FirstSeen(stream), ckpt, out)
+    assert(spark.read.parquet(out).count() === 2) // v1 checkpoint now populated
+    // resuming the CURRENT operator on that checkpoint must abort at the
+    // first stateful batch (Boolean vs Int state schema), not run to
+    // completion silently missing every persisted key
+    Seq(Doc(4L, ts(3), "the quick brown fox")) // dup v1 would re-emit silently
+      .toDS().coalesce(1).write.mode("append").parquet(in)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(streamingFirstSeen(stream), ckpt, out)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    val msgs = chain(e).mkString(" | ").toLowerCase
+    assert(msgs.contains("state") && (msgs.contains("schema") || msgs.contains("compatible")),
+      s"expected a state-schema incompatibility, got: $msgs")
+    // and nothing was appended by the aborted run
+    assert(spark.read.parquet(out).count() === 2)
+  }
 }
