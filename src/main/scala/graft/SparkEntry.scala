@@ -2177,9 +2177,16 @@ object SparkEntry {
     * because every true near-dup pair sits far from the threshold; a
     * regenerated corpus with a pair at jaccard ~= 0.6 could be missed by
     * all 16 bands with probability ~(1-0.6^2)^16 ~= 0.08% and fail this
-    * gate with NO code change. If that ever fires, the diagnosis is LSH
-    * recall, not a bug — q_dedup_ngram pins the same semantics with a
-    * deterministic (recall-free) candidate set. */
+    * gate with NO code change. That hazard is now MACHINE-CHECKED:
+    * FixtureGuardSpec recomputes the exact all-pairs set over the sf0.01
+    * corpus each suite run and asserts (1) the banded pair set equals it
+    * and (2) no pair sits within ±0.05 of the threshold — a regeneration
+    * that breaks either fails at suite time with the cause named instead
+    * of as a mystery gate hash mismatch. If the driver gate alone fires,
+    * the diagnosis is LSH recall, not a Jaccard bug — q_dedup_ngram pins
+    * the same semantics with a deterministic (recall-free) candidate
+    * set. (dedup_embedding has the same guard; dedup_simhash needs none —
+    * pigeonhole makes its block-join recall exactly 1.) */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(table(s, dir, "documents"), "text", "doc_id",
       shingleN = 5, k = 32, bands = 16, threshold = 0.6)
