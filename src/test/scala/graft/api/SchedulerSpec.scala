@@ -142,9 +142,12 @@ class SchedulerSpec extends SparkTestBase {
     graft.io.CsvIO.write(Seq("1").toDF("a"), in, singleFile = true)
     val fast = reg.createJob(smallJob(in, tmp("worker_out")))
     // a job that FAILS with a retry budget: each retry sleeps the constant
-    // 1s backoff, so the execution occupies its worker for >= 8 s
+    // 1s backoff, so the execution occupies its worker for >= 3 s — two
+    // orders more than the 300 ms fast-fire cadence needs (was 8 retries;
+    // the starvation proof below depends only on fire START times, so the
+    // extra 5 s bought nothing but suite wall)
     val slow = reg.createJob(
-      s"""{ "name": "slowjob", "num_of_retries": 8, "components": [
+      s"""{ "name": "slowjob", "num_of_retries": 3, "components": [
          |  { "name": "r", "comp_type": "read_csv",
          |    "filepath": "${tmp("missing_nope")}",
          |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
@@ -158,19 +161,26 @@ class SchedulerSpec extends SparkTestBase {
       sched.scheduleOnce(slow.id, delayMs = 10)
       Thread.sleep(300) // slow fire is now deep in its retry loop
       sched.scheduleInterval(fast.id, everyMs = 300)
-      val deadline = System.currentTimeMillis() + 20000
-      while (reg.listExecutions(jobId = Some(fast.id)).size < 2 &&
-             System.currentTimeMillis() < deadline) Thread.sleep(100)
-      // the fast schedule fired (twice) WHILE the slow execution was still
-      // occupying its worker — with fires on the timer thread this blocks
-      assert(reg.listExecutions(jobId = Some(fast.id)).size >= 2)
-      assert(reg.listExecutions(jobId = Some(slow.id)).isEmpty,
-        "slow job should still be retrying while fast fires land")
-      // and the slow execution does eventually complete, as FAILED
+      // the slow execution completes, as FAILED, after its retry budget
       val slowDeadline = System.currentTimeMillis() + 30000
       while (reg.listExecutions(jobId = Some(slow.id)).isEmpty &&
-             System.currentTimeMillis() < slowDeadline) Thread.sleep(200)
-      assert(reg.listExecutions(jobId = Some(slow.id)).head.status === "FAILED")
+             System.currentTimeMillis() < slowDeadline) Thread.sleep(100)
+      val slowRec = reg.listExecutions(jobId = Some(slow.id)).head
+      assert(slowRec.status === "FAILED")
+      val slowEnd = slowRec.startedAtMs + slowRec.wallMs
+      // post-hoc, race-free starvation proof: >= 2 fast executions
+      // STARTED while the slow execution occupied its worker (execution
+      // records land on completion, so poll for stragglers). With fires
+      // on the timer thread every fast START would be blocked past
+      // slowEnd; start times don't depend on how long the fast job RUNS,
+      // which is what made the old live-poll form need 8 s of occupancy.
+      def startedDuringSlow = reg.listExecutions(jobId = Some(fast.id))
+        .count(_.startedAtMs < slowEnd)
+      val fastDeadline = System.currentTimeMillis() + 20000
+      while (startedDuringSlow < 2 &&
+             System.currentTimeMillis() < fastDeadline) Thread.sleep(100)
+      assert(startedDuringSlow >= 2,
+        "no concurrent fast fires: schedule fires are starving behind the slow job")
     } finally sched.shutdown()
   }
 

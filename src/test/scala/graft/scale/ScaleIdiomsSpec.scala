@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
 class ScaleIdiomsSpec extends SparkTestBase {
   import spark.implicits._
 
+  // TIMING NOTE (r20 gate-wall audit): this test tops the COVERAGE.md
+  // slow-test table (~9-13 s) ONLY because this suite happens to run
+  // first in the forked test JVM, so the first `spark` touch pays the
+  // one-time SparkSession + first-job codegen warmup (~8 s). The body
+  // itself is sub-second warm (the plan-shape twin below runs in ~60 ms)
+  // — shrinking the 10k-row fixture would not move the number, and the
+  // constant lands on whichever suite runs first if this one changes.
   test("saltedAggregate equals direct aggregation on skewed data") {
     // 90% of rows on one key — the shape salting exists for
     val skewed = spark.range(10000).select(
