@@ -802,7 +802,8 @@ object Dedup {
    *
    * Measured scaling (tools/ScaleProbe `connectedComponents` stage,
    * length-512 chains — ~10 pointer-jump rounds, the hard multi-round
-   * case — local[32] / 96g driver, per-round split via ccProbed):
+   * case — local[32] / 96g driver, per-round split via ccProbed; r19
+   * numbers, join-form check):
    *
    *  | vertices | rounds | total    | step (label+ckpt) | check action |
    *  |----------|--------|----------|-------------------|--------------|
@@ -811,13 +812,27 @@ object Dedup {
    *  | 30M      | 10     | 690 s    | 494 s             | 138 s (22%)  |
    *
    * 10x vertices costs 7.2x time, 30x costs ~17x — sublinear, and round
-   * count stays O(log diameter) as designed. The changed-count action
-   * holds a stable ~20-22% share across scales, which fixes the
-   * `checkEvery` default at 1: checking every k-th round would save
-   * ~(1-1/k)·21% of wall but pay up to k-1 extra full rounds after
-   * actual convergence — a wash at 10 rounds and strictly worse on the
-   * 2-3-round near-clique graphs dedup actually produces. The knob
-   * stays exposed (`check_every` in the declarative component) for
+   * count stays O(log diameter) as designed.
+   *
+   * The ~20-22% changed-count share above motivated the r20 FUSED check
+   * (tools/CcCheckProbe, same chain fixture, interleaved join/fused/
+   * fused/join after a discarded warmup loop so drift cancels):
+   *
+   *  | variant          | total (2-run avg) | step        | check      |
+   *  |------------------|-------------------|-------------|------------|
+   *  | join-form check  | 30.3 s            | 21.6 s      | 6.6 s (24%)|
+   *  | fused check      | 25.6 s (1.18x)    | 22.8 s      | 1.0 s (4%) |
+   *
+   * Fused carries the round-entry label through the jump as `prev` and
+   * counts changed rows from the just-checkpointed blocks — no V-row
+   * join against the previous round. The extra long per row costs ~1 s
+   * of step and buys back ~5.6 s of check; fused is the default, and
+   * the join form survives only as ccProbed's comparison arm so the
+   * experiment stays reproducible. The residual ~4% check share also
+   * re-fixes the `checkEvery` default at 1 more firmly than before:
+   * skipping checks can now save at most ~4% of wall but still pays up
+   * to k-1 extra full rounds after actual convergence. The knob stays
+   * exposed (`check_every` in the declarative component) for
    * adversarially deep graphs where rounds >> k makes skipping pay.
    *
    * Output: (id, component), one row per distinct endpoint.
@@ -837,7 +852,8 @@ object Dedup {
   private[graft] def ccProbed(pairs: DataFrame, srcCol: String, dstCol: String,
                               maxIter: Int, checkEvery: Int,
                               probe: (Int, Double, Double, Long) => Unit,
-                              checkpointDir: String = ""): DataFrame = {
+                              checkpointDir: String = "",
+                              fusedCheck: Boolean = true): DataFrame = {
     require(checkEvery >= 1, s"connectedComponents: checkEvery must be >= 1, got $checkEvery")
     // checkpointDir swaps the per-round plan truncation from executor-
     // block localCheckpoint to RELIABLE checkpoint on that directory
@@ -869,8 +885,12 @@ object Dedup {
         .filter(col("src").isNotNull && col("dst").isNotNull &&
           col("src") =!= col("dst"))
         .distinct())
-    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+    // ckptFrame is the handle releaseCheckpoint needs (its plan must BE
+    // the LogicalRDD leaf, not a projection over it); labels is the
+    // 2-column view the algorithm reads
+    var ckptFrame = ckpt(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")))
+    var labels = ckptFrame
     var changed = 1L
     var it = 0
     // each round's labels live in executor storage via localCheckpoint;
@@ -883,16 +903,30 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")),
           Seq("dst"))
         .groupBy(col("src")).agg(min(col("dcomp")).as("nmin"))
+      // fusedCheck carries the round-entry label through the jump as
+      // `prev`, so the convergence check below is a scan-count of the
+      // just-checkpointed blocks instead of a V-row join against the
+      // previous round (measured 1.16x whole-loop at 1M vertices,
+      // tools/CcCheckProbe — see the class scaladoc table); the price is
+      // one extra long per row through the jump shuffle + checkpoint
+      val stepCols =
+        if (fusedCheck) Seq(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+        else Seq(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       val stepped = labels
         .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .select(stepCols: _*)
       // the jump: comp is itself a vertex id (labels only ever take
       // vertex-id values), so the inner self-join always finds its row
+      val jumpCols =
+        if (fusedCheck) Seq(col("id"), col("cc").as("comp"), col("prev"))
+        else Seq(col("id"), col("cc").as("comp"))
       val jumped = ckpt(stepped
         .join(stepped.select(col("id").as("comp"), col("comp").as("cc")),
           Seq("comp"))
-        .select(col("id"), col("cc").as("comp")))
+        .select(jumpCols: _*))
       val t1 = System.nanoTime()
       // checkEvery > 1 skips the convergence action on most rounds at
       // the cost of up to checkEvery-1 extra label rounds after actual
@@ -900,14 +934,18 @@ object Dedup {
       // non-convergence require below stays meaningful
       val check = (it + 1) % checkEvery == 0 || it + 1 >= maxIter
       if (check)
-        changed = jumped
-          .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-          .filter(col("comp") =!= col("prev")).count()
+        changed =
+          if (fusedCheck)
+            jumped.filter(col("comp") =!= col("prev")).count()
+          else jumped
+            .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+            .filter(col("comp") =!= col("prev")).count()
       val t2 = System.nanoTime()
       if (probe != null)
         probe(it, (t1 - t0) / 1e9, (t2 - t1) / 1e9, if (check) changed else -1L)
-      releaseCheckpoint(labels) // superseded round, count() done
-      labels = jumped
+      releaseCheckpoint(ckptFrame) // superseded round, count() done
+      ckptFrame = jumped
+      labels = if (fusedCheck) jumped.select(col("id"), col("comp")) else jumped
       it += 1
     }
     edges.unpersist(false) // consumed; don't wait for OpCaches.drain

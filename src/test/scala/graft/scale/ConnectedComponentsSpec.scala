@@ -54,6 +54,26 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(out.values.toSet === Set(1L))
   }
 
+  test("fused and join-form convergence checks produce the identical labeling") {
+    // the r20 fused check (prev carried through the jump, scan-count on
+    // the checkpointed blocks) must be observationally equal to the
+    // join-form it replaced — on a multi-component graph with genuine
+    // multi-round convergence so intermediate rounds actually differ
+    val edges = (1L until 30L).map(i => (i, i + 1)) ++
+      Seq((50L, 51L), (51L, 52L), (200L, 100L))
+    def viaProbed(fused: Boolean) =
+      Dedup.ccProbed(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+        maxIter = 25, checkEvery = 1, probe = null, fusedCheck = fused)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f = viaProbed(fused = true)
+    val j = viaProbed(fused = false)
+    assert(f === j)
+    assert(f === ufModel(edges))
+    // and the fused frame's prev column never leaks into the output
+    assert(Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .columns.toSeq === Seq("id", "component"))
+  }
+
   test("check_every > 1 converges to the identical labeling") {
     import spark.implicits._
     val edges = (1L until 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
