@@ -37,41 +37,100 @@ object JobConfig {
 
     private implicit val fmts: Formats = DefaultFormats
 
+    /** Loud wrong-type failure. Absent (JNothing) and explicit null
+      * (JNull) mean "not set" everywhere below — the reference's
+      * pydantic layer likewise treats omitted/None as default — but a
+      * PRESENT value of the wrong JSON type is a config error, not an
+      * absence: `"approx": "true"` silently running exact, or
+      * `"method": 5` silently running the default method, is user
+      * intent dropped on the floor (r20 audit; same lateness class as
+      * the JNull required-param fix). */
+    private def badType(key: String, want: String, got: JValue): Nothing =
+      throw new IllegalArgumentException(
+        s"component $name: param '$key' must be $want, got " +
+          JsonMethods.compact(JsonMethods.render(got)))
+
+    /** Param presence regardless of type (explicit null = absent, the
+      * same rule every accessor applies). The presence probe for
+      * mutual-exclusion checks — probing via a TYPED accessor would
+      * throw its wrong-type error before the exclusivity message. */
+    def has(key: String): Boolean = (params \ key) match {
+      case JNothing | JNull => false
+      case _                => true
+    }
     def str(key: String): Option[String] = (params \ key) match {
-      case JString(s) => Some(s)
-      case _          => None
+      case JString(s)        => Some(s)
+      case JNothing | JNull  => None
+      case other             => badType(key, "a string", other)
     }
     def reqStr(key: String): String = str(key).getOrElse(
       throw new IllegalArgumentException(s"component $name: missing '$key'"))
     def bool(key: String, default: Boolean): Boolean = (params \ key) match {
-      case JBool(b) => b
-      case _        => default
+      case JBool(b)          => b
+      // pydantic-lax string coercion, like the numeric accessors below
+      case JString(s) if s.equalsIgnoreCase("true")  => true
+      case JString(s) if s.equalsIgnoreCase("false") => false
+      case JNothing | JNull  => default
+      case other             => badType(key, """a boolean (or "true"/"false")""", other)
     }
     def int(key: String, default: Int): Int = intOpt(key).getOrElse(default)
     /** Present/absent distinction for params whose default is computed
-      * (e.g. LSH depth sized from a corpus count when not pinned). */
+      * (e.g. LSH depth sized from a corpus count when not pinned).
+      * Values beyond Int range fail loudly — `.toInt` would silently
+      * WRAP (`"cap": 3000000000` → a negative cap), the same silent
+      * 2^31 truncation class the Mongo skip fix closed in r19. Numeric
+      * STRINGS coerce like the reference's pydantic lax mode ("5" → 5);
+      * anything else present is a loud type error. */
     def intOpt(key: String): Option[Int] = (params \ key) match {
-      case JInt(i)  => Some(i.toInt)
-      case JLong(l) => Some(l.toInt)
-      case _        => None
+      case JInt(i) =>
+        if (i.isValidInt) Some(i.toInt)
+        else badType(key, "a 32-bit integer (-2^31..2^31-1)", JInt(i))
+      case JLong(l) =>
+        if (l >= Int.MinValue && l <= Int.MaxValue) Some(l.toInt)
+        else badType(key, "a 32-bit integer (-2^31..2^31-1)", JLong(l))
+      case JString(s) =>
+        s.toIntOption.map(Some(_))
+          .getOrElse(badType(key, "an integer", JString(s)))
+      case JNothing | JNull => None
+      case other            => badType(key, "an integer", other)
     }
     /** Full-range integer param (token budgets overflow Int at scale). */
     def longOpt(key: String): Option[Long] = (params \ key) match {
-      case JInt(i)  => Some(i.toLong)
-      case JLong(l) => Some(l)
-      case _        => None
+      case JInt(i) =>
+        if (i.isValidLong) Some(i.toLong)
+        else badType(key, "a 64-bit integer", JInt(i))
+      case JLong(l)         => Some(l)
+      case JString(s) =>
+        s.toLongOption.map(Some(_))
+          .getOrElse(badType(key, "an integer", JString(s)))
+      case JNothing | JNull => None
+      case other            => badType(key, "an integer", other)
     }
-    /** Numeric param accepting integer or float JSON (histogram bounds). */
+    /** Numeric param accepting integer or float JSON (histogram bounds)
+      * or a numeric string ("0.3" — pydantic lax coercion, and what the
+      * dedup threshold configs already use). */
     def doubleOpt(key: String): Option[Double] = (params \ key) match {
-      case JDouble(d)  => Some(d)
-      case JDecimal(d) => Some(d.toDouble)
-      case JInt(i)     => Some(i.toDouble)
-      case JLong(l)    => Some(l.toDouble)
-      case _           => None
+      case JDouble(d)       => Some(d)
+      case JDecimal(d)      => Some(d.toDouble)
+      case JInt(i)          => Some(i.toDouble)
+      case JLong(l)         => Some(l.toDouble)
+      case JString(s) =>
+        s.toDoubleOption.map(Some(_))
+          .getOrElse(badType(key, "a number", JString(s)))
+      case JNothing | JNull => None
+      case other            => badType(key, "a number", other)
     }
+    /** Column-name / option-name lists: every element must be a string —
+      * the old collect silently DROPPED non-string entries, so
+      * `"by": ["lang", 3]` grouped by lang alone and
+      * `"by": "lang"` (scalar, not list) grouped by nothing. */
     def strSeqParam(key: String): Seq[String] = (params \ key) match {
-      case JArray(items) => items.collect { case JString(s) => s }
-      case _             => Nil
+      case JArray(items) => items.map {
+        case JString(s) => s
+        case other      => badType(key, "an array of strings", other)
+      }
+      case JNothing | JNull => Nil
+      case other            => badType(key, "an array of strings", other)
     }
     /** Typed FLAT scalar list: keeps ints/doubles/bools as their own
       * types — `pivot_values: [2023, 2024]` through strSeqParam would
@@ -90,19 +149,29 @@ object JobConfig {
         case other => throw new IllegalArgumentException(
           s"component $name: '$key' entries must be flat scalars, got $other")
       }
-      case _ => Nil
+      case JNothing | JNull => Nil
+      case other            => badType(key, "an array of scalars", other)
     }
+    /** String-valued option maps (JDBC/Mongo reader options): a
+      * non-string value is rejected loudly — the old collect silently
+      * dropped it (`{"fetchsize": 1000}` simply vanished; write it as
+      * `"1000"`). */
     def strMapParam(key: String): Map[String, String] = (params \ key) match {
-      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
-      case _               => Map.empty
+      case JObject(fields) => fields.map {
+        case (k, JString(v)) => k -> v
+        case (k, other) => badType(s"$key.$k", "a string (quote numbers)", other)
+      }.toMap
+      case JNothing | JNull => Map.empty
+      case other            => badType(key, "an object of strings", other)
     }
     /** Typed scalar map: keeps ints/doubles/bools as their own types
       * instead of silently dropping non-string values (a `{"k": 42}`
       * filter through strMapParam matched nothing and returned an
       * unfiltered superset). Non-scalar values are rejected loudly. */
     def scalarMapParam(key: String): Map[String, Any] = (params \ key) match {
-      case JObject(fields) => fields.map { case (k, v) => k -> jsonScalar(v) }.toMap
-      case _               => Map.empty
+      case JObject(fields)  => fields.map { case (k, v) => k -> jsonScalar(v) }.toMap
+      case JNothing | JNull => Map.empty
+      case other            => badType(key, "an object of scalars", other)
     }
   }
 

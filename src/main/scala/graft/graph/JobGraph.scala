@@ -759,8 +759,7 @@ object JobGraph {
       case "sample" =>
         c.str("rate_column") match {
           case Some(rc) =>
-            require(c.str("fraction").isEmpty && c.doubleOpt("fraction").isEmpty &&
-              c.str("strata_column").isEmpty,
+            require(!c.has("fraction") && !c.has("strata_column"),
               s"sample ${c.name}: rate_column is exclusive with " +
                 "fraction/strata_column — the row carries its own rate")
             (Map("out" -> RelationalOps.hashSampleWeighted(one(),
@@ -926,10 +925,9 @@ object JobGraph {
           case "minhash" =>
             val (sn, k, b) = (c.int("shingle_n", 5), c.int("num_hashes", 32),
               c.int("bands", 16))
-            // schema publishes threshold as a NUMBER — read numerics
-            // first, keep the string form for stringly-typed configs
-            val th = c.doubleOpt("threshold")
-              .orElse(c.str("threshold").map(_.toDouble)).getOrElse(0.6)
+            // doubleOpt itself coerces numeric strings (pydantic-lax),
+            // so the stringly-typed configs parse through one accessor
+            val th = c.doubleOpt("threshold").getOrElse(0.6)
             if (wantPairs)
               Dedup.minhashNearDups(base, textCol, idCol, sn, k, b, th)
             else Dedup.minhashDedup(base, textCol, idCol, sn, k, b, th)
@@ -939,14 +937,12 @@ object JobGraph {
             else Dedup.simhashDedup(base, textCol, idCol, mh)
           case "ngram" =>
             val (n, mdf) = (c.int("ngram_n", 3), c.int("max_df", 10000))
-            val th = c.doubleOpt("threshold")
-              .orElse(c.str("threshold").map(_.toDouble)).getOrElse(0.5)
+            val th = c.doubleOpt("threshold").getOrElse(0.5)
             if (wantPairs)
               Dedup.ngramJaccardPairs(base, textCol, idCol, n, th, mdf)
             else Dedup.ngramDedup(base, textCol, idCol, n, th, mdf)
           case "embedding" =>
-            val simThreshold = c.doubleOpt("sim_threshold")
-              .orElse(c.str("sim_threshold").map(_.toDouble)).getOrElse(0.95)
+            val simThreshold = c.doubleOpt("sim_threshold").getOrElse(0.95)
             // persist BEFORE the sizing count when r must be derived —
             // otherwise the count() action and the dedup itself would
             // each materialize the full upstream DAG (released by

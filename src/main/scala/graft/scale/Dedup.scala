@@ -161,6 +161,12 @@ object Dedup {
    */
   def exact(df: DataFrame, textCol: String, idCol: String,
             keepBy: Seq[(String, Int)] = Nil): DataFrame = {
+    // withColumn silently OVERWRITES a same-named column and the final
+    // drop would then delete user data — the guard the rest of the
+    // temp-column family (AsofJoin, AggregateOp.windowed, stripHotLines,
+    // the streaming dedups) already carries
+    require(!df.columns.contains("__rn"),
+      "dedup exact: column name __rn is reserved internally")
     val order = keepBy.map { case (f, dir) =>
       if (dir >= 0) col(f).asc_nulls_last else col(f).desc_nulls_last } :+ col(idCol).asc
     val w = Window.partitionBy(exactKey(col(textCol))).orderBy(order: _*)

@@ -39,6 +39,11 @@ object Skew {
     require(unsupported.isEmpty,
       s"non-decomposable ops ${unsupported.map(_.op).distinct.mkString(",")}: " +
         "use AggregateOp directly")
+    // a user __salt column would be silently overwritten — and if it
+    // also appears in keys or an agg src, the result would be computed
+    // over the replacement instead of the user's data
+    require(!df.columns.contains("__salt"),
+      "salted aggregation: column name __salt is reserved internally")
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
     // phase 1: partial aggregate on (keys, salt)

@@ -324,6 +324,11 @@ object TextAnalysis {
   def repetitionStats(df: DataFrame, textCol: String = "text",
                       n: Int = 2): DataFrame = {
     require(n >= 1, s"repetitionStats: n must be >= 1, got $n")
+    // the temp struct is dropped at the end — a user __rep column would
+    // be silently destroyed (the stat OUTPUT columns by contrast are
+    // recompute-overwrite by contract, like analyze()'s)
+    require(!df.columns.contains("__rep"),
+      "repetition stats: column name __rep is reserved internally")
     val t = col(textCol)
     val norm = Dedup.exactKey(t)
     val st = graft.functions.TopGramStats.stats(split(norm, " "), n)

@@ -224,8 +224,7 @@ object StreamingJobs {
         case "sample" =>
           c.str("rate_column") match {
             case Some(rc) =>
-              require(c.str("fraction").isEmpty && c.doubleOpt("fraction").isEmpty &&
-                c.str("strata_column").isEmpty,
+              require(!c.has("fraction") && !c.has("strata_column"),
                 s"sample ${c.name}: rate_column is exclusive with " +
                   "fraction/strata_column — the row carries its own rate")
               Map("out" -> RelationalOps.hashSampleWeighted(one(c),

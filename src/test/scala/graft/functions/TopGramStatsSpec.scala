@@ -91,6 +91,14 @@ class TopGramStatsSpec extends SparkTestBase {
       s"repetition signals must not shuffle:\n$plan")
   }
 
+  test("repetitionStats refuses a user __rep column instead of silently dropping it") {
+    val df = Seq((1L, "a a a", "keep me")).toDF("doc_id", "text", "__rep")
+    val e = intercept[IllegalArgumentException] {
+      graft.scale.TextAnalysis.repetitionStats(df, "text")
+    }
+    assert(e.getMessage.contains("__rep"))
+  }
+
   test("dupLineFraction: duplicates, blanks dropped, empty text") {
     val df = Seq(
       (1, "a\nb\na\n\n  \nb"),  // lines a,b,a,b → 4 total, 2 distinct

@@ -20,6 +20,14 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(survivors.toSeq === Seq(1L, 2L, 4L, 5L)) // 3 collapses into 1
   }
 
+  test("exact dedup refuses a user __rn column instead of silently dropping it") {
+    val withRn = docs.withColumn("__rn", col("doc_id") * 10)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exact(withRn, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("__rn"))
+  }
+
   test("exactKey kernel is byte-identical to the regex form it replaced") {
     // the corpus fixture plus every trim/collapse quirk the regex form
     // has: space-only trim (a leading tab collapses to a LEADING

@@ -78,6 +78,14 @@ class ScaleIdiomsSpec extends SparkTestBase {
     }
   }
 
+  test("saltedAggregate refuses a user __salt column instead of silently replacing it") {
+    val df = Seq(("a", 1.0, 7)).toDF("g", "v", "__salt")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(df, Seq("g"), Seq(AggSpec("v", "sum", "s")))
+    }
+    assert(e.getMessage.contains("__salt"))
+  }
+
   test("chained dimension joins broadcast both small sides (no shuffle exchange)") {
     // the q_job_join3 shape: fact ⋈ dim ⋈ dim through the SAME joinMode
     // fold the declarative job dispatches to — both dimension sides must
