@@ -10,15 +10,23 @@ import org.json4s.jackson.JsonMethods
   * they never count as regressions).
   *
   * Accepts both shapes a round produces:
-  *   - BENCH_LOCAL.json / BENCH_FILTERED.json (graft.Bench output): the
-  *     full object with a "queries" map of per-query median seconds;
+  *   - BENCH_CLOSING_r{N}.json / BENCH_LOCAL.json / BENCH_FILTERED.json
+  *     (graft.Bench output): the full object with a "queries" map of
+  *     per-query median seconds;
   *   - the driver's BENCH_r{N}.json: no per-query map, only a ~2000-char
   *     "tail" of the bench stdout — the per-query pairs still inside the
   *     tail are recovered by scanning `"name":seconds` pairs (spread
   *     arrays and headline scalars don't match), and the diff is marked
   *     PARTIAL with the recovered count.
   *
-  * Run: sbt "runMain graft.tools.BenchDiff BENCH_r17.json BENCH_LOCAL.json"
+  * The DEFAULT full diff is closing-vs-closing: each round's gate
+  * commits its final full-suite bench as BENCH_CLOSING_r{N}.json
+  * (BENCH_LOCAL.json itself is gitignored, and the driver's tail keeps
+  * only ~69/174 queries — before r20 the six most expensive queries
+  * were invisible to cross-round comparison). BenchDiffSpec pins the
+  * committed closing artifacts full (non-PARTIAL) and diffable.
+  *
+  * Run: sbt "runMain graft.tools.BenchDiff BENCH_CLOSING_r20.json BENCH_LOCAL.json"
   */
 object BenchDiff {
 

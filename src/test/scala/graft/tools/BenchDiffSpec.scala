@@ -99,4 +99,31 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(rep.rows.nonEmpty)
     assert(rep.rows.forall(r => r.prev > 0 && r.cur > 0))
   }
+
+  test("committed closing benches are FULL per-query maps and pair as the default diff") {
+    // From r20 the closing gate commits BENCH_CLOSING_r{N}.json — the
+    // full graft.Bench object — because BENCH_LOCAL.json is gitignored
+    // and the driver tail keeps only ~69/174 queries (the six most
+    // expensive were invisible to cross-round BenchDiff). This pins the
+    // contract: every committed closing artifact parses as a full
+    // (non-PARTIAL) map covering the whole suite, and the latest two
+    // (when two rounds have run) diff cleanly as closing-vs-closing.
+    val closings = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("BENCH_CLOSING_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+    assert(closings.nonEmpty,
+      "no BENCH_CLOSING_r*.json committed — the closing gate must " +
+        "preserve the full per-query bench (VERDICT r19 #3)")
+    val parsed = closings.map { f =>
+      val (q, partial) = BenchDiff.queriesOf(JsonMethods.parse(f))
+      assert(!partial, s"${f.getName} must carry the full queries map")
+      assert(q.size >= 150, s"${f.getName}: only ${q.size} queries — not a full suite run")
+      f.getName -> q
+    }
+    if (parsed.length >= 2) {
+      val Array((_, p2), (_, c2)) = parsed.takeRight(2)
+      val rep = BenchDiff.diff(p2, c2)
+      assert(rep.rows.size >= 150) // full overlap, not a tail remnant
+    }
+  }
 }
