@@ -386,7 +386,14 @@ object ControlPlane {
     // request burst would queue Spark jobs without limit or rejection.
     // Saturation answers 503 immediately instead; the gate is sized
     // below the pool (6 < 8) so metadata routes keep two threads even
-    // while every execution slot is busy.
+    // while every execution slot is busy. The bound is ENFORCED, not
+    // advisory: a permit count above pool-2 would let executions occupy
+    // every pool thread and starve the metadata routes the gate exists
+    // to protect (0 is legal — a deliberately saturated gate, used by
+    // the 503-contract spec).
+    require(maxConcurrentExecutions >= 0 && maxConcurrentExecutions <= 6,
+      s"serve: maxConcurrentExecutions must be in [0, 6] (pool is 8 " +
+        s"threads, 2 reserved for metadata routes), got $maxConcurrentExecutions")
     val execGate = new java.util.concurrent.Semaphore(maxConcurrentExecutions)
 
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -601,10 +608,13 @@ object ControlPlane {
   /** Stop a serve()d server AND its request pool: HttpServer.stop does
     * not shut down a custom executor, so without this every serve/stop
     * cycle leaks eight (daemon) pool threads for the JVM's lifetime.
-    * shutdown(), not shutdownNow(): stop(delaySeconds) has already
-    * drained in-flight exchanges up to the delay, and interrupting a
-    * straggling Spark job mid-write trades a leaked thread for a
-    * half-written sink. */
+    * The default delaySeconds=0 is an IMMEDIATE stop — open connections
+    * are severed and an in-flight response may be lost; pass a nonzero
+    * delay to let HttpServer.stop drain in-flight exchanges first.
+    * shutdown(), not shutdownNow(), either way: handler tasks already
+    * running are left to finish — interrupting a straggling Spark job
+    * mid-write would trade a (daemon) pool thread for a half-written
+    * sink. */
   def stop(server: HttpServer, delaySeconds: Int = 0): Unit = {
     server.stop(delaySeconds)
     server.getExecutor match {

@@ -20,13 +20,25 @@ private[io] object IOSwap {
     * Without this, the next append run sees exists(path)=false, writes
     * fresh, and its writeSwapped preamble deletes `.__old` — silently
     * discarding the previous output. Restoring `.__old` to `path` first
-    * turns that into a normal append over the recovered data. Only the
-    * path-absent case is a crashed swap: if `path` exists, `.__old` is
-    * just an interrupted cleanup of superseded data and stays deletable. */
+    * turns that into a normal append over the recovered data.
+    *
+    * The recover condition is the EXACT crash-window signature — path
+    * absent AND `.__old` present AND `.__staging` present (the staged
+    * write completed before any rename, so a mid-swap crash always
+    * leaves all of staging+old) — not merely "path absent + old
+    * present". The looser test would RESURRECT superseded data: a crash
+    * in the post-swap cleanup window leaves a stale `.__old` next to a
+    * live `path`, and if `path` is later removed by anything else (an
+    * out-of-band delete, an interrupted non-append overwrite), restoring
+    * that stale copy would silently revive rows the successful swap had
+    * already replaced. In that ambiguous state the stale `.__old` stays
+    * deletable and the next write starts fresh, as before the fix. */
   private[io] def recoverCrashedSwap(path: String): Unit = {
     val p = Paths.get(path)
     val old = Paths.get(path + ".__old")
-    if (!Files.exists(p) && Files.exists(old)) Files.move(old, p)
+    val staging = Paths.get(path + ".__staging")
+    if (!Files.exists(p) && Files.exists(old) && Files.exists(staging))
+      Files.move(old, p)
   }
 
   private[io] def deleteRecursively(p: Path): Unit =

@@ -912,7 +912,7 @@ object Dedup {
       // fusedCheck carries the round-entry label through the jump as
       // `prev`, so the convergence check below is a scan-count of the
       // just-checkpointed blocks instead of a V-row join against the
-      // previous round (measured 1.16x whole-loop at 1M vertices,
+      // previous round (measured 1.18x whole-loop at 1M vertices,
       // tools/CcCheckProbe — see the class scaladoc table); the price is
       // one extra long per row through the jump shuffle + checkpoint
       val stepCols =

@@ -56,8 +56,12 @@ object CcCheckProbe {
     val b1 = run("fused", fused = true)
     val b2 = run("fused", fused = true)
     val a2 = run("join-check", fused = false)
+    // 2-run arithmetic MEANS, labeled as such: with n=2 a mean and a
+    // median coincide numerically but a "median" label would promise an
+    // outlier robustness two samples cannot have — cross-check the two
+    // runs' spread before trusting the ratio
     val aTot = (a1._1 + a2._1) / 2; val bTot = (b1._1 + b2._1) / 2
-    println(f"paired medians: join-check=$aTot%.2f s fused=$bTot%.2f s " +
+    println(f"paired 2-run means: join-check=$aTot%.2f s fused=$bTot%.2f s " +
       f"ratio=${aTot / bTot}%.2fx (fused wins if > 1)")
     spark.stop()
   }

@@ -156,7 +156,12 @@ class SchedulerSpec extends SparkTestBase {
          |  { "name": "w", "comp_type": "write_csv", "filepath": "${tmp("slow_out")}",
          |    "in_port_schemas": { "in": { "fields": [
          |      { "name": "a", "data_type": "string" } ] } } } ] }""".stripMargin)
-    val sched = new Scheduler(reg)
+    // 4 workers, not the default 2: with one worker held by the slow
+    // job, fast fires must not SERIALIZE on the single remaining worker
+    // — under load a ~2.6s fast Spark run would push the second start
+    // past slowEnd and flake the proof. With spare workers, start times
+    // depend only on the timer cadence, which is the property under test.
+    val sched = new Scheduler(reg, workerThreads = 4)
     try {
       sched.scheduleOnce(slow.id, delayMs = 10)
       Thread.sleep(300) // slow fire is now deep in its retry loop

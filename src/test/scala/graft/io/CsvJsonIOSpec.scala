@@ -56,8 +56,11 @@ class CsvJsonIOSpec extends SparkTestBase {
     CsvIO.write(Seq(("1", "a")).toDF("id", "v"), out, singleFile = true)
     // simulate the one non-atomic window in writeSwapped: the JVM died
     // after "move path aside to .__old" but before "move staging in" —
-    // the ONLY copy of the data now lives under .__old, path is absent
+    // the ONLY copy of the data now lives under .__old, path is absent,
+    // and the completed staged write is still on disk (a mid-swap crash
+    // always leaves staging: the renames only start after write(staging))
     Files.move(Paths.get(out), Paths.get(out + ".__old"))
+    Files.createDirectories(Paths.get(out + ".__staging"))
     assert(!Files.exists(Paths.get(out)))
     // the next append run used to see exists(path)=false, write fresh,
     // and deleteRecursively(.__old) — silently discarding row 1
@@ -66,6 +69,22 @@ class CsvJsonIOSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1)))
     assert(back.toSeq === Seq(("1", "a"), ("2", "b")))
     assert(!Files.exists(Paths.get(out + ".__old"))) // healed, then cleaned
+  }
+
+  test("a stale .__old WITHOUT staging is not resurrected (superseded data stays dead)") {
+    import spark.implicits._
+    // a successful swap that crashed in its cleanup window leaves a STALE
+    // .__old; if the live output is later removed out-of-band, the next
+    // append must NOT revive the superseded rows — path-absent+old-present
+    // alone is ambiguous, and only the full crash signature (staging too)
+    // is safe to heal
+    val out = tmp(s"csv_stale_old_${System.nanoTime()}")
+    CsvIO.write(Seq(("0", "stale")).toDF("id", "v"), out, singleFile = true)
+    Files.move(Paths.get(out), Paths.get(out + ".__old")) // stale copy
+    // (no .__staging: this is not a mid-swap crash state)
+    CsvIO.write(Seq(("2", "b")).toDF("id", "v"), out, singleFile = true, append = true)
+    val back = CsvIO.read(spark, out).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq === Seq(("2", "b"))) // fresh write, no resurrection
   }
 
   test("CSV write flattens nested structs at the boundary") {
