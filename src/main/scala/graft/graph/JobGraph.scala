@@ -98,8 +98,12 @@ object JobGraph {
       * registered during this job's construction or run — without this a
       * long-lived Scheduler/ControlPlane process accumulates them forever. */
     def close(): Unit = {
+      // ONLY this job's handles: the fold's inserts plus the operator
+      // persists captured by build()'s OpCaches scope. The pre-r20
+      // OpCaches.drain() here was global and could release a
+      // concurrently-running job's signature tables mid-run on the
+      // shared session (see OpCaches scaladoc).
       cached.foreach(_.unpersist())
-      graft.scale.OpCaches.drain()
     }
   }
 
@@ -138,6 +142,16 @@ object JobGraph {
       val dups = spec.components.groupBy(_.name).filter(_._2.size > 1).keys
       s"duplicate component names: ${dups.mkString(", ")}"
     })
+    // unknown comp_type rejected FIRST — a typo ('text_normalise') used
+    // to sail through (outPorts/inPorts have defaults, requiredParams
+    // yields Nil for unknown keys) and only die at execute time after
+    // spending every retry attempt and backoff; it must also precede the
+    // port checks below, whose default-port complaints would mask the
+    // real problem
+    for (c <- spec.components)
+      require(JobGraph.requiredParams.contains(c.compType),
+        s"component ${c.name}: unknown comp_type '${c.compType}' " +
+          "(GET /schemas lists the registry)")
     // routes point at known components and known in-ports
     for (c <- spec.components; (port, dsts) <- c.routes; d <- dsts) {
       val target = byName.getOrElse(d.to, throw new IllegalArgumentException(
@@ -243,23 +257,73 @@ object JobGraph {
     val sinks = scala.collection.mutable.ListBuffer.empty[(String, () => Unit)]
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
+    // OpCaches scope: operator-internal persists (dedup/similarity
+    // signature tables) registered while THIS build constructs plans
+    // become this job's own handles — released by close(), never by a
+    // concurrent job. The scope also releases them if the fold throws;
+    // the catch below does the same for the fold's OWN inserts (a
+    // malformed component downstream of a persist used to leak the
+    // handle on every retry attempt of a long-lived process).
+    val (_, opHandles) = graft.scale.OpCaches.scoped {
+      try buildFold(spark, spec, order, validateData, instrumentTag,
+        frames, inputs, sinks, cached)
+      catch {
+        case t: Throwable =>
+          cached.foreach(_.unpersist(false))
+          throw t
+      }
+    }
+    BuiltJob(frames.toMap, sinks.toSeq, cached.toSeq ++ opHandles)
+  }
+
+  private def buildFold(spark: SparkSession, spec: JobSpec,
+                        order: Seq[ComponentSpec],
+                        validateData: Boolean,
+                        instrumentTag: Option[String],
+                        frames: scala.collection.mutable.Map[(String, String), DataFrame],
+                        inputs: scala.collection.mutable.Map[(String, String), Vector[DataFrame]],
+                        sinks: scala.collection.mutable.ListBuffer[(String, () => Unit)],
+                        cached: scala.collection.mutable.ListBuffer[DataFrame]): Unit = {
+    // frames whose content is already backed by a persist (the fan-out
+    // rule below) — the multi-output input persist must not cache the
+    // same rows a second time through the observe wrapper
+    val backedByCache = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
     for (c <- order) {
       val inByPort: Map[String, Seq[DataFrame]] =
         inPorts(c).map(p => p.name -> inputs.getOrElse((c.name, p.name), Vector.empty).toSeq)
           .filter(_._2.nonEmpty).toMap
 
-      // cache the shared input of a multi-output component (filter's
-      // pass+fail, split's tee) so each consumed port does not rescan
+      // cache the shared inputs of a multi-output component (filter's
+      // pass+fail, split's tee, a join fanning out) so each consumed
+      // port does not rescan them — ALL inputs, not only the
+      // single-input case (a two-input join with two routed outs
+      // re-scanned both sides per out action); inputs already backed by
+      // the fan-out persist below are skipped, not double-cached
       val routedOut = c.routes.count(_._2.nonEmpty)
       val cachedIn: Map[String, Seq[DataFrame]] =
-        if (routedOut > 1 && inByPort.values.flatten.size == 1) {
+        if (routedOut > 1) {
           inByPort.map { case (p, dfs) =>
-            p -> dfs.map { df => val h = df.persist(); cached += h; h }
+            p -> dfs.map { df =>
+              if (backedByCache.contains(df)) df
+              else { val h = df.persist(); cached += h; h }
+            }
           }
         } else inByPort
 
       val (outs, sink) = runComponent(spark, c, cachedIn, spec.components)
       sink.foreach(a => sinks += ((c.name, a)))
+
+      // every routed port must actually be produced in this component's
+      // configuration: a route from a port runComponent never emits used
+      // to be SILENTLY dropped — a merge downstream simply unioned fewer
+      // inputs (silent data loss) or a single-edge consumer died later
+      // with a misleading 'no input on port' error
+      for ((port, dsts) <- c.routes if dsts.nonEmpty)
+        require(outs.contains(port),
+          s"component ${c.name} (${c.compType}): route from out port " +
+            s"'$port', which this configuration does not produce " +
+            s"(produced: ${outs.keys.mkString(", ")})")
 
       for ((port, df) <- outs) {
         val edges = c.routes.getOrElse(port, Nil)
@@ -291,12 +355,15 @@ object JobGraph {
                 count(lit(1)).as("rows"))
             case None => shared
           }
+          // an observe() wrapper over a persisted frame scans the cache;
+          // mark it so the consumer's multi-output input persist doesn't
+          // cache identical content a second time
+          if (edges.size > 1) backedByCache.add(wired)
           inputs((e.to, e.inPort)) =
             inputs.getOrElse((e.to, e.inPort), Vector.empty) :+ wired
         }
       }
     }
-    BuiltJob(frames.toMap, sinks.toSeq, cached.toSeq)
   }
 
   /** Dry-run plan inspection: build the whole DAG — config parsing,
@@ -495,11 +562,19 @@ object JobGraph {
         // bounds read FULL-RANGE: bigint PK ranges are the main use
         // case for partitioned reads, and intOpt's JLong(l).toInt
         // would silently wrap a 3e9 upper_bound negative
-        val partition = c.str("partition_column").map(pc =>
-          JdbcIO.PartitionSpec(pc,
-            c.longOpt("lower_bound").getOrElse(0L),
-            c.longOpt("upper_bound").getOrElse(1L),
-            c.int("num_partitions", 4)))
+        val partition = c.str("partition_column").map { pc =>
+          // bounds are REQUIRED with partition_column: the old 0/1
+          // default made Spark clamp numPartitions to upper-lower = 1,
+          // silently collapsing the read the user explicitly asked to
+          // parallelize into one sequential connection
+          def bound(k: String): Long = c.longOpt(k).getOrElse(
+            throw new IllegalArgumentException(
+              s"${c.name}: partition_column needs explicit " +
+                "lower_bound/upper_bound (without them the partitioned " +
+                s"read degrades to ONE partition); missing '$k'"))
+          JdbcIO.PartitionSpec(pc, bound("lower_bound"),
+            bound("upper_bound"), c.int("num_partitions", 4))
+        }
         val dialect = JdbcIO.Dialect.fromName(
           c.str("dialect").getOrElse(t.stripPrefix("read_") match {
             case "jdbc" => "derby"
@@ -549,6 +624,16 @@ object JobGraph {
         // opts into the reference's single-file indent-2 array format
         val format = c.str("format").getOrElse("ndjson")
         val append = c.bool("append", false)
+        // the append and array paths take neither knob — accepting them
+        // silently would drop the user's compression/layout request on
+        // the floor (the loud-exclusivity convention, like sample's
+        // rate_column). single_file with array is redundant but honest
+        // (the array format IS one file), so only gzip is rejected there.
+        require(!append || (!c.bool("gzip", false) && !c.bool("single_file", false)),
+          s"write_json ${c.name}: append is exclusive with gzip/single_file " +
+            "(the append path re-reads and rewrites the target in its own layout)")
+        require(format != "array" || !c.bool("gzip", false),
+          s"write_json ${c.name}: format=array does not support gzip")
         (Map("out" -> df), Some(() => format match {
           case "array" => JsonIO.writeArray(df, path, append)
           case "ndjson" if append => JsonIO.appendNdjson(df, path)
@@ -655,8 +740,11 @@ object JobGraph {
         require(table.matches("[A-Za-z0-9_]+"),
           s"read_table ${c.name}: table must be a bare identifier " +
             s"([A-Za-z0-9_]+), got '$table'")
+        // equalsIgnoreCase: Spark's catalog resolves table names
+        // case-insensitively under the default caseSensitive=false, so
+        // 'Events' staged here WOULD be the table 'events' binds to
         val stagedHere = allSpecs.exists(o => o.compType == "write_bucketed" &&
-          o.str("table").contains(table))
+          o.str("table").exists(_.equalsIgnoreCase(table)))
         require(!stagedHere,
           s"read_table ${c.name}: table '$table' is written by a " +
             "write_bucketed component in this SAME job — read_table binds " +
@@ -1305,8 +1393,11 @@ object JobGraph {
               require(qRows.length == 1,
                 s"similarity ${c.name}: the query port must carry exactly " +
                   s"one row (or carry a '$qidCol' column for batch probing)")
-              val vec = qRows(0).getSeq[Number](qRows(0).fieldIndex(qCol))
-                .map(_.floatValue).toSeq
+              val rawVec = qRows(0).getSeq[Number](qRows(0).fieldIndex(qCol))
+              require(rawVec != null,
+                s"similarity ${c.name}: the query row's '$qCol' vector is " +
+                  "NULL (an upstream left join with no match?)")
+              val vec = rawVec.map(_.floatValue).toSeq
               graft.scale.KMeans.searchBucketed(spark, c.reqStr("index_path"),
                 vecCol, c.str("id_column").getOrElse("id"), centroids, vec,
                 k, nprobe = nprobe)

@@ -464,6 +464,14 @@ object StreamingJobs {
           Map("out" -> df) // optional passthrough port, like the batch fold
         case other => throw new IllegalArgumentException(s"unreachable: $other")
       }
+      // same contract as the batch fold: a routed port the component does
+      // not produce in this configuration is a loud error, not a silently
+      // thinner merge downstream
+      for ((port, dsts) <- c.routes if dsts.nonEmpty)
+        require(outs.contains(port),
+          s"component ${c.name} (${c.compType}): route from out port " +
+            s"'$port', which this configuration does not produce " +
+            s"(produced: ${outs.keys.mkString(", ")})")
       // same structural contract as the batch fold, per produced port
       for ((port, df) <- outs) {
         val checked = c.outPortSchemas.get(port) match {

@@ -319,4 +319,184 @@ class JobGraphSpec extends SparkTestBase {
     }
     assert(e4.getMessage.contains("salt_factor"))
   }
+
+  // ------------------------------------------------ r20 review-gap pins
+
+  test("validation: a typo'd comp_type is rejected at validate time, not at execute") {
+    val e = intercept[IllegalArgumentException] {
+      JobGraph.validate(specOf(
+        s"""{ "name": "r", "comp_type": "text_normalise",
+           |  "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |  "out_port_schemas": { "out": $abSchema } }""".stripMargin,
+        s"""{ "name": "w", "comp_type": "write_csv", "filepath": "x",
+           |  "in_port_schemas": { "in": $abSchema } }""".stripMargin))
+    }
+    assert(e.getMessage.contains("unknown comp_type 'text_normalise'"))
+  }
+
+  test("build: a route from a port the component never produces is loud, not a thinner merge") {
+    // schema_mapping in map mode produces ONLY its rules_by_dest ports;
+    // routing the declared-but-unproduced extra port used to be silently
+    // dropped — a merge downstream just unioned fewer inputs
+    val in = writeCsv(tmp("unproduced_in"), Seq(("1", "x")))
+    val json =
+      s"""{ "name": "unproduced", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "m", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "m", "comp_type": "schema_mapping",
+         |    "extra_input_ports": ["in"], "extra_output_ports": ["ghost"],
+         |    "rules_by_dest": { "out": {
+         |      "a": { "src_port": "in", "src_path": "a" },
+         |      "b": { "src_port": "in", "src_path": "b" } } },
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ],
+         |                "ghost": [ { "to": "w2", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema, "ghost": $abSchema } },
+         |  { "name": "w", "comp_type": "write_csv", "filepath": "${tmp("unprod_w")}",
+         |    "in_port_schemas": { "in": $abSchema } },
+         |  { "name": "w2", "comp_type": "write_csv", "filepath": "${tmp("unprod_w2")}",
+         |    "in_port_schemas": { "in": $abSchema } }
+         |] }""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(json))
+    }
+    assert(e.getMessage.contains("'ghost'") &&
+      e.getMessage.contains("does not produce"))
+  }
+
+  test("build: a mid-build failure releases every cache handle already inserted") {
+    // filter with pass+fail routed persists its input; the downstream sql
+    // component's malformed query then throws — the persist used to leak
+    // on every retry attempt of a long-lived process
+    val in = writeCsv(tmp("leak_in"), Seq(("1", "x"), ("2", "y")))
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    val opBefore = graft.scale.OpCaches.pending
+    val json =
+      s"""{ "name": "leaky", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "f", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "f", "comp_type": "filter",
+         |    "rule": { "column": "a", "operator": ">=", "value": "1" },
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "pass": [ { "to": "q", "in_port": "in" } ],
+         |                "fail": [ { "to": "w2", "in_port": "in" } ] },
+         |    "out_port_schemas": { "pass": $abSchema, "fail": $abSchema } },
+         |  { "name": "q", "comp_type": "sql", "query": "SELEKT broken FROM in",
+         |    "extra_input_ports": ["in"],
+         |    "in_port_schemas": { "in": $abSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_csv", "filepath": "${tmp("leak_w")}",
+         |    "in_port_schemas": { "in": $abSchema } },
+         |  { "name": "w2", "comp_type": "write_csv", "filepath": "${tmp("leak_w2")}",
+         |    "in_port_schemas": { "in": $abSchema } }
+         |] }""".stripMargin
+    intercept[Exception] { JobGraph.build(spark, JobConfig.parse(json)) }
+    assert(spark.sparkContext.getPersistentRDDs.size === rddsBefore,
+      "mid-build failure must unpersist the fold's inserted handles")
+    assert(graft.scale.OpCaches.pending === opBefore,
+      "a scoped build must not leave handles in the global OpCaches queue")
+  }
+
+  test("build: operator-internal persists are scoped to the job, released by close(), never global") {
+    import spark.implicits._
+    val in = tmp(s"opscope_in_${System.nanoTime()}")
+    Seq((1L, "aaa bbb ccc"), (2L, "ddd eee fff")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val docSchema =
+      """{ "fields": [
+        |  { "name": "doc_id", "data_type": "integer" },
+        |  { "name": "text", "data_type": "string" } ] }""".stripMargin
+    val opBefore = graft.scale.OpCaches.pending
+    val json =
+      s"""{ "name": "opscope", "components": [
+         |  { "name": "r", "comp_type": "read_parquet", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "d", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "d", "comp_type": "dedup", "method": "minhash",
+         |    "id_column": "doc_id",
+         |    "in_port_schemas": { "in": $docSchema },
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $docSchema } },
+         |  { "name": "w", "comp_type": "write_parquet", "filepath": "${tmp("opscope_w")}",
+         |    "in_port_schemas": { "in": $docSchema } }
+         |] }""".stripMargin
+    val built = JobGraph.build(spark, JobConfig.parse(json))
+    // minhash dedup registers >= 2 operator persists (candidates, shingles)
+    // — they must be the JOB's handles, not global-queue entries another
+    // job's close() could release mid-run
+    assert(graft.scale.OpCaches.pending === opBefore,
+      "build must capture operator persists in its own scope")
+    assert(built.cached.nonEmpty)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    built.runSinks()
+    built.close()
+    assert(spark.sparkContext.getPersistentRDDs.size <= rddsBefore,
+      "close() must release the job's operator persists")
+  }
+
+  test("build: partition_column without explicit bounds is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(
+        s"""{ "name": "pj", "components": [
+           |  { "name": "r", "comp_type": "read_jdbc",
+           |    "url": "jdbc:derby:memory:never;create=true", "entity_name": "t",
+           |    "query": "SELECT 1 AS a FROM SYSIBM.SYSDUMMY1",
+           |    "partition_column": "a", "num_partitions": 8,
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": { "fields": [
+           |      { "name": "a", "data_type": "integer" } ] } } },
+           |  { "name": "w", "comp_type": "write_parquet",
+           |    "filepath": "${tmp("pj_w")}",
+           |    "in_port_schemas": { "in": { "fields": [
+           |      { "name": "a", "data_type": "integer" } ] } } }
+           |] }""".stripMargin))
+    }
+    assert(e.getMessage.contains("lower_bound"))
+  }
+
+  test("build: write_json append is exclusive with gzip/single_file; array rejects gzip") {
+    val in = writeCsv(tmp("wj_in"), Seq(("1", "x")))
+    def cfg(extra: String) = JobConfig.parse(
+      s"""{ "name": "wj", "components": [
+         |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+         |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+         |    "out_port_schemas": { "out": $abSchema } },
+         |  { "name": "w", "comp_type": "write_json",
+         |    "filepath": "${tmp("wj_w")}"$extra,
+         |    "in_port_schemas": { "in": $abSchema } }
+         |] }""".stripMargin)
+    val e1 = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, cfg(""", "append": true, "gzip": true"""))
+    }
+    assert(e1.getMessage.contains("exclusive with gzip/single_file"))
+    val e2 = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, cfg(""", "format": "array", "gzip": true"""))
+    }
+    assert(e2.getMessage.contains("array does not support gzip"))
+  }
+
+  test("build: a write_bucketed table staged in this job is caught case-insensitively") {
+    val in = writeCsv(tmp("rt_in"), Seq(("1", "x")))
+    val e = intercept[IllegalArgumentException] {
+      JobGraph.build(spark, JobConfig.parse(
+        s"""{ "name": "rt", "components": [
+           |  { "name": "r", "comp_type": "read_csv", "filepath": "$in",
+           |    "routes": { "out": [ { "to": "wb", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $abSchema } },
+           |  { "name": "wb", "comp_type": "write_bucketed", "table": "Events",
+           |    "filepath": "${tmp("rt_bdir")}", "buckets": 4, "bucket_by": ["a"],
+           |    "in_port_schemas": { "in": $abSchema } },
+           |  { "name": "rd", "comp_type": "read_table", "table": "events",
+           |    "routes": { "out": [ { "to": "w", "in_port": "in" } ] },
+           |    "out_port_schemas": { "out": $abSchema } },
+           |  { "name": "w", "comp_type": "write_csv", "filepath": "${tmp("rt_w")}",
+           |    "in_port_schemas": { "in": $abSchema } }
+           |] }""".stripMargin))
+    }
+    assert(e.getMessage.contains("SAME job"),
+      s"case variant must hit the staging guard, got: ${e.getMessage}")
+  }
 }
