@@ -3,6 +3,7 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /**
  * Deduplication operators for training-data pipelines, each designed around
@@ -847,8 +848,105 @@ object Dedup {
                           dstCol: String = "id_b",
                           maxIter: Int = 25,
                           checkEvery: Int = 1,
-                          checkpointDir: String = ""): DataFrame =
-    ccProbed(pairs, srcCol, dstCol, maxIter, checkEvery, null, checkpointDir)
+                          checkpointDir: String = "",
+                          maxLocalEdges: Long = LocalCcMaxEdges): DataFrame = {
+    // Hybrid by MEASURED input size (r21, guide §2.4 "remove shuffles
+    // outright"): a pair table under `maxLocalEdges` rows runs driver-side
+    // union-find — the same algorithm-selection-by-size rule Spark applies
+    // to broadcast vs shuffle joins. Near-dup pair tables are tiny relative
+    // to their corpus (LSH banding exists to make them so), yet the
+    // distributed loop's cost is rounds × (3 shuffles + checkpoint + count
+    // action) of pure fixed overhead at that size — measured 2.9 s for a
+    // 5.4k-edge graph at bench scale vs ~0.1 s local (r21 bench,
+    // q_cc_components 2.89 s → see OPTIMIZATION_r21.md). The bound is
+    // rows COLLECTED (~72 MB of boxed rows at the 1M default — the
+    // MaxHotLines/Decontaminate collect-budget class); above it, or for
+    // non-integral id types (driver min-ordering must match Spark's — only
+    // pinned for integrals), the distributed loop runs exactly as before.
+    // Labels are identical by construction (min id per component, pinned
+    // path-vs-path in ConnectedComponentsSpec); pass maxLocalEdges = 0 to
+    // force the loop (the loop-hygiene specs do).
+    val sel = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val integralSame = sel.schema(0).dataType == sel.schema(1).dataType &&
+      (sel.schema(0).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    if (!integralSame || maxLocalEdges <= 0)
+      ccProbed(pairs, srcCol, dstCol, maxIter, checkEvery, null, checkpointDir)
+    else {
+      // persist the 2-column projection once: the gate count consumes it,
+      // and on the distributed path the loop's edge build references it
+      // TWICE (dir ∪ dir.swapped) — previously that recomputed the whole
+      // pairs lineage (an LSH pipeline, typically) twice at edge
+      // materialization
+      val dirF = sel.persist()
+      try {
+        if (dirF.count() <= maxLocalEdges) localCc(dirF)
+        else ccProbed(dirF, "src", "dst", maxIter, checkEvery, null, checkpointDir)
+      } finally dirF.unpersist(false)
+    }
+  }
+
+  /** Pair-row bound for the driver-side union-find path: 1M collected
+    * rows ≈ 72 MB transient boxed rows + a ≤2M-entry LongMap — the same
+    * driver-collect budget class as [[MaxHotLines]]. */
+  val LocalCcMaxEdges: Long = 1000000L
+
+  /** Driver-side connected components over a (src, dst) pair frame whose
+    * id columns are one integral type — union-find with min-id roots
+    * (link the larger root under the smaller, path-halving finds), so the
+    * root IS the component minimum and the labeling matches the
+    * distributed loop's exactly: null endpoints and self-loop-only
+    * vertices drop, every other endpoint labels with the min id reachable
+    * from it. */
+  private def localCc(dirF: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = dirF.sparkSession
+    val dt = dirF.schema(0).dataType
+    val rows = dirF.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val parent = new scala.collection.mutable.LongMap[Long](math.max(16, rows.length * 2))
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent(x)
+      while (p != x) { // path halving
+        val g = parent(p)
+        parent(x) = g
+        x = g
+        p = parent(x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val a = r.getLong(0)
+        val b = r.getLong(1)
+        if (a != b) {
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a)
+          val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+      }
+    }
+    val back: Long => Any = dt match {
+      case LongType    => (v: Long) => java.lang.Long.valueOf(v)
+      case IntegerType => (v: Long) => java.lang.Integer.valueOf(v.toInt)
+      case ShortType   => (v: Long) => java.lang.Short.valueOf(v.toShort)
+      case ByteType    => (v: Long) => java.lang.Byte.valueOf(v.toByte)
+      case other => throw new IllegalStateException(s"localCc: unreachable type $other")
+    }
+    // snapshot keys before labeling: find() path-halves (mutates parent)
+    val ids = parent.keysIterator.toArray
+    val out = new java.util.ArrayList[Row](ids.length)
+    ids.foreach(id => out.add(Row(back(id), back(find(id)))))
+    val nullable = dirF.schema(0).nullable || dirF.schema(1).nullable
+    val schema = StructType(Seq(
+      StructField("id", dt, nullable), StructField("component", dt, nullable)))
+    spark.createDataFrame(out, schema)
+  }
 
   /** connectedComponents with a per-round instrumentation hook —
     * (round, stepSeconds, checkSeconds, changed; changed = -1 on rounds

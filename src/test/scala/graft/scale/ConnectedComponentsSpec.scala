@@ -44,14 +44,64 @@ class ConnectedComponentsSpec extends SparkTestBase {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+  /** maxLocalEdges = 0 forces the distributed loop (the r21 hybrid would
+    * otherwise take the driver union-find path on every fixture this
+    * spec can afford, leaving the loop untested). */
+  private def run(edges: Seq[(Long, Long)], maxLocalEdges: Long = Dedup.LocalCcMaxEdges): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+      maxLocalEdges = maxLocalEdges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("a 20-vertex chain converges (pointer jumping) and labels the min id") {
-    val out = run((1L until 20L).map(i => (i, i + 1)))
+    val out = run((1L until 20L).map(i => (i, i + 1)), maxLocalEdges = 0)
     assert(out.keySet === (1L to 20L).toSet)
     assert(out.values.toSet === Set(1L))
+  }
+
+  test("hybrid: local union-find and distributed loop label identically (schema too)") {
+    val edges = (1L until 30L).map(i => (i, i + 1)) ++
+      Seq((50L, 51L), (51L, 52L), (200L, 100L), (7L, 7L))
+    val localDf = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+    val distDf = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+      maxLocalEdges = 0)
+    assert(localDf.schema.map(f => (f.name, f.dataType)) ===
+      distDf.schema.map(f => (f.name, f.dataType)))
+    val local = localDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = distDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    assert(local === ufModel(edges))
+  }
+
+  test("hybrid: the maxLocalEdges gate counts pair ROWS and routes by it") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 8L))
+    def planOf(maxLocal: Long) =
+      Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        maxLocalEdges = maxLocal).queryExecution.optimizedPlan
+    // under the gate: a driver-built LocalRelation (no loop ran)
+    assert(planOf(3).collectLeaves().forall(_.isInstanceOf[LocalRelation]),
+      "3 pair rows under a gate of 3 must take the local path")
+    // over the gate: the loop's checkpointed LogicalRDD
+    assert(planOf(2).collectLeaves().exists(_.isInstanceOf[LogicalRDD]),
+      "3 pair rows over a gate of 2 must take the distributed loop")
+  }
+
+  test("hybrid: non-integral id types fall back to the distributed loop") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("hybrid: integer (non-long) ids keep their dtype through the local path") {
+    val pairs = Seq((1, 2), (2, 3), (9, 8)).toDF("id_a", "id_b")
+    val df = Dedup.connectedComponents(pairs)
+    assert(df.schema.fields.map(_.dataType).toSeq ===
+      Seq(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.IntegerType))
+    val out = df.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out === Map(1 -> 1, 2 -> 1, 3 -> 1, 8 -> 8, 9 -> 8))
   }
 
   test("fused and join-form convergence checks produce the identical labeling") {
@@ -77,10 +127,9 @@ class ConnectedComponentsSpec extends SparkTestBase {
   test("check_every > 1 converges to the identical labeling") {
     import spark.implicits._
     val edges = (1L until 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
-    val every = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val every = run(edges, maxLocalEdges = 0)
     val everyThird = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
-      checkEvery = 3).collect()
+      checkEvery = 3, maxLocalEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(everyThird === every)
   }
@@ -92,7 +141,7 @@ class ConnectedComponentsSpec extends SparkTestBase {
     val before = sc.getPersistentRDDs.size
     // a 64-vertex chain needs several pointer-jump rounds; without the
     // per-round release every round's labels checkpoint would linger
-    val out = run((1L until 64L).map(i => (i, i + 1)))
+    val out = run((1L until 64L).map(i => (i, i + 1)), maxLocalEdges = 0)
     assert(out.values.toSet === Set(1L))
     val after = sc.getPersistentRDDs.size
     // at most the FINAL labels checkpoint survives (edges are
@@ -121,7 +170,7 @@ class ConnectedComponentsSpec extends SparkTestBase {
     val edges = (1L until 48L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
     val expected = run(edges)
     val reliable = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
-      checkpointDir = dir.toString).collect()
+      checkpointDir = dir.toString, maxLocalEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable === expected, "reliable path must label identically")
     // superseded rounds' files were deleted as the loop advanced: at most
@@ -170,7 +219,15 @@ class ConnectedComponentsSpec extends SparkTestBase {
     } yield (a, b)
     val graphGen = Gen.chooseNum(0, 40).flatMap(Gen.listOfN(_, edgeGen))
     sampleN(graphGen, 8, seed = 20260813L).zipWithIndex.foreach {
-      case (es, i) => assert(run(es) === ufModel(es), s"graph #$i: $es")
+      case (es, i) =>
+        assert(run(es) === ufModel(es), s"graph #$i (local path): $es")
+        // every fourth graph also through the forced distributed loop, so
+        // both hybrid arms stay pinned to the model (the loop costs ~1 s
+        // per graph — all 8 would double the suite's cc bill for no
+        // additional coverage)
+        if (i % 4 == 0)
+          assert(run(es, maxLocalEdges = 0) === ufModel(es),
+            s"graph #$i (distributed path): $es")
     }
   }
 }
