@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
  * centroids; this trains them with plain DataFrame operations — no driver
  * mutable state, no vectors collected.
  *
- * Each iteration is two shuffles, both keyed small:
- *  - assignment: broadcast centroids → per-row argmax (no corpus shuffle;
- *    reuses Similarity.assignCells);
+ * Each iteration is ONE shuffle, keyed small (r21 — assignment used to
+ * shuffle the corpus through a groupBy(row-id) argmax):
+ *  - assignment: broadcast packed centroids → per-row compiled argmax
+ *    (Similarity.assignCells via the BestCell kernel) — a narrow map,
+ *    no corpus shuffle at any scale;
  *  - update: posexplode (cell, pos, x) → groupBy(cell, pos) avg — partial
  *    aggregation map-side, k·dim result rows — then per-cell arrays are
  *    reassembled with sort_array(collect_list(struct(pos, mean))).
@@ -48,8 +50,10 @@ object KMeans {
 
     var it = 0
     while (it < iters) {
-      val assigned = Similarity.assignCells(
-        vecs.withColumn("__rid", monotonically_increasing_id()), "v", "__rid", centroids)
+      // r21: assignCells is a narrow map now (BestCell kernel) — no row
+      // id needed; the old groupBy(__rid) form shuffled the corpus once
+      // per iteration
+      val assigned = Similarity.assignCells(vecs, "v", "v", centroids)
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))

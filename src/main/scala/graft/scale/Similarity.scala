@@ -413,15 +413,49 @@ object Similarity {
 
   /**
    * IVF cell assignment with centroids as a DataFrame (cell, cvec):
-   * broadcast cross-join + argmax by (similarity, cell) — fully
-   * distributed, no driver-side state. The argmax groups on the unique
-   * `idCol` (never on the vector itself — hashing a float array as a
-   * group key costs more than the similarity math); remaining columns
-   * ride along via first(). For repeated querying, write the result
-   * bucketed by `cell` so probes prune at the file-source level.
+   * the centroid table is packed into ONE array<struct<cell, cvec>> row
+   * (bounded by ivfCellsFor's 65536-cell clamp), broadcast, and each
+   * corpus row picks its argmax-by-(cosine, cell) cell in one compiled
+   * loop (the BestCell kernel) — a bare narrow Project over the corpus.
+   *
+   * r21 rewrite (guide §2.4 "remove shuffles outright" + §4 codegen):
+   * the previous form cross-joined corpus × centroids (k-fold row
+   * blow-up), then groupBy(idCol) with max(struct(sim, cell)) +
+   * first(carried) — a SortAggregate pair around an Exchange that
+   * shuffled the ENTIRE corpus (vectors included) once per call, on
+   * every k-means iteration and every index build. Kernel picks the
+   * identical winner (same cosine float-op order, same max-struct
+   * ordering incl. null-sim and tie-on-sim cases — pinned per-row
+   * against [[assignCellsGrouped]] in AssignCellsSpec); `idCol` is kept
+   * for the uniqueness CONTRACT (duplicate ids would previously merge
+   * arbitrarily via first() — they are invalid input either way) but no
+   * longer drives a grouping. Empty centroids still assign nothing (the
+   * packed row is filtered out, as the old cross join emitted no rows).
+   * For repeated querying, write the result bucketed by `cell` so
+   * probes prune at the file-source level.
    */
   def assignCells(corpus: DataFrame, vecCol: String, idCol: String,
                   centroids: DataFrame): DataFrame = {
+    require(!corpus.columns.contains("__cells"),
+      "assignCells: input already has a '__cells' column")
+    val packed = centroids
+      .agg(collect_list(struct(col("cell").cast("long").as("cell"),
+        col("cvec").as("cvec"))).as("__cells"))
+      .filter(size(col("__cells")) > 0)
+    val cellT = centroids.schema("cell").dataType
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("cell",
+        graft.functions.BestCell.best(col(vecCol), col("__cells")).cast(cellT))
+      .drop("__cells")
+  }
+
+  /** The cross-join + groupBy(id) argmax form assignCells replaced (r21)
+    * — kept as the semantic reference for AssignCellsSpec's per-row
+    * parity pin. Requires `idCol` unique and non-null (first() merges
+    * duplicate-id groups arbitrarily). */
+  private[graft] def assignCellsGrouped(corpus: DataFrame, vecCol: String,
+                                        idCol: String,
+                                        centroids: DataFrame): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("sim", cosine(col(vecCol), col("cvec")))
     val carried = corpus.columns.filter(_ != idCol).toSeq
