@@ -123,11 +123,28 @@ object JsonIO {
       fix(col(s"`${f.name}`"), f.dataType).as(f.name)): _*)
   }
 
-  /** NDJSON write (Spark-native part files); optional gzip. */
+  /** NDJSON write (Spark-native part files); optional gzip.
+    *
+    * Gzip parts are UNSPLITTABLE on read: an under-partitioned input
+    * (one small parquet file → one scan partition) would write one big
+    * .gz whose every later read is a single-task gunzip+parse — measured
+    * 2.3 s vs 0.35 s at 32 parts for a 100k-row roundtrip (tools/
+    * R21Probe; guide §2.5 "input skew: fix at the source"). So the gzip
+    * path widens to the cluster's default parallelism first, exactly
+    * like Dedup.widen: row content is unchanged, and at production scale
+    * inputs already exceed the parallelism so this is a no-op. Plain
+    * text parts are line-splittable on read and stay as they come. */
   def write(df: DataFrame, path: String, gzip: Boolean = false,
             singleFile: Boolean = false): Unit = {
     val clean = sanitizeFloats(df)
-    val out = if (singleFile) clean.coalesce(1) else clean
+    val out =
+      if (singleFile) clean.coalesce(1)
+      else if (gzip) {
+        val target = df.sparkSession.sparkContext.defaultParallelism
+        if (clean.queryExecution.toRdd.getNumPartitions < target)
+          clean.repartition(target)
+        else clean
+      } else clean
     val w = out.write.mode("overwrite")
     (if (gzip) w.option("compression", "gzip") else w).json(path)
   }

@@ -10,12 +10,17 @@ import org.apache.spark.sql.types._
  * one operator. Beyond the reference's surface (its schema layer
  * validates structure, never data distributions).
  *
- * ONE distributed scan: every profiled column contributes its
- * count/distinct/min/max aggregates to a single wide global aggregate
- * (Spark plans the distinct aggregates through one Expand + two-phase
- * aggregate — input rows are replicated once per DISTINCT column, the
- * standard plan shape), then the single result row is unpivoted
- * driver-side into one row per column. No per-column rescans.
+ * O(1) distributed scans, never per-column: the exact face runs TWO
+ * single-row global aggregates over `df` — the plain
+ * count/nulls/min/max aggregate (map-side combinable) and the
+ * multi-distinct aggregate (one Expand + two-phase plan, rows
+ * replicated once per DISTINCT column) — cross-joined into the wide
+ * row, then unpivoted into one row per column. They were ONE fused
+ * aggregate through r20; the r21 split exists because the
+ * multi-distinct rewrite drags every regular aggregate through the
+ * Expand's grouping stage (measured 3.5× the sum of the two plans at
+ * sf0.1, tools/R21Probe). The approx face has no Expand and keeps the
+ * single fused scan.
  *
  * Exact by default so the output is oracle-replayable (count, nulls,
  * distinct, min/max select existing values — bit-identical across
@@ -49,11 +54,8 @@ object Profile {
     // resolution; the user column itself is referenced backtick-quoted
     // for the same reason
     def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
-    val aggs = count(lit(1)).as("__rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
-      val base = Seq(
-        count(qcol(c)).as(s"__nn_$i"),
-        (if (approx) approx_count_distinct(qcol(c)) else count_distinct(qcol(c)))
-          .as(s"__nd_$i"))
+    val plainAggs = count(lit(1)).as("__rows") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      val base = Seq(count(qcol(c)).as(s"__nn_$i"))
       val mm =
         if (isNumeric(df.schema(c).dataType))
           Seq(min(qcol(c)).cast("double").as(s"__min_$i"),
@@ -63,7 +65,22 @@ object Profile {
             max(qcol(c)).cast("string").as(s"__maxs_$i"))
       base ++ mm
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val distinctAggs = cols.zipWithIndex.map { case (c, i) =>
+      (if (approx) approx_count_distinct(qcol(c)) else count_distinct(qcol(c)))
+        .as(s"__nd_$i")
+    }
+    // r21 plan split, exact face only: fusing k count_distincts with the
+    // plain aggregates makes Spark's multi-distinct rewrite carry EVERY
+    // regular aggregate through the Expand×(k+1) grouping stage — measured
+    // 2.6 s noop vs 0.75 s for the distincts alone + ~0.1 s for the plain
+    // aggregates at sf0.1 (tools/R21Probe). Two single-row aggregates
+    // cross-joined compute the identical values in two bounded scans of
+    // `df` (still O(1) scans, never per-column); the approx face has no
+    // Expand, so it keeps the single fused scan.
+    val wide =
+      if (approx) df.agg((plainAggs ++ distinctAggs).head, (plainAggs ++ distinctAggs).tail: _*)
+      else df.agg(plainAggs.head, plainAggs.tail: _*)
+        .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
 
     // unpivot the single aggregate row with ONE explode over an array of
     // per-column structs — a single plan branch. A per-column
