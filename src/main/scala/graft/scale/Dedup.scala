@@ -835,7 +835,24 @@ object Dedup {
    * join against the previous round. The extra long per row costs ~1 s
    * of step and buys back ~5.6 s of check; fused is the default, and
    * the join form survives only as ccProbed's comparison arm so the
-   * experiment stays reproducible. The residual ~4% check share also
+   * experiment stays reproducible.
+   *
+   * r21 experiment — MULTIPLE POINTER JUMPS PER ROUND (fewer rounds per
+   * convergence at one extra V-row self-join per extra jump): NULL
+   * RESULT. tools/CcJumpProbe, same 1M-vertex 512-chain fixture,
+   * interleaved 1/2/2/1 + 3/3 after a discarded warmup:
+   *
+   *  | jumps/round | rounds | total (2-run mean) |
+   *  |-------------|--------|--------------------|
+   *  | 1           | 10     | 22.0 s             |
+   *  | 2           | 6      | 27.1 s (0.81x)     |
+   *  | 3           | 4      | 36.1 s (0.61x)     |
+   *
+   * The chained self-joins run INSIDE one round's un-truncated plan, so
+   * each extra jump pays two more V-row exchanges per round and the
+   * per-round step cost grows faster than the round count falls.
+   * jumpsPerRound stays 1 (the knob survives only on ccProbed for
+   * reproducibility). The residual ~4% check share also
    * re-fixes the `checkEvery` default at 1 more firmly than before:
    * skipping checks can now save at most ~4% of wall but still pays up
    * to k-1 extra full rounds after actual convergence. The knob stays
@@ -957,8 +974,11 @@ object Dedup {
                               maxIter: Int, checkEvery: Int,
                               probe: (Int, Double, Double, Long) => Unit,
                               checkpointDir: String = "",
-                              fusedCheck: Boolean = true): DataFrame = {
+                              fusedCheck: Boolean = true,
+                              jumpsPerRound: Int = 1): DataFrame = {
     require(checkEvery >= 1, s"connectedComponents: checkEvery must be >= 1, got $checkEvery")
+    require(jumpsPerRound >= 1,
+      s"connectedComponents: jumpsPerRound must be >= 1, got $jumpsPerRound")
     // checkpointDir swaps the per-round plan truncation from executor-
     // block localCheckpoint to RELIABLE checkpoint on that directory
     // (survives executor loss — the preemption-safe path); rounds still
@@ -1023,14 +1043,23 @@ object Dedup {
         .join(nbrMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(stepCols: _*)
       // the jump: comp is itself a vertex id (labels only ever take
-      // vertex-id values), so the inner self-join always finds its row
-      val jumpCols =
-        if (fusedCheck) Seq(col("id"), col("cc").as("comp"), col("prev"))
-        else Seq(col("id"), col("cc").as("comp"))
-      val jumped = ckpt(stepped
-        .join(stepped.select(col("id").as("comp"), col("comp").as("cc")),
-          Seq("comp"))
-        .select(jumpCols: _*))
+      // vertex-id values), so the inner self-join always finds its row.
+      // jumpsPerRound > 1 chains further comp ← comp(comp) self-joins
+      // INSIDE the round's plan (no intermediate checkpoint/action): each
+      // extra jump multiplies the per-round label-depth reduction, so
+      // deep graphs converge in fewer rounds at the price of one V-row
+      // self-join per extra jump — see the CcJumpProbe table in the
+      // connectedComponents scaladoc for the measured trade.
+      def jump(t: DataFrame): DataFrame = {
+        val cols =
+          if (fusedCheck) Seq(col("id"), col("cc").as("comp"), col("prev"))
+          else Seq(col("id"), col("cc").as("comp"))
+        t.join(t.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"))
+          .select(cols: _*)
+      }
+      var j = stepped
+      for (_ <- 0 until jumpsPerRound) j = jump(j)
+      val jumped = ckpt(j)
       val t1 = System.nanoTime()
       // checkEvery > 1 skips the convergence action on most rounds at
       // the cost of up to checkEvery-1 extra label rounds after actual

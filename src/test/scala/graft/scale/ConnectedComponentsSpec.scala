@@ -124,6 +124,16 @@ class ConnectedComponentsSpec extends SparkTestBase {
       .columns.toSeq === Seq("id", "component"))
   }
 
+  test("jumpsPerRound > 1 (the r21 null-result experiment arm) labels identically") {
+    val edges = (1L until 30L).map(i => (i, i + 1)) ++ Seq((50L, 51L), (200L, 100L))
+    def via(jumps: Int) =
+      Dedup.ccProbed(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+        maxIter = 25, checkEvery = 1, probe = null, jumpsPerRound = jumps)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(via(2) === via(1))
+    assert(via(1) === ufModel(edges))
+  }
+
   test("check_every > 1 converges to the identical labeling") {
     import spark.implicits._
     val edges = (1L until 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
