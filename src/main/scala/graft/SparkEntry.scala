@@ -646,6 +646,26 @@ object SparkEntry {
   private val tmpRoot =
     new java.io.File("target/tmp").getAbsolutePath
 
+  /** Parquet readback of a declarative job's sink output using the
+    * schema the sink frame already carries (via ParquetIO.readAs, which
+    * normalizes it exactly the way file-source inference would) — skips
+    * the per-readback footer-inference Spark job, a measured 67 ms flat
+    * constant per q_job_* gate query (~85 ms with the first action;
+    * tools/R21Probe rb.* phases, r21). With no explicit `sink` the job
+    * must have exactly one — multi-sink jobs name the one they read.
+    * Partitioned sinks keep plain `s.read.parquet` (see readAs scaladoc). */
+  private def readBack(s: SparkSession, built: graft.graph.JobGraph.BuiltJob,
+                       path: String, sink: String = ""): org.apache.spark.sql.DataFrame = {
+    val name =
+      if (sink.nonEmpty) sink
+      else {
+        require(built.sinks.size == 1,
+          s"readBack: a ${built.sinks.size}-sink job needs an explicit sink name")
+        built.sinks.head._1
+      }
+    graft.io.ParquetIO.readAs(s, path, built.frames((name, "out")).schema)
+  }
+
   /** CSV roundtrip with reference semantics: write `;`-separated header
     * CSV, read back with ALL columns as string (csv_helper.py:29). */
   private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -878,7 +898,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("segment"))
+    readBack(s, built, outDir).orderBy(col("segment"))
   }
 
   /** Declarative `sql` component end-to-end: two parquet sources joined
@@ -922,7 +942,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("n_name"))
+    readBack(s, built, outDir).orderBy(col("n_name"))
   }
 
   /** Oracle for the 5-column orders profile, shared by the Scala face
@@ -988,7 +1008,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("n_regionkey"))
+    readBack(s, built, outDir).orderBy(col("n_regionkey"))
   }
 
   /** Combination job pair exercising BOTH declarative ORC faces:
@@ -1053,7 +1073,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(aggJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("c_nationkey"))
+    readBack(s, built, outDir).orderBy(col("c_nationkey"))
   }
 
   /** Combination job: Excel source → type_conversion → filter →
@@ -1105,7 +1125,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("c_nationkey"))
+    readBack(s, built, outDir).orderBy(col("c_nationkey"))
   }
 
   /** Combination job: Mongo source read with RANGE partitioning
@@ -1142,7 +1162,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).select(col("doc_id"), col("lang"))
+    readBack(s, built, outDir).select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
 
@@ -1197,7 +1217,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("o_orderstatus"))
+    readBack(s, built, outDir).orderBy(col("o_orderstatus"))
   }
 
   /** Combination job (json_row_typeconv_null_csv.json shape): NDJSON
@@ -1338,8 +1358,8 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outA).withColumn("port", lit("A"))
-      .unionByName(s.read.parquet(outB)
+    readBack(s, built, outA, "wa").withColumn("port", lit("A"))
+      .unionByName(readBack(s, built, outB, "wb")
         .select(col("n_nationkey").as("uid"), col("n_name").as("uname"))
         .withColumn("port", lit("B")))
       .orderBy(col("port"), col("uid"))
@@ -1604,7 +1624,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("lang_pred"))
+    readBack(s, built, outDir).orderBy(col("lang_pred"))
   }
 
   /** Delete a file or directory tree (append-sink queries reset their
@@ -1865,7 +1885,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("order_id"))
+    readBack(s, built, outDir).orderBy(col("order_id"))
   }
 
   /** Mapping-family job, `how: left` (reference
@@ -1921,7 +1941,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("c_custkey"))
+    readBack(s, built, outDir).orderBy(col("c_custkey"))
   }
 
   /** Mapping-family job, `how: right` (reference
@@ -1976,7 +1996,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("c_custkey"))
+    readBack(s, built, outDir).orderBy(col("c_custkey"))
   }
 
   /** Mapping-family job, `how: outer` (reference
@@ -2047,7 +2067,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir)
+    readBack(s, built, outDir)
       .orderBy(col("lk").asc_nulls_last, col("hk").asc_nulls_last)
   }
 
@@ -2283,7 +2303,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir)
+    readBack(s, built, outDir)
       .select(col("component"), col("n_members"), col("min_doc"))
       .orderBy(col("component"))
   }
@@ -2319,7 +2339,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir)
+    readBack(s, built, outDir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -2466,7 +2486,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Exact top-50 vocabulary over documents (TextAnalysis.topTokens):
@@ -2774,7 +2794,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir)
+    readBack(s, built, outDir)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -2837,7 +2857,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("cosine").desc, col("vec_id"))
+    readBack(s, built, outDir).orderBy(col("cosine").desc, col("vec_id"))
   }
 
   private val ivfEmbSchema =
@@ -2940,7 +2960,7 @@ object SparkEntry {
     val probe = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(probeJson))
     probe.runSinks()
     probe.close()
-    s.read.parquet(outDir).orderBy(col("cosine").desc, col("vec_id"))
+    readBack(s, probe, outDir).orderBy(col("cosine").desc, col("vec_id"))
   }
 
   /** Combination job: BATCH probing of the bucketed IVF index — the
@@ -2993,7 +3013,7 @@ object SparkEntry {
     val probe = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(probeJson))
     probe.runSinks()
     probe.close()
-    s.read.parquet(outDir).orderBy(col("query_id"), col("rank"))
+    readBack(s, probe, outDir).orderBy(col("query_id"), col("rank"))
   }
 
   /** Combination job: the declarative `pii_redact` comp_type end-to-end —
@@ -3060,7 +3080,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("lang"))
+    readBack(s, built, outDir).orderBy(col("lang"))
   }
 
   /** Combination job: the `text_analysis` component's opt-in repetition
@@ -3118,7 +3138,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Combination job: `decontaminate` emit=clean as a declarative
@@ -3172,7 +3192,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Combination job: `hash_split` — the deterministic train/val/test
@@ -3229,7 +3249,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("split"))
+    readBack(s, built, outDir).orderBy(col("split"))
   }
 
   /** Combination job: `sample` — the deterministic stratified-sampling
@@ -3271,7 +3291,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("lang"))
+    readBack(s, built, outDir).orderBy(col("lang"))
   }
 
   /** Combination job: `sample` with a NULL stratum — documents are staged
@@ -3318,7 +3338,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("lang"))
+    readBack(s, built, outDir).orderBy(col("lang"))
   }
 
   /** Token-budget sampling (RelationalOps.budgetSample): per language,
@@ -3370,7 +3390,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Mixture sampling (RelationalOps.mixSample): compose a 40000-char
@@ -3427,7 +3447,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Per-source quality cap (RelationalOps.groupCap, explicit order):
@@ -3497,7 +3517,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Combination job: the aggregation component's `salted: true` opt-in
@@ -3566,7 +3586,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("l_returnflag"))
+    readBack(s, built, outDir).orderBy(col("l_returnflag"))
   }
 
   /** Combination job pair: `write_bucketed` + `read_table` — the
@@ -3643,7 +3663,7 @@ object SparkEntry {
       graft.config.JobConfig.parse(joinJson))
     join.runSinks()
     join.close()
-    s.read.parquet(outDir).orderBy(col("c_mktsegment"))
+    readBack(s, join, outDir).orderBy(col("c_mktsegment"))
   }
 
   /** Combination job: `shuffle` — the deterministic seeded global
@@ -3680,7 +3700,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).select(col("doc_id"), col("lang"), col("shuffle_key"))
+    readBack(s, built, outDir).select(col("doc_id"), col("lang"), col("shuffle_key"))
       .orderBy(col("shuffle_key"))
   }
 
@@ -3723,7 +3743,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("event_id"))
+    readBack(s, built, outDir).orderBy(col("event_id"))
   }
 
   /** Combination job: `window` + filter — declarative top-n per group
@@ -3936,7 +3956,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("bucket"))
+    readBack(s, built, outDir).orderBy(col("bucket"))
   }
 
   /** Typed JSON-path extraction (RelationalOps.jsonExtract) over the
@@ -4008,7 +4028,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("k"))
+    readBack(s, built, outDir).orderBy(col("k"))
   }
 
   /** The write_parquet sort_by face (data-skipping layout): orders
@@ -4038,7 +4058,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir)
+    readBack(s, built, outDir)
       .filter(col("o_totalprice") > 150000)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
@@ -4084,7 +4104,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir)
+    readBack(s, built, outDir)
       .select(col("o_custkey"), col("o_orderpriority"))
       .orderBy(col("o_custkey"), col("o_orderpriority"))
   }
@@ -4128,7 +4148,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir)
+    readBack(s, built, outDir)
       .select(col("o_custkey"), col("o_orderpriority"))
       .orderBy(col("o_custkey"), col("o_orderpriority"))
   }
@@ -4178,7 +4198,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("measure"))
+    readBack(s, built, outDir).orderBy(col("measure"))
   }
 
   /** Declarative profile: the config face of scale/Profile (q_profile is
@@ -4219,7 +4239,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("col_name"))
+    readBack(s, built, outDir).orderBy(col("col_name"))
   }
 
   /** Declarative range_join: the config face of ops/RangeJoin — clicks
@@ -4271,7 +4291,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("event_id"), col("purchase_id"))
+    readBack(s, built, outDir).orderBy(col("event_id"), col("purchase_id"))
   }
 
   /** Declarative asof_join: the config face of ops/AsofJoin (backward,
@@ -4318,7 +4338,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("event_id"))
+    readBack(s, built, outDir).orderBy(col("event_id"))
   }
 
   /** Combination job: schema_mapping join with the per-step `broadcast`
@@ -4371,7 +4391,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("n_name"))
+    readBack(s, built, outDir).orderBy(col("n_name"))
   }
 
   /** Combination job: batch SESSION-WINDOW aggregation as a declarative
@@ -4417,7 +4437,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir)
+    readBack(s, built, outDir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"),
         sum(col("sum_cents")).as("sum_cents"))
@@ -4625,7 +4645,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"), col("chunk_index"))
+    readBack(s, built, outDir).orderBy(col("doc_id"), col("chunk_index"))
   }
 
   /** Seeded accent/punct mutation shared by the text_normalize gates:
@@ -4690,7 +4710,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Seeded URL synthesis shared by the url_features gates: plain
@@ -4771,7 +4791,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Global z-score outlier gate (Profile.outlierFilter): keep events
@@ -4845,7 +4865,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("event_id"))
+    readBack(s, built, outDir).orderBy(col("event_id"))
   }
 
   private val outlierByTypeOracle: String =
@@ -4918,7 +4938,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** L2 normalization (Similarity.l2NormalizeVectors): the embeddings
@@ -5031,7 +5051,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("vec_id"))
+    readBack(s, built, outDir).orderBy(col("vec_id"))
   }
 
   /** Quality-aware exact-dedup winner (Dedup.exact keepBy): the corpus
@@ -5113,7 +5133,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Per-row weighted sampling (RelationalOps.hashSampleWeighted):
@@ -5192,7 +5212,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Byte-entropy quality signal (TextAnalysis.charEntropy — the
@@ -5279,7 +5299,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Incremental exact dedup (Dedup.exactAgainst): the reference is a
@@ -5362,7 +5382,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Corpus-level duplicate-line removal (Dedup.lineDedup): every doc
@@ -5552,7 +5572,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    readBack(s, built, outDir).orderBy(col("doc_id"))
   }
 
   /** Top-40 corpus bigrams (TextAnalysis.topGrams n=2): every gram
@@ -5602,7 +5622,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir)
+    readBack(s, built, outDir)
       .orderBy(col("n_occurrences").desc, col("gram"))
   }
 
@@ -5638,7 +5658,7 @@ object SparkEntry {
     val built = graft.graph.JobGraph.build(s, graft.config.JobConfig.parse(jobJson))
     built.runSinks()
     built.close()
-    s.read.parquet(outDir)
+    readBack(s, built, outDir)
       .orderBy(col("n_occurrences").desc, col("gram"))
   }
 

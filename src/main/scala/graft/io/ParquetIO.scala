@@ -80,6 +80,37 @@ object ParquetIO {
       if (n > MaxFingerprint) None else Some(sb.toString)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Read `path` trusting a KNOWN schema — for readbacks of files this
+    * process just wrote, where the writer frame's schema is in hand.
+    * Skips the per-call footer-inference Spark job entirely (measured
+    * 67 ms flat per readback, tools/R21Probe rb.* phases — the fingerprint
+    * cache above can't help because a rewritten output always misses).
+    * The schema is normalized the way file-source inference would yield
+    * it — deep-nullable (DataSource marks every field/element nullable:
+    * files may omit values) — so the result is bit-identical to an
+    * inferred read for any type that roundtrips parquet exactly (all
+    * declared-schema types do; pinned type-by-type in JobReadbackSpec).
+    * NOT for hive-partitioned outputs: partition columns re-enter the
+    * read-back schema LAST with partition-value-inferred types, which a
+    * writer-side schema cannot know — inference stays the contract there. */
+  def readAs(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(deepNullable(schema).asInstanceOf[StructType]).parquet(path)
+
+  /** The file-source read-schema normalization (DataType.asNullable is
+    * private[spark]): every struct field nullable, array elements and map
+    * values null-permitting, recursively. */
+  private[graft] def deepNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case at: ArrayType => ArrayType(deepNullable(at.elementType), containsNull = true)
+      case mt: MapType =>
+        MapType(deepNullable(mt.keyType), deepNullable(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   /** Test seam: forget everything (e.g. between suites sharing a tmp dir). */
   private[graft] def clearCache(): Unit = schemaCache.clear()
 }

@@ -111,6 +111,37 @@ object R21Probe {
           .groupBy(col("event_type")).agg(count(lit(1)).as("n")).count()
       }
       spark.catalog.clearCache()
+
+      // ---- q_job_csv_filter staging-parallelism variants
+      val csvIn = s"$tmp/probe_csv_in"
+      val csvInW = s"$tmp/probe_csv_in_wide"
+      val csvOut = s"$tmp/probe_csv_out"
+      val li = graft.SparkEntry.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+      t("csv.stage_write") { graft.io.CsvIO.write(li, csvIn, sep = ",") }
+      t("csv.stage_write_wide") {
+        graft.io.CsvIO.write(li.repartition(32), csvInW, sep = ",")
+      }
+      def csvJob(in: String): Unit = {
+        val df = graft.io.CsvIO.read(spark, in, sep = ",")
+          .select(col("l_orderkey").cast("double").cast("int").as("l_orderkey"),
+            col("l_linenumber").cast("double").cast("int").as("l_linenumber"),
+            col("l_quantity").cast("double").cast("int").as("l_quantity"),
+            col("l_returnflag"))
+          .filter(col("l_quantity") <= 20 && !(col("l_returnflag") === "A"))
+        graft.io.CsvIO.write(df, csvOut, sep = ",")
+      }
+      t("csv.job_narrow_stage") { csvJob(csvIn) }
+      t("csv.job_wide_stage") { csvJob(csvInW) }
+      spark.catalog.clearCache()
+
+      // ---- readback inference constant on a 5-row job output
+      val sch = spark.read.parquet(pout).schema
+      t("rb.infer") { spark.read.parquet(pout) }
+      t("rb.with_schema") { spark.read.schema(sch).parquet(pout) }
+      t("rb.infer+count") { spark.read.parquet(pout).orderBy(col("col_name")).count() }
+      t("rb.schema+count") { spark.read.schema(sch).parquet(pout).orderBy(col("col_name")).count() }
     }
 
     times.foreach { case (k, v) =>
