@@ -67,7 +67,13 @@ object JobConfig {
       throw new IllegalArgumentException(s"component $name: missing '$key'"))
     def bool(key: String, default: Boolean): Boolean = (params \ key) match {
       case JBool(b)          => b
-      // pydantic-lax string coercion, like the numeric accessors below
+      // DELIBERATELY narrower than pydantic lax (r20 ADVICE adjudicated
+      // r21): only "true"/"false" strings coerce — NOT "1"/"0"/"yes"/"no"
+      // or numeric 0/1, which pydantic would accept. A config typo like
+      // `"gzip": "on"` (or a stray count landing in a boolean slot) fails
+      // loudly here instead of silently becoming a boolean; configs
+      // ported from the reference that rely on the exotic spellings get
+      // a named error pointing at the key, not a behavior flip.
       case JString(s) if s.equalsIgnoreCase("true")  => true
       case JString(s) if s.equalsIgnoreCase("false") => false
       case JNothing | JNull  => default
@@ -79,8 +85,13 @@ object JobConfig {
       * Values beyond Int range fail loudly — `.toInt` would silently
       * WRAP (`"cap": 3000000000` → a negative cap), the same silent
       * 2^31 truncation class the Mongo skip fix closed in r19. Numeric
-      * STRINGS coerce like the reference's pydantic lax mode ("5" → 5);
-      * anything else present is a loud type error. */
+      * STRINGS coerce ("5" → 5); integral FLOATS (4.0, common when a
+      * config round-trips a tool that emits JSON numbers as doubles) do
+      * NOT — deliberately narrower than pydantic lax (r20 ADVICE
+      * adjudicated r21): a fractional 4.5 silently floor-coerced is the
+      * hazard, and drawing the line at "JSON number with a decimal point
+      * is not an int" keeps the rule statable in one sentence. Anything
+      * else present is a loud type error naming the key. */
     def intOpt(key: String): Option[Int] = (params \ key) match {
       case JInt(i) =>
         if (i.isValidInt) Some(i.toInt)

@@ -9,7 +9,29 @@ import java.util.Comparator
   * union to `<path>.__staging` and swap directories afterwards. */
 private[io] object IOSwap {
 
-  def exists(path: String): Boolean = {
+  /** JVM-wide per-path monitors serializing the recover+swap critical
+    * sections (r21, the r20 ADVICE race): exists() self-heals by moving
+    * `.__old` back when it sees the crash signature, but a concurrent
+    * healthy writeSwapped passes through EXACTLY that signature between
+    * its two renames — an unsynchronized exists() could "recover" a
+    * live swap and make the writer's second rename throw with stale
+    * data left at `path`. Both entry points now hold the path's monitor,
+    * so the signature is only ever observed when no same-path writer is
+    * mid-swap (i.e. after a genuine crash). writeSwapped holds the lock
+    * across its whole staged branch, which also serializes concurrent
+    * same-path appends (they would otherwise clobber each other's
+    * staging directories); the write callback never re-enters IOSwap on
+    * another path, so lock ordering is flat and cycle-free. The map is
+    * keyed on the normalized absolute path and never evicts — one small
+    * monitor per distinct append target for the JVM's life, the same
+    * order of growth as ParquetIO's schema cache. */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    pathLocks.computeIfAbsent(
+      Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
+
+  def exists(path: String): Boolean = lockFor(path).synchronized {
     recoverCrashedSwap(path)
     Files.exists(Paths.get(path))
   }
@@ -71,7 +93,7 @@ private[io] object IOSwap {
     * state keeps the data recoverable under `.__old` / `.__staging`. */
   def writeSwapped(path: String, viaStaging: Boolean)(write: String => Unit): Unit =
     if (!viaStaging) write(path)
-    else {
+    else lockFor(path).synchronized {
       recoverCrashedSwap(path) // belt-and-braces: exists() already heals,
       // but a direct caller must not reach the deleteRecursively(old)
       // below while `.__old` holds the only copy

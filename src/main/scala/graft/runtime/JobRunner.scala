@@ -113,6 +113,16 @@ object JobRunner {
         Thread.sleep(100)
       }
       spark.listenerManager.unregister(listener)
+      // Backstop for operator persists that fall through the build-thread
+      // OpCaches scope (r20 ADVICE: a future operator deferring a persist
+      // into a sink lambda or a parallel build would queue globally, and
+      // nothing in the Scheduler/ControlPlane lifecycle drained that
+      // queue — an unbounded accumulation over a long-lived driver).
+      // Today every persist is eager on the build thread, so this is a
+      // no-op; if a fallen-through handle ever exists, releasing it here
+      // is at worst a recompute for a concurrent run (OpCaches scaladoc),
+      // never a correctness hazard.
+      graft.scale.OpCaches.drain()
     }
     val wallMs = (System.nanoTime() - t0) / 1000000
     val harvested = {

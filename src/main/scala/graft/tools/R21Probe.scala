@@ -136,6 +136,36 @@ object R21Probe {
       t("csv.job_wide_stage") { csvJob(csvInW) }
       spark.catalog.clearCache()
 
+      // ---- pii_redact single-task vs widened (documents = 1 scan partition)
+      val docs = graft.SparkEntry.table(spark, dir, "documents")
+      def seeded(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-1234 at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+          .otherwise(col("text")).as("text"))
+      def piiAgg(d: org.apache.spark.sql.DataFrame) =
+        graft.scale.TextAnalysis.redactPiiWithCounts(d, "text")
+          .filter(col("n_emails") > 0)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+            sum(col("n_emails")).as("se"), max(col("text")).as("mt"))
+      t("pii.narrow_noop") {
+        piiAgg(seeded(docs)).write.format("noop").mode("overwrite").save()
+      }
+      t("pii.wide_noop") {
+        piiAgg(seeded(docs).repartition(32)).write.format("noop").mode("overwrite").save()
+      }
+      // gopher kernel, same question
+      t("gopher.narrow_noop") {
+        graft.scale.TextAnalysis.gopherFilter(docs, "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("gopher.wide_noop") {
+        graft.scale.TextAnalysis.gopherFilter(docs.repartition(32), "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+
       // ---- readback inference constant on a 5-row job output
       val sch = spark.read.parquet(pout).schema
       t("rb.infer") { spark.read.parquet(pout) }

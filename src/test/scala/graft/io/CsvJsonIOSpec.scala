@@ -71,6 +71,41 @@ class CsvJsonIOSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(out + ".__old"))) // healed, then cleaned
   }
 
+  test("concurrent exists() cannot 'recover' a live swap (per-path lock, r20 ADVICE)") {
+    import java.nio.file.{Files, Paths}
+    // Unsynchronized, exists() observing a writer BETWEEN its two renames
+    // sees exactly the crash signature (path absent, .__old + .__staging
+    // present) and moves .__old back — the writer's second rename then
+    // throws FileAlreadyExistsException and stale data stays at path.
+    // With the r21 per-path lock, exists() blocks while a same-path
+    // writeSwapped is in its staged branch, so a hammering reader never
+    // fails a healthy writer. (The unsynchronized failure was a narrow
+    // window — this pins the structural guarantee, not a probabilistic
+    // repro.)
+    val out = tmp(s"csv_swap_race_${System.nanoTime()}")
+    Files.createDirectories(Paths.get(out))
+    Files.writeString(Paths.get(out, "seed"), "0")
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    @volatile var stop = false
+    val reader = new Thread(() =>
+      try while (!stop) { IOSwap.exists(out); () }
+      catch { case t: Throwable => err.set(t) })
+    reader.start()
+    try
+      (1 to 5).foreach { i =>
+        IOSwap.writeSwapped(out, viaStaging = true) { staging =>
+          Files.createDirectories(Paths.get(staging))
+          Files.writeString(Paths.get(staging, s"f$i"), "x")
+          Thread.sleep(10) // widen the formerly-racy window
+        }
+      }
+    finally { stop = true; reader.join() }
+    assert(err.get() === null, s"reader threw: ${err.get()}")
+    assert(Files.exists(Paths.get(out, "f5")), "last swap's data must be live")
+    assert(!Files.exists(Paths.get(out + ".__old")) &&
+      !Files.exists(Paths.get(out + ".__staging")), "no swap debris")
+  }
+
   test("a stale .__old WITHOUT staging is not resurrected (superseded data stays dead)") {
     import spark.implicits._
     // a successful swap that crashed in its cleanup window leaves a STALE
