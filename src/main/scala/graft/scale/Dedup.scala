@@ -83,7 +83,7 @@ object Dedup {
     * deserializer conversion on top). Once per dedup entry point,
     * against operators that run seconds-to-minutes: negligible, and
     * toRdd is the cheaper spelling, so that is the one used. */
-  private[scale] def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions < target)
       df.repartition(target)
@@ -592,9 +592,13 @@ object Dedup {
         .distinct())
 
     // exact verification: shingle each INVOLVED doc once, then one
-    // Jaccard per pair over the joined arrays
+    // Jaccard per pair over the joined arrays. No distinct on the
+    // involved-id union: a left_semi build side ignores duplicate rows,
+    // so the distinct was one whole Exchange+HashAggregate stage of pure
+    // overhead (r22, guide §2.4 — measured 1.27x on dedup_minhash
+    // together with the losers-distinct drop below, identical survivors)
     val involved = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
+      .union(cand.select(col("id_b").as("id")))
     val shingled = OpCaches.persist( // consumed by both pair join-backs
       wide.select(col(idCol).as("id"), col(textCol).as("t"))
         .join(involved, Seq("id"), "left_semi")
@@ -607,22 +611,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Survivors after MinHash near-dup removal: drop the higher id of each pair. */
+  /** Survivors after MinHash near-dup removal: drop the higher id of each
+    * pair. The loser set is NOT distinct'd: a left_anti build side ignores
+    * duplicate rows, and the pair table is small relative to its corpus by
+    * LSH construction, so the dedup bought nothing but an extra
+    * Exchange+HashAggregate stage (r22, guide §2.4). */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 5, k: Int = 32, bands: Int = 16,
                    threshold: Double = 0.6): DataFrame = {
     val losers = minhashNearDups(df, textCol, idCol, shingleN, k, bands, threshold)
-      .select(col("id_b").as(idCol)).distinct()
+      .select(col("id_b").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Survivors after n-gram-Jaccard near-dup removal: drop the higher id
-    * of each pair (same survivor rule as minhashDedup). */
+    * of each pair (same survivor rule as minhashDedup, same
+    * no-distinct-on-the-anti-build reasoning). */
   def ngramDedup(df: DataFrame, textCol: String, idCol: String,
                  n: Int = 3, threshold: Double = 0.5,
                  maxDf: Int = 10000): DataFrame = {
     val losers = ngramJaccardPairs(df, textCol, idCol, n, threshold, maxDf)
-      .select(col("id_b").as(idCol)).distinct()
+      .select(col("id_b").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -711,8 +720,12 @@ object Dedup {
    */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val withFp = OpCaches.persist(
-      widen(df).select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk")))
+    // withFp is consumed ONCE here (unlike simhashNearDups' 3 uses), so it
+    // is not persisted: the fingerprint projection fuses into the reps
+    // groupBy's map side instead of paying a cache materialization barrier
+    // (r22; with the repLosers distinct drop below, measured ~1.1x)
+    val withFp =
+      widen(df).select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk"))
     val reps = OpCaches.persist(withFp.groupBy(col("blk")).agg(min(col("id")).as("id")))
     val e = reps.select(col("id"), posexplode(col("blk")).as(Seq("pos", "v")))
     val cand = e.select(col("pos"), col("v"), col("id").as("id_a"))
@@ -724,7 +737,7 @@ object Dedup {
       .join(reps.select(col("id").as("id_a"), col("blk").as("blk_a")), Seq("id_a"))
       .join(reps.select(col("id").as("id_b"), col("blk").as("blk_b")), Seq("id_b"))
       .filter(hammingBlocks(col("blk_a"), col("blk_b")) <= maxHamming)
-      .select(col("id_b").as("id")).distinct()
+      .select(col("id_b").as("id")) // left_anti build: no distinct needed
     val survivorIds = reps.select(col("id")).join(repLosers, Seq("id"), "left_anti")
     df.join(survivorIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
   }

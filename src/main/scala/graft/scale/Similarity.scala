@@ -316,12 +316,18 @@ object Similarity {
   }
 
   /** Survivors after embedding near-dup removal: drop the higher id of
-    * each pair (the dedup-component face of embeddingNearDups). */
+    * each pair (the dedup-component face of embeddingNearDups). The loser
+    * set is NOT distinct'd — a left_anti build side ignores duplicate
+    * rows, so the distinct was one Exchange+HashAggregate stage of pure
+    * overhead (r22, the minhashDedup reasoning; the `bucketed` persist
+    * inside embeddingNearDups stays — the r22 no-persist arm measured
+    * SLOWER because the 160-plane projection then computes on both
+    * self-join sides). */
   def embeddingDedup(df: DataFrame, vecCol: String, idCol: String,
                      simThreshold: Double, dim: Int,
                      bands: Int = 16, r: Int = 8): DataFrame = {
     val losers = embeddingNearDups(df, vecCol, idCol, simThreshold, dim, bands, r)
-      .select(col("id_b").as(idCol)).distinct()
+      .select(col("id_b").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 
