@@ -193,6 +193,30 @@ object Bench {
       s"""{"metric":"total","value":${totalRounded.underlying.toPlainString},"unit":"sec","reps":$reps,"n_queries":${sorted.size},"n_errors":${errors.size}$partial,"sf":${quote(sfDir)}}"""
     println(headline)
     println(json)
+    // r22: the full per-query line above outgrew the driver's log-tail
+    // window at ~85 queries (PERF_r21 recorded per_query:{} / n_common:0 —
+    // the round-over-round per-query comparison went blind). ADDITIONALLY
+    // emit the per-query map as chunked lines of <= ~1500 chars each:
+    //   {"metric":"per_query_part","part":i,"of":n,"queries":{...}}
+    // so a consumer reading any contiguous window of the log can
+    // reassemble (or at least partially compare) the map from complete
+    // JSON objects. The existing headline/total lines are byte-identical
+    // to r21 (additions only) and stay the authoritative totals;
+    // BENCH_LOCAL.json keeps the full-precision detail.
+    val partEntries = results.map { case (k, ts) => s"${quote(k)}:${r4(median(ts))}" }
+    val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    var cur = scala.collection.mutable.ArrayBuffer[String]()
+    var curLen = 0
+    partEntries.foreach { e =>
+      if (curLen + e.length + 1 > 1400 && cur.nonEmpty) {
+        chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[String](); curLen = 0
+      }
+      cur += e; curLen += e.length + 1
+    }
+    if (cur.nonEmpty) chunks += cur.toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"per_query_part","part":${i + 1},"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+    }
     println(headline)
   }
 }
