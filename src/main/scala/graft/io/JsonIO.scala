@@ -123,6 +123,25 @@ object JsonIO {
       fix(col(s"`${f.name}`"), f.dataType).as(f.name)): _*)
   }
 
+  /** True when the plan is a narrow tree over leaves (project/filter/
+    * union shapes — no join, aggregate, sort, window, repartition):
+    * exactly the plans whose `toRdd` finalization under AQE materializes
+    * NOTHING (there is no query stage to execute), so probing their
+    * partition count is free. Anything wider is conservatively reported
+    * non-narrow: its `toRdd` would execute every upstream shuffle/
+    * broadcast stage, and the sink's own QueryExecution would then
+    * RE-RUN them (the r22 ADVICE finding on the r21 gzip widen probe). */
+  private def narrowPlan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project |
+           _: org.apache.spark.sql.catalyst.plans.logical.Filter |
+           _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias |
+           _: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        p.children.forall(narrowPlan)
+      case leaf if leaf.children.isEmpty => true
+      case _ => false
+    }
+
   /** NDJSON write (Spark-native part files); optional gzip.
     *
     * Gzip parts are UNSPLITTABLE on read: an under-partitioned input
@@ -133,13 +152,23 @@ object JsonIO {
     * path widens to the cluster's default parallelism first, exactly
     * like Dedup.widen: row content is unchanged, and at production scale
     * inputs already exceed the parallelism so this is a no-op. Plain
-    * text parts are line-splittable on read and stay as they come. */
+    * text parts are line-splittable on read and stay as they come.
+    *
+    * The partition-count probe runs ONLY on narrow (scan-shaped) plans:
+    * on a plan with upstream exchanges, `toRdd` under AQE finalizes the
+    * adaptive plan — executing every upstream shuffle/broadcast stage —
+    * and the `.json(path)` write is a NEW QueryExecution that re-runs
+    * them, i.e. the probe would double-execute the upstream (r22 ADVICE
+    * fix; JsonIOSpec pins the no-upstream-double-exec job count). A
+    * shuffled input needs no widening anyway: its partitioning was just
+    * sized by the shuffle/AQE-coalesce policy, which never produces the
+    * one-giant-scan-partition shape the widen exists for. */
   def write(df: DataFrame, path: String, gzip: Boolean = false,
             singleFile: Boolean = false): Unit = {
     val clean = sanitizeFloats(df)
     val out =
       if (singleFile) clean.coalesce(1)
-      else if (gzip) {
+      else if (gzip && narrowPlan(clean.queryExecution.optimizedPlan)) {
         val target = df.sparkSession.sparkContext.defaultParallelism
         if (clean.queryExecution.toRdd.getNumPartitions < target)
           clean.repartition(target)

@@ -909,7 +909,18 @@ object Dedup {
       // and on the distributed path the loop's edge build references it
       // TWICE (dir ∪ dir.swapped) — previously that recomputed the whole
       // pairs lineage (an LSH pipeline, typically) twice at edge
-      // materialization
+      // materialization.
+      //
+      // COST TRADE above the gate (r22 note — do not "fix" this persist
+      // away): an above-gate pair table pays one persist+count pass the
+      // pre-r21 loop did not, and is repaid by the removed double-compute
+      // of the dir ∪ swapped union (one pair-lineage evaluation instead
+      // of two — the lineage is usually a multi-join LSH pipeline, far
+      // more expensive than one cached pass over its OUTPUT). Removing
+      // the persist to save the count would reintroduce the double
+      // lineage compute; gating on plan-statistics instead of a count
+      // would save the pass only when stats exist and are trustworthy
+      // (post-shuffle sizeInBytes estimates at 100 TB routinely are not).
       val dirF = sel.persist()
       try {
         if (dirF.count() <= maxLocalEdges) localCc(dirF)

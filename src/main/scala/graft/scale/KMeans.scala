@@ -51,9 +51,9 @@ object KMeans {
     var it = 0
     while (it < iters) {
       // r21: assignCells is a narrow map now (BestCell kernel) — no row
-      // id needed; the old groupBy(__rid) form shuffled the corpus once
-      // per iteration
-      val assigned = Similarity.assignCells(vecs, "v", "v", centroids)
+      // id needed (duplicate vectors are valid k-means input, so there is
+      // no unique id to pass; the idCol-free overload makes that explicit)
+      val assigned = Similarity.assignCells(vecs, "v", centroids)
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))

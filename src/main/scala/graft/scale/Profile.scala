@@ -77,6 +77,25 @@ object Profile {
     // cross-joined compute the identical values in two bounded scans of
     // `df` (still O(1) scans, never per-column); the approx face has no
     // Expand, so it keeps the single fused scan.
+    //
+    // Crossover AT SCALE (r22, tools/ProfileScale22 — the r21 claim was
+    // sf0.1-only): at 100× the bench input (15M rows × 5 exact-distinct
+    // columns, persisted, noop sink, interleaved fused/split/split/fused
+    // ×2) fused = 6.2 s vs split = 4.4 s mean — the split WIDENS its win
+    // at scale (1.39× at 15M rows vs breakeven-ish per-scan at 150k),
+    // exactly as the shape predicts: Expand×(k+1) replicates every row
+    // k+1 times through the first aggregate stage, i.e. the fused scan
+    // does ~6× the row work of one plain scan, while the split pays one
+    // extra plain scan. No size gate needed.
+    //
+    // The split ASSUMES a deterministic input (r22 ADVICE note): the two
+    // scans read `df` independently, so a non-deterministic upstream
+    // (sample/rand) or a file overwritten between the scans could make
+    // the profile row internally inconsistent (e.g. n_distinct >
+    // n_rows), where the pre-r21 fused scan was atomic. Every engine
+    // input here is a static file read and the declarative surface
+    // offers no non-deterministic source; a caller profiling a
+    // non-deterministic frame should persist it first.
     val wide =
       if (approx) df.agg((plainAggs ++ distinctAggs).head, (plainAggs ++ distinctAggs).tail: _*)
       else df.agg(plainAggs.head, plainAggs.tail: _*)

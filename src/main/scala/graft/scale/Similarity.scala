@@ -441,13 +441,62 @@ object Similarity {
    * probes prune at the file-source level.
    */
   def assignCells(corpus: DataFrame, vecCol: String, idCol: String,
-                  centroids: DataFrame): DataFrame = {
+                  centroids: DataFrame): DataFrame =
+    assignCells(corpus, vecCol, centroids)
+
+  /** The idCol-free face of [[assignCells]]: the r21 kernel rewrite made
+    * the id column unused (nothing groups any more), so callers without a
+    * unique id — KMeans.train assigns bare vectors, where duplicate
+    * vectors are valid input — use this overload instead of passing a
+    * non-id column into a parameter documented as "unique id" (r22
+    * ADVICE: the contract violation would bite if a future refactor made
+    * idCol drive a grouping again). */
+  def assignCells(corpus: DataFrame, vecCol: String,
+                  centroids: DataFrame): DataFrame =
+    assignCells(corpus, vecCol, centroids, MaxPackedElems)
+
+  /** Ceiling on cells × dim for [[assignCells]]'s single packed broadcast
+    * row. The 65536-cell clamp (ivfCellsFor) bounds the CELL count but
+    * not the row's bytes: the packed row costs ≈ elements × 4 B (float
+    * payload) + cells × ~32 B (struct/cell/array headers), so 65536
+    * cells × 1024-dim ≈ 67M elements ≈ 270 MB in ONE InternalRow —
+    * legal, but a silent multi-hundred-MB single-row broadcast is a
+    * driver+executor memory hazard (guide §3.1: "a few hundred MB is
+    * usually fine; multiple GB is asking for driver OOMs"). 64M elements
+    * ≈ 256 MB payload is the loud line; an exceeding corpus should
+    * shrink cells (sqrt-n rule already caps far below this) or shard the
+    * centroid set. Enforced in-plan (assert_true on the packed row — one
+    * row, evaluated once), so it fires wherever the packed row is built,
+    * including the declarative paths. */
+  val MaxPackedElems: Long = 64L * 1024 * 1024
+
+  private[graft] def assignCells(corpus: DataFrame, vecCol: String,
+                                 centroids: DataFrame,
+                                 maxPackedElems: Long): DataFrame = {
     require(!corpus.columns.contains("__cells"),
       "assignCells: input already has a '__cells' column")
+    // withColumn REPLACES a same-named column silently; the old grouped
+    // form failed loudly on the ambiguous `cell` from its cross join, so
+    // keep that loudness rather than silently clobbering caller data
+    // (r22 ADVICE)
+    require(!corpus.columns.contains("cell"),
+      "assignCells: input already has a 'cell' column — rename it before " +
+        "cell assignment (the output column is 'cell')")
+    // cells × dim of the packed row, from the (single) row itself: dim is
+    // taken from the first centroid (one dim per centroid table by
+    // contract; a null cvec contributes its true 0). assert_true inside a
+    // filter so column pruning cannot delete the guard.
+    val elems = size(col("__cells")).cast("long") *
+      coalesce(size(element_at(col("__cells"), 1).getField("cvec")).cast("long"), lit(0L))
     val packed = centroids
       .agg(collect_list(struct(col("cell").cast("long").as("cell"),
         col("cvec").as("cvec"))).as("__cells"))
       .filter(size(col("__cells")) > 0)
+      .filter(assert_true(elems <= lit(maxPackedElems),
+        concat(lit("assignCells: packed centroid row would hold "), elems,
+          lit(s" elements (cells x dim), over the $maxPackedElems ceiling " +
+            "(~4 B/element packed) — shrink the cell count or shard the " +
+            "centroid set"))).isNull)
     val cellT = centroids.schema("cell").dataType
     corpus.crossJoin(broadcast(packed))
       .withColumn("cell",

@@ -211,6 +211,51 @@ class CsvJsonIOSpec extends SparkTestBase {
     assert(JsonIO.read(spark, out, Some(schema)).count() === 5)
   }
 
+  test("gzip write does not pre-execute a shuffled upstream (probe skipped)") {
+    // r22 ADVICE fix: the gzip widen probe (toRdd.getNumPartitions) runs
+    // ONLY on narrow scan-shaped plans. On a shuffled upstream, AQE plan
+    // finalization would execute every upstream stage and the write's own
+    // QueryExecution would re-run them — so a gzip write of an aggregate
+    // must cost exactly as many Spark jobs as the plain write of the same
+    // aggregate (no extra probe-finalization jobs).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = counter.incrementAndGet()
+    }
+    val agg = spark.range(100).withColumn("k", col("id") % 5)
+      .groupBy("k").agg(sum(col("id")).as("s"))
+    def jobsFor(gzip: Boolean, out: String): Int = {
+      spark.sparkContext.addSparkListener(l)
+      counter.set(0)
+      try {
+        JsonIO.write(agg, out, gzip = gzip)
+        Thread.sleep(300) // let listener events drain (job STARTS land synchronously-ish)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val plain = jobsFor(gzip = false, tmp("json_gz_agg_plain"))
+    val gz = jobsFor(gzip = true, tmp("json_gz_agg_gz"))
+    assert(gz === plain,
+      s"gzip write ran $gz jobs vs $plain for the plain write — the widen " +
+        "probe executed the shuffled upstream")
+    // and the data still round-trips
+    val schema = StructType(Seq(StructField("k", LongType), StructField("s", LongType)))
+    assert(JsonIO.read(spark, tmp("json_gz_agg_gz"), Some(schema)).count() === 5)
+  }
+
+  test("gzip write still widens a narrow under-partitioned input") {
+    val dir = tmp("json_gz_widen_src")
+    spark.range(1000).select(col("id")).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val out = tmp("json_gz_widen_out")
+    JsonIO.write(spark.read.parquet(dir), out, gzip = true)
+    val parts = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .count(p => p.endsWith(".gz"))
+    assert(parts === spark.sparkContext.defaultParallelism,
+      s"expected widened gz part count, got $parts")
+  }
+
   test("sanitizeFloats nulls NaN and Infinity, also nested") {
     val df = spark.range(1).select(
       lit(Double.NaN).as("x"),

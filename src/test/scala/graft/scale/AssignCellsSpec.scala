@@ -97,6 +97,29 @@ class AssignCellsSpec extends SparkTestBase {
       (r.getLong(0), r.getString(1), r.getLong(2))).toSeq === Seq((1L, "a", 5L)))
   }
 
+  test("packed-row ceiling: at the boundary assigns, one element over raises") {
+    // cells × dim = 3 × 4 = 12 elements. Ceiling 12 passes; 11 raises
+    // loudly (the r22 guard on the single-row broadcast's size).
+    val corpus = Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("id", "v")
+    assert(Similarity.assignCells(corpus, "v", centroids3, maxPackedElems = 12L)
+      .count() === 1)
+    val e = intercept[Exception] {
+      Similarity.assignCells(corpus, "v", centroids3, maxPackedElems = 11L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packed centroid row")),
+      s"expected the packed-row ceiling error, got: $e")
+  }
+
+  test("a pre-existing 'cell' column is rejected instead of clobbered") {
+    val corpus = Seq((1L, 9, Seq(1f, 0f, 0f, 0f))).toDF("id", "cell", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assignCells(corpus, "v", "id", centroids3)
+    }
+    assert(e.getMessage.contains("'cell' column"))
+  }
+
   test("the assignment is exchange-free over the corpus") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
