@@ -23,10 +23,12 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
  *    The token hash is an md5-prefix (SQL-reproducible on any engine, so
  *    correctness oracles can replay it) and the per-bit votes accumulate
  *    in ONE aggregate pass with a 60-wide array state.
- *  - n-gram Jaccard: posting-list (inverted index) join carrying ids only;
- *    intersection sizes come from a count aggregate, so shingle arrays are
- *    never shipped through the pair join. A document-frequency cap bounds
- *    the O(df²) blowup of stop-phrase postings at scale.
+ *  - n-gram Jaccard: posting-list (inverted index) join carrying only
+ *    (id, shingle-count); intersection sizes come from a count aggregate
+ *    and union sizes ride the posting rows, so shingle arrays are never
+ *    shipped through the pair join and no size table joins back after
+ *    it. A document-frequency cap bounds the O(df²) blowup of
+ *    stop-phrase postings at scale.
  *
  * Everything is built from codegen'd Catalyst expressions — no UDFs.
  *
@@ -744,8 +746,17 @@ object Dedup {
 
   /**
    * Exact n-gram Jaccard for all pairs above a threshold via an inverted-
-   * index join that carries ids only: |A∩B| is a count aggregate over the
-   * posting join, |A∪B| = |A|+|B|-|A∩B| from a small per-doc size table.
+   * index join: |A∩B| is a count aggregate over the posting join,
+   * |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts CARRIED THROUGH
+   * the posting rows (r22): each posting row is (g, id, n) — one extra
+   * long through the existing exchanges — and the pair aggregate keeps
+   * first(na)/first(nb), so the two join-backs against a separate size
+   * table (two whole join stages, at scale two exchanges of the full
+   * pair set plus the size table) are gone. Guide §2.3's
+   * "shuffle metadata, not payloads" weighed the other way: here the
+   * metadata IS 8 bytes and the joins were the heavy part. Measured
+   * (tools/R22Probe interleaved arms, sf0.1): 1.73 → 1.39 s, Spark jobs
+   * 17 → 12, identical 256 output pairs.
    * `maxDf` drops postings whose document frequency exceeds the cap —
    * a stop-phrase shingle shared by df docs would otherwise contribute an
    * O(df²) bucket; at the default the cap is inert on test fixtures and
@@ -755,21 +766,19 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = 10000): DataFrame = {
-    val sh = OpCaches.persist( // consumed 4× (sizes + df-cap + both posting join sides)
+    val sh = OpCaches.persist( // consumed 3× (df-cap census + both posting join sides)
       widen(df).select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh")))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val posting = sh.select(col("id"), explode(col("sh")).as("g"))
+    val posting = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
     val keptShingles = posting.groupBy(col("g"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select(col("g"))
     val capped = posting.join(keptShingles, Seq("g"))
-    val inter = capped.select(col("g"), col("id").as("id_a"))
-      .join(capped.select(col("g"), col("id").as("id_b")), Seq("g"))
+    capped.select(col("g"), col("id").as("id_a"), col("n").as("na"))
+      .join(capped.select(col("g"), col("id").as("id_b"), col("n").as("nb")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      // na/nb are constant within an (id_a, id_b) group — first() is
+      // deterministic here and stays map-side combinable
+      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))

@@ -3,8 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 
-/** Dev-only (r22): per-rep Spark-job census of the ivf gate queries —
-  * which driver actions a single bench rep pays, by job description. */
+/** Dev-only (r22): per-rep Spark-job census of named gate queries —
+  * which driver actions a single bench rep pays, by first-stage callsite.
+  * Usage: runMain graft.tools.IvfJobs22 [sfDir] [query names...]
+  * (defaults to the ivf family). */
 object IvfJobs22 {
   val started = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
@@ -24,7 +26,9 @@ object IvfJobs22 {
         started.add(s"desc='$d' stage0='${cs.take(80)}'")
       }
     })
-    for (q <- Seq("q_job_ivf_index", "q_job_ivf_many", "q_job_sim_ivf")) {
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else Seq("q_job_ivf_index", "q_job_ivf_many", "q_job_sim_ivf")
+    for (q <- names) {
       // warmup rep (codegen), then the censused rep
       graft.SparkEntry.queries(q)(spark, dir).count()
       spark.catalog.clearCache()

@@ -139,23 +139,60 @@ object R22Probe {
       emb.join(losers, Seq("vec_id"), "left_anti")
     }
 
-    // warmup (discarded): exercise codegen for every arm's plan shape
+    // ---- ngram variant: carry per-doc shingle sizes through the posting
+    // self-join (first(na)/first(nb) in the pair aggregate) instead of
+    // joining the sizes table back on id_a and id_b afterwards — trades
+    // one long per posting row through the existing exchange for two
+    // whole join stages (guide §2.3 "shuffle keys and metadata" inverted:
+    // here the metadata is 8 bytes and the joins are the heavy part)
+    def ngramOpt(): DataFrame = {
+      val sh = OpCaches.persist(
+        Dedup.widen(docs).select(col("doc_id").as("id"),
+          Dedup.wordShingles(col("text"), 4).as("sh")))
+      val posting = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+      val keptShingles = posting.groupBy(col("g"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 10000).select(col("g"))
+      val capped = posting.join(keptShingles, Seq("g"))
+      capped.select(col("g"), col("id").as("id_a"), col("n").as("na"))
+        .join(capped.select(col("g"), col("id").as("id_b"), col("n").as("nb")), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+    }
+
+    // warmup (discarded): exercise codegen for every arm's plan shape.
+    // An arg beyond the dir restricts to that family's arms.
+    val fams = if (args.length > 1) args.drop(1).toSet
+               else Set("minhash", "simhash", "emb", "ngram")
     println("== warmup (discarded)")
-    t("warm minhash cur")(minhashCur()); t("warm minhash opt")(minhashOpt())
-    t("warm simhash cur")(simhashCur()); t("warm simhash opt")(simhashOpt())
-    t("warm emb cur")(embCur()); t("warm emb opt")(embOpt())
-    t("warm ngram cur")(ngramCur())
+    if (fams("minhash")) { t("warm minhash cur")(minhashCur()); t("warm minhash opt")(minhashOpt()) }
+    if (fams("simhash")) { t("warm simhash cur")(simhashCur()); t("warm simhash opt")(simhashOpt()) }
+    if (fams("emb")) { t("warm emb cur")(embCur()); t("warm emb opt")(embOpt()) }
+    if (fams("ngram")) { t("warm ngram cur")(ngramCur()); t("warm ngram opt")(ngramOpt()) }
 
     println("== interleaved arms (cur/opt/opt/cur x2)")
     for (round <- 1 to 2) {
       println(s"-- round $round")
-      t("minhash cur")(minhashCur()); t("minhash opt")(minhashOpt())
-      t("minhash opt")(minhashOpt()); t("minhash cur")(minhashCur())
-      t("simhash cur")(simhashCur()); t("simhash opt")(simhashOpt())
-      t("simhash opt")(simhashOpt()); t("simhash cur")(simhashCur())
-      t("emb cur")(embCur()); t("emb opt")(embOpt())
-      t("emb opt")(embOpt()); t("emb cur")(embCur())
-      t("ngram cur")(ngramCur()); t("ngram cur")(ngramCur())
+      if (fams("minhash")) {
+        t("minhash cur")(minhashCur()); t("minhash opt")(minhashOpt())
+        t("minhash opt")(minhashOpt()); t("minhash cur")(minhashCur())
+      }
+      if (fams("simhash")) {
+        t("simhash cur")(simhashCur()); t("simhash opt")(simhashOpt())
+        t("simhash opt")(simhashOpt()); t("simhash cur")(simhashCur())
+      }
+      if (fams("emb")) {
+        t("emb cur")(embCur()); t("emb opt")(embOpt())
+        t("emb opt")(embOpt()); t("emb cur")(embCur())
+      }
+      if (fams("ngram")) {
+        t("ngram cur")(ngramCur()); t("ngram opt")(ngramOpt())
+        t("ngram opt")(ngramOpt()); t("ngram cur")(ngramCur())
+      }
     }
     spark.stop()
   }
