@@ -681,28 +681,33 @@ object Dedup {
   /**
    * SimHash near-dup pairs: block on the 4 fingerprint chunks (any pair
    * with hamming ≤ 3 shares ≥1 chunk — pigeonhole, so this is EXACTLY the
-   * all-pairs result), ids-only join, verify with hammingBlocks on the
-   * deduplicated candidates. For dedup (survivor) semantics prefer
+   * all-pairs result), fingerprint-carrying join (48 B/row), hamming
+   * verified per candidate in the join projection, pairs deduplicated
+   * across blocks after the cut. For dedup (survivor) semantics prefer
    * simhashDedup, which collapses identical-fingerprint clusters before
    * the quadratic stage — a corpus with heavy exact duplication would
    * otherwise enumerate every within-cluster pair here.
    */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val withFp = OpCaches.persist( // consumed 3×; fingerprint expr is interpreted
+    // r22: the 4-long fingerprint RIDES the block self-join (48 B × 4
+    // posting rows per doc — a payload small enough that guide §2.3's
+    // "shuffle metadata, not payloads" favors carrying it), so hamming
+    // verifies each candidate IN the join projection — no join-backs —
+    // and the cross-block pair dedup runs AFTER the hamming cut, on true
+    // near-dup pairs only (hamming is pair-determined, so distinct over
+    // (id_a, id_b, hamming) is exactly distinct pairs).
+    val withFp = OpCaches.persist( // both self-join sides; expr is interpreted
       widen(df).select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk")))
-    val e = withFp.select(col("id"), posexplode(col("blk")).as(Seq("pos", "v")))
-    val cand = e.select(col("pos"), col("v"), col("id").as("id_a"))
-      .join(e.select(col("pos"), col("v"), col("id").as("id_b")), Seq("pos", "v"))
+    val e = withFp.select(col("id"), col("blk"), posexplode(col("blk")).as(Seq("pos", "v")))
+    e.select(col("pos"), col("v"), col("id").as("id_a"), col("blk").as("blk_a"))
+      .join(e.select(col("pos"), col("v"), col("id").as("id_b"), col("blk").as("blk_b")),
+        Seq("pos", "v"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    cand
-      .join(withFp.select(col("id").as("id_a"), col("blk").as("blk_a")), Seq("id_a"))
-      .join(withFp.select(col("id").as("id_b"), col("blk").as("blk_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingBlocks(col("blk_a"), col("blk_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /**
@@ -722,24 +727,26 @@ object Dedup {
    */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // withFp is consumed ONCE here (unlike simhashNearDups' 3 uses), so it
+    // withFp is consumed ONCE here (unlike simhashNearDups' 2 uses), so it
     // is not persisted: the fingerprint projection fuses into the reps
     // groupBy's map side instead of paying a cache materialization barrier
-    // (r22; with the repLosers distinct drop below, measured ~1.1x)
+    // (r22). The 4-long fingerprint rides the block self-join and hamming
+    // verifies each candidate in place — no cross-block pair dedup (a
+    // duplicate collision re-verifies a 4-long hamming, cheaper than the
+    // distinct exchange) and no rep join-backs (two whole join stages).
+    // Interleaved arms at sf0.1 (tools/R22Probe): 1.55 → 1.26 s, Spark
+    // jobs 17 → 12, identical survivors.
     val withFp =
       widen(df).select(col(idCol).as("id"), simhashBlocks(col(textCol)).as("blk"))
     val reps = OpCaches.persist(withFp.groupBy(col("blk")).agg(min(col("id")).as("id")))
-    val e = reps.select(col("id"), posexplode(col("blk")).as(Seq("pos", "v")))
-    val cand = e.select(col("pos"), col("v"), col("id").as("id_a"))
-      .join(e.select(col("pos"), col("v"), col("id").as("id_b")), Seq("pos", "v"))
+    val e = reps.select(col("id"), col("blk"), posexplode(col("blk")).as(Seq("pos", "v")))
+    val repLosers = e
+      .select(col("pos"), col("v"), col("id").as("id_a"), col("blk").as("blk_a"))
+      .join(e.select(col("pos"), col("v"), col("id").as("id_b"), col("blk").as("blk_b")),
+        Seq("pos", "v"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val repLosers = cand
-      .join(reps.select(col("id").as("id_a"), col("blk").as("blk_a")), Seq("id_a"))
-      .join(reps.select(col("id").as("id_b"), col("blk").as("blk_b")), Seq("id_b"))
       .filter(hammingBlocks(col("blk_a"), col("blk_b")) <= maxHamming)
-      .select(col("id_b").as("id")) // left_anti build: no distinct needed
+      .select(col("id_b").as("id")) // duplicates fine: left_anti build
     val survivorIds = reps.select(col("id")).join(repLosers, Seq("id"), "left_anti")
     df.join(survivorIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
   }

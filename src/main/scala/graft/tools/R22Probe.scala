@@ -94,22 +94,24 @@ object R22Probe {
       docs.join(losers, Seq("doc_id"), "left_anti")
     }
 
-    // ---- simhash variant: no persist on withFp, no distinct on repLosers
+    // ---- simhash variant 2 (r22, after the distinct/persist drops
+    // shipped): carry the 4-long fingerprint THROUGH the block self-join
+    // and filter hamming per candidate immediately — no cand distinct
+    // (duplicate block collisions just re-verify a 4-long hamming, and
+    // the left_anti build tolerates duplicate losers), no rep join-backs
+    // at all. Trades ~3x the posting-exchange bytes (48 B blk on 4 rows
+    // per rep) for one distinct exchange + two join stages.
     def simhashOpt(): DataFrame = {
       val withFp = Dedup.widen(docs)
         .select(col("doc_id").as("id"), Dedup.simhashBlocks(col("text")).as("blk"))
       val reps = OpCaches.persist(withFp.groupBy(col("blk")).agg(min(col("id")).as("id")))
-      val e = reps.select(col("id"), posexplode(col("blk")).as(Seq("pos", "v")))
-      val cand = e.select(col("pos"), col("v"), col("id").as("id_a"))
-        .join(e.select(col("pos"), col("v"), col("id").as("id_b")), Seq("pos", "v"))
+      val e = reps.select(col("id"), col("blk"), posexplode(col("blk")).as(Seq("pos", "v")))
+      val repLosers = e.select(col("pos"), col("v"), col("id").as("id_a"), col("blk").as("blk_a"))
+        .join(e.select(col("pos"), col("v"), col("id").as("id_b"), col("blk").as("blk_b")),
+          Seq("pos", "v"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct()
-      val repLosers = cand
-        .join(reps.select(col("id").as("id_a"), col("blk").as("blk_a")), Seq("id_a"))
-        .join(reps.select(col("id").as("id_b"), col("blk").as("blk_b")), Seq("id_b"))
         .filter(Dedup.hammingBlocks(col("blk_a"), col("blk_b")) <= 3)
-        .select(col("id_b").as("id")) // no distinct: left_anti build
+        .select(col("id_b").as("id")) // duplicates fine: left_anti build
       val survivorIds = reps.select(col("id")).join(repLosers, Seq("id"), "left_anti")
       docs.join(survivorIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
     }
