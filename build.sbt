@@ -28,6 +28,11 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  // r22: the default 100-entry whole-stage-codegen compile cache thrashes
+  // on many-query JVMs (the test suite and Verify each run hundreds of
+  // distinct plan shapes), recompiling units that were already compiled;
+  // see Bench.scala's session config for the measured effect
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

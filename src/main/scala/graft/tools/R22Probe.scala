@@ -116,28 +116,13 @@ object R22Probe {
       docs.join(survivorIds.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
     }
 
-    // ---- embedding variant: no persist on bucketed, no distinct on losers
+    // ---- embedding variant: losers distinct RESTORED over the shipped
+    // no-distinct form (second-guessing the r22 drop after a noisy 1.16x
+    // full-suite reading; cur = current code = no distinct)
     def embOpt(): DataFrame = {
-      val base = Dedup.widen(emb).select(col("vec_id").as("id"), col("embedding").as("v"))
-      val bucketed = base
-        .select(col("id"), Similarity.planeSums(col("v"), 64, 160).as("ps"))
-        .select(col("id"), explode(Similarity.bandKeysFromSums(col("ps"), 16, 10)).as("bk"))
-        .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      val cand = bucketed.select(col("band"), col("sig"), col("id").as("id_a"))
-        .join(bucketed.select(col("band"), col("sig"), col("id").as("id_b")),
-          Seq("band", "sig"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct()
-      val withN = base.select(col("id"), col("v"), Similarity.dot(col("v"), col("v")).as("n2"))
-      val d = sqrt(col("na2")) * sqrt(col("nb2"))
-      val pairs = cand
-        .join(withN.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na2")), Seq("id_a"))
-        .join(withN.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb2")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          when(d === 0, lit(0.0)).otherwise(Similarity.dot(col("va"), col("vb")) / d).as("cos"))
-        .filter(col("cos") >= 0.95)
-      val losers = pairs.select(col("id_b").as("vec_id")) // no distinct: left_anti build
+      val losers = Similarity
+        .embeddingNearDups(emb, "embedding", "vec_id", 0.95, 64, 16, 10)
+        .select(col("id_b").as("vec_id")).distinct()
       emb.join(losers, Seq("vec_id"), "left_anti")
     }
 

@@ -109,7 +109,9 @@ class ConnectedComponentsSpec extends SparkTestBase {
     // the checkpointed blocks) must be observationally equal to the
     // join-form it replaced — on a multi-component graph with genuine
     // multi-round convergence so intermediate rounds actually differ
-    val edges = (1L until 30L).map(i => (i, i + 1)) ++
+    // (a 10-chain takes ~3 pointer-jump rounds; r22 trimmed from 30 —
+    // every extra round is ~0.5 s of pure suite wall, COVERAGE.md guard)
+    val edges = (1L until 10L).map(i => (i, i + 1)) ++
       Seq((50L, 51L), (51L, 52L), (200L, 100L))
     def viaProbed(fused: Boolean) =
       Dedup.ccProbed(edges.toDF("id_a", "id_b"), "id_a", "id_b",
@@ -125,7 +127,9 @@ class ConnectedComponentsSpec extends SparkTestBase {
   }
 
   test("jumpsPerRound > 1 (the r21 null-result experiment arm) labels identically") {
-    val edges = (1L until 30L).map(i => (i, i + 1)) ++ Seq((50L, 51L), (200L, 100L))
+    // 10-chain: multi-round under jumps=1, fewer rounds under jumps=2 —
+    // the interesting divergence survives the r22 fixture trim
+    val edges = (1L until 10L).map(i => (i, i + 1)) ++ Seq((50L, 51L), (200L, 100L))
     def via(jumps: Int) =
       Dedup.ccProbed(edges.toDF("id_a", "id_b"), "id_a", "id_b",
         maxIter = 25, checkEvery = 1, probe = null, jumpsPerRound = jumps)
@@ -136,7 +140,9 @@ class ConnectedComponentsSpec extends SparkTestBase {
 
   test("check_every > 1 converges to the identical labeling") {
     import spark.implicits._
-    val edges = (1L until 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
+    // 14-chain: ~4 rounds, so checkEvery=3 genuinely skips checks
+    // (r22 fixture trim from 40, COVERAGE.md suite-wall guard)
+    val edges = (1L until 14L).map(i => (i, i + 1)) ++ Seq((100L, 101L))
     val every = run(edges, maxLocalEdges = 0)
     val everyThird = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
       checkEvery = 3, maxLocalEdges = 0).collect()
