@@ -114,6 +114,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
     val j13 = pairs.find(_._2 == 3L).get._3
     assert(j13 === 1.0) // identical after normalization
+    // r22 pin for the carried-size rewrite (na/nb ride the posting rows
+    // instead of joining a size table back): every emitted jaccard must
+    // equal the direct |A∩B| / |A∪B| over the same word shingles —
+    // exercised on pairs with ASYMMETRIC shingle counts too (threshold 0
+    // emits every candidate pair)
+    val model = docs.select(col("doc_id").as("id"),
+        Dedup.wordShingles(col("text"), 3).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val all = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+        threshold = 0.000001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all.nonEmpty)
+    all.foreach { case (a, b, j) =>
+      val inter = (model(a) & model(b)).size
+      val expect = inter.toDouble / (model(a).size + model(b).size - inter).toDouble
+      assert(j === expect, s"pair ($a,$b)")
+    }
     // df-cap drops everything when set below any frequency → no pairs
     assert(Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.1, maxDf = 0).count() === 0)
   }
