@@ -164,7 +164,11 @@ object Bench {
     // printed LAST, after spark.stop(); the full-precision detail
     // (spreads included) goes to BENCH_LOCAL.json.
     def r4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = results.map { case (k, ts) => s"${quote(k)}:${r4(median(ts))}" }.mkString("{", ",", "}")
+    // one derivation of the per-query JSON fragments, shared by the full
+    // "queries" map and the chunked per_query_part lines below, so the
+    // two can never diverge in precision or quoting
+    val qEntries = results.map { case (k, ts) => s"${quote(k)}:${r4(median(ts))}" }
+    val qs = qEntries.mkString("{", ",", "}")
     val spread = results
       .map { case (k, ts) =>
         val (lo, hi) = spreadOf(ts); s"${quote(k)}:[$lo,$hi]" }
@@ -219,11 +223,10 @@ object Bench {
     // JSON objects. The existing headline/total lines are byte-identical
     // to r21 (additions only) and stay the authoritative totals;
     // BENCH_LOCAL.json keeps the full-precision detail.
-    val partEntries = results.map { case (k, ts) => s"${quote(k)}:${r4(median(ts))}" }
     val chunks = scala.collection.mutable.ArrayBuffer[Seq[String]]()
     var cur = scala.collection.mutable.ArrayBuffer[String]()
     var curLen = 0
-    partEntries.foreach { e =>
+    qEntries.foreach { e =>
       if (curLen + e.length + 1 > 1400 && cur.nonEmpty) {
         chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[String](); curLen = 0
       }

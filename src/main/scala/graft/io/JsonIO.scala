@@ -124,17 +124,26 @@ object JsonIO {
   }
 
   /** True when the plan is a narrow tree over leaves (project/filter/
-    * union shapes — no join, aggregate, sort, window, repartition):
-    * exactly the plans whose `toRdd` finalization under AQE materializes
-    * NOTHING (there is no query stage to execute), so probing their
-    * partition count is free. Anything wider is conservatively reported
-    * non-narrow: its `toRdd` would execute every upstream shuffle/
-    * broadcast stage, and the sink's own QueryExecution would then
-    * RE-RUN them (the r22 ADVICE finding on the r21 gzip widen probe). */
+    * generate/union/coalesce shapes — no join, aggregate, sort, window,
+    * shuffling repartition, limit): exactly the plans whose `toRdd`
+    * finalization under AQE materializes NOTHING (there is no query
+    * stage to execute), so probing their partition count is free.
+    * Anything wider is conservatively reported non-narrow: its `toRdd`
+    * would execute every upstream shuffle/broadcast stage — including a
+    * broadcast-join's build side — and the sink's own QueryExecution
+    * would then RE-RUN them (the r22 ADVICE finding on the r21 gzip
+    * widen probe). Generate (explode) and coalesce are included: both
+    * are narrow dependencies with no query stage, and an exploded or
+    * coalesced small scan is exactly the under-partitioned shape the
+    * widen exists for. Limit stays excluded (GlobalLimit plans a
+    * single-partition exchange). */
   private def narrowPlan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
     p match {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
+        !r.shuffle && narrowPlan(r.child) // coalesce only; repartition(n) shuffles
       case _: org.apache.spark.sql.catalyst.plans.logical.Project |
            _: org.apache.spark.sql.catalyst.plans.logical.Filter |
+           _: org.apache.spark.sql.catalyst.plans.logical.Generate |
            _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias |
            _: org.apache.spark.sql.catalyst.plans.logical.Union =>
         p.children.forall(narrowPlan)
@@ -168,12 +177,11 @@ object JsonIO {
     val clean = sanitizeFloats(df)
     val out =
       if (singleFile) clean.coalesce(1)
-      else if (gzip && narrowPlan(clean.queryExecution.optimizedPlan)) {
-        val target = df.sparkSession.sparkContext.defaultParallelism
-        if (clean.queryExecution.toRdd.getNumPartitions < target)
-          clean.repartition(target)
-        else clean
-      } else clean
+      // one widen policy, not two: Dedup.widen IS the probe+repartition
+      // pair this branch used to inline (r22 review)
+      else if (gzip && narrowPlan(clean.queryExecution.optimizedPlan))
+        graft.scale.Dedup.widen(clean)
+      else clean
     val w = out.write.mode("overwrite")
     (if (gzip) w.option("compression", "gzip") else w).json(path)
   }

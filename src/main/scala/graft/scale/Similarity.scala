@@ -482,19 +482,22 @@ object Similarity {
     require(!corpus.columns.contains("cell"),
       "assignCells: input already has a 'cell' column — rename it before " +
         "cell assignment (the output column is 'cell')")
-    // cells × dim of the packed row, from the (single) row itself: dim is
-    // taken from the first centroid (one dim per centroid table by
-    // contract; a null cvec contributes its true 0). assert_true inside a
-    // filter so column pruning cannot delete the guard.
-    val elems = size(col("__cells")).cast("long") *
-      coalesce(size(element_at(col("__cells"), 1).getField("cvec")).cast("long"), lit(0L))
+    // total element count of the packed row, summed over EVERY centroid
+    // (not sampled from element 1, whose collect_list position is
+    // non-deterministic and whose cvec could be null/short — r22 review:
+    // a degenerate first element would silently disarm the guard). One
+    // interpreted fold over ≤65536 entries of ONE row, evaluated once.
+    // assert_true lives inside a filter so column pruning cannot delete
+    // the guard.
+    val elems = aggregate(col("__cells"), lit(0L),
+      (acc, x) => acc + coalesce(size(x.getField("cvec")).cast("long"), lit(0L)))
     val packed = centroids
       .agg(collect_list(struct(col("cell").cast("long").as("cell"),
         col("cvec").as("cvec"))).as("__cells"))
       .filter(size(col("__cells")) > 0)
       .filter(assert_true(elems <= lit(maxPackedElems),
         concat(lit("assignCells: packed centroid row would hold "), elems,
-          lit(s" elements (cells x dim), over the $maxPackedElems ceiling " +
+          lit(s" vector elements, over the $maxPackedElems ceiling " +
             "(~4 B/element packed) — shrink the cell count or shard the " +
             "centroid set"))).isNull)
     val cellT = centroids.schema("cell").dataType

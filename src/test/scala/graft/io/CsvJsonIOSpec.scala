@@ -230,7 +230,15 @@ class CsvJsonIOSpec extends SparkTestBase {
       counter.set(0)
       try {
         JsonIO.write(agg, out, gzip = gzip)
-        Thread.sleep(300) // let listener events drain (job STARTS land synchronously-ish)
+        // the listener bus is asynchronous: poll until the count is
+        // stable for 500 ms (deadline 10 s) instead of a fixed sleep,
+        // so a loaded box cannot undercount either side
+        val deadline = System.nanoTime() + 10000000000L
+        var last = -1
+        while (last != counter.get() && System.nanoTime() < deadline) {
+          last = counter.get()
+          Thread.sleep(500)
+        }
         counter.get()
       } finally spark.sparkContext.removeSparkListener(l)
     }
